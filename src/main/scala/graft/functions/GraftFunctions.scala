@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Public surface of the graft engine — Column API + SQL registration for
+ * every function the reference exposes (/root/reference/src/lib.rs:43-51),
+ * re-expressed as native Catalyst aggregates.
+ *
+ * SQL names are `graft_`-prefixed so Spark's built-ins with different
+ * semantics (`kurtosis` = population in Spark, sample-corrected in the
+ * reference) are never silently shadowed.
+ */
+object GraftFunctions {
+
+  private def agg(e: Expression): Column =
+    ColumnBridge.column(e match {
+      case a: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+        a.toAggregateExpression()
+      case other => other
+    })
+
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Cast-to-double at construction (AbstractDataType is private[sql] in
+    * Spark 4, so implicit input-type coercion is done explicitly). */
+  private def d(e: Expression): Expression = Cast(e, DoubleType)
+
+  // ── reference surface ────────────────────────────────────────────────
+  /** Sample (bias-corrected) excess kurtosis — reference `kurtosis`. */
+  def kurtosis_samp(c: Column): Column = agg(GraftKurtosis(d(ex(c))))
+
+  /** Population excess kurtosis — reference `kurtosis_pop`. */
+  def kurtosis_pop(c: Column): Column = agg(GraftKurtosisPop(d(ex(c))))
+
+  /** Sample (bias-corrected) skewness — reference `skewness`. */
+  def skewness_samp(c: Column): Column = agg(GraftSkewness(d(ex(c))))
+
+  /** Most frequent value; reference tie-break (max value, min for strings). */
+  def mode_agg(c: Column): Column = agg(GraftMode(ex(c)))
+
+  /** Value of `x` at the max of `y` (Spark built-in; ties arbitrary). */
+  def max_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.max_by(x, y)
+
+  /** Value of `x` at the min of `y` (Spark built-in; ties arbitrary). */
+  def min_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.min_by(x, y)
+
+  /** Deterministic max_by: ties on `y` broken by greatest `x`. */
+  def max_by_det(x: Column, y: Column): Column =
+    org.apache.spark.sql.functions.max_by(x, struct(y, x))
+
+  /** Deterministic min_by: ties on `y` broken by least `x`. */
+  def min_by_det(x: Column, y: Column): Column =
+    org.apache.spark.sql.functions.min_by(x, struct(y, x))
+
+  /**
+   * Scalable two-shuffle mode: groupBy(keys :+ value).count, then per keys
+   * pick the value with (max count, reference tie-break). O(1) state per
+   * reducer key — the 100 TB path for high-cardinality value columns.
+   * Tie-break matches GraftMode: strings → min value, else max value.
+   */
+  def modeBy(df: DataFrame, keys: Seq[String], value: String, isStringTieMin: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.filter(col(value).isNotNull)
+      .groupBy((keys :+ value).map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val ord = if (isStringTieMin) col(value).asc else col(value).desc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__cnt").desc, ord)
+    counted.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((keys.map(col) :+ col(value).as(s"mode_$value")): _*)
+  }
+
+  /** Arity-checked unary builder (matches the reference's exact Float64
+    * signature erroring on wrong arity). */
+  private def unary(name: String, f: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(e) => f(e)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument, got ${other.size}")
+  }
+
+  /** Register every graft SQL function in the session registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val fns: Seq[(String, Expression => Expression)] = Seq(
+      "graft_kurtosis" -> (e => GraftKurtosis(Cast(e, DoubleType))),
+      "graft_kurtosis_pop" -> (e => GraftKurtosisPop(Cast(e, DoubleType))),
+      "graft_skewness" -> (e => GraftSkewness(Cast(e, DoubleType))),
+      "graft_mode" -> (e => GraftMode(e)),
+      // parity aliases for the non-conflicting reference names
+      "kurtosis_pop" -> (e => GraftKurtosisPop(Cast(e, DoubleType))),
+      "kurtosis_samp" -> (e => GraftKurtosis(Cast(e, DoubleType))),
+      "skewness_samp" -> (e => GraftSkewness(Cast(e, DoubleType)))
+    )
+    fns.foreach { case (name, f) =>
+      ColumnBridge.registerFunction(spark, name, unary(name, f))
+    }
+  }
+}

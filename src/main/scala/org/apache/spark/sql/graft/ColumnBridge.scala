@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * Bridge into Spark's `private[sql]` Column ↔ Expression conversions
+ * (org.apache.spark.sql.classic.ExpressionUtils) so the graft library can
+ * expose custom Catalyst expressions as first-class `Column`s, the same
+ * technique widely used by Spark ecosystem libraries.
+ */
+object ColumnBridge {
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /**
+   * Register a SQL function backed by a Catalyst expression builder in the
+   * session's function registry (session-scoped, like the reference's
+   * `register_all_extra_functions`, /root/reference/src/lib.rs:56).
+   */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}

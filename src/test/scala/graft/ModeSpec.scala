@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions._
+
+/** Mode semantics pinned to /root/reference/tests/main.rs + mode unit tests. */
+class ModeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // the reference TEST_TABLE (tests/main.rs:22-37)
+  private def testTable = Seq(
+    (Some("apple"), Some(1L), Some(1.0), Some(Date.valueOf("2021-01-01"))),
+    (Some("banana"), Some(2L), Some(2.0), Some(Date.valueOf("2021-01-02"))),
+    (Some("apple"), Some(2L), Some(2.0), Some(Date.valueOf("2021-01-02"))),
+    (Some("orange"), Some(3L), Some(3.0), Some(Date.valueOf("2021-01-03"))),
+    (Some("banana"), Some(3L), Some(3.0), Some(Date.valueOf("2021-01-03"))),
+    (Some("apple"), Some(3L), Some(3.0), Some(Date.valueOf("2021-01-03"))),
+    (None: Option[String], None: Option[Long], None: Option[Double], None: Option[Date])
+  ).toDF("utf8_col", "int64_col", "float64_col", "date_col").repartition(3)
+
+  test("mode over utf8/int64/float64/date matches reference") {
+    val r = testTable.agg(
+      mode_agg($"utf8_col"), mode_agg($"int64_col"),
+      mode_agg($"float64_col"), mode_agg($"date_col")).collect()(0)
+    assert(r.getString(0) == "apple")
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 3.0)
+    assert(r.getDate(3) == Date.valueOf("2021-01-03"))
+  }
+
+  test("string tie -> smallest string (reference bytes.rs tie rule)") {
+    val df = Seq("apple", "banana", "apple", "banana").toDF("s")
+    assert(df.agg(mode_agg($"s")).collect()(0).getString(0) == "apple")
+  }
+
+  test("primitive tie -> greatest value (reference native.rs tie rule)") {
+    val df = Seq(1, 2, 1, 2).toDF("i")
+    assert(df.agg(mode_agg($"i")).collect()(0).getInt(0) == 2)
+  }
+
+  test("all null / empty -> null") {
+    assert(Seq[Option[String]](None, None).toDF("s")
+      .agg(mode_agg($"s")).collect()(0).get(0) == null)
+    assert(Seq.empty[String].toDF("s").agg(mode_agg($"s")).collect()(0).get(0) == null)
+  }
+
+  test("timestamp mode") {
+    val df = Seq(
+      Timestamp.valueOf("2021-01-01 01:00:00"),
+      Timestamp.valueOf("2021-01-02 02:00:00"),
+      Timestamp.valueOf("2021-01-02 02:00:00")).toDF("ts")
+    assert(df.agg(mode_agg($"ts")).collect()(0).getTimestamp(0) ==
+      Timestamp.valueOf("2021-01-02 02:00:00"))
+  }
+
+  test("grouped mode with serialization across partitions") {
+    val df = (1 to 4000)
+      .map(i => (i % 5, if (i % 10 < 3) "x" + (i % 3) else "y" + (i % 7)))
+      .toDF("g", "v").repartition(8)
+    val merged = df.groupBy($"g").agg(mode_agg($"v").as("m")).orderBy($"g").collect()
+    val single = df.coalesce(1).groupBy($"g").agg(mode_agg($"v").as("m")).orderBy($"g").collect()
+    assert(merged.map(_.getString(1)).toSeq == single.map(_.getString(1)).toSeq)
+  }
+
+  test("SQL: graft_mode callable, max_by/min_by parity (reference examples)") {
+    Seq((1, 10), (2, 5), (3, 15), (4, 8)).toDF("x", "y").createOrReplaceTempView("tab")
+    val r = spark.sql("SELECT max_by(x, y) AS a, min_by(x, y) AS b FROM tab").collect()(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+    Seq("apple", "banana", "apple").toDF("s").createOrReplaceTempView("t_mode")
+    assert(spark.sql("SELECT graft_mode(s) FROM t_mode").collect()(0).getString(0) == "apple")
+  }
+
+  test("modeBy compositional form agrees with mode_agg") {
+    val df = (1 to 2000).map(i => (i % 4, "v" + (i % 13))).toDF("g", "v")
+    val a = modeBy(df, Seq("g"), "v", isStringTieMin = true)
+      .orderBy($"g").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val b = df.groupBy($"g").agg(mode_agg($"v").as("mode_v"))
+      .orderBy($"g").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(a == b)
+  }
+}
