@@ -45,7 +45,8 @@ case class GraftMode(
   // array/struct/binary values would alias reused row buffers.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
-      case _: AtomicType if !child.dataType.isInstanceOf[BinaryType] =>
+      case dt if org.apache.spark.sql.graft.ColumnBridge.isAtomic(dt) &&
+          !dt.isInstanceOf[BinaryType] =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -2,6 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AtomicType, DataType}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /**
@@ -16,6 +17,9 @@ object ColumnBridge {
 
   /** Extract the Catalyst expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AtomicType` is `private[sql]` in Spark 4 — exposed here for type checks. */
+  def isAtomic(dt: DataType): Boolean = dt.isInstanceOf[AtomicType]
 
   /**
    * Register a SQL function backed by a Catalyst expression builder in the
