@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Canonical session configuration for the graft engine.
+ *
+ * - `nanosAsLong`: the testdata's `events.ts` is parquet TIMESTAMP(NANOS),
+ *   which Spark rejects natively; read it as an epoch-nanos long (exactly
+ *   DuckDB's `epoch_ns`), so time arithmetic is integral and engine-portable.
+ * - AQE on: runtime coalescing + skew-join splitting — the 100 TB defaults.
+ * - shuffle.partitions sized to local cores here; on a real cluster this
+ *   becomes ~2-3× total executor cores (AQE coalesces the excess).
+ */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized from SPARK_GRAFT_CPUS (driver contract). */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(s)
+    s
+  }
+}

@@ -1,13 +1,381 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, Events, Multimodal, Similarity, TextOps}
+
+/**
+ * Driver contract: every operator in SURVEY.md §2 is exposed as a named
+ * query with a DuckDB oracle. Column names are aliased identically on both
+ * sides; float aggregates are rounded to 6 dp on both sides; ties are made
+ * deterministic on both sides (struct-ordered max_by / explicit ORDER BY).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: stats dashboard over lineitem — every reference aggregate in
+    * one pass (single shuffle, all map-side combinable). */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.registerAll(spark)
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 6).as("sum_qty"),
+        GraftFunctions.mode_agg(col("l_linenumber")).as("mode_linenumber"),
+        round(GraftFunctions.skewness_samp(col("l_extendedprice")), 6).as("skew_price"),
+        round(GraftFunctions.kurtosis_samp(col("l_extendedprice")), 6).as("kurt_price"),
+        round(GraftFunctions.kurtosis_pop(col("l_discount")), 6).as("kurt_pop_disc"),
+        GraftFunctions.max_by_det(col("l_orderkey"), col("l_extendedprice")).as("max_price_order"))
+  }
+
+  // ── shared sub-plans ──────────────────────────────────────────────────
+  private val MinhashK = 8
+  private val MinhashBands = 4
+  private val LshPlanes = 16
+  private val EmbDim = 64
+
+  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) =
+    Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── reference surface ───────────────────────────────────────────────
+    "q_mode_string" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        GraftFunctions.mode_agg(col("l_returnflag")).as("mode_returnflag"))),
+
+    "q_mode_int" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        GraftFunctions.mode_agg(col("l_linenumber")).as("mode_linenumber"))),
+
+    "q_mode_grouped" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.mode_agg(col("l_linenumber")).as("mode_linenumber"))),
+
+    "q_max_by" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(GraftFunctions.max_by_det(col("o_orderkey"), col("o_totalprice")).as("best_orderkey"))),
+
+    "q_min_by" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(GraftFunctions.min_by_det(col("o_orderkey"), col("o_totalprice")).as("best_orderkey"))),
+
+    "q_skewness" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(GraftFunctions.skewness_samp(col("l_extendedprice")), 6).as("skew"))),
+
+    "q_kurtosis" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(GraftFunctions.kurtosis_samp(col("l_quantity")), 6).as("kurt"))),
+
+    "q_kurtosis_pop" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(GraftFunctions.kurtosis_pop(col("l_quantity")), 6).as("kurt_pop"))),
+
+    "q_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          // decimal-exact sums: double accumulation order is
+          // nondeterministic under partial aggregation
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double").as("sum_disc_price"),
+          round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // ── dedup ───────────────────────────────────────────────────────────
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
+
+    "q_minhash_signature" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)
+        .select(col("doc_id"), concat_ws("|", col("sig")).as("sig"))),
+
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.jaccardVerify(d, "doc_id", "text",
+        Dedup.candidatePairs(d, "doc_id", "text", MinhashK, MinhashBands))
+    }),
+
+    "q_simhash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), transform(col("toks"), t => md5(t)).as("hashes"))
+        .select(col("doc_id"), TextOps.simhash64FromHashes(col("hashes")).as("simhash"))),
+
+    // ── text analysis ───────────────────────────────────────────────────
+    "q_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.langId(col("toks")).as("lang_pred"))),
+
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
+
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCountWs(col("text")).as("n_ws"),
+        TextOps.tokenCountBpe(col("text")).as("n_bpe"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ── embedding similarity ────────────────────────────────────────────
+    "q_cosine_topk" -> ((s, dir) => {
+      val c = emb(s, dir)
+      Similarity.bruteForceTopK(c, c.filter(col("vec_id") < 10), 5)
+        .select(col("q_id"), col("neighbor_id"), col("cos"), col("rn"))
+    }),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), 0.4)),
+
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.annLsh(emb(s, dir), col("vec_id") < 10, LshPlanes, EmbDim)),
+
+    // ── events ──────────────────────────────────────────────────────────
+    "q_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"))),
+
+    "q_event_windows" -> ((s, dir) =>
+      Events.tumblingWindows(t(s, dir, "events"))),
+
+    // ── multimodal ──────────────────────────────────────────────────────
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.featureColumns(
+        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text")))
+  )
+
+  // ── DuckDB oracle mirrors ─────────────────────────────────────────────
+
+  /** hex char → value, as DuckDB SQL. */
+  private def hexv(c: String) = s"(strpos('0123456789abcdef', $c) - 1)"
+
+  /** first `n` hex chars of md5 string expr `m` (1-based `off`) as BIGINT. */
+  private def hexToLong(m: String, off: Int, n: Int) =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> ${hexv(s"$m[i + ${off - 1}]")}::BIGINT * (1::BIGINT << (4*($n - i)))))"
+
+  private val ToksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val ShinglesSql =
+    """CASE WHEN len(toks) >= 3
+      | THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  private val SigSql =
+    "list_transform(range(0, 8), j -> list_min(list_transform(sh, s -> md5(s || '#' || j))))"
+  private val BandsSql =
+    "list_transform(range(0, 4), b -> md5(b || ':' || sig[2*b+1] || sig[2*b+2]))"
+
+  private val PairsCte =
+    s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM toks_t),
+       |sig_t AS (SELECT doc_id, $SigSql AS sig FROM sh_t),
+       |bands_t AS (SELECT doc_id, unnest($BandsSql) AS band_key FROM sig_t),
+       |pairs_t AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands_t a JOIN bands_t b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB: (vec_id, v double[], nrm) with left-fold norm. */
+  private val EmbCte =
+    """WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
+      |  FROM c)""".stripMargin
+
+  /** left-fold dot of duckdb list exprs `a`·`b` (same order as zip_with fold). */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  /** LSH plane weight w(p,d): md5-derived uint32 → [-0.5, 0.5). `d` 0-based. */
+  private def planeWeightSql(p: String, d: String) =
+    s"(${hexToLong(s"md5($p || '_' || ($d))", 1, 8)}::DOUBLE / 4294967296.0 - 0.5)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_mode_string" ->
+      """SELECT l_returnflag AS mode_returnflag FROM lineitem
+        |GROUP BY l_returnflag ORDER BY count(*) DESC, l_returnflag ASC LIMIT 1""".stripMargin,
+
+    "q_mode_int" ->
+      """SELECT l_linenumber AS mode_linenumber FROM lineitem
+        |GROUP BY l_linenumber ORDER BY count(*) DESC, l_linenumber DESC LIMIT 1""".stripMargin,
+
+    "q_mode_grouped" ->
+      """SELECT l_returnflag, l_linenumber AS mode_linenumber FROM (
+        |  SELECT l_returnflag, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_linenumber)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_max_by" ->
+      """SELECT o_orderpriority, o_orderkey AS best_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_min_by" ->
+      """SELECT o_orderpriority, o_orderkey AS best_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_skewness" ->
+      "SELECT l_returnflag, round(skewness(l_extendedprice), 6) AS skew FROM lineitem GROUP BY l_returnflag",
+
+    "q_kurtosis" ->
+      "SELECT l_returnflag, round(kurtosis(l_quantity), 6) AS kurt FROM lineitem GROUP BY l_returnflag",
+
+    "q_kurtosis_pop" ->
+      "SELECT l_returnflag, round(kurtosis_pop(l_quantity), 6) AS kurt_pop FROM lineitem GROUP BY l_returnflag",
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 6) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_minhash_signature" ->
+      s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM toks_t)
+         |SELECT doc_id, array_to_string($SigSql, '|') AS sig FROM sh_t""".stripMargin,
+
+    "q_minhash_pairs" ->
+      s"$PairsCte\nSELECT id1, id2 FROM pairs_t",
+
+    "q_ngram_jaccard" ->
+      s"""$PairsCte,
+         |dsh_t AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t)
+         |SELECT p.id1, p.id2,
+         |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
+         |        (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) AS jaccard
+         |FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |h_t AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes FROM toks_t)
+         |SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
+         |  CASE WHEN coalesce(list_sum(list_transform(hashes, h ->
+         |    2 * ((${hexv("h[(b // 4) + 1]")} // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)), 0) >= 0
+         |  THEN '1' ELSE '0' END), '') AS simhash
+         |FROM h_t""".stripMargin,
+
+    "q_langid" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+      s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |s_t AS (SELECT doc_id,
+         |  ${hits(TextOps.EN_STOP)} AS s_en, ${hits(TextOps.ES_STOP)} AS s_es,
+         |  ${hits(TextOps.FR_STOP)} AS s_fr, ${hits(TextOps.DE_STOP)} AS s_de
+         |  FROM toks_t)
+         |SELECT doc_id, CASE
+         |  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+         |  WHEN s_de > 0 THEN 'de'
+         |  ELSE 'und' END AS lang_pred
+         |FROM s_t""".stripMargin
+    },
+
+    "q_quality" -> {
+      val enHits = s"len(list_filter(toks, t -> t IN (${TextOps.EN_STOP.map(w => s"'$w'").mkString(", ")})))"
+      s"""WITH toks_t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
+         |SELECT doc_id, round(
+         |  0.3 * (least(len(toks)::DOUBLE, 100.0) / 100.0)
+         |  + 0.4 * (CASE WHEN len(toks) > 0 THEN $enHits::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
+         |  + 0.3 * (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text)::DOUBLE)
+         |, 6) AS quality
+         |FROM toks_t""".stripMargin
+    },
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH n_t AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm FROM documents)
+        |SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT, list_transform(range(1, length(nrm) + 1), i -> ascii(nrm[i])::BIGINT)),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM n_t""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""$EmbCte,
+         |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |    round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
+         |SELECT q_id, neighbor_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""$EmbCte
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.4""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""$EmbCte,
+         |bk AS (SELECT vec_id, v, nrm, array_to_string(list_transform(range(0, $LshPlanes), p ->
+         |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+         |      d -> v[d] * ${planeWeightSql("p", "d - 1")})), (acc, x) -> acc + x) >= 0
+         |    THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM n),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket FROM bk WHERE vec_id < 10),
+         |scored AS (SELECT q.q_id, c.vec_id AS neighbor_id,
+         |    round(${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm), 6) AS cos
+         |  FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
+         |SELECT q_id, neighbor_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn = 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+        |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |c AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM s)
+        |SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+        |  min(tsu) AS start_us, max(tsu) AS end_us, round(sum(value), 6) AS sum_value
+        |FROM c GROUP BY user_id, c.session_seq""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT event_type, epoch_us(ts) // 300000000 AS window_id,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type, epoch_us(ts) // 300000000""".stripMargin,
+
+    "q_multimodal" ->
+      s"""SELECT doc_id, 'image/stub' AS media_type,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  (${hexToLong("md5(text)", 1, 4)} % 1024 + 1)::INT AS width,
+         |  (${hexToLong("md5(text)", 5, 4)} % 1024 + 1)::INT AS height,
+         |  md5(text) AS content_hash
+         |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication pipeline for document corpora — the workhorse of an LLM
+ * training-data pipeline, designed shuffle-minimal for 100 TB:
+ *
+ *  - exact dedup: one hash-keyed shuffle (groupBy md5), map-side partial
+ *    aggregation halves traffic; the winning doc per group is picked with
+ *    min_by, not a window sort.
+ *  - MinHash/LSH near-dedup: signature computation is completely NARROW
+ *    (per-row higher-order expressions — zero shuffle over the corpus);
+ *    only the tiny (doc_id, band_key) projection shuffles for the
+ *    bucket self-join. Band keys are md5-uniform, so bucket skew only
+ *    appears when the data is pathologically duplicated — exactly the
+ *    rows one wants colocated anyway. AQE skew-join splitting covers that.
+ *  - candidate verification (exact Jaccard) touches only bucket-collided
+ *    pairs, never the full cross product.
+ */
+object Dedup {
+
+  /** (doc hash) → representative = smallest doc_id; dup_cnt per group.
+    * One shuffle, partial-agg friendly. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** doc_id + k-element MinHash signature (array of md5-hex strings).
+    * Narrow: no shuffle. STAGED projections matter: higher-order exprs are
+    * interpreted (no codegen CSE), so tokens/shingles must be materialized
+    * attributes — not sub-expressions duplicated into each of the k
+    * hashes (CollapseProject keeps non-cheap aliases staged). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), TextOps.shingles3(col("toks")).as("sh"))
+      .select(col("doc_id"), TextOps.minhashSignature(col("sh"), k).as("sig"))
+
+  /**
+   * LSH candidate pairs: docs sharing ≥1 of `bands` band keys.
+   * Only (doc_id, band_key) shuffles; the self-join is hash-partitioned
+   * on band_key; pairs are deduped (a pair can collide in several bands).
+   */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    // repartition by band_key: both self-join sides share one identical
+    // exchange → ReuseExchange computes the signature pipeline ONCE, and
+    // the join needs no further shuffle.
+    val banded = sigs
+      .select(col("doc_id"), explode(TextOps.bandKeys(col("sig"), k, bands)).as("band_key"))
+      .repartition(col("band_key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard for given (id1,id2) pairs. Shingle
+    * sets are joined in only for candidate pairs. */
+  def jaccardVerify(
+      docs: DataFrame, idCol: String, textCol: String, pairs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), array_distinct(TextOps.shingles3(col("toks"))).as("sh"))
+    // pairs is small relative to the corpus → broadcast it through both
+    // joins; the corpus-side shingle pipeline stays narrow and is never
+    // shuffled.
+    val j = broadcast(
+      broadcast(pairs)
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val union = (size(col("sh1")) + size(col("sh2"))).cast("double") - inter
+    j.select(
+      col("id1"), col("id2"),
+      round(inter / union, 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch event analytics over the `events` table. `ts` arrives as an
+ * epoch-NANOS long (parquet TIMESTAMP(NANOS) read with
+ * `spark.sql.legacy.parquet.nanosAsLong` — see [[graft.GraftSession]]),
+ * which keeps all time arithmetic integral and engine-exact.
+ *
+ * These are the batch-equivalents of [[graft.streaming.EventStreams]];
+ * the driver's oracle checks them, the streaming spec checks the
+ * streaming versions agree.
+ */
+object Events {
+
+  val SessionGapNanos: Long = 30L * 60 * 1000000000L // 30 min
+  val SessionGapMicros: Long = SessionGapNanos / 1000
+
+  /**
+   * Gap-based sessionization: a session breaks when >30 min passes
+   * between a user's consecutive events. Two window passes over the
+   * same (user_id, ts) partitioning — a single shuffle: session_seq is
+   * a running count of gap-breaks, then sessions aggregate by
+   * (user_id, session_seq).
+   *
+   * Time is truncated to MICROS (`ts div 1000`): sub-µs precision is not
+   * portable (DuckDB / most engines carry µs timestamps), and all gap
+   * decisions must be identical across engines.
+   */
+  def sessionize(events: DataFrame): DataFrame = {
+    val e = events.withColumn("tsu", expr("ts div 1000L"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val withBreak = e.withColumn(
+      "is_new",
+      when(col("tsu") - lag(col("tsu"), 1).over(byUser) > SessionGapMicros, 1)
+        .otherwise(when(lag(col("tsu"), 1).over(byUser).isNull, 1).otherwise(0)))
+    withBreak
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tsu")).as("start_us"),
+        max(col("tsu")).as("end_us"),
+        round(sum(col("value")), 6).as("sum_value"))
+  }
+
+  /** Tumbling 5-minute windows per event_type: window_id = µs ÷ 5 min.
+    * Integer `div` — double division would lose precision on epoch-micros
+    * scale longs; µs (not ns) so the boundary decision is engine-portable. */
+  def tumblingWindows(events: DataFrame, windowMicros: Long = 300L * 1000000L): DataFrame =
+    events
+      .groupBy(
+        col("event_type"),
+        expr(s"(ts div 1000L) div ${windowMicros}L").as("window_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("sum_value"))
+}

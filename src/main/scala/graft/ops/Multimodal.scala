@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal record: opaque media bytes + typed metadata. */
+case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Extracted features for one media payload. */
+case class MediaFeatures(
+    doc_id: Long, media_type: String, n_bytes: Long,
+    width: Int, height: Int, content_hash: String)
+
+/**
+ * Multimodal (image/audio/video) column plumbing. Media travels as an
+ * opaque `binary` column with typed metadata alongside — the schema,
+ * partitioning and batch shape are real; only the byte-level decoder is a
+ * STUB (this container has no image/audio codecs).
+ *
+ * Two execution paths:
+ *  - declarative [[featureColumns]]: byte length + md5 + stub dimensions
+ *    as pure codegen'd expressions (used by the oracle-checked query);
+ *  - batched [[extractFeatures]]: `mapPartitions` over a typed Dataset —
+ *    the shape a real decoder needs (per-partition codec init, batched
+ *    I/O), mirroring Python's `mapInPandas` batch contract.
+ *
+ * At 100 TB the payload column dominates I/O: keep media in its own
+ * parquet column (columnar pruning skips it unless projected), size
+ * `spark.sql.files.maxPartitionBytes` for payload width, and never
+ * shuffle payload bytes — join on doc_id and carry features only.
+ */
+object Multimodal {
+
+  /** Wrap a text corpus as a fake media corpus (payload = utf-8 bytes):
+    * the deterministic stand-in for real image bytes in tests. */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit("image/stub").as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Declarative feature extraction: codegen'd, shuffle-free.
+    * Stub dimensions are derived from the content hash so they are
+    * deterministic and engine-reproducible. */
+  def featureColumns(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("media_type"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("int") % 1024 + 1).as("width"),
+      (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("int") % 1024 + 1).as("height"),
+      md5(col("payload")).as("content_hash"))
+
+  /** STUB decoder — a real deployment replaces this with an image/audio
+    * codec call. Deterministic: dimensions derived from md5(payload). */
+  private[ops] def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val w = Integer.parseInt(hex.substring(0, 4), 16) % 1024 + 1
+    val h = Integer.parseInt(hex.substring(4, 8), 16) % 1024 + 1
+    (w, h, hex)
+  }
+
+  /** Batched per-partition feature extraction — the real-decoder shape:
+    * one codec init per partition, then a streamed pass over its rows. */
+  def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // (a real decoder would initialize its codec context here, once)
+      rows.map { r =>
+        val (w, h, hash) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, w, h, hash)
+      }
+    }
+  }
+}

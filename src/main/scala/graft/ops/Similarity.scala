@@ -1,0 +1,112 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity search over `array<float>` columns.
+ *
+ * Scale design (100 TB corpus, small-to-medium query set):
+ *  - brute-force top-k: the QUERY set is broadcast; the corpus is scanned
+ *    once, narrow, never shuffled. Only (query_id, neighbor_id, cos)
+ *    candidates shuffle for the per-query top-k.
+ *  - LSH (random-hyperplane) path: the corpus is bucketed by a 16-bit
+ *    sign signature in one narrow pass, then the join is equi on
+ *    bucket — a hash shuffle of ids+buckets, never an all-pairs scan.
+ *
+ * All floating-point folds are explicit left-folds over the vector order,
+ * so any engine (the DuckDB oracle included) reproduces bit-identical
+ * doubles.
+ */
+object Similarity {
+
+  /** float vector → double vector (widening is exact). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-fold Σ aᵢ·bᵢ. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Left-fold L2 norm. */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** cosine similarity rounded to 6 dp (deterministic cross-engine). */
+  def cosine6(a: Column, aNorm: Column, b: Column, bNorm: Column): Column =
+    round(dot(a, b) / (aNorm * bNorm), 6)
+
+  /** corpus projected to (id, v: array<double>, nrm). Narrow. */
+  def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = toDouble(col(vecCol))
+    emb.select(col(idCol).as("vec_id"), v.as("v")).withColumn("nrm", l2norm(col("v")))
+  }
+
+  /**
+   * Brute-force exact top-k: for each query vector, the k nearest corpus
+   * vectors by cosine (desc), ties broken by smallest neighbor id.
+   * `queries` is broadcast; corpus scan is shuffle-free.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** All pairs (id1<id2) with cosine ≥ threshold — the exact near-dup
+    * baseline; use the LSH path beyond single-node scale. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = corpus.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine6(col("v1"), col("n1"), col("v2"), col("n2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight: first 8 hex chars of
+    * md5("p_d") as a uint32, mapped to [-0.5, 0.5). Any engine can replay
+    * this (md5 + hex arithmetic), so LSH buckets are reproducible. */
+  def planeWeight(p: Int, d: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0 - 0.5
+  }
+
+  /** 16-char '0'/'1' bucket signature from `planes` random hyperplanes. */
+  def lshBucket(v: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val w = typedlit((0 until dim).map(planeWeight(p, _)))
+      when(dot(v, w) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /**
+   * ANN via LSH: per query, the single nearest same-bucket neighbor by
+   * cosine (ties → smallest id). Queries with an otherwise-empty bucket
+   * produce no row (inner join) — same rule in the oracle.
+   */
+  def annLsh(corpus: DataFrame, queryFilter: Column, planes: Int, dim: Int): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("v"), planes, dim))
+    val q = bucketed.filter(queryFilter).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
+    val scored = bucketed
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

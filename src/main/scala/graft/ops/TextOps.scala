@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for LLM-training-data pipelines, built entirely
+ * from codegen'd Catalyst expressions (no UDFs): tokenization, shingling,
+ * MinHash signatures, 64-bit SimHash, language-ID, quality scoring, token
+ * counting, and document fingerprinting.
+ *
+ * Hashing is md5-based on purpose: md5 produces identical lowercase hex in
+ * every engine (Spark, DuckDB, Trino, …), so results are bit-reproducible
+ * across the oracle and across cluster re-runs — a hard requirement when a
+ * 100 TB dedup job is resumed or audited. All operations are narrow
+ * (per-row, no shuffle); shuffles only appear in the pipeline joins built
+ * on top (see [[Dedup]] / [[Similarity]]).
+ */
+object TextOps {
+
+  /** Lowercase alnum word tokens. `regexp_extract_all` is codegen'd. */
+  def tokens(text: Column): Column =
+    call_function("regexp_extract_all", lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Word 3-shingles; documents with <3 tokens fall back to one shingle of
+    * the whole token list (so short docs still dedup). */
+  def shingles3(toks: Column): Column = {
+    val tri = transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) >= 3, tri).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** One MinHash: lexicographic min of seed-salted md5 over the shingles.
+    * Hex-string min is identical across engines. */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => md5(concat(s, lit(s"#$seed")))))
+
+  /** k-element MinHash signature (array of 32-hex strings). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(minhash(shingles, _)): _*)
+
+  /** LSH band keys: split the k-signature into `bands` bands of k/bands
+    * rows each; band key = md5(bandIdx ':' sig-slice). Docs sharing any
+    * band key are near-dup candidates. */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      val parts = (0 until rows).map(r => element_at(sig, b * rows + r + 1))
+      md5(concat((lit(s"$b:") +: parts): _*))
+    }: _*)
+  }
+
+  /**
+   * 64-bit SimHash as a 64-char '0'/'1' string (portable: no unsigned-long
+   * headaches in any engine). Bit b is the sign of the vote
+   * Σ_tokens (bit b of md5(token) set ? +1 : -1); bit b lives in hex digit
+   * b/4 (0-based) at bit position b%4. md5 is computed once per token; the
+   * per-bit work is substring + integer arithmetic only.
+   */
+  def simhash64(toks: Column): Column =
+    simhash64FromHashes(transform(toks, t => md5(t)))
+
+  /** SimHash from a pre-materialized md5-hex array column. Callers should
+    * stage the hash array as its own projection: the 64 bit-votes each
+    * walk this expression, and HOFs get no codegen CSE — an attribute
+    * reference is O(1), an inline md5-map is a 64× recompute. */
+  def simhash64FromHashes(hashes: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val pos = (b / 4).cast("int") + 1 // 1-based hex digit index
+      val bitPos = b % 4
+      // 2^bitPos without a dynamic shift (shiftright needs a literal)
+      val pow = when(bitPos === 0, 1).when(bitPos === 1, 2).when(bitPos === 2, 4).otherwise(8)
+      val vote = aggregate(
+        hashes,
+        lit(0),
+        (acc, h) => {
+          val digit = conv(h.substr(pos, lit(1)), 16, 10).cast("int")
+          val bit = (digit / pow).cast("int") % 2
+          acc + (bit * 2 - 1)
+        })
+      when(vote >= 0, lit("1")).otherwise(lit("0"))
+    })
+    concat_ws("", bits)
+  }
+
+  /** Stopword hit count (duplicates counted) — building block of langId. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
+
+  val EN_STOP: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was")
+  val ES_STOP: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las")
+  val FR_STOP: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une")
+  val DE_STOP: Seq[String] = Seq("der", "die", "und", "den", "das", "von", "zu", "mit", "sich", "des")
+
+  /** Stopword-voting language ID: argmax hit-count with fixed preference
+    * order en > es > fr > de; zero hits everywhere → "und". */
+  def langId(toks: Column): Column = {
+    val en = stopwordHits(toks, EN_STOP)
+    val es = stopwordHits(toks, ES_STOP)
+    val fr = stopwordHits(toks, FR_STOP)
+    val de = stopwordHits(toks, DE_STOP)
+    when(en > 0 && en >= es && en >= fr && en >= de, lit("en"))
+      .when(es > 0 && es >= fr && es >= de, lit("es"))
+      .when(fr > 0 && fr >= de, lit("fr"))
+      .when(de > 0, lit("de"))
+      .otherwise(lit("und"))
+  }
+
+  /**
+   * Heuristic quality score in [0,1] from length, stopword ratio and
+   * punctuation ratio. Rational arithmetic only (no exp/ln) so every
+   * engine computes the identical IEEE-754 double.
+   */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val stopRatio = when(nToks > 0, stopwordHits(toks, EN_STOP).cast("double") / nToks).otherwise(lit(0.0))
+    val cleaned = regexp_replace(lower(text), "[^a-z0-9\\s]", "")
+    val punctRatio = (length(text) - length(cleaned)).cast("double") / length(text).cast("double")
+    val lenScore = least(nToks, lit(100.0)) / lit(100.0)
+    round(lit(0.3) * lenScore + lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio), 6)
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs + single digits + single punct. */
+  def tokenCountBpe(text: Column): Column =
+    size(call_function("regexp_extract_all", lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /**
+   * Polynomial rolling-hash fingerprint of the whitespace-normalized
+   * lowercase text: fold (acc*31 + codepoint) mod 1e9+7. Integral → exact
+   * and identical in every engine.
+   */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    val codes = transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1))))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c.cast("long")) % 1000000007L)
+  }
+}
