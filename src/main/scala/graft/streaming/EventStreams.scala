@@ -7,6 +7,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event on the stream; `ts` is epoch nanos (the testdata contract). */
 case class StreamEvent(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
 
+/** Stream event with its derived event-time column — the watermark
+  * attribute must flow into the stateful operator, so it lives in the
+  * Dataset schema. */
+case class TimedEvent(
+    event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double,
+    event_time: java.sql.Timestamp)
+
 /** Open-session state carried between micro-batches. */
 case class SessionState(start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
 
@@ -51,14 +58,13 @@ object EventStreams {
     import spark.implicits._
     val typed = withEventTime(events)
       .withWatermark("event_time", "30 minutes")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[StreamEvent]
+      .as[TimedEvent]
 
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+        (userId: Long, batch: Iterator[TimedEvent], state: GroupState[SessionState]) =>
           if (batch.isEmpty && state.hasTimedOut) {
             // watermark passed end+gap: the open session is final
             val s = state.get

@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: boot a session with `spark.sql.extensions=GraftExtensions`
+  * and call every injected function through plain SQL — the way a cluster
+  * user would meet the library. */
+object ExtensionsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val row = spark.sql(
+      """SELECT graft_mode(x) AS m, graft_skewness(x) AS sk, graft_kurtosis(x) AS k,
+        |       graft_kurtosis_pop(x) AS kp, kurtosis_samp(x) AS ks, skewness_samp(x) AS ss,
+        |       kurtosis_pop(x) AS kp2
+        |FROM VALUES (1.0),(2.0),(2.0),(3.0),(10.0) t(x)""".stripMargin).collect().head
+    println(s"[ext-probe] OK -> $row")
+    spark.stop()
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup of 1
+    (4L, "spark catalyst optimizer pushes filters below joins for columnar scans"),
+    (5L, "completely different content about embeddings and vector similarity search")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup: groups exact duplicates, keeps smallest id") {
+    val r = Dedup.exactDedup(docs, "doc_id", "text").collect()
+    assert(r.length == 4) // 1+2 collapse
+    val dup = r.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min
+  }
+
+  test("candidatePairs: finds exact and near duplicates, no false cross pairs") {
+    val pairs = Dedup.candidatePairs(docs, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup likely collides
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated doc never pairs
+  }
+
+  test("jaccardVerify: exact dup = 1.0, near dup high, ordering sane") {
+    val pairs = Dedup.candidatePairs(docs, "doc_id", "text", 8, 4)
+    val j = Dedup.jaccardVerify(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    j.get((1L, 3L)).foreach(v => assert(v > 0.5 && v < 1.0))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Events
+
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val M = 1000000L // µs per unit in these tests (values in ns below)
+  // user 7: events at t=0min, 10min, 50min (gap>30 → two sessions)
+  private val ev = Seq(
+    (1L, 0L * 60 * 1000000000L, 7L, "view", 1.0),
+    (2L, 10L * 60 * 1000000000L, 7L, "click", 2.0),
+    (3L, 50L * 60 * 1000000000L, 7L, "view", 4.0),
+    (4L, 5L * 60 * 1000000000L, 8L, "view", 8.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize: 30-min gap splits sessions; aggregates per session") {
+    val s = Events.sessionize(ev).orderBy($"user_id", $"session_seq").collect()
+    assert(s.length == 3)
+    val s1 = s(0) // user 7 session 1: events 1,2
+    assert(s1.getLong(0) == 7L && s1.getLong(2) == 2L && s1.getDouble(5) == 3.0)
+    assert(s1.getLong(3) == 0L && s1.getLong(4) == 600L * M)
+    val s2 = s(1) // user 7 session 2: event 3
+    assert(s2.getLong(2) == 1L && s2.getDouble(5) == 4.0)
+    val s3 = s(2) // user 8
+    assert(s3.getLong(0) == 8L && s3.getLong(2) == 1L)
+  }
+
+  test("tumblingWindows: 5-min buckets per event_type") {
+    val w = Events.tumblingWindows(ev).orderBy($"event_type", $"window_id").collect()
+    // view events at 0min(w0), 50min(w10), 5min(w1); click at 10min(w2)
+    assert(w.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("click", 2L, 1L), ("view", 0L, 1L), ("view", 1L, 1L), ("view", 10L, 1L)))
+  }
+
+  test("sessionize truncates sub-µs nanos (engine-portable µs domain)") {
+    val e = Seq((1L, 1000000999L, 1L, "v", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = Events.sessionize(e).collect().head
+    assert(s.getLong(3) == 1000000L) // 999 ns truncated
+  }
+}

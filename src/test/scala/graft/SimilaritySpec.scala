@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: known geometry (identical=1, orthogonal=0, opposite=-1)") {
+    val c = Similarity.prepared(emb, "vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(c, c.filter($"vec_id" === 0), 4)
+      .orderBy($"rn").collect()
+    assert(topk.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L)) // by similarity
+    assert(math.abs(topk(0).getDouble(2) - 0.993884) < 1e-6)
+    assert(topk(1).getDouble(2) == 0.0)
+    assert(topk(3).getDouble(2) == -1.0)
+  }
+
+  test("nearDupPairs: only the close pair passes a high threshold") {
+    val c = Similarity.prepared(emb, "vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(c, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("lsh buckets: identical vectors share bucket; opposite vectors do not") {
+    val c = Similarity.prepared(
+      Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+        (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val b = c.withColumn("bucket", Similarity.lshBucket($"v", 16, 3))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // every sign flips for the negated vector
+    assert(b(0L).length == 16)
+  }
+
+  test("annLsh finds the duplicate as nearest same-bucket neighbor") {
+    val c = Similarity.prepared(
+      Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+        (2L, Array(5.0f, -1.0f, 0.5f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val r = Similarity.annLsh(c, $"vec_id" === 0, 16, 3).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L && r.head.getDouble(2) == 1.0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Events
+import graft.streaming.{EventStreams, StreamEvent}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val MinNs = 60L * 1000000000L
+  // realistic epoch base: an event AT the initial watermark (t=0) would be
+  // dropped as late by the stateful operator
+  private val Base = 1704067200L * 1000000000L // 2024-01-01T00:00Z
+
+  // user 7: sessions {t0,t10} and {t50}; user 8: {t5}
+  private val events = Seq(
+    StreamEvent(1L, Base + 0L * MinNs, 7L, "view", 1.0),
+    StreamEvent(2L, Base + 10L * MinNs, 7L, "click", 2.0),
+    StreamEvent(3L, Base + 50L * MinNs, 7L, "view", 4.0),
+    StreamEvent(4L, Base + 5L * MinNs, 8L, "view", 8.0))
+
+  // sentinel far in the future to push the watermark past every gap
+  private val flush = StreamEvent(99L, Base + 1000L * MinNs, 999L, "flush", 0.0)
+
+  test("streaming sessionize agrees with the batch sessionize") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.sessionize(in.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      in.addData(flush)
+      q.processAllAvailable()
+
+      val streamed = s.sql(
+        "SELECT user_id, start_us, end_us, n_events, sum_value FROM sessions_out WHERE user_id != 999")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+      val batch = Events.sessionize(events.toDF())
+        .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
+  test("streaming windowed aggs count correctly under watermark") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedAggs(in.toDF())
+      .writeStream.format("memory").queryName("windows_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      val total = s.sql("SELECT sum(n) FROM windows_out").collect().head.getLong(0)
+      assert(total == events.size)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row =
+    df.collect().head
+
+  test("tokens: lowercase alnum words") {
+    val r = one(Seq("Hello, World! 42x").toDF("text").select(TextOps.tokens($"text").as("t")))
+    assert(r.getSeq[String](0) == Seq("hello", "world", "42x"))
+  }
+
+  test("shingles3: trigrams, short-doc fallback") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextOps.shingles3(TextOps.tokens($"text")).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq("a b"))
+  }
+
+  test("minhash signature: deterministic, element = min salted md5") {
+    val df = Seq("x y z w").toDF("text")
+      .select(TextOps.minhashSignature(TextOps.shingles3(TextOps.tokens($"text")), 4).as("sig"))
+    val sig = one(df).getSeq[String](0)
+    assert(sig.length == 4)
+    // recompute expected for seed 0 over shingles {"x y z","y z w"}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(sig.head == Seq(h("x y z#0"), h("y z w#0")).min)
+    // stable across invocations
+    assert(one(df.union(df).limit(1)).getSeq[String](0) == sig)
+  }
+
+  test("simhash64: 64-bit string; similar docs closer than different docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely unrelated words about database engines and shuffles")).toDF("id", "text")
+    val sh = docs
+      .select($"id", TextOps.tokens($"text").as("toks"))
+      .select($"id", TextOps.simhash64FromHashes(transform($"toks", t => md5(t))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("langId: stopword voting with und fallback") {
+    val df = Seq(
+      "the cat and the dog in the house",
+      "el perro y el gato en la casa del se las",
+      "le chat et le chien dans les des maisons du",
+      "der hund und die katze von den das haus",
+      "zzz qqq xxx").toDF("text")
+      .select(TextOps.langId(TextOps.tokens($"text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("quality: in [0,1], higher for stopword-rich clean text") {
+    val df = Seq(
+      "the cat and the dog sat in the house and it was warm",
+      "@@@@ #### !!!! %%%% ^^^^ &&&&").toDF("text")
+      .select(TextOps.qualityScore($"text").as("q"))
+    val qs = df.collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    assert(qs(0) > qs(1))
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val r = one(Seq("Hello world, 42!").toDF("text")
+      .select(TextOps.tokenCountWs($"text").as("ws"), TextOps.tokenCountBpe($"text").as("bpe")))
+    assert(r.getInt(0) == 3)
+    // hello | world | , | 4 | 2 | !
+    assert(r.getInt(1) == 6)
+  }
+
+  test("fingerprint: whitespace-insensitive, content-sensitive") {
+    val fps = Seq("a  b\t c", "a b c", "a b d").toDF("text")
+      .select(TextOps.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(1) != fps(2))
+  }
+}
