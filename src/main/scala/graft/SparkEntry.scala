@@ -102,7 +102,8 @@ object SparkEntry {
 
     "q_minhash_signature" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)
-        .select(col("doc_id"), concat_ws("|", col("sig")).as("sig"))),
+        .select(col("doc_id"),
+          concat_ws("|", transform(col("sig"), x => x.cast("string"))).as("sig"))),
 
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
@@ -177,10 +178,14 @@ object SparkEntry {
     """CASE WHEN len(toks) >= 3
       | THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  /** Kirsch-Mitzenmacher replay: a/b = unsigned 32-bit halves of md5(s)
+    * (hex chars 1-8 / 9-16); hash_j = (a + j*b) mod 2^32. Must equal
+    * [[graft.functions.MinHashSignature]] bit-for-bit. */
   private val SigSql =
-    "list_transform(range(0, 8), j -> list_min(list_transform(sh, s -> md5(s || '#' || j))))"
+    s"""list_transform(range(0, 8), j -> list_min(list_transform(sh,
+       | s -> (${hexToLong("md5(s)", 1, 8)} + j * ${hexToLong("md5(s)", 9, 8)}) & 4294967295)))""".stripMargin
   private val BandsSql =
-    "list_transform(range(0, 4), b -> md5(b || ':' || sig[2*b+1] || sig[2*b+2]))"
+    "list_transform(range(0, 4), b -> md5(b || ':' || sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR))"
 
   private val PairsCte =
     s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
@@ -260,7 +265,8 @@ object SparkEntry {
     "q_minhash_signature" ->
       s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM toks_t)
-         |SELECT doc_id, array_to_string($SigSql, '|') AS sig FROM sh_t""".stripMargin,
+         |SELECT doc_id, array_to_string(list_transform($SigSql, x -> x::VARCHAR), '|') AS sig
+         |FROM sh_t""".stripMargin,
 
     "q_minhash_pairs" ->
       s"$PairsCte\nSELECT id1, id2 FROM pairs_t",

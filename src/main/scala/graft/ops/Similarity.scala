@@ -27,13 +27,17 @@ object Similarity {
   /** float vector → double vector (widening is exact). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-fold Σ aᵢ·bᵢ. */
+  /** Left-fold Σ aᵢ·bᵢ — codegen'd custom expression (see
+    * [[graft.functions.DotProduct]]); identical fold order to the
+    * interpreted HOF form and the oracle's `list_reduce`. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** Left-fold L2 norm. */
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** cosine similarity rounded to 6 dp (deterministic cross-engine). */
   def cosine6(a: Column, aNorm: Column, b: Column, bNorm: Column): Column =

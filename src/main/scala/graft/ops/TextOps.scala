@@ -31,22 +31,22 @@ object TextOps {
     when(size(toks) >= 3, tri).otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** One MinHash: lexicographic min of seed-salted md5 over the shingles.
-    * Hex-string min is identical across engines. */
-  def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => md5(concat(s, lit(s"#$seed")))))
-
-  /** k-element MinHash signature (array of 32-hex strings). */
+  /** k-element MinHash signature (array of uint32-range longs) via the
+    * one-md5-per-shingle Kirsch-Mitzenmacher family — see
+    * [[graft.functions.MinHashSignature]]. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(minhash(shingles, _)): _*)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingles), k))
 
   /** LSH band keys: split the k-signature into `bands` bands of k/bands
-    * rows each; band key = md5(bandIdx ':' sig-slice). Docs sharing any
-    * band key are near-dup candidates. */
+    * rows each; band key = md5("bandIdx:" v,v,…). Docs sharing any band
+    * key are near-dup candidates. */
   def bandKeys(sig: Column, k: Int, bands: Int): Column = {
     val rows = k / bands
     array((0 until bands).map { b =>
-      val parts = (0 until rows).map(r => element_at(sig, b * rows + r + 1))
+      val parts = (0 until rows).flatMap(r =>
+        Seq(lit(","), element_at(sig, b * rows + r + 1).cast("string"))).drop(1)
       md5(concat((lit(s"$b:") +: parts): _*))
     }: _*)
   }

@@ -25,17 +25,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(1) == Seq("a b"))
   }
 
-  test("minhash signature: deterministic, element = min salted md5") {
+  test("minhash signature: Kirsch-Mitzenmacher family from md5 halves") {
     val df = Seq("x y z w").toDF("text")
       .select(TextOps.minhashSignature(TextOps.shingles3(TextOps.tokens($"text")), 4).as("sig"))
-    val sig = one(df).getSeq[String](0)
+    val sig = one(df).getSeq[Long](0)
     assert(sig.length == 4)
-    // recompute expected for seed 0 over shingles {"x y z","y z w"}
+    // replay: a/b = unsigned 32-bit halves of md5(s); h_j = (a + j*b) & 2^32-1
     val md = java.security.MessageDigest.getInstance("MD5")
-    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(sig.head == Seq(h("x y z#0"), h("y z w#0")).min)
+    def ab(s: String): (Long, Long) = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+        java.lang.Long.parseLong(hex.substring(8, 16), 16))
+    }
+    val shingles = Seq("x y z", "y z w").map(ab)
+    for (j <- 0 until 4)
+      assert(sig(j) == shingles.map { case (a, b) => (a + j * b) & 0xffffffffL }.min)
     // stable across invocations
-    assert(one(df.union(df).limit(1)).getSeq[String](0) == sig)
+    assert(one(df.union(df).limit(1)).getSeq[Long](0) == sig)
   }
 
   test("simhash64: 64-bit string; similar docs closer than different docs") {
