@@ -21,6 +21,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized from SPARK_GRAFT_CPUS (driver contract). */

@@ -58,6 +58,14 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(GraftFunctions.mode_agg(col("l_linenumber")).as("mode_linenumber"))),
 
+    "q_mode_date" -> ((s, dir) =>
+      // date-typed mode (reference supports date/time/timestamp inputs);
+      // output as ISO string: date/timestamp encodings are not
+      // hash-comparable across engines, strings are
+      t(s, dir, "lineitem").agg(
+        date_format(GraftFunctions.mode_agg(to_date(col("l_shipdate"))), "yyyy-MM-dd")
+          .as("mode_shipdate"))),
+
     "q_max_by" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -225,6 +233,11 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_linenumber DESC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_linenumber)
         |WHERE rn = 1""".stripMargin,
+
+    "q_mode_date" ->
+      """SELECT strftime(d, '%Y-%m-%d') AS mode_shipdate FROM (
+        |  SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem)
+        |GROUP BY d ORDER BY count(*) DESC, d DESC LIMIT 1""".stripMargin,
 
     "q_max_by" ->
       """SELECT o_orderpriority, o_orderkey AS best_orderkey FROM (

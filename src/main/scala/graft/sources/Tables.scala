@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Table IO for the graft engine: parquet loaders plus bucketed writes —
+ * the storage-level answer to repeated large joins.
+ *
+ * At 100 TB, the dominant cost of a fact-fact join is the shuffle. If
+ * both tables are written bucketed (and sorted) on the join key with the
+ * same bucket count, Spark plans a sort-merge join with NO exchange on
+ * either side: the shuffle is paid once at write time and amortized over
+ * every subsequent join/aggregation on that key ([[TablesSpec]] asserts
+ * the exchange-free plan).
+ */
+object Tables {
+
+  /** Load one testdata table. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * Write `df` as a bucketed, sorted parquet table registered in the
+   * catalog. Joins and groupBys on `keys` against tables bucketed the
+   * same way need no exchange.
+   */
+  def writeBucketed(
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+class TablesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("bucketed-on-key tables join and aggregate with no exchange") {
+    import spark.implicits._
+    val orders = (1L to 500L).map(k => (k, s"o$k")).toDF("orderkey", "o_payload")
+    val items = (1L to 500L).flatMap(k => Seq((k, 1.0), (k, 2.0))).toDF("orderkey", "qty")
+    Tables.writeBucketed(orders, "t_orders_b", Seq("orderkey"), 4)
+    Tables.writeBucketed(items, "t_items_b", Seq("orderkey"), 4)
+    // at real scale neither side broadcasts — force the shuffle-join path
+    // the bucketing is designed to serve
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("t_orders_b").join(spark.table("t_items_b"), "orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free co-located join:\n$plan")
+      assert(joined.count() == 1000)
+
+      // groupBy on the bucketing key: also exchange-free
+      val agg = spark.table("t_items_b").groupBy("orderkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(agg.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS t_orders_b")
+      spark.sql("DROP TABLE IF EXISTS t_items_b")
+    }
+  }
+}
