@@ -66,6 +66,12 @@ object SparkEntry {
         date_format(GraftFunctions.mode_agg(to_date(col("l_shipdate"))), "yyyy-MM-dd")
           .as("mode_shipdate"))),
 
+    "q_mode_scalable" -> ((s, dir) =>
+      // two-shuffle compositional mode — the unbounded-cardinality path
+      // (l_partkey has ~20k distinct values per group at sf0.1)
+      GraftFunctions.modeBy(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", isStringTieMin = false)),
+
     "q_max_by" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -125,8 +131,7 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), transform(col("toks"), t => md5(t)).as("hashes"))
-        .select(col("doc_id"), TextOps.simhash64FromHashes(col("hashes")).as("simhash"))),
+        .select(col("doc_id"), TextOps.simhash64(col("toks")).as("simhash"))),
 
     // ── text analysis ───────────────────────────────────────────────────
     "q_langid" -> ((s, dir) =>
@@ -238,6 +243,13 @@ object SparkEntry {
       """SELECT strftime(d, '%Y-%m-%d') AS mode_shipdate FROM (
         |  SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem)
         |GROUP BY d ORDER BY count(*) DESC, d DESC LIMIT 1""".stripMargin,
+
+    "q_mode_scalable" ->
+      """SELECT l_returnflag, l_partkey AS mode_l_partkey FROM (
+        |  SELECT l_returnflag, l_partkey,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_partkey DESC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_partkey)
+        |WHERE rn = 1""".stripMargin,
 
     "q_max_by" ->
       """SELECT o_orderpriority, o_orderkey AS best_orderkey FROM (

@@ -99,4 +99,25 @@ object GraftFunctions {
       ColumnBridge.registerFunction(spark, name, unary(name, f))
     }
   }
+
+  /**
+   * Drop-in compatibility with the reference's SQL names
+   * (/root/reference/src/lib.rs:43-51): registers `mode`, `skewness`,
+   * `kurtosis`, `kurtosis_pop` with the REFERENCE semantics, shadowing
+   * Spark's built-ins for this session (Spark's `skewness`/`kurtosis`
+   * are population statistics; the reference's are sample
+   * bias-corrected). Opt-in on purpose — call it only when migrating
+   * reference SQL verbatim. `max_by`/`min_by` already match.
+   */
+  def registerReferenceNames(spark: SparkSession): Unit = {
+    val fns: Seq[(String, Expression => Expression)] = Seq(
+      "mode" -> (e => GraftMode(e)),
+      "skewness" -> (e => GraftSkewness(Cast(e, DoubleType))),
+      "kurtosis" -> (e => GraftKurtosis(Cast(e, DoubleType))),
+      "kurtosis_pop" -> (e => GraftKurtosisPop(Cast(e, DoubleType)))
+    )
+    fns.foreach { case (name, f) =>
+      ColumnBridge.registerFunction(spark, name, unary(name, f))
+    }
+  }
 }

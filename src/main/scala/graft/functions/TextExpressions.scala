@@ -70,3 +70,64 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
+
+/**
+ * 64-bit SimHash over an `array<string>` of tokens, returned as a 64-char
+ * '0'/'1' string (bit b = sign of Σ_tokens ±1 votes; bit b of a token =
+ * bit b%4 of hex digit b/4 of md5(token) — identical to the declarative
+ * [[graft.ops.TextOps.simhash64FromHashes]] and to the DuckDB oracle).
+ *
+ * One md5 digest per token, votes accumulated from the digest BYTES
+ * (hex char 2c is the high nibble of byte c) — no hex strings, no
+ * per-bit substring walks. ~64× less per-token work than the HOF form.
+ */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(arr.getUTF8String(i).getBytes)
+      var c = 0 // hex-digit index 0..15 over the first 8 digest bytes
+      while (c < 16) {
+        val byte = digest(c >> 1) & 0xff
+        val digit = if ((c & 1) == 0) byte >> 4 else byte & 0xf
+        var k = 0
+        while (k < 4) {
+          votes(c * 4 + k) += (((digit >> k) & 1) * 2 - 1)
+          k += 1
+        }
+        c += 1
+      }
+      i += 1
+    }
+    val bits = new Array[Byte](64)
+    var b = 0
+    while (b < 64) {
+      bits(b) = if (votes(b) >= 0) '1'.toByte else '0'.toByte
+      b += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(bits)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -58,8 +58,12 @@ object TextOps {
    * b/4 (0-based) at bit position b%4. md5 is computed once per token; the
    * per-bit work is substring + integer arithmetic only.
    */
+  /** Native one-pass implementation — see [[graft.functions.SimHash64]];
+    * bit-identical to [[simhash64FromHashes]] (spec-checked). */
   def simhash64(toks: Column): Column =
-    simhash64FromHashes(transform(toks, t => md5(t)))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks)))
 
   /** SimHash from a pre-materialized md5-hex array column. Callers should
     * stage the hash array as its own projection: the 64 bit-votes each

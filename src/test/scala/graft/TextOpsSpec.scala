@@ -58,6 +58,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("native SimHash64 expression is bit-identical to the declarative HOF form") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "spark catalyst optimizer and tungsten execution",
+      "a").toDF("text")
+      .select(TextOps.tokens($"text").as("toks"))
+    val both = docs.select(
+      TextOps.simhash64($"toks").as("native"),
+      TextOps.simhash64FromHashes(transform($"toks", t => md5(t))).as("hof"))
+    both.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("langId: stopword voting with und fallback") {
     val df = Seq(
       "the cat and the dog in the house",
