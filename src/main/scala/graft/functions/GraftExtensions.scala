@@ -49,5 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder(args)
         }))
     }
+    // scalable two-phase mode rewrite, gated on spark.graft.mode.twoPhase
+    ext.injectOptimizerRule(_ => graft.plans.RewriteModeToTwoPhase)
   }
 }

@@ -50,6 +50,21 @@ class StatsAggSpec extends AnyFunSuite {
     assert(one(Seq(7.0, 7.0, 7.0).toDF("x").agg(skewness_samp($"x"))) == null)
   }
 
+  test("registerReferenceNames: reference names shadow Spark built-ins with sample semantics") {
+    val spark2 = spark.newSession()
+    graft.functions.GraftFunctions.registerReferenceNames(spark2)
+    // DuckDB-checked: kurtosis([1,10,11,10,9,22,8,9]) = 3.626099881093935
+    // sample-corrected (Spark's built-in population kurtosis gives 1.0600)
+    val r = spark2.sql(
+      """SELECT kurtosis(x) AS k, skewness(x) AS s, mode(x) AS m, kurtosis_pop(x) AS kp
+        |FROM VALUES (1.0),(10.0),(11.0),(10.0),(9.0),(22.0),(8.0),(9.0) t(x)""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 3.626099881093935) < 1e-12)
+    assert(r.getDouble(3) < r.getDouble(0)) // population < sample-corrected here
+    // SQL literal 1.0 is DECIMAL(2,1) → mode preserves the input type
+    assert(r.getDecimal(2).doubleValue == 10.0)
+  }
+
   test("SQL registration: graft_* callable from spark.sql") {
     refCol.toDF("x").createOrReplaceTempView("t_stats")
     val r = spark.sql(
