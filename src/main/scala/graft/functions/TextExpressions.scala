@@ -131,3 +131,43 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/**
+ * Polynomial rolling-hash fingerprint over a string's Unicode code
+ * points: fold `(acc*31 + codePoint) mod 1e9+7` left-to-right — the
+ * native form of `aggregate(transform(sequence(...), i ->
+ * ascii(substr(s,i,1))), ...)`, which walks an interpreted lambda per
+ * CHARACTER (14s for 5000 docs at sf0.1; this kernel is milliseconds).
+ * Matches DuckDB's `ascii()` (code point) replay exactly.
+ */
+case class Fingerprint(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}

@@ -137,11 +137,14 @@ object TextOps {
   /**
    * Polynomial rolling-hash fingerprint of the whitespace-normalized
    * lowercase text: fold (acc*31 + codepoint) mod 1e9+7. Integral → exact
-   * and identical in every engine.
+   * and identical in every engine. Native kernel
+   * ([[graft.functions.Fingerprint]]) — the per-character HOF walk is
+   * ~1000× slower.
    */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
-    val codes = transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1))))
-    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c.cast("long")) % 1000000007L)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Fingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(norm)))
   }
 }

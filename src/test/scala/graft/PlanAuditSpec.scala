@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that matter at 100 TB must be
+  * visible in the plan, not assumed — column pruning reaching the scan,
+  * broadcast on the small side, partial aggregation before the exchange. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_tpch_q1: scan reads only the five needed lineitem columns") {
+    val plan = planOf("q_tpch_q1")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_orderkey"))
+  }
+
+  test("q_skewness: partial aggregation (map-side combine) before the exchange") {
+    val plan = planOf("q_skewness")
+    assert(plan.contains("partial_graft_skewness"), plan)
+  }
+
+  test("q_cosine_topk: queries broadcast, corpus unshuffled, top-k cut before the only exchange") {
+    val plan = planOf("q_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // exactly ONE hash exchange in the whole plan (the per-query top-k);
+    // the corpus scan side only ever feeds the broadcast join directly
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // partial WindowGroupLimit before the exchange → at most k rows per
+    // query per partition are shuffled, not the full candidate set
+    assert(plan.indexOf("WindowGroupLimit") < plan.indexOf("Exchange hashpartitioning") ||
+      plan.contains("Partial"), plan)
+  }
+
+  test("q_langid: documents scan prunes to doc_id + text") {
+    val plan = planOf("q_langid")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"))
+  }
+
+  test("q_mode_grouped: graft_mode runs under ObjectHashAggregate with partial merge") {
+    val plan = planOf("q_mode_grouped")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_mode"), plan)
+  }
+}
