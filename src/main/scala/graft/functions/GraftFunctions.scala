@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -98,6 +98,46 @@ object GraftFunctions {
     fns.foreach { case (name, f) =>
       ColumnBridge.registerFunction(spark, name, unary(name, f))
     }
+    registerTextFunctions(spark)
+  }
+
+  /** Lift a Column→Column pipeline function into a SQL builder. */
+  private def unaryCol(name: String, f: Column => Column): Seq[Expression] => Expression = {
+    case Seq(e) => ex(f(ColumnBridge.column(e)))
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument, got ${other.size}")
+  }
+
+  /**
+   * SQL surface for the text-pipeline operators: everything in
+   * [[graft.ops.TextOps]] callable from `spark.sql` (so a pure-SQL user
+   * has the full pipeline, not just the aggregates). Registered by
+   * [[registerAll]].
+   */
+  def registerTextFunctions(spark: SparkSession): Unit = {
+    import graft.ops.TextOps
+    val fns: Seq[(String, Column => Column)] = Seq(
+      "graft_tokens" -> (TextOps.tokens(_)),
+      "graft_langid" -> (c => TextOps.langId(TextOps.tokens(c))),
+      "graft_quality" -> (TextOps.qualityScore(_)),
+      "graft_token_count_ws" -> (TextOps.tokenCountWs(_)),
+      "graft_token_count_bpe" -> (TextOps.tokenCountBpe(_)),
+      "graft_fingerprint" -> (TextOps.fingerprint(_)),
+      "graft_simhash" -> (c => TextOps.simhash64(TextOps.tokens(c))),
+      "graft_shingles" -> (c => TextOps.shingles3(TextOps.tokens(c)))
+    )
+    fns.foreach { case (name, f) =>
+      ColumnBridge.registerFunction(spark, name, unaryCol(name, f))
+    }
+    ColumnBridge.registerFunction(spark, "graft_minhash", {
+      case Seq(e, Literal(k: Int, _)) =>
+        MinHashSignature(
+          ex(TextOps.shingles3(TextOps.tokens(ColumnBridge.column(e)))), k)
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_minhash requires (text, k int literal), got $other")
+    })
   }
 
   /**

@@ -15,8 +15,12 @@ object ColumnBridge {
   /** Wrap a Catalyst expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
-  /** Extract the Catalyst expression backing a Column. */
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Extract the Catalyst expression backing a Column — EAGERLY: the
+    * default `ExpressionUtils.expression` wraps the column node lazily,
+    * which only the Dataset analyzer unwraps; expressions embedded in a
+    * SQL function registry need the converted tree now. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** `AtomicType` is `private[sql]` in Spark 4 — exposed here for type checks. */
   def isAtomic(dt: DataType): Boolean = dt.isInstanceOf[AtomicType]

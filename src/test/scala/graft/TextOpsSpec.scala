@@ -99,6 +99,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 6)
   }
 
+  test("text pipeline callable from pure SQL") {
+    val r = spark.sql(
+      """SELECT graft_langid(t) AS l, graft_quality(t) AS q, graft_token_count_ws(t) AS ws,
+        |       graft_fingerprint(t) AS fp, length(graft_simhash(t)) AS sh,
+        |       size(graft_minhash(t, 8)) AS mh, size(graft_shingles(t)) AS sg
+        |FROM VALUES ('the quick brown fox and the lazy dog') v(t)""".stripMargin).collect().head
+    assert(r.getString(0) == "en")
+    assert(r.getDouble(1) > 0 && r.getDouble(1) <= 1)
+    assert(r.getInt(2) == 8)
+    assert(r.getLong(3) > 0)
+    assert(r.getInt(4) == 64)
+    assert(r.getInt(5) == 8)
+    assert(r.getInt(6) == 6)
+  }
+
   test("fingerprint: whitespace-insensitive, content-sensitive") {
     val fps = Seq("a  b\t c", "a b c", "a b d").toDF("text")
       .select(TextOps.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
