@@ -52,6 +52,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source -> windowed aggs -> parquet sink round trip (real source+sink)") {
+    implicit val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    // seed the source dir with one parquet file of events, plus a late
+    // flush file so the watermark passes the real windows
+    events.toDF().coalesce(1).write.parquet(inDir)
+    Seq(flush).toDF().coalesce(1).write.mode("append").parquet(inDir)
+
+    // one file per micro-batch: the flush file lands in a later batch, so
+    // the watermark has advanced past every real window when it arrives
+    val stream = s.readStream.schema(events.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = EventStreams.windowedAggs(stream)
+      .selectExpr("window.start AS ws", "event_type", "n", "sum_value")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = s.read.parquet(outDir)
+    // every real (non-flush) 5-min window is past the watermark → emitted
+    val emitted = out.filter($"event_type" =!= "flush")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(emitted.map(_._2).sum == events.size)
+    assert(emitted.map(_._1).toSet == Set("view", "click"))
+  }
+
   test("streaming windowed aggs count correctly under watermark") {
     implicit val s = spark
     import s.implicits._
