@@ -138,6 +138,23 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"graft_minhash requires (text, k int literal), got $other")
     })
+    // pairwise similarity: cosine over embeddings, Jaccard over texts
+    def binaryCol(name: String, f: (Column, Column) => Column): Seq[Expression] => Expression = {
+      case Seq(a, b) => ex(f(ColumnBridge.column(a), ColumnBridge.column(b)))
+      case other => throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${other.size}")
+    }
+    ColumnBridge.registerFunction(spark, "graft_cosine", binaryCol("graft_cosine", (a, b) => {
+      import graft.ops.Similarity
+      val (ad, bd) = (Similarity.toDouble(a), Similarity.toDouble(b))
+      Similarity.dot(ad, bd) / (Similarity.l2norm(ad) * Similarity.l2norm(bd))
+    }))
+    ColumnBridge.registerFunction(spark, "graft_jaccard", binaryCol("graft_jaccard", (a, b) => {
+      val sa = array_distinct(TextOps.shingles3(TextOps.tokens(a)))
+      val sb = array_distinct(TextOps.shingles3(TextOps.tokens(b)))
+      val inter = size(array_intersect(sa, sb)).cast("double")
+      inter / ((size(sa) + size(sb)).cast("double") - inter)
+    }))
   }
 
   /**

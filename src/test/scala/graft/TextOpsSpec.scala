@@ -114,6 +114,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getInt(6) == 6)
   }
 
+  test("pairwise SQL similarity: graft_cosine and graft_jaccard") {
+    val r = spark.sql(
+      """SELECT round(graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS c1,
+        |       round(graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)), 6) AS c0,
+        |       graft_jaccard('a b c d', 'a b c d') AS j1,
+        |       round(graft_jaccard('a b c d e', 'a b c d x'), 6) AS jh
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.5) // shingles {abc,bcd,cde} vs {abc,bcd,cdx}: 2/4
+  }
+
   test("fingerprint: whitespace-insensitive, content-sensitive") {
     val fps = Seq("a  b\t c", "a b c", "a b d").toDF("text")
       .select(TextOps.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
