@@ -102,11 +102,12 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 6).as("sum_qty"),
-          // decimal-exact sums: double accumulation order is
-          // nondeterministic under partial aggregation
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
-            .cast("double").as("sum_disc_price"),
+          // exact integer-cents sums: double accumulation order is
+          // nondeterministic under partial aggregation; long sums are
+          // exact, order-free, and stay in whole-stage codegen
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000).cast("long"))
+            / 1000000.0).as("sum_disc_price"),
           round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))),
 
@@ -277,8 +278,8 @@ object SparkEntry {
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 6) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS sum_disc_price,
         |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
