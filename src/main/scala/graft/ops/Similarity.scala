@@ -67,9 +67,14 @@ object Similarity {
   }
 
   /** All pairs (id1<id2) with cosine ≥ threshold — the exact near-dup
-    * baseline; use the LSH path beyond single-node scale. */
+    * baseline; use the LSH path beyond single-node scale. The stream side
+    * is repartitioned to the session's parallelism: a small corpus often
+    * arrives as ONE input split, which would pin the O(n²) loop on a
+    * single core. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val parallelism = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val a = corpus.repartition(parallelism)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = corpus.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
       .select(col("id1"), col("id2"), cosine6(col("v1"), col("n1"), col("v2"), col("n2")).as("cos"))
