@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Property tests: the distributed aggregates must equal an independent
+  * single-pass reference implementation on randomized data, across
+  * randomized partitionings (exercises partial/merge paths).
+  * Deterministic seed → reproducible. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def refMoments(xs: Seq[Double]): (Double, Double, Double, Double, Double) = {
+    val n = xs.size.toDouble
+    val (s1, s2, s3, s4) = xs.foldLeft((0.0, 0.0, 0.0, 0.0)) { case ((a, b, c, d), x) =>
+      (a + x, b + x * x, c + x * x * x, d + x * x * x * x)
+    }
+    (n, s1, s2, s3, s4)
+  }
+
+  private def refKurtosisSamp(xs: Seq[Double]): Option[Double] = {
+    val (n, s1, s2, s3, s4) = refMoments(xs)
+    if (n <= 3) return None
+    val t = 1.0 / n
+    val m4 = t * (s4 - 4 * s3 * s1 * t + 6 * s2 * s1 * s1 * t * t - 3 * s1 * s1 * s1 * s1 * t * t * t)
+    val m2 = (s2 - s1 * s1 * t) * t
+    if (m2 <= 0) None
+    else Some((n - 1) * ((n + 1) * m4 / (m2 * m2) - 3 * (n - 1)) / ((n - 2) * (n - 3)))
+  }
+
+  private def refSkewSamp(xs: Seq[Double]): Option[Double] = {
+    val (n, s1, s2, s3, _) = refMoments(xs)
+    if (n <= 2) return None
+    val t = 1.0 / n
+    val m2 = t * (s2 - s1 * s1 * t)
+    val div = math.sqrt(math.max(m2 * m2 * m2, 0.0))
+    if (div == 0) None
+    else Some(math.sqrt(n * (n - 1)) / (n - 2) * t *
+      (s3 - 3 * s2 * s1 * t + 2 * s1 * s1 * s1 * t * t) / div)
+  }
+
+  test("kurtosis/skewness equal the reference formula on random data and partitionings") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val xs = Seq.fill(4 + rnd.nextInt(57))((rnd.nextInt(101) - 50).toDouble / 2)
+      val parts = 1 + rnd.nextInt(7)
+      val df = spark.sparkContext.parallelize(xs, parts).toDF("x")
+      val r = df.agg(
+        GraftFunctions.kurtosis_samp($"x").as("k"),
+        GraftFunctions.skewness_samp($"x").as("s")).collect().head
+      val k = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val s = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => math.abs(x - y) <= 1e-8 * math.max(1.0, math.abs(y))
+        case _ => false
+      }
+      assert(close(k, refKurtosisSamp(xs)), s"k=$k ref=${refKurtosisSamp(xs)} xs=$xs")
+      assert(close(s, refSkewSamp(xs)), s"s=$s ref=${refSkewSamp(xs)} xs=$xs")
+    }
+  }
+
+  test("mode equals naive mode with reference tie-break on random ints and partitionings") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val xs = Seq.fill(1 + rnd.nextInt(50))(rnd.nextInt(9))
+      val parts = 1 + rnd.nextInt(7)
+      val df = spark.sparkContext.parallelize(xs, parts).toDF("x")
+      val got = df.agg(GraftFunctions.mode_agg($"x")).collect().head.getInt(0)
+      val counts = xs.groupBy(identity).map { case (v, l) => (v, l.size) }
+      val maxC = counts.values.max
+      val expect = counts.filter(_._2 == maxC).keys.max // primitives tie → greatest
+      assert(got == expect, s"got=$got expect=$expect xs=$xs")
+    }
+  }
+
+  test("minhash signature equals a scala replay on random token lists") {
+    val rnd = new scala.util.Random(13)
+    def randWord() = Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sigOf(text: String): Seq[Long] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      val sh = if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      (0 until 8).map { j =>
+        sh.map { s =>
+          val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val a = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val b = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+          (a + j * b) & 0xffffffffL
+        }.min
+      }
+    }
+    for (_ <- 1 to 15) {
+      val text = Seq.fill(1 + rnd.nextInt(30))(randWord()).mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(graft.ops.TextOps.minhashSignature(
+          graft.ops.TextOps.shingles3(graft.ops.TextOps.tokens($"text")), 8).as("sig"))
+        .collect().head.getSeq[Long](0)
+      assert(got == sigOf(text), s"text=$text")
+    }
+  }
+}
