@@ -123,11 +123,8 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
-    "q_ngram_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.jaccardVerify(d, "doc_id", "text",
-        Dedup.candidatePairs(d, "doc_id", "text", MinhashK, MinhashBands))
-    }),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.verifiedPairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
     "q_simhash" -> ((s, dir) =>
       docs(s, dir)

@@ -40,13 +40,37 @@ object Dedup {
       .select(col("doc_id"), TextOps.shingles3(col("toks")).as("sh"))
       .select(col("doc_id"), TextOps.minhashSignature(col("sh"), k).as("sig"))
 
+  /** (doc_id, sh) 3-shingle arrays, repartitioned by doc_id: every
+    * downstream consumer (signature pipeline, both Jaccard join sides)
+    * shares ONE identical exchange → the corpus is scanned and shingled
+    * exactly once per query (ReuseExchange), which at 100 TB is the
+    * difference between one pass and four. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), TextOps.shingles3(col("toks")).as("sh"))
+      .repartition(col("doc_id"))
+
   /**
    * LSH candidate pairs: docs sharing ≥1 of `bands` band keys.
    * Only (doc_id, band_key) shuffles; the self-join is hash-partitioned
    * on band_key; pairs are deduped (a pair can collide in several bands).
    */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k)
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame =
+    candidatePairsFromShingles(shingleSets(docs, idCol, textCol), k, bands)
+
+  /**
+   * Candidate pairs + exact-Jaccard verification in one plan that scans
+   * and shingles the corpus ONCE (shared [[shingleSets]] exchange).
+   */
+  def verifiedPairs(docs: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol)
+    jaccardVerifyFromShingles(sh, candidatePairsFromShingles(sh, k, bands))
+  }
+
+  /** LSH candidate pairs from a pre-computed [[shingleSets]] frame. */
+  def candidatePairsFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val sigs = sh.select(col("doc_id"), TextOps.minhashSignature(col("sh"), k).as("sig"))
     // repartition by band_key: both self-join sides share one identical
     // exchange → ReuseExchange computes the signature pipeline ONCE, and
     // the join needs no further shuffle.
@@ -63,17 +87,18 @@ object Dedup {
   /** Exact n-gram (3-shingle) Jaccard for given (id1,id2) pairs. Shingle
     * sets are joined in only for candidate pairs. */
   def jaccardVerify(
-      docs: DataFrame, idCol: String, textCol: String, pairs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), array_distinct(TextOps.shingles3(col("toks"))).as("sh"))
+      docs: DataFrame, idCol: String, textCol: String, pairs: DataFrame): DataFrame =
+    jaccardVerifyFromShingles(shingleSets(docs, idCol, textCol), pairs)
+
+  /** Jaccard verification from a pre-computed [[shingleSets]] frame. */
+  def jaccardVerifyFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val dsh = sh.select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
     // pairs is small relative to the corpus → broadcast it through both
-    // joins; the corpus-side shingle pipeline stays narrow and is never
-    // shuffled.
+    // joins; the corpus side reads the shared shingle exchange.
     val j = broadcast(
       broadcast(pairs)
-        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1"))
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .join(dsh.select(col("doc_id").as("id1"), col("dsh").as("sh1")), "id1"))
+      .join(dsh.select(col("doc_id").as("id2"), col("dsh").as("sh2")), "id2")
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     val union = (size(col("sh1")) + size(col("sh2"))).cast("double") - inter
     j.select(
