@@ -115,6 +115,28 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
 
+    "q_dedup_norm" -> ((s, dir) =>
+      // normalization-insensitive exact dedup: lowercase, collapse
+      // whitespace, strip punctuation before hashing
+      Dedup.exactDedup(
+        docs(s, dir).select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(trim(lower(col("text"))), "[^a-z0-9\\s]", ""),
+            "\\s+", " ").as("text")),
+        "doc_id", "text")),
+
+    "q_user_stats" -> ((s, dir) =>
+      // the reference aggregates composed in a real pipeline query
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          GraftFunctions.mode_agg(col("event_type")).as("mode_type"),
+          round(GraftFunctions.skewness_samp(col("value")), 6).as("skew_value"),
+          round(GraftFunctions.kurtosis_samp(col("value")), 6).as("kurt_value"),
+          GraftFunctions.max_by_det(col("event_type"), col("value")).as("top_type"))),
+
     "q_minhash_signature" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)
         .select(col("doc_id"),
@@ -161,6 +183,13 @@ object SparkEntry {
 
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), col("vec_id") < 10, LshPlanes, EmbDim)),
+
+    "q_centroids" -> ((s, dir) =>
+      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")),
+
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.annIvf(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") < 10)),
 
     // ── events ──────────────────────────────────────────────────────────
     "q_sessionize" -> ((s, dir) =>
@@ -285,6 +314,26 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
+    "q_dedup_norm" ->
+      """WITH n_t AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(trim(lower(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT md5(norm) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM n_t GROUP BY md5(norm)""".stripMargin,
+
+    "q_user_stats" ->
+      """WITH m AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY user_id, event_type),
+        |md_t AS (SELECT user_id, event_type AS mode_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type ASC) AS rn FROM m)
+        |  WHERE rn = 1),
+        |tp_t AS (SELECT user_id, event_type AS top_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_type DESC) AS rn FROM events)
+        |  WHERE rn = 1),
+        |st_t AS (SELECT user_id, count(*) AS n, round(skewness(value), 6) AS skew_value,
+        |  round(kurtosis(value), 6) AS kurt_value FROM events GROUP BY user_id)
+        |SELECT st_t.user_id, st_t.n, md_t.mode_type, st_t.skew_value, st_t.kurt_value, tp_t.top_type
+        |FROM st_t JOIN md_t USING (user_id) JOIN tp_t USING (user_id)""".stripMargin,
+
     "q_minhash_signature" ->
       s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM toks_t)
@@ -381,6 +430,40 @@ object SparkEntry {
          |    round(${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm), 6) AS cos
          |  FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
          |SELECT q_id, neighbor_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn = 1""".stripMargin,
+
+    "q_centroids" ->
+      """WITH c AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |e AS (SELECT label, idx, avg(v[idx]) AS cx
+        |  FROM c, unnest(range(1, len(v) + 1)) AS t(idx) GROUP BY label, idx)
+        |SELECT label, list(CAST(round(cx * 1000000) AS BIGINT) ORDER BY idx) AS centroid_scaled
+        |FROM e GROUP BY label""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""$EmbCte,
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |nl AS (SELECT n.vec_id, lbl.label, n.v, n.nrm FROM n JOIN lbl ON n.vec_id = lbl.vec_id),
+         |e AS (SELECT label, idx, avg(v[idx]) AS cx
+         |  FROM nl, unnest(range(1, len(v) + 1)) AS t(idx) GROUP BY label, idx),
+         |cent AS (SELECT label AS c_label,
+         |  list_transform(list(CAST(round(cx * 1000000) AS BIGINT) ORDER BY idx), x -> x / 1000000.0) AS cv
+         |  FROM e GROUP BY label),
+         |cvn AS (SELECT c_label, cv,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x*x)), (a, x) -> a + x)) AS cnrm
+         |  FROM cent),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM nl WHERE vec_id < 10),
+         |assign_t AS (SELECT q_id, qv, qnrm, cell FROM (
+         |  SELECT q.q_id, q.qv, q.qnrm, cvn.c_label AS cell,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(${dotSql("q.qv", "cvn.cv")} / (q.qnrm * cvn.cnrm), 6) DESC, cvn.c_label ASC) AS rn
+         |  FROM q CROSS JOIN cvn)
+         |  WHERE rn = 1),
+         |scored AS (SELECT a.q_id, a.cell, c.vec_id AS neighbor_id,
+         |    round(${dotSql("c.v", "a.qv")} / (c.nrm * a.qnrm), 6) AS cos
+         |  FROM nl c JOIN assign_t a ON c.label = a.cell AND c.vec_id <> a.q_id)
+         |SELECT q_id, cell, neighbor_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,

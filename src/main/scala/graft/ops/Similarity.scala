@@ -101,6 +101,62 @@ object Similarity {
   }
 
   /**
+   * Element-wise mean vector per label — the IVF coarse-quantizer step.
+   * Returned SCALED to integer micro-units (×10⁶, rounded): integral
+   * values are bit-identical across engines, so cell assignment — and
+   * therefore ANN results — are reproducible everywhere. Two shuffles:
+   * (label,pos) partial-avg (map-side combinable), then label regroup
+   * of 64 rows per label.
+   */
+  def centroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(labelCol).as("label"), posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(
+        col("label"),
+        transform(col("pairs"), p => round(p.getField("cx") * 1000000).cast("long"))
+          .as("centroid_scaled"))
+
+  /**
+   * IVF-style ANN: assign each query to its nearest centroid cell
+   * (cosine, deterministic micro-unit centroids), then search ONLY that
+   * cell. The 100 TB shape: the tiny centroid table broadcasts twice;
+   * the corpus never shuffles (cell filter rides the broadcast join) —
+   * and with the corpus bucketed by cell
+   * ([[graft.sources.Tables.writeBucketed]]) even the scan prunes.
+   */
+  def annIvf(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryFilter: Column): DataFrame = {
+    val c = emb
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"), col(labelCol).as("label"))
+      .withColumn("nrm", l2norm(col("v")))
+    val cents = centroids(emb, labelCol, vecCol)
+      .select(
+        col("label").as("c_label"),
+        transform(col("centroid_scaled"), x => x / 1000000.0).as("cv"))
+      .withColumn("cnrm", l2norm(col("cv")))
+    val q = c.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val assignW = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_label").asc)
+    val assigned = q.join(broadcast(cents))
+      .select(
+        col("q_id"), col("qv"), col("qnrm"), col("c_label"),
+        cosine6(col("qv"), col("qnrm"), col("cv"), col("cnrm")).as("ccos"))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("c_label").as("cell"))
+    val searchW = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(assigned), col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
+      .withColumn("rn", row_number().over(searchW)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /**
    * ANN via LSH: per query, the single nearest same-bucket neighbor by
    * cosine (ties → smallest id). Queries with an otherwise-empty bucket
    * produce no row (inner join) — same rule in the oracle.
