@@ -171,6 +171,22 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    "q_redact" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(TextOps.redact(col("text"))).as("redacted_hash"),
+        (length(col("text")) - length(TextOps.redact(col("text")))).as("len_delta"))),
+
+    "q_vocab_topk" -> ((s, dir) =>
+      // corpus-wide vocabulary: explode tokens -> count -> top 20
+      // (deterministic tie-break on token); the classic explode+combine
+      // shape — partial aggregation collapses counts map-side
+      docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)),
+
     // ── embedding similarity ────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
       val c = emb(s, dir)
@@ -400,6 +416,21 @@ object SparkEntry {
         |  list_prepend(0::BIGINT, list_transform(range(1, length(nrm) + 1), i -> ascii(nrm[i])::BIGINT)),
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM n_t""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g')) AS redacted_hash,
+        |  length(text) - length(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g')) AS len_delta
+        |FROM documents""".stripMargin,
+
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_cosine_topk" ->
       s"""$EmbCte,

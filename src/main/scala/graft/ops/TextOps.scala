@@ -126,6 +126,14 @@ object TextOps {
     round(lit(0.3) * lenScore + lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio), 6)
   }
 
+  /** PII-style scrubbing: mask email-like and URL-like spans (the
+    * standard pre-training redaction pass). Pure regexp_replace —
+    * codegen'd, narrow, oracle-replayable. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      "https?://[^\\s]+", "<URL>")
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

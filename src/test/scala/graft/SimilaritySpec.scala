@@ -45,6 +45,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(0L).length == 16)
   }
 
+  test("centroids: integer micro-unit element-wise means per label") {
+    val e = Seq(
+      (0L, Array(1.0f, 3.0f), 1), (1L, Array(3.0f, 5.0f), 1),
+      (2L, Array(10.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val c = Similarity.centroids(e, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(c(1) == Seq(2000000L, 4000000L)) // mean(1,3), mean(3,5)
+    assert(c(2) == Seq(10000000L, 0L))
+  }
+
+  test("annIvf: query searches only its nearest centroid cell") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f), 1), (1L, Array(1.0f, 0.2f), 1), // cell 1 near x-axis
+      (2L, Array(0.1f, 1.0f), 2), (3L, Array(0.2f, 1.0f), 2)  // cell 2 near y-axis
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.annIvf(e, "vec_id", "embedding", "label", $"vec_id" === 0)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getInt(1) == 1)     // assigned to its own cell
+    assert(r.head.getLong(2) == 1L)   // nearest in-cell neighbor
+  }
+
   test("annLsh finds the duplicate as nearest same-bucket neighbor") {
     val c = Similarity.prepared(
       Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),

@@ -114,6 +114,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getInt(6) == 6)
   }
 
+  test("redact masks emails and urls, leaves clean text alone") {
+    val rows = Seq(
+      "contact me at alice.smith+x@example.org please",
+      "see https://example.com/path?q=1 for details",
+      "nothing sensitive here").toDF("text")
+      .select(TextOps.redact($"text").as("r")).collect().map(_.getString(0))
+    assert(rows(0) == "contact me at <EMAIL> please")
+    assert(rows(1) == "see <URL> for details")
+    assert(rows(2) == "nothing sensitive here")
+  }
+
   test("pairwise SQL similarity: graft_cosine and graft_jaccard") {
     val r = spark.sql(
       """SELECT round(graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS c1,
