@@ -7,6 +7,21 @@ import graft.sources.Tables
 class TablesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("cell-partitioned corpus: an IVF cell lookup prunes the scan to one partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString + "/corpus"
+    (0 until 100).map(i => (i.toLong, Array.fill(4)(i.toFloat), i % 5))
+      .toDF("vec_id", "embedding", "label")
+      .write.partitionBy("label").parquet(dir)
+    val cellQuery = spark.read.parquet(dir).filter($"label" === 3)
+    val plan = cellQuery.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(label"), plan)
+    assert(cellQuery.count() == 20)
+    // only the label=3 directory is listed in the final scan
+    val scanned = cellQuery.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("label=1") || scanned.contains("label=3"), scanned)
+  }
+
   test("bucketed-on-key tables join and aggregate with no exchange") {
     import spark.implicits._
     val orders = (1L to 500L).map(k => (k, s"o$k")).toDF("orderkey", "o_payload")
