@@ -148,6 +148,10 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.verifiedPairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
+    "q_corpus_clean" -> ((s, dir) =>
+      Dedup.cleanCorpus(docs(s, dir), "doc_id", "text",
+        qualityMin = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
+
     "q_simhash" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -366,6 +370,34 @@ object SparkEntry {
          |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
          |        (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) AS jaccard
          |FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id""".stripMargin,
+
+    "q_corpus_clean" -> {
+      val enHits = s"len(list_filter(toks, t -> t IN (${TextOps.EN_STOP.map(w => s"'$w'").mkString(", ")})))"
+      s"""WITH red AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(text,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    'https?://[^\\s]+', '<URL>', 'g') AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, text, $ToksSql AS toks FROM red),
+         |quals AS (SELECT doc_id, text, toks FROM tk WHERE round(
+         |  0.3 * (least(len(toks)::DOUBLE, 100.0) / 100.0)
+         |  + 0.4 * (CASE WHEN len(toks) > 0 THEN $enHits::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
+         |  + 0.3 * (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text)::DOUBLE)
+         |, 6) >= 0.4),
+         |ew AS (SELECT min(doc_id) AS doc_id FROM quals GROUP BY md5(text)),
+         |surv AS (SELECT q.doc_id, q.toks FROM quals q JOIN ew ON q.doc_id = ew.doc_id),
+         |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM surv),
+         |sig_t AS (SELECT doc_id, $SigSql AS sig FROM sh_t),
+         |bands_t AS (SELECT doc_id, unnest($BandsSql) AS band_key FROM sig_t),
+         |pairs_t AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands_t a JOIN bands_t b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t),
+         |drops AS (SELECT DISTINCT p.id2 AS doc_id
+         |  FROM pairs_t p JOIN dsh a ON p.id1 = a.doc_id JOIN dsh b ON p.id2 = b.doc_id
+         |  WHERE round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
+         |    (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) >= 0.8)
+         |SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+    },
 
     "q_simhash" ->
       s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -90,14 +90,45 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, pairs: DataFrame): DataFrame =
     jaccardVerifyFromShingles(shingleSets(docs, idCol, textCol), pairs)
 
+  /**
+   * The full training-data cleaning pipeline as ONE declarative DAG:
+   *
+   *   redact → quality filter → exact dedup (keep smallest id)
+   *          → MinHash/LSH candidates → exact-Jaccard near-dup removal
+   *            (greedy keep-smallest-id)
+   *
+   * Returns the surviving doc ids. Every stage is the shuffle-minimal
+   * form used by its standalone operator; Catalyst fuses the narrow
+   * stages, AQE sizes the joins. This is the query a 100 TB corpus-prep
+   * job actually runs.
+   */
+  def cleanCorpus(
+      docs: DataFrame, idCol: String, textCol: String,
+      qualityMin: Double, jaccardMax: Double, k: Int = 8, bands: Int = 4): DataFrame = {
+    val red = docs.select(col(idCol).as("doc_id"), TextOps.redact(col(textCol)).as("text"))
+    val quals = red.filter(TextOps.qualityScore(col("text")) >= qualityMin)
+    val exactWinners = quals
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivors = quals.join(exactWinners, Seq("doc_id"), "left_semi")
+    val sh = shingleSets(survivors, "doc_id", "text")
+    val near = jaccardVerifyFromShingles(sh, candidatePairsFromShingles(sh, k, bands))
+      .filter(col("jaccard") >= jaccardMax)
+    survivors
+      .join(near.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   /** Jaccard verification from a pre-computed [[shingleSets]] frame. */
   def jaccardVerifyFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val dsh = sh.select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
-    // pairs is small relative to the corpus → broadcast it through both
-    // joins; the corpus side reads the shared shingle exchange.
-    val j = broadcast(
-      broadcast(pairs)
-        .join(dsh.select(col("doc_id").as("id1"), col("dsh").as("sh1")), "id1"))
+    // no broadcast HINT on purpose: pairs is usually tiny (AQE converts
+    // to broadcast at runtime), but on a duplicate-heavy 100 TB corpus it
+    // can be huge — a forced broadcast would OOM the driver, while the
+    // shuffle join keeps working (corpus side reuses the doc_id exchange).
+    val j = pairs
+      .join(dsh.select(col("doc_id").as("id1"), col("dsh").as("sh1")), "id1")
       .join(dsh.select(col("doc_id").as("id2"), col("dsh").as("sh2")), "id2")
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     val union = (size(col("sh1")) + size(col("sh2"))).cast("double") - inter

@@ -31,6 +31,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated doc never pairs
   }
 
+  test("cleanCorpus: drops exact dup, near dup, and junk; keeps smallest ids") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup
+      (4L, "spark catalyst optimizer and the tungsten engine push filters into scans"),
+      (5L, "@@@@ ####")) // junk (fails quality)
+      .toDF("doc_id", "text")
+    // one word changed in 14 → Jaccard 0.6, so τ=0.5 catches the near dup
+    val kept = Dedup.cleanCorpus(corpus, "doc_id", "text", qualityMin = 0.4, jaccardMax = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"kept=$kept")
+  }
+
   test("jaccardVerify: exact dup = 1.0, near dup high, ordering sane") {
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", 8, 4)
     val j = Dedup.jaccardVerify(docs, "doc_id", "text", pairs)
