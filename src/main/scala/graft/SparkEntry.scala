@@ -205,7 +205,12 @@ object SparkEntry {
       Similarity.annLsh(emb(s, dir), col("vec_id") < 10, LshPlanes, EmbDim)),
 
     "q_centroids" -> ((s, dir) =>
-      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")),
+      // pipe-joined string: integral micro-units are engine-exact, and a
+      // scalar column avoids array-hashing differences in comparators
+      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"),
+          concat_ws("|", transform(col("centroid_scaled"), x => x.cast("string")))
+            .as("centroid"))),
 
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.annIvf(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
@@ -501,7 +506,8 @@ object SparkEntry {
       """WITH c AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |e AS (SELECT label, idx, avg(v[idx]) AS cx
         |  FROM c, unnest(range(1, len(v) + 1)) AS t(idx) GROUP BY label, idx)
-        |SELECT label, list(CAST(round(cx * 1000000) AS BIGINT) ORDER BY idx) AS centroid_scaled
+        |SELECT label, array_to_string(
+        |  list(CAST(round(cx * 1000000) AS BIGINT)::VARCHAR ORDER BY idx), '|') AS centroid
         |FROM e GROUP BY label""".stripMargin,
 
     "q_ann_ivf" ->
