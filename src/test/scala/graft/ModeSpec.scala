@@ -73,6 +73,30 @@ class ModeSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_mode(s) FROM t_mode").collect()(0).getString(0) == "apple")
   }
 
+  test("mode survives ObjectHashAggregate sort-based fallback (spill path)") {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.registerAll(s)
+    import s.implicits._
+    // force the fallback after 2 in-memory groups: exercises the
+    // serialize/deserialize buffer path that a real spill takes
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    val df = (0 until 2000).map(i => (i % 50, s"v${i % 7}")).toDF("k", "v").repartition(6)
+    df.createOrReplaceTempView("t_spill")
+    val rows = s.sql("SELECT k, graft_mode(v) AS m FROM t_spill GROUP BY k").collect()
+    assert(rows.length == 50)
+    // every group has the same value distribution: 2000/50=40 rows per key,
+    // values v0..v6 cycle → per-key counts differ by at most 1; compute
+    // expected per key with the string tie-break (smallest)
+    val byKey = (0 until 2000).groupBy(_ % 50)
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      val counts = byKey(k).map(i => s"v${i % 7}").groupBy(identity).map { case (v, l) => (v, l.size) }
+      val maxC = counts.values.max
+      val expect = counts.filter(_._2 == maxC).keys.min
+      assert(r.getString(1) == expect, s"k=$k")
+    }
+  }
+
   test("modeBy compositional form agrees with mode_agg") {
     val df = (1 to 2000).map(i => (i % 4, "v" + (i % 13))).toDF("g", "v")
     val a = modeBy(df, Seq("g"), "v", isStringTieMin = true)
