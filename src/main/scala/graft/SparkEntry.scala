@@ -148,6 +148,10 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.verifiedPairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
+    "q_sample_stratified" -> ((s, dir) =>
+      TextOps.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("lang")), "lang", "doc_id", 20)),
+
     "q_corpus_clean" -> ((s, dir) =>
       Dedup.cleanCorpus(docs(s, dir), "doc_id", "text",
         qualityMin = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
@@ -375,6 +379,13 @@ object SparkEntry {
          |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
          |        (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) AS jaccard
          |FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
 
     "q_corpus_clean" -> {
       val enHits = s"len(list_filter(toks, t -> t IN (${TextOps.EN_STOP.map(w => s"'$w'").mkString(", ")})))"

@@ -126,6 +126,21 @@ object TextOps {
     round(lit(0.3) * lenScore + lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio), 6)
   }
 
+  /**
+   * Deterministic stratified sampling: keep `n` rows per stratum, chosen
+   * by md5(id) order — a reproducible "random" draw any engine can
+   * replay (the data-mixing step of a training-data pipeline; at 100 TB
+   * this is one window shuffle keyed by the stratum, and rank-limit
+   * pushdown keeps only n rows per partition pre-shuffle).
+   */
+  def stratifiedSample(
+      df: org.apache.spark.sql.DataFrame, stratumCol: String, idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** PII-style scrubbing: mask email-like and URL-like spans (the
     * standard pre-training redaction pass). Pure regexp_replace —
     * codegen'd, narrow, oracle-replayable. */

@@ -114,6 +114,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getInt(6) == 6)
   }
 
+  test("stratifiedSample: n per stratum, deterministic across runs") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val s1 = graft.ops.TextOps.stratifiedSample(df, "s", "id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val s2 = graft.ops.TextOps.stratifiedSample(df.repartition(7), "s", "id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s1 == s2) // partitioning-independent
+    assert(s1.count(_._1 == "a") == 5 && s1.count(_._1 == "b") == 5)
+  }
+
   test("redact masks emails and urls, leaves clean text alone") {
     val rows = Seq(
       "contact me at alice.smith+x@example.org please",
