@@ -224,6 +224,17 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
 
+    "q_asof" -> ((s, dir) => {
+      // for every click, the user's most recent purchase at-or-before it
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(round(max(col("value")), 6).as("pvalue"))
+      Events.asOfJoin(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+    }),
+
     "q_event_windows" -> ((s, dir) =>
       Events.tumblingWindows(t(s, dir, "events"))),
 
@@ -556,6 +567,14 @@ object SparkEntry {
         |SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
         |  min(tsu) AS start_us, max(tsu) AS end_us, round(sum(value), 6) AS sum_value
         |FROM c GROUP BY user_id, c.session_seq""".stripMargin,
+
+    "q_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),
+        |clicks AS (SELECT user_id, tsu, event_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu AS ptsu, round(max(value), 6) AS pvalue
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
+        |SELECT c.user_id, c.tsu, c.event_id, p.ptsu AS asof_tsu, p.pvalue AS asof_pvalue
+        |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu <= c.tsu""".stripMargin,
 
     "q_event_windows" ->
       """SELECT event_type, epoch_us(ts) // 300000000 AS window_id,

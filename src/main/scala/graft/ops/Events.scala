@@ -48,6 +48,54 @@ object Events {
         round(sum(col("value")), 6).as("sum_value"))
   }
 
+  /**
+   * AS-OF join, Spark-first: for every left row, the latest right row
+   * with `right.ts <= left.ts` in the same key group — without any join
+   * operator. Both sides union into one stream ordered by
+   * (key, ts, side) with the right side sorting FIRST at equal ts
+   * (<= semantics); a running `last(..., ignoreNulls)` carries the most
+   * recent right values onto each left row. ONE window shuffle total —
+   * at 100 TB this beats any join-shaped formulation, which would need
+   * a range join or an exploded equi-key.
+   *
+   * `left`/`right` must both have `keyCol` and `tsCol` (integral µs);
+   * `valueCols` are taken from `right` and carried onto left rows
+   * (null until the first right row — LEFT-asof semantics).
+   * Right rows must be unique per (key, ts) for determinism —
+   * pre-aggregate if needed.
+   */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val l = left
+      .withColumn("__side", lit(1))
+      .select(
+        (Seq(col(keyCol), col(tsCol), col("__side")) ++
+          leftCols.map(col) ++
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select(
+        (Seq(col(keyCol), col(tsCol), col("__side")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          valueCols.map(col)): _*)
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    val asofTs = last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w)
+    carried
+      .withColumn(s"asof_$tsCol", asofTs)
+      .filter(col("__side") === 1)
+      .select(
+        (Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
+          (s"asof_$tsCol" +: valueCols.map(c => s"asof_$c")).map(col)): _*)
+  }
+
   /** Tumbling 5-minute windows per event_type: window_id = µs ÷ 5 min.
     * Integer `div` — double division would lose precision on epoch-micros
     * scale longs; µs (not ns) so the boundary decision is engine-portable. */

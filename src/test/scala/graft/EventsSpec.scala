@@ -36,6 +36,21 @@ class EventsSpec extends AnyFunSuite {
       Seq(("click", 2L, 1L), ("view", 0L, 1L), ("view", 1L, 1L), ("view", 10L, 1L)))
   }
 
+  test("asOfJoin: latest right row at-or-before each left row, per key") {
+    val clicks = Seq((1L, 100L, "c1"), (1L, 200L, "c2"), (1L, 50L, "c0"), (2L, 100L, "c9"))
+      .toDF("user_id", "tsu", "tag")
+    val purchases = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (2L, 300L, 9.0))
+      .toDF("user_id", "tsu", "pvalue")
+    val r = Events.asOfJoin(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+      .collect().map(x => (x.getString(2), (
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) -1.0 else x.getDouble(4)))).toMap
+    assert(r("c0") == (-1L, -1.0))     // before any purchase → null
+    assert(r("c1") == (100L, 10.0))    // equal ts matches (<=)
+    assert(r("c2") == (150L, 20.0))    // latest prior
+    assert(r("c9") == (-1L, -1.0))     // other key's purchases invisible
+  }
+
   test("sessionize truncates sub-µs nanos (engine-portable µs domain)") {
     val e = Seq((1L, 1000000999L, 1L, "v", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
     val s = Events.sessionize(e).collect().head
