@@ -224,6 +224,12 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
 
+    "q_range_join" -> ((s, dir) =>
+      // event pairs of the same user within 1 hour of each other
+      Events.rangeSelfJoin(
+        t(s, dir, "events").withColumn("tsu", expr("ts div 1000L")),
+        "user_id", "tsu", "event_id", 3600000000L)),
+
     "q_asof" -> ((s, dir) => {
       // for every click, the user's most recent purchase at-or-before it
       val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
@@ -567,6 +573,16 @@ object SparkEntry {
         |SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
         |  min(tsu) AS start_us, max(tsu) AS end_us, round(sum(value), 6) AS sum_value
         |FROM c GROUP BY user_id, c.session_seq""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
+        |SELECT DISTINCT a.user_id,
+        |  least(a.event_id, b.event_id) AS id1,
+        |  greatest(a.event_id, b.event_id) AS id2,
+        |  abs(a.tsu - b.tsu) AS dt_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.tsu - b.tsu) <= 3600000000""".stripMargin,
 
     "q_asof" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),

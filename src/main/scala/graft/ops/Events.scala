@@ -96,6 +96,39 @@ object Events {
           (s"asof_$tsCol" +: valueCols.map(c => s"asof_$c")).map(col)): _*)
   }
 
+  /**
+   * Banded range self-join: all pairs of rows in the same key group
+   * within `maxGapMicros` of each other. Spark-first form of a range
+   * join: bucket time into gap-sized windows, explode the right side
+   * into its bucket and the previous one, equi-join on (key, bucket),
+   * then apply the exact |Δt| filter. The equi-join hash-partitions —
+   * the naive inequality join would cross-product every key group,
+   * which dies at 100 TB; this form's cost is output-proportional.
+   */
+  def rangeSelfJoin(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      maxGapMicros: Long): DataFrame = {
+    val e = events.select(
+      col(keyCol), col(tsCol),
+      col(idCol), expr(s"$tsCol div ${maxGapMicros}L").as("__wid"))
+    val l = e.select(
+      col(keyCol), col("__wid"),
+      col(tsCol).as("__ts_l"), col(idCol).as("__id_l"))
+    val r = e.select(
+      col(keyCol),
+      explode(array(col("__wid") - 1, col("__wid"))).as("__wid"),
+      col(tsCol).as("__ts_r"), col(idCol).as("__id_r"))
+    l.join(r, Seq(keyCol, "__wid"))
+      .filter(col("__id_l") =!= col("__id_r"))
+      .filter(abs(col("__ts_l") - col("__ts_r")) <= maxGapMicros)
+      .select(
+        col(keyCol),
+        least(col("__id_l"), col("__id_r")).as("id1"),
+        greatest(col("__id_l"), col("__id_r")).as("id2"),
+        abs(col("__ts_l") - col("__ts_r")).as("dt_us"))
+      .distinct()
+  }
+
   /** Tumbling 5-minute windows per event_type: window_id = µs ÷ 5 min.
     * Integer `div` — double division would lose precision on epoch-micros
     * scale longs; µs (not ns) so the boundary decision is engine-portable. */

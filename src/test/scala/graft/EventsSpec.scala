@@ -51,6 +51,21 @@ class EventsSpec extends AnyFunSuite {
     assert(r("c9") == (-1L, -1.0))     // other key's purchases invisible
   }
 
+  test("rangeSelfJoin: pairs within the gap, across bucket boundaries, no dupes") {
+    val e = Seq(
+      (1L, 0L, 1L), (1L, 50L, 2L),      // same bucket, Δ=50
+      (1L, 99L, 3L), (1L, 101L, 4L),    // adjacent buckets, Δ=2
+      (1L, 500L, 5L),                   // isolated
+      (2L, 0L, 6L), (2L, 100L, 7L))     // other key, Δ=100 == gap
+      .toDF("user_id", "tsu", "event_id")
+    val pairs = Events.rangeSelfJoin(e, "user_id", "tsu", "event_id", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pairs == Set(
+      (1L, 1L, 2L, 50L), (1L, 2L, 3L, 49L), (1L, 1L, 3L, 99L),
+      (1L, 3L, 4L, 2L), (1L, 2L, 4L, 51L),
+      (2L, 6L, 7L, 100L)), pairs)
+  }
+
   test("sessionize truncates sub-µs nanos (engine-portable µs domain)") {
     val e = Seq((1L, 1000000999L, 1L, "v", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
     val s = Events.sessionize(e).collect().head
