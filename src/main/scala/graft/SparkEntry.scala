@@ -148,6 +148,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.verifiedPairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", topN = 3)),
+
     "q_sample_stratified" -> ((s, dir) =>
       TextOps.stratifiedSample(
         docs(s, dir).select(col("doc_id"), col("lang")), "lang", "doc_id", 20)),
@@ -396,6 +399,19 @@ object SparkEntry {
          |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
          |        (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) AS jaccard
          |FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf_t AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |df_t AS (SELECT token, count(*) AS df FROM tf_t GROUP BY token)
+        |SELECT doc_id, rn, token, tfidf FROM (
+        |  SELECT tf_t.doc_id, tf_t.token,
+        |    round(tf_t.tf * ln((SELECT n FROM nn)::DOUBLE / df_t.df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf_t.doc_id
+        |      ORDER BY round(tf_t.tf * ln((SELECT n FROM nn)::DOUBLE / df_t.df), 6) DESC, tf_t.token ASC) AS rn
+        |  FROM tf_t JOIN df_t USING (token))
+        |WHERE rn <= 3""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (

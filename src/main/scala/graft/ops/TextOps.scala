@@ -127,6 +127,30 @@ object TextOps {
   }
 
   /**
+   * TF-IDF top terms per document: explode tokens, tf = in-doc count,
+   * idf = ln(N / df) from a broadcast document-frequency table, keep the
+   * `topN` highest-scoring terms per doc. Two aggregations (both
+   * map-side combinable) + one broadcast join; the corpus is read once.
+   */
+  def tfIdfTopTerms(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      topN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)
+      .select(col("doc_id"), col("rn"), col("token"), col("tfidf"))
+  }
+
+  /**
    * Deterministic stratified sampling: keep `n` rows per stratum, chosen
    * by md5(id) order — a reproducible "random" draw any engine can
    * replay (the data-mixing step of a training-data pipeline; at 100 TB
