@@ -148,6 +148,16 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.verifiedPairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
+    "q_distinct_stats" -> ((s, dir) =>
+      // per-source corpus stats: docs, total tokens, distinct vocabulary
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("vocab"))),
+
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", topN = 3)),
 
@@ -399,6 +409,12 @@ object SparkEntry {
          |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
          |        (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) AS jaccard
          |FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id""".stripMargin,
+
+    "q_distinct_stats" ->
+      """WITH tk AS (SELECT source, doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+        |  count(DISTINCT token) AS vocab
+        |FROM tk GROUP BY source""".stripMargin,
 
     "q_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
