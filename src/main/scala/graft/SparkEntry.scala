@@ -237,6 +237,12 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
 
+    "q_funnel" -> ((s, dir) =>
+      // users completing view -> click -> purchase in order (greedy-earliest)
+      Events.funnel(
+        t(s, dir, "events").withColumn("tsu", expr("ts div 1000L")),
+        "user_id", "tsu", "event_type", Seq("view", "click", "purchase"))),
+
     "q_range_join" -> ((s, dir) =>
       // event pairs of the same user within 1 hour of each other
       Events.rangeSelfJoin(
@@ -605,6 +611,17 @@ object SparkEntry {
         |SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
         |  min(tsu) AS start_us, max(tsu) AS end_us, round(sum(value), 6) AS sum_value
         |FROM c GROUP BY user_id, c.session_seq""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |f1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |f2 AS (SELECT e.user_id, f1.t1, min(e.tsu) AS t2
+        |  FROM e JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND e.tsu > f1.t1 GROUP BY e.user_id, f1.t1),
+        |f3 AS (SELECT e.user_id, f2.t1, f2.t2, min(e.tsu) AS t3
+        |  FROM e JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tsu > f2.t2 GROUP BY e.user_id, f2.t1, f2.t2)
+        |SELECT user_id, t1, t2, t3 FROM f3""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)

@@ -97,6 +97,33 @@ object Events {
   }
 
   /**
+   * Ordered funnel analysis: for each key, the earliest time of stage 1,
+   * the earliest stage-2 event strictly after it, the earliest stage-3
+   * event strictly after that, and so on. Greedy-earliest matching —
+   * the standard product-analytics funnel. Each stage is one
+   * aggregation over the events pre-filtered to the funnel's types; the
+   * tiny per-key frontier broadcasts back for the next stage, so the
+   * event table is scanned once per stage and never shuffled whole.
+   */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    val e = events.select(col(keyCol), col(tsCol), col(typeCol))
+    var frontier = e.filter(col(typeCol) === stages.head)
+      .groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.tail.foreach { case (stage, i) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      frontier = e.filter(col(typeCol) === stage)
+        .join(broadcast(frontier), keyCol)
+        .filter(col(tsCol) > col(prev))
+        .groupBy((col(keyCol) +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(col(tsCol)).as(cur))
+    }
+    frontier
+  }
+
+  /**
    * Banded range self-join: all pairs of rows in the same key group
    * within `maxGapMicros` of each other. Spark-first form of a range
    * join: bucket time into gap-sized windows, explode the right side

@@ -51,6 +51,26 @@ class EventsSpec extends AnyFunSuite {
     assert(r("c9") == (-1L, -1.0))     // other key's purchases invisible
   }
 
+  test("funnel: greedy-earliest ordered matching; non-converters drop out") {
+    val e = Seq(
+      // user 1: view(10) -> click(20) -> purchase(30) converts
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE first view → no qualifying click
+      (2L, 10L, "click"), (2L, 20L, "view"),
+      // user 3: greedy picks view=5, click=25 (not 15? no — earliest after 5 is 15), purchase absent
+      (3L, 5L, "view"), (3L, 15L, "click"), (3L, 25L, "click"))
+      .toDF("user_id", "tsu", "event_type")
+    val r = Events.funnel(e, "user_id", "tsu", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set(1L))
+    assert(r(1L) == ((10L, 20L, 30L)))
+    // two-stage funnel: user 3 converts view->click with earliest times
+    val r2 = Events.funnel(e, "user_id", "tsu", "event_type", Seq("view", "click"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r2(3L) == ((5L, 15L)))
+    assert(!r2.contains(2L))
+  }
+
   test("rangeSelfJoin: pairs within the gap, across bucket boundaries, no dupes") {
     val e = Seq(
       (1L, 0L, 1L), (1L, 50L, 2L),      // same bucket, Δ=50
