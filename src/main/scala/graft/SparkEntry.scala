@@ -165,6 +165,15 @@ object SparkEntry {
       TextOps.stratifiedSample(
         docs(s, dir).select(col("doc_id"), col("lang")), "lang", "doc_id", 20)),
 
+    "q_contamination" -> ((s, dir) => {
+      // treat src0 docs as the eval set, the rest as training data:
+      // flag train docs sharing >= 3 distinct 3-grams with any eval doc
+      val d = docs(s, dir)
+      Dedup.crossContamination(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", minShared = 3)
+    }),
+
     "q_corpus_clean" -> ((s, dir) =>
       Dedup.cleanCorpus(docs(s, dir), "doc_id", "text",
         qualityMin = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
@@ -441,6 +450,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH toks_t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+         |sh_t AS (SELECT doc_id, source, $ShinglesSql AS sh FROM toks_t),
+         |g AS (SELECT DISTINCT doc_id, source, md5(unnest(sh)) AS gh FROM sh_t)
+         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS shared_ngrams
+         |FROM (SELECT doc_id, gh FROM g WHERE source <> 'src0') a
+         |JOIN (SELECT doc_id, gh FROM g WHERE source = 'src0') b USING (gh)
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*) >= 3""".stripMargin,
 
     "q_corpus_clean" -> {
       val enHits = s"len(list_filter(toks, t -> t IN (${TextOps.EN_STOP.map(w => s"'$w'").mkString(", ")})))"

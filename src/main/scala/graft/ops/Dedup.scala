@@ -120,6 +120,29 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /**
+   * Cross-corpus contamination check (benchmark decontamination): count
+   * shared n-grams between every (train, eval) document pair that
+   * collides at all. Both sides explode to (ngram-hash, id) and
+   * equi-join on the hash — shuffle keyed by md5-uniform n-grams, cost
+   * proportional to actual collisions, never a document cross product.
+   * At 100 TB the eval side is tiny → its exploded shingles broadcast.
+   */
+  def crossContamination(
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      minShared: Long): DataFrame = {
+    def grams(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(as), explode(TextOps.shingles3(col("toks"))).as("g"))
+      .select(col(as), md5(col("g")).as("gh"))
+      .distinct() // count each shared distinct n-gram once
+    grams(train, "train_id")
+      .join(broadcast(grams(eval_, "eval_id")), "gh")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Jaccard verification from a pre-computed [[shingleSets]] frame. */
   def jaccardVerifyFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val dsh = sh.select(col("doc_id"), array_distinct(col("sh")).as("dsh"))

@@ -45,6 +45,18 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L), s"kept=$kept")
   }
 
+  test("crossContamination: counts distinct shared n-grams between corpora") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated training document content here")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "alpha beta gamma delta something else entirely")).toDF("doc_id", "text")
+    val r = Dedup.crossContamination(train, eval_, "doc_id", "text", minShared = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // shared 3-grams: "alpha beta gamma", "beta gamma delta" = 2
+    assert(r.toSeq == Seq((1L, 100L, 2L)))
+  }
+
   test("jaccardVerify: exact dup = 1.0, near dup high, ordering sane") {
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", 8, 4)
     val j = Dedup.jaccardVerify(docs, "doc_id", "text", pairs)
