@@ -106,6 +106,10 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, jaccardMax: Double, k: Int = 8, bands: Int = 4): DataFrame = {
     val red = docs.select(col(idCol).as("doc_id"), TextOps.redact(col(textCol)).as("text"))
+    // quals is consumed three ways (exact-dedup agg, semi-join probe,
+    // shingle pipeline); recomputing the cheap narrow redact stage per
+    // consumer measures FASTER than materializing it behind a shared
+    // exchange — scans are cheap, shuffles are not
     val quals = red.filter(TextOps.qualityScore(col("text")) >= qualityMin)
     val exactWinners = quals
       .select(col("doc_id"), md5(col("text")).as("h"))
