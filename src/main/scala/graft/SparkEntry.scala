@@ -158,6 +158,9 @@ object SparkEntry {
           count(lit(1)).as("n_tokens"),
           countDistinct(col("token")).as("vocab"))),
 
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")),
+
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", topN = 3)),
 
@@ -229,6 +232,11 @@ object SparkEntry {
 
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), col("vec_id") < 10, LshPlanes, EmbDim)),
+
+    "q_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          concat_ws("|", transform(col("qvec"), x => x.cast("string"))).as("qvec"))),
 
     "q_centroids" -> ((s, dir) =>
       // pipe-joined string: integral micro-units are engine-exact, and a
@@ -431,6 +439,13 @@ object SparkEntry {
         |  count(DISTINCT token) AS vocab
         |FROM tk GROUP BY source""".stripMargin,
 
+    "q_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |v AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |tot AS (SELECT count(*)::DOUBLE AS t FROM tk)
+        |SELECT doc_id, round(sum(ln(cnt / (SELECT t FROM tot))) / count(*), 6) AS logprob
+        |FROM tk JOIN v USING (token) GROUP BY doc_id""".stripMargin,
+
     "q_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
         |tf_t AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
@@ -586,6 +601,14 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
+
+    "q_quantize_int8" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM c)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  array_to_string(list_transform(v, x ->
+        |    (CASE WHEN sc > 0 THEN CAST(round(x / sc) AS INT) ELSE 0 END)::VARCHAR), '|') AS qvec
+        |FROM s""".stripMargin,
 
     "q_centroids" ->
       """WITH c AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -127,6 +127,25 @@ object TextOps {
   }
 
   /**
+   * Corpus-unigram log-probability per document — the perplexity-style
+   * quality signal: mean over tokens of ln(count(token)/total_tokens),
+   * computed against the corpus's own unigram LM. Two combinable
+   * aggregations; the (small) vocabulary broadcasts back onto the
+   * exploded token stream. Low (very negative) scores = rare-token
+   * gibberish; the standard cut for LM-based quality filtering.
+   */
+  def unigramLogProb(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.count().toDouble
+    toks
+      .join(broadcast(vocab), "token")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(log(col("cnt") / total)) / count(lit(1)), 6).as("logprob"))
+  }
+
+  /**
    * TF-IDF top terms per document: explode tokens, tf = in-doc count,
    * idf = ln(N / df) from a broadcast document-frequency table, keep the
    * `topN` highest-scoring terms per doc. Two aggregations (both
