@@ -443,7 +443,7 @@ object SparkEntry {
       """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
         |v AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
         |tot AS (SELECT count(*)::DOUBLE AS t FROM tk)
-        |SELECT doc_id, round(sum(ln(cnt / (SELECT t FROM tot))) / count(*), 6) AS logprob
+        |SELECT doc_id, round(sum(CAST(round(ln(cnt / (SELECT t FROM tot)) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6) AS logprob
         |FROM tk JOIN v USING (token) GROUP BY doc_id""".stripMargin,
 
     "q_tfidf" ->
@@ -651,7 +651,8 @@ object SparkEntry {
         |s AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
         |c AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM s)
         |SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
-        |  min(tsu) AS start_us, max(tsu) AS end_us, round(sum(value), 6) AS sum_value
+        |  min(tsu) AS start_us, max(tsu) AS end_us,
+        |  round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_value
         |FROM c GROUP BY user_id, c.session_seq""".stripMargin,
 
     "q_funnel" ->
@@ -685,7 +686,8 @@ object SparkEntry {
 
     "q_event_windows" ->
       """SELECT event_type, epoch_us(ts) // 300000000 AS window_id,
-        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |  count(*) AS n,
+        |  round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_value
         |FROM events GROUP BY event_type, epoch_us(ts) // 300000000""".stripMargin,
 
     "q_multimodal" ->

@@ -48,7 +48,11 @@ case class MinHashSignature(child: Expression, k: Int)
     if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
+    var seen = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
+      seen += 1
       md.reset()
       val digest = md.digest(arr.getUTF8String(i).getBytes)
       // unsigned big-endian 32-bit halves == hex chars 1-8 / 9-16 of md5(s)
@@ -63,7 +67,12 @@ case class MinHashSignature(child: Expression, k: Int)
         j += 1
       }
       i += 1
+      }
     }
+    // all-null input == empty input: no shingles to hash → null signature
+    // (null elements are skipped — the public API accepts
+    // containsNull=true arrays; internal pipelines never produce them)
+    if (seen == 0) return null
     new GenericArrayData(mins)
   }
 
@@ -104,6 +113,10 @@ case class SimHash64(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
+      // null tokens are skipped (no vote) — the public API accepts
+      // containsNull=true arrays; internal pipelines never produce them
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       md.reset()
       val digest = md.digest(arr.getUTF8String(i).getBytes)
       var c = 0 // hex-digit index 0..15 over the first 8 digest bytes
@@ -118,6 +131,7 @@ case class SimHash64(child: Expression)
         c += 1
       }
       i += 1
+      }
     }
     val bits = new Array[Byte](64)
     var b = 0

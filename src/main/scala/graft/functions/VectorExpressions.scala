@@ -39,7 +39,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail LOUDLY on a dimension mismatch: a silent min-length truncation
+    // would typecheck, run, and quietly produce wrong similarities (e.g. a
+    // fixed-dim LSH plane against a different embedding dim)
+    if (y.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length mismatch (${n} vs ${y.numElements()})")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,7 +62,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) * $b.getDouble($i);

@@ -45,7 +45,11 @@ object Events {
         count(lit(1)).as("n_events"),
         min(col("tsu")).as("start_us"),
         max(col("tsu")).as("end_us"),
-        round(sum(col("value")), 6).as("sum_value"))
+        // integer micro-unit sum: exact and order-free under any
+        // partitioning (an unordered double sum near a 6-dp rounding
+        // boundary could flip vs the oracle — q_tpch_q1's rule)
+        round(sum(round(col("value") * 1000000).cast("long")) / 1000000.0, 6)
+          .as("sum_value"))
   }
 
   /**
@@ -101,9 +105,13 @@ object Events {
    * the earliest stage-2 event strictly after it, the earliest stage-3
    * event strictly after that, and so on. Greedy-earliest matching —
    * the standard product-analytics funnel. Each stage is one
-   * aggregation over the events pre-filtered to the funnel's types; the
-   * tiny per-key frontier broadcasts back for the next stage, so the
-   * event table is scanned once per stage and never shuffled whole.
+   * aggregation over the events pre-filtered to the funnel's types, then
+   * an equi-join of the per-key frontier onto the next stage's events.
+   * No broadcast hint on the frontier: it is one row per key — unbounded
+   * cardinality at 100 TB, so a forced broadcast could OOM the driver.
+   * AQE broadcasts it at runtime when it IS small; otherwise both sides
+   * hash-partition on the key and the event table is still scanned once
+   * per stage, never shuffled whole.
    */
   def funnel(events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
       stages: Seq[String]): DataFrame = {
@@ -115,7 +123,7 @@ object Events {
       val prev = s"t$i"
       val cur = s"t${i + 1}"
       frontier = e.filter(col(typeCol) === stage)
-        .join(broadcast(frontier), keyCol)
+        .join(frontier, keyCol)
         .filter(col(tsCol) > col(prev))
         .groupBy((col(keyCol) +: (1 to i).map(j => col(s"t$j"))): _*)
         .agg(min(col(tsCol)).as(cur))
@@ -166,5 +174,7 @@ object Events {
         expr(s"(ts div 1000L) div ${windowMicros}L").as("window_id"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("value")), 6).as("sum_value"))
+        // exact integer micro-unit sum — see sessionize
+        round(sum(round(col("value") * 1000000).cast("long")) / 1000000.0, 6)
+          .as("sum_value"))
 }

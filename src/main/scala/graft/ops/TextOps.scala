@@ -130,9 +130,16 @@ object TextOps {
    * Corpus-unigram log-probability per document — the perplexity-style
    * quality signal: mean over tokens of ln(count(token)/total_tokens),
    * computed against the corpus's own unigram LM. Two combinable
-   * aggregations; the (small) vocabulary broadcasts back onto the
-   * exploded token stream. Low (very negative) scores = rare-token
-   * gibberish; the standard cut for LM-based quality filtering.
+   * aggregations. No broadcast hint: the vocabulary grows with the corpus
+   * (unbounded at 100 TB) — AQE picks broadcast at runtime when the
+   * vocab IS small. Low (very negative) scores = rare-token gibberish;
+   * the standard cut for LM-based quality filtering.
+   *
+   * Each token's log-prob is rounded to integer micro-units BEFORE the
+   * per-doc sum, so the sum is an exact long — order-free and identical
+   * under any partitioning (an unordered double sum near a 6-dp rounding
+   * boundary could flip vs the oracle; same rule as q_tpch_q1's
+   * integer-cents money sums).
    */
   def unigramLogProb(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
@@ -140,16 +147,20 @@ object TextOps {
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = toks.count().toDouble
     toks
-      .join(broadcast(vocab), "token")
+      .join(vocab, "token")
       .groupBy(col("doc_id"))
-      .agg(round(sum(log(col("cnt") / total)) / count(lit(1)), 6).as("logprob"))
+      .agg(round(
+        sum(round(log(col("cnt") / total) * 1000000).cast("long")) / 1000000.0
+          / count(lit(1)), 6).as("logprob"))
   }
 
   /**
    * TF-IDF top terms per document: explode tokens, tf = in-doc count,
-   * idf = ln(N / df) from a broadcast document-frequency table, keep the
-   * `topN` highest-scoring terms per doc. Two aggregations (both
-   * map-side combinable) + one broadcast join; the corpus is read once.
+   * idf = ln(N / df) from a document-frequency table, keep the `topN`
+   * highest-scoring terms per doc. Two aggregations (both map-side
+   * combinable) + one join; the corpus is read once. No broadcast hint —
+   * the df table is vocabulary-sized (unbounded at 100 TB); AQE picks
+   * broadcast at runtime when it IS small.
    */
   def tfIdfTopTerms(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
@@ -161,7 +172,7 @@ object TextOps {
     val nDocs = docs.select(col(idCol)).distinct().count()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf
-      .join(broadcast(df), "token")
+      .join(df, "token")
       .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)

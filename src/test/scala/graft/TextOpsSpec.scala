@@ -153,4 +153,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
     assert(fps(1) != fps(2))
   }
+
+  test("minhash/simhash: null array elements are skipped, all-null -> null") {
+    val df = spark.range(1).select(
+      array(lit("x y z"), lit(null).cast("string")).as("withNull"),
+      array(lit("x y z")).as("clean"),
+      array(lit(null).cast("string"), lit(null).cast("string")).as("allNull"))
+    val r = df.select(
+      TextOps.minhashSignature($"withNull", 4).as("m1"),
+      TextOps.minhashSignature($"clean", 4).as("m2"),
+      TextOps.minhashSignature($"allNull", 4).as("m3"),
+      TextOps.simhash64($"withNull").as("s1"),
+      TextOps.simhash64($"clean").as("s2")).collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1)) // null skipped, no NPE
+    assert(r.isNullAt(2)) // all-null == empty -> null signature
+    assert(r.getString(3) == r.getString(4))
+  }
+
+  test("dot product: dimension mismatch fails loudly (no silent truncation)") {
+    val bad = spark.range(1).select(
+      graft.ops.Similarity.dot(
+        array(lit(1.0), lit(2.0)), array(lit(1.0))).as("d"))
+    val e = intercept[Throwable] { bad.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("length mismatch"))))
+  }
 }
