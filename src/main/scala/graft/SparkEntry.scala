@@ -183,14 +183,14 @@ object SparkEntry {
 
     "q_simhash" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.tokensNative(col("text")).as("toks"))
         .select(col("doc_id"), TextOps.simhash64(col("toks")).as("simhash"))),
 
     // ── text analysis ───────────────────────────────────────────────────
     "q_langid" -> ((s, dir) =>
+      // one-pass TextStats kernel — no token array is ever materialized
       docs(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TextOps.langId(col("toks")).as("lang_pred"))),
+        .select(col("doc_id"), TextOps.langIdText(col("text")).as("lang_pred"))),
 
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),

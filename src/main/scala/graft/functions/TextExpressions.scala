@@ -4,10 +4,10 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /**
  * One-pass k-element MinHash signature over an `array<string>` of shingles.
@@ -184,4 +184,204 @@ case class Fingerprint(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Fingerprint =
     copy(child = newChild)
+}
+
+/**
+ * One-pass per-document text statistics — the shared input of quality
+ * scoring and language ID:
+ *
+ *   struct(n_toks, hits_en, hits_es, hits_fr, hits_de, n_chars, removed)
+ *
+ * where tokens are maximal `[a-z0-9]+` runs of the lowercased text
+ * (exactly `regexp_extract_all(lower(text), '[a-z0-9]+')`), `hits_*`
+ * count tokens in each language's stopword list (duplicates counted),
+ * `n_chars` = `length(text)` in code points, and `removed` = code points
+ * of the lowercased text outside `[a-z0-9]` and ASCII whitespace
+ * (exactly `length(text) - length(regexp_replace(lower(text),
+ * '[^a-z0-9\s]', ''))` for ASCII text).
+ *
+ * Why: the declarative form runs regexp_extract_all + regexp_replace +
+ * four interpreted `filter(toks, isin(...))` HOF passes per document —
+ * seven walks over the text. This kernel is ONE walk with integer
+ * comparisons; downstream quality/langid math is plain codegen'd
+ * arithmetic over the struct fields.
+ *
+ * Lowercasing is per-code-point (`Character.toLowerCase`) — identical to
+ * `lower()` for ASCII and the whole [a-z0-9] token alphabet; the synthetic
+ * corpus and the oracle replay are ASCII.
+ */
+case class TextStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", IntegerType, nullable = false),
+    StructField("hits_en", IntegerType, nullable = false),
+    StructField("hits_es", IntegerType, nullable = false),
+    StructField("hits_fr", IntegerType, nullable = false),
+    StructField("hits_de", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("removed", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_text_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var nToks, en, es, fr, de, nChars, removed = 0
+    val tok = new java.lang.StringBuilder(16)
+    def closeToken(): Unit = if (tok.length() > 0) {
+      nToks += 1
+      val t = tok.toString
+      if (TextStats.EN.contains(t)) en += 1
+      if (TextStats.ES.contains(t)) es += 1
+      if (TextStats.FR.contains(t)) fr += 1
+      if (TextStats.DE.contains(t)) de += 1
+      tok.setLength(0)
+    }
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp0 = s.codePointAt(i)
+      val cp = Character.toLowerCase(cp0)
+      nChars += 1
+      if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
+        tok.appendCodePoint(cp)
+      } else {
+        closeToken()
+        // ASCII \s of the Java regex the declarative form uses:
+        // [ \t\n\x0B\f\r]
+        val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+          cp == '\f' || cp == '\r'
+        if (!isWs) removed += 1
+      }
+      i += Character.charCount(cp0)
+    }
+    closeToken()
+    new GenericInternalRow(Array[Any](nToks, en, es, fr, de, nChars, removed))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+/**
+ * One-pass tokenizer: maximal `[a-z0-9]+` runs of the lowercased text —
+ * exactly `regexp_extract_all(lower(text), '[a-z0-9]+')`, without the
+ * regex engine or the intermediate lowered copy. Lowercasing is
+ * per-code-point (identical to `lower()` for ASCII; the corpus and the
+ * oracle replay are ASCII).
+ */
+case class Tokenize(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    new GenericArrayData(TextKernels.tokenize(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+/**
+ * Fused tokenize + word-3-shingle kernel: one pass from raw text to the
+ * shingle array — exactly `shingles3(tokens(text))` (trigrams joined by
+ * spaces; documents with <3 tokens fall back to one shingle of the whole
+ * token list), without the regex scan or the interpreted
+ * transform/element_at walk per trigram.
+ */
+case class TokenShingles(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val toks = TextKernels.tokenize(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    val out =
+      if (toks.length >= 3) {
+        val n = toks.length - 2
+        val arr = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+            toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+          i += 1
+        }
+        arr
+      } else {
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks.mkString(" ")))
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+private[functions] object TextKernels {
+  /** maximal [a-z0-9]+ runs of the per-code-point-lowercased text. */
+  def tokenize(s: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String](16)
+    val tok = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp0 = s.codePointAt(i)
+      val cp = Character.toLowerCase(cp0)
+      if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
+        tok.appendCodePoint(cp)
+      } else if (tok.length() > 0) {
+        toks += tok.toString
+        tok.setLength(0)
+      }
+      i += Character.charCount(cp0)
+    }
+    if (tok.length() > 0) toks += tok.toString
+    toks
+  }
+}
+
+object TextStats {
+  // must stay identical to graft.ops.TextOps.{EN,ES,FR,DE}_STOP
+  val EN: java.util.Set[String] = javaSet(graft.ops.TextOps.EN_STOP)
+  val ES: java.util.Set[String] = javaSet(graft.ops.TextOps.ES_STOP)
+  val FR: java.util.Set[String] = javaSet(graft.ops.TextOps.FR_STOP)
+  val DE: java.util.Set[String] = javaSet(graft.ops.TextOps.DE_STOP)
+  private def javaSet(ws: Seq[String]): java.util.Set[String] = {
+    val s = new java.util.HashSet[String](ws.size * 2)
+    ws.foreach(s.add)
+    s
+  }
 }

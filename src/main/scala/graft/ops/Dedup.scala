@@ -36,8 +36,7 @@ object Dedup {
     * hashes (CollapseProject keeps non-cheap aliases staged). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), TextOps.shingles3(col("toks")).as("sh"))
+      .select(col(idCol).as("doc_id"), TextOps.tokenShingles(col(textCol)).as("sh"))
       .select(col("doc_id"), TextOps.minhashSignature(col("sh"), k).as("sig"))
 
   /** (doc_id, sh) 3-shingle arrays, repartitioned by doc_id: every
@@ -47,8 +46,7 @@ object Dedup {
     * difference between one pass and four. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), TextOps.shingles3(col("toks")).as("sh"))
+      .select(col(idCol).as("doc_id"), TextOps.tokenShingles(col(textCol)).as("sh"))
       .repartition(col("doc_id"))
 
   /**
@@ -105,12 +103,16 @@ object Dedup {
   def cleanCorpus(
       docs: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, jaccardMax: Double, k: Int = 8, bands: Int = 4): DataFrame = {
-    val red = docs.select(col(idCol).as("doc_id"), TextOps.redact(col(textCol)).as("text"))
-    // quals is consumed three ways (exact-dedup agg, semi-join probe,
-    // shingle pipeline); recomputing the cheap narrow redact stage per
-    // consumer measures FASTER than materializing it behind a shared
-    // exchange — scans are cheap, shuffles are not
-    val quals = red.filter(TextOps.qualityScore(col("text")) >= qualityMin)
+    val quals = docs
+      .select(col(idCol).as("doc_id"), TextOps.redact(col(textCol)).as("text"))
+      .filter(TextOps.qualityScore(col("text")) >= qualityMin)
+    // exact dedup keeps the smallest id per text hash. The winner set is
+    // computed over (h, doc_id) PAIRS only — a hash aggregate with a
+    // 16-byte shuffle row, never a corpus-text sort (an agg that carries
+    // the text, e.g. min(struct(id, text)), degrades to SortAggregate:
+    // var-length buffers are not hash-aggregable). The text rides back in
+    // via a doc_id semi-join of the cheap narrow quals stream; identical
+    // quals/winners subtrees below are deduplicated by exchange reuse.
     val exactWinners = quals
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
@@ -136,8 +138,7 @@ object Dedup {
       train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
       minShared: Long): DataFrame = {
     def grams(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col(as), explode(TextOps.shingles3(col("toks"))).as("g"))
+      .select(col(idCol).as(as), explode(TextOps.tokenShingles(col(textCol))).as("g"))
       .select(col(as), md5(col("g")).as("gh"))
       .distinct() // count each shared distinct n-gram once
     grams(train, "train_id")

@@ -22,6 +22,22 @@ object TextOps {
   def tokens(text: Column): Column =
     call_function("regexp_extract_all", lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** One-pass native tokenizer — identical output to [[tokens]]
+    * (spec-checked), ~3× faster per row; see
+    * [[graft.functions.Tokenize]]. */
+  def tokensNative(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Tokenize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** Fused tokenize+3-shingle kernel — identical output to
+    * `shingles3(tokens(text))` (spec-checked); one string walk instead of
+    * a regex scan plus an interpreted per-trigram HOF. */
+  def tokenShingles(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokenShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Word 3-shingles; documents with <3 tokens fall back to one shingle of
     * the whole token list (so short docs still dedup). */
   def shingles3(toks: Column): Column = {
@@ -92,31 +108,67 @@ object TextOps {
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords: _*)))
 
+  /** One-pass text statistics struct (token count, per-language stopword
+    * hits, char/punct counts) — see [[graft.functions.TextStats]]. One
+    * string walk replaces regexp_extract_all + regexp_replace + four
+    * interpreted stopword HOF passes. */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TextStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   val EN_STOP: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was")
   val ES_STOP: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las")
   val FR_STOP: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une")
   val DE_STOP: Seq[String] = Seq("der", "die", "und", "den", "das", "von", "zu", "mit", "sich", "des")
 
   /** Stopword-voting language ID: argmax hit-count with fixed preference
-    * order en > es > fr > de; zero hits everywhere → "und". */
+    * order en > es > fr > de; zero hits everywhere → "und". Declarative
+    * token-array form — [[langIdText]] is the one-pass kernel twin. */
   def langId(toks: Column): Column = {
     val en = stopwordHits(toks, EN_STOP)
     val es = stopwordHits(toks, ES_STOP)
     val fr = stopwordHits(toks, FR_STOP)
     val de = stopwordHits(toks, DE_STOP)
+    langVote(en, es, fr, de)
+  }
+
+  /** langId straight from the text via the one-pass [[textStats]] kernel
+    * (identical result to `langId(tokens(text))`, spec-checked). */
+  def langIdText(text: Column): Column = {
+    val st = textStats(text)
+    langVote(
+      st.getField("hits_en"), st.getField("hits_es"),
+      st.getField("hits_fr"), st.getField("hits_de"))
+  }
+
+  private def langVote(en: Column, es: Column, fr: Column, de: Column): Column =
     when(en > 0 && en >= es && en >= fr && en >= de, lit("en"))
       .when(es > 0 && es >= fr && es >= de, lit("es"))
       .when(fr > 0 && fr >= de, lit("fr"))
       .when(de > 0, lit("de"))
       .otherwise(lit("und"))
-  }
 
   /**
    * Heuristic quality score in [0,1] from length, stopword ratio and
    * punctuation ratio. Rational arithmetic only (no exp/ln) so every
-   * engine computes the identical IEEE-754 double.
+   * engine computes the identical IEEE-754 double. Inputs come from the
+   * one-pass [[textStats]] kernel; the formula itself is codegen'd
+   * arithmetic over the struct fields — IEEE-identical to the fully
+   * declarative regexp form (spec-checked) and to the DuckDB oracle.
    */
   def qualityScore(text: Column): Column = {
+    val st = textStats(text)
+    val nToks = st.getField("n_toks").cast("double")
+    val stopRatio = when(nToks > 0, st.getField("hits_en").cast("double") / nToks).otherwise(lit(0.0))
+    val punctRatio = (st.getField("removed")).cast("double") / st.getField("n_chars").cast("double")
+    val lenScore = least(nToks, lit(100.0)) / lit(100.0)
+    round(lit(0.3) * lenScore + lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio), 6)
+  }
+
+  /** The pre-kernel declarative quality score (regexp + HOF form) — kept
+    * as the parity reference for [[qualityScore]]'s spec. */
+  def qualityScoreDeclarative(text: Column): Column = {
     val toks = tokens(text)
     val nToks = size(toks).cast("double")
     val stopRatio = when(nToks > 0, stopwordHits(toks, EN_STOP).cast("double") / nToks).otherwise(lit(0.0))

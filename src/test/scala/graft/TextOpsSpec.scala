@@ -170,6 +170,52 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getString(3) == r.getString(4))
   }
 
+  test("TextStats kernel == declarative regexp/HOF forms (quality + langid)") {
+    val texts = Seq(
+      "The quick brown fox, and the lazy dog! It was... fine.",
+      "el gato y la casa de los vecinos en las montañas",
+      "le chat et les maisons du village en une nuit",
+      "der hund und die katze von dem haus mit sich",
+      "x",
+      "1234 5678, punct-only!!! ###",
+      "   leading and trailing   ",
+      "no stop words here whatsoever just plain nouns",
+      "a" * 500 + " the of to in is it that was and")
+    val df = texts.toDF("text")
+    val r = df.select(
+      TextOps.qualityScore($"text").as("qk"),
+      TextOps.qualityScoreDeclarative($"text").as("qd"),
+      TextOps.langIdText($"text").as("lk"),
+      TextOps.langId(TextOps.tokens($"text")).as("ld"),
+      TextOps.textStats($"text").getField("n_toks").as("nt"),
+      size(TextOps.tokens($"text")).as("ntd")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1), s"quality mismatch: $row")
+      assert(row.getString(2) == row.getString(3), s"langid mismatch: $row")
+      assert(row.getInt(4) == row.getInt(5), s"token count mismatch: $row")
+    }
+  }
+
+  test("Tokenize/TokenShingles kernels == regexp + HOF declarative forms") {
+    val texts = Seq(
+      "The quick, brown FOX! jumps-over 42 lazy dogs.",
+      "one two",
+      "x",
+      "",
+      "  punct...only!!!  ",
+      "a b c d e f g h")
+    val df = texts.toDF("text")
+    val r = df.select(
+      TextOps.tokensNative($"text").as("tn"),
+      TextOps.tokens($"text").as("td"),
+      TextOps.tokenShingles($"text").as("sn"),
+      TextOps.shingles3(TextOps.tokens($"text")).as("sd")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[String](0) == row.getSeq[String](1), s"tokens mismatch: $row")
+      assert(row.getSeq[String](2) == row.getSeq[String](3), s"shingles mismatch: $row")
+    }
+  }
+
   test("dot product: dimension mismatch fails loudly (no silent truncation)") {
     val bad = spark.range(1).select(
       graft.ops.Similarity.dot(
