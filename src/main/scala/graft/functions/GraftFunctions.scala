@@ -43,6 +43,11 @@ object GraftFunctions {
   /** Most frequent value; reference tie-break (max value, min for strings). */
   def mode_agg(c: Column): Column = agg(GraftMode(ex(c)))
 
+  /** Element-wise mean of an array<double> column — one-shuffle centroid
+    * aggregation with O(dim) map-side state (see
+    * [[graft.functions.VectorMean]]). */
+  def vector_mean(c: Column): Column = agg(VectorMean(ex(c)))
+
   /** Value of `x` at the max of `y` (Spark built-in; ties arbitrary). */
   def max_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.max_by(x, y)
 

@@ -123,20 +123,19 @@ object Similarity {
    * Element-wise mean vector per label — the IVF coarse-quantizer step.
    * Returned SCALED to integer micro-units (×10⁶, rounded): integral
    * values are bit-identical across engines, so cell assignment — and
-   * therefore ANN results — are reproducible everywhere. Two shuffles:
-   * (label,pos) partial-avg (map-side combinable), then label regroup
-   * of 64 rows per label.
+   * therefore ANN results — are reproducible everywhere. ONE shuffle via
+   * the [[graft.functions.VectorMean]] aggregate (O(dim) map-side state)
+   * — the posexplode → per-position avg → regroup form needs two
+   * shuffles and ships dim rows per input row.
    */
   def centroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
     emb
-      .select(col(labelCol).as("label"), posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
+      .select(col(labelCol).as("label"), toDouble(col(vecCol)).as("v"))
       .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .agg(graft.functions.GraftFunctions.vector_mean(col("v")).as("mean"))
       .select(
         col("label"),
-        transform(col("pairs"), p => round(p.getField("cx") * 1000000).cast("long"))
+        transform(col("mean"), x => round(x * 1000000).cast("long"))
           .as("centroid_scaled"))
 
   /**

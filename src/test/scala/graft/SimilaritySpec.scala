@@ -67,6 +67,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head.getLong(2) == 1L)   // nearest in-cell neighbor
   }
 
+  test("VectorMean agg: nulls skipped, partition-invariant, dim mismatch throws") {
+    import graft.functions.GraftFunctions
+    val rows = (0 until 97).map(i => (i % 3, Array(i.toDouble, (2 * i).toDouble))) :+
+      (1, null.asInstanceOf[Array[Double]])
+    for (parts <- Seq(1, 7)) {
+      val got = rows.toDF("label", "v").repartition(parts)
+        .groupBy($"label").agg(GraftFunctions.vector_mean($"v").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      for (l <- 0 until 3) {
+        val vs = rows.filter(r => r._1 == l && r._2 != null).map(_._2)
+        val want = Seq(vs.map(_(0)).sum / vs.size, vs.map(_(1)).sum / vs.size)
+        assert(got(l).zip(want).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+          s"label $l: ${got(l)} vs $want")
+      }
+    }
+    val bad = Seq((1, Array(1.0, 2.0)), (1, Array(1.0))).toDF("label", "v")
+      .groupBy($"label").agg(GraftFunctions.vector_mean($"v"))
+    val e = intercept[Throwable] { bad.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("length mismatch"))))
+  }
+
   test("annLsh finds the duplicate as nearest same-bucket neighbor") {
     val c = Similarity.prepared(
       Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
