@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args => GraftSkewness(Cast(args.head, DoubleType))),
       ("graft_mode", "most frequent value (reference tie-break)",
         args => GraftMode(args.head)),
+      ("graft_vector_mean", "element-wise mean of array<double> vectors",
+        args => VectorMean(Cast(args.head,
+          org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)))),
       ("kurtosis_samp", "sample bias-corrected excess kurtosis",
         args => GraftKurtosis(Cast(args.head, DoubleType))),
       ("kurtosis_pop", "population excess kurtosis",

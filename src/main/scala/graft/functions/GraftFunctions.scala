@@ -95,6 +95,8 @@ object GraftFunctions {
       "graft_kurtosis_pop" -> (e => GraftKurtosisPop(Cast(e, DoubleType))),
       "graft_skewness" -> (e => GraftSkewness(Cast(e, DoubleType))),
       "graft_mode" -> (e => GraftMode(e)),
+      "graft_vector_mean" -> (e => VectorMean(
+        Cast(e, org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)))),
       // parity aliases for the non-conflicting reference names
       "kurtosis_pop" -> (e => GraftKurtosisPop(Cast(e, DoubleType))),
       "kurtosis_samp" -> (e => GraftKurtosis(Cast(e, DoubleType))),
@@ -123,14 +125,15 @@ object GraftFunctions {
   def registerTextFunctions(spark: SparkSession): Unit = {
     import graft.ops.TextOps
     val fns: Seq[(String, Column => Column)] = Seq(
-      "graft_tokens" -> (TextOps.tokens(_)),
-      "graft_langid" -> (c => TextOps.langId(TextOps.tokens(c))),
+      "graft_tokens" -> (TextOps.tokensNative(_)),
+      "graft_langid" -> (TextOps.langIdText(_)),
       "graft_quality" -> (TextOps.qualityScore(_)),
+      "graft_text_stats" -> (TextOps.textStats(_)),
       "graft_token_count_ws" -> (TextOps.tokenCountWs(_)),
       "graft_token_count_bpe" -> (TextOps.tokenCountBpe(_)),
       "graft_fingerprint" -> (TextOps.fingerprint(_)),
-      "graft_simhash" -> (c => TextOps.simhash64(TextOps.tokens(c))),
-      "graft_shingles" -> (c => TextOps.shingles3(TextOps.tokens(c)))
+      "graft_simhash" -> (c => TextOps.simhash64(TextOps.tokensNative(c))),
+      "graft_shingles" -> (TextOps.tokenShingles(_))
     )
     fns.foreach { case (name, f) =>
       ColumnBridge.registerFunction(spark, name, unaryCol(name, f))
@@ -138,7 +141,7 @@ object GraftFunctions {
     ColumnBridge.registerFunction(spark, "graft_minhash", {
       case Seq(e, Literal(k: Int, _)) =>
         MinHashSignature(
-          ex(TextOps.shingles3(TextOps.tokens(ColumnBridge.column(e)))), k)
+          ex(TextOps.tokenShingles(ColumnBridge.column(e))), k)
       case other =>
         throw new IllegalArgumentException(
           s"graft_minhash requires (text, k int literal), got $other")

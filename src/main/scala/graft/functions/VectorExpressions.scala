@@ -141,8 +141,18 @@ case class VectorMean(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      // null elements are rejected (a partial vector has no well-defined
-      // mean contribution); corpus vectors are dense
+      // null ELEMENTS are rejected loudly (a partial vector has no
+      // well-defined mean contribution; a silent skip would bias the
+      // centroid) — null VECTORS are skipped like avg over absent rows
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (arr.isNullAt(i)) {
+          throw new IllegalArgumentException(
+            s"$prettyName: null element at position $i — dense vectors required")
+        }
+        i += 1
+      }
       addInto(buf, arr.toDoubleArray(), 1L)
     }
     buf

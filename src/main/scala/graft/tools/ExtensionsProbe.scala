@@ -17,7 +17,11 @@ object ExtensionsProbe {
         |       graft_kurtosis_pop(x) AS kp, kurtosis_samp(x) AS ks, skewness_samp(x) AS ss,
         |       kurtosis_pop(x) AS kp2
         |FROM VALUES (1.0),(2.0),(2.0),(3.0),(10.0) t(x)""".stripMargin).collect().head
-    println(s"[ext-probe] OK -> $row")
+    val vm = spark.sql(
+      """SELECT graft_vector_mean(v) AS m
+        |FROM VALUES (array(1.0D, 3.0D)), (array(3.0D, 5.0D)) t(v)""".stripMargin)
+      .collect().head
+    println(s"[ext-probe] OK -> $row / $vm")
     spark.stop()
   }
 }

@@ -90,6 +90,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("length mismatch"))))
   }
 
+  test("SQL: graft_vector_mean aggregates float vectors (implicit cast)") {
+    val r = spark.sql(
+      """SELECT graft_vector_mean(v) AS m FROM VALUES
+        |  (array(CAST(1.0 AS FLOAT), CAST(3.0 AS FLOAT))),
+        |  (array(CAST(3.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS t(v)""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    assert(r == Seq(2.0, 4.0))
+  }
+
   test("annLsh finds the duplicate as nearest same-bucket neighbor") {
     val c = Similarity.prepared(
       Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
