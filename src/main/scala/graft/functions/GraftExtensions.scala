@@ -54,5 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // scalable two-phase mode rewrite, gated on spark.graft.mode.twoPhase
     ext.injectOptimizerRule(_ => graft.plans.RewriteModeToTwoPhase)
+    // whole-operator extension: plans AsOfJoinNode -> AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -101,6 +101,26 @@ object Events {
   }
 
   /**
+   * AS-OF join via the custom physical operator
+   * ([[graft.plans.AsOfJoinExec]]): same semantics and output columns as
+   * [[asOfJoin]] (spec-checked equal), but planned as a streaming
+   * sort-merge with O(1) reducer state instead of a union + running-last
+   * window. Registers [[graft.plans.AsOfJoinStrategy]] in the session on
+   * first use.
+   */
+  def asOfJoinNative(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = left.sparkSession
+    ColumnBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val node = graft.plans.AsOfJoinNode(
+      ColumnBridge.analyzed(left), ColumnBridge.analyzed(right),
+      keyCol, tsCol, valueCols, outPrefix = "asof_")
+    ColumnBridge.ofRows(spark, node)
+  }
+
+  /**
    * Ordered funnel analysis: for each key, the earliest time of stage 1,
    * the earliest stage-2 event strictly after it, the earliest stage-3
    * event strictly after that, and so on. Greedy-earliest matching —

@@ -25,6 +25,29 @@ object ColumnBridge {
   /** `AtomicType` is `private[sql]` in Spark 4 — exposed here for type checks. */
   def isAtomic(dt: DataType): Boolean = dt.isInstanceOf[AtomicType]
 
+  /** Analyzed logical plan behind a DataFrame (private[sql] surface). */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.analyzed
+
+  /** Build a DataFrame over a (resolved) custom logical plan node —
+    * `Dataset.ofRows` is `private[sql]`; this is the sanctioned door for
+    * libraries adding whole-operator plan nodes. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Append an experimental planner strategy once (idempotent). */
+  def addStrategy(
+      spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s)) exp.extraStrategies ++= Seq(s)
+  }
+
   /**
    * Register a SQL function backed by a Catalyst expression builder in the
    * session's function registry (session-scoped, like the reference's

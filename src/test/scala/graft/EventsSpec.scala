@@ -51,6 +51,47 @@ class EventsSpec extends AnyFunSuite {
     assert(r("c9") == (-1L, -1.0))     // other key's purchases invisible
   }
 
+  test("asOfJoinNative: custom AsOfJoinExec == window form, and is planned") {
+    val clicks = Seq((1L, 100L, "c1"), (1L, 200L, "c2"), (1L, 50L, "c0"), (2L, 100L, "c9"))
+      .toDF("user_id", "tsu", "tag")
+    val purchases = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (2L, 300L, 9.0))
+      .toDF("user_id", "tsu", "pvalue")
+    val native = Events.asOfJoinNative(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "custom operator not in the physical plan")
+    val key = (r: org.apache.spark.sql.Row) => (
+      r.getLong(0), r.getLong(1), r.getString(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    val window = Events.asOfJoin(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+    assert(native.collect().map(key).toSet == window.collect().map(key).toSet)
+    assert(native.columns.toSeq == window.columns.toSeq)
+  }
+
+  test("asOfJoinNative: random data across partitionings equals window form") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("user_id", "tsu", "event_id")
+    // unique (key, ts) on the right (asOfJoin determinism precondition)
+    val right = rnd.shuffle((0 until 12).flatMap(u =>
+      (1 to 40).map(_ => (u.toLong, rnd.nextInt(1000).toLong))).distinct)
+      .map { case (u, t) => (u, t, u * 10000.0 + t) }
+      .toDF("user_id", "tsu", "pvalue")
+    val key = (r: org.apache.spark.sql.Row) => (
+      r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    val want = Events.asOfJoin(left, right, "user_id", "tsu", Seq("pvalue"))
+      .collect().map(key).sortBy(x => (x._1, x._2, x._3)).toSeq
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Events.asOfJoinNative(
+        left.repartition(parts), right.repartition(parts + 1), "user_id", "tsu", Seq("pvalue"))
+        .collect().map(key).sortBy(x => (x._1, x._2, x._3)).toSeq
+      assert(got == want, s"mismatch at parts=$parts")
+    }
+  }
+
   test("funnel: greedy-earliest ordered matching; non-converters drop out") {
     val e = Seq(
       // user 1: view(10) -> click(20) -> purchase(30) converts
