@@ -168,6 +168,17 @@ object SparkEntry {
       TextOps.stratifiedSample(
         docs(s, dir).select(col("doc_id"), col("lang")), "lang", "doc_id", 20)),
 
+    "q_sample_weighted" -> ((s, dir) =>
+      // weight ∝ text length: longer docs drawn more often, per-language
+      TextOps.weightedSample(
+        docs(s, dir).select(col("doc_id"), col("lang"), length(col("text")).as("w")),
+        "lang", "doc_id", col("w"), 15)
+        .select(col("doc_id"), col("lang"))),
+
+    "q_split_assign" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), TextOps.splitAssign(col("doc_id")).as("split"))),
+
     "q_contamination" -> ((s, dir) => {
       // treat src0 docs as the eval set, the rest as training data:
       // flag train docs sharing >= 3 distinct 3-grams with any eval doc
@@ -477,6 +488,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""WITH k_t AS (SELECT doc_id, lang,
+         |  round(ln((${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}::DOUBLE + 0.5) / 4294967296.0)
+         |    / greatest(length(text)::DOUBLE, 1.0), 6) AS k
+         |  FROM documents)
+         |SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rn
+         |  FROM k_t)
+         |WHERE rn <= 15""".stripMargin,
+
+    "q_split_assign" ->
+      s"""SELECT doc_id, CASE
+         |  WHEN (${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}) % 100 < 80 THEN 'train'
+         |  WHEN (${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}) % 100 < 90 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
 
     "q_contamination" ->
       s"""WITH toks_t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),

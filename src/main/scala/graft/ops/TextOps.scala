@@ -247,6 +247,46 @@ object TextOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
+  /**
+   * Deterministic WEIGHTED stratified sampling (Efraimidis–Spirakis):
+   * each row draws u = md5-uniform in (0,1) from its id and gets key
+   * ln(u)/w — keeping the n LARGEST keys per stratum samples without
+   * replacement with probability proportional to weight w, reproducibly
+   * in any engine (the data-mixing step when sources have mixture
+   * weights). Keys are rounded to 6 dp with an id tie-break so the
+   * draw is engine-exact. One window shuffle keyed by the stratum;
+   * rank-limit pushdown (WindowGroupLimit) keeps n rows per partition
+   * pre-shuffle.
+   */
+  def weightedSample(
+      df: org.apache.spark.sql.DataFrame, stratumCol: String, idCol: String,
+      weight: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    // u = (first-8-hex-of-md5 + 0.5) / 2^32  ∈ (0,1), exact in a double
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val key = round(log(u) / greatest(weight.cast("double"), lit(1.0)), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(key.desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /**
+   * Deterministic train/val/test split assignment: bucket =
+   * (first-8-hex-of-md5(id) as uint32) mod 100; [0,80) → train,
+   * [80,90) → val, rest → test. Pure integer arithmetic on a portable
+   * hash — any engine (and any re-run of a 100 TB job) assigns every
+   * document identically, and the assignment is stable under corpus
+   * growth (a doc's split never depends on other rows). Narrow, no
+   * shuffle.
+   */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** PII-style scrubbing: mask email-like and URL-like spans (the
     * standard pre-training redaction pass). Pure regexp_replace —
     * codegen'd, narrow, oracle-replayable. */

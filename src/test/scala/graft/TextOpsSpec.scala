@@ -216,6 +216,37 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: n per stratum, partition-invariant, favors heavy rows") {
+    val rows = (1 to 300).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      if (i <= 30) 100000L else 1L)) // ids 1..30 carry ~all the weight
+    val df = rows.toDF("doc_id", "lang", "w")
+    val draw = (parts: Int) => graft.ops.TextOps
+      .weightedSample(df.repartition(parts), "lang", "doc_id", $"w", 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val s1 = draw(1)
+    assert(s1 == draw(5)) // deterministic across partitionings
+    assert(s1.count(_._1 == "a") == 10 && s1.count(_._1 == "b") == 10)
+    // heavy rows dominate the draw
+    assert(s1.count(_._2 <= 30) >= 15, s"heavy rows drawn: ${s1.count(_._2 <= 30)}")
+  }
+
+  test("splitAssign: deterministic, row-independent, roughly 80/10/10") {
+    val df = (1 to 2000).map(_.toLong).toDF("doc_id")
+    val counts = df.select(TextOps.splitAssign($"doc_id").as("s"))
+      .groupBy($"s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 120 && counts("val") < 280)
+    assert(counts("test") > 120 && counts("test") < 280)
+    // stable under corpus growth: same id -> same split in a subset
+    val sub = (1 to 100).map(_.toLong).toDF("doc_id")
+      .select($"doc_id", TextOps.splitAssign($"doc_id").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = df.select($"doc_id", TextOps.splitAssign($"doc_id").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (k, v) => full(k) == v })
+  }
+
   test("dot product: dimension mismatch fails loudly (no silent truncation)") {
     val bad = spark.range(1).select(
       graft.ops.Similarity.dot(
