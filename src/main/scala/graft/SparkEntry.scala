@@ -221,6 +221,23 @@ object SparkEntry {
         md5(TextOps.redact(col("text"))).as("redacted_hash"),
         (length(col("text")) - length(TextOps.redact(col("text")))).as("len_delta"))),
 
+    "q_bigram_lm" -> ((s, dir) => {
+      // bigram-LM estimation: P(w2|w1) = c(w1 w2) / c(w1); top-20 bigrams.
+      // Bigrams via the fused TokenShingles(n=2) kernel; both count
+      // aggregations are map-side combinable; the unigram table joins in
+      // (AQE broadcasts it when small).
+      val d = docs(s, dir)
+      val bg = d.select(explode(TextOps.tokenShingles(col("text"), 2)).as("bigram"))
+        .filter(instr(col("bigram"), " ") > 0)
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      val ug = d.select(explode(TextOps.tokens(col("text"))).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(ug, "w1")
+        .select(col("bigram"), col("cnt"), round(col("cnt") / col("c1"), 6).as("cond_p"))
+        .orderBy(col("cnt").desc, col("bigram").asc).limit(20)
+    }),
+
     "q_vocab_topk" -> ((s, dir) =>
       // corpus-wide vocabulary: explode tokens -> count -> top 20
       // (deterministic tie-break on token); the classic explode+combine
@@ -604,6 +621,17 @@ object SparkEntry {
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^\s]+', '<URL>', 'g')) AS len_delta
         |FROM documents""".stripMargin,
+
+    "q_bigram_lm" ->
+      s"""WITH toks_t AS (SELECT $ToksSql AS toks FROM documents),
+         |bg0 AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |  ELSE [array_to_string(toks, ' ')] END) AS bigram FROM toks_t),
+         |bg AS (SELECT bigram, count(*) AS cnt FROM bg0 WHERE strpos(bigram, ' ') > 0 GROUP BY bigram),
+         |ug AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM toks_t) GROUP BY w1)
+         |SELECT bigram, cnt, round(cnt / c1, 6) AS cond_p
+         |FROM bg JOIN ug ON split_part(bigram, ' ', 1) = ug.w1
+         |ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin,
 
     "q_vocab_topk" ->
       """SELECT token, count(*) AS cnt FROM (

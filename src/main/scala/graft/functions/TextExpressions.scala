@@ -304,14 +304,16 @@ case class Tokenize(child: Expression)
 }
 
 /**
- * Fused tokenize + word-3-shingle kernel: one pass from raw text to the
- * shingle array — exactly `shingles3(tokens(text))` (trigrams joined by
- * spaces; documents with <3 tokens fall back to one shingle of the whole
- * token list), without the regex scan or the interpreted
- * transform/element_at walk per trigram.
+ * Fused tokenize + word-n-shingle kernel: one pass from raw text to the
+ * shingle array — for n=3 exactly `shingles3(tokens(text))` (n-grams
+ * joined by spaces; documents with <n tokens fall back to one shingle of
+ * the whole token list), without the regex scan or the interpreted
+ * transform/element_at walk per n-gram.
  */
-case class TokenShingles(child: Expression)
+case class TokenShingles(child: Expression, n: Int = 3)
   extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
@@ -329,13 +331,20 @@ case class TokenShingles(child: Expression)
     val toks = TextKernels.tokenize(
       v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
     val out =
-      if (toks.length >= 3) {
-        val n = toks.length - 2
-        val arr = new Array[Any](n)
+      if (toks.length >= n) {
+        val m = toks.length - n + 1
+        val arr = new Array[Any](m)
+        val sb = new java.lang.StringBuilder(16 * n)
         var i = 0
-        while (i < n) {
-          arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
-            toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
           i += 1
         }
         arr

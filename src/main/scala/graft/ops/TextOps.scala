@@ -30,13 +30,13 @@ object TextOps {
       graft.functions.Tokenize(
         org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
-  /** Fused tokenize+3-shingle kernel — identical output to
+  /** Fused tokenize+n-shingle kernel — for n=3 identical output to
     * `shingles3(tokens(text))` (spec-checked); one string walk instead of
-    * a regex scan plus an interpreted per-trigram HOF. */
-  def tokenShingles(text: Column): Column =
+    * a regex scan plus an interpreted per-n-gram HOF. */
+  def tokenShingles(text: Column, n: Int = 3): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.TokenShingles(
-        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
   /** Word 3-shingles; documents with <3 tokens fall back to one shingle of
     * the whole token list (so short docs still dedup). */

@@ -49,6 +49,25 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
 
   /**
+   * Streaming exact dedup for a document stream: keep the FIRST arrival
+   * of each content hash, drop later duplicates — the streaming twin of
+   * [[graft.ops.Dedup.exactDedup]] for ingest-time pipelines.
+   * `dropDuplicatesWithinWatermark` on the md5 hash is a keyed
+   * state-store op (one shuffle on the hash) whose state is EVICTED once
+   * the watermark passes a hash's first arrival + delay: a duplicate
+   * arriving later than `watermarkDelay` after its original may pass,
+   * which is the standard state/recall trade at 100 TB/day ingest.
+   * Columns: input columns + `text_hash`.
+   */
+  def dedupStream(
+      docs: DataFrame, textCol: String, eventTimeCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /**
    * Gap-based (30 min) sessionization with
    * `flatMapGroupsWithState` + event-time timeout: batch events merge
    * into the open session; a gap or watermark timeout closes and emits

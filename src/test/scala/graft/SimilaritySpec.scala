@@ -90,6 +90,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("length mismatch"))))
   }
 
+  test("VectorMean survives ObjectHashAggregate sort-based fallback (spill path)") {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.registerAll(s)
+    import s.implicits._
+    // force the fallback after 2 in-memory groups: exercises the
+    // serialize/deserialize buffer path a real spill takes
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    val df = (0 until 1200).map(i => (i % 30, Array((i % 30).toDouble, 1.0)))
+      .toDF("k", "v").repartition(5)
+    df.createOrReplaceTempView("t_vm_spill")
+    val rows = s.sql("SELECT k, graft_vector_mean(v) AS m FROM t_vm_spill GROUP BY k")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.size == 30)
+    rows.foreach { case (k, m) => assert(m == Seq(k.toDouble, 1.0), s"key $k: $m") }
+  }
+
   test("SQL: graft_vector_mean aggregates float vectors (implicit cast)") {
     val r = spark.sql(
       """SELECT graft_vector_mean(v) AS m FROM VALUES

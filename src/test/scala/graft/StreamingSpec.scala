@@ -52,6 +52,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream: first arrival of each content hash wins, duplicates drop") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.dedupStream(
+      in.toDF().toDF("doc_id", "text", "event_time"), "text", "event_time", "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha", ts(0)), (2L, "beta", ts(1)), (3L, "alpha", ts(2)))
+      q.processAllAvailable()
+      in.addData((4L, "alpha", ts(3)), (5L, "gamma", ts(4)))
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id, text FROM dedup_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.values.toSet == Set("alpha", "beta", "gamma"))
+      assert(out.keySet == Set(1L, 2L, 5L)) // first arrivals only, across batches
+    } finally q.stop()
+  }
+
   test("file-source -> windowed aggs -> parquet sink round trip (real source+sink)") {
     implicit val s = spark
     import s.implicits._

@@ -214,6 +214,11 @@ class TextOpsSpec extends AnyFunSuite {
       assert(row.getSeq[String](0) == row.getSeq[String](1), s"tokens mismatch: $row")
       assert(row.getSeq[String](2) == row.getSeq[String](3), s"shingles mismatch: $row")
     }
+    // n=2 bigrams, incl. the <n fallback
+    val bg = Seq("a b c", "only").toDF("text")
+      .select(TextOps.tokenShingles($"text", 2).as("bg")).collect().map(_.getSeq[String](0))
+    assert(bg(0) == Seq("a b", "b c"))
+    assert(bg(1) == Seq("only"))
   }
 
   test("weightedSample: n per stratum, partition-invariant, favors heavy rows") {
