@@ -48,4 +48,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("partial_graft_mode"), plan)
   }
+
+  test("q_asof_native: custom AsOfJoinExec planned with one exchange per side") {
+    val plan = planOf("q_asof_native")
+    assert(plan.contains("AsOfJoin"), plan)
+    // EnsureRequirements inserts the two (user_id) co-partitioning
+    // exchanges; the purchase pre-aggregation keys on (user_id, tsu) so
+    // its exchange cannot double as the key-only clustering — 3 total,
+    // the same count the window-form as-of pays
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 3, plan)
+    // both sides sorted (key, ts) as the merge requires
+    assert("Sort \\[user_id".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("q_centroids: VectorMean aggregates with ONE exchange and partial combine") {
+    val plan = planOf("q_centroids")
+    assert(plan.contains("partial_graft_vector_mean"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }
