@@ -323,7 +323,13 @@ object SparkEntry {
     // ── multimodal ──────────────────────────────────────────────────────
     "q_multimodal" -> ((s, dir) =>
       Multimodal.featureColumns(
-        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text")))
+        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"))),
+
+    "q_frames" -> ((s, dir) =>
+      // deterministic 4-frame sampling of every payload (video-frame /
+      // audio-chunk plumbing; stub bytes, real offsets + hashing)
+      Multimodal.frameSample(
+        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), 4))
   )
 
   // ── DuckDB oracle mirrors ─────────────────────────────────────────────
@@ -773,6 +779,18 @@ object SparkEntry {
          |  (${hexToLong("md5(text)", 1, 4)} % 1024 + 1)::INT AS width,
          |  (${hexToLong("md5(text)", 5, 4)} % 1024 + 1)::INT AS height,
          |  md5(text) AS content_hash
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "q_frames" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hexp,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, hexp, n, unnest(range(0, 4)) AS i FROM m),
+        |g AS (SELECT doc_id, (i + 1)::INT AS frame_idx,
+        |    (i * n) // 4 AS off,
+        |    (CASE WHEN i = 3 THEN n ELSE ((i + 1) * n) // 4 END) - (i * n) // 4 AS flen,
+        |    md5(substring(hexp, ((i * n) // 4) * 2 + 1,
+        |      ((CASE WHEN i = 3 THEN n ELSE ((i + 1) * n) // 4 END) - (i * n) // 4) * 2)) AS frame_hash
+        |  FROM f)
+        |SELECT doc_id, frame_idx, off, flen, frame_hash FROM g WHERE flen > 0""".stripMargin
   )
 }

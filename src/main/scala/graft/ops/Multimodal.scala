@@ -64,6 +64,46 @@ object Multimodal {
     (w, h, hex)
   }
 
+  /**
+   * Deterministic frame sampling — the video-frame / audio-chunk shape:
+   * split each payload into `k` contiguous byte ranges (integer offset
+   * arithmetic, last frame takes the remainder) and emit one row per
+   * frame with its byte range and content hash. A real pipeline decodes
+   * each range; the plumbing here (explode shape, integral offsets,
+   * per-frame hashing for downstream frame-level dedup) is the real
+   * thing and engine-replayable. Narrow — payload bytes never shuffle;
+   * only (doc_id, frame_idx, offsets, hash) leave the scan stage.
+   */
+  def frameSample(media: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"frame count must be >= 1, got $k")
+    // frame hashes are md5 over the HEX of the byte range: every engine
+    // can hex a blob, not every engine can slice one (byte [a,b) ==
+    // hex chars [2a+1, 2b]); hex is staged once per payload. floor of a
+    // double division is exact here (offsets < 2^53 by construction).
+    val staged = media.select(
+      col("doc_id"),
+      hex(col("payload")).as("hexp"),
+      length(col("payload")).cast("long").as("n"))
+    val frames = transform(sequence(lit(0), lit(k - 1)), i => {
+      val off = floor(i.cast("long") * col("n") / k).cast("long")
+      val end = when(i === k - 1, col("n"))
+        .otherwise(floor((i.cast("long") + 1) * col("n") / k).cast("long"))
+      struct(
+        (i + 1).as("frame_idx"),
+        off.as("off"),
+        (end - off).as("flen"),
+        md5(col("hexp").substr((off * 2 + 1).cast("int"), ((end - off) * 2).cast("int")))
+          .as("frame_hash"))
+    })
+    staged
+      .select(col("doc_id"), explode(frames).as("f"))
+      .select(
+        col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.off").as("off"), col("f.flen").as("flen"),
+        col("f.frame_hash").as("frame_hash"))
+      .filter(col("flen") > 0)
+  }
+
   /** Batched per-partition feature extraction — the real-decoder shape:
     * one codec init per partition, then a streamed pass over its rows. */
   def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {

@@ -29,4 +29,20 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = media.select("doc_id").queryExecution.optimizedPlan.toString
     assert(!plan.contains("payload"))
   }
+
+  test("frameSample: contiguous cover, last frame takes remainder, hashes differ") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text"), "doc_id", "text")
+    val rows = Multimodal.frameSample(media, 4)
+      .orderBy($"doc_id", $"frame_idx").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1, 0L, 2L), (2, 2L, 3L), (3, 5L, 2L), (4, 7L, 3L))) // covers 10 bytes
+    assert(d1.map(_.getString(4)).distinct.length == 4)
+    // 2-byte payload: frames 2 and 4 carry the bytes, empties dropped
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((2, 0L, 1L), (4, 1L, 1L)))
+  }
 }

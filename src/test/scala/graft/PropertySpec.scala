@@ -102,4 +102,32 @@ class PropertySpec extends AnyFunSuite {
       assert(got == sigOf(text), s"text=$text")
     }
   }
+
+  test("text kernels equal declarative forms on random noisy strings") {
+    import graft.ops.TextOps
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcXYZ0189 \t\n.,;!?-_@#ñé€()[]\"'"
+    def randText() = Seq.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val texts = Seq.fill(60)(randText()).filter(_.nonEmpty)
+    val r = texts.toDF("text").select(
+      TextOps.tokensNative($"text").as("tn"),
+      TextOps.tokens($"text").as("td"),
+      TextOps.tokenShingles($"text").as("s3n"),
+      TextOps.shingles3(TextOps.tokens($"text")).as("s3d"),
+      TextOps.tokenShingles($"text", 2).as("s2n"),
+      TextOps.qualityScore($"text").as("qk"),
+      TextOps.qualityScoreDeclarative($"text").as("qd"),
+      TextOps.langIdText($"text").as("lk"),
+      TextOps.langId(TextOps.tokens($"text")).as("ld")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[String](0) == row.getSeq[String](1), s"tokens: $row")
+      assert(row.getSeq[String](2) == row.getSeq[String](3), s"shingles3: $row")
+      val toks = row.getSeq[String](0)
+      val bigrams = if (toks.size >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      assert(row.getSeq[String](4) == bigrams, s"bigrams: $row")
+      assert(row.getDouble(5) == row.getDouble(6), s"quality: $row")
+      assert(row.getString(7) == row.getString(8), s"langid: $row")
+    }
+  }
 }
