@@ -329,7 +329,14 @@ object SparkEntry {
       // deterministic 4-frame sampling of every payload (video-frame /
       // audio-chunk plumbing; stub bytes, real offsets + hashing)
       Multimodal.frameSample(
-        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), 4))
+        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), 4)),
+
+    "q_resize" -> ((s, dir) =>
+      // decode -> resize to 224x224 (stubbed decode; deterministic
+      // derived identity) — the feature-extraction preprocessing shape
+      Multimodal.resize(
+        Multimodal.featureColumns(
+          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text")), 224, 224))
   )
 
   // ── DuckDB oracle mirrors ─────────────────────────────────────────────
@@ -791,6 +798,13 @@ object SparkEntry {
         |    md5(substring(hexp, ((i * n) // 4) * 2 + 1,
         |      ((CASE WHEN i = 3 THEN n ELSE ((i + 1) * n) // 4 END) - (i * n) // 4) * 2)) AS frame_hash
         |  FROM f)
-        |SELECT doc_id, frame_idx, off, flen, frame_hash FROM g WHERE flen > 0""".stripMargin
+        |SELECT doc_id, frame_idx, off, flen, frame_hash FROM g WHERE flen > 0""".stripMargin,
+
+    "q_resize" ->
+      """SELECT doc_id, 'image/stub' AS media_type,
+        |  CAST(224 * 224 * 3 AS BIGINT) AS n_bytes,
+        |  224 AS width, 224 AS height,
+        |  md5(md5(text) || '_224x224') AS content_hash
+        |FROM documents""".stripMargin
   )
 }

@@ -104,6 +104,25 @@ object Multimodal {
       .filter(col("flen") > 0)
   }
 
+  /**
+   * Stub resize: maps each media row to target dimensions with a
+   * deterministic derived content hash (a real pipeline decodes, scales
+   * and re-encodes here — the metadata/schema flow, the narrow no-shuffle
+   * shape, and the deterministic output identity are the real plumbing).
+   * Output n_bytes models an RGB raster (w·h·3) so downstream size
+   * accounting is realistic.
+   */
+  def resize(features: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, s"target dims must be >= 1, got ${w}x$h")
+    features.select(
+      col("doc_id"),
+      col("media_type"),
+      lit(w * h * 3L).as("n_bytes"),
+      lit(w).as("width"),
+      lit(h).as("height"),
+      md5(concat(col("content_hash"), lit(s"_${w}x$h"))).as("content_hash"))
+  }
+
   /** Batched per-partition feature extraction — the real-decoder shape:
     * one codec init per partition, then a streamed pass over its rows. */
   def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
