@@ -92,6 +92,15 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoinNative: empty right side carries nulls for every left row") {
+    val clicks = Seq((1L, 100L, 5L), (2L, 200L, 6L)).toDF("user_id", "tsu", "event_id")
+    val purchases = Seq.empty[(Long, Long, Double)].toDF("user_id", "tsu", "pvalue")
+    val r = Events.asOfJoinNative(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+      .collect()
+    assert(r.length == 2)
+    assert(r.forall(row => row.isNullAt(3) && row.isNullAt(4)))
+  }
+
   test("funnel: greedy-earliest ordered matching; non-converters drop out") {
     val e = Seq(
       // user 1: view(10) -> click(20) -> purchase(30) converts
