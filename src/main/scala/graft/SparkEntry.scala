@@ -317,6 +317,19 @@ object SparkEntry {
       Events.asOfJoinNative(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
     }),
 
+    "q_asof_tolerance" -> ((s, dir) => {
+      // as-of with a 1-hour tolerance: matches older than the tolerance
+      // are treated as absent (pandas merge_asof semantics)
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(round(max(col("value")), 6).as("pvalue"))
+      Events.asOfJoinNative(clicks, purchases, "user_id", "tsu", Seq("pvalue"),
+        toleranceMicros = Some(3600000000L))
+    }),
+
     "q_event_windows" -> ((s, dir) =>
       Events.tumblingWindows(t(s, dir, "events"))),
 
@@ -772,6 +785,16 @@ object SparkEntry {
         |p AS (SELECT user_id, tsu AS ptsu, round(max(value), 6) AS pvalue
         |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
         |SELECT c.user_id, c.tsu, c.event_id, p.ptsu AS asof_tsu, p.pvalue AS asof_pvalue
+        |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu <= c.tsu""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),
+        |clicks AS (SELECT user_id, tsu, event_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu AS ptsu, round(max(value), 6) AS pvalue
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
+        |SELECT c.user_id, c.tsu, c.event_id,
+        |  CASE WHEN c.tsu - p.ptsu <= 3600000000 THEN p.ptsu END AS asof_tsu,
+        |  CASE WHEN c.tsu - p.ptsu <= 3600000000 THEN p.pvalue END AS asof_pvalue
         |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu <= c.tsu""".stripMargin,
 
     "q_event_windows" ->

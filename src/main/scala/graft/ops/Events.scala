@@ -110,13 +110,15 @@ object Events {
    */
   def asOfJoinNative(
       left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, valueCols: Seq[String]): DataFrame = {
+      keyCol: String, tsCol: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = left.sparkSession
     ColumnBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     val node = graft.plans.AsOfJoinNode(
       ColumnBridge.analyzed(left), ColumnBridge.analyzed(right),
-      keyCol, tsCol, valueCols, outPrefix = "asof_")
+      keyCol, tsCol, valueCols, outPrefix = "asof_",
+      toleranceMicros = toleranceMicros)
     ColumnBridge.ofRows(spark, node)
   }
 

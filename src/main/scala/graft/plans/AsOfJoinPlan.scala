@@ -35,7 +35,8 @@ case class AsOfJoinNode(
     keyCol: String,
     tsCol: String,
     valueCols: Seq[String],
-    carriedAttrs: Seq[Attribute])
+    carriedAttrs: Seq[Attribute],
+    toleranceMicros: Option[Long])
   extends BinaryNode {
 
   // Columns are resolved BY NAME against the children's CURRENT outputs
@@ -76,7 +77,7 @@ object AsOfJoinNode {
   def apply(
       left: LogicalPlan, right: LogicalPlan,
       keyCol: String, tsCol: String, valueCols: Seq[String],
-      outPrefix: String): AsOfJoinNode = {
+      outPrefix: String, toleranceMicros: Option[Long] = None): AsOfJoinNode = {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
@@ -90,7 +91,7 @@ object AsOfJoinNode {
     val carried =
       AttributeReference(s"$outPrefix$tsCol", rTs.dataType, nullable = true)() +:
         values.map(v => AttributeReference(s"$outPrefix${v.name}", v.dataType, nullable = true)())
-    new AsOfJoinNode(left, right, keyCol, tsCol, valueCols, carried)
+    new AsOfJoinNode(left, right, keyCol, tsCol, valueCols, carried, toleranceMicros)
   }
 }
 
@@ -102,7 +103,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(
         n.leftKey, n.leftTs, n.rightKey, n.rightTs, n.rightValues,
-        n.output, planLater(n.left), planLater(n.right)) :: Nil
+        n.output, n.toleranceMicros, planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -121,6 +122,7 @@ case class AsOfJoinExec(
     rightTs: Expression,
     rightValues: Seq[Expression],
     output: Seq[Attribute],
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -142,6 +144,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val keyType = leftKey.dataType
     val nValues = rightValues.size
+    val tolerance = toleranceMicros.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       // per-task construction: generated orderings/projections are not
       // serializable, so everything codegen'd is built on the executor
@@ -188,8 +191,12 @@ case class AsOfJoinExec(
             advanceRight()
             cmp = if (rHead == null) 1 else keyOrdering.compare(rHeadKey, lk)
           }
+          // tolerance: a carried row older than (left.ts - tolerance) is
+          // treated as absent (pandas merge_asof semantics); the carried
+          // payload's first field IS the right ts
           val payload =
-            if (carried != null && keyOrdering.compare(carriedKey, lk) == 0) carried
+            if (carried != null && keyOrdering.compare(carriedKey, lk) == 0 &&
+                (tolerance == Long.MaxValue || lt - carried.getLong(0) <= tolerance)) carried
             else nullRow
           resultProj(joined(l, payload))
         }

@@ -92,6 +92,16 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoinNative: tolerance voids matches older than the bound") {
+    val clicks = Seq((1L, 100L, 5L), (1L, 500L, 6L)).toDF("user_id", "tsu", "event_id")
+    val purchases = Seq((1L, 90L, 1.5)).toDF("user_id", "tsu", "pvalue")
+    val r = Events.asOfJoinNative(
+      clicks, purchases, "user_id", "tsu", Seq("pvalue"), toleranceMicros = Some(50L))
+      .collect().map(x => x.getLong(2) -> x.isNullAt(3)).toMap
+    assert(!r(5L)) // 100-90=10 <= 50: match kept
+    assert(r(6L))  // 500-90=410 > 50: treated as absent
+  }
+
   test("asOfJoinNative: empty right side carries nulls for every left row") {
     val clicks = Seq((1L, 100L, 5L), (2L, 200L, 6L)).toDF("user_id", "tsu", "event_id")
     val purchases = Seq.empty[(Long, Long, Double)].toDF("user_id", "tsu", "pvalue")
