@@ -33,8 +33,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = ok.sum
+    // n_queries/mean: the suite GROWS round over round (42 -> 49 queries),
+    // so the per-query mean is the comparable figure across rounds
+    val mean = if (ok.nonEmpty) total / ok.size else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"mean":$mean,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
