@@ -535,7 +535,7 @@ object SparkEntry {
     "q_sample_weighted" ->
       s"""WITH k_t AS (SELECT doc_id, lang,
          |  round(ln((${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}::DOUBLE + 0.5) / 4294967296.0)
-         |    / greatest(length(text)::DOUBLE, 1.0), 6) AS k
+         |    / greatest(length(text)::DOUBLE, 1e-300), 6) AS k
          |  FROM documents)
          |SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang,

@@ -198,7 +198,7 @@ case class Fingerprint(child: Expression)
  * `n_chars` = `length(text)` in code points, and `removed` = code points
  * of the lowercased text outside `[a-z0-9]` and ASCII whitespace
  * (exactly `length(text) - length(regexp_replace(lower(text),
- * '[^a-z0-9\s]', ''))` for ASCII text).
+ * '[^a-z0-9\s]', ''))`, including multi-char case mappings).
  *
  * Why: the declarative form runs regexp_extract_all + regexp_replace +
  * four interpreted `filter(toks, isin(...))` HOF passes per document —
@@ -206,9 +206,9 @@ case class Fingerprint(child: Expression)
  * comparisons; downstream quality/langid math is plain codegen'd
  * arithmetic over the struct fields.
  *
- * Lowercasing is per-code-point (`Character.toLowerCase`) — identical to
- * `lower()` for ASCII and the whole [a-z0-9] token alphabet; the synthetic
- * corpus and the oracle replay are ASCII.
+ * Lowercasing is a full-string `toLowerCase` (identical to `lower()`,
+ * multi-char case mappings included), with an allocation-free fast path
+ * for ASCII text.
  */
 case class TextStats(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -234,7 +234,15 @@ case class TextStats(child: Expression)
     val v = child.eval(input)
     if (v == null) return null
     val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    var nToks, en, es, fr, de, nChars, removed = 0
+    // the declarative twin lowercases the WHOLE string first
+    // (`lower(text)`) and computes the punct count as
+    // length(text) - length(regexp_replace(lower(text), '[^a-z0-9\s]', ''))
+    // — i.e. origChars - (lowerChars - removedLower); all lengths in
+    // code points. Full-string lowering keeps multi-char case mappings
+    // (İ → "i̇") identical to lower().
+    val lowered = TextKernels.lowerLikeSql(s)
+    val origChars = s.codePointCount(0, s.length)
+    var nToks, en, es, fr, de, lowerChars, removedLower = 0
     val tok = new java.lang.StringBuilder(16)
     def closeToken(): Unit = if (tok.length() > 0) {
       nToks += 1
@@ -246,11 +254,10 @@ case class TextStats(child: Expression)
       tok.setLength(0)
     }
     var i = 0
-    val len = s.length
+    val len = lowered.length
     while (i < len) {
-      val cp0 = s.codePointAt(i)
-      val cp = Character.toLowerCase(cp0)
-      nChars += 1
+      val cp = lowered.codePointAt(i)
+      lowerChars += 1
       if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
         tok.appendCodePoint(cp)
       } else {
@@ -259,12 +266,13 @@ case class TextStats(child: Expression)
         // [ \t\n\x0B\f\r]
         val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
           cp == '\f' || cp == '\r'
-        if (!isWs) removed += 1
+        if (!isWs) removedLower += 1
       }
-      i += Character.charCount(cp0)
+      i += Character.charCount(cp)
     }
     closeToken()
-    new GenericInternalRow(Array[Any](nToks, en, es, fr, de, nChars, removed))
+    val removed = origChars - (lowerChars - removedLower)
+    new GenericInternalRow(Array[Any](nToks, en, es, fr, de, origChars, removed))
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextStats =
@@ -275,8 +283,8 @@ case class TextStats(child: Expression)
  * One-pass tokenizer: maximal `[a-z0-9]+` runs of the lowercased text —
  * exactly `regexp_extract_all(lower(text), '[a-z0-9]+')`, without the
  * regex engine or the intermediate lowered copy. Lowercasing is
- * per-code-point (identical to `lower()` for ASCII; the corpus and the
- * oracle replay are ASCII).
+ * a full-string `toLowerCase` (identical to `lower()`, multi-char case
+ * mappings included).
  */
 case class Tokenize(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -294,8 +302,8 @@ case class Tokenize(child: Expression)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    new GenericArrayData(TextKernels.tokenize(
-      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    new GenericArrayData(TextKernels.tokenize(TextKernels.lowerLikeSql(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
       .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
   }
 
@@ -328,8 +336,8 @@ case class TokenShingles(child: Expression, n: Int = 3)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val toks = TextKernels.tokenize(
-      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    val toks = TextKernels.tokenize(TextKernels.lowerLikeSql(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
     val out =
       if (toks.length >= n) {
         val m = toks.length - n + 1
@@ -360,22 +368,38 @@ case class TokenShingles(child: Expression, n: Int = 3)
 }
 
 private[functions] object TextKernels {
-  /** maximal [a-z0-9]+ runs of the per-code-point-lowercased text. */
-  def tokenize(s: String): scala.collection.mutable.ArrayBuffer[String] = {
+  /** Full-string lowercase with the SAME (locale-independent, full
+    * Unicode) mapping `lower()` applies — per-code-point
+    * Character.toLowerCase diverges on multi-char mappings like
+    * U+0130 'İ' → "i̇". ASCII-only strings take an allocation-free
+    * fast path. */
+  def lowerLikeSql(s: String): String = {
+    var i = 0
+    val len = s.length
+    var asciiNoUpper = true
+    while (asciiNoUpper && i < len) {
+      val c = s.charAt(i)
+      if (c >= 128 || (c >= 'A' && c <= 'Z')) asciiNoUpper = false
+      i += 1
+    }
+    if (asciiNoUpper) s else s.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** maximal [a-z0-9]+ runs of an ALREADY-LOWERCASED string. */
+  def tokenize(lowered: String): scala.collection.mutable.ArrayBuffer[String] = {
     val toks = new scala.collection.mutable.ArrayBuffer[String](16)
     val tok = new java.lang.StringBuilder(16)
     var i = 0
-    val len = s.length
+    val len = lowered.length
     while (i < len) {
-      val cp0 = s.codePointAt(i)
-      val cp = Character.toLowerCase(cp0)
-      if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
-        tok.appendCodePoint(cp)
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        tok.append(c)
       } else if (tok.length() > 0) {
         toks += tok.toString
         tok.setLength(0)
       }
-      i += Character.charCount(cp0)
+      i += 1
     }
     if (tok.length() > 0) toks += tok.toString
     toks

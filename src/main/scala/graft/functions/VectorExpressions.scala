@@ -153,7 +153,10 @@ case class VectorMean(
         }
         i += 1
       }
-      addInto(buf, arr.toDoubleArray(), 1L)
+      // empty arrays contribute nothing (like posexplode of an empty
+      // list) rather than seeding a zero-dim buffer that would trip the
+      // mismatch check against real vectors
+      if (n > 0) addInto(buf, arr.toDoubleArray(), 1L)
     }
     buf
   }

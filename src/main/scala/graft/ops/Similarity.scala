@@ -131,6 +131,11 @@ object Similarity {
   def centroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
     emb
       .select(col(labelCol).as("label"), toDouble(col(vecCol)).as("v"))
+      // drop null/empty vectors BEFORE grouping: a label whose vectors
+      // are all null/empty then produces NO row — the same group-dropping
+      // the posexplode form (and the DuckDB unnest oracle) exhibits,
+      // where an aggregate would emit a (label, null) row
+      .filter(col("v").isNotNull && size(col("v")) > 0)
       .groupBy(col("label"))
       .agg(graft.functions.GraftFunctions.vector_mean(col("v")).as("mean"))
       .select(

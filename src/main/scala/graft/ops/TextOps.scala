@@ -264,7 +264,10 @@ object TextOps {
     // u = (first-8-hex-of-md5 + 0.5) / 2^32  ∈ (0,1), exact in a double
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("double")
       + lit(0.5)) / lit(4294967296.0)
-    val key = round(log(u) / greatest(weight.cast("double"), lit(1.0)), 6)
+    // guard only w <= 0 (probability-0 rows: key -> -inf, never drawn);
+    // clamping the whole (0,1) range would silently turn fractional
+    // mixture weights into an unweighted draw
+    val key = round(log(u) / greatest(weight.cast("double"), lit(1e-300)), 6)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(key.desc, col(idCol).asc)

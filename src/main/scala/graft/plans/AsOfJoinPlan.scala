@@ -87,6 +87,8 @@ object AsOfJoinNode {
     val rTs = attr(right, tsCol)
     require(lTs.dataType == LongType && rTs.dataType == LongType,
       s"as-of join requires integral (epoch-µs long) $tsCol timestamps")
+    require(toleranceMicros.forall(t => t >= 0 && t < Long.MaxValue),
+      s"as-of tolerance must be in [0, Long.MaxValue), got $toleranceMicros")
     val values = valueCols.map(attr(right, _))
     val carried =
       AttributeReference(s"$outPrefix$tsCol", rTs.dataType, nullable = true)() +:
@@ -167,12 +169,22 @@ case class AsOfJoinExec(
         private var carried: UnsafeRow = _
         private var carriedKey: UnsafeRow = _
 
-        private def advanceRight(): Unit =
-          if (ri.hasNext) {
-            rHead = ri.next()
-            rHeadKey = rKeyProj(rHead).copy()
-            rHeadTs = rTsProj(rHead).getLong(0)
-          } else rHead = null
+        // NULL-ts rows follow the oracle's inequality semantics
+        // (`right.ts <= left.ts` is false when either side is NULL):
+        // right rows with NULL ts are skipped, left rows with NULL ts
+        // carry nulls. getLong on a null slot would silently read 0.
+        private def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && ri.hasNext) {
+            val r = ri.next()
+            val tsRow = rTsProj(r)
+            if (!tsRow.isNullAt(0)) {
+              rHead = r
+              rHeadKey = rKeyProj(r).copy()
+              rHeadTs = tsRow.getLong(0)
+            }
+          }
+        }
 
         advanceRight()
 
@@ -181,7 +193,13 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = li.next()
           val lk = lKeyProj(l).copy()
-          val lt = lTsProj(l).getLong(0)
+          val ltRow = lTsProj(l)
+          if (ltRow.isNullAt(0)) {
+            // NULL left ts never matches; nulls sort FIRST under the
+            // required ascending order, so no right rows are skipped early
+            return resultProj(joined(l, nullRow))
+          }
+          val lt = ltRow.getLong(0)
           var cmp = if (rHead == null) 1 else keyOrdering.compare(rHeadKey, lk)
           while (rHead != null && (cmp < 0 || (cmp == 0 && rHeadTs <= lt))) {
             if (cmp == 0) {

@@ -180,6 +180,7 @@ class TextOpsSpec extends AnyFunSuite {
       "1234 5678, punct-only!!! ###",
       "   leading and trailing   ",
       "no stop words here whatsoever just plain nouns",
+      "İstanbul İS not ascii: DİX İİ", // multi-char lowercase mapping İ → i̇
       "a" * 500 + " the of to in is it that was and")
     val df = texts.toDF("text")
     val r = df.select(
@@ -203,6 +204,7 @@ class TextOpsSpec extends AnyFunSuite {
       "x",
       "",
       "  punct...only!!!  ",
+      "İstanbul DİX", // multi-char lowercase mapping İ → i̇
       "a b c d e f g h")
     val df = texts.toDF("text")
     val r = df.select(
@@ -233,6 +235,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(s1.count(_._1 == "a") == 10 && s1.count(_._1 == "b") == 10)
     // heavy rows dominate the draw
     assert(s1.count(_._2 <= 30) >= 15, s"heavy rows drawn: ${s1.count(_._2 <= 30)}")
+    // FRACTIONAL weights must stay proportional (no clamp to 1.0):
+    // same data scaled into (0,1) must produce the identical draw,
+    // because ln(u)/(w/c) only shifts every key by the constant ln-scale
+    val frac = rows.map { case (id, l, w) => (id, l, w / 200000.0) }
+      .toDF("doc_id", "lang", "w")
+    val s2 = graft.ops.TextOps.weightedSample(frac, "lang", "doc_id", $"w", 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s2.count(_._2 <= 30) >= 15, s"fractional weights ignored: $s2")
   }
 
   test("splitAssign: deterministic, row-independent, roughly 80/10/10") {
