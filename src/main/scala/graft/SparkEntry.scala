@@ -197,6 +197,11 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.tokensNative(col("text")).as("toks"))
         .select(col("doc_id"), TextOps.simhash64(col("toks")).as("simhash"))),
 
+    "q_simhash_pairs" -> ((s, dir) =>
+      // SimHash near-dup pairs: pigeonhole-banded bucket join + exact
+      // Hamming <= 3 on candidates only
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
     // ── text analysis ───────────────────────────────────────────────────
     "q_langid" -> ((s, dir) =>
       // one-pass TextStats kernel — no token array is ever materialized
@@ -596,6 +601,21 @@ object SparkEntry {
          |    2 * ((${hexv("h[(b // 4) + 1]")} // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)), 0) >= 0
          |  THEN '1' ELSE '0' END), '') AS simhash
          |FROM h_t""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |h_t AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes FROM toks_t),
+         |sig_t AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
+         |  CASE WHEN coalesce(list_sum(list_transform(hashes, h ->
+         |    2 * ((${hexv("h[(b // 4) + 1]")} // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)), 0) >= 0
+         |  THEN '1' ELSE '0' END), '') AS sig FROM h_t),
+         |bb AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig_t),
+         |bb2 AS (SELECT doc_id, sig, band, substring(sig, band * 16 + 1, 16) AS bits FROM bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
+         |  FROM bb2 a JOIN bb2 b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+         |scored AS (SELECT id1, id2,
+         |  len(list_filter(range(1, 65), i -> s1[i] <> s2[i])) AS hamming FROM cand)
+         |SELECT DISTINCT id1, id2, hamming FROM scored WHERE hamming <= 3""".stripMargin,
 
     "q_langid" -> {
       def hits(words: Seq[String]) =

@@ -82,6 +82,49 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * SimHash near-dup candidate pairs with exact Hamming verification —
+   * completes the SimHash dedup path (signature → pairs). Pigeonhole
+   * banding: two 64-bit signatures within Hamming distance d MUST agree
+   * exactly on at least one of d+1 disjoint bands, so bucketing on each
+   * 64/(d+1)-bit band and equi-joining finds every such pair with zero
+   * corpus shuffle (only (doc_id, band_idx, band_bits) rows move);
+   * the exact Hamming filter then runs on candidates only.
+   */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64), got $maxHamming")
+    val bands = maxHamming + 1
+    val width = 64 / bands // last band absorbs the remainder
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokensNative(col(textCol)).as("toks"))
+      .select(col("doc_id"), TextOps.simhash64(col("toks")).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        val len = if (b == bands - 1) 64 - b * width else width
+        struct(lit(b).as("band_idx"), substring(col("sig"), b * width + 1, len).as("band_bits"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
+      .repartition(col("band_idx"), col("band_bits"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // positional walk (1-based substr) — candidates only, and the exact
+    // same integral count the oracle's list_filter replay produces
+    val hamming = size(filter(sequence(lit(1), lit(64)),
+      i => col("a.sig").substr(i, lit(1)) =!= col("b.sig").substr(i, lit(1))))
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram (3-shingle) Jaccard for given (id1,id2) pairs. Shingle
     * sets are joined in only for candidate pairs. */
   def jaccardVerify(

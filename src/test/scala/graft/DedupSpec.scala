@@ -31,6 +31,15 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated doc never pairs
   }
 
+  test("simhashPairs: exact dup at hamming 0; unrelated docs never pair") {
+    val r = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(r((1L, 2L)) == 0) // identical docs: identical signatures
+    assert(!r.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    // each surviving pair is within the bound and counted exactly once
+    assert(r.values.forall(_ <= 3))
+  }
+
   test("cleanCorpus: drops exact dup, near dup, and junk; keeps smallest ids") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
