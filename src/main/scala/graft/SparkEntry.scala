@@ -380,6 +380,15 @@ object SparkEntry {
   private val BandsSql =
     "list_transform(range(0, 4), b -> md5(b || ':' || sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR))"
 
+  /** 64-bit SimHash bit-vote over a `hashes` md5-hex list column — shared
+    * by q_simhash and q_simhash_pairs so the signature and the pairing
+    * can never drift apart. */
+  private val SimhashSigSql =
+    s"""array_to_string(list_transform(range(0, 64), b ->
+       |  CASE WHEN coalesce(list_sum(list_transform(hashes, h ->
+       |    2 * ((${hexv("h[(b // 4) + 1]")} // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)), 0) >= 0
+       |  THEN '1' ELSE '0' END), '')""".stripMargin
+
   private val PairsCte =
     s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
        |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM toks_t),
@@ -596,19 +605,13 @@ object SparkEntry {
     "q_simhash" ->
       s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |h_t AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes FROM toks_t)
-         |SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
-         |  CASE WHEN coalesce(list_sum(list_transform(hashes, h ->
-         |    2 * ((${hexv("h[(b // 4) + 1]")} // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)), 0) >= 0
-         |  THEN '1' ELSE '0' END), '') AS simhash
+         |SELECT doc_id, $SimhashSigSql AS simhash
          |FROM h_t""".stripMargin,
 
     "q_simhash_pairs" ->
       s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |h_t AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes FROM toks_t),
-         |sig_t AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
-         |  CASE WHEN coalesce(list_sum(list_transform(hashes, h ->
-         |    2 * ((${hexv("h[(b // 4) + 1]")} // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)), 0) >= 0
-         |  THEN '1' ELSE '0' END), '') AS sig FROM h_t),
+         |sig_t AS (SELECT doc_id, $SimhashSigSql AS sig FROM h_t),
          |bb AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig_t),
          |bb2 AS (SELECT doc_id, sig, band, substring(sig, band * 16 + 1, 16) AS bits FROM bb),
          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2

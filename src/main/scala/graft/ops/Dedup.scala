@@ -87,9 +87,11 @@ object Dedup {
    * completes the SimHash dedup path (signature → pairs). Pigeonhole
    * banding: two 64-bit signatures within Hamming distance d MUST agree
    * exactly on at least one of d+1 disjoint bands, so bucketing on each
-   * 64/(d+1)-bit band and equi-joining finds every such pair with zero
-   * corpus shuffle (only (doc_id, band_idx, band_bits) rows move);
-   * the exact Hamming filter then runs on candidates only.
+   * 64/(d+1)-bit band and equi-joining finds every such pair. The corpus
+   * text never shuffles: the band join moves (doc_id, band_idx,
+   * band_bits) rows, the (doc_id, sig) frame moves once through a
+   * shared exchange that both Hamming-verify join sides reuse, and the
+   * exact 64-position Hamming filter runs on candidates only.
    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -100,29 +102,37 @@ object Dedup {
     val sigs = docs
       .select(col(idCol).as("doc_id"), TextOps.tokensNative(col(textCol)).as("toks"))
       .select(col("doc_id"), TextOps.simhash64(col("toks")).as("sig"))
+      .repartition(col("doc_id"))
+    // only (doc_id, band_idx, band_bits) shuffles for the bucket join;
+    // the full signature joins back for CANDIDATE pairs only (same
+    // pattern as jaccardVerifyFromShingles), and the (doc_id, sig)
+    // frame is one shared exchange for both verify sides
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(array((0 until bands).map { b =>
         val len = if (b == bands - 1) 64 - b * width else width
         struct(lit(b).as("band_idx"), substring(col("sig"), b * width + 1, len).as("band_bits"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"),
         col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
       .repartition(col("band_idx"), col("band_bits"))
     val a = banded.as("a")
     val b = banded.as("b")
-    // positional walk (1-based substr) — candidates only, and the exact
-    // same integral count the oracle's list_filter replay produces
-    val hamming = size(filter(sequence(lit(1), lit(64)),
-      i => col("a.sig").substr(i, lit(1)) =!= col("b.sig").substr(i, lit(1))))
-    a.join(b,
+    val cand = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_bits") === col("b.band_bits") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        hamming.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    // positional walk (1-based substr) — candidates only, and the exact
+    // same integral count the oracle's list_filter replay produces
+    val hamming = size(filter(sequence(lit(1), lit(64)),
+      i => col("s1").substr(i, lit(1)) =!= col("s2").substr(i, lit(1))))
+    cand
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")
+      .select(col("id1"), col("id2"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram (3-shingle) Jaccard for given (id1,id2) pairs. Shingle

@@ -71,6 +71,14 @@ object Events {
   def asOfJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, valueCols: Seq[String]): DataFrame = {
+    // NULL right timestamps can never satisfy `right.ts <= left.ts`
+    // (SQL inequality semantics, same as the native operator and the
+    // ASOF oracle) — but nulls-first ordering would let the running
+    // `last(..., ignoreNulls)` carry a null-ts row's VALUES while
+    // skipping its null ts, emitting an inconsistent (null ts, value)
+    // pair. Filter them out up front. NULL LEFT ts rows sort first in
+    // their key group, so nothing precedes them and they carry nulls.
+    val rightClean = right.filter(col(tsCol).isNotNull)
     val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
     val l = left
       .withColumn("__side", lit(1))
@@ -78,7 +86,7 @@ object Events {
         (Seq(col(keyCol), col(tsCol), col("__side")) ++
           leftCols.map(col) ++
           valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
-    val r = right
+    val r = rightClean
       .withColumn("__side", lit(0))
       .select(
         (Seq(col(keyCol), col(tsCol), col("__side")) ++

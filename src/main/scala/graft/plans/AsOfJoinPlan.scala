@@ -211,10 +211,16 @@ case class AsOfJoinExec(
           }
           // tolerance: a carried row older than (left.ts - tolerance) is
           // treated as absent (pandas merge_asof semantics); the carried
-          // payload's first field IS the right ts
+          // payload's first field IS the right ts. The merge invariant
+          // guarantees carried.ts <= lt, so the true distance is >= 0 —
+          // a NEGATIVE subtraction result means Long overflow (distance
+          // beyond Long.MaxValue), i.e. out of any tolerance.
+          val withinTolerance = carried != null && {
+            val dist = lt - carried.getLong(0)
+            tolerance == Long.MaxValue || (dist >= 0 && dist <= tolerance)
+          }
           val payload =
-            if (carried != null && keyOrdering.compare(carriedKey, lk) == 0 &&
-                (tolerance == Long.MaxValue || lt - carried.getLong(0) <= tolerance)) carried
+            if (withinTolerance && keyOrdering.compare(carriedKey, lk) == 0) carried
             else nullRow
           resultProj(joined(l, payload))
         }

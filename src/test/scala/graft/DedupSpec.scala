@@ -32,11 +32,14 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhashPairs: exact dup at hamming 0; unrelated docs never pair") {
-    val r = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    val rows = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getInt(2))).toSeq
+    // each pair appears exactly once even though identical signatures
+    // collide in every band (the candidate distinct)
+    assert(rows.map(_._1).distinct.size == rows.size, s"duplicate pairs: $rows")
+    val r = rows.toMap
     assert(r((1L, 2L)) == 0) // identical docs: identical signatures
     assert(!r.keySet.exists(p => p._1 == 5L || p._2 == 5L))
-    // each surviving pair is within the bound and counted exactly once
     assert(r.values.forall(_ <= 3))
   }
 

@@ -102,6 +102,27 @@ class EventsSpec extends AnyFunSuite {
     assert(r(6L))  // 500-90=410 > 50: treated as absent
   }
 
+  test("asOfJoin / asOfJoinNative: null timestamps never match (oracle semantics)") {
+    val clicks = Seq(
+      (1L, Some(100L), 5L), (1L, None, 6L) // left null ts -> nulls carried
+    ).toDF("user_id", "tsu", "event_id")
+    val purchases = Seq(
+      (1L, None, 99.0),      // right null ts -> invisible
+      (1L, Some(90L), 1.5)
+    ).toDF("user_id", "tsu", "pvalue")
+    val key = (r: org.apache.spark.sql.Row) => (
+      r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    val w = Events.asOfJoin(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+      .collect().map(key).toSet
+    val n = Events.asOfJoinNative(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+      .collect().map(key).toSet
+    val expect = Set((5L, 90L, 1.5), (6L, -1L, -1.0))
+    assert(w == expect, s"window form: $w")
+    assert(n == expect, s"native form: $n")
+  }
+
   test("asOfJoinNative: empty right side carries nulls for every left row") {
     val clicks = Seq((1L, 100L, 5L), (2L, 200L, 6L)).toDF("user_id", "tsu", "event_id")
     val purchases = Seq.empty[(Long, Long, Double)].toDF("user_id", "tsu", "pvalue")
