@@ -111,6 +111,17 @@ object SparkEntry {
           round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))),
 
+    "q_tpch_q6" -> ((s, dir) =>
+      // the classic pushdown anchor: every predicate reaches the parquet
+      // scan (PushedFilters), one partial-agg exchange, integer-cents sum
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= "1994-01-01" && col("l_shipdate") < "1995-01-01" &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((sum(round(col("l_extendedprice") * col("l_discount") * 10000).cast("long")) / 10000.0)
+          .as("revenue"))),
+
     // ── dedup ───────────────────────────────────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
@@ -471,6 +482,12 @@ object SparkEntry {
         |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt

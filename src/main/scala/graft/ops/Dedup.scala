@@ -102,6 +102,13 @@ object Dedup {
     val sigs = docs
       .select(col(idCol).as("doc_id"), TextOps.tokensNative(col(textCol)).as("toks"))
       .select(col("doc_id"), TextOps.simhash64(col("toks")).as("sig"))
+      // the bit-string packed into two 32-bit longs: Hamming distance
+      // becomes codegen'd xor + bit_count. SimHash band bits are
+      // data-CORRELATED (unlike md5-uniform MinHash bands), so buckets
+      // can be large and the per-candidate cost must be O(1), not a
+      // 64-substring interpreted walk.
+      .withColumn("h1", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("sig"), 33, 32), 2, 10).cast("long"))
       .repartition(col("doc_id"))
     // only (doc_id, band_idx, band_bits) shuffles for the bucket join;
     // the full signature joins back for CANDIDATE pairs only (same
@@ -124,13 +131,14 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // positional walk (1-based substr) — candidates only, and the exact
-    // same integral count the oracle's list_filter replay produces
-    val hamming = size(filter(sequence(lit(1), lit(64)),
-      i => col("s1").substr(i, lit(1)) =!= col("s2").substr(i, lit(1))))
+    // xor + popcount over the packed halves — the exact same integral
+    // count as the oracle's per-position list_filter replay
+    val hamming = (
+      call_function("bit_count", col("a1").bitwiseXOR(col("b1"))) +
+      call_function("bit_count", col("a2").bitwiseXOR(col("b2")))).cast("int")
     cand
-      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
-      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")
+      .join(sigs.select(col("doc_id").as("id1"), col("h1").as("a1"), col("h2").as("a2")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("h1").as("b1"), col("h2").as("b2")), "id2")
       .select(col("id1"), col("id2"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

@@ -49,6 +49,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_graft_mode"), plan)
   }
 
+  test("q_tpch_q6: every predicate pushed to the parquet scan") {
+    val plan = planOf("q_tpch_q6")
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"))
+  }
+
   test("q_asof_native: custom AsOfJoinExec planned with one exchange per side") {
     val plan = planOf("q_asof_native")
     assert(plan.contains("AsOfJoin"), plan)
