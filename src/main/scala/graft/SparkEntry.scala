@@ -277,6 +277,10 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), col("vec_id") < 10, LshPlanes, EmbDim)),
 
+    "q_semantic_dedup" -> ((s, dir) =>
+      // embedding-space near-dup removal, greedy keep-smallest-id
+      Similarity.semanticDedup(emb(s, dir), 0.4)),
+
     "q_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
@@ -736,6 +740,13 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""$EmbCte,
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.4)
+         |SELECT vec_id FROM n WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
 
     "q_quantize_int8" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -180,6 +180,21 @@ object Similarity {
   }
 
   /**
+   * Semantic (embedding-space) dedup: greedy keep-smallest-id over
+   * near-duplicate cosine pairs — the embedding-side twin of
+   * [[graft.ops.Dedup.cleanCorpus]]'s text-side near-dup removal.
+   * Survivors = all ids minus every id2 of a pair (id1 < id2,
+   * cos >= threshold). Pair generation is [[nearDupPairs]] (exact
+   * baseline; swap in [[annLsh]] buckets at scale), the drop set is an
+   * anti-join — the corpus vectors themselves never shuffle.
+   */
+  def semanticDedup(corpus: DataFrame, threshold: Double): DataFrame = {
+    val drops = nearDupPairs(corpus, threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    corpus.select(col("vec_id")).join(drops, Seq("vec_id"), "left_anti")
+  }
+
+  /**
    * ANN via LSH: per query, the single nearest same-bucket neighbor by
    * cosine (ties → smallest id). Queries with an otherwise-empty bucket
    * produce no row (inner join) — same rule in the oracle.

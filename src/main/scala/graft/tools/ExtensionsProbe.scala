@@ -21,7 +21,16 @@ object ExtensionsProbe {
       """SELECT graft_vector_mean(v) AS m
         |FROM VALUES (array(1.0D, 3.0D)), (array(3.0D, 5.0D)) t(v)""".stripMargin)
       .collect().head
-    println(s"[ext-probe] OK -> $row / $vm")
+    // the INJECTED planner strategy (no per-session addStrategy call)
+    // must plan a hand-built AsOfJoinNode
+    import org.apache.spark.sql.graft.ColumnBridge
+    val l = spark.sql("SELECT * FROM VALUES (1L, 100L, 7L) t(k, ts, ev)")
+    val r2 = spark.sql("SELECT * FROM VALUES (1L, 90L, 2.5D) t(k, ts, v)")
+    val asof = ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(
+      ColumnBridge.analyzed(l), ColumnBridge.analyzed(r2),
+      "k", "ts", Seq("v"), outPrefix = "asof_")).collect().head
+    assert(asof.getDouble(4) == 2.5, s"injected as-of strategy failed: $asof")
+    println(s"[ext-probe] OK -> $row / $vm / $asof")
     spark.stop()
   }
 }
