@@ -32,4 +32,21 @@ object Tables {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /**
+   * Hive-style partitioned parquet write — the corpus last-mile: a
+   * training corpus laid out by (split, lang) lets every downstream job
+   * that filters on those columns prune whole directories at PLANNING
+   * time (PartitionFilters on the scan, zero I/O for skipped
+   * partitions) — at 100 TB reading only `split=train` is the
+   * difference between 80 TB and 100 TB of scan. Partition columns
+   * should be low-cardinality (split/lang/date, never doc ids).
+   */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .save(path)
 }

@@ -22,6 +22,27 @@ class TablesSpec extends AnyFunSuite {
     assert(!scanned.contains("label=1") || scanned.contains("label=3"), scanned)
   }
 
+  test("writePartitioned by (split, lang): train-only read prunes at planning time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-split-store").toString + "/corpus"
+    val docs = (1L to 300L).toDF("doc_id")
+      .withColumn("split", graft.ops.TextOps.splitAssign($"doc_id"))
+      .withColumn("lang", concat(lit("l"), ($"doc_id" % 3).cast("string")))
+      .withColumn("text", concat(lit("doc number "), $"doc_id".cast("string")))
+    Tables.writePartitioned(docs, dir, Seq("split", "lang"))
+    val train = spark.read.parquet(dir).filter($"split" === "train" && $"lang" === "l1")
+    val plan = train.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // pruned partition values never reach the scan's selected files
+    val expected = docs.filter($"split" === "train" && $"lang" === "l1").count()
+    assert(train.count() == expected && expected > 0)
+    // split assignment is recoverable from the directory layout alone
+    val roundTrip = spark.read.parquet(dir)
+      .groupBy($"split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roundTrip.values.sum == 300 && roundTrip.keySet == Set("train", "val", "test"))
+  }
+
   test("bucketed-on-key tables join and aggregate with no exchange") {
     import spark.implicits._
     val orders = (1L to 500L).map(k => (k, s"o$k")).toDF("orderkey", "o_payload")
