@@ -32,7 +32,7 @@ object TypedPipeline {
   /** Load the corpus as a typed Dataset. */
   def load(spark: SparkSession, dir: String): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet").as[Doc]
+    graft.sources.Tables.load(spark, dir, "documents").as[Doc]
   }
 
   /** Language-ID + quality + token count + fingerprint + split for every

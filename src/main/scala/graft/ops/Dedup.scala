@@ -154,7 +154,9 @@ object Dedup {
    *
    *   redact → quality filter → exact dedup (keep smallest id)
    *          → MinHash/LSH candidates → exact-Jaccard near-dup removal
-   *            (greedy keep-smallest-id)
+   *            (drop every id2 of a verified pair — the one-pass
+   *            approximation of greedy keep-smallest-id; transitive
+   *            chains can over-delete, the standard corpus-scale trade)
    *
    * Returns the surviving doc ids. Every stage is the shuffle-minimal
    * form used by its standalone operator; Catalyst fuses the narrow

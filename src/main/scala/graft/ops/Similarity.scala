@@ -180,13 +180,18 @@ object Similarity {
   }
 
   /**
-   * Semantic (embedding-space) dedup: greedy keep-smallest-id over
-   * near-duplicate cosine pairs — the embedding-side twin of
-   * [[graft.ops.Dedup.cleanCorpus]]'s text-side near-dup removal.
-   * Survivors = all ids minus every id2 of a pair (id1 < id2,
-   * cos >= threshold). Pair generation is [[nearDupPairs]] (exact
-   * baseline; swap in [[annLsh]] buckets at scale), the drop set is an
-   * anti-join — the corpus vectors themselves never shuffle.
+   * Semantic (embedding-space) dedup: survivors = all ids minus every
+   * id2 of a near-duplicate pair (id1 < id2, cos >= threshold) — the
+   * embedding-side twin of [[graft.ops.Dedup.cleanCorpus]]'s text-side
+   * near-dup removal, and the same ONE-PASS approximation of greedy
+   * keep-smallest-id dedup: on a transitive chain (1~2, 2~3, 1≁3) it
+   * drops BOTH 2 and 3 where an iterative greedy pass would keep 3.
+   * That over-deletion is the standard corpus-scale trade — exact
+   * greedy needs iterative connected components (one join per round),
+   * which no single declarative pass expresses. Pair generation is
+   * [[nearDupPairs]] (exact baseline; swap in [[annLsh]] buckets at
+   * scale), the drop set is an anti-join — the corpus vectors
+   * themselves never shuffle.
    */
   def semanticDedup(corpus: DataFrame, threshold: Double): DataFrame = {
     val drops = nearDupPairs(corpus, threshold)

@@ -50,12 +50,24 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q_tpch_q6: every predicate pushed to the parquet scan") {
-    val plan = planOf("q_tpch_q6")
-    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
-    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
-      pushed.contains("l_quantity"), pushed)
-    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"))
+    // default maxMetadataStringLength truncates PushedFilters at 100
+    // chars — the IsNotNull entries alone would satisfy a bare
+    // contains(column) check; widen so the RANGE filters are visible
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val plan = planOf("q_tpch_q6")
+      val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      assert(pushed.nonEmpty, plan)
+      assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+        pushed.contains("LessThan(l_shipdate"), pushed)
+      assert(pushed.contains("GreaterThanOrEqual(l_discount") &&
+        pushed.contains("LessThanOrEqual(l_discount"), pushed)
+      assert(pushed.contains("LessThan(l_quantity"), pushed)
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.nonEmpty, plan)
+      assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
   test("q_asof_native: custom AsOfJoinExec planned with one exchange per side") {

@@ -32,9 +32,14 @@ class TablesSpec extends AnyFunSuite {
       .withColumn("text", concat(lit("doc number "), $"doc_id".cast("string")))
     Tables.writePartitioned(docs, dir, Seq("split", "lang"))
     val train = spark.read.parquet(dir).filter($"split" === "train" && $"lang" === "l1")
-    val plan = train.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan)
-    // pruned partition values never reach the scan's selected files
+    // pruning must be real: the executed scan selects exactly ONE of the
+    // nine (split, lang) partition directories. (inputFiles would be the
+    // wrong probe — it lists the relation BEFORE pruning.)
+    val scan = train.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
     val expected = docs.filter($"split" === "train" && $"lang" === "l1").count()
     assert(train.count() == expected && expected > 0)
     // split assignment is recoverable from the directory layout alone
