@@ -46,7 +46,12 @@ object EventStreams {
     withEventTime(events)
       .withWatermark("event_time", "10 minutes")
       .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .agg(
+        count(lit(1)).as("n"),
+        // integer micro-unit sum — identical rule to the batch twin
+        // (Events.tumblingWindows): exact and order-free
+        round(sum(round(col("value") * 1000000).cast("long")) / 1000000.0, 6)
+          .as("sum_value"))
 
   /**
    * Streaming exact dedup for a document stream: keep the FIRST arrival
