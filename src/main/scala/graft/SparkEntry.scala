@@ -314,6 +314,16 @@ object SparkEntry {
         t(s, dir, "events").withColumn("tsu", expr("ts div 1000L")),
         "user_id", "tsu", "event_id", 3600000000L)),
 
+    "q_range_join2" -> ((s, dir) => {
+      // two-table range join: every (click, purchase) of the same user
+      // within 30 minutes of each other
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      Events.rangeJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        "user_id", "tsu", Seq("event_id"), Seq("event_id"), 1800000000L)
+    }),
+
     "q_asof" -> ((s, dir) => {
       // for every click, the user's most recent purchase at-or-before it
       val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
@@ -821,6 +831,14 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         |  AND abs(a.tsu - b.tsu) <= 3600000000""".stripMargin,
+
+    "q_range_join2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events)
+        |SELECT c.user_id, c.tsu AS ts_l, p.tsu AS ts_r, abs(c.tsu - p.tsu) AS dt_us,
+        |  c.event_id AS l_event_id, p.event_id AS r_event_id
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND abs(c.tsu - p.tsu) <= 1800000000""".stripMargin,
 
     "q_asof" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),

@@ -194,6 +194,41 @@ object Events {
       .distinct()
   }
 
+  /**
+   * General two-table banded range join: all (left, right) row pairs in
+   * the same key group with |left.ts - right.ts| <= maxGapMicros. Same
+   * Spark-first shape as [[rangeSelfJoin]]: the right side explodes into
+   * its gap-bucket and the two adjacent ones, the join is equi on
+   * (key, bucket), and the exact |Δt| predicate filters after — cost is
+   * output-proportional where a naive inequality join cross-products
+   * every key group. `leftCols`/`rightCols` are carried through.
+   */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      leftCols: Seq[String], rightCols: Seq[String],
+      maxGapMicros: Long): DataFrame = {
+    val l = left.select(
+      (Seq(col(keyCol), expr(s"$tsCol div ${maxGapMicros}L").as("__wid"),
+        col(tsCol).as("__ts_l")) ++ leftCols.map(c => col(c).as(s"l_$c"))): _*)
+    val r = right.select(
+      (Seq(col(keyCol),
+        explode(array(
+          expr(s"$tsCol div ${maxGapMicros}L") - 1,
+          expr(s"$tsCol div ${maxGapMicros}L"),
+          expr(s"$tsCol div ${maxGapMicros}L") + 1)).as("__wid"),
+        col(tsCol).as("__ts_r")) ++ rightCols.map(c => col(c).as(s"r_$c"))): _*)
+    // no distinct needed: a (left,right) row pair can match in at most
+    // ONE bucket (left has one wid; the exploded right wids are unique),
+    // unlike the canonicalized self-join which sees each pair twice
+    l.join(r, Seq(keyCol, "__wid"))
+      .filter(abs(col("__ts_l") - col("__ts_r")) <= maxGapMicros)
+      .select(
+        (Seq(col(keyCol), col("__ts_l").as("ts_l"), col("__ts_r").as("ts_r"),
+          abs(col("__ts_l") - col("__ts_r")).as("dt_us")) ++
+          leftCols.map(c => col(s"l_$c")) ++ rightCols.map(c => col(s"r_$c"))): _*)
+  }
+
   /** Tumbling 5-minute windows per event_type: window_id = µs ÷ 5 min.
     * Integer `div` — double division would lose precision on epoch-micros
     * scale longs; µs (not ns) so the boundary decision is engine-portable. */

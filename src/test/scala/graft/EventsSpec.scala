@@ -167,6 +167,22 @@ class EventsSpec extends AnyFunSuite {
       (2L, 6L, 7L, 100L)), pairs)
   }
 
+  test("rangeJoin (two-table): pairs within gap across bucket boundaries, exact bounds") {
+    val clicks = Seq((1L, 100L, 10L), (1L, 995L, 11L), (2L, 100L, 12L))
+      .toDF("user_id", "tsu", "event_id")
+    val purchases = Seq(
+      (1L, 150L, 20L),   // within 100 of click@100? |50| <= 100 yes
+      (1L, 1005L, 21L),  // crosses bucket boundary vs click@995: |10| <= 100
+      (1L, 250L, 22L),   // |150| > 100 from click@100 -> excluded
+      (2L, 199L, 23L),   // edge: exactly 99 <= 100
+      (3L, 100L, 24L))   // other key -> never pairs
+      .toDF("user_id", "tsu", "event_id")
+    val got = graft.ops.Events.rangeJoin(
+      clicks, purchases, "user_id", "tsu", Seq("event_id"), Seq("event_id"), 100L)
+      .collect().map(r => (r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set((10L, 20L), (11L, 21L), (12L, 23L)), got.toString)
+  }
+
   test("sessionize truncates sub-µs nanos (engine-portable µs domain)") {
     val e = Seq((1L, 1000000999L, 1L, "v", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
     val s = Events.sessionize(e).collect().head
