@@ -308,6 +308,13 @@ object SparkEntry {
         t(s, dir, "events").withColumn("tsu", expr("ts div 1000L")),
         "user_id", "tsu", "event_type", Seq("view", "click", "purchase"))),
 
+    "q_funnel4" -> ((s, dir) =>
+      // 4-stage funnel (view -> click -> view -> purchase): repeated
+      // stage types exercise the greedy-earliest chain beyond 3 steps
+      Events.funnel(
+        t(s, dir, "events").withColumn("tsu", expr("ts div 1000L")),
+        "user_id", "tsu", "event_type", Seq("view", "click", "view", "purchase"))),
+
     "q_range_join" -> ((s, dir) =>
       // event pairs of the same user within 1 hour of each other
       Events.rangeSelfJoin(
@@ -821,6 +828,20 @@ object SparkEntry {
         |  FROM e JOIN f2 ON e.user_id = f2.user_id
         |  WHERE e.event_type = 'purchase' AND e.tsu > f2.t2 GROUP BY e.user_id, f2.t1, f2.t2)
         |SELECT user_id, t1, t2, t3 FROM f3""".stripMargin,
+
+    "q_funnel4" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |f1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |f2 AS (SELECT e.user_id, f1.t1, min(e.tsu) AS t2
+        |  FROM e JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND e.tsu > f1.t1 GROUP BY e.user_id, f1.t1),
+        |f3 AS (SELECT e.user_id, f2.t1, f2.t2, min(e.tsu) AS t3
+        |  FROM e JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'view' AND e.tsu > f2.t2 GROUP BY e.user_id, f2.t1, f2.t2),
+        |f4 AS (SELECT e.user_id, f3.t1, f3.t2, f3.t3, min(e.tsu) AS t4
+        |  FROM e JOIN f3 ON e.user_id = f3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tsu > f3.t3 GROUP BY e.user_id, f3.t1, f3.t2, f3.t3)
+        |SELECT user_id, t1, t2, t3, t4 FROM f4""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
