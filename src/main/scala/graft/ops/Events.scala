@@ -173,6 +173,7 @@ object Events {
   def rangeSelfJoin(
       events: DataFrame, keyCol: String, tsCol: String, idCol: String,
       maxGapMicros: Long): DataFrame = {
+    require(maxGapMicros > 0, s"maxGapMicros must be > 0, got $maxGapMicros")
     val e = events.select(
       col(keyCol), col(tsCol),
       col(idCol), expr(s"$tsCol div ${maxGapMicros}L").as("__wid"))
@@ -208,16 +209,19 @@ object Events {
       keyCol: String, tsCol: String,
       leftCols: Seq[String], rightCols: Seq[String],
       maxGapMicros: Long): DataFrame = {
+    // gap 0 would divide by zero in the bucketing; equal-ts pairs are a
+    // plain equi-join on (key, ts), not a range join
+    require(maxGapMicros > 0, s"maxGapMicros must be > 0, got $maxGapMicros")
     val l = left.select(
       (Seq(col(keyCol), expr(s"$tsCol div ${maxGapMicros}L").as("__wid"),
         col(tsCol).as("__ts_l")) ++ leftCols.map(c => col(c).as(s"l_$c"))): _*)
     val r = right.select(
-      (Seq(col(keyCol),
-        explode(array(
-          expr(s"$tsCol div ${maxGapMicros}L") - 1,
-          expr(s"$tsCol div ${maxGapMicros}L"),
-          expr(s"$tsCol div ${maxGapMicros}L") + 1)).as("__wid"),
+      (Seq(col(keyCol), expr(s"$tsCol div ${maxGapMicros}L").as("__wid0"),
         col(tsCol).as("__ts_r")) ++ rightCols.map(c => col(c).as(s"r_$c"))): _*)
+      .select(
+        (Seq(col(keyCol),
+          explode(array(col("__wid0") - 1, col("__wid0"), col("__wid0") + 1)).as("__wid"),
+          col("__ts_r")) ++ rightCols.map(c => col(s"r_$c"))): _*)
     // no distinct needed: a (left,right) row pair can match in at most
     // ONE bucket (left has one wid; the exploded right wids are unique),
     // unlike the canonicalized self-join which sees each pair twice

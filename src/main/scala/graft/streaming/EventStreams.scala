@@ -14,7 +14,10 @@ case class TimedEvent(
     event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double,
     event_time: java.sql.Timestamp)
 
-/** Open-session state carried between micro-batches. */
+/** Open-session state carried between micro-batches. `sum_value` holds
+  * the running sum in integer MICRO-UNITS (stored in a double — exact up
+  * to 2^53), matching the batch twin's order-free integer-scaled sum
+  * without changing the state-store schema. */
 case class SessionState(start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
 
 /** A closed session emitted downstream (times in epoch µs — sub-µs is
@@ -35,6 +38,16 @@ object EventStreams {
 
   val SessionGapMicros: Long = graft.ops.Events.SessionGapMicros
 
+  /** value → integer micro-units, exactly Spark's `round(value * 1e6)`
+    * (BigDecimal HALF_UP at scale 0). */
+  private def toMicros(v: Double): Double =
+    BigDecimal(v * 1000000).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** micro-units → emitted sum, exactly the batch twin's
+    * `round(sum_micros / 1e6, 6)`. */
+  private def fromMicros(micros: Double): Double =
+    BigDecimal(micros / 1000000.0).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** epoch-nanos long → event-time timestamp column (µs precision). */
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
@@ -49,7 +62,10 @@ object EventStreams {
       .agg(
         count(lit(1)).as("n"),
         // integer micro-unit sum — identical rule to the batch twin
-        // (Events.tumblingWindows): exact and order-free
+        // (Events.tumblingWindows): exact and order-free. NOTE: this
+        // changed the aggregation state schema vs the pre-r3 raw-double
+        // sum — a checkpoint written by that version cannot resume on
+        // this one (start a fresh checkpoint when upgrading).
         round(sum(round(col("value") * 1000000).cast("long")) / 1000000.0, 6)
           .as("sum_value"))
 
@@ -93,7 +109,7 @@ object EventStreams {
             // watermark passed end+gap: the open session is final
             val s = state.get
             state.remove()
-            Iterator.single(ClosedSession(userId, s.start_us, s.end_us, s.n_events, s.sum_value))
+            Iterator.single(ClosedSession(userId, s.start_us, s.end_us, s.n_events, fromMicros(s.sum_value)))
           } else {
             val sorted = batch.toSeq.map(e => e.copy(ts = e.ts / 1000)).sortBy(e => (e.ts, e.event_id))
             var open = state.getOption
@@ -102,12 +118,13 @@ object EventStreams {
               open match {
                 case Some(s) if e.ts - s.end_us <= SessionGapMicros =>
                   open = Some(SessionState(
-                    s.start_us, math.max(s.end_us, e.ts), s.n_events + 1, s.sum_value + e.value))
+                    s.start_us, math.max(s.end_us, e.ts), s.n_events + 1,
+                    s.sum_value + toMicros(e.value)))
                 case Some(s) =>
-                  closed += ClosedSession(userId, s.start_us, s.end_us, s.n_events, s.sum_value)
-                  open = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                  closed += ClosedSession(userId, s.start_us, s.end_us, s.n_events, fromMicros(s.sum_value))
+                  open = Some(SessionState(e.ts, e.ts, 1L, toMicros(e.value)))
                 case None =>
-                  open = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                  open = Some(SessionState(e.ts, e.ts, 1L, toMicros(e.value)))
               }
             }
             open.foreach { s =>

@@ -174,13 +174,18 @@ class EventsSpec extends AnyFunSuite {
       (1L, 150L, 20L),   // within 100 of click@100? |50| <= 100 yes
       (1L, 1005L, 21L),  // crosses bucket boundary vs click@995: |10| <= 100
       (1L, 250L, 22L),   // |150| > 100 from click@100 -> excluded
-      (2L, 199L, 23L),   // edge: exactly 99 <= 100
+      (2L, 200L, 23L),   // INCLUSIVE bound: exactly |100| <= 100, two buckets apart
+      (2L, 201L, 25L),   // one past the bound: |101| > 100 -> excluded
       (3L, 100L, 24L))   // other key -> never pairs
       .toDF("user_id", "tsu", "event_id")
     val got = graft.ops.Events.rangeJoin(
       clicks, purchases, "user_id", "tsu", Seq("event_id"), Seq("event_id"), 100L)
       .collect().map(r => (r.getLong(4), r.getLong(5))).toSet
     assert(got == Set((10L, 20L), (11L, 21L), (12L, 23L)), got.toString)
+    intercept[IllegalArgumentException] {
+      graft.ops.Events.rangeJoin(
+        clicks, purchases, "user_id", "tsu", Seq("event_id"), Seq("event_id"), 0L)
+    }
   }
 
   test("sessionize truncates sub-µs nanos (engine-portable µs domain)") {

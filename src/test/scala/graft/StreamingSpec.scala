@@ -15,11 +15,15 @@ class StreamingSpec extends AnyFunSuite {
   private val Base = 1704067200L * 1000000000L // 2024-01-01T00:00Z
 
   // user 7: sessions {t0,t10} and {t50}; user 8: {t5}
+  // non-dyadic values on purpose: 1.1 + 2.2 != 3.3 in raw double
+  // arithmetic, so these catch any streaming/batch divergence from the
+  // integer-micro-unit sum rule (a raw double sum would fail the
+  // exact-equality asserts below)
   private val events = Seq(
-    StreamEvent(1L, Base + 0L * MinNs, 7L, "view", 1.0),
-    StreamEvent(2L, Base + 10L * MinNs, 7L, "click", 2.0),
-    StreamEvent(3L, Base + 50L * MinNs, 7L, "view", 4.0),
-    StreamEvent(4L, Base + 5L * MinNs, 8L, "view", 8.0))
+    StreamEvent(1L, Base + 0L * MinNs, 7L, "view", 1.1),
+    StreamEvent(2L, Base + 10L * MinNs, 7L, "click", 2.2),
+    StreamEvent(3L, Base + 50L * MinNs, 7L, "view", 4.4),
+    StreamEvent(4L, Base + 5L * MinNs, 8L, "view", 8.8))
 
   // sentinel far in the future to push the watermark past every gap
   private val flush = StreamEvent(99L, Base + 1000L * MinNs, 999L, "flush", 0.0)
