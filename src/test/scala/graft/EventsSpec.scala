@@ -132,6 +132,42 @@ class EventsSpec extends AnyFunSuite {
     assert(r.forall(row => row.isNullAt(3) && row.isNullAt(4)))
   }
 
+  test("asOfJoinNative: 5k-row fuzz (ties, null ts, tolerance) equals window form") {
+    val rnd = new scala.util.Random(2026)
+    // left: duplicate (key, ts) rows with distinct ids, ~3% null ts
+    val left = (1 to 5000).map { i =>
+      val ts = if (rnd.nextInt(33) == 0) None else Some(rnd.nextInt(500).toLong)
+      (rnd.nextInt(20).toLong, ts, i.toLong)
+    }.toDF("user_id", "tsu", "event_id")
+    // right: unique (key, ts) — the operator's determinism precondition —
+    // with ~5% null ts rows sprinkled in (must be invisible)
+    val rightBase = rnd.shuffle((0 until 20).flatMap(u =>
+      (1 to 60).map(_ => (u.toLong, rnd.nextInt(500).toLong))).distinct)
+      .map { case (u, t) => (u, Some(t), u * 1000.0 + t) }
+    val rightNulls = (1 to 60).map(_ =>
+      (rnd.nextInt(20).toLong, None: Option[Long], -1.0))
+    val right = rnd.shuffle(rightBase ++ rightNulls).toDF("user_id", "tsu", "pvalue")
+    val key = (r: org.apache.spark.sql.Row) => (
+      r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    val window = Events.asOfJoin(left, right, "user_id", "tsu", Seq("pvalue"))
+      .collect().map(key)
+    val native = Events.asOfJoinNative(
+      left.repartition(7), right.repartition(3), "user_id", "tsu", Seq("pvalue"))
+      .collect().map(key)
+    assert(native.sorted.toSeq == window.sorted.toSeq)
+    // tolerance = null-out matches older than T, row still emitted
+    val T = 40L
+    val expectTol = window.map { case (u, t, id, at, av) =>
+      if (at >= 0 && t - at <= T) (u, t, id, at, av) else (u, t, id, -1L, -1.0)
+    }
+    val nativeTol = Events.asOfJoinNative(
+      left, right, "user_id", "tsu", Seq("pvalue"), toleranceMicros = Some(T))
+      .collect().map(key)
+    assert(nativeTol.sorted.toSeq == expectTol.sorted.toSeq)
+  }
+
   test("funnel: greedy-earliest ordered matching; non-converters drop out") {
     val e = Seq(
       // user 1: view(10) -> click(20) -> purchase(30) converts
