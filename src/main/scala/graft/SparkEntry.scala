@@ -277,6 +277,12 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), col("vec_id") < 10, LshPlanes, EmbDim)),
 
+    "q_ann_int8" -> ((s, dir) =>
+      // ANN over the quantized corpus: scale-free integer cosine
+      Similarity.annInt8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 5)
+        .select(col("q_id"), col("neighbor_id"), col("qcos"), col("rn"))),
+
     "q_semantic_dedup" -> ((s, dir) =>
       // embedding-space near-dup removal, greedy keep-smallest-id
       Similarity.semanticDedup(emb(s, dir), 0.4)),
@@ -757,6 +763,22 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
+
+    "q_ann_int8" ->
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM c),
+         |q8 AS (SELECT vec_id, list_transform(v, x ->
+         |  (CASE WHEN sc > 0 THEN CAST(round(x / sc) AS INT) ELSE 0 END)::DOUBLE) AS qv FROM s),
+         |n AS (SELECT vec_id, qv,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x*x)), (a, x) -> a + x)) AS qnrm
+         |  FROM q8),
+         |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |    round(${dotSql("c.qv", "q.qv")} / (c.qnrm * q.qnrm), 6) AS qcos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
+         |SELECT q_id, neighbor_id, qcos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
 
     "q_semantic_dedup" ->
       s"""$EmbCte,

@@ -100,6 +100,32 @@ object Similarity {
           when(col("sc") > 0, round(x / col("sc")).cast("int")).otherwise(0)).as("qvec"))
   }
 
+  /**
+   * Brute-force top-k over the INT8-QUANTIZED corpus — the 4×-less-
+   * memory-bandwidth ANN scan. Cosine of quantized vectors needs no
+   * dequantization: the per-vector scales cancel
+   * (cos(s·q) = Σq1q2 / (|q1||q2|)), so the whole computation is
+   * integer-derived — exactly representable in doubles and bit-identical
+   * in every engine by construction. Query set broadcasts; the corpus
+   * scan stays narrow.
+   */
+  def annInt8TopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryFilter: Column, k: Int): DataFrame = {
+    val q8 = quantizeInt8(emb, idCol, vecCol)
+      .select(col("vec_id"), toDouble(col("qvec")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val queries = q8.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("qnrm").as("qqnrm"))
+    val scored = q8
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine6(col("qv"), col("qnrm"), col("qqv"), col("qqnrm")).as("qcos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane weight: first 8 hex chars of
     * md5("p_d") as a uint32, mapped to [-0.5, 0.5). Any engine can replay
     * this (md5 + hex arithmetic), so LSH buckets are reproducible. */

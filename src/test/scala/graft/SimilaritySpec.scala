@@ -115,6 +115,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r == Seq(2.0, 4.0))
   }
 
+  test("annInt8TopK: quantized top-k recalls the exact top-k on real vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(
+      Similarity.prepared(emb, "vec_id", "embedding"),
+      Similarity.prepared(emb, "vec_id", "embedding").filter($"vec_id" < 10), 5)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val quant = Similarity.annInt8TopK(emb, "vec_id", "embedding", $"vec_id" < 10, 5)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(quant.keySet == exact.keySet)
+    val recall = exact.map { case (q, ids) => (ids intersect quant(q)).size.toDouble / ids.size }
+    assert(recall.sum / recall.size >= 0.8, s"mean recall ${recall.sum / recall.size}")
+  }
+
   test("annLsh finds the duplicate as nearest same-bucket neighbor") {
     val c = Similarity.prepared(
       Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
