@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, Events, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Events, Multimodal, Packing, Similarity, Sketches, Stats, TextOps}
 
 /**
  * Driver contract: every operator in SURVEY.md §2 is exposed as a named
@@ -392,7 +392,89 @@ object SparkEntry {
       // derived identity) — the feature-extraction preprocessing shape
       Multimodal.resize(
         Multimodal.featureColumns(
-          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text")), 224, 224))
+          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text")), 224, 224)),
+
+    // ── distribution stats beyond the reference aggregates ─────────────
+    "q_percentiles" -> ((s, dir) =>
+      // exact interpolated quantiles by distributed rank (never a
+      // per-group array collect — Spark's builtin percentile holds each
+      // group in memory)
+      Stats.percentileExact(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))),
+
+    "q_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 6).as("covar_p"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))),
+
+    "q_rollup" -> ((s, dir) =>
+      // hierarchical subtotals in ONE pass (Expand + single shuffle) —
+      // the multi-granularity dashboard query; integer-cents money sums
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_price"))),
+
+    "q_histogram" -> ((s, dir) =>
+      // fixed-width value histogram: integral bucketing, map-side
+      // combinable, one shuffle of (bucket, partials)
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / lit(10000.0)).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_price"))),
+
+    // ── sketches ────────────────────────────────────────────────────────
+    "q_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct-count sketch vs the exact count (l_partkey is the
+      // high-cardinality column: ~2k distinct per 60k rows at sf0.01)
+      val pk = t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("pk"))
+      Sketches.kmvDistinct(pk, "pk", 256)
+        .crossJoin(broadcast(pk.agg(countDistinct(col("pk")).as("exact_distinct"))))
+    }),
+
+    "q_cms_topk" -> ((s, dir) => {
+      // count-min sketch point queries for the exact top-20 keys:
+      // est_cnt >= cnt always, equality unless the bucket collided
+      val tc = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val sketch = Sketches.cmsSketch(tc, "term", "cnt", depth = 4, width = 1024)
+      val top = tc.orderBy(col("cnt").desc, col("term").asc).limit(20)
+      Sketches.cmsEstimate(top, sketch, "term", depth = 4, width = 1024)
+    }),
+
+    // ── training-data pipeline: round-4 additions ───────────────────────
+    "q_repetition" -> ((s, dir) =>
+      docs(s, dir).select(
+        (col("doc_id") +: TextOps.repetitionMetrics(col("text"))): _*)),
+
+    "q_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(docs(s, dir), "doc_id", "text")),
+
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25(docs(s, dir), "doc_id", "text",
+        Seq("spark", "table", "fast", "query", "data"), topN = 25)),
+
+    "q_doc_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
+        Dedup.candidatePairs(d, "doc_id", "text", MinhashK, MinhashBands))
+    }),
+
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(
+        docs(s, dir).select(col("doc_id"), size(TextOps.tokens(col("text"))).as("ntok")),
+        "doc_id", "ntok", budget = 128, shards = 8))
   )
 
   // ── DuckDB oracle mirrors ─────────────────────────────────────────────
@@ -940,6 +1022,134 @@ object SparkEntry {
         |  CAST(224 * 224 * 3 AS BIGINT) AS n_bytes,
         |  224 AS width, 224 AS height,
         |  md5(md5(text) || '_224x224') AS content_hash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_percentiles" ->
+      """WITH rk AS (SELECT l_returnflag, l_extendedprice::DOUBLE AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice::DOUBLE ASC) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, n,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN v END) AS lo50,
+        |    max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5) THEN v END) AS hi50,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.95) THEN v END) AS lo95,
+        |    max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.95) THEN v END) AS hi95
+        |  FROM rk GROUP BY l_returnflag, n)
+        |SELECT l_returnflag,
+        |  round(lo50 + ((n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5)) * (hi50 - lo50), 6) AS p50,
+        |  round(lo95 + ((n - 1)::DOUBLE * 0.95 - floor((n - 1)::DOUBLE * 0.95)) * (hi95 - lo95), 6) AS p95
+        |FROM g""".stripMargin,
+
+    "q_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_p,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT ${hexToLong("md5(l_partkey::VARCHAR)", 1, 8)} AS h FROM lineitem),
+         |km AS (SELECT h FROM h ORDER BY h ASC LIMIT 256),
+         |agg AS (SELECT count(*) AS sample_k, max(h) AS kth_hash,
+         |  round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+         |    ELSE 255.0 * 4294967296.0 / max(h)::DOUBLE END, 6) AS est_distinct
+         |  FROM km),
+         |ex AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+         |SELECT agg.sample_k, agg.kth_hash, agg.est_distinct, ex.exact_distinct
+         |FROM agg CROSS JOIN ex""".stripMargin,
+
+    "q_cms_topk" -> {
+      def bucket(jExpr: String) =
+        s"${hexToLong(s"md5($jExpr || ':' || term)", 1, 8)} % 1024"
+      s"""WITH tc AS (SELECT l_partkey::VARCHAR AS term, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |grid AS (SELECT j, bucket, sum(cnt) AS c FROM (
+         |    SELECT term, cnt, j, ${bucket("j::VARCHAR")} AS bucket
+         |    FROM tc, unnest(range(0, 4)) AS t(j))
+         |  GROUP BY j, bucket),
+         |top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term ASC LIMIT 20),
+         |probe AS (SELECT term, cnt, j, ${bucket("j::VARCHAR")} AS bucket
+         |  FROM top, unnest(range(0, 4)) AS t(j))
+         |SELECT term, cnt, min(c) AS est_cnt
+         |FROM probe JOIN grid USING (j, bucket)
+         |GROUP BY term, cnt""".stripMargin
+    },
+
+    "q_repetition" ->
+      s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [array_to_string(toks, ' ')] END AS g2,
+         |  $ShinglesSql AS g3
+         |  FROM toks_t)
+         |SELECT doc_id,
+         |  CASE WHEN len(toks) > 0 THEN round((len(toks)::DOUBLE - len(list_distinct(toks))::DOUBLE) / len(toks)::DOUBLE, 6) ELSE 0.0 END AS dup_tok_frac,
+         |  CASE WHEN len(g2) > 0 THEN round((len(g2)::DOUBLE - len(list_distinct(g2))::DOUBLE) / len(g2)::DOUBLE, 6) ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN len(g3) > 0 THEN round((len(g3)::DOUBLE - len(list_distinct(g3))::DOUBLE) / len(g3)::DOUBLE, 6) ELSE 0.0 END AS dup_3gram_frac
+         |FROM g""".stripMargin,
+
+    "q_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf_t AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY doc_id, token),
+        |wn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM tf_t)
+        |SELECT doc_id,
+        |  round(-sum(CAST(round((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE) * 1000000) AS BIGINT)) / 1000000.0, 6) AS entropy
+        |FROM wn GROUP BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |dl_t AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        |tf_t AS (SELECT doc_id, token, count(*) AS tf FROM tk
+        |  WHERE token IN ('spark', 'table', 'fast', 'query', 'data') GROUP BY doc_id, token),
+        |df_t AS (SELECT token, count(*) AS df FROM tf_t GROUP BY token),
+        |c AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl_t)
+        |SELECT doc_id, round(sum(CAST(round(
+        |    ln(1.0 + (n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |    * (tf::DOUBLE * (1.2 + 1.0))
+        |    / (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs::DOUBLE)))
+        |    * 1000000) AS BIGINT)) / 1000000.0, 6) AS bm25
+        |FROM tf_t JOIN df_t USING (token) JOIN dl_t USING (doc_id) CROSS JOIN c
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 25""".stripMargin,
+
+    "q_doc_clusters" ->
+      s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT id1 AS src, id2 AS dst FROM pairs_t
+         |  UNION ALL SELECT id2, id1 FROM pairs_t),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
+         |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ntok,
+         |    (${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}) % 8 AS shard
+         |  FROM documents),
+         |t AS (SELECT doc_id, ntok, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM base),
+         |p AS (
+         |  SELECT doc_id, shard, ntok, rn, ntok AS running, 0 AS seq_idx FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.doc_id, t.shard, t.ntok, t.rn,
+         |    CASE WHEN p.running + t.ntok > 128 THEN t.ntok ELSE p.running + t.ntok END,
+         |    CASE WHEN p.running + t.ntok > 128 THEN p.seq_idx + 1 ELSE p.seq_idx END
+         |  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+         |SELECT doc_id, shard::INT AS shard, seq_idx::INT AS seq_idx FROM p""".stripMargin
   )
 }

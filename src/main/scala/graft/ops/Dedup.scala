@@ -211,6 +211,53 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /**
+   * Connected components over a near-duplicate pair graph — turns
+   * pairwise dedup hits into CLUSTERS (each document labeled with the
+   * smallest doc id reachable through any chain of near-dup pairs), the
+   * form a corpus-prep job actually consumes: keep one representative
+   * per cluster, or audit whole clusters.
+   *
+   * Algorithm: iterated min-label propagation.
+   *   label(v) ← min(label(v), min over neighbors u of label(u))
+   * to fixpoint. Each round is ONE shuffle (edges ⋈ labels on the
+   * source + a min-aggregate on the destination); rounds needed =
+   * graph diameter ≈ log for near-dup clusters (they are dense — chains
+   * longer than a handful of hops are rare). The fixpoint is unique
+   * (min over a connected component), so the result is deterministic
+   * under any partitioning; `localCheckpoint` truncates the per-round
+   * lineage so the plan does not grow with iterations.
+   *
+   * `nodes` carries every vertex (isolated docs keep their own id as
+   * cluster). Convergence is detected by the monotone label sum.
+   */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(propagated)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("lbl"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Jaccard verification from a pre-computed [[shingleSets]] frame. */
   def jaccardVerifyFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val dsh = sh.select(col("doc_id"), array_distinct(col("sh")).as("dsh"))

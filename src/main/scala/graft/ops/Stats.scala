@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution statistics beyond the reference's moment aggregates:
+ * exact interpolated percentiles computed by RANK, not by a sketch.
+ *
+ * The formula is the standard linear-interpolation quantile (DuckDB
+ * `quantile_cont`, Postgres `percentile_cont`): for percentile p over n
+ * sorted values, target rank t = (n-1)·p, result =
+ * v[floor(t)] + (t - floor(t)) · (v[ceil(t)] - v[floor(t)]).
+ *
+ * Implemented as row_number + a filter to the two straddling ranks —
+ * never a per-group array materialization (Spark's builtin `percentile`
+ * collects each group's values into memory; this form keeps state at
+ * O(1) per group past the sort). The sort is a window over the group
+ * key: at 100 TB with few groups, per-group data must range-partition —
+ * that is exactly what the window exchange does; with MANY groups it
+ * hash-partitions and each reducer sorts locally. Interpolation
+ * arithmetic is written with the identical operation order as the
+ * oracle so doubles match bit-for-bit.
+ */
+object Stats {
+
+  /**
+   * Exact percentiles per group: one output column per requested p,
+   * named `p<percent>` (p50, p95, …), rounded to 6 dp.
+   */
+  def percentileExact(df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+    val ranked = df
+      .select((keyCols :+ col(valueCol).cast("double").as("__v")): _*)
+      .withColumn("__rn", row_number().over(w.orderBy(col("__v").asc)) - 1)
+      .withColumn("__n", count(lit(1)).over(w))
+    // a row is kept iff it straddles one of the requested target ranks
+    val targets = ps.map { case (_, p) => (col("__n") - 1).cast("double") * lit(p) }
+    val needed = targets
+      .map(t => col("__rn") === floor(t) || col("__rn") === ceil(t))
+      .reduce(_ || _)
+    // __n is constant within a group → group by it too, so the target
+    // rank stays a plain grouping-column expression inside the agg
+    val aggs = ps.zip(targets).map { case ((name, _), t) =>
+      val vLo = max(when(col("__rn") === floor(t), col("__v")))
+      val vHi = max(when(col("__rn") === ceil(t), col("__v")))
+      // identical operation order to the oracle SQL: lo + d * (hi - lo)
+      round(vLo + (t - floor(t).cast("double")) * (vHi - vLo), 6).as(name)
+    }
+    ranked
+      .filter(needed)
+      .groupBy((keyCols :+ col("__n")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__n")
+  }
+}

@@ -290,6 +290,99 @@ object TextOps {
       .otherwise(lit("test"))
   }
 
+  /**
+   * Gopher-style repetition metrics — the standard "degenerate document"
+   * quality filters: the fraction of duplicated tokens / 2-grams /
+   * 3-grams in a document. A high duplicate fraction flags boilerplate,
+   * keyword stuffing and model-generated loops. Pure rational arithmetic
+   * over integral set sizes (exact in every engine); narrow, no shuffle.
+   * Returns (dup_tok_frac, dup_2gram_frac, dup_3gram_frac) columns to
+   * append, each rounded to 6 dp.
+   */
+  def repetitionMetrics(text: Column): Seq[Column] = {
+    def dupFrac(arr: Column): Column = {
+      val n = size(arr).cast("double")
+      when(n > 0,
+        round((n - size(array_distinct(arr)).cast("double")) / n, 6))
+        .otherwise(lit(0.0))
+    }
+    Seq(
+      dupFrac(tokensNative(text)).as("dup_tok_frac"),
+      dupFrac(tokenShingles(text, 2)).as("dup_2gram_frac"),
+      dupFrac(tokenShingles(text, 3)).as("dup_3gram_frac"))
+  }
+
+  /**
+   * Per-document token-distribution Shannon entropy (nats):
+   * −Σ_t (c_t/n)·ln(c_t/n) over the document's token counts — low entropy
+   * = repetitive/degenerate text, the complement of [[repetitionMetrics]].
+   * Each term is rounded to integer micro-units BEFORE the per-doc sum
+   * (exact long sum → order-free under any partitioning; same rule as
+   * q_tpch_q1 / unigramLogProb). Two aggregations, both keyed on doc_id:
+   * the (doc, token) count and the per-doc fold reuse one exchange.
+   */
+  def tokenEntropy(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val withN = tf.withColumn("n",
+      sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+    val p = col("c").cast("double") / col("n").cast("double")
+    withN
+      .withColumn("term", round(p * log(p) * 1000000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum(col("term")) / 1000000.0, 6).as("entropy"))
+  }
+
+  /**
+   * BM25 ranking of documents against a bag of query terms — the
+   * retrieval scorer used for contamination auditing and targeted
+   * corpus slicing. Okapi BM25 with the Lucene idf:
+   * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+   * score = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+   *
+   * All inputs are integral (tf, df, dl, N); avgdl is an exact long sum
+   * over N. Per-term scores are rounded to integer micro-units before
+   * the per-doc sum (order-free exact long sum). Two combinable
+   * aggregations over one corpus scan; the df/N/avgdl side is at most
+   * |query| + 1 rows → broadcast by construction.
+   */
+  def bm25(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // corpus constants: one row — explicitly broadcast (provably bounded)
+    val consts = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val scored = tf
+      .join(broadcast(df_), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(consts))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val termScore = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    scored
+      .withColumn("sterm", round(termScore * 1000000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sterm")) / 1000000.0, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   /** PII-style scrubbing: mask email-like and URL-like spans (the
     * standard pre-training redaction pass). Pure regexp_replace —
     * codegen'd, narrow, oracle-replayable. */
