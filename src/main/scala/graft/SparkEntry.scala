@@ -474,7 +474,59 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(
         docs(s, dir).select(col("doc_id"), size(TextOps.tokens(col("text"))).as("ntok")),
-        "doc_id", "ntok", budget = 128, shards = 8))
+        "doc_id", "ntok", budget = 128, shards = 8)),
+
+    "q_tpch_q3" -> ((s, dir) => {
+      // the shuffle-join anchor: both fact sides pre-filtered BEFORE the
+      // join (predicates push to the scans), the filtered dim broadcast
+      // (302/30k customers — provably shrinks with the filter), revenue
+      // summed in integer cents (order-free exact)
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")) / 100.0).as("revenue"))
+        .select(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"),
+          col("o_orderpriority").as("opriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q_cube" -> ((s, dir) =>
+      // full CUBE lattice in one pass (Expand + single shuffle) —
+      // rollup's column-symmetric sibling
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_price"))),
+
+    "q_oov_rate" -> ((s, dir) =>
+      TextOps.oovRate(docs(s, dir), "doc_id", "text", vocabSize = 1000)),
+
+    "q_cluster_rep" -> ((s, dir) => {
+      // end of the dedup pipeline: pairs → clusters → one representative
+      // per cluster by quality (ties → smallest id)
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
+        Dedup.candidatePairs(d, "doc_id", "text", MinhashK, MinhashBands))
+      val quality = d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      Dedup.clusterRepresentatives(clusters, quality, "quality")
+    })
   )
 
   // ── DuckDB oracle mirrors ─────────────────────────────────────────────
@@ -531,6 +583,31 @@ object SparkEntry {
   /** LSH plane weight w(p,d): md5-derived uint32 → [-0.5, 0.5). `d` 0-based. */
   private def planeWeightSql(p: String, d: String) =
     s"(${hexToLong(s"md5($p || '_' || ($d))", 1, 8)}::DOUBLE / 4294967296.0 - 0.5)"
+
+  /** Connected components of the MinHash pair graph by recursive
+    * reachability — ends in `clusters_t(doc_id, cluster_id)`. Must agree
+    * with [[graft.ops.Dedup.connectedComponents]]'s min-label fixpoint. */
+  private val ClustersCte =
+    s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |e AS (SELECT id1 AS src, id2 AS dst FROM pairs_t
+       |  UNION ALL SELECT id2, id1 FROM pairs_t),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |clusters_t AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** The q_quality scoring expression over a table with (doc_id, text,
+    * toks) columns — shared by q_quality and q_cluster_rep. */
+  private def qualitySelectSql(from: String) = {
+    val enHits = s"len(list_filter(toks, t -> t IN (${TextOps.EN_STOP.map(w => s"'$w'").mkString(", ")})))"
+    s"""SELECT doc_id, round(
+       |  0.3 * (least(len(toks)::DOUBLE, 100.0) / 100.0)
+       |  + 0.4 * (CASE WHEN len(toks) > 0 THEN $enHits::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
+       |  + 0.3 * (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text)::DOUBLE)
+       |, 6) AS quality
+       |FROM $from""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_mode_string" ->
@@ -763,16 +840,9 @@ object SparkEntry {
          |FROM s_t""".stripMargin
     },
 
-    "q_quality" -> {
-      val enHits = s"len(list_filter(toks, t -> t IN (${TextOps.EN_STOP.map(w => s"'$w'").mkString(", ")})))"
+    "q_quality" ->
       s"""WITH toks_t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
-         |SELECT doc_id, round(
-         |  0.3 * (least(len(toks)::DOUBLE, 100.0) / 100.0)
-         |  + 0.4 * (CASE WHEN len(toks) > 0 THEN $enHits::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
-         |  + 0.3 * (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text)::DOUBLE)
-         |, 6) AS quality
-         |FROM toks_t""".stripMargin
-    },
+         |${qualitySelectSql("toks_t")}""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
@@ -1127,14 +1197,7 @@ object SparkEntry {
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 25""".stripMargin,
 
     "q_doc_clusters" ->
-      s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |e AS (SELECT id1 AS src, id2 AS dst FROM pairs_t
-         |  UNION ALL SELECT id2, id1 FROM pairs_t),
-         |reach(node, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
-         |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+      s"$ClustersCte\nSELECT doc_id, cluster_id FROM clusters_t",
 
     "q_pack_sequences" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id,
@@ -1150,6 +1213,49 @@ object SparkEntry {
          |    CASE WHEN p.running + t.ntok > 128 THEN t.ntok ELSE p.running + t.ntok END,
          |    CASE WHEN p.running + t.ntok > 128 THEN p.seq_idx + 1 ELSE p.seq_idx END
          |  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
-         |SELECT doc_id, shard::INT AS shard, seq_idx::INT AS seq_idx FROM p""".stripMargin
+         |SELECT doc_id, shard::INT AS shard, seq_idx::INT AS seq_idx FROM p""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  o_orderpriority AS opriority,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |v AS (SELECT token, 1 AS iv FROM (
+        |  SELECT token, count(*) AS c FROM tk GROUP BY token
+        |  ORDER BY c DESC, token ASC LIMIT 1000))
+        |SELECT doc_id,
+        |  round(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS oov_rate
+        |FROM tk LEFT JOIN v USING (token)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_cluster_rep" ->
+      s"""$ClustersCte,
+         |qtoks_t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |q_t AS (${qualitySelectSql("qtoks_t")}),
+         |j AS (SELECT c.cluster_id, c.doc_id, q.quality
+         |  FROM clusters_t c JOIN q_t q USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS rep_id, quality AS rep_quality, n_members
+         |FROM r WHERE rn = 1""".stripMargin
   )
 }

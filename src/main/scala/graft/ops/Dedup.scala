@@ -258,6 +258,31 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /**
+   * Pick ONE representative document per near-dup cluster — the step
+   * after [[connectedComponents]] in a corpus-prep job: of each cluster
+   * keep the highest-scoring member (ties → smallest doc id).
+   *
+   * `clusters` is (doc_id, cluster_id); `scores` is (doc_id, <scoreCol>).
+   * Returns (cluster_id, rep_id, rep_<scoreCol>, n_members). One equi-join
+   * on doc_id + one window over cluster_id; the rank and the member count
+   * share the window exchange, so the whole op is two shuffles end-to-end
+   * regardless of corpus size.
+   */
+  def clusterRepresentatives(clusters: DataFrame, scores: DataFrame,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+    clusters
+      .join(scores, "doc_id")
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(scoreCol).desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"),
+        col(scoreCol).as(s"rep_$scoreCol"), col("n_members"))
+  }
+
   /** Jaccard verification from a pre-computed [[shingleSets]] frame. */
   def jaccardVerifyFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val dsh = sh.select(col("doc_id"), array_distinct(col("sh")).as("dsh"))

@@ -383,6 +383,31 @@ object TextOps {
       .limit(topN)
   }
 
+  /**
+   * Out-of-vocabulary rate per document against the corpus top-`vocabSize`
+   * vocabulary (by count desc, token asc — deterministic at the boundary):
+   * the tokenizer-coverage diagnostic run before committing to a vocab.
+   * The vocab side is top-k of a combinable count → bounded at `vocabSize`
+   * rows by construction → broadcast explicitly (safe at any corpus size,
+   * unlike a frontier-shaped frame). The rate is a rational of two ints —
+   * exact in every engine.
+   */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("iv"))
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("oov_rate"))
+  }
+
   /** PII-style scrubbing: mask email-like and URL-like spans (the
     * standard pre-training redaction pass). Pure regexp_replace —
     * codegen'd, narrow, oracle-replayable. */

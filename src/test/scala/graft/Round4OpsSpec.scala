@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Packing, Sketches, Stats, TextOps}
+
+/** Specs for the round-4 operators: exact percentiles, sketches, sequence
+  * packing, connected-component clustering, repetition/entropy/BM25. */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ── Stats.percentileExact ────────────────────────────────────────────
+
+  test("percentileExact: odd n → middle value, no interpolation") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0))
+      .toDF("k", "v")
+    val r = Stats.percentileExact(df, Seq("k"), "v", Seq("p50" -> 0.5)).collect()
+    assert(r.length == 1 && r(0).getDouble(1) == 3.0)
+  }
+
+  test("percentileExact: even n → linear interpolation between straddling ranks") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("k", "v")
+    val r = Stats.percentileExact(df, Seq("k"), "v",
+      Seq("p50" -> 0.5, "p25" -> 0.25)).collect()(0)
+    assert(r.getDouble(1) == 2.5) // t=1.5 between 2 and 3
+    assert(r.getDouble(2) == 1.75) // t=0.75 between 1 and 2
+  }
+
+  test("percentileExact: per-group independence + p0/p100 endpoints") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 1.0), ("b", 9.0), ("b", 5.0))
+      .toDF("k", "v")
+    val r = Stats.percentileExact(df, Seq("k"), "v",
+      Seq("p0" -> 0.0, "p100" -> 1.0))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r("a") == ((10.0, 20.0)))
+    assert(r("b") == ((1.0, 9.0)))
+  }
+
+  // ── Sketches ─────────────────────────────────────────────────────────
+
+  test("kmvDistinct: fewer distinct values than k → exact count") {
+    val df = (1 to 500).map(i => s"v${i % 37}").toDF("s")
+    val r = Sketches.kmvDistinct(df, "s", k = 256).collect()(0)
+    assert(r.getLong(0) == 37L) // sample_k
+    assert(r.getDouble(2) == 37.0) // est_distinct exact
+  }
+
+  test("kmvDistinct: estimate within ~4/sqrt(k) of truth, deterministic") {
+    val df = (1 to 20000).map(i => s"key_$i").toDF("s")
+    val est1 = Sketches.kmvDistinct(df, "s", k = 256).collect()(0).getDouble(2)
+    val est2 = Sketches.kmvDistinct(df.repartition(7), "s", k = 256)
+      .collect()(0).getDouble(2)
+    assert(est1 == est2, "KMV must be partitioning-independent")
+    assert(math.abs(est1 - 20000.0) / 20000.0 < 4.0 / math.sqrt(256.0),
+      s"est=$est1 too far from 20000")
+  }
+
+  test("cms: estimate >= truth always; exact when width >> terms") {
+    val tc = Seq(("a", 100L), ("b", 7L), ("c", 1L)).toDF("term", "cnt")
+    val sk = Sketches.cmsSketch(tc, "term", "cnt", depth = 4, width = 4096)
+    val est = Sketches.cmsEstimate(tc, sk, "term", depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    est.foreach { case (t, (truth, e)) => assert(e >= truth, s"$t under-counts") }
+    // 3 terms in 4096 buckets: collision probability ~ 0 → exact
+    assert(est.forall { case (_, (truth, e)) => e == truth })
+  }
+
+  test("cms: collisions only ever over-count (tiny width forces them)") {
+    val tc = (1 to 50).map(i => (s"t$i", i.toLong)).toDF("term", "cnt")
+    val sk = Sketches.cmsSketch(tc, "term", "cnt", depth = 2, width = 8)
+    val est = Sketches.cmsEstimate(tc, sk, "term", depth = 2, width = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(est.forall { case (truth, e) => e >= truth })
+  }
+
+  // ── Packing.packSequences ────────────────────────────────────────────
+
+  test("packSequences: budget respected, seq_idx contiguous per shard") {
+    val df = (1L to 200L).map(i => (i, 10 + (i % 7).toInt)).toDF("doc_id", "ntok")
+    val packed = Packing.packSequences(df, "doc_id", "ntok", budget = 50, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // per (shard, seq): total tokens within budget
+    packed.groupBy(p => (p._2, p._3)).foreach { case ((sh, seq), ds) =>
+      val tot = ds.map(d => byDoc(d._1)).sum
+      assert(tot <= 50, s"shard=$sh seq=$seq overflows: $tot")
+    }
+    // per shard: seq indices contiguous from 0
+    packed.groupBy(_._2).foreach { case (sh, ds) =>
+      val seqs = ds.map(_._3).distinct.sorted.toSeq
+      assert(seqs == (0 until seqs.length), s"shard=$sh seqs not contiguous: $seqs")
+    }
+  }
+
+  test("packSequences: greedy in doc-id order within shard") {
+    // force everything into one shard path by checking invariants per shard:
+    // docs sorted by id must have non-decreasing seq_idx
+    val df = (1L to 100L).map(i => (i, 30)).toDF("doc_id", "ntok")
+    val packed = Packing.packSequences(df, "doc_id", "ntok", budget = 64, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    packed.groupBy(_._2).foreach { case (_, ds) =>
+      val ordered = ds.sortBy(_._1).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => b == a || b == a + 1 })
+      // budget 64, docs of 30 → exactly 2 docs per sequence (except maybe last)
+      ds.groupBy(_._3).toSeq.sortBy(_._1).dropRight(1).foreach { case (_, s) =>
+        assert(s.size == 2)
+      }
+    }
+  }
+
+  test("packSequences: oversized doc gets its own sequence; deterministic under repartition") {
+    val df = Seq((1L, 10), (2L, 999), (3L, 10), (4L, 10)).toDF("doc_id", "ntok")
+    val p1 = Packing.packSequences(df, "doc_id", "ntok", budget = 25, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // greedy order 1,2,3,4: doc2 overflows → new seq; doc3 overflows doc2's → new seq
+    assert(p1(1L) == 0 && p1(2L) == 1 && p1(3L) == 2 && p1(4L) == 2)
+    val p2 = Packing.packSequences(df.repartition(5), "doc_id", "ntok", budget = 25, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(p1 == p2, "packing must not depend on input partitioning")
+  }
+
+  // ── Dedup.connectedComponents ────────────────────────────────────────
+
+  test("connectedComponents: chains collapse to min label, isolates keep own id") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // component {1,2,3,4} via a chain, component {5,6}, isolate {7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    val r = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents: long path converges (diameter > 2 rounds of hops)") {
+    val n = 20
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id1", "id2")
+    val r = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(x => x.getLong(1)).distinct
+    assert(r.toSeq == Seq(1L), "one chain → one cluster labeled 1")
+  }
+
+  // ── TextOps round-4 text metrics ─────────────────────────────────────
+
+  test("repetitionMetrics: all-same tokens → high dup fractions; distinct → 0") {
+    val df = Seq((1L, "spam spam spam spam"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val r = df.select((col("doc_id") +: TextOps.repetitionMetrics(col("text"))): _*)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L)._1 == 0.75) // 4 tokens, 1 distinct
+    assert(math.abs(r(1L)._2 - 2.0 / 3.0) < 1e-5) // 3 bigrams, all "spam spam"
+    assert(r(2L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("tokenEntropy: single repeated token → 0; uniform pair → ln 2") {
+    val df = Seq((1L, "one one one one"), (2L, "a b a b")).toDF("doc_id", "text")
+    val r = TextOps.tokenEntropy(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.0)
+    assert(math.abs(r(2L) - math.log(2.0)) < 1e-5)
+  }
+
+  test("clusterRepresentatives: best score wins, ties -> smallest id, counts members") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1)).toDF("doc_id", "score")
+    val r = Dedup.clusterRepresentatives(clusters, scores, "score")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getLong(3))).toMap
+    assert(r(1L) == ((2L, 0.9, 3L))) // 2 and 3 tie at 0.9 → smaller id
+    assert(r(4L) == ((4L, 0.1, 1L))) // singleton cluster represents itself
+  }
+
+  test("oovRate: tokens outside the top-k vocab counted per doc") {
+    // corpus: "alpha" x many (in vocab of size 1), everything else OOV
+    val df = Seq(
+      (1L, "alpha alpha alpha alpha"), // all in-vocab → 0.0
+      (2L, "alpha beta"), // 1 of 2 OOV → 0.5
+      (3L, "beta gamma")) // all OOV → 1.0
+      .toDF("doc_id", "text")
+    val r = TextOps.oovRate(df, "doc_id", "text", vocabSize = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
+  }
+
+  test("bm25: docs containing query terms outrank and limit applies") {
+    val df = Seq(
+      (1L, "spark query engine with fast table scans and query planning"),
+      (2L, "cooking recipes for pasta and pizza at home"),
+      (3L, "fast data query")).toDF("doc_id", "text")
+    val r = TextOps.bm25(df, "doc_id", "text",
+      Seq("query", "fast", "table"), topN = 2).collect()
+    assert(r.length == 2)
+    val ids = r.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(Set(1L, 3L)) && !ids.contains(2L))
+    assert(r(0).getDouble(1) >= r(1).getDouble(1)) // sorted desc
+  }
+}
