@@ -526,8 +526,30 @@ object SparkEntry {
         Dedup.candidatePairs(d, "doc_id", "text", MinhashK, MinhashBands))
       val quality = d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
       Dedup.clusterRepresentatives(clusters, quality, "quality")
-    })
+    }),
+
+    "q_topk_agg" -> ((s, dir) =>
+      // bounded top-k AGGREGATE: O(k) state per group, map-side combine —
+      // never the window sort of every group member the oracle runs
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.topk_by(col("l_orderkey"), col("l_extendedprice"), 5).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("id"), col("col.score").as("score"))),
+
+    "q_quantile_sketch" -> ((s, dir) =>
+      Sketches.quantileSketch(t(s, dir, "lineitem"), "l_extendedprice",
+        lo = QSketchLo, hi = QSketchHi, nbins = QSketchBins,
+        ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)))
   )
+
+  // quantile-sketch grid shared by the query and its oracle (w must be
+  // the IDENTICAL double literal on both sides)
+  private val QSketchLo = 0.0
+  private val QSketchHi = 110000.0
+  private val QSketchBins = 1024
+  private val QSketchW = (QSketchHi - QSketchLo) / QSketchBins // 107.421875 (dyadic)
 
   // ── DuckDB oracle mirrors ─────────────────────────────────────────────
 
@@ -1256,6 +1278,31 @@ object SparkEntry {
          |    count(*) OVER (PARTITION BY cluster_id) AS n_members
          |  FROM j)
          |SELECT cluster_id, doc_id AS rep_id, quality AS rep_quality, n_members
-         |FROM r WHERE rn = 1""".stripMargin
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT l_returnflag, rank::INT AS rank, id, score FROM (
+        |  SELECT l_returnflag, l_orderkey AS id, l_extendedprice AS score,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC) AS rank
+        |  FROM lineitem) WHERE rank <= 5""".stripMargin,
+
+    "q_quantile_sketch" -> {
+      def estSql(p: String) = {
+        val t = s"((n - 1)::DOUBLE * $p)"
+        s"""arg_min(round($QSketchLo + $QSketchW * (bin::DOUBLE + ($t - (cum - c)::DOUBLE) / c::DOUBLE), 6),
+           |    CASE WHEN cum::DOUBLE > $t THEN bin END)""".stripMargin
+      }
+      s"""WITH b AS (SELECT least(greatest(
+         |    CAST(floor((l_extendedprice::DOUBLE - $QSketchLo) / $QSketchW) AS BIGINT), 0), ${QSketchBins - 1}) AS bin
+         |  FROM lineitem),
+         |g AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+         |cg AS (SELECT bin, c,
+         |    sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM g),
+         |n_t AS (SELECT count(*) AS n FROM lineitem)
+         |SELECT n, ${estSql("0.5")} AS p50, ${estSql("0.95")} AS p95, ${estSql("0.99")} AS p99
+         |FROM cg CROSS JOIN n_t GROUP BY n""".stripMargin
+    }
   )
 }

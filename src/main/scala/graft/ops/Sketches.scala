@@ -78,6 +78,57 @@ object Sketches {
   }
 
   /**
+   * Mergeable fixed-bin quantile sketch: bucket values into `nbins`
+   * equal-width bins over [lo, hi) (out-of-range values clamp into the
+   * edge bins), then estimate each requested quantile by linear
+   * interpolation inside the bin that straddles the target rank
+   * t = (n−1)·p: est = lo + w·(bin + (t − cumBefore)/binCount).
+   *
+   * Scale shape vs [[Stats.percentileExact]]: the exact form range-sorts
+   * every group member; this sketch is ONE combinable aggregation to
+   * `nbins` counters (map-side partial, O(nbins) state — merge two
+   * sketches by summing counters), a bounded-size frame that a single
+   * task finishes. Error is bounded by the bin width w = (hi−lo)/nbins.
+   * All arithmetic is integral counts + literal doubles in a fixed
+   * operation order — bit-replayable in any engine.
+   *
+   * Returns one row: (n, <name> per requested quantile).
+   */
+  def quantileSketch(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nbins: Int, ps: Seq[(String, Double)]): DataFrame = {
+    require(nbins >= 2 && hi > lo, s"bad sketch dims [$lo,$hi)/$nbins")
+    require(ps.nonEmpty, "at least one quantile required")
+    val w = (hi - lo) / nbins
+    // clamp in the INTEGER domain: Spark's floor(double) is already a
+    // long while DuckDB's floor stays double — comparing after the cast
+    // keeps both engines in exact integer arithmetic
+    val bins = df
+      .select(least(greatest(
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0L)),
+        lit((nbins - 1).toLong)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    // nbins rows by construction → the unpartitioned running-sum window
+    // and the final single-row aggregate are bounded regardless of input
+    // size (the one case where a global window is scale-safe)
+    val cum = bins
+      .withColumn("cum",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+    val aggs = ps.map { case (name, p) =>
+      val t = (col("n") - 1).cast("double") * lit(p)
+      val cumBefore = (col("cum") - col("c")).cast("double")
+      val est = lit(lo) + lit(w) *
+        (col("bin").cast("double") + (t - cumBefore) / col("c").cast("double"))
+      // first bin whose cumulative count exceeds the target rank:
+      // min_by over the qualifying suffix (null ordering values skipped)
+      min_by(round(est, 6), when(col("cum").cast("double") > t, col("bin"))).as(name)
+    }
+    cum.groupBy(col("n")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Point-query the CMS grid for each row of `items(termCol)`: the
    * estimate is min_j grid(j, bucket_j(term)) — always ≥ the true count
    * (counters only over-count on collisions). The grid side is d·w rows

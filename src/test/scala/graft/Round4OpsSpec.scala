@@ -182,6 +182,68 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
   }
 
+  // ── TopKBy aggregate ─────────────────────────────────────────────────
+
+  test("topk_by: best k by score desc, ties -> smallest id, across partitions") {
+    import graft.functions.GraftFunctions
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0), ("a", 5L, 7.0),
+      ("b", 6L, 2.0))
+      .toDF("g", "id", "score").repartition(7) // force merge path
+    val r = df.groupBy($"g")
+      .agg(GraftFunctions.topk_by($"id", $"score", 3).as("top"))
+      .collect().map(x => x.getString(0) ->
+        x.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getDouble(1)))).toMap
+    assert(r("a") == Seq((2L, 9.0), (3L, 9.0), (5L, 7.0))) // tie 9.0 → id 2 before 3
+    assert(r("b") == Seq((6L, 2.0))) // fewer than k members
+  }
+
+  test("topk_by: null id/score rows skipped; NaN score throws") {
+    import graft.functions.GraftFunctions
+    val rows = Seq[(java.lang.Long, java.lang.Double)]((1L, 4.0), (null, 9.0), (2L, null), (3L, 2.0))
+    val df = rows.toDF("id", "score")
+    val r = df.agg(GraftFunctions.topk_by($"id", $"score", 2))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0).map(s => s.getLong(0))
+    assert(r == Seq(1L, 3L))
+    val nan = Seq((1L, Double.NaN)).toDF("id", "score")
+    val e = intercept[Exception] {
+      nan.agg(GraftFunctions.topk_by($"id", $"score", 2)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("topk_by: SQL-registered graft_topk agrees with the Column form") {
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0)).toDF("id", "score")
+    df.createOrReplaceTempView("topk_in")
+    val r = spark.sql(
+      "SELECT graft_topk(id, score, 2) AS top FROM topk_in")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0).map(s => (s.getLong(0), s.getDouble(1)))
+    assert(r == Seq((2L, 9.0), (3L, 7.0)))
+  }
+
+  // ── quantile sketch ──────────────────────────────────────────────────
+
+  test("quantileSketch: estimates within one bin width of the exact quantile") {
+    val vals = (1 to 10000).map(_.toDouble)
+    val df = vals.toDF("v")
+    val r = Sketches.quantileSketch(df, "v", lo = 0.0, hi = 10240.0, nbins = 1024,
+      ps = Seq("p50" -> 0.5, "p95" -> 0.95)).collect()(0)
+    val w = 10240.0 / 1024
+    assert(r.getLong(0) == 10000L)
+    assert(math.abs(r.getDouble(1) - 5000.5) <= w, s"p50=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 9500.05) <= w, s"p95=${r.getDouble(2)}")
+  }
+
+  test("quantileSketch: partitioning-independent; out-of-range values clamp") {
+    val df = (Seq(-500.0, 99999.0) ++ (1 to 998).map(_.toDouble)).toDF("v")
+    val a = Sketches.quantileSketch(df, "v", 0.0, 1024.0, 256, Seq("p50" -> 0.5))
+      .collect()(0).getDouble(1)
+    val b = Sketches.quantileSketch(df.repartition(13), "v", 0.0, 1024.0, 256, Seq("p50" -> 0.5))
+      .collect()(0).getDouble(1)
+    assert(a == b, "sketch must not depend on partitioning")
+    assert(math.abs(a - 499.5) <= 4.0) // w = 4
+  }
+
   test("bm25: docs containing query terms outrank and limit applies") {
     val df = Seq(
       (1L, "spark query engine with fast table scans and query planning"),
