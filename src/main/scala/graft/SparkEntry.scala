@@ -541,7 +541,26 @@ object SparkEntry {
     "q_quantile_sketch" -> ((s, dir) =>
       Sketches.quantileSketch(t(s, dir, "lineitem"), "l_extendedprice",
         lo = QSketchLo, hi = QSketchHi, nbins = QSketchBins,
-        ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)))
+        ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))),
+
+    "q_retention" -> ((s, dir) =>
+      Events.retention(t(s, dir, "events"), maxOffsetDays = 30)),
+
+    "q_big_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: the fact aggregates FIRST (map-side combinable,
+      // integer-cents), the selective HAVING prunes before the join, and
+      // only surviving keys join back to orders
+      val qty = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg((sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      t(s, dir, "orders")
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+        .limit(100)
+    })
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -1303,6 +1322,24 @@ object SparkEntry {
          |n_t AS (SELECT count(*) AS n FROM lineitem)
          |SELECT n, ${estSql("0.5")} AS p50, ${estSql("0.95")} AS p95, ${estSql("0.99")} AS p99
          |FROM cg CROSS JOIN n_t GROUP BY n""".stripMargin
-    }
+    },
+
+    "q_retention" ->
+      """WITH days_t AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort_t AS (SELECT user_id, min(day) AS cohort_day FROM days_t GROUP BY user_id)
+        |SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM days_t JOIN cohort_t USING (user_id)
+        |WHERE day - cohort_day <= 30
+        |GROUP BY cohort_day, day_offset""".stripMargin,
+
+    "q_big_orders" ->
+      """WITH qty_t AS (
+        |  SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250.0)
+        |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_totalprice, sum_qty
+        |FROM orders JOIN qty_t ON o_orderkey = l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin
   )
 }

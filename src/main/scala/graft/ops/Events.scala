@@ -246,4 +246,29 @@ object Events {
         // exact integer micro-unit sum — see sessionize
         round(sum(round(col("value") * 1000000).cast("long")) / 1000000.0, 6)
           .as("sum_value"))
+
+  /**
+   * Cohort retention: cohort = each user's first active DAY (epoch-µs ÷
+   * 86400e6, integer div — engine-portable); for every (cohort_day,
+   * day_offset ≤ maxOffsetDays) count the distinct users still active.
+   * The classic "day-N retention" triangle.
+   *
+   * Shuffle shape: the (user, day) distinct, the per-user min, and the
+   * user-keyed join all hash on user_id — AQE reuses/plans them as one
+   * key family; the final (cohort, offset) aggregate is tiny (days² at
+   * most). No broadcast hints: the user dimension is unbounded.
+   */
+  def retention(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
+    val days = events
+      .select(col("user_id"),
+        expr("(ts div 1000L) div 86400000000L").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days
+      .join(cohorts, "user_id")
+      .withColumn("day_offset", (col("day") - col("cohort_day")).cast("int"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -182,6 +182,25 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
   }
 
+  // ── Events.retention ─────────────────────────────────────────────────
+
+  test("retention: cohort = first active day; offsets count distinct users") {
+    val day = 86400000000000L // one day in NANOS (retention divides by 1000 first)
+    // user 1: days 0,1,3; user 2: days 0,1; user 3: day 1 only
+    val events = Seq(
+      (1L, 0L * day), (1L, 1L * day + 5L), (1L, 3L * day), (1L, 3L * day + 7L),
+      (2L, 0L * day), (2L, 1L * day),
+      (3L, 1L * day))
+      .toDF("user_id", "ts")
+    val r = graft.ops.Events.retention(events, maxOffsetDays = 30)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      (0L, 0) -> 2L, // users 1,2 on their day 0
+      (0L, 1) -> 2L, // both back on day 1
+      (0L, 3) -> 1L, // only user 1 on day 3
+      (1L, 0) -> 1L)) // user 3's cohort
+  }
+
   // ── TopKBy aggregate ─────────────────────────────────────────────────
 
   test("topk_by: best k by score desc, ties -> smallest id, across partitions") {
