@@ -546,6 +546,15 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"), maxOffsetDays = 30)),
 
+    "q_kmv_grouped" -> ((s, dir) =>
+      // per-group distinct estimate (bounded k-long state) next to the
+      // exact count it approximates — the 100 TB countDistinct replacement
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(GraftFunctions.kmv_distinct(col("l_partkey"), 128), 6).as("est_distinct"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))),
+
     "q_big_orders" -> ((s, dir) => {
       // TPC-H Q18 shape: the fact aggregates FIRST (map-side combinable,
       // integer-cents), the selective HAVING prunes before the join, and
@@ -1332,6 +1341,17 @@ object SparkEntry {
         |FROM days_t JOIN cohort_t USING (user_id)
         |WHERE day - cohort_day <= 30
         |GROUP BY cohort_day, day_offset""".stripMargin,
+
+    "q_kmv_grouped" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS g, ${hexToLong("md5(l_partkey::VARCHAR)", 1, 8)} AS h FROM lineitem),
+         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rn FROM h),
+         |km AS (SELECT g, count(*) AS sample_k, max(h) AS kth FROM r WHERE rn <= 128 GROUP BY g),
+         |ex AS (SELECT l_returnflag AS g, count(DISTINCT l_partkey) AS exact_distinct FROM lineitem GROUP BY 1)
+         |SELECT g AS l_returnflag,
+         |  round(CASE WHEN sample_k < 128 THEN sample_k::DOUBLE
+         |    ELSE 127.0 * 4294967296.0 / kth::DOUBLE END, 6) AS est_distinct,
+         |  exact_distinct
+         |FROM km JOIN ex USING (g)""".stripMargin,
 
     "q_big_orders" ->
       """WITH qty_t AS (

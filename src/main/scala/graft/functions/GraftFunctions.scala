@@ -48,6 +48,12 @@ object GraftFunctions {
     * [[graft.functions.VectorMean]]). */
   def vector_mean(c: Column): Column = agg(VectorMean(ex(c)))
 
+  /** Per-group KMV distinct-count estimate: at most k longs of state per
+    * group vs countDistinct's full distinct-set shuffle (see
+    * [[graft.functions.KmvDistinctAgg]]). */
+  def kmv_distinct(c: Column, k: Int): Column =
+    agg(KmvDistinctAgg(Cast(ex(c), org.apache.spark.sql.types.StringType), k))
+
   /** Bounded top-k per group: the k best (id, score) pairs, score desc,
     * ties → least id — O(k) state per group instead of a window sort of
     * every member (see [[graft.functions.TopKBy]]). */
@@ -111,6 +117,15 @@ object GraftFunctions {
     fns.foreach { case (name, f) =>
       ColumnBridge.registerFunction(spark, name, unary(name, f))
     }
+    // graft_kmv(x, k) — k must be a foldable integer literal
+    ColumnBridge.registerFunction(spark, "graft_kmv", {
+      case Seq(x, kExpr) if kExpr.foldable =>
+        KmvDistinctAgg(Cast(x, org.apache.spark.sql.types.StringType),
+          kExpr.eval().asInstanceOf[Number].intValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_kmv requires (value, k-literal), got ${other.size} args")
+    })
     // graft_topk(id, score, k) — k must be a foldable integer literal
     ColumnBridge.registerFunction(spark, "graft_topk", {
       case Seq(id, score, kExpr) if kExpr.foldable =>

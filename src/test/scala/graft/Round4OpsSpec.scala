@@ -240,6 +240,55 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r == Seq((2L, 9.0), (3L, 7.0)))
   }
 
+  // ── KmvDistinctAgg ───────────────────────────────────────────────────
+
+  test("kmv_distinct: exact below k; close + partitioning-independent above") {
+    import graft.functions.GraftFunctions
+    val small = (1 to 400).map(i => ("g", s"v${i % 37}")).toDF("g", "x")
+    val rSmall = small.groupBy($"g")
+      .agg(GraftFunctions.kmv_distinct($"x", 128).as("est")).collect()(0).getDouble(1)
+    assert(rSmall == 37.0) // below k → exact
+    val big = (1 to 20000).map(i => ("g", s"key_$i")).toDF("g", "x")
+    val e1 = big.groupBy($"g").agg(GraftFunctions.kmv_distinct($"x", 128)).collect()(0).getDouble(1)
+    val e2 = big.repartition(11).groupBy($"g")
+      .agg(GraftFunctions.kmv_distinct($"x", 128)).collect()(0).getDouble(1)
+    assert(e1 == e2, "KMV agg must be a function of the value set only")
+    assert(math.abs(e1 - 20000.0) / 20000.0 < 4.0 / math.sqrt(128.0), s"est=$e1")
+  }
+
+  test("kmv_distinct: SQL graft_kmv form; nulls ignored; per-group independence") {
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "z"), ("b", null))
+      .toDF("g", "x")
+    df.createOrReplaceTempView("kmv_in")
+    val r = spark.sql("SELECT g, graft_kmv(x, 16) AS est FROM kmv_in GROUP BY g")
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("a" -> 2.0, "b" -> 1.0))
+  }
+
+  test("kmv_distinct and topk_by work as STREAMING aggregations") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.GraftFunctions
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val agg = in.toDF().toDF("g", "id", "score")
+      .groupBy($"g")
+      .agg(
+        GraftFunctions.kmv_distinct($"id", 16).as("est"),
+        GraftFunctions.topk_by($"id", $"score", 2).as("top"))
+    val q = agg.writeStream.format("memory").queryName("kmv_topk_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 1L, 5.0), ("a", 2L, 9.0))
+      q.processAllAvailable()
+      in.addData(("a", 3L, 7.0), ("a", 4L, 1.0)) // second batch merges state
+      q.processAllAvailable()
+      val r = spark.sql("SELECT est, top FROM kmv_topk_out WHERE g = 'a'").collect()(0)
+      assert(r.getDouble(0) == 4.0) // ids 1,2,3,4 distinct across batches
+      val top = r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getDouble(1)))
+      assert(top == Seq((2L, 9.0), (3L, 7.0)))
+    } finally q.stop()
+  }
+
   // ── quantile sketch ──────────────────────────────────────────────────
 
   test("quantileSketch: estimates within one bin width of the exact quantile") {
