@@ -546,6 +546,31 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"), maxOffsetDays = 30)),
 
+    "q_salted_agg" -> ((s, dir) =>
+      // the skew-proof two-stage aggregation, pushed through the oracle
+      // gate: value pre-scaled to integer micros so BOTH stages sum longs
+      // (exact under any salt/partition assignment)
+      graft.ops.Scale.saltedSumCount(
+        t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vmicro")),
+        Seq("event_type"), "vmicro", salts = 8)
+        .select(col("event_type"),
+          round(col("sum_vmicro") / 1000000.0, 6).as("sum_value"), col("n"))),
+
+    "q_running_total" -> ((s, dir) =>
+      // per-user running sum in event-time order (event_id tie-break):
+      // ONE hash exchange on user_id + per-partition sort; micros → exact
+      t(s, dir, "events")
+        .withColumn("vmicro", round(col("value") * 1000000).cast("long"))
+        .withColumn("running",
+          sum(col("vmicro")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(expr("ts div 1000L"), col("event_id"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"),
+          round(col("running") / 1000000.0, 6).as("running_value"))),
+
     "q_kmv_grouped" -> ((s, dir) =>
       // per-group distinct estimate (bounded k-long state) next to the
       // exact count it approximates — the 100 TB countDistinct replacement
@@ -1341,6 +1366,19 @@ object SparkEntry {
         |FROM days_t JOIN cohort_t USING (user_id)
         |WHERE day - cohort_day <= 30
         |GROUP BY cohort_day, day_offset""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT event_id, user_id,
+        |  round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 6) AS running_value
+        |FROM events""".stripMargin,
 
     "q_kmv_grouped" ->
       s"""WITH h AS (SELECT DISTINCT l_returnflag AS g, ${hexToLong("md5(l_partkey::VARCHAR)", 1, 8)} AS h FROM lineitem),
