@@ -42,6 +42,8 @@ def main():
         if only and name not in only:
             continue
         try:
+            osch = con.execute(sql).arrow().schema
+            otypes = {f.name: str(f.type) for f in osch}
             o = con.execute(sql)
             ocols = [d[0] for d in o.description]
             orows = o.fetchall()
@@ -50,7 +52,9 @@ def main():
             n_fail += 1
             continue
         try:
-            s = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ssql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            stypes = {f.name: str(f.type) for f in con.execute(ssql).arrow().schema}
+            s = con.execute(ssql)
             scols = [d[0] for d in s.description]
             srows = s.fetchall()
         except Exception as e:
@@ -61,6 +65,18 @@ def main():
         sc, scn = canon(srows, scols)
         if ocn != scn:
             print(f"FAIL {name}: columns differ oracle={ocn} spark={scn}")
+            n_fail += 1
+            continue
+        # the driver's hash is TYPED enough to fail on DuckDB's int128
+        # widening (HUGEINT from sum()/list_sum → arrow decimal128) vs
+        # Spark's BIGINT, but it tolerates int-width diffs (int32 vs
+        # int64 passed every round). Mirror exactly that: fail on a
+        # decimal-vs-nondecimal mismatch, stay silent otherwise.
+        tdiff = {c: (otypes[c], stypes[c]) for c in ocn
+                 if otypes[c].startswith("decimal") != stypes[c].startswith("decimal")}
+        if tdiff:
+            print(f"FAIL {name}: decimal/non-decimal TYPE mismatch "
+                  f"(oracle,spark): {tdiff} — cast ::BIGINT/::DOUBLE in the oracle")
             n_fail += 1
             continue
         if oc == sc:

@@ -1209,7 +1209,7 @@ object SparkEntry {
     "q_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT ${hexToLong("md5(l_partkey::VARCHAR)", 1, 8)} AS h FROM lineitem),
          |km AS (SELECT h FROM h ORDER BY h ASC LIMIT 256),
-         |agg AS (SELECT count(*) AS sample_k, max(h) AS kth_hash,
+         |agg AS (SELECT count(*) AS sample_k, max(h)::BIGINT AS kth_hash,
          |  round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
          |    ELSE 255.0 * 4294967296.0 / max(h)::DOUBLE END, 6) AS est_distinct
          |  FROM km),
@@ -1228,7 +1228,7 @@ object SparkEntry {
          |top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term ASC LIMIT 20),
          |probe AS (SELECT term, cnt, j, ${bucket("j::VARCHAR")} AS bucket
          |  FROM top, unnest(range(0, 4)) AS t(j))
-         |SELECT term, cnt, min(c) AS est_cnt
+         |SELECT term, cnt, min(c)::BIGINT AS est_cnt
          |FROM probe JOIN grid USING (j, bucket)
          |GROUP BY term, cnt""".stripMargin
     },

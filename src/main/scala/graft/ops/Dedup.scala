@@ -218,18 +218,24 @@ object Dedup {
    * form a corpus-prep job actually consumes: keep one representative
    * per cluster, or audit whole clusters.
    *
-   * Algorithm: iterated min-label propagation.
-   *   label(v) ← min(label(v), min over neighbors u of label(u))
-   * to fixpoint. Each round is ONE shuffle (edges ⋈ labels on the
-   * source + a min-aggregate on the destination); rounds needed =
-   * graph diameter ≈ log for near-dup clusters (they are dense — chains
-   * longer than a handful of hops are rare). The fixpoint is unique
-   * (min over a connected component), so the result is deterministic
-   * under any partitioning; `localCheckpoint` truncates the per-round
-   * lineage so the plan does not grow with iterations.
+   * Algorithm: iterated min-label propagation with pointer jumping.
+   *   hop:  label(v) ← min(label(v), min over neighbors u of label(u))
+   *   jump: label(v) ← min(label(v), label(label(v)))
+   * to fixpoint. The hop step alone advances the min label one edge per
+   * round (O(diameter) rounds — a 1000-hop chain would silently split at
+   * any fixed maxIter); the jump step treats the current labeling as a
+   * parent forest and halves the remaining path each round, so combined
+   * convergence is O(log diameter) — 25 rounds covers diameter ~2^25.
+   * Each round is two shuffles (edges ⋈ labels + min-aggregate; then the
+   * label self-join for the jump). The fixpoint is unique (min over a
+   * connected component), so the result is deterministic under any
+   * partitioning; `localCheckpoint` truncates the per-round lineage so
+   * the plan does not grow with iterations.
    *
    * `nodes` carries every vertex (isolated docs keep their own id as
-   * cluster). Convergence is detected by the monotone label sum.
+   * cluster). Convergence is detected by the monotone label sum; if the
+   * loop exits on maxIter without reaching the fixpoint the result would
+   * be silently WRONG (split clusters), so that case throws instead.
    */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, maxIter: Int = 25): DataFrame = {
@@ -255,9 +261,18 @@ object Dedup {
       val propagated = sym
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("lbl"))
-      val next = labels.union(propagated)
+      val hop = labels.union(propagated)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint() // reused twice by the jump self-join below
+      // pointer jump: follow the label one more step through the current
+      // labeling (lbl is itself a node id). Left join — a node whose
+      // label is already a cluster root maps to itself.
+      val next = hop
+        .join(hop.select(col("node").as("__jn"), col("lbl").as("__jl")),
+          col("lbl") === col("__jn"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("__jl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
@@ -265,6 +280,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+        "result would contain split clusters; raise maxIter")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -45,6 +45,9 @@ object Packing {
       StructField("shard", IntegerType, nullable = false),
       StructField("seq_idx", IntegerType, nullable = false)))
     val prepared = df
+      // a null id or token count cannot be packed — drop up front rather
+      // than NPE inside the iterator pass with an opaque task failure
+      .filter(col(idCol).isNotNull && col(nTokCol).isNotNull)
       .select(
         col(idCol).cast("long").as("doc_id"),
         col(nTokCol).cast("int").as("ntok"),

@@ -102,9 +102,16 @@ object Sketches {
     // clamp in the INTEGER domain: Spark's floor(double) is already a
     // long while DuckDB's floor stays double — comparing after the cast
     // keeps both engines in exact integer arithmetic
-    val bins = df
+    // null/NaN are not quantile-rankable: greatest(null,0) would drop a
+    // null into bin 0 and NaN (> every double) would clamp into the top
+    // bin — both also inflating n and skewing every estimate. Filter
+    // once; n below comes from the SAME filtered frame.
+    val clean = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val bins = clean
       .select(least(greatest(
-        floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0L)),
+        floor((col("__v") - lit(lo)) / lit(w)), lit(0L)),
         lit((nbins - 1).toLong)).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
     // nbins rows by construction → the unpartitioned running-sum window
@@ -115,7 +122,7 @@ object Sketches {
         sum(col("c")).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("bin"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(clean.agg(count(lit(1)).as("n"))))
     val aggs = ps.map { case (name, p) =>
       val t = (col("n") - 1).cast("double") * lit(p)
       val cumBefore = (col("cum") - col("c")).cast("double")

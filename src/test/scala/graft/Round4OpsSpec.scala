@@ -141,6 +141,25 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(1L), "one chain → one cluster labeled 1")
   }
 
+  test("connectedComponents: 200-hop chain converges under default maxIter (pointer jumping)") {
+    // one-hop propagation would need 199 rounds — pointer jumping needs ~log2(200)
+    val n = 200
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id1", "id2")
+    val r = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(x => x.getLong(1)).distinct
+    assert(r.toSeq == Seq(1L), "one 200-node chain → one cluster labeled 1")
+  }
+
+  test("connectedComponents: throws instead of silently splitting when maxIter too low") {
+    val n = 40
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "doc_id", pairs, maxIter = 2).collect()
+    }
+  }
+
   // ── TextOps round-4 text metrics ─────────────────────────────────────
 
   test("repetitionMetrics: all-same tokens → high dup fractions; distinct → 0") {
@@ -310,6 +329,24 @@ class Round4OpsSpec extends AnyFunSuite {
       .collect()(0).getDouble(1)
     assert(a == b, "sketch must not depend on partitioning")
     assert(math.abs(a - 499.5) <= 4.0) // w = 4
+  }
+
+  test("quantileSketch: null and NaN values are excluded from bins and n") {
+    val df = (Seq(Option.empty[Double], Some(Double.NaN)) ++
+      (1 to 100).map(i => Some(i.toDouble))).toDF("v")
+    val r = Sketches.quantileSketch(df, "v", 0.0, 128.0, 128, Seq("p50" -> 0.5))
+      .collect()(0)
+    assert(r.getLong(0) == 100L, "n must count only non-null non-NaN values")
+    assert(math.abs(r.getDouble(1) - 50.5) <= 1.0)
+  }
+
+  test("packSequences: null doc_id / ntok rows are dropped, not NPE") {
+    val df = Seq(
+      (Some(1L), Some(10)), (None, Some(10)), (Some(3L), None), (Some(4L), Some(10)))
+      .toDF("doc_id", "ntok")
+    val r = Packing.packSequences(df, "doc_id", "ntok", budget = 25, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(r.keySet == Set(1L, 4L))
   }
 
   test("bm25: docs containing query terms outrank and limit applies") {
