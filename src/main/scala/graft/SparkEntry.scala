@@ -594,7 +594,77 @@ object SparkEntry {
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
         .limit(100)
-    })
+    }),
+
+    // ── round-5 additions ───────────────────────────────────────────────
+    "q_moving_avg" -> ((s, dir) =>
+      // trailing 1-hour per-user moving average (RANGE frame on µs)
+      Events.movingAvg(t(s, dir, "events"), windowMicros = 3600000000L)),
+
+    "q_zscore" -> ((s, dir) =>
+      // per-type outliers beyond 2 population std-devs (exact moments)
+      Events.zscoreOutliers(t(s, dir, "events"), threshold = 2.0)),
+
+    "q_concurrency" -> ((s, dir) =>
+      // distributed sweep line over the sessionize output: max sessions
+      // simultaneously open, per day
+      Events.maxConcurrency(Events.sessionize(t(s, dir, "events")))),
+
+    "q_json_extract" -> ((s, dir) =>
+      // semi-structured: pull $.k out of the JSON props column, aggregate
+      // per event type — extraction is codegen'd, narrow, pushdown-safe
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("distinct_k"))),
+
+    "q_tpch_q5" -> ((s, dir) => {
+      // the 6-table join anchor: region/nation/supplier dims BROADCAST
+      // (provably bounded), facts pre-filtered before the shuffle join,
+      // revenue in exact integer units
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000)
+          .cast("long")) / 1000000.0).as("revenue"))
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS — the asymmetric lattice rollup/cube can't
+      // express: per-flag, per-status, and grand total, one Expand pass
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      // 100.0D: Spark SQL parses a bare `100.0` literal as DECIMAL(3,1),
+      // which turns the division into decimal(27,6) — the oracle's is a
+      // plain DOUBLE divide
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+              |  coalesce(l_linestatus, 'ALL') AS lstatus,
+              |  count(*) AS n,
+              |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0D AS sum_price
+              |FROM li_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    "q_sketch_grouped" -> ((s, dir) =>
+      Sketches.quantileSketchGrouped(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", lo = QSketchLo, hi = QSketchHi, nbins = QSketchBins,
+        ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -1398,6 +1468,94 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_totalprice, sum_qty
         |FROM orders JOIN qty_t ON o_orderkey = l_orderkey
         |ORDER BY sum_qty DESC, o_orderkey ASC
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    // ── round-5 additions ───────────────────────────────────────────────
+    "q_moving_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
+        |SELECT user_id, event_id, tsu,
+        |  count(*) OVER w AS n_win,
+        |  round((sum(vmic) OVER w)::BIGINT / ((count(*) OVER w) * 1000000.0), 6) AS avg_value
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(vmic)::BIGINT AS s1,
+        |    sum(vmic::HUGEINT * vmic::HUGEINT) AS s2 FROM e GROUP BY event_type),
+        |z AS (SELECT e.event_id, e.event_type, e.value,
+        |    s2::DOUBLE / n::DOUBLE
+        |      - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS vr,
+        |    (e.vmic::DOUBLE - s1::DOUBLE / n::DOUBLE)
+        |      / sqrt(s2::DOUBLE / n::DOUBLE
+        |             - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)) AS zs
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_id, event_type, value, round(zs, 6) AS zscore
+        |FROM z WHERE vr > 0 AND abs(zs) > 2.0""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        |sflag AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |cse AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM sflag),
+        |sess AS (SELECT user_id, session_seq, min(tsu) AS start_us, max(tsu) AS end_us
+        |  FROM cse GROUP BY user_id, session_seq),
+        |d AS (SELECT start_us AS t, 1 AS d FROM sess
+        |  UNION ALL SELECT end_us + 1, -1 FROM sess),
+        |g AS (SELECT t, sum(d)::BIGINT AS d FROM d GROUP BY t),
+        |r AS (SELECT t, t // 86400000000 AS day,
+        |    sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM g)
+        |SELECT day, max(conc)::BIGINT AS max_concurrency FROM r GROUP BY day""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  count(k) AS n, sum(k)::BIGINT AS sum_k, count(DISTINCT k) AS distinct_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT))
+        |    / 1000000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q_sketch_grouped" -> {
+      def estSql(p: String) = {
+        val t = s"((n - 1)::DOUBLE * $p)"
+        s"""arg_min(round($QSketchLo + $QSketchW * (bin::DOUBLE + ($t - (cum - c)::DOUBLE) / c::DOUBLE), 6),
+           |    CASE WHEN cum::DOUBLE > $t THEN bin END)""".stripMargin
+      }
+      s"""WITH b AS (SELECT l_returnflag, least(greatest(
+         |    CAST(floor((l_extendedprice::DOUBLE - $QSketchLo) / $QSketchW) AS BIGINT), 0), ${QSketchBins - 1}) AS bin
+         |  FROM lineitem),
+         |g AS (SELECT l_returnflag, bin, count(*) AS c FROM b GROUP BY l_returnflag, bin),
+         |cg AS (SELECT l_returnflag, bin, c,
+         |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM g),
+         |n_t AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n, ${estSql("0.5")} AS p50, ${estSql("0.95")} AS p95, ${estSql("0.99")} AS p99
+         |FROM cg JOIN n_t USING (l_returnflag) GROUP BY l_returnflag, n""".stripMargin
+    }
   )
 }

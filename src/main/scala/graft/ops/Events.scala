@@ -271,4 +271,97 @@ object Events {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /**
+   * Trailing moving aggregate per user: for every event, the count and
+   * average of `value` over the events in [ts − windowMicros, ts] of the
+   * same user. A RANGE frame over integral µs — the frame is defined by
+   * the TIME VALUE, not row position, so equal-timestamp peers are all
+   * included and the result is deterministic under any partitioning
+   * (no tie-break needed). One shuffle, partitioned by user — the window
+   * never sees more than one user's history per task at any scale.
+   * Value sums are integral micros (order-free exact).
+   */
+  def movingAvg(events: DataFrame, windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
+    val e = events.select(
+      col("user_id"), col("event_id"),
+      expr("ts div 1000L").as("tsu"),
+      round(col("value") * 1000000).cast("long").as("vmic"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-windowMicros, 0)
+    e.select(
+      col("user_id"), col("event_id"), col("tsu"),
+      count(lit(1)).over(w).as("n_win"),
+      round(sum(col("vmic")).over(w) /
+        (count(lit(1)).over(w) * lit(1000000.0)), 6).as("avg_value"))
+  }
+
+  /**
+   * Per-type z-score outliers: events whose `value` deviates from their
+   * event_type's mean by more than `threshold` population standard
+   * deviations. The moments are EXACT integer sums (micros for Σx,
+   * decimal(38,0) for Σx² — a long Σx² would overflow at ~10 rows of
+   * 1e3-scale values), so mean/sd are bit-identical under any
+   * partitioning or engine; the double arithmetic happens once, in a
+   * fixed operation order, after the exact sums. One aggregate over the
+   * handful of event types (broadcast back), one narrow filter pass —
+   * two scans, zero wide shuffles of the event stream itself.
+   */
+  def zscoreOutliers(events: DataFrame, threshold: Double): DataFrame = {
+    val e = events.select(
+      col("event_id"), col("event_type"), col("value"),
+      round(col("value") * 1000000).cast("long").as("vmic"))
+    val stats = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("vmic")).as("s1"),
+      sum((col("vmic").cast("decimal(19,0)") * col("vmic").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val variance = col("s2").cast("double") / col("n").cast("double") - mean * mean
+    val z = (col("vmic").cast("double") - mean) / sqrt(variance)
+    // variance > 0 guard: a constant group gives z = 0/0 = NaN, and BOTH
+    // Spark and DuckDB order NaN above every number — without the guard a
+    // zero-variance group would flag ALL its rows
+    e.join(broadcast(stats), "event_type")
+      .filter(variance > 0 && abs(z) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(z, 6).as("zscore"))
+  }
+
+  /**
+   * Maximum session concurrency per day — a DISTRIBUTED sweep line. The
+   * naive form (sort all boundaries globally, one running sum) is a
+   * single-partition window that dies at scale; this is the two-phase
+   * prefix-sum instead:
+   *
+   *   1. boundary deltas (+1 at start, −1 at end+1), NETTED per instant
+   *      (groupBy t — also removes any intra-tie ordering concern);
+   *   2. running sum WITHIN each day (window partitioned by day — scale
+   *      safe);
+   *   3. per-day totals form a #days-row frame; the carry-in offset for
+   *      each day is a running sum over THAT tiny frame (the one place a
+   *      global window is bounded and safe), broadcast-joined back.
+   *
+   * concurrency(t) = carry_in(day) + within_day_run(t). All integral.
+   */
+  def maxConcurrency(sessions: DataFrame,
+      startCol: String = "start_us", endCol: String = "end_us"): DataFrame = {
+    val deltas = sessions.select(col(startCol).as("t"), lit(1L).as("d"))
+      .union(sessions.select((col(endCol) + 1).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("d"))
+      .withColumn("day", expr("t div 86400000000L"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withinDay = deltas.withColumn("run", sum(col("d")).over(wDay))
+    val dayTotals = deltas.groupBy(col("day")).agg(sum(col("d")).as("dtot"))
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = dayTotals
+      .withColumn("off", coalesce(sum(col("dtot")).over(wDays), lit(0L)))
+      .select(col("day"), col("off"))
+    withinDay.join(broadcast(offsets), "day")
+      .groupBy(col("day"))
+      .agg(max(col("off") + col("run")).as("max_concurrency"))
+  }
 }

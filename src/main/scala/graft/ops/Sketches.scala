@@ -136,6 +136,46 @@ object Sketches {
   }
 
   /**
+   * Per-group [[quantileSketch]]: the same mergeable fixed-bin sketch,
+   * keyed. The bin aggregation shuffles (key, bin) partials (map-side
+   * combinable, ≤ nbins rows per group); the running-sum window is
+   * PARTITIONED by key — never a global sort — and the per-group n rides
+   * in on a key equi-join of a groups×1-row frame. At 100 TB with any
+   * realistic group count this is two bounded shuffles; contrast
+   * [[graft.ops.Stats.percentileExact]], which ranks every raw row.
+   */
+  def quantileSketchGrouped(df: DataFrame, keys: Seq[String], valueCol: String,
+      lo: Double, hi: Double, nbins: Int, ps: Seq[(String, Double)]): DataFrame = {
+    require(nbins >= 2 && hi > lo, s"bad sketch dims [$lo,$hi)/$nbins")
+    require(ps.nonEmpty, "at least one quantile required")
+    require(keys.nonEmpty, "use quantileSketch for the ungrouped form")
+    val w = (hi - lo) / nbins
+    val keyCols = keys.map(col)
+    val clean = df
+      .select((keyCols :+ col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val bins = clean
+      .select((keyCols :+ least(greatest(
+        floor((col("__v") - lit(lo)) / lit(w)), lit(0L)),
+        lit((nbins - 1).toLong)).as("bin")): _*)
+      .groupBy((keyCols :+ col("bin")): _*).agg(count(lit(1)).as("c"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(wk))
+      .join(clean.groupBy(keyCols: _*).agg(count(lit(1)).as("n")), keys)
+    val aggs = ps.map { case (name, p) =>
+      val t = (col("n") - 1).cast("double") * lit(p)
+      val cumBefore = (col("cum") - col("c")).cast("double")
+      val est = lit(lo) + lit(w) *
+        (col("bin").cast("double") + (t - cumBefore) / col("c").cast("double"))
+      min_by(round(est, 6), when(col("cum").cast("double") > t, col("bin"))).as(name)
+    }
+    cum.groupBy((keyCols :+ col("n")): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Point-query the CMS grid for each row of `items(termCol)`: the
    * estimate is min_j grid(j, bucket_j(term)) — always ≥ the true count
    * (counters only over-count on collisions). The grid side is d·w rows

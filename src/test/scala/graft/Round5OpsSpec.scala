@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Events, Sketches}
+
+/** Round-5 operators: moving average, z-score outliers, session
+  * concurrency sweep line, grouped quantile sketch. */
+class Round5OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Min = 60L * 1000000000L // ns per minute
+
+  test("movingAvg: RANGE frame includes exactly the trailing window, peers included") {
+    // user 1: events at 0, 30, 61 min with values 1, 2, 4; 1-hour window
+    val ev = Seq(
+      (1L, 0L * Min, 1L, "v", 1.0),
+      (2L, 30L * Min, 1L, "v", 2.0),
+      (3L, 61L * Min, 1L, "v", 4.0),
+      (4L, 61L * Min, 1L, "v", 6.0), // equal-ts peer: must be in 3's frame too
+      (5L, 0L * Min, 2L, "v", 8.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.movingAvg(ev, windowMicros = 3600000000L)
+      .collect().map(x => x.getLong(1) -> (x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((1L, 1.0)))
+    assert(r(2L) == ((2L, 1.5))) // events 1,2
+    // events at 61min: event 1 (0min) is outside the 60-min window;
+    // both equal-ts rows are RANGE peers of each other
+    assert(r(3L) == ((3L, 4.0))) // events 2,3,4 → (2+4+6)/3
+    assert(r(4L) == ((3L, 4.0)))
+    assert(r(5L) == ((1L, 8.0)))
+  }
+
+  test("movingAvg: deterministic under repartition") {
+    val ev = (1 to 500).map(i =>
+      (i.toLong, (i % 97).toLong * Min, (i % 7).toLong, "v", i * 0.37))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val a = Events.movingAvg(ev, 600L * 1000000L).orderBy("event_id").collect().toSeq
+    val b = Events.movingAvg(ev.repartition(13), 600L * 1000000L)
+      .orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("zscoreOutliers: flags only the far-out value; z is exact") {
+    // 9 values at 10.0 and one at 110.0: mean=20, sd_pop=30 → z(110)=3, z(10)=-1/3
+    val ev = ((1 to 9).map(i => (i.toLong, i.toLong * Min, 1L, "t", 10.0)) :+
+      (10L, 10L * Min, 1L, "t", 110.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.zscoreOutliers(ev, threshold = 2.0).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 10L && r(0).getDouble(2) == 110.0)
+    assert(math.abs(r(0).getDouble(3) - 3.0) < 1e-9)
+  }
+
+  test("zscoreOutliers: stats are per event_type, not global") {
+    // type a: tight around 1.0 plus one at 100; type b: all equal (sd=0 → no
+    // finite z, NaN/null comparisons are false → no rows flagged)
+    val ev = ((1 to 20).map(i => (i.toLong, i.toLong * Min, 1L, "a", 1.0)) ++
+      Seq((21L, 21L * Min, 1L, "a", 100.0)) ++
+      (22 to 30).map(i => (i.toLong, i.toLong * Min, 1L, "b", 5.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.zscoreOutliers(ev, 2.0).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(21L))
+  }
+
+  test("maxConcurrency: overlap counting with a day-boundary carry-in") {
+    val Day = 86400000000L
+    // day 0: sessions [0,100], [50,150], [60,70] → max 3 concurrent
+    // session [200, Day+100] stays open across midnight → day 1 starts at 1
+    // day 1: [Day+50, Day+60] overlaps the carried session → max 2
+    val sess = Seq(
+      (0L, 100L), (50L, 150L), (60L, 70L), (200L, Day + 100L),
+      (Day + 50L, Day + 60L)
+    ).toDF("start_us", "end_us")
+    val m = Events.maxConcurrency(sess).orderBy("day")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(m == Seq((0L, 3L), (1L, 2L)))
+  }
+
+  test("maxConcurrency: deterministic under repartition") {
+    val sess = (1 to 300).map(i => (i.toLong * 10, i.toLong * 10 + (i % 50) * 7))
+      .toDF("start_us", "end_us")
+    val a = Events.maxConcurrency(sess).orderBy("day").collect().toSeq
+    val b = Events.maxConcurrency(sess.repartition(11)).orderBy("day").collect().toSeq
+    assert(a == b)
+  }
+
+  test("quantileSketchGrouped: per-group estimates within one bin width") {
+    val df = ((1 to 1000).map(i => ("a", i.toDouble)) ++
+      (1 to 1000).map(i => ("b", 2.0 * i)))
+      .toDF("g", "v")
+    val r = Sketches.quantileSketchGrouped(df, Seq("g"), "v",
+        lo = 0.0, hi = 2048.0, nbins = 1024, ps = Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3)))
+      .toMap
+    val w = 2.0
+    assert(r("a")._1 == 1000L)
+    assert(math.abs(r("a")._2 - 500.5) <= w && math.abs(r("a")._3 - 950.05) <= w)
+    assert(math.abs(r("b")._2 - 1001.0) <= 2 * w && math.abs(r("b")._3 - 1900.1) <= 2 * w)
+  }
+
+  test("quantileSketchGrouped: partitioning-independent") {
+    val df = (1 to 997).map(i => (s"g${i % 3}", i * 1.37)).toDF("g", "v")
+    val a = Sketches.quantileSketchGrouped(df, Seq("g"), "v", 0.0, 2048.0, 256,
+      Seq("p50" -> 0.5)).orderBy("g").collect().toSeq
+    val b = Sketches.quantileSketchGrouped(df.repartition(17), Seq("g"), "v",
+      0.0, 2048.0, 256, Seq("p50" -> 0.5)).orderBy("g").collect().toSeq
+    assert(a == b)
+  }
+}
