@@ -166,9 +166,17 @@ object Dedup {
   def cleanCorpus(
       docs: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, jaccardMax: Double, k: Int = 8, bands: Int = 4): DataFrame = {
+    // the redacted/filtered corpus is consumed by THREE sub-pipelines
+    // (exact-dedup hash, the survivor joins, the shingle pipeline) —
+    // without a staging exchange each consumer re-runs the scan + both
+    // regex passes (the audited plan had 10 parquet scans). One doc_id
+    // repartition makes every consumer a ReusedExchange read: the regex
+    // work runs once. All consumers need the same (doc_id, text)
+    // columns, so column pruning cannot split the shared exchange.
     val quals = docs
       .select(col(idCol).as("doc_id"), TextOps.redact(col(textCol)).as("text"))
       .filter(TextOps.qualityScore(col("text")) >= qualityMin)
+      .repartition(col("doc_id"))
     // exact dedup keeps the smallest id per text hash. The winner set is
     // computed over (h, doc_id) PAIRS only — a hash aggregate with a
     // 16-byte shuffle row, never a corpus-text sort (an agg that carries
@@ -257,6 +265,12 @@ object Dedup {
     var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
+    // near-dup clusters are DENSE (small diameter): hop-only rounds are
+    // one shuffle each and converge in a handful. The jump step costs an
+    // extra self-join + materialization per round, so it stays off until
+    // hop-only has clearly stalled (a long-chain graph) — then it takes
+    // the remaining distance in O(log diameter).
+    val jumpAfter = 6
     while (!converged && iter < maxIter) {
       val propagated = sym
         .join(labels.withColumnRenamed("node", "src"), "src")
@@ -264,16 +278,16 @@ object Dedup {
       val hop = labels.union(propagated)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint() // reused twice by the jump self-join below
-      // pointer jump: follow the label one more step through the current
-      // labeling (lbl is itself a node id). Left join — a node whose
-      // label is already a cluster root maps to itself.
-      val next = hop
-        .join(hop.select(col("node").as("__jn"), col("lbl").as("__jl")),
-          col("lbl") === col("__jn"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("__jl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val next = (if (iter < jumpAfter) hop else {
+        // pointer jump: follow the label one more step through the
+        // current labeling (lbl is itself a node id). Left join — a node
+        // whose label is already a cluster root maps to itself.
+        val h = hop.localCheckpoint() // reused twice by the self-join
+        h.join(h.select(col("node").as("__jn"), col("lbl").as("__jl")),
+            col("lbl") === col("__jn"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("__jl"), col("lbl"))).as("lbl"))
+      }).localCheckpoint()
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

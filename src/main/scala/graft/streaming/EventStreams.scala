@@ -25,6 +25,13 @@ case class SessionState(start_us: Long, end_us: Long, n_events: Long, sum_value:
 case class ClosedSession(
     user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
 
+/** Per-user funnel progress: event-time µs of each stage reached so far
+  * (greedy-earliest, strictly increasing). */
+case class FunnelProgress(times: Seq[Long])
+
+/** A completed funnel: the user and the µs timestamp of every stage. */
+case class FunnelCompletion(user_id: Long, stage_times: Seq[Long])
+
 /**
  * Structured Streaming analytics over the event stream — the streaming
  * twins of the batch ops in [[graft.ops.Events]] (which the DuckDB oracle
@@ -134,6 +141,49 @@ object EventStreams {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /**
+   * Streaming ordered-funnel detection — the streaming twin of
+   * [[graft.ops.Events.funnel]] (greedy-earliest: each stage takes the
+   * first qualifying event strictly after the previous stage's time).
+   * Keyed state = the times of the stages reached so far (≤ one
+   * fixed-size vector per user, emitted and CLEARED on completion — the
+   * state store never grows past #active-users × #stages). Events are
+   * processed in event-time order within each micro-batch; an event
+   * arriving across batches out of order past the watermark may be
+   * missed, the same ingest-time trade documented on [[dedupStream]].
+   */
+  def funnelStream(events: DataFrame, stages: Seq[String])(
+      implicit spark: SparkSession): Dataset[FunnelCompletion] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "at least one funnel stage required")
+    val typed = withEventTime(events)
+      .withWatermark("event_time", "30 minutes")
+      .as[TimedEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelCompletion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[TimedEvent], state: GroupState[FunnelProgress]) =>
+          val sorted = batch.toSeq.map(e => e.copy(ts = e.ts / 1000))
+            .sortBy(e => (e.ts, e.event_id))
+          // a full-length vector is the COMPLETED marker: the batch twin
+          // emits exactly one completion per user, so later events must
+          // not restart the funnel
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[FunnelCompletion]
+          sorted.foreach { e =>
+            if (times.length < stages.length &&
+                e.event_type == stages(times.length) &&
+                (times.isEmpty || e.ts > times.last)) {
+              times = times :+ e.ts
+              if (times.length == stages.length) out += FunnelCompletion(userId, times)
+            }
+          }
+          if (times.nonEmpty) state.update(FunnelProgress(times)) else state.remove()
+          out.result().iterator
       }
   }
 }

@@ -142,6 +142,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.map(_._2).sum == events.size)
   }
 
+  test("streaming funnel agrees with the batch funnel (view -> click -> view)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // user 7 completes view(t0) -> click(t10) -> view(t50) across TWO
+    // micro-batches; user 8 never passes stage 1; equal-ts click for
+    // user 7 at t0 must NOT satisfy the strict > constraint
+    val funEvents = Seq(
+      StreamEvent(1L, Base + 0L * MinNs, 7L, "view", 1.0),
+      StreamEvent(2L, Base + 0L * MinNs, 7L, "click", 1.0),
+      StreamEvent(3L, Base + 10L * MinNs, 7L, "click", 1.0),
+      StreamEvent(4L, Base + 5L * MinNs, 8L, "view", 1.0))
+    val batch2 = Seq(
+      StreamEvent(5L, Base + 50L * MinNs, 7L, "view", 1.0),
+      StreamEvent(6L, Base + 60L * MinNs, 8L, "purchase", 1.0))
+    val stages = Seq("view", "click", "view")
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.funnelStream(in.toDF(), stages)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      in.addData(funEvents)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+
+      val streamed = s.sql("SELECT user_id, stage_times FROM funnel_out")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+
+      val batch = Events.funnel(
+        (funEvents ++ batch2).toDF()
+          .withColumn("tsu", org.apache.spark.sql.functions.expr("ts div 1000L")),
+        "user_id", "tsu", "event_type", stages)
+        .collect().map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3)))).toSet
+
+      assert(streamed == batch)
+      assert(streamed.size == 1 && streamed.head._1 == 7L)
+    } finally q.stop()
+  }
+
   test("streaming windowed aggs count correctly under watermark") {
     implicit val s = spark
     import s.implicits._
