@@ -664,7 +664,28 @@ object SparkEntry {
     "q_sketch_grouped" -> ((s, dir) =>
       Sketches.quantileSketchGrouped(t(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_extendedprice", lo = QSketchLo, hi = QSketchHi, nbins = QSketchBins,
-        ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)))
+        ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))),
+
+    "q_jaccard_est" -> ((s, dir) => {
+      // sketch-accuracy audit: the MinHash-ESTIMATED Jaccard (matching
+      // signature components / k) next to the exact shingle Jaccard for
+      // every candidate pair — the shingle exchange is shared by the
+      // signature, banding, and both exact-verify sides
+      val sh = Dedup.shingleSets(docs(s, dir), "doc_id", "text")
+      val sigs = sh.select(col("doc_id"),
+        TextOps.minhashSignature(col("sh"), MinhashK).as("sig"))
+      val pairs = Dedup.candidatePairsFromShingles(sh, MinhashK, MinhashBands)
+      val exact = Dedup.jaccardVerifyFromShingles(sh, pairs)
+      val matches = aggregate(
+        zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+      val est = pairs
+        .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+        .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(matches.cast("double") / lit(MinhashK.toDouble), 6).as("est_jaccard"))
+      exact.join(est, Seq("id1", "id2"))
+    })
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -1556,6 +1577,20 @@ object SparkEntry {
          |n_t AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, n, ${estSql("0.5")} AS p50, ${estSql("0.95")} AS p95, ${estSql("0.99")} AS p99
          |FROM cg JOIN n_t USING (l_returnflag) GROUP BY l_returnflag, n""".stripMargin
-    }
+    },
+
+    "q_jaccard_est" ->
+      s"""$PairsCte,
+         |dsh_t AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t),
+         |ex AS (SELECT p.id1, p.id2,
+         |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
+         |        (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) AS jaccard
+         |  FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id),
+         |est AS (SELECT p.id1, p.id2,
+         |  round(list_sum(list_transform(range(1, 9),
+         |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 8.0, 6) AS est_jaccard
+         |  FROM pairs_t p JOIN sig_t a ON p.id1 = a.doc_id JOIN sig_t b ON p.id2 = b.doc_id)
+         |SELECT ex.id1, ex.id2, ex.jaccard, est.est_jaccard
+         |FROM ex JOIN est ON ex.id1 = est.id1 AND ex.id2 = est.id2""".stripMargin
   )
 }
