@@ -580,6 +580,24 @@ object SparkEntry {
           round(GraftFunctions.kmv_distinct(col("l_partkey"), 128), 6).as("est_distinct"),
           countDistinct(col("l_partkey")).as("exact_distinct"))),
 
+    "q_hll_distinct" -> ((s, dir) =>
+      // deterministic HyperLogLog (md5, 256 byte registers): O(m) state
+      // and shuffle bytes vs countDistinct's full distinct-set shuffle;
+      // exact count alongside for the accuracy audit
+      t(s, dir, "lineitem")
+        .agg(
+          round(GraftFunctions.hll_distinct(col("l_partkey"), 8), 2).as("est_distinct"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))),
+
+    "q_hll_grouped" -> ((s, dir) =>
+      // the grouped form — one 256-byte register bank per group per map
+      // task, merged by element-wise max
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(GraftFunctions.hll_distinct(col("l_partkey"), 8), 2).as("est_distinct"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))),
+
     "q_big_orders" -> ((s, dir) => {
       // TPC-H Q18 shape: the fact aggregates FIRST (map-side combinable,
       // integer-cents), the selective HAVING prunes before the join, and
@@ -1307,6 +1325,54 @@ object SparkEntry {
          |ex AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
          |SELECT agg.sample_k, agg.kth_hash, agg.est_distinct, ex.exact_distinct
          |FROM agg CROSS JOIN ex""".stripMargin,
+
+    // HLL replay: same md5 slices, same integer-domain register sum
+    // S = Σ 2^(33−M[j]), same op order α·m·m·2^33/S, same linear-counting
+    // branch — bit-for-bit the aggregate's estimate
+    "q_hll_distinct" ->
+      s"""WITH vals AS (SELECT DISTINCT l_partkey::VARCHAR AS v FROM lineitem),
+         |h AS (SELECT ${hexToLong("md5(v)", 1, 8)} % 256 AS bucket,
+         |  ${hexToLong("md5(v)", 9, 8)} AS h2 FROM vals),
+         |regs AS (SELECT bucket,
+         |  max(CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END) AS mr
+         |  FROM h GROUP BY bucket),
+         |fl AS (SELECT coalesce(regs.mr, 0) AS mr
+         |  FROM (SELECT unnest(range(0, 256)) AS b) t
+         |  LEFT JOIN regs ON t.b = regs.bucket),
+         |agg AS (SELECT sum((1::BIGINT << (33 - mr)))::BIGINT AS s,
+         |  sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END)::BIGINT AS v FROM fl),
+         |ex AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+         |SELECT round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |      * 8589934592.0 / s::DOUBLE <= 640.0 AND v > 0
+         |    THEN 256.0 * ln(256.0 / v::DOUBLE)
+         |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |      * 8589934592.0 / s::DOUBLE END, 2) AS est_distinct,
+         |  ex.exact_distinct
+         |FROM agg CROSS JOIN ex""".stripMargin,
+
+    "q_hll_grouped" ->
+      s"""WITH vals AS (SELECT DISTINCT l_returnflag AS g, l_partkey::VARCHAR AS v FROM lineitem),
+         |h AS (SELECT g, ${hexToLong("md5(v)", 1, 8)} % 256 AS bucket,
+         |  ${hexToLong("md5(v)", 9, 8)} AS h2 FROM vals),
+         |regs AS (SELECT g, bucket,
+         |  max(CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END) AS mr
+         |  FROM h GROUP BY g, bucket),
+         |fl AS (SELECT gs.g AS g, coalesce(regs.mr, 0) AS mr
+         |  FROM (SELECT DISTINCT l_returnflag AS g FROM lineitem) gs
+         |  CROSS JOIN (SELECT unnest(range(0, 256)) AS b) t
+         |  LEFT JOIN regs ON t.b = regs.bucket AND gs.g = regs.g),
+         |agg AS (SELECT g, sum((1::BIGINT << (33 - mr)))::BIGINT AS s,
+         |  sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END)::BIGINT AS v FROM fl GROUP BY g),
+         |ex AS (SELECT l_returnflag AS g, count(DISTINCT l_partkey) AS exact_distinct
+         |  FROM lineitem GROUP BY 1)
+         |SELECT agg.g AS l_returnflag,
+         |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |      * 8589934592.0 / s::DOUBLE <= 640.0 AND v > 0
+         |    THEN 256.0 * ln(256.0 / v::DOUBLE)
+         |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |      * 8589934592.0 / s::DOUBLE END, 2) AS est_distinct,
+         |  ex.exact_distinct
+         |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin,
 
     "q_cms_topk" -> {
       def bucket(jExpr: String) =

@@ -60,6 +60,12 @@ object GraftFunctions {
   def topk_by(id: Column, score: Column, k: Int): Column =
     agg(TopKBy(ex(id), ex(score), k))
 
+  /** Deterministic (md5-based) HyperLogLog distinct estimate with 2^b
+    * byte registers — engine-replayable `approx_count_distinct` (see
+    * [[graft.functions.HllSketchAgg]]). */
+  def hll_distinct(c: Column, b: Int): Column =
+    agg(HllSketchAgg(Cast(ex(c), org.apache.spark.sql.types.StringType), b))
+
   /** Value of `x` at the max of `y` (Spark built-in; ties arbitrary). */
   def max_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.max_by(x, y)
 
@@ -134,6 +140,15 @@ object GraftFunctions {
       case other =>
         throw new IllegalArgumentException(
           s"graft_topk requires (id, score, k-literal), got ${other.size} args")
+    })
+    // graft_hll(x, b) — b must be a foldable integer literal
+    ColumnBridge.registerFunction(spark, "graft_hll", {
+      case Seq(x, bExpr) if bExpr.foldable =>
+        HllSketchAgg(Cast(x, org.apache.spark.sql.types.StringType),
+          bExpr.eval().asInstanceOf[Number].intValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_hll requires (value, b-literal), got ${other.size} args")
     })
     registerTextFunctions(spark)
   }

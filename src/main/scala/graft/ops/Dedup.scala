@@ -342,4 +342,40 @@ object Dedup {
       col("id1"), col("id2"),
       round(inter / union, 6).as("jaccard"))
   }
+
+  /**
+   * Edit-distance fuzzy near-dup pairs — the record-linkage shape for
+   * short keys (titles, names, product codes): normalized prefixes,
+   * classic prefix BLOCKING (candidates must share the first `blockLen`
+   * normalized chars), then exact Levenshtein ≤ maxDist on candidates
+   * only. A direct all-pairs levenshtein is O(n²·len²); blocking keys
+   * are md5-uniform-ish short strings that hash-partition evenly, so
+   * each block's pair loop is local and bounded, and both self-join
+   * sides reuse ONE exchange on the block key (same idiom as
+   * [[candidatePairsFromShingles]]).
+   *
+   * Levenshtein runs on the CHARACTERS of the normalized prefix. The
+   * normalization ([a-z0-9 ] only) also makes the DuckDB replay exact:
+   * DuckDB's levenshtein counts BYTES, which agrees with Spark's
+   * character count on ASCII — don't widen the charset without
+   * revisiting the oracle.
+   */
+  def fuzzyPairs(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 40, blockLen: Int = 8, maxDist: Int = 5): DataFrame = {
+    require(blockLen >= 1 && prefixLen > blockLen, s"bad prefix/block $prefixLen/$blockLen")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val norm = regexp_replace(
+      regexp_replace(trim(lower(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+", " ")
+    val keyed = docs
+      .select(col(idCol).as("doc_id"), substring(norm, 1, prefixLen).as("pfx"))
+      .withColumn("blk", substring(col("pfx"), 1, blockLen))
+      .repartition(col("blk"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
 }

@@ -109,4 +109,43 @@ class Round5OpsSpec extends AnyFunSuite {
       0.0, 2048.0, 256, Seq("p50" -> 0.5)).orderBy("g").collect().toSeq
     assert(a == b)
   }
+
+  // ── HllSketchAgg ─────────────────────────────────────────────────────
+
+  test("hll_distinct: within ~3σ of truth; partitioning-independent; nulls ignored") {
+    val df = (1 to 20000).map(i => s"v${i % 5000}").toDF("x")
+    val est = df.agg(graft.functions.GraftFunctions.hll_distinct($"x", 8).as("e"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 3 * 1.04 / math.sqrt(256.0), s"est=$est")
+    val est2 = df.repartition(13)
+      .agg(graft.functions.GraftFunctions.hll_distinct($"x", 8)).collect()(0).getDouble(0)
+    assert(est == est2) // merge of register banks is order-free (max)
+    val withNulls = df.union(Seq.fill(100)(null.asInstanceOf[String]).toDF("x"))
+    val est3 = withNulls.agg(
+      graft.functions.GraftFunctions.hll_distinct($"x", 8)).collect()(0).getDouble(0)
+    assert(est == est3)
+  }
+
+  test("hll_distinct: linear-counting branch at low cardinality is near-exact") {
+    val df = (1 to 50).map(i => s"k$i").toDF("x")
+    val est = df.agg(graft.functions.GraftFunctions.hll_distinct($"x", 8))
+      .collect()(0).getDouble(0)
+    // n << m: V > 0 and E ≤ 2.5m → m·ln(m/V), tight at this range
+    assert(math.abs(est - 50.0) < 5.0, s"est=$est")
+  }
+
+  test("graft_hll SQL function registered, grouped, matches Column API") {
+    val s = spark
+    graft.functions.GraftFunctions.registerAll(s)
+    val df = (1 to 9000).map(i => (s"g${i % 3}", s"v${i % 600}")).toDF("g", "x")
+    df.createOrReplaceTempView("hll_in")
+    val viaSql = s.sql(
+      "SELECT g, graft_hll(x, 8) AS e FROM hll_in GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val viaCol = df.groupBy($"g")
+      .agg(graft.functions.GraftFunctions.hll_distinct($"x", 8).as("e"))
+      .orderBy($"g").collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(viaSql == viaCol)
+    viaSql.foreach { case (_, e) => assert(math.abs(e - 200.0) / 200.0 < 0.2) }
+  }
 }
