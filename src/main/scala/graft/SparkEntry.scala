@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -627,6 +628,66 @@ object SparkEntry {
       // distributed sweep line over the sessionize output: max sessions
       // simultaneously open, per day
       Events.maxConcurrency(Events.sessionize(t(s, dir, "events")))),
+
+    "q_transitions" -> ((s, dir) =>
+      // first-order Markov matrix over per-user event sequences
+      Events.transitions(t(s, dir, "events"))),
+
+    "q_twa" -> ((s, dir) =>
+      // step-function time-weighted mean per user (gauge semantics)
+      Events.timeWeightedAvg(t(s, dir, "events"))),
+
+    "q_rolling_active" -> ((s, dir) =>
+      // DAU + trailing-7-day WAU, exact, via explode instead of self-join
+      Events.rollingDistinctUsers(t(s, dir, "events"), windowDays = 7)),
+
+    "q_latest_value" -> ((s, dir) => {
+      // CDC latest-record-wins merge shape: the current value per
+      // (user, type) key — deterministic (ts, event_id) recency order,
+      // one keyed window shuffle, WindowGroupLimit prunes per-partition
+      val e = t(s, dir, "events").select(
+        col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000L").as("tsu"),
+        round(col("value"), 6).as("value"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("tsu").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("tsu"),
+          col("event_id"), col("value"))
+    }),
+
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      // edit-distance near-dup pairs: prefix blocking + exact
+      // Levenshtein <= 5 on normalized 40-char prefixes
+      Dedup.fuzzyPairs(docs(s, dir), "doc_id", "text",
+        prefixLen = 40, blockLen = 8, maxDist = 5)),
+
+    "q_pivot" -> ((s, dir) =>
+      // pivot = grouped conditional aggregation (one pass, no join):
+      // order counts by priority × status; explicit value list keeps the
+      // plan static (no distinct-scan planning step at 100 TB)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
+    "q_window_rank" -> ((s, dir) => {
+      // ranking-function anchor: ntile / percent_rank / lag share ONE
+      // window sort per partition key; deterministic tie-break on key
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+    }),
 
     "q_json_extract" -> ((s, dir) =>
       // semi-structured: pull $.k out of the JSON props column, aggregate
@@ -1595,6 +1656,70 @@ object SparkEntry {
         |r AS (SELECT t, t // 86400000000 AS day,
         |    sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM g)
         |SELECT day, max(conc)::BIGINT AS max_concurrency FROM r GROUP BY day""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |p AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS dst
+        |  FROM e),
+        |c AS (SELECT src, dst, count(*) AS cnt FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, cnt,
+        |  round(cnt / (sum(cnt) OVER (PARTITION BY src)), 6) AS p
+        |FROM c""".stripMargin,
+
+    "q_twa" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+        |seg AS (SELECT user_id, vmic,
+        |    lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu AS dur
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_segments,
+        |  round(sum(vmic::HUGEINT * dur::HUGEINT)::DOUBLE
+        |    / (sum(dur)::DOUBLE * 1000000.0), 6) AS twa_value
+        |FROM seg WHERE dur IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |ex AS (SELECT ud.day + t.j AS day, user_id, t.j AS off
+        |  FROM ud, unnest(range(0, 7)) AS t(j))
+        |SELECT ex.day AS day,
+        |  count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+        |  count(DISTINCT user_id) AS wau
+        |FROM ex JOIN days ON ex.day = days.day
+        |GROUP BY ex.day""".stripMargin,
+
+    "q_latest_value" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+        |    round(value, 6) AS value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tsu DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_type, tsu, event_id, value FROM r WHERE rn = 1""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH n_t AS (SELECT doc_id,
+        |  substr(regexp_replace(regexp_replace(trim(lower(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'), 1, 40) AS pfx
+        |  FROM documents),
+        |k AS (SELECT doc_id, pfx, substr(pfx, 1, 8) AS blk FROM n_t)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  levenshtein(a.pfx, b.pfx) AS edit_dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 5""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  lag(o_totalprice) OVER w AS prev_price
+        |FROM orders WHERE o_totalprice > 450000.0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,

@@ -381,4 +381,84 @@ object Events {
       .groupBy(col("day"))
       .agg(max(col("off") + col("run")).as("max_concurrency"))
   }
+
+  /**
+   * First-order Markov transition matrix over per-user event sequences:
+   * P(next = dst | cur = src) = c(src→dst) / Σ_dst c(src→dst).
+   * One user-partitioned window (the lead), one combinable count
+   * aggregation; the per-source normalization runs on the |types|² count
+   * frame — bounded regardless of event volume, so its window is free.
+   * Ordering is (µs, event_id): deterministic, and identical to the
+   * oracle's because both engines see µs timestamps.
+   */
+  def transitions(events: DataFrame): DataFrame = {
+    val e = events.select(
+      col("user_id"), col("event_type"), expr("ts div 1000L").as("tsu"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val pairs = e
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy(col("src"))
+    pairs.select(
+      col("src"), col("dst"), col("cnt"),
+      round(col("cnt") / sum(col("cnt")).over(wSrc), 6).as("p"))
+  }
+
+  /**
+   * Per-user time-weighted average of `value`: each reading holds until
+   * the next one, so the weight is the µs gap to the successor
+   * (step-function integral / observation span — the right mean for
+   * irregularly-sampled gauges, where the plain mean over-weights bursts).
+   * Integral arithmetic end-to-end: micro-scaled values × µs durations
+   * summed in decimal(38,0) (a long would overflow at vmic·dur ≈ 1e8·1e11),
+   * ONE double division at the end — exact and order-free under any
+   * partitioning. Single user-partitioned window shuffle; users with one
+   * event (span 0) are excluded.
+   */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val e = events.select(
+      col("user_id"), expr("ts div 1000L").as("tsu"), col("event_id"),
+      round(col("value") * 1000000).cast("long").as("vmic"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    e.select(
+        col("user_id"), col("tsu"), col("vmic"),
+        (lead(col("tsu"), 1).over(w) - col("tsu")).as("dur"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        round(
+          // cast BEFORE the product: vmic (~1e9 for 1e3-scale values) ×
+          // µs gaps (~1e11) exceeds a long; decimal(38,0)×long is exact
+          sum(col("vmic").cast("decimal(38,0)") * col("dur")).cast("double") /
+            (sum(col("dur")).cast("double") * 1000000.0), 6).as("twa_value"))
+  }
+
+  /**
+   * Daily + trailing-window distinct users (DAU / WAU): each (user, day)
+   * activity row contributes to `windowDays` trailing target days, so a
+   * single explode(0..w−1) + one distinct-aggregate shuffle computes every
+   * day's rolling distinct EXACTLY — no per-day self-join, no O(days²)
+   * range join. Shuffle volume is w × |user-days| (after an exact
+   * per-day dedup that combines map-side), not w × |events|. Target days
+   * with no activity of their own are dropped (join back to real days —
+   * a bounded frame AQE broadcasts).
+   */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events
+      .select(expr("ts div 86400000000000L").as("day"), col("user_id"))
+      .distinct()
+    val days = userDays.select(col("day")).distinct()
+    userDays
+      .select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select((col("day") + col("off")).as("day"), col("user_id"), col("off"))
+      .join(days, "day")
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+  }
 }

@@ -110,6 +110,63 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ── transitions / time-weighted average / rolling distinct ──────────
+
+  test("transitions: per-user ordered pairs, per-source normalization") {
+    val ev = Seq(
+      (1L, 1L * Min, 1L, "A", 0.0), (2L, 2L * Min, 1L, "B", 0.0),
+      (3L, 3L * Min, 1L, "A", 0.0),
+      (4L, 1L * Min, 2L, "B", 0.0), (5L, 2L * Min, 2L, "B", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.transitions(ev).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r(("A", "B")) == ((1L, 1.0)))
+    assert(r(("B", "A")) == ((1L, 0.5)))
+    assert(r(("B", "B")) == ((1L, 0.5)))
+    assert(r.size == 3) // no cross-user pair (u1's A ↛ u2's B)
+  }
+
+  test("timeWeightedAvg: step-function integral over observation span") {
+    val S = 1000000000L // ns per second
+    val ev = Seq(
+      (1L, 0L * S, 1L, "v", 1.0), (2L, 10L * S, 1L, "v", 3.0),
+      (3L, 30L * S, 1L, "v", 5.0), // last reading carries no weight
+      (4L, 0L * S, 2L, "v", 9.0) // single event: span 0 → excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.timeWeightedAvg(ev).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // (1.0·10s + 3.0·20s) / 30s = 70/30
+    assert(r(1L) == ((2L, 2.333333)))
+    assert(!r.contains(2L))
+  }
+
+  test("rollingDistinctUsers: exact trailing-window distinct, only real days") {
+    val D = 86400L * 1000000000L // ns per day
+    val ev = Seq(
+      (1L, 0L * D, 10L, "a", 0.0), (2L, 0L * D + 5, 10L, "a", 0.0),
+      (3L, 1L * D, 20L, "a", 0.0), (4L, 8L * D, 10L, "a", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.rollingDistinctUsers(ev, windowDays = 7).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == ((1L, 1L)))
+    assert(r(1L) == ((1L, 2L))) // u10 (day 0) still in the 7-day window
+    assert(r(8L) == ((1L, 1L))) // day-1 activity aged out (window is 7 days)
+    assert(r.size == 3) // days 2..7 have no activity of their own → dropped
+  }
+
+  test("fuzzyPairs: blocked Levenshtein finds near pairs, skips far ones") {
+    val docs = Seq(
+      (1L, "Hello world, this is a test!"),
+      (2L, "hello world this is a text"),
+      (3L, "completely different content here")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.fuzzyPairs(docs, "doc_id", "text",
+      prefixLen = 40, blockLen = 8, maxDist = 5).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 2L)
+    assert(r(0).getInt(2) == 1) // normalized prefixes differ only "test"→"text"
+  }
+
   // ── HllSketchAgg ─────────────────────────────────────────────────────
 
   test("hll_distinct: within ~3σ of truth; partitioning-independent; nulls ignored") {
