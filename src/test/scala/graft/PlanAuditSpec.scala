@@ -36,6 +36,17 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("Partial"), plan)
   }
 
+  test("q_embed_neardup / q_semantic_dedup: no all-pairs corpus join in the plan") {
+    for (q <- Seq("q_embed_neardup", "q_semantic_dedup")) {
+      val plan = planOf(q)
+      // the old scale-killer was a theta self-join (id1 < id2) planned as
+      // a nested-loop over corpus × corpus; the banded form needs only
+      // equi-joins (band_key buckets + id-keyed candidate verify)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+  }
+
   test("q_langid: documents scan prunes to doc_id + text") {
     val plan = planOf("q_langid")
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -128,6 +128,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall.sum / recall.size >= 0.8, s"mean recall ${recall.sum / recall.size}")
   }
 
+  test("nearDupPairsLsh: recall ≥ 0.9 vs the all-pairs truth, precision 1.0") {
+    val emb = Similarity.prepared(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding")
+    val truth = Similarity.nearDupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Similarity.nearDupPairsLsh(emb, 0.4, 64, 4, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every banded pair is a true pair with the identical exact cosine
+    banded.foreach { case (ids, cos) =>
+      assert(truth.get(ids).contains(cos), s"false positive or cos drift at $ids")
+    }
+    val recall = banded.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (${banded.size}/${truth.size})")
+  }
+
+  test("srpCandidatePairs: duplicate vectors always collide; disjoint non-candidates possible") {
+    val c = Similarity.prepared(
+      Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+        (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val pairs = Similarity.srpCandidatePairs(c, 16, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical signature → all 4 bands agree
+    assert(!pairs.contains((0L, 2L))) // negated vector flips every sign bit
+  }
+
   test("annLsh finds the duplicate as nearest same-bucket neighbor") {
     val c = Similarity.prepared(
       Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
