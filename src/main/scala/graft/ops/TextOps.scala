@@ -391,12 +391,24 @@ object TextOps {
    * rows by construction → broadcast explicitly (safe at any corpus size,
    * unlike a frontier-shaped frame). The rate is a rational of two ints —
    * exact in every engine.
+   *
+   * The exploded (doc_id, token) stream feeds BOTH the vocab branch and
+   * the per-doc join; without a staging exchange each consumer re-runs
+   * the scan + regex tokenize + explode (the cleanCorpus disease). One
+   * token repartition makes the second consumer a ReusedExchange read —
+   * tokenize runs once — and doubles as the vocab groupBy's own
+   * partitioning, so it costs no extra shuffle at all. The vocab count
+   * is count(doc_id) — identical to count(*) since doc_id is never
+   * null — so BOTH consumers need the same (doc_id, token) columns and
+   * column pruning cannot split the shared exchange (the cleanCorpus
+   * rule).
    */
   def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .repartition(col("token"))
     val vocab = toks
-      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token")).agg(count(col("doc_id")).as("c"))
       .orderBy(col("c").desc, col("token").asc)
       .limit(vocabSize)
       .select(col("token"), lit(1).as("iv"))

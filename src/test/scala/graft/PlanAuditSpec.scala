@@ -47,6 +47,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_oov_rate: corpus tokenized once — second consumer reads the reused exchange") {
+    // AQE applies exchange reuse at stage materialization, not in the
+    // initial plan — execute first, then audit the final adaptive plan
+    val df = SparkEntry.queries("q_oov_rate")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut < 0) plan else plan.substring(0, cut)
+    assert(finalPlan.contains("ReusedExchange"), plan)
+    // one scan + one explode: the vocab branch and the per-doc branch
+    // share the staged (doc_id, token) stream instead of re-tokenizing
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1, plan)
+    assert("Generate explode".r.findAllIn(finalPlan).size == 1, plan)
+  }
+
   test("q_langid: documents scan prunes to doc_id + text") {
     val plan = planOf("q_langid")
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
