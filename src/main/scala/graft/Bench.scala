@@ -11,11 +11,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces every output column to be computed — count()
       // would let the optimizer prune the very expressions being measured.
-      // min of 2 runs: steady-state throughput (planning + janino compile
-      // are one-time costs that amortize over a real workload).
+      // best of 3 runs: a single-run bench swung individual queries 6-8×
+      // on UNCHANGED code (r5→r6), far above the 2× regression gate —
+      // min-of-3 is the steady-state figure (planning + janino compile
+      // are one-time costs that amortize over a real workload), and the
+      // per-query spread is reported so noise is visible, not inferred.
       // A failed run records the -1 sentinel (NOT the time-to-exception,
       // which would let a broken query pose as a fast one).
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -27,29 +30,42 @@ object Bench {
         }
       }
       val ok = times.filter(_ >= 0)
-      name -> (if (ok.nonEmpty) ok.min else -1.0)
+      val best = if (ok.nonEmpty) ok.min else -1.0
+      // relative repeat-run spread: (max-min)/min over the successful runs
+      val spread = if (ok.size > 1 && best > 0) (ok.max - best) / best else 0.0
+      (name, best, spread)
     }
     // The driver captures only the LAST ~2 KB of stdout; round 4's line
     // (78 queries at full double precision) overflowed that buffer and the
-    // driver recorded parsed:null. Keep the stdout line parseable forever:
-    // 3-decimal times, and if the full map still exceeds the budget keep
-    // only the slowest queries (the interesting ones) plus an omitted
-    // count. The complete map goes to stderr for local tuning.
+    // driver recorded parsed:null. The full 94-query map fits only
+    // compacted: map keys drop the uniform "q_" prefix (declared in
+    // key_prefix), times at 2 decimals, sf as the bare directory name.
+    // If a grown suite overflows anyway, the shrink loop drops the
+    // fastest queries last-resort (the complete map always goes to
+    // stderr for local tuning).
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def line(rs: Seq[(String, Double)], omitted: Int): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    def line(rs: Seq[(String, Double, Double)], omitted: Int): String = {
+      val qs = rs.map { case (k, v, _) => "\"" + k.stripPrefix("q_") + "\":" + f2(v) }
         .mkString("{", ",", "}")
-      val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+      val failed = results.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
         .mkString("[", ",", "]")
       val ok = results.map(_._2).filter(_ >= 0)
       val total = ok.sum
-      // n_queries/mean: the suite GROWS round over round (42 -> 85), so
+      // n_queries/mean: the suite GROWS round over round (42 -> 94), so
       // the per-query mean is the comparable figure across rounds
       val mean = if (ok.nonEmpty) total / ok.size else -1.0
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"mean":${f3(mean)},"queries":$qs,"queries_omitted":$omitted,"failed":$failed,"sf":"$sfDir"}"""
+      // p90 of per-query relative spread over 3 runs: how much a single
+      // timing can be trusted (0.18 ⇒ repeat runs within 18% for 90% of
+      // queries; anything beyond is machine noise, not regression)
+      val spreads = results.collect { case (_, v, s) if v >= 0 => s }.sorted
+      val p90 = if (spreads.isEmpty) 0.0
+        else spreads(((spreads.size - 1) * 9) / 10)
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"mean":${f3(mean)},"runs":3,"spread_p90":${f2(p90)},"key_prefix":"q_","queries":$qs,"queries_omitted":$omitted,"failed":$failed,"sf":"$sfName"}"""
     }
     System.err.println("[bench-full] " + line(results, 0))
-    val budget = 1600
+    val budget = 1980
     var keep = results.size
     val bySlowest = results.sortBy(-_._2)
     var out = line(results, 0)
