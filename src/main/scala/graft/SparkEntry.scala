@@ -1676,8 +1676,13 @@ object SparkEntry {
         |d AS (SELECT start_us AS t, 1 AS d FROM sess
         |  UNION ALL SELECT end_us + 1, -1 FROM sess),
         |g AS (SELECT t, sum(d)::BIGINT AS d FROM d GROUP BY t),
+        |rng AS (SELECT min(t // 86400000000) AS d0, max(t // 86400000000) AS d1 FROM g),
+        |z AS (SELECT u.day * 86400000000 AS t, 0::BIGINT AS d
+        |  FROM rng, unnest(generate_series(d0, d1)) AS u(day)),
+        |a AS (SELECT t, sum(d)::BIGINT AS d
+        |  FROM (SELECT * FROM g UNION ALL SELECT * FROM z) GROUP BY t),
         |r AS (SELECT t, t // 86400000000 AS day,
-        |    sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM g)
+        |    sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM a)
         |SELECT day, max(conc)::BIGINT AS max_concurrency FROM r GROUP BY day""".stripMargin,
 
     "q_transitions" ->

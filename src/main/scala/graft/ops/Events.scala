@@ -338,12 +338,23 @@ object Events {
    *   1. boundary deltas (+1 at start, −1 at end+1), NETTED per instant
    *      (groupBy t — also removes any intra-tie ordering concern);
    *   2. running sum WITHIN each day (window partitioned by day — scale
-   *      safe);
-   *   3. per-day totals form a #days-row frame; the carry-in offset for
-   *      each day is a running sum over THAT tiny frame (the one place a
-   *      global window is bounded and safe), broadcast-joined back.
+   *      safe), folded to per-day (max run, day total, first instant) by
+   *      a SHUFFLE-FREE groupBy — the frame is already day-partitioned;
+   *   3. everything else happens on the tiny #days-row frame: the
+   *      carry-in offset is a running sum over preceding day totals (the
+   *      one place a global window is bounded and safe).
    *
-   * concurrency(t) = carry_in(day) + within_day_run(t). All integral.
+   * concurrency(t) = carry_in(day) + within_day_run(t) — all integral —
+   * with two day-boundary cases the in-day maximum alone would miss:
+   *
+   *   - a day whose first boundary lies after the day start spends
+   *     [day_start, first_t) at the carry-in plateau — `off` itself is a
+   *     max candidate (a day opening on a session END would otherwise
+   *     under-report);
+   *   - a day fully spanned by open sessions has no boundary rows at
+   *     all — such days are densified from the per-day frame via
+   *     lead(day) gaps (never touching the big frame twice) and report
+   *     the plateau.
    */
   def maxConcurrency(sessions: DataFrame,
       startCol: String = "start_us", endCol: String = "end_us"): DataFrame = {
@@ -361,25 +372,31 @@ object Events {
     val wDay = Window.partitionBy(col("day")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withinDay = deltas.withColumn("run", sum(col("d")).over(wDay))
-    // the day's total delta is its running sum at the day's LAST instant —
-    // deriving it from withinDay (max_by over unique t) lets the per-day
-    // frame and the join side share the same day-keyed exchange instead
-    // of re-evaluating the delta pipeline
-    val dayTotals = withinDay.groupBy(col("day"))
-      .agg(max_by(col("run"), col("t")).as("dtot"))
-    val wDays = Window.orderBy(col("day"))
+    // per-day fold: in-day max, day total (run at the day's LAST instant)
+    // and first boundary instant — combinable aggregates over the
+    // day-partitioned window output, so no additional exchange
+    val perDay = withinDay.groupBy(col("day")).agg(
+      max(col("run")).as("mrun"),
+      max_by(col("run"), col("t")).as("dtot"),
+      min(col("t")).as("first_t"))
+    // densify [day, next_day) from each boundary day — generated rows
+    // beyond the first are the fully-spanned days (no boundaries)
+    val dense = perDay
+      .withColumn("next_day", lead(col("day"), 1).over(Window.orderBy(col("day"))))
+      .select(col("day").as("bday"), col("mrun"), col("dtot"), col("first_t"),
+        explode(sequence(col("day"),
+          coalesce(col("next_day") - 1, col("day")))).as("day"))
+    val wOff = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = dayTotals
-      .withColumn("off", coalesce(sum(col("dtot")).over(wDays), lit(0L)))
-      .select(col("day"), col("off"))
-    // LEFT join on purpose: an inner join would infer an IsNotNull(day)
-    // filter into the stream branch only, making the two day-exchange
-    // subtrees canonically different — which defeats ReusedExchange and
-    // re-evaluates the whole delta pipeline for the broadcast side. Every
-    // withinDay day exists in offsets (same source), so left == inner.
-    withinDay.join(broadcast(offsets), Seq("day"), "left")
-      .groupBy(col("day"))
-      .agg(max(col("off") + col("run")).as("max_concurrency"))
+    val off = coalesce(
+      sum(when(col("day") === col("bday"), col("dtot")).otherwise(0L)).over(wOff),
+      lit(0L))
+    dense.select(col("day"),
+      when(col("day") =!= col("bday"), off) // spanned day: plateau all day
+        .when(col("first_t") > col("day") * 86400000000L,
+          greatest(off, off + col("mrun"))) // carry-in plateau before first boundary
+        .otherwise(off + col("mrun"))
+        .as("max_concurrency"))
   }
 
   /**

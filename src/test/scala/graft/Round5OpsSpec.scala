@@ -79,6 +79,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(m == Seq((0L, 3L), (1L, 2L)))
   }
 
+  test("maxConcurrency: day opening on a session END reports the carry-in plateau") {
+    val Day = 86400000000L
+    // two sessions open across midnight and both end early on day 1: the
+    // only day-1 boundaries are ENDS, so the in-day running sum only ever
+    // decreases — the true day-1 max is the carry-in plateau of 2
+    val sess = Seq((0L, Day + 100L), (50L, Day + 200L)).toDF("start_us", "end_us")
+    val m = Events.maxConcurrency(sess).orderBy("day")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(m == Seq((0L, 2L), (1L, 2L)))
+  }
+
+  test("maxConcurrency: a day fully spanned by an open session is reported") {
+    val Day = 86400000000L
+    // [0, 2·Day+100] spans ALL of day 1 with no boundary inside it
+    val sess = Seq((0L, 2L * Day + 100L), (10L, 20L)).toDF("start_us", "end_us")
+    val m = Events.maxConcurrency(sess).orderBy("day")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(m == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("maxConcurrency: deterministic under repartition") {
     val sess = (1 to 300).map(i => (i.toLong * 10, i.toLong * 10 + (i % 50) * 7))
       .toDF("start_us", "end_us")
