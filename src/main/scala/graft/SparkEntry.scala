@@ -1728,7 +1728,8 @@ object SparkEntry {
       """WITH n_t AS (SELECT doc_id,
         |  substr(regexp_replace(regexp_replace(trim(lower(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'), 1, 40) AS pfx
         |  FROM documents),
-        |k AS (SELECT doc_id, pfx, substr(pfx, 1, 8) AS blk FROM n_t)
+        |k AS (SELECT doc_id, pfx, substr(pfx, 1, 8) AS blk FROM n_t
+        |  WHERE length(pfx) >= 8)
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  levenshtein(a.pfx, b.pfx) AS edit_dist
         |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id

@@ -359,6 +359,16 @@ object Dedup {
    * DuckDB's levenshtein counts BYTES, which agrees with Spark's
    * character count on ASCII — don't widen the charset without
    * revisiting the oracle.
+   *
+   * Documents whose normalized prefix is shorter than `blockLen` are
+   * EXCLUDED before the self-join: any text with no ASCII alphanumerics
+   * (CJK, Cyrillic, emoji-only…) normalizes to ''/' ', so without the
+   * guard every such document lands in one degenerate block — an O(n²)
+   * blowup that also "matches" completely unrelated texts at
+   * edit_dist 0. Blocking on a shorter-than-blockLen key carries the
+   * same degeneracy in miniature, so the cut is at the full block
+   * length; non-ASCII near-dup detection belongs to the shingle/MinHash
+   * path, which is byte-based and script-agnostic.
    */
   def fuzzyPairs(docs: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 40, blockLen: Int = 8, maxDist: Int = 5): DataFrame = {
@@ -368,6 +378,7 @@ object Dedup {
       regexp_replace(trim(lower(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+", " ")
     val keyed = docs
       .select(col(idCol).as("doc_id"), substring(norm, 1, prefixLen).as("pfx"))
+      .filter(length(col("pfx")) >= blockLen)
       .withColumn("blk", substring(col("pfx"), 1, blockLen))
       .repartition(col("blk"))
     val a = keyed.as("a")

@@ -187,6 +187,25 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r(0).getInt(2) == 1) // normalized prefixes differ only "test"→"text"
   }
 
+  test("fuzzyPairs: non-ASCII texts never collide into a degenerate block") {
+    // every one of these normalizes to '' or ' ' — without the
+    // short-prefix guard they all share ONE block and pair up at
+    // edit_dist 0 despite being unrelated (and go quadratic at scale)
+    val docs = Seq(
+      (1L, "这是一个完全中文的文档"),
+      (2L, "полностью русский текст"),
+      (3L, "ελληνικό κείμενο μόνο"),
+      (4L, "!!! ??? ***"),
+      (5L, "short"), // ASCII but shorter than blockLen — same degeneracy
+      (6L, "identical english prefix payload one"),
+      (7L, "identical english prefix payload two")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.fuzzyPairs(docs, "doc_id", "text",
+      prefixLen = 40, blockLen = 8, maxDist = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((6L, 7L)), r.toString)
+  }
+
   // ── HllSketchAgg ─────────────────────────────────────────────────────
 
   test("hll_distinct: within ~3σ of truth; partitioning-independent; nulls ignored") {
