@@ -78,10 +78,47 @@ object SparkEntry {
       GraftFunctions.modeBy(
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", isStringTieMin = false)),
 
+    "q_mode_float" -> ((s, dir) =>
+      // Float64 mode (reference src/mode.rs:171-177; tests/main.rs:40):
+      // l_quantity duplicates heavily; tie-break = greatest value
+      t(s, dir, "lineitem").agg(
+        round(GraftFunctions.mode_agg(col("l_quantity")), 6).as("mode_quantity"))),
+
+    "q_mode_ts" -> ((s, dir) =>
+      // Timestamp mode (reference src/mode.rs:178-199; tests/main.rs:97):
+      // hour-truncated event times give real repeats; output as epoch µs —
+      // timestamp encodings are not hash-comparable across engines
+      t(s, dir, "events")
+        .select(date_trunc("hour", timestamp_micros(expr("ts div 1000L"))).as("h"))
+        .agg(unix_micros(GraftFunctions.mode_agg(col("h"))).as("mode_hour_us"))),
+
     "q_max_by" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(GraftFunctions.max_by_det(col("o_orderkey"), col("o_totalprice")).as("best_orderkey"))),
+
+    "q_maxmin_by_nulls" -> ((s, dir) => {
+      // reference null-ordering edge (src/max_min_by.rs:216-470): one
+      // group's ordering column is entirely NULL → its max_by/min_by are
+      // NULL, partially-null groups ignore the null rows
+      val y = when(col("o_orderpriority") === "1-URGENT", lit(null).cast("double"))
+        .otherwise(col("o_totalprice"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          GraftFunctions.max_by_det(col("o_orderkey"), y).as("best_orderkey"),
+          GraftFunctions.min_by_det(col("o_orderkey"), y).as("worst_orderkey"))
+    }),
+
+    "q_maxmin_by_empty" -> ((s, dir) =>
+      // reference empty-input edge: a global aggregate over zero rows is
+      // one row of NULLs (count 0), not zero rows
+      t(s, dir, "orders")
+        .filter(lit(false))
+        .agg(
+          GraftFunctions.max_by_det(col("o_orderkey"), col("o_totalprice")).as("best_orderkey"),
+          GraftFunctions.min_by_det(col("o_orderkey"), col("o_totalprice")).as("worst_orderkey"),
+          count(lit(1)).as("n"))),
 
     "q_min_by" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -910,12 +947,42 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag, l_partkey)
         |WHERE rn = 1""".stripMargin,
 
+    "q_mode_float" ->
+      """SELECT round(l_quantity, 6) AS mode_quantity FROM lineitem
+        |GROUP BY l_quantity ORDER BY count(*) DESC, l_quantity DESC LIMIT 1""".stripMargin,
+
+    "q_mode_ts" ->
+      """SELECT epoch_us(h) AS mode_hour_us FROM (
+        |  SELECT date_trunc('hour', ts) AS h FROM events)
+        |GROUP BY h ORDER BY count(*) DESC, h DESC LIMIT 1""".stripMargin,
+
     "q_max_by" ->
       """SELECT o_orderpriority, o_orderkey AS best_orderkey FROM (
         |  SELECT o_orderpriority, o_orderkey,
         |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
         |  FROM orders)
         |WHERE rn = 1""".stripMargin,
+
+    "q_maxmin_by_nulls" ->
+      """WITH y AS (SELECT o_orderpriority, o_orderkey,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_totalprice END AS yv
+        |  FROM orders),
+        |nn AS (SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY yv DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY yv ASC, o_orderkey ASC) AS rmin
+        |  FROM y WHERE yv IS NOT NULL),
+        |g AS (SELECT DISTINCT o_orderpriority FROM orders)
+        |SELECT g.o_orderpriority,
+        |  mx.o_orderkey AS best_orderkey, mn.o_orderkey AS worst_orderkey
+        |FROM g
+        |LEFT JOIN (SELECT o_orderpriority, o_orderkey FROM nn WHERE rmax = 1) mx USING (o_orderpriority)
+        |LEFT JOIN (SELECT o_orderpriority, o_orderkey FROM nn WHERE rmin = 1) mn USING (o_orderpriority)""".stripMargin,
+
+    "q_maxmin_by_empty" ->
+      """SELECT arg_max(o_orderkey, o_totalprice) AS best_orderkey,
+        |  arg_min(o_orderkey, o_totalprice) AS worst_orderkey,
+        |  count(*) AS n
+        |FROM orders WHERE 1 = 0""".stripMargin,
 
     "q_min_by" ->
       """SELECT o_orderpriority, o_orderkey AS best_orderkey FROM (

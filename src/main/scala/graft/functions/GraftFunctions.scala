@@ -72,13 +72,18 @@ object GraftFunctions {
   /** Value of `x` at the min of `y` (Spark built-in; ties arbitrary). */
   def min_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.min_by(x, y)
 
-  /** Deterministic max_by: ties on `y` broken by greatest `x`. */
+  /** Deterministic max_by: ties on `y` broken by greatest `x`. Rows with
+    * null `y` are ignored — the struct ordering key is nulled whole,
+    * because struct(null, x) is itself non-null and would otherwise
+    * re-enter the comparison (an all-null-y group must yield NULL, the
+    * reference's null/empty-input semantics, max_min_by.rs:216-470). */
   def max_by_det(x: Column, y: Column): Column =
-    org.apache.spark.sql.functions.max_by(x, struct(y, x))
+    org.apache.spark.sql.functions.max_by(x, when(y.isNotNull, struct(y, x)))
 
-  /** Deterministic min_by: ties on `y` broken by least `x`. */
+  /** Deterministic min_by: ties on `y` broken by least `x`; null `y`
+    * rows ignored (see [[max_by_det]]). */
   def min_by_det(x: Column, y: Column): Column =
-    org.apache.spark.sql.functions.min_by(x, struct(y, x))
+    org.apache.spark.sql.functions.min_by(x, when(y.isNotNull, struct(y, x)))
 
   /**
    * Scalable two-shuffle mode: groupBy(keys :+ value).count, then per keys

@@ -73,6 +73,23 @@ class ModeSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_mode(s) FROM t_mode").collect()(0).getString(0) == "apple")
   }
 
+  test("max_by_det/min_by_det: null ordering rows ignored, all-null group -> NULL") {
+    import graft.functions.GraftFunctions.{max_by_det, min_by_det}
+    // group a: y = (10, null, 5) → null row invisible; group b: all null → NULL
+    val df = Seq(("a", 1, Some(10)), ("a", 2, None), ("a", 3, Some(5)),
+      ("b", 4, None), ("b", 5, None))
+      .toDF("g", "x", "y")
+    val r = df.groupBy($"g")
+      .agg(max_by_det($"x", $"y").as("mx"), min_by_det($"x", $"y").as("mn"))
+      .orderBy($"g").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 3)
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2))
+    // empty input: global agg is one row of NULLs
+    val e = df.filter(org.apache.spark.sql.functions.lit(false))
+      .agg(max_by_det($"x", $"y").as("mx"), min_by_det($"x", $"y").as("mn")).collect()
+    assert(e.length == 1 && e(0).isNullAt(0) && e(0).isNullAt(1))
+  }
+
   test("mode survives ObjectHashAggregate sort-based fallback (spill path)") {
     val s = spark.newSession()
     graft.functions.GraftFunctions.registerAll(s)
