@@ -149,41 +149,65 @@ object EventStreams {
    * [[graft.ops.Events.funnel]] (greedy-earliest: each stage takes the
    * first qualifying event strictly after the previous stage's time).
    * Keyed state = the times of the stages reached so far (≤ one
-   * fixed-size vector per user, emitted and CLEARED on completion — the
-   * state store never grows past #active-users × #stages). Events are
-   * processed in event-time order within each micro-batch; an event
-   * arriving across batches out of order past the watermark may be
-   * missed, the same ingest-time trade documented on [[dedupStream]].
+   * fixed-size vector per user), EVICTED by event-time timeout once the
+   * watermark passes `idleExpiryMicros` beyond the user's last funnel
+   * progress — so the state store is bounded by users active within the
+   * expiry horizon, not by #users-ever-seen. A completed user's
+   * full-length vector (the do-not-re-emit marker) ages out the same
+   * way: a user re-entering the funnel more than the expiry after
+   * completing can emit again — one completion per user per expiry
+   * window, the streaming analogue of the batch twin's once-ever.
+   * Events are processed in event-time order within each micro-batch;
+   * an event arriving across batches out of order past the watermark
+   * may be missed, the same ingest-time trade documented on
+   * [[dedupStream]].
    */
-  def funnelStream(events: DataFrame, stages: Seq[String])(
+  def funnelStream(events: DataFrame, stages: Seq[String],
+      idleExpiryMicros: Long = 86400000000L)(
       implicit spark: SparkSession): Dataset[FunnelCompletion] = {
     import spark.implicits._
     require(stages.nonEmpty, "at least one funnel stage required")
+    require(idleExpiryMicros > 0, s"idleExpiryMicros must be > 0, got $idleExpiryMicros")
     val typed = withEventTime(events)
       .withWatermark("event_time", "30 minutes")
       .as[TimedEvent]
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, FunnelCompletion](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[TimedEvent], state: GroupState[FunnelProgress]) =>
-          val sorted = batch.toSeq.map(e => e.copy(ts = e.ts / 1000))
-            .sortBy(e => (e.ts, e.event_id))
-          // a full-length vector is the COMPLETED marker: the batch twin
-          // emits exactly one completion per user, so later events must
-          // not restart the funnel
-          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[FunnelCompletion]
-          sorted.foreach { e =>
-            if (times.length < stages.length &&
-                e.event_type == stages(times.length) &&
-                (times.isEmpty || e.ts > times.last)) {
-              times = times :+ e.ts
-              if (times.length == stages.length) out += FunnelCompletion(userId, times)
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last progress + expiry: abandoned (or
+            // long-completed) funnel — drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.map(e => e.copy(ts = e.ts / 1000))
+              .sortBy(e => (e.ts, e.event_id))
+            // a full-length vector is the COMPLETED marker: the batch twin
+            // emits exactly one completion per user, so later events must
+            // not restart the funnel
+            var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[FunnelCompletion]
+            sorted.foreach { e =>
+              if (times.length < stages.length &&
+                  e.event_type == stages(times.length) &&
+                  (times.isEmpty || e.ts > times.last)) {
+                times = times :+ e.ts
+                if (times.length == stages.length) out += FunnelCompletion(userId, times)
+              }
             }
+            if (times.nonEmpty) {
+              state.update(FunnelProgress(times))
+              // clamp above the current watermark: a stale user whose
+              // batch held only non-matching events would otherwise set
+              // an already-passed timeout, which EventTimeTimeout rejects
+              state.setTimeoutTimestamp(math.max(
+                times.last / 1000L + idleExpiryMicros / 1000L,
+                state.getCurrentWatermarkMs + 1L))
+            } else state.remove()
+            out.result().iterator
           }
-          if (times.nonEmpty) state.update(FunnelProgress(times)) else state.remove()
-          out.result().iterator
       }
   }
 }

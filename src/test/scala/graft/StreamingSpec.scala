@@ -184,6 +184,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream evicts state for users who never complete the funnel") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[StreamEvent]
+    // 10-minute idle expiry so the flush events push the watermark far past it
+    val q = EventStreams.funnelStream(in.toDF(), Seq("view", "click"),
+        idleExpiryMicros = 10L * 60L * 1000000L)
+      .writeStream.format("memory").queryName("funnel_evict_out")
+      .outputMode("append").start()
+    try {
+      // user 7 reaches stage 1 only, then goes silent forever
+      in.addData(StreamEvent(1L, Base + 0L * MinNs, 7L, "view", 1.0))
+      q.processAllAvailable()
+      // two flush batches: the first advances the watermark past
+      // t0 + expiry, the second runs with the advanced watermark so the
+      // timeout fires and the post-batch state metric reflects the removal
+      in.addData(StreamEvent(98L, Base + 1000L * MinNs, 999L, "flush", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(99L, Base + 1001L * MinNs, 999L, "flush", 0.0))
+      q.processAllAvailable()
+
+      assert(s.sql("SELECT * FROM funnel_evict_out").count() == 0)
+      // the never-completing user's entry is GONE from the state store
+      // (flush user never matches stage 1, so it holds no state either)
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows == 0L, s"state rows: $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming windowed aggs count correctly under watermark") {
     implicit val s = spark
     import s.implicits._
