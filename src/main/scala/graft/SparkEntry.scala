@@ -1492,14 +1492,17 @@ object SparkEntry {
          |  LEFT JOIN regs ON t.b = regs.bucket),
          |agg AS (SELECT sum((1::BIGINT << (33 - mr)))::BIGINT AS s,
          |  sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END)::BIGINT AS v FROM fl),
+         |est AS (SELECT v, (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |    * 8589934592.0 / s::DOUBLE AS raw FROM agg),
          |ex AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
-         |SELECT round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-         |      * 8589934592.0 / s::DOUBLE <= 640.0 AND v > 0
+         |SELECT round(CASE WHEN raw <= 640.0 AND v > 0
          |    THEN 256.0 * ln(256.0 / v::DOUBLE)
-         |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-         |      * 8589934592.0 / s::DOUBLE END, 2) AS est_distinct,
+         |    WHEN raw >= 4294967296.0 THEN 4294967296.0
+         |    WHEN raw > 4294967296.0 / 30.0
+         |    THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
+         |    ELSE raw END, 2) AS est_distinct,
          |  ex.exact_distinct
-         |FROM agg CROSS JOIN ex""".stripMargin,
+         |FROM est CROSS JOIN ex""".stripMargin,
 
     "q_hll_grouped" ->
       s"""WITH vals AS (SELECT DISTINCT l_returnflag AS g, l_partkey::VARCHAR AS v FROM lineitem),
@@ -1514,16 +1517,19 @@ object SparkEntry {
          |  LEFT JOIN regs ON t.b = regs.bucket AND gs.g = regs.g),
          |agg AS (SELECT g, sum((1::BIGINT << (33 - mr)))::BIGINT AS s,
          |  sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END)::BIGINT AS v FROM fl GROUP BY g),
+         |est AS (SELECT g, v, (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |    * 8589934592.0 / s::DOUBLE AS raw FROM agg),
          |ex AS (SELECT l_returnflag AS g, count(DISTINCT l_partkey) AS exact_distinct
          |  FROM lineitem GROUP BY 1)
-         |SELECT agg.g AS l_returnflag,
-         |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-         |      * 8589934592.0 / s::DOUBLE <= 640.0 AND v > 0
+         |SELECT est.g AS l_returnflag,
+         |  round(CASE WHEN raw <= 640.0 AND v > 0
          |    THEN 256.0 * ln(256.0 / v::DOUBLE)
-         |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-         |      * 8589934592.0 / s::DOUBLE END, 2) AS est_distinct,
+         |    WHEN raw >= 4294967296.0 THEN 4294967296.0
+         |    WHEN raw > 4294967296.0 / 30.0
+         |    THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
+         |    ELSE raw END, 2) AS est_distinct,
          |  ex.exact_distinct
-         |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin,
+         |FROM est JOIN ex ON est.g = ex.g""".stripMargin,
 
     "q_cms_topk" -> {
       def bucket(jExpr: String) =
@@ -1714,7 +1720,7 @@ object SparkEntry {
         |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
         |SELECT user_id, event_id, tsu,
         |  count(*) OVER w AS n_win,
-        |  round((sum(vmic) OVER w)::BIGINT / ((count(*) OVER w) * 1000000.0), 6) AS avg_value
+        |  round((sum(vmic) OVER w)::BIGINT / ((count(vmic) OVER w) * 1000000.0), 6) AS avg_value
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 

@@ -29,6 +29,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
  *   S = Σ_j 2^(33 − M[j])  — exact integer, ≤ m·2^33 (fits a long)
  *   E = α · m · m · 2^33 / S,   α = 0.7213 / (1 + 1.079 / m)
  *   if E ≤ 2.5·m and V (empty registers) > 0: E = m · ln(m / V)
+ *   if E > 2^32/30: E = −2^32 · ln(1 − E/2^32)   (large-range: 32-bit
+ *     hash collisions bias the raw estimate low past ~143M distinct)
+ *   if E ≥ 2^32: E = 2^32   (saturation — a 32-bit hash slice cannot
+ *     witness more than 2^32 distinct values; beyond that the sketch
+ *     is blind and reports its ceiling rather than a fabricated number)
  * The integer-domain S makes the harmonic mean order-free under any
  * partitioning; the only transcendental (ln) feeds a 2-dp rounding in
  * the gate query. Standard error ≈ 1.04/√m. Nulls ignored.
@@ -99,6 +104,9 @@ case class HllSketchAgg(
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val raw = alpha * m * m * 8589934592.0 / s.toDouble
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else if (raw >= 4294967296.0) 4294967296.0
+    else if (raw > 4294967296.0 / 30.0)
+      -4294967296.0 * math.log(1.0 - raw / 4294967296.0)
     else raw
   }
 

@@ -281,6 +281,11 @@ object Events {
    * (no tie-break needed). One shuffle, partitioned by user — the window
    * never sees more than one user's history per task at any scale.
    * Value sums are integral micros (order-free exact).
+   *
+   * `avg_value` follows SQL avg() semantics: rows with null `value` are
+   * excluded from the denominator (an all-null frame yields null).
+   * `n_win` deliberately counts ALL events in the frame, null values
+   * included — it measures activity, not value coverage.
    */
   def movingAvg(events: DataFrame, windowMicros: Long): DataFrame = {
     require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
@@ -294,7 +299,7 @@ object Events {
       col("user_id"), col("event_id"), col("tsu"),
       count(lit(1)).over(w).as("n_win"),
       round(sum(col("vmic")).over(w) /
-        (count(lit(1)).over(w) * lit(1000000.0)), 6).as("avg_value"))
+        (count(col("vmic")).over(w) * lit(1000000.0)), 6).as("avg_value"))
   }
 
   /**

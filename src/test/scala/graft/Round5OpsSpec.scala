@@ -33,6 +33,20 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r(5L) == ((1L, 8.0)))
   }
 
+  test("movingAvg: null values excluded from the average, counted in n_win") {
+    val ev = Seq(
+      (1L, 0L * Min, 1L, "v", Some(2.0)),
+      (2L, 10L * Min, 1L, "v", None), // in frame, not in avg denominator
+      (3L, 20L * Min, 1L, "v", Some(4.0)),
+      (4L, 0L * Min, 2L, "v", None) // all-null frame → null avg
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.movingAvg(ev, windowMicros = 3600000000L)
+      .collect().map(x => x.getLong(1) -> x).toMap
+    assert(r(3L).getLong(3) == 3L) // n_win counts the null row
+    assert(r(3L).getDouble(4) == 3.0) // (2+4)/2, not /3
+    assert(r(4L).isNullAt(4))
+  }
+
   test("movingAvg: deterministic under repartition") {
     val ev = (1 to 500).map(i =>
       (i.toLong, (i % 97).toLong * Min, (i % 7).toLong, "v", i * 0.37))
@@ -207,6 +221,28 @@ class Round5OpsSpec extends AnyFunSuite {
   }
 
   // ── HllSketchAgg ─────────────────────────────────────────────────────
+
+  test("hll eval: large-range correction and 2^32 saturation branches") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    val agg = graft.functions.HllSketchAgg(Literal.create("x", StringType), 4)
+    val m = 16
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    def rawOf(buf: Array[Byte]): Double =
+      alpha * m * m * 8589934592.0 / buf.map(r => 1L << (33 - r)).sum.toDouble
+    // all registers very high → raw ≥ 2^32 → saturate at the hash ceiling
+    val sat = Array.fill[Byte](m)(30)
+    assert(rawOf(sat) >= 4294967296.0)
+    assert(agg.eval(sat) == 4294967296.0)
+    // registers tuned so 2^32/30 < raw < 2^32 → the correction branch
+    // (−2^32·ln(1−raw/2^32)), which always exceeds the biased raw value
+    val mid = Array.fill[Byte](m)(28)
+    val rawMid = rawOf(mid)
+    assert(rawMid > 4294967296.0 / 30.0 && rawMid < 4294967296.0, s"raw=$rawMid")
+    val est = agg.eval(mid).asInstanceOf[Double]
+    assert(est == -4294967296.0 * math.log(1.0 - rawMid / 4294967296.0))
+    assert(est > rawMid)
+  }
 
   test("hll_distinct: within ~3σ of truth; partitioning-independent; nulls ignored") {
     val df = (1 to 20000).map(i => s"v${i % 5000}").toDF("x")
