@@ -686,6 +686,18 @@ object SparkEntry {
       // DAU + trailing-7-day WAU, exact, via explode instead of self-join
       Events.rollingDistinctUsers(t(s, dir, "events"), windowDays = 7)),
 
+    "q_rolling_active_hll" -> ((s, dir) => {
+      // sketch-merge DAU/WAU (one per-day HLL pass, tiny-frame window
+      // merge) with the exact pipeline joined back as the accuracy audit
+      val est = Events.rollingActiveHll(t(s, dir, "events"), windowDays = 7, b = 8)
+      val exact = Events.rollingDistinctUsers(t(s, dir, "events"), windowDays = 7)
+        .select(col("day"), col("wau").as("wau_exact"))
+      est.join(exact, Seq("day"))
+        .select(col("day"), col("dau_est"), col("wau_est"), col("wau_exact"),
+          round(abs(col("wau_est") - col("wau_exact")) / col("wau_exact"), 6)
+            .as("rel_err"))
+    }),
+
     "q_latest_value" -> ((s, dir) => {
       // CDC latest-record-wins merge shape: the current value per
       // (user, type) key — deterministic (ts, event_id) recency order,
@@ -1789,6 +1801,49 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS wau
         |FROM ex JOIN days ON ex.day = days.day
         |GROUP BY ex.day""".stripMargin,
+
+    "q_rolling_active_hll" ->
+      s"""WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+         |h AS (SELECT day, ${hexToLong("md5(user_id::VARCHAR)", 1, 8)} % 256 AS bucket,
+         |  ${hexToLong("md5(user_id::VARCHAR)", 9, 8)} AS h2 FROM ud),
+         |regs AS (SELECT day, bucket,
+         |    max(CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END) AS mr
+         |  FROM h GROUP BY day, bucket),
+         |days AS (SELECT DISTINCT day FROM ud),
+         |win AS (SELECT d.day AS day, r.bucket,
+         |    max(r.mr) AS mw,
+         |    max(CASE WHEN r.day = d.day THEN r.mr ELSE 0 END) AS md
+         |  FROM days d JOIN regs r ON r.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day, r.bucket),
+         |fl AS (SELECT d.day, coalesce(w.mw, 0) AS mw, coalesce(w.md, 0) AS md
+         |  FROM days d CROSS JOIN (SELECT unnest(range(0, 256)) AS b) t
+         |  LEFT JOIN win w ON w.day = d.day AND w.bucket = t.b),
+         |agg AS (SELECT day,
+         |    sum((1::BIGINT << (33 - mw)))::BIGINT AS sw,
+         |    sum(CASE WHEN mw = 0 THEN 1 ELSE 0 END)::BIGINT AS vw,
+         |    sum((1::BIGINT << (33 - md)))::BIGINT AS sd,
+         |    sum(CASE WHEN md = 0 THEN 1 ELSE 0 END)::BIGINT AS vd
+         |  FROM fl GROUP BY day),
+         |est AS (SELECT day, vw, vd,
+         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 8589934592.0 / sw::DOUBLE AS raww,
+         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 8589934592.0 / sd::DOUBLE AS rawd
+         |  FROM agg),
+         |e2 AS (SELECT day,
+         |    round(CASE WHEN rawd <= 640.0 AND vd > 0 THEN 256.0 * ln(256.0 / vd::DOUBLE)
+         |      WHEN rawd >= 4294967296.0 THEN 4294967296.0
+         |      WHEN rawd > 4294967296.0 / 30.0 THEN -4294967296.0 * ln(1.0 - rawd / 4294967296.0)
+         |      ELSE rawd END, 2) AS dau_est,
+         |    round(CASE WHEN raww <= 640.0 AND vw > 0 THEN 256.0 * ln(256.0 / vw::DOUBLE)
+         |      WHEN raww >= 4294967296.0 THEN 4294967296.0
+         |      WHEN raww > 4294967296.0 / 30.0 THEN -4294967296.0 * ln(1.0 - raww / 4294967296.0)
+         |      ELSE raww END, 2) AS wau_est
+         |  FROM est),
+         |exw AS (SELECT ud.day + t.j AS day, user_id FROM ud, unnest(range(0, 7)) AS t(j)),
+         |exact AS (SELECT exw.day AS day, count(DISTINCT user_id) AS wau_exact
+         |  FROM exw JOIN days ON exw.day = days.day GROUP BY exw.day)
+         |SELECT e2.day AS day, dau_est, wau_est, wau_exact,
+         |  round(abs(wau_est - wau_exact) / wau_exact, 6) AS rel_err
+         |FROM e2 JOIN exact ON e2.day = exact.day""".stripMargin,
 
     "q_latest_value" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,

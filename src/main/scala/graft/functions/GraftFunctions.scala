@@ -66,6 +66,17 @@ object GraftFunctions {
   def hll_distinct(c: Column, b: Int): Column =
     agg(HllSketchAgg(Cast(ex(c), org.apache.spark.sql.types.StringType), b))
 
+  /** HLL register array (2^b bytes) as a mergeable value — pair with
+    * [[hll_merge_est]] for rolling/rollup distinct counts (see
+    * [[graft.functions.HllRegistersAgg]]). */
+  def hll_registers(c: Column, b: Int): Column =
+    agg(HllRegistersAgg(Cast(ex(c), org.apache.spark.sql.types.StringType), b))
+
+  /** Merge [[hll_registers]] sketches (element-wise max; nulls skipped)
+    * and return the distinct estimate. */
+  def hll_merge_est(c: Column, b: Int): Column =
+    agg(HllMergeAgg(ex(c), b))
+
   /** Value of `x` at the max of `y` (Spark built-in; ties arbitrary). */
   def max_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.max_by(x, y)
 

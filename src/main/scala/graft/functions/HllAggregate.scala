@@ -91,7 +91,27 @@ case class HllSketchAgg(
     buf
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  override def eval(buf: Array[Byte]): Any = HllEstimator.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
+/** The shared HLL estimator (see [[HllSketchAgg]] for the formula and
+  * the correction/saturation branches; m = buf.length). */
+object HllEstimator {
+  def estimate(buf: Array[Byte]): Double = {
+    val m = buf.length
     // integer-domain harmonic sum: Σ 2^(33 − M[j]) — exact, order-free
     var s = 0L
     var zeros = 0
@@ -109,17 +129,140 @@ case class HllSketchAgg(
       -4294967296.0 * math.log(1.0 - raw / 4294967296.0)
     else raw
   }
+}
+
+/**
+ * The REGISTERS of an HLL sketch as a value: identical update/merge to
+ * [[HllSketchAgg]], but eval emits the m-byte register array instead of
+ * the estimate. This is the materialization half of the two-phase
+ * rolling-distinct pattern: per-bucket sketches are tiny (2^b bytes),
+ * so downstream window/rollup merges ([[HllMergeAgg]]) run on a frame
+ * of #buckets rows — never re-touching the raw data.
+ */
+case class HllRegistersAgg(
+    child: Expression,
+    b: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  require(b >= 4 && b <= 14, s"b must be in [4, 14], got $b")
+  private val m = 1 << b
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_registers"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      md.reset()
+      val digest = md.digest(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      val h1 = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      val h2 = ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
+        ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)
+      val bucket = (h1 % m).toInt
+      val rho = (Integer.numberOfLeadingZeros(h2.toInt) + 1).toByte
+      if (rho > buf(bucket)) buf(bucket) = rho
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  // copy: the mutable buffer must not escape into the output row
+  override def eval(buf: Array[Byte]): Any = buf.clone()
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
-
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegistersAgg =
     copy(mutableAggBufferOffset = newOffset)
-
-  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegistersAgg =
     copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegistersAgg =
+    copy(child = newChild)
+}
 
-  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+/**
+ * Merge of [[HllRegistersAgg]] register arrays → distinct estimate:
+ * element-wise max over the input sketches, then the shared estimator.
+ * Null inputs are skipped (so a `when(...)`-masked column selects which
+ * sketches participate). The mergeability is the whole point: a rolling
+ * 7-day WAU merges 7 tiny sketches per day instead of re-aggregating
+ * 7× the raw user-day stream.
+ */
+case class HllMergeAgg(
+    child: Expression,
+    b: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  require(b >= 4 && b <= 14, s"b must be in [4, 14], got $b")
+  private val m = 1 << b
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hll_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary (hll registers) input, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == m,
+        s"register length ${regs.length} does not match 2^$b = $m")
+      merge(buf, regs)
+    } else buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = HllEstimator.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
     copy(child = newChild)
 }

@@ -483,4 +483,37 @@ object Events {
         countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
         countDistinct(col("user_id")).as("wau"))
   }
+
+  /**
+   * Sketch-based DAU/WAU — the 100-TB shape of [[rollingDistinctUsers]]:
+   * ONE pass builds a 2^b-byte HLL register array per day (map-side
+   * combinable, so the shuffle carries a few sketches per partition —
+   * not w × |user-days| exploded rows, and no exact-distinct state of
+   * every user id per reducer). The trailing-window merge then runs
+   * entirely on the tiny #days-row frame: explode the offsets THERE and
+   * element-wise-max the register arrays per target day. Deterministic
+   * (md5 sketches) → engine-replayable like [[graft.functions.HllSketchAgg]].
+   * Target days with no activity of their own are dropped via the
+   * off=0 marker — no second pass over the events to build a day list.
+   */
+  def rollingActiveHll(events: DataFrame, windowDays: Int = 7, b: Int = 8): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    import graft.functions.GraftFunctions.{hll_merge_est, hll_registers}
+    val perDay = events
+      .select(expr("ts div 86400000000000L").as("day"),
+        col("user_id").cast("string").as("u"))
+      .groupBy(col("day"))
+      .agg(hll_registers(col("u"), b).as("regs"))
+    perDay
+      .select(col("day"), col("regs"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select((col("day") + col("off")).as("day"), col("regs"), col("off"))
+      .groupBy(col("day"))
+      .agg(
+        round(hll_merge_est(when(col("off") === 0, col("regs")), b), 2).as("dau_est"),
+        round(hll_merge_est(col("regs"), b), 2).as("wau_est"),
+        max(when(col("off") === 0, lit(1)).otherwise(lit(0))).as("own"))
+      .filter(col("own") === 1)
+      .drop("own")
+  }
 }

@@ -244,6 +244,32 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(est > rawMid)
   }
 
+  test("rollingActiveHll: sketch WAU within ~3σ of exact; partitioning-independent") {
+    val Day = 86400000000000L // ns
+    // 40 days × 400 users with day-dependent churn — real overlap between
+    // trailing windows
+    val ev = (0 until 16000).map { i =>
+      val day = i % 40
+      (i.toLong, day * Day + (i % 97) * 60000000000L,
+        ((i * 2654435761L) % (300 + day * 5)).toLong, "v", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val est = Events.rollingActiveHll(ev, windowDays = 7, b = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Events.rollingDistinctUsers(ev, windowDays = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est.keySet == exact.keySet)
+    val tol = 3 * 1.04 / math.sqrt(256.0) // ~19.5% at b=8
+    exact.foreach { case (day, (dau, wau)) =>
+      val (dauE, wauE) = est(day)
+      assert(math.abs(dauE - dau) / dau <= tol, s"day $day dau $dauE vs $dau")
+      assert(math.abs(wauE - wau) / wau <= tol, s"day $day wau $wauE vs $wau")
+    }
+    // md5 determinism: identical output under a different partitioning
+    val b2 = Events.rollingActiveHll(ev.repartition(17), windowDays = 7, b = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(b2 == est)
+  }
+
   test("hll_distinct: within ~3σ of truth; partitioning-independent; nulls ignored") {
     val df = (1 to 20000).map(i => s"v${i % 5000}").toDF("x")
     val est = df.agg(graft.functions.GraftFunctions.hll_distinct($"x", 8).as("e"))
