@@ -140,6 +140,30 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(round(GraftFunctions.kurtosis_pop(col("l_quantity")), 6).as("kurt_pop"))),
 
+    "q_stats_edges" -> ((s, dir) => {
+      // reference edge semantics for the moment aggregates, checked over
+      // thousands of REAL tiny groups at once: nulls are skipped
+      // (l_linenumber=1 masked to null), skewness needs >= 3 non-null
+      // values, sample kurtosis >= 4, population kurtosis >= 2 — the
+      // per-group null-ness is classified by non-null count and counted,
+      // which is exact (no float comparisons cross the oracle)
+      val v = when(col("l_linenumber") === 1, lit(null).cast("double"))
+        .otherwise(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(v).as("nv"),
+          GraftFunctions.skewness_samp(v).as("sk"),
+          GraftFunctions.kurtosis_samp(v).as("ku"),
+          GraftFunctions.kurtosis_pop(v).as("kp"))
+        .groupBy(col("nv"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          count(col("sk")).as("sk_groups"),
+          count(col("ku")).as("ku_groups"),
+          count(col("kp")).as("kp_groups"))
+    }),
+
     "q_tpch_q1" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1011,6 +1035,17 @@ object SparkEntry {
 
     "q_kurtosis_pop" ->
       "SELECT l_returnflag, round(kurtosis_pop(l_quantity), 6) AS kurt_pop FROM lineitem GROUP BY l_returnflag",
+
+    "q_stats_edges" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    count(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_extendedprice END) AS nv,
+        |    skewness(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_extendedprice END) AS sk,
+        |    kurtosis(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_extendedprice END) AS ku,
+        |    kurtosis_pop(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_extendedprice END) AS kp
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT nv, count(*) AS n_groups, count(sk) AS sk_groups,
+        |  count(ku) AS ku_groups, count(kp) AS kp_groups
+        |FROM per GROUP BY nv""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
