@@ -37,9 +37,10 @@ object Bench {
     }
     // The driver captures only the LAST ~2 KB of stdout; round 4's line
     // (78 queries at full double precision) overflowed that buffer and the
-    // driver recorded parsed:null. The full 94-query map fits only
+    // driver recorded parsed:null. The full 100+-query map fits only
     // compacted: map keys drop the uniform "q_" prefix (declared in
-    // key_prefix), times at 2 decimals, sf as the bare directory name.
+    // key_prefix), per-query times as INTEGER CENTISECONDS (declared in
+    // q_unit; headroom to ~115 queries), sf as the bare directory name.
     // If a grown suite overflows anyway, the shrink loop drops the
     // fastest queries last-resort (the complete map always goes to
     // stderr for local tuning).
@@ -47,8 +48,9 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def line(rs: Seq[(String, Double, Double)], omitted: Int): String = {
-      val qs = rs.map { case (k, v, _) => "\"" + k.stripPrefix("q_") + "\":" + f2(v) }
-        .mkString("{", ",", "}")
+      val qs = rs.map { case (k, v, _) =>
+        "\"" + k.stripPrefix("q_") + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
+      }.mkString("{", ",", "}")
       val failed = results.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
         .mkString("[", ",", "]")
       val ok = results.map(_._2).filter(_ >= 0)
@@ -62,7 +64,7 @@ object Bench {
       val spreads = results.collect { case (_, v, s) if v >= 0 => s }.sorted
       val p90 = if (spreads.isEmpty) 0.0
         else spreads(((spreads.size - 1) * 9) / 10)
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"mean":${f3(mean)},"runs":3,"spread_p90":${f2(p90)},"key_prefix":"q_","queries":$qs,"queries_omitted":$omitted,"failed":$failed,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"mean":${f3(mean)},"runs":3,"spread_p90":${f2(p90)},"key_prefix":"q_","q_unit":"cs","queries":$qs,"queries_omitted":$omitted,"failed":$failed,"sf":"$sfName"}"""
     }
     System.err.println("[bench-full] " + line(results, 0))
     val budget = 1980

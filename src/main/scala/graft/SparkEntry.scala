@@ -193,6 +193,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
 
+    "q_chunk_dedup" -> ((s, dir) =>
+      // chunk-level (paragraph-shape) dedup: 8-token chunks, one global
+      // survivor per distinct chunk, per-doc survival counts
+      TextOps.chunkDedup(docs(s, dir), "doc_id", "text", chunkTokens = 8)),
+
     "q_dedup_norm" -> ((s, dir) =>
       // normalization-insensitive exact dedup: lowercase, collapse
       // whitespace, strip punctuation before hashing
@@ -1072,6 +1077,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT md5(norm) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM n_t GROUP BY md5(norm)""".stripMargin,
+
+    "q_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |ch AS (SELECT doc_id, i AS idx,
+        |    md5(array_to_string(tk[(i * 8 + 1):((i + 1) * 8)], ' ')) AS h
+        |  FROM toks, unnest(range(0, len(tk) // 8)) t(i)),
+        |r AS (SELECT doc_id, idx,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM r GROUP BY doc_id""".stripMargin,
 
     "q_user_stats" ->
       """WITH m AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY user_id, event_type),

@@ -420,6 +420,47 @@ object TextOps {
           / count(lit(1)).cast("double"), 6).as("oov_rate"))
   }
 
+  /**
+   * Chunk-level dedup — the paragraph/boilerplate-removal shape: split
+   * each document into fixed `chunkTokens`-token chunks, hash each
+   * chunk, keep ONE occurrence of each distinct chunk corpus-wide
+   * (global keep-first by (doc_id, idx) — repeated boilerplate survives
+   * exactly once, including within-document repeats), and report per
+   * document how many of its chunks survive. Returns
+   * (doc_id, n_chunks, n_kept); documents shorter than one chunk are
+   * dropped (mirrored by the oracle's empty range).
+   *
+   * Scale shape: chunk rows are (doc_id, idx, md5) — the TEXT never
+   * shuffles. One repartition(h) stages the chunk stream for BOTH the
+   * winner aggregate (which needs no further exchange) and the
+   * co-partitioned join back (ReusedExchange), then one combinable
+   * per-doc count. Winner selection is min(struct(doc_id, idx)) —
+   * deterministic under any partitioning.
+   */
+  def chunkDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= chunkTokens)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(tk) div $chunkTokens - 1),
+           |  i -> struct(i AS idx,
+           |    array_join(slice(tk, i * $chunkTokens + 1, $chunkTokens), ' ') AS chunk))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), md5(col("c.chunk")).as("h"))
+      .repartition(col("h"))
+    val winners = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    chunks.join(winners, "h")
+      .select(col("doc_id"), col("idx"),
+        (col("w.doc_id") === col("doc_id") && col("w.idx") === col("idx")).as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** PII-style scrubbing: mask email-like and URL-like spans (the
     * standard pre-training redaction pass). Pure regexp_replace —
     * codegen'd, narrow, oracle-replayable. */

@@ -23,6 +23,23 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getLong(1) == 1L) // keep_id = min
   }
 
+  test("chunkDedup: one global survivor per distinct chunk, keep-first by (doc, idx)") {
+    // 4-token chunks; doc 1 repeats its own first chunk, doc 2 repeats
+    // doc 1's boilerplate, doc 3 is all fresh, doc 4 is too short
+    val d = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta fresh words here now"),
+      (3L, "totally new content in this document body here"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.chunkDedup(d, "doc_id", "text", chunkTokens = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((3L, 2L))) // 3 chunks; the repeated one survives once
+    assert(r(2L) == ((2L, 1L))) // boilerplate chunk lost to doc 1
+    assert(r(3L) == ((2L, 2L))) // 8 tokens → 2 chunks, all fresh
+    assert(!r.contains(4L)) // sub-chunk doc dropped
+  }
+
   test("candidatePairs: finds exact and near duplicates, no false cross pairs") {
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", 8, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
