@@ -811,6 +811,49 @@ object SparkEntry {
           .cast("long")) / 1000000.0).as("revenue"))
     }),
 
+    "q_tpch_q14" -> ((s, dir) => {
+      // promo-revenue-share anchor: one month of lineitem (predicate
+      // pushed to the scan) broadcast-joined to part, ratio of two exact
+      // integer-micro sums in one combinable aggregate
+      val rev = sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000)
+        .cast("long"))
+      val promoRev = sum(when(col("p_type") === "PROMO",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000).cast("long"))
+        .otherwise(0L))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) * promoRev.cast("double") / rev.cast("double"), 6)
+          .as("promo_revenue"))
+    }),
+
+    "q_tpch_q10" -> ((s, dir) => {
+      // returned-item revenue by customer: facts filtered BEFORE the
+      // orderkey shuffle join, customer joined on custkey, tiny nation
+      // dim broadcast, top-20 via TakeOrderedAndProject
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000)
+          .cast("long")) / 1000000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     "q_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS — the asymmetric lattice rollup/cube can't
       // express: per-flag, per-status, and grand total, one Expand pass
@@ -1951,6 +1994,31 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)
+        |      ELSE 0 END)::DOUBLE
+        |    / sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT))::DOUBLE,
+        |  6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT))
+        |    / 1000000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
