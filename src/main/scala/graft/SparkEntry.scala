@@ -44,6 +44,11 @@ object SparkEntry {
   // the test corpus — audited in SimilaritySpec)
   private val SrpPlanes = 64
   private val SrpBandBits = 4
+  // Bloom decontamination filter: 2^18 bits (32 KB broadcast), 3 hashes —
+  // ~1-2% false-positive rate at gate-scale eval fill, replayed exactly
+  // by the oracle from the same md5 position family
+  private val BloomBits = 1 << 18
+  private val BloomHashes = 3
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) =
@@ -893,6 +898,93 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           round(matches.cast("double") / lit(MinhashK.toDouble), 6).as("est_jaccard"))
       exact.join(est, Seq("id1", "id2"))
+    }),
+
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // zero-shuffle decontamination: src0 = eval suite → 32 KB Bloom
+      // filter broadcast; train corpus tested in its scan, no shuffle
+      val d = docs(s, dir)
+      Dedup.bloomDecontaminate(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", mBits = BloomBits, numHashes = BloomHashes, minHits = 5L)
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      // TPC-H Q4 shape: EXISTS → LEFT SEMI (orders with >=1 returned
+      // item, counted per priority). The semi join ships only the
+      // distinct join keys of the filtered lineitem side — never
+      // materializes the match multiplicity
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      // NOT EXISTS → LEFT ANTI: parts never shipped in bulk (no lineitem
+      // with quantity >= 45). Anti join broadcasts/ships distinct keys
+      // of the filtered probe side only
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_brand"))
+    }),
+
+    "q_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 shape: disjunctive brand/size/quantity predicate over
+      // lineitem ⋈ part. part broadcasts; the common l_quantity <= 30
+      // bound and the join-key filter push into the lineitem scan
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val j = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      val arm = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      j.filter(arm("Brand#12", 15, 1, 11) || arm("Brand#23", 25, 10, 20) ||
+          arm("Brand#34", 35, 20, 30))
+        .agg(
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")) / 100.0)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q_ewma" -> ((s, dir) => {
+      // exponentially-decayed trailing sum (half-life = 1 event, depth
+      // 10) per user in event-time order. Dyadic weights 2^-j on integer
+      // micro-units make every term EXACT in double (vmic < 2^29 scaled
+      // by >= 2^-9), so the sum is order-free and engine-identical.
+      // One hash exchange on user_id + per-partition sort; the 10 lags
+      // share a single window frame
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000L"), col("event_id"))
+      val terms = (0 until 10).map(j =>
+        coalesce(lag(col("vmic"), j).over(w), lit(0L)).cast("double") * lit(1.0 / (1L << j)))
+      t(s, dir, "events")
+        .withColumn("vmic", round(col("value") * 1000000).cast("long"))
+        // emit in micro-units WITHOUT dividing back: the sum is an exact
+        // multiple of 2^-9 (granularity 0.001953125, 9 decimals), so the
+        // value is bit-identical in every engine; a /1e6 rescale would
+        // reintroduce a half-point rounding ulp
+        .select(col("event_id"), col("user_id"),
+          terms.reduce(_ + _).as("ewma_micro"))
+    }),
+
+    "q_url_stats" -> ((s, dir) => {
+      // web-corpus provenance roll-up: parse a URL into host/port/path/
+      // query (TextOps.urlParts — narrow regexp_extract) and aggregate
+      // per host. The URL is derived from real columns so the oracle
+      // parses the identical strings
+      val d = docs(s, dir).withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.org:8080/"),
+          col("lang"), lit("/"), col("doc_id"), lit("?ref="), col("source")))
+      d.select(Seq(col("url"), col("n_chars")) ++ TextOps.urlParts(col("url")): _*)
+        .groupBy(col("host"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("path")).as("n_paths"),
+          max(col("port")).as("port"),
+          sum(col("n_chars")).as("total_chars"))
     })
   )
 
@@ -2059,6 +2151,72 @@ object SparkEntry {
          |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 8.0, 6) AS est_jaccard
          |  FROM pairs_t p JOIN sig_t a ON p.id1 = a.doc_id JOIN sig_t b ON p.id2 = b.doc_id)
          |SELECT ex.id1, ex.id2, ex.jaccard, est.est_jaccard
-         |FROM ex JOIN est ON ex.id1 = est.id1 AND ex.id2 = est.id2""".stripMargin
+         |FROM ex JOIN est ON ex.id1 = est.id1 AND ex.id2 = est.id2""".stripMargin,
+
+    // Bloom replay: same md5 K-M position family as BloomBitsAgg/
+    // BloomHitCount — the DISTINCT eval positions ARE the set bits, a
+    // train gram hits iff none of its positions is missing (so oracle
+    // false positives == engine false positives, bit for bit)
+    "q_decontaminate_bloom" ->
+      s"""WITH tk AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, source, $ShinglesSql AS sh FROM tk),
+         |g AS (SELECT DISTINCT doc_id, source, unnest(sh) AS g FROM sh0),
+         |hh AS (SELECT doc_id, source, g,
+         |    ${hexToLong("md5(g)", 1, 8)} AS ha, ${hexToLong("md5(g)", 9, 8)} AS hb FROM g),
+         |pos AS (SELECT doc_id, source, g, (ha + i * hb) % $BloomBits AS p
+         |  FROM hh, unnest(range(0, $BloomHashes)) AS t(i)),
+         |ep AS (SELECT DISTINCT p FROM pos WHERE source = 'src0'),
+         |tp AS (SELECT doc_id, g, p FROM pos WHERE source <> 'src0'),
+         |miss AS (SELECT DISTINCT doc_id, g FROM tp WHERE p NOT IN (SELECT p FROM ep)),
+         |hits AS (SELECT doc_id, g FROM (SELECT DISTINCT doc_id, g FROM tp)
+         |  EXCEPT SELECT doc_id, g FROM miss),
+         |ng AS (SELECT doc_id, count(*) AS n_grams FROM g WHERE source <> 'src0' GROUP BY doc_id),
+         |hc AS (SELECT doc_id, count(*) AS bloom_hits FROM hits GROUP BY doc_id)
+         |SELECT ng.doc_id, ng.n_grams, hc.bloom_hits
+         |FROM ng JOIN hc USING (doc_id) WHERE hc.bloom_hits >= 5""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_partkey, p_brand
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 45)""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_ewma" -> {
+      val terms = (0 until 10).map(j =>
+        s"coalesce(lag(vmic, $j) OVER w, 0)::DOUBLE * ${1.0 / (1L << j)}").mkString("\n|  + ")
+      s"""SELECT event_id, user_id,
+         |  $terms AS ewma_micro
+         |FROM (SELECT event_id, user_id, ts,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+    },
+
+    "q_url_stats" ->
+      """WITH u AS (SELECT n_chars,
+        |    'https://' || source || '.example.org:8080/' || lang || '/' || doc_id || '?ref=' || source AS url
+        |  FROM documents),
+        |p AS (SELECT n_chars,
+        |    nullif(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1), '') AS host,
+        |    CAST(nullif(regexp_extract(url, '^[a-z]+://[^/:?#]+:([0-9]+)', 1), '') AS INTEGER) AS port,
+        |    nullif(regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1), '') AS path
+        |  FROM u)
+        |SELECT host, count(*) AS n_docs, count(DISTINCT path) AS n_paths,
+        |  max(port) AS port, sum(n_chars)::BIGINT AS total_chars
+        |FROM p GROUP BY host""".stripMargin
   )
 }

@@ -389,4 +389,49 @@ object Dedup {
         levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
   }
+
+  /**
+   * Bloom-filter benchmark decontamination — the zero-shuffle scale path
+   * beside the equi-join [[crossContamination]]:
+   *
+   *   1. the EVAL side's distinct token 3-shingles aggregate into one
+   *      `mBits`-bit Bloom filter ([[graft.functions.BloomBitsAgg]] —
+   *      map-side partial filters OR-merge, so the build is one
+   *      reduce of mBits/8-byte buffers, not a shingle shuffle);
+   *   2. the 1-row filter BROADCASTS (crossJoin of a 1-row aggregate =
+   *      BroadcastNestedLoopJoin of a few KB);
+   *   3. the TRAIN corpus is scanned ONCE, map-side: per document,
+   *      [[graft.functions.BloomHitCount]] counts distinct shingles
+   *      whose k positions are all set. No corpus shuffle at all —
+   *      at 100 TB this is a pure map job over the corpus scan.
+   *
+   * False positives are part of the contract (rate (fill)^k — sized
+   * here for ~1-2% at gate scale) and are REPLAYED bit-identically by
+   * the DuckDB oracle from the same md5 position family, so the gate
+   * verifies the filter semantics, not an idealized exact overlap.
+   * Returns (doc_id, n_grams, bloom_hits) for train docs with
+   * bloom_hits >= minHits.
+   */
+  def bloomDecontaminate(
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      mBits: Int, numHashes: Int, minHits: Long): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    // no distinct: setting a bit twice is idempotent, so the build stays
+    // a pure map → single-row merge with no shingle shuffle at all
+    val evalGrams = eval_
+      .select(explode(TextOps.tokenShingles(col(textCol))).as("g"))
+    val bloom = evalGrams.agg(
+      column(graft.functions.BloomBitsAgg(expression(col("g")), mBits, numHashes)
+        .toAggregateExpression()).as("bloom_bits"))
+    val probed = train
+      .select(col(idCol).as("doc_id"), TextOps.tokenShingles(col(textCol)).as("grams"))
+      .crossJoin(broadcast(bloom))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("grams"))).cast("long").as("n_grams"),
+        column(graft.functions.BloomHitCount(
+          expression(col("bloom_bits")), expression(col("grams")),
+          mBits, numHashes)).as("bloom_hits"))
+    probed.filter(col("bloom_hits") >= minHits)
+  }
 }

@@ -490,4 +490,20 @@ object TextOps {
       graft.functions.Fingerprint(
         org.apache.spark.sql.graft.ColumnBridge.expression(norm)))
   }
+
+  /** URL decomposition for web-corpus provenance stats — host (without
+    * port), port (null if absent), path, query string. Pure
+    * regexp_extract (codegen'd, narrow, oracle-replayable); empty
+    * captures → null to match SQL NULLIF semantics. Per-domain grouping
+    * over these is the CCNet-style provenance roll-up. */
+  def urlParts(url: Column): Seq[Column] = {
+    def part(re: String, as: String) =
+      nullif(regexp_extract(url, re, 1), lit("")).as(as)
+    Seq(
+      part("^[a-z]+://([^/:?#]+)", "host"),
+      nullif(regexp_extract(url, "^[a-z]+://[^/:?#]+:([0-9]+)", 1), lit(""))
+        .cast("int").as("port"),
+      part("^[a-z]+://[^/?#]*(/[^?#]*)", "path"),
+      part("\\?([^#]*)", "query"))
+  }
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextOps}
+
+/** Round-7 operators: Bloom decontamination, semi/anti join shapes,
+  * disjunctive-predicate join (Q19), exact dyadic EWMA, URL parsing. */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ── Bloom decontamination ─────────────────────────────────────────────
+
+  private val evalDocs = Seq(
+    (100L, "the standard benchmark question about world capitals and rivers asked here"),
+    (101L, "a second held out evaluation prompt concerning prime numbers and proofs")
+  ).toDF("doc_id", "text")
+
+  private val trainDocs = Seq(
+    // verbatim copy of eval doc 100 → every shingle hits
+    (1L, "the standard benchmark question about world capitals and rivers asked here"),
+    // shares a long span with eval doc 101
+    (2L, "students love a second held out evaluation prompt concerning prime numbers and proofs they say"),
+    // unrelated
+    (3L, "spark catalyst pushes filters below joins so columnar scans stay narrow and fast"),
+    (4L, "gradient descent converges when the learning rate respects the lipschitz constant")
+  ).toDF("doc_id", "text")
+
+  test("bloomDecontaminate: contaminated docs flagged, clean docs pass") {
+    val r = Dedup.bloomDecontaminate(trainDocs, evalDocs, "doc_id", "text",
+        mBits = 1 << 18, numHashes = 3, minHits = 5L)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r.contains(1L)) // verbatim copy
+    assert(r.contains(2L)) // long shared span
+    assert(!r.contains(3L) && !r.contains(4L)) // clean docs below threshold
+    // the verbatim copy hits on EVERY one of its distinct shingles
+    val row1 = Dedup.bloomDecontaminate(trainDocs, evalDocs, "doc_id", "text",
+        1 << 18, 3, 1L).filter(col("doc_id") === 1L).head()
+    assert(row1.getLong(1) == row1.getLong(2), "n_grams should equal bloom_hits for a verbatim copy")
+  }
+
+  test("bloom filter: membership has no false negatives, build is OR-mergeable") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val grams = (1 to 500).map(i => s"gram number $i").toDF("g")
+    // build from two disjoint halves in separate partitions → merge path
+    val bloom = grams.repartition(8).agg(
+      column(graft.functions.BloomBitsAgg(expression(col("g")), 1 << 16, 3)
+        .toAggregateExpression()).as("bits"))
+    val probe = grams.agg(collect_list(col("g")).as("all"))
+      .crossJoin(bloom)
+      .select(column(graft.functions.BloomHitCount(
+        expression(col("bits")), expression(col("all")), 1 << 16, 3)).as("hits"))
+      .head().getLong(0)
+    assert(probe == 500L, "every inserted gram must test positive")
+  }
+
+  test("bloomDecontaminate plan: corpus side has no shuffle, filter arrives broadcast") {
+    val plan = Dedup.bloomDecontaminate(trainDocs, evalDocs, "doc_id", "text",
+      1 << 18, 3, 5L).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the only exchanges are the 1-row aggregate merge + its broadcast —
+    // never a hash repartition of train or eval shingles
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  // ── join shapes ───────────────────────────────────────────────────────
+
+  test("q_semi_join / q_anti_join plans: semi and anti joins, no match multiplication") {
+    val semi = SparkEntry.queries("q_semi_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = SparkEntry.queries("q_anti_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("anti join: part with only small-quantity lineitems survives") {
+    val part = Seq((1, "Brand#11"), (2, "Brand#22"), (3, "Brand#33")).toDF("p_partkey", "p_brand")
+    val li = Seq((1, 50.0), (2, 10.0)).toDF("l_partkey", "l_quantity")
+    val r = part.join(li.filter($"l_quantity" >= 45), part("p_partkey") === li("l_partkey"), "left_anti")
+      .select($"p_partkey").as[Int].collect().toSet
+    assert(r == Set(2, 3)) // 1 shipped in bulk; 2 only small; 3 never shipped
+  }
+
+  test("q_tpch_q19: part side broadcast, disjunctive predicate after the join") {
+    val plan = SparkEntry.queries("q_tpch_q19")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // ── EWMA ──────────────────────────────────────────────────────────────
+
+  test("ewma: dyadic decayed sum matches the hand-computed recurrence") {
+    // one user, values 1, 2, 4 in time order; half-life one event:
+    // ewma_micro(t3) = 4e6 + 2e6/2 + 1e6/4 = 5.25e6
+    val ev = Seq(
+      ("e1", "u1", 1000000000L, 1.0),
+      ("e2", "u1", 2000000000L, 2.0),
+      ("e3", "u1", 3000000000L, 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    ev.createOrReplaceTempView("ewma_probe")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy(expr("ts div 1000L"), $"event_id")
+    val terms = (0 until 10).map(j =>
+      coalesce(lag($"vmic", j).over(w), lit(0L)).cast("double") * lit(1.0 / (1L << j)))
+    val r = ev.withColumn("vmic", round($"value" * 1000000).cast("long"))
+      .select($"event_id", terms.reduce(_ + _).as("ewma_micro"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("e1") == 1000000.0)
+    assert(r("e2") == 2500000.0)   // 2e6 + 1e6/2
+    assert(r("e3") == 5250000.0)   // 4e6 + 2e6/2 + 1e6/4
+  }
+
+  // ── URL parsing ───────────────────────────────────────────────────────
+
+  test("urlParts: host/port/path/query across shapes, absent parts are null") {
+    val urls = Seq(
+      "https://docs.example.org:8080/en/doc1?ref=src1",
+      "http://example.com/path/only",
+      "https://bare-host.io",
+      "https://q.example.net?x=1"
+    ).toDF("url")
+    val r = urls.select(Seq(col("url")) ++ TextOps.urlParts(col("url")): _*)
+      .collect().map(x => x.getString(0) ->
+        (x.getString(1), if (x.isNullAt(2)) -1 else x.getInt(2), x.getString(3), x.getString(4))).toMap
+    assert(r("https://docs.example.org:8080/en/doc1?ref=src1") ==
+      (("docs.example.org", 8080, "/en/doc1", "ref=src1")))
+    assert(r("http://example.com/path/only") == (("example.com", -1, "/path/only", null)))
+    assert(r("https://bare-host.io") == (("bare-host.io", -1, null, null)))
+    assert(r("https://q.example.net?x=1") == (("q.example.net", -1, null, "x=1")))
+  }
+}
