@@ -970,6 +970,18 @@ object SparkEntry {
           terms.reduce(_ + _).as("ewma_micro"))
     }),
 
+    "q_doc_perplexity" -> ((s, dir) =>
+      // LM-based quality scoring: per-doc avg negative log-likelihood
+      // under the corpus bigram LM (add-one smoothed); one shared
+      // bigram exchange for LM build + scoring
+      TextOps.docPerplexity(docs(s, dir), "doc_id", "text")),
+
+    "q_inverted_index" -> ((s, dir) =>
+      // bounded-posting inverted index: df + 10 smallest doc ids per
+      // term with df >= 20; the cap lives inside the TopKBy aggregate
+      TextOps.invertedIndex(docs(s, dir), "doc_id", "text",
+        maxPostings = 10, minDf = 20L)),
+
     "q_url_stats" -> ((s, dir) => {
       // web-corpus provenance roll-up: parse a URL into host/port/path/
       // query (TextOps.urlParts — narrow regexp_extract) and aggregate
@@ -2205,6 +2217,28 @@ object SparkEntry {
          |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
     },
+
+    "q_doc_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |bg0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |  ELSE [array_to_string(toks, ' ')] END) AS bigram FROM tk),
+         |bg AS (SELECT doc_id, bigram FROM bg0 WHERE strpos(bigram, ' ') > 0),
+         |lm AS (SELECT bigram, count(*) AS cbg FROM bg GROUP BY bigram),
+         |u AS (SELECT unnest(toks) AS w1 FROM tk),
+         |ug AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1),
+         |vv AS (SELECT count(DISTINCT w1)::DOUBLE AS v FROM u)
+         |SELECT bg.doc_id, count(*) AS n_bigrams,
+         |  round(-sum(CAST(round(ln((lm.cbg + 1)::DOUBLE / (ug.c1::DOUBLE + (SELECT v FROM vv))) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6) AS avg_nll
+         |FROM bg JOIN lm USING (bigram)
+         |JOIN ug ON split_part(bg.bigram, ' ', 1) = ug.w1
+         |GROUP BY bg.doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+        |SELECT term, count(*) AS df,
+        |  list_slice(list(doc_id ORDER BY doc_id ASC), 1, 10) AS postings
+        |FROM tk GROUP BY term HAVING count(*) >= 20""".stripMargin,
 
     "q_url_stats" ->
       """WITH u AS (SELECT n_chars,

@@ -491,6 +491,63 @@ object TextOps {
         org.apache.spark.sql.graft.ColumnBridge.expression(norm)))
   }
 
+  /**
+   * Per-document cross-entropy under the corpus's own bigram LM with
+   * add-one smoothing: avg_nll(doc) = −(1/n)·Σ ln((c(w1w2)+1)/(c(w1)+V))
+   * over the doc's n bigram occurrences — the CCNet-style "score each
+   * document by a corpus LM" quality signal, here with the LM estimated
+   * in the same job.
+   *
+   * Scale shape: the exploded (doc, bigram) relation is staged behind
+   * ONE bigram-keyed exchange shared by the LM count aggregation and
+   * the scoring join (same idiom as cleanCorpus/oovRate); the unigram
+   * table joins by first word (AQE broadcasts it when small). Each
+   * −ln term is rounded to integer micro-nats BEFORE the per-doc sum —
+   * exact long sum, order-free under any partitioning.
+   */
+  def docPerplexity(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), explode(tokenShingles(col(textCol), 2)).as("bigram"))
+      .filter(instr(col("bigram"), " ") > 0)
+      .repartition(col("bigram"))
+    val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cbg"))
+    val toks = docs.select(explode(tokens(col(textCol))).as("w1"))
+    val ug = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.agg(countDistinct(col("w1"))).head.getLong(0).toDouble
+    bg.join(lm, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(ug, "w1")
+      .withColumn("term",
+        round(log((col("cbg") + 1).cast("double") / (col("c1").cast("double") + lit(v))) * 1000000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-sum(col("term")) / 1000000.0 / count(lit(1)), 6).as("avg_nll"))
+  }
+
+  /**
+   * Inverted index with BOUNDED posting lists: term → document
+   * frequency + the `maxPostings` smallest doc ids. The posting cap is
+   * enforced INSIDE the aggregate ([[graft.functions.TopKBy]] keeps an
+   * O(k) heap per term, map-side combinable) — a stopword's millions of
+   * documents never materialize as aggregation state or shuffle volume,
+   * unlike collect_list-then-slice. One exchange on term.
+   */
+  def invertedIndex(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxPostings: Int, minDf: Long = 1L): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        transform(
+          graft.functions.GraftFunctions.topk_by(
+            col("doc_id"), -col("doc_id").cast("double"), maxPostings),
+          x => x.getField("id")).as("postings"))
+      .filter(col("df") >= minDf)
+
   /** URL decomposition for web-corpus provenance stats — host (without
     * port), port (null if absent), path, query string. Pure
     * regexp_extract (codegen'd, narrow, oracle-replayable); empty

@@ -113,6 +113,57 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r("e3") == 5250000.0)   // 4e6 + 2e6/2 + 1e6/4
   }
 
+  // ── bigram-LM perplexity ──────────────────────────────────────────────
+
+  test("docPerplexity: repetitive text scores lower nll than novel text") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the mat again today"),
+      (2L, "the cat sat on the mat and the cat sat on the mat again today"),
+      (3L, "quantum chromodynamics lattice regularization breaks chiral symmetry badly")
+    ).toDF("doc_id", "text")
+    val r = TextOps.docPerplexity(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) == r(2L)) // identical docs, identical score
+    assert(r(1L) < r(3L), s"repeated phrasing must be more probable: $r")
+  }
+
+  test("docPerplexity: hand-check a two-bigram doc") {
+    // corpus: one doc "a b a b c". V=3; bigrams: ab:2, ba:1, bc:1;
+    // unigrams a:2 b:2 c:1. nll terms: ln((2+1)/(2+3)) for 'a b' twice,
+    // ln((1+1)/(2+3)) for 'b a', ln((1+1)/(2+3)) for 'b c'
+    val d = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val row = TextOps.docPerplexity(d, "doc_id", "text").head()
+    assert(row.getLong(1) == 4L)
+    val t1 = math.rint(math.log(3.0 / 5.0) * 1e6)
+    val t2 = math.rint(math.log(2.0 / 5.0) * 1e6)
+    val want = BigDecimal(-(2 * t1 + 2 * t2) / 1e6 / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(2) - want) < 1e-9, s"got ${row.getDouble(2)}, want $want")
+  }
+
+  // ── inverted index ────────────────────────────────────────────────────
+
+  test("invertedIndex: df counts docs once, postings are the k smallest ids, capped") {
+    val d = Seq(
+      (5L, "apple banana apple"), // 'apple' twice in one doc → df 1
+      (3L, "apple cherry"),
+      (9L, "apple date"),
+      (1L, "banana elderberry")
+    ).toDF("doc_id", "text")
+    val r = TextOps.invertedIndex(d, "doc_id", "text", maxPostings = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getSeq[Long](2))).toMap
+    assert(r("apple") == ((3L, Seq(3L, 5L)))) // df 3, two smallest ids only
+    assert(r("banana") == ((2L, Seq(1L, 5L))))
+    assert(r("cherry") == ((1L, Seq(3L))))
+  }
+
+  test("invertedIndex plan: posting cap is a bounded aggregate, no window sort") {
+    val plan = SparkEntry.queries("q_inverted_index")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), plan) // map-side combine
+    assert(!plan.contains("Window"), plan) // no per-term window sort path
+  }
+
   // ── URL parsing ───────────────────────────────────────────────────────
 
   test("urlParts: host/port/path/query across shapes, absent parts are null") {
