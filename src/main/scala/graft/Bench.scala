@@ -37,34 +37,36 @@ object Bench {
     }
     // The driver captures only the LAST ~2 KB of stdout; round 4's line
     // (78 queries at full double precision) overflowed that buffer and the
-    // driver recorded parsed:null. The full 100+-query map fits only
-    // compacted: map keys drop the uniform "q_" prefix (declared in
-    // key_prefix), per-query times as INTEGER CENTISECONDS (declared in
-    // q_unit; headroom to ~115 queries), sf as the bare directory name.
-    // If a grown suite overflows anyway, the shrink loop drops the
-    // fastest queries last-resort (the complete map always goes to
-    // stderr for local tuning).
+    // driver recorded parsed:null. A JSON object map ("name":cs,) spends
+    // 4 chars/query on syntax and stopped fitting at 111 queries, so the
+    // per-query times ship as two PARALLEL CSV STRINGS: qk = query names
+    // (uniform "q_" prefix stripped, declared in key_prefix), qv =
+    // best-of-3 INTEGER CENTISECONDS (declared in q_unit; -1 = failed),
+    // same order — 2 chars/query, headroom to ~150 queries. If a grown
+    // suite overflows anyway, the shrink loop drops the fastest queries
+    // last-resort (the complete map always goes to stderr for local
+    // tuning).
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def line(rs: Seq[(String, Double, Double)], omitted: Int): String = {
-      val qs = rs.map { case (k, v, _) =>
-        "\"" + k.stripPrefix("q_") + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
-      }.mkString("{", ",", "}")
+      val qk = rs.map(_._1.stripPrefix("q_")).mkString(",")
+      val qv = rs.map { case (_, v, _) =>
+        if (v < 0) "-1" else math.round(v * 100).toString
+      }.mkString(",")
       val failed = results.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
         .mkString("[", ",", "]")
       val ok = results.map(_._2).filter(_ >= 0)
       val total = ok.sum
-      // n_queries/mean: the suite GROWS round over round (42 -> 94), so
-      // the per-query mean is the comparable figure across rounds
-      val mean = if (ok.nonEmpty) total / ok.size else -1.0
+      // n_queries: the suite GROWS round over round (42 -> 94 -> 111+),
+      // so total/n_queries is the comparable figure across rounds
       // p90 of per-query relative spread over 3 runs: how much a single
-      // timing can be trusted (0.18 ⇒ repeat runs within 18% for 90% of
-      // queries; anything beyond is machine noise, not regression)
+      // timing can be trusted (1.2 ⇒ the worst of 3 runs can be 2.2× the
+      // best — exactly why best-of-3, not single-run, is the metric)
       val spreads = results.collect { case (_, v, s) if v >= 0 => s }.sorted
       val p90 = if (spreads.isEmpty) 0.0
         else spreads(((spreads.size - 1) * 9) / 10)
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"mean":${f3(mean)},"runs":3,"spread_p90":${f2(p90)},"key_prefix":"q_","q_unit":"cs","queries":$qs,"queries_omitted":$omitted,"failed":$failed,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":3,"spread_p90":${f2(p90)},"key_prefix":"q_","q_unit":"cs","qk":"$qk","qv":"$qv","queries_omitted":$omitted,"failed":$failed,"sf":"$sfName"}"""
     }
     System.err.println("[bench-full] " + line(results, 0))
     val budget = 1980

@@ -970,6 +970,20 @@ object SparkEntry {
           terms.reduce(_ + _).as("ewma_micro"))
     }),
 
+    "q_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 shape (customer order-count distribution incl. the
+      // zero-order customers): aggregate orders per custkey FIRST, then
+      // LEFT OUTER join customer — the join input shrinks from |orders|
+      // to |custkeys-with-orders| before any wide join, and customers
+      // with no orders surface via coalesce(cnt, 0)
+      val c = t(s, dir, "customer")
+      val ocnt = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      c.join(ocnt, c("c_custkey") === ocnt("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+
     "q_doc_perplexity" -> ((s, dir) =>
       // LM-based quality scoring: per-doc avg negative log-likelihood
       // under the corpus bigram LM (add-one smoothed); one shared
@@ -2217,6 +2231,13 @@ object SparkEntry {
          |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
     },
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
 
     "q_doc_perplexity" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),

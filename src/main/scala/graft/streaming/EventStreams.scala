@@ -210,4 +210,35 @@ object EventStreams {
           }
       }
   }
+
+  /**
+   * Stream-stream interval join — impression→click attribution: each
+   * `clickType` event joins the SAME user's `viewType` events whose
+   * event time lies in (click − joinWindow, click]. Both sides carry a
+   * watermark and the join condition bounds event-time distance, so
+   * Spark evicts join state once the watermark passes `event_time +
+   * joinWindow` on each side — state is bounded by the attribution
+   * horizon, never #events-ever. This is the genuinely-streaming shape
+   * of the batch two-table range join ([[graft.ops.Events.rangeJoin2]]),
+   * which the spec checks it agrees with.
+   */
+  def attributionJoin(events: DataFrame, viewType: String, clickType: String,
+      joinWindowSec: Long = 600L): DataFrame = {
+    val views = withEventTime(events)
+      .filter(col("event_type") === viewType)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("event_time").as("view_time"))
+      .withWatermark("view_time", "30 minutes")
+    val clicks = withEventTime(events)
+      .filter(col("event_type") === clickType)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "30 minutes")
+    views.join(clicks,
+      col("view_user") === col("click_user") &&
+        col("click_time") >= col("view_time") &&
+        col("click_time") < col("view_time") + expr(s"INTERVAL $joinWindowSec SECONDS"))
+      .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_time")) - unix_micros(col("view_time"))).as("lag_us"))
+  }
 }

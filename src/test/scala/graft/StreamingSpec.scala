@@ -231,4 +231,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(total == events.size)
     } finally q.stop()
   }
+
+  test("attributionJoin: stream-stream interval join agrees with the batch join") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // user 7: view@0 + click@10min (attributed, window 15 min) and
+    // view@50 with no click; user 8: view@5 with a click@40min — OUTSIDE
+    // the window, must not pair; click@3min for user 8 PRECEDES its view
+    // — must not pair either
+    val attrEvents = events ++ Seq(
+      StreamEvent(5L, Base + 40L * MinNs, 8L, "click", 1.0),
+      StreamEvent(6L, Base + 3L * MinNs, 8L, "click", 1.0))
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.attributionJoin(in.toDF(), "view", "click", joinWindowSec = 900L)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      in.addData(attrEvents)
+      q.processAllAvailable()
+      in.addData(flush)
+      q.processAllAvailable()
+
+      val streamed = s.sql("SELECT user_id, view_id, click_id, lag_us FROM attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+      // batch twin: plain self-join with the identical predicate
+      val df = attrEvents.toDF().withColumn("t_us", expr("ts div 1000"))
+      val v = df.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id".as("u"), $"t_us".as("vt"))
+      val c = df.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("cu"), $"t_us".as("ct"))
+      val batch = v.join(c, $"u" === $"cu" && $"ct" >= $"vt" && $"ct" < $"vt" + 900L * 1000000L)
+        .select($"u", $"view_id", $"click_id", ($"ct" - $"vt").as("lag_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+      assert(streamed == batch)
+      assert(streamed == Set((7L, 1L, 2L, 600000000L))) // exactly the one attribution
+    } finally q.stop()
+  }
 }
