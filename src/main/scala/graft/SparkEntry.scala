@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, Events, Multimodal, Packing, Similarity, Sketches, Stats, TextOps}
+import graft.ops.{Dedup, Events, Multimodal, Packing, Scale, Similarity, Sketches, Stats, TextOps}
 
 /**
  * Driver contract: every operator in SURVEY.md §2 is exposed as a named
@@ -968,6 +968,47 @@ object SparkEntry {
         // reintroduce a half-point rounding ulp
         .select(col("event_id"), col("user_id"),
           terms.reduce(_ + _).as("ewma_micro"))
+    }),
+
+    "q_bloom_semi_join" -> ((s, dir) => {
+      // runtime-filter pattern: Brand#23 partkeys → KB-scale bloom
+      // broadcast prunes lineitem IN ITS SCAN; the exact semi join
+      // removes bloom false positives, so the result is plain EXISTS
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      Scale.bloomFilteredSemiJoin(li, p, "l_partkey", "p_partkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+    }),
+
+    "q_quality_deciles" -> ((s, dir) => {
+      // curriculum binning: per-language length quartiles via ntile —
+      // the window partitions by lang (no global sort; each language
+      // ranks independently on its own reducer)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      docs(s, dir)
+        .select(col("lang"), col("n_chars"), ntile(4).over(w).as("quartile"))
+        .groupBy(col("lang"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    }),
+
+    "q_zorder" -> ((s, dir) => {
+      // z-order layout audit: Morton-interleave (user cell, day) per
+      // event and roll up per 2^8 key range — the file-level locality
+      // a zkey-sorted write would give both user- and time-range scans
+      val ev = t(s, dir, "events")
+        .withColumn("ucell", pmod(col("user_id"), lit(65536L)))
+        .withColumn("day", expr("(ts div 86400000000000) % 65536"))
+      ev.withColumn("zkey", Scale.zorderKey16(col("ucell"), col("day")))
+        .withColumn("zbucket", shiftright(col("zkey"), 8))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          (max(col("day")) - min(col("day"))).as("day_span"))
     }),
 
     "q_tpch_q13" -> ((s, dir) => {
@@ -2230,6 +2271,41 @@ object SparkEntry {
          |FROM (SELECT event_id, user_id, ts,
          |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+    },
+
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS price_cents
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part
+        |  WHERE p_partkey = l_partkey AND p_brand = 'Brand#23')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_quality_deciles" ->
+      """SELECT lang, quartile, count(*) AS n,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT lang, n_chars,
+        |    ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+        |  FROM documents)
+        |GROUP BY lang, quartile""".stripMargin,
+
+    "q_zorder" -> {
+      def spread(x: String) =
+        s"""(SELECT x5 FROM (SELECT ($x) & 65535 AS x1) t1,
+           |  LATERAL (SELECT (x1 | (x1 << 8)) & 16711935 AS x2) t2,
+           |  LATERAL (SELECT (x2 | (x2 << 4)) & 252645135 AS x3) t3,
+           |  LATERAL (SELECT (x3 | (x3 << 2)) & 858993459 AS x4) t4,
+           |  LATERAL (SELECT (x4 | (x4 << 1)) & 1431655765 AS x5) t5)""".stripMargin
+      s"""WITH cells AS (SELECT user_id,
+         |    user_id % 65536 AS ucell,
+         |    (epoch_us(ts) // 86400000000) % 65536 AS day
+         |  FROM events),
+         |z AS (SELECT user_id, day,
+         |    (${spread("ucell")} | (${spread("day")} << 1)) >> 8 AS zbucket
+         |  FROM cells)
+         |SELECT zbucket, count(*) AS n, count(DISTINCT user_id) AS n_users,
+         |  max(day) - min(day) AS day_span
+         |FROM z GROUP BY zbucket""".stripMargin
     },
 
     "q_tpch_q13" ->

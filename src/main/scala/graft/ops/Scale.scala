@@ -58,4 +58,70 @@ object Scale {
     val repl = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(repl, Seq(key, "__salt")).drop("__salt")
   }
+
+  /**
+   * Bloom key-prune — the runtime-filter pattern made explicit: `keys`'
+   * values reduce to one [[graft.functions.BloomBitsAgg]] bitset
+   * (map-side OR-merge, a few KB) evaluated as an UNCORRELATED SCALAR
+   * SUBQUERY inside a plain Filter over `large`. A Filter (unlike a
+   * broadcast-join form of the same thing) is not a join node, so no
+   * join-reorder rule can hoist the exact join beneath it — the probe
+   * provably runs in the scan stage, before any exchange. Bloom false
+   * positives pass the filter (rate (fill)^k) and must be removed by
+   * the exact join that follows; at 100 TB the win is the fact side
+   * shipping ~selectivity× less volume into the join shuffle — the same
+   * effect as Spark's `runtimeFilter.bloomFilter`, but deterministic,
+   * engine-replayable, and available when the optimizer declines it.
+   */
+  def bloomPrune(
+      large: DataFrame, largeKey: String, keys: DataFrame, keyCol: String,
+      mBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import ColumnBridge.{column, expression}
+    val bloomPlan = ColumnBridge.analyzed(keys.agg(
+      column(graft.functions.BloomBitsAgg(
+        expression(col(keyCol).cast("string")), mBits, numHashes)
+        .toAggregateExpression()).as("__bloom")))
+    val sub = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomPlan)
+    large.filter(
+      column(graft.functions.BloomHitCount(
+        sub, expression(array(col(largeKey).cast("string"))),
+        mBits, numHashes)) === 1L)
+  }
+
+  /**
+   * Bloom-pre-filtered semi join: [[bloomPrune]] the large side with the
+   * small side's keys, then the exact semi join removes the bloom's
+   * false positives — the RESULT is identical to a plain semi join
+   * (oracle: plain EXISTS), only the join input shrinks.
+   */
+  def bloomFilteredSemiJoin(
+      large: DataFrame, small: DataFrame, largeKey: String, smallKey: String,
+      mBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    val pruned = bloomPrune(large, largeKey, small, smallKey, mBits, numHashes)
+    pruned.join(small.select(col(smallKey)).distinct(),
+      pruned(largeKey) === col(smallKey), "left_semi")
+  }
+
+  /**
+   * Morton (z-order) interleave of two 16-bit cell coordinates — the
+   * multi-dimensional data-layout key: writing a 100 TB table sorted by
+   * `zorderKey16(dimA, dimB)` co-locates rows close in BOTH dimensions
+   * into the same files, so two-sided range predicates (user ∧ time,
+   * lat ∧ lon) prune file-level min/max statistics in either dimension
+   * — the technique behind Delta/Iceberg Z-ORDER clustering. Pure
+   * integer shift/mask arithmetic (codegen'd, exact, engine-replayable);
+   * inputs are masked to 16 bits.
+   */
+  def zorderKey16(a: Column, b: Column): Column = {
+    // spread 16 bits over 32 (magic-number bit spreading), then interleave
+    def spread(x0: Column): Column = {
+      val x1 = x0.bitwiseAND(lit(0xFFFFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x4 = x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x33333333L))
+      x4.bitwiseOR(shiftleft(x4, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+  }
 }

@@ -113,6 +113,55 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r("e3") == 5250000.0)   // 4e6 + 2e6/2 + 1e6/4
   }
 
+  // ── bloom-filtered semi join ──────────────────────────────────────────
+
+  test("bloomFilteredSemiJoin: result identical to a plain semi join") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val bloomed = graft.ops.Scale.bloomFilteredSemiJoin(li, p, "l_partkey", "p_partkey")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bloomed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bloomFilteredSemiJoin plan: bloom probe filters the large side before the join") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val plan = graft.ops.Scale.bloomFilteredSemiJoin(li, p, "l_partkey", "p_partkey")
+      .queryExecution.executedPlan.toString
+    // the bloom probe must sit UNDER the semi join (prunes before it) —
+    // in the printed tree, deeper operators appear later
+    val probeAt = plan.indexOf("graft_bloom_hits")
+    val joinAt = plan.indexOf("LeftSemi")
+    assert(probeAt >= 0 && joinAt >= 0 && probeAt > joinAt, plan)
+  }
+
+  // ── z-order key ───────────────────────────────────────────────────────
+
+  test("zorderKey16: exact interleave on known bit patterns") {
+    val d = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL),
+      (5L, 3L) // 0101 ⨉ 0011 → a-bits even, b-bits odd: 100111
+    ).toDF("a", "b")
+    val r = d.select(graft.ops.Scale.zorderKey16(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL), (5L, 3L)).map((morton _).tupled)
+    assert(r.toSeq == want)
+    assert(morton(5L, 3L) == 27L) // 011011: a=0101 at even bits, b=0011 at odd
+  }
+
   // ── bigram-LM perplexity ──────────────────────────────────────────────
 
   test("docPerplexity: repetitive text scores lower nll than novel text") {
