@@ -970,6 +970,31 @@ object SparkEntry {
           terms.reduce(_ + _).as("ewma_micro"))
     }),
 
+    "q_profile" -> ((s, dir) =>
+      // one-scan data-quality audit: per-column null/distinct/extrema
+      // with the engine-replayable KMV sketch for distincts (no Expand)
+      graft.ops.Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))),
+
+    "q_churn" -> ((s, dir) => {
+      // lapsed purchasers: users who purchased before day 19750 but not
+      // since — EXCEPT (distinct anti) of two pre-aggregated key sets,
+      // so only distinct user ids ever shuffle
+      val d = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      d.filter(col("day") < 19750).select("user_id").distinct()
+        .except(d.filter(col("day") >= 19750).select("user_id").distinct())
+    }),
+
+    "q_pagerank" -> ((s, dir) =>
+      // duplication-centrality: integer-exact PageRank over the MinHash
+      // candidate-pair graph (two shuffles/iteration, bit-identical
+      // under any partitioning)
+      graft.ops.Graph.pageRank(
+        Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands),
+        iters = 5)),
+
     "q_bloom_semi_join" -> ((s, dir) => {
       // runtime-filter pattern: Brand#23 partkeys → KB-scale bloom
       // broadcast prunes lineitem IN ITS SCAN; the exact semi join
@@ -2272,6 +2297,41 @@ object SparkEntry {
          |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
     },
+
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", (SELECT count(*) FROM orders) AS n,
+           |  count($c) AS non_null,
+           |  (SELECT round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+           |     ELSE 255.0 * 4294967296.0 / max(h)::DOUBLE END, 6)
+           |   FROM (SELECT h FROM (SELECT DISTINCT ${hexToLong(s"md5($c::VARCHAR)", 1, 8)} AS h
+           |     FROM orders WHERE $c IS NOT NULL) ORDER BY h ASC LIMIT 256)) AS distinct_est,
+           |  min($c::VARCHAR) AS min_s, max($c::VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
+    "q_churn" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT DISTINCT user_id FROM p WHERE day < 19750
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM p WHERE day >= 19750""".stripMargin,
+
+    "q_pagerank" ->
+      s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT id1 AS src, id2 AS dst FROM pairs_t
+         |  UNION SELECT id2, id1 FROM pairs_t),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |pr(iter, doc_id, r) AS (
+         |  SELECT 0, src, 1000000::BIGINT FROM dg
+         |  UNION ALL
+         |  SELECT pr.iter + 1, e.dst, 150000 + sum((pr.r * 17) // (20 * dg.deg))
+         |  FROM pr JOIN e ON pr.doc_id = e.src JOIN dg ON pr.doc_id = dg.src
+         |  WHERE pr.iter < 5
+         |  GROUP BY pr.iter, e.dst)
+         |SELECT doc_id, r AS rank_micro FROM pr WHERE iter = 5""".stripMargin,
 
     "q_bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -213,6 +213,41 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan) // no per-term window sort path
   }
 
+  // ── profile ───────────────────────────────────────────────────────────
+
+  test("profile: one row per column with null-aware counts and exact small distincts") {
+    val d = Seq(
+      (1L, Some("a"), 1.5), (2L, None, 1.5), (3L, Some("b"), 2.5), (4L, Some("a"), 3.5)
+    ).toDF("id", "s", "v")
+    val r = graft.ops.Profile.profile(d, Seq("id", "s", "v"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getString(4), x.getString(5))).toMap
+    assert(r("id") == ((4L, 4L, 4.0, "1", "4")))
+    assert(r("s") == ((4L, 3L, 2.0, "a", "b"))) // null ignored by count + sketch
+    assert(r("v") == ((4L, 4L, 3.0, "1.5", "3.5")))
+  }
+
+  // ── PageRank ──────────────────────────────────────────────────────────
+
+  test("pageRank: hand-computed star graph, exact integer micro-units") {
+    // star a(1)–b(2), a–c(3): deg(a)=2, deg(b)=deg(c)=1
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val r2 = graft.ops.Graph.pageRank(pairs, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // iter1: r(a)=150000+2*850000=1850000; r(b)=150000+425000=575000
+    // iter2: r(a)=150000+2*((575000*17) div 20)=1127500
+    //        r(b)=150000+(1850000*17) div 40=936250
+    assert(r2 == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+  }
+
+  test("pageRank: regular graphs sit at the 1e6 fixed point") {
+    // triangle: every node deg 2 → rank stays exactly 1_000_000
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2")
+    val r = graft.ops.Graph.pageRank(tri, iters = 3)
+      .collect().map(x => x.getLong(1)).toSet
+    assert(r == Set(1000000L))
+  }
+
   // ── URL parsing ───────────────────────────────────────────────────────
 
   test("urlParts: host/port/path/query across shapes, absent parts are null") {
