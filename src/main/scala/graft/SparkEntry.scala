@@ -97,6 +97,16 @@ object SparkEntry {
         .select(date_trunc("hour", timestamp_micros(expr("ts div 1000L"))).as("h"))
         .agg(unix_micros(GraftFunctions.mode_agg(col("h"))).as("mode_hour_us"))),
 
+    "q_mode_nulls" -> ((s, dir) => {
+      // reference null edge (mode ignores NULL inputs; an all-NULL group
+      // yields NULL): one priority's values are nulled out entirely
+      val y = when(col("o_orderpriority") === "1-URGENT", lit(null).cast("long"))
+        .otherwise(col("o_orderkey"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(GraftFunctions.mode_agg(y).as("mode_y"))
+    }),
+
     "q_max_by" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -1195,6 +1205,18 @@ object SparkEntry {
     "q_mode_int" ->
       """SELECT l_linenumber AS mode_linenumber FROM lineitem
         |GROUP BY l_linenumber ORDER BY count(*) DESC, l_linenumber DESC LIMIT 1""".stripMargin,
+
+    "q_mode_nulls" ->
+      """WITH y_t AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderkey END AS y
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority, y FROM (
+        |  SELECT o_orderpriority, y,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY count(*) DESC, y DESC) AS rn
+        |  FROM y_t WHERE y IS NOT NULL GROUP BY o_orderpriority, y) WHERE rn = 1),
+        |g AS (SELECT DISTINCT o_orderpriority FROM y_t)
+        |SELECT g.o_orderpriority, m.y AS mode_y
+        |FROM g LEFT JOIN m USING (o_orderpriority)""".stripMargin,
 
     "q_mode_grouped" ->
       """SELECT l_returnflag, l_linenumber AS mode_linenumber FROM (
