@@ -980,6 +980,28 @@ object SparkEntry {
           terms.reduce(_ + _).as("ewma_micro"))
     }),
 
+    "q_skew_profile" -> ((s, dir) =>
+      // the salting decision input: top keys by row share + cumulative
+      // concentration (distributed top-k cut before any global window)
+      Scale.keySkewProfile(t(s, dir, "lineitem"), "l_partkey", topN = 15)),
+
+    "q_window_suite" -> ((s, dir) => {
+      // ranking-analytics coverage in one pass: rank / percent_rank /
+      // cume_dist / running first over one (priority)-partitioned sort;
+      // WindowGroupLimit cuts to the top 3 per group before the shuffle
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first(col("o_orderkey")).over(w).as("best_order"))
+        .filter(col("rnk") <= 3)
+        .drop("o_totalprice")
+    }),
+
     "q_profile" -> ((s, dir) =>
       // one-scan data-quality audit: per-column null/distinct/extrema
       // with the engine-replayable KMV sketch for distincts (no Expand)
@@ -2319,6 +2341,33 @@ object SparkEntry {
          |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
     },
+
+    "q_skew_profile" ->
+      """WITH c AS (SELECT l_partkey::VARCHAR AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 15),
+        |r AS (SELECT key, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+        |  FROM top)
+        |SELECT rank::INT AS rank, key, cnt,
+        |  round(cnt / (SELECT total FROM tot), 6) AS share,
+        |  round(cum_cnt / (SELECT total FROM tot), 6) AS cum_share
+        |FROM r""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT o_orderpriority, o_orderkey, rnk, pct_rank, cume, best_order FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    rank() OVER w AS rnk,
+        |    round(percent_rank() OVER w, 6) AS pct_rank,
+        |    round(cume_dist() OVER w, 6) AS cume,
+        |    first_value(o_orderkey) OVER w AS best_order
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk <= 3""".stripMargin,
 
     "q_profile" -> {
       def one(c: String) =

@@ -166,6 +166,27 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"graft_hll requires (value, b-literal), got ${other.size} args")
     })
+    // graft_bloom_build(x, mBits, k) / graft_bloom_hits(bits, grams, mBits, k)
+    // — the SQL face of the runtime-filter / decontamination pair;
+    // mBits and k must be foldable integer literals
+    def lit(e: Expression, what: String): Int =
+      if (e.foldable) e.eval().asInstanceOf[Number].intValue()
+      else throw new IllegalArgumentException(s"$what must be a literal")
+    ColumnBridge.registerFunction(spark, "graft_bloom_build", {
+      case Seq(x, m, k) =>
+        BloomBitsAgg(Cast(x, org.apache.spark.sql.types.StringType),
+          lit(m, "mBits"), lit(k, "numHashes"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_bloom_build requires (value, mBits, k), got ${other.size} args")
+    })
+    ColumnBridge.registerFunction(spark, "graft_bloom_hits", {
+      case Seq(bits, grams, m, k) =>
+        BloomHitCount(bits, grams, lit(m, "mBits"), lit(k, "numHashes"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_bloom_hits requires (bits, grams, mBits, k), got ${other.size} args")
+    })
     registerTextFunctions(spark)
   }
 

@@ -104,6 +104,34 @@ object Scale {
   }
 
   /**
+   * Key-skew diagnostic — the measurement that DECIDES whether the
+   * salting machinery above is needed: per-key counts, each key's share
+   * of the total, and the running (cumulative) share in descending
+   * count order, cut to the top `topN`. A top key holding >1/partitions
+   * of the rows pins a reducer; cum_share over few keys ≈ 1 means
+   * salting (or AQE skew split) is mandatory. One count aggregation +
+   * a topN-bounded window over the tiny key-count table.
+   */
+  def keySkewProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    // the topN cut happens DISTRIBUTED (TakeOrderedAndProject) before
+    // the single-partition window ever sees a row — the window ranks
+    // only the <= topN survivors, never the full key-count table
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"),
+        round(col("cum_cnt") / col("total"), 6).as("cum_share"))
+  }
+
+  /**
    * Morton (z-order) interleave of two 16-bit cell coordinates — the
    * multi-dimensional data-layout key: writing a 100 TB table sorted by
    * `zorderKey16(dimA, dimB)` co-locates rows close in BOTH dimensions

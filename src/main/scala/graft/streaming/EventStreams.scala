@@ -241,4 +241,15 @@ object EventStreams {
       .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
         (unix_micros(col("click_time")) - unix_micros(col("view_time"))).as("lag_us"))
   }
+
+  /**
+   * Stream-static enrichment join: the streaming side joins a STATIC
+   * dimension (re-read per micro-batch, broadcast — no state store at
+   * all, unlike stream-stream). The standard shape for decorating an
+   * event stream with slowly-changing reference data; at scale the dim
+   * stays broadcastable or the join falls back to a per-batch shuffle,
+   * either way stateless.
+   */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    withEventTime(events).join(broadcast(dim), Seq(key), "left_outer")
 }

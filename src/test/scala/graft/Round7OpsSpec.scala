@@ -213,6 +213,31 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan) // no per-term window sort path
   }
 
+  // ── bloom SQL registration ────────────────────────────────────────────
+
+  test("graft_bloom_build / graft_bloom_hits registered in SQL, end to end") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq("alpha", "beta", "gamma").toDF("g").createOrReplaceTempView("bloom_in")
+    Seq(Seq("alpha", "beta", "delta")).toDF("grams").createOrReplaceTempView("bloom_probe")
+    val hits = spark.sql(
+      """SELECT graft_bloom_hits(
+        |  (SELECT graft_bloom_build(g, 65536, 3) FROM bloom_in),
+        |  grams, 65536, 3) AS h
+        |FROM bloom_probe""".stripMargin).head().getLong(0)
+    assert(hits == 2L) // alpha + beta hit, delta misses
+  }
+
+  // ── skew profile ──────────────────────────────────────────────────────
+
+  test("keySkewProfile: shares and cumulative concentration, hot key first") {
+    val d = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "c")).toDF("k")
+    val r = graft.ops.Scale.keySkewProfile(d, "k", topN = 3)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+    assert(r(0) == ((1, "hot", 6L, 0.6, 0.6)))
+    assert(r(1) == ((2, "a", 2L, 0.2, 0.8)))
+    assert(r(2) == ((3, "b", 1L, 0.1, 0.9))) // tie b/c broken by key asc
+  }
+
   // ── profile ───────────────────────────────────────────────────────────
 
   test("profile: one row per column with null-aware counts and exact small distincts") {

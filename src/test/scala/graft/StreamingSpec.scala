@@ -273,4 +273,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == Set((7L, 1L, 2L, 600000000L))) // exactly the one attribution
     } finally q.stop()
   }
+
+  test("enrichStream: static dim decorates the stream, unmatched keys keep null") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val dim = Seq(("view", "browse"), ("click", "engage")).toDF("event_type", "category")
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.enrichStream(in.toDF(), dim, "event_type")
+      .select($"event_id", $"category")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      val r = s.sql("SELECT event_id, category FROM enrich_out")
+        .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+      assert(r(1L).contains("browse") && r(2L).contains("engage"))
+      assert(r.size == events.size) // left outer: every event survives
+    } finally q.stop()
+  }
 }
