@@ -980,6 +980,43 @@ object SparkEntry {
           terms.reduce(_ + _).as("ewma_micro"))
     }),
 
+    "q_resample_locf" -> ((s, dir) =>
+      // irregular gauge → dense daily grid with last-obs-carried-forward
+      Events.resampleDailyLocf(t(s, dir, "events"))),
+
+    "q_bloom_fp_audit" -> ((s, dir) => {
+      // sketch-accuracy audit for the bloom filter: measured FP rate
+      // over train grams PROVABLY absent from the eval set, next to the
+      // (fill)^k theoretical rate from the exact set-bit count
+      val d = docs(s, dir)
+      def grams(src: org.apache.spark.sql.Column) = d.filter(src)
+        .select(explode(TextOps.tokenShingles(col("text"))).as("g")).distinct()
+      val evalG = grams(col("source") === "src0")
+      val cleanG = grams(col("source") =!= "src0").join(evalG, Seq("g"), "left_anti")
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val bloom = evalG.agg(column(
+        graft.functions.BloomBitsAgg(expression(col("g")), BloomBits, BloomHashes)
+          .toAggregateExpression()).as("bits"))
+      val hit = column(graft.functions.BloomHitCount(
+        expression(col("bits")), expression(array(col("g"))), BloomBits, BloomHashes))
+      val probes = cleanG.crossJoin(broadcast(bloom))
+        .agg(count(lit(1)).as("n_probes"), sum(hit).as("n_fp"))
+      // exact set-bit count: the distinct K-M positions of the eval grams
+      val h1 = conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("g")), 9, 8), 16, 10).cast("long")
+      val nbits = evalG
+        .select(h1.as("h1"), h2.as("h2"),
+          explode(sequence(lit(0), lit(BloomHashes - 1))).as("i"))
+        .select(((col("h1") + col("i") * col("h2")) % BloomBits).as("p"))
+        .distinct().agg(count(lit(1)).as("n_set_bits"))
+      val fill = col("n_set_bits").cast("double") / lit(BloomBits.toDouble)
+      probes.crossJoin(broadcast(nbits))
+        .select(col("n_probes"), col("n_fp"),
+          round(col("n_fp") / col("n_probes"), 6).as("fp_rate"),
+          col("n_set_bits"),
+          round(fill * fill * fill, 6).as("theo_fp_rate"))
+    }),
+
     "q_skew_profile" -> ((s, dir) =>
       // the salting decision input: top keys by row share + cumulative
       // concentration (distributed top-k cut before any global window)
@@ -2340,6 +2377,44 @@ object SparkEntry {
          |FROM (SELECT event_id, user_id, ts,
          |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+    },
+
+    "q_resample_locf" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+        |d AS (SELECT user_id, tsu // 86400000000 AS day, value,
+        |    row_number() OVER (PARTITION BY user_id, tsu // 86400000000
+        |      ORDER BY tsu DESC, event_id DESC) AS rn
+        |  FROM e),
+        |daily AS (SELECT user_id, day, value AS day_value FROM d WHERE rn = 1),
+        |g0 AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM g0),
+        |j AS (SELECT g.user_id, g.day, daily.day_value
+        |  FROM grid g LEFT JOIN daily USING (user_id, day))
+        |SELECT user_id, day,
+        |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+        |  CASE WHEN day_value IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |FROM j""".stripMargin,
+
+    "q_bloom_fp_audit" -> {
+      val posExpr = s"(${hexToLong("md5(g)", 1, 8)} + i * ${hexToLong("md5(g)", 9, 8)}) % $BloomBits"
+      s"""WITH tk AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, source, $ShinglesSql AS sh FROM tk),
+         |ag AS (SELECT DISTINCT source = 'src0' AS is_eval, unnest(sh) AS g FROM sh0),
+         |eg AS (SELECT DISTINCT g FROM ag WHERE is_eval),
+         |cg AS (SELECT DISTINCT g FROM ag WHERE NOT is_eval AND g NOT IN (SELECT g FROM eg)),
+         |ep AS (SELECT DISTINCT $posExpr AS p
+         |  FROM eg, unnest(range(0, $BloomHashes)) AS t(i)),
+         |cp AS (SELECT g, $posExpr AS p
+         |  FROM cg, unnest(range(0, $BloomHashes)) AS t(i)),
+         |miss AS (SELECT DISTINCT g FROM cp WHERE p NOT IN (SELECT p FROM ep)),
+         |stats AS (SELECT
+         |    (SELECT count(*) FROM cg) AS n_probes,
+         |    (SELECT count(*) FROM cg) - (SELECT count(*) FROM miss) AS n_fp,
+         |    (SELECT count(*) FROM ep) AS n_set_bits)
+         |SELECT n_probes, n_fp, round(n_fp / n_probes, 6) AS fp_rate, n_set_bits,
+         |  round((n_set_bits / $BloomBits.0) * (n_set_bits / $BloomBits.0) * (n_set_bits / $BloomBits.0), 6) AS theo_fp_rate
+         |FROM stats""".stripMargin
     },
 
     "q_skew_profile" ->

@@ -516,4 +516,41 @@ object Events {
       .filter(col("own") === 1)
       .drop("own")
   }
+
+  /**
+   * Resample an irregular per-user series to a daily grid with
+   * last-observation-carried-forward — the gauge-to-grid step before
+   * any same-granularity join or model feature build:
+   *
+   *   1. per (user, day): the LAST event's value (row_number over the
+   *      deterministic (ts, event_id) order — identical in any engine);
+   *   2. per user: dense day grid min_day..max_day (sequence+explode —
+   *      bounded by the observation span, never a global calendar);
+   *   3. LOCF: last non-null observation over the day-ordered window.
+   *
+   * Values are copied, never recomputed — no float arithmetic, exact in
+   * every engine. Grid rows before a user's first observation cannot
+   * exist (grid starts at min observed day). One user_id exchange
+   * serves the per-day dedup, the grid, and the carry-forward window.
+   */
+  def resampleDailyLocf(events: DataFrame): DataFrame = {
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("tsu").desc, col("event_id").desc)
+    val daily = events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsu"), col("value"))
+      .withColumn("day", expr("tsu div 86400000000"))
+      .withColumn("rn", row_number().over(byUserDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("day_value"))
+    val grid = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val carry = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(carry).as("value_locf"),
+        when(col("day_value").isNotNull, lit(1)).otherwise(lit(0)).as("observed"))
+  }
 }

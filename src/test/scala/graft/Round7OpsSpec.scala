@@ -273,6 +273,27 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r == Set(1000000L))
   }
 
+  // ── LOCF resample ─────────────────────────────────────────────────────
+
+  test("resampleDailyLocf: dense grid, carry-forward across gaps, last-of-day wins") {
+    val ns = 86400L * 1000000000L // one day in nanos
+    val ev = Seq(
+      // user 1: day 0 (two events — later one wins), day 2; gap at day 1
+      (1L, 1L, 0L * ns + 1000000000L, 10.0),
+      (2L, 1L, 0L * ns + 2000000000L, 11.0),
+      (3L, 1L, 2L * ns, 30.0),
+      // user 2: single day
+      (4L, 2L, 1L * ns, 99.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = graft.ops.Events.resampleDailyLocf(ev)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getDouble(2), x.getInt(3))).toMap
+    assert(r((1L, 0L)) == ((11.0, 1))) // last event of day 0
+    assert(r((1L, 1L)) == ((11.0, 0))) // gap day carried forward, unobserved
+    assert(r((1L, 2L)) == ((30.0, 1)))
+    assert(r((2L, 1L)) == ((99.0, 1)))
+    assert(r.size == 4) // no grid rows outside each user's span
+  }
+
   // ── URL parsing ───────────────────────────────────────────────────────
 
   test("urlParts: host/port/path/query across shapes, absent parts are null") {
