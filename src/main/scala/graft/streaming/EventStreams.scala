@@ -252,4 +252,23 @@ object EventStreams {
    */
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     withEventTime(events).join(broadcast(dim), Seq(key), "left_outer")
+
+  /**
+   * Per-window heavy hitters on the stream: the k highest-value events
+   * per tumbling window via the bounded [[graft.functions.TopKBy]]
+   * aggregate — O(k) heap state per window IN THE STATE STORE (and in
+   * every partial buffer), where a collect-then-sort would hold the
+   * window's whole event set. Watermark closes and evicts windows.
+   * Emitted append-mode on window close: (window_start_us, rank,
+   * event_id, value).
+   */
+  def windowedTopK(events: DataFrame, k: Int,
+      windowLen: String = "5 minutes", watermarkDelay: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(graft.functions.GraftFunctions.topk_by(col("event_id"), col("value"), k).as("top"))
+      .select(unix_micros(col("window.start")).as("window_start_us"), posexplode(col("top")))
+      .select(col("window_start_us"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
 }

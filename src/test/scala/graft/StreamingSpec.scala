@@ -274,6 +274,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedTopK: bounded per-window heavy hitters agree with the batch top-k") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedTopK(in.toDF(), k = 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      in.addData(flush) // advance watermark so all windows close
+      q.processAllAvailable()
+
+      val streamed = s.sql(
+        "SELECT window_start_us, rank, event_id, value FROM topk_out WHERE event_id != 99")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+      val batch = events.toDF()
+        .withColumn("w_us", expr("((ts div 1000) div 300000000L) * 300000000L"))
+        .groupBy($"w_us")
+        .agg(graft.functions.GraftFunctions.topk_by($"event_id", $"value", 2).as("top"))
+        .select($"w_us", posexplode($"top"))
+        .select($"w_us", ($"pos" + 1).cast("int").as("rank"), $"col.id", $"col.score")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("enrichStream: static dim decorates the stream, unmatched keys keep null") {
     implicit val s = spark
     import s.implicits._
