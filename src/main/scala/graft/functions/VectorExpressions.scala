@@ -25,6 +25,84 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * Summation is a strict left fold in element order — bit-identical to the
  * HOF form and to the DuckDB oracle's `list_reduce` replay.
  */
+/**
+ * One-pass signed-random-projection signature: the '0'/'1' sign string
+ * of `planes` md5-seeded hyperplane dot products over an
+ * `array<double>` vector. Replaces `planes` separate [[DotProduct]]
+ * expressions + a `concat` (each with its own per-row null/length
+ * checks and literal-array handling) with ONE kernel holding the
+ * weight matrix in a flat primitive array — same planes·dim
+ * multiply-adds, a fraction of the expression overhead.
+ *
+ * BIT-IDENTICAL contract: weights are
+ * [[graft.ops.Similarity.planeWeight]] (md5-derived), each plane's dot
+ * is the same ascending-index left fold as [[DotProduct]], sign is
+ * `>= 0` — so signatures (and therefore LSH buckets, candidate pairs,
+ * and the DuckDB oracle replay) are unchanged to the bit.
+ * CodegenFallback: one eval call does all planes; the cost is the
+ * arithmetic, not the dispatch.
+ */
+case class SrpSignature(child: Expression, planes: Int, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(planes > 0 && planes <= 1024, s"planes must be in [1,1024], got $planes")
+  require(dim > 0 && dim <= 65536, s"dim must be in [1,65536], got $dim")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_srp_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  // flat planes×dim weight matrix, computed once per executor instance
+  @transient private lazy val weights: Array[Double] = {
+    val w = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      var d = 0
+      while (d < dim) {
+        w(p * dim + d) = graft.ops.Similarity.planeWeight(p, d)
+        d += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length mismatch (${arr.numElements()} vs $dim)")
+    }
+    val x = arr.toDoubleArray()
+    val out = new Array[Byte](planes)
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      val base = p * dim
+      var d = 0
+      while (d < dim) {
+        acc += x(d) * weights(base + d)
+        d += 1
+      }
+      out(p) = if (acc >= 0) '1' else '0'
+      p += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 

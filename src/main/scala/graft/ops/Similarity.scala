@@ -193,14 +193,14 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0 - 0.5
   }
 
-  /** 16-char '0'/'1' bucket signature from `planes` random hyperplanes. */
-  def lshBucket(v: Column, planes: Int, dim: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val w = typedlit((0 until dim).map(planeWeight(p, _)))
-      when(dot(v, w) >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+  /** '0'/'1' bucket signature from `planes` random hyperplanes — ONE
+    * native kernel ([[graft.functions.SrpSignature]]) instead of
+    * `planes` separate dot expressions; bit-identical fold order, so
+    * buckets and the oracle replay are unchanged. */
+  def lshBucket(v: Column, planes: Int, dim: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SrpSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v), planes, dim))
 
   /**
    * Element-wise mean vector per label — the IVF coarse-quantizer step.
