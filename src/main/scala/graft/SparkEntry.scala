@@ -97,6 +97,13 @@ object SparkEntry {
         .select(date_trunc("hour", timestamp_micros(expr("ts div 1000L"))).as("h"))
         .agg(unix_micros(GraftFunctions.mode_agg(col("h"))).as("mode_hour_us"))),
 
+    "q_mode_empty" -> ((s, dir) =>
+      // reference empty-input edge: a global mode over zero rows is one
+      // row of NULL (like the max_by/min_by twin), not zero rows
+      t(s, dir, "orders").filter(lit(false))
+        .agg(GraftFunctions.mode_agg(col("o_orderkey")).as("mode_orderkey"),
+          count(lit(1)).as("n"))),
+
     "q_mode_nulls" -> ((s, dir) => {
       // reference null edge (mode ignores NULL inputs; an all-NULL group
       // yields NULL): one priority's values are nulled out entirely
@@ -1264,6 +1271,12 @@ object SparkEntry {
     "q_mode_int" ->
       """SELECT l_linenumber AS mode_linenumber FROM lineitem
         |GROUP BY l_linenumber ORDER BY count(*) DESC, l_linenumber DESC LIMIT 1""".stripMargin,
+
+    "q_mode_empty" ->
+      """SELECT (SELECT o_orderkey FROM orders WHERE false
+        |   GROUP BY o_orderkey ORDER BY count(*) DESC, o_orderkey DESC LIMIT 1) AS mode_orderkey,
+        |  count(*) AS n
+        |FROM orders WHERE false""".stripMargin,
 
     "q_mode_nulls" ->
       """WITH y_t AS (SELECT o_orderpriority,

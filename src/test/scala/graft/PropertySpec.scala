@@ -130,4 +130,58 @@ class PropertySpec extends AnyFunSuite {
       assert(row.getString(7) == row.getString(8), s"langid: $row")
     }
   }
+
+  test("bloom filter: no false negatives on random sets across random partitionings") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val n = 50 + rnd.nextInt(400)
+      val inserted = Seq.fill(n)(rnd.alphanumeric.take(3 + rnd.nextInt(12)).mkString)
+      val parts = 1 + rnd.nextInt(7)
+      val df = spark.sparkContext.parallelize(inserted, parts).toDF("g")
+      val bloom = df.agg(column(graft.functions.BloomBitsAgg(
+        expression(col("g")), 1 << 16, 3).toAggregateExpression()).as("bits"))
+      val hits = df.agg(collect_list(col("g")).as("all")).crossJoin(bloom)
+        .select(column(graft.functions.BloomHitCount(
+          expression(col("bits")), expression(col("all")), 1 << 16, 3)).as("h"))
+        .head().getLong(0)
+      assert(hits == inserted.distinct.size, s"n=$n parts=$parts")
+    }
+  }
+
+  test("srp signature equals the per-plane dot-product composition") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = Seq.fill(40)(Seq.fill(dim)((rnd.nextInt(2001) - 1000).toDouble / 100))
+    val df = vecs.toDF("v").select(graft.ops.Similarity.toDouble($"v").as("v"))
+    val native = df.select(graft.ops.Similarity.lshBucket($"v", 8, dim).as("sig"))
+      .collect().map(_.getString(0))
+    // reference composition: per-plane left-fold dot, sign, concat
+    val expected = vecs.map { v =>
+      (0 until 8).map { p =>
+        val acc = (0 until dim).foldLeft(0.0)((a, d) =>
+          a + v(d) * graft.ops.Similarity.planeWeight(p, d))
+        if (acc >= 0) '1' else '0'
+      }.mkString
+    }
+    assert(native.toSeq == expected)
+  }
+
+  test("zorderKey16: adjacent cells differ in bounded key range (locality)") {
+    // a +1 step in either dimension flips exactly one spread bit plus
+    // carries — the key of (a+1, b) or (a, b+1) stays within the parent
+    // 4-cell block unless a carry crosses a power-of-two boundary; check
+    // the reference interleave law on random cells instead of plan folklore
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val rnd = new scala.util.Random(13)
+    val cells = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = cells.toDF("a", "b")
+    val keys = df.select(graft.ops.Scale.zorderKey16(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(keys.toSeq == cells.map((morton _).tupled))
+  }
 }
