@@ -987,6 +987,10 @@ object SparkEntry {
           terms.reduce(_ + _).as("ewma_micro"))
     }),
 
+    "q_mad_robust" -> ((s, dir) =>
+      // robust center/spread per event type: median, MAD, 3-MAD outliers
+      Stats.madRobust(t(s, dir, "events"), Seq("event_type"), "value")),
+
     "q_resample_locf" -> ((s, dir) =>
       // irregular gauge → dense daily grid with last-obs-carried-forward
       Events.resampleDailyLocf(t(s, dir, "events"))),
@@ -2392,6 +2396,31 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
     },
 
+    "q_mad_robust" -> {
+      def medCte(src: String, vcol: String, rk: String, g: String, out: String, as: String) =
+        s"""$rk AS (SELECT event_type, $vcol AS v,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY $vcol ASC) - 1 AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM $src),
+           |$g AS (SELECT event_type, n,
+           |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN v END) AS lo,
+           |    max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5) THEN v END) AS hi
+           |  FROM $rk GROUP BY event_type, n),
+           |$out AS (SELECT event_type,
+           |    round(lo + ((n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5)) * (hi - lo), 6) AS $as
+           |  FROM $g)""".stripMargin
+      s"""WITH v1 AS (SELECT event_type, value::DOUBLE AS x FROM events),
+         |${medCte("v1", "x", "rk1", "g1", "medt", "med")},
+         |dev AS (SELECT v1.event_type, v1.x, medt.med, abs(v1.x - medt.med) AS adev
+         |  FROM v1 JOIN medt USING (event_type)),
+         |${medCte("dev", "adev", "rk2", "g2", "madt", "mad")}
+         |SELECT dev.event_type, max(dev.med) AS med, max(madt.mad) AS mad,
+         |  count(*) AS n,
+         |  sum(CASE WHEN dev.adev > 3.0 * madt.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+         |FROM dev JOIN madt USING (event_type)
+         |GROUP BY dev.event_type""".stripMargin
+    },
+
     "q_resample_locf" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
         |d AS (SELECT user_id, tsu // 86400000000 AS day, value,
@@ -2545,7 +2574,7 @@ object SparkEntry {
          |ug AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1),
          |vv AS (SELECT count(DISTINCT w1)::DOUBLE AS v FROM u)
          |SELECT bg.doc_id, count(*) AS n_bigrams,
-         |  round(-sum(CAST(round(ln((lm.cbg + 1)::DOUBLE / (ug.c1::DOUBLE + (SELECT v FROM vv))) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6) AS avg_nll
+         |  ((-sum(CAST(round(ln((lm.cbg + 1)::DOUBLE / (ug.c1::DOUBLE + (SELECT v FROM vv))) * 1000000) AS BIGINT))) // count(*))::BIGINT AS avg_nll_micro
          |FROM bg JOIN lm USING (bigram)
          |JOIN ug ON split_part(bg.bigram, ' ', 1) = ug.w1
          |GROUP BY bg.doc_id""".stripMargin,

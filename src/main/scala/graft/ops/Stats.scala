@@ -56,4 +56,35 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
       .drop("__n")
   }
+
+  /**
+   * Robust center/spread/outliers per group — median, MAD (median
+   * absolute deviation), and the count of |x − med| > 3·MAD outliers.
+   * The robust complement of the moment aggregates: one wild value
+   * moves mean/stddev arbitrarily but shifts med/MAD by at most one
+   * rank, so the outlier threshold itself is outlier-proof (z-scores
+   * mask exactly the extremes that inflate their own σ).
+   *
+   * Two [[percentileExact]] passes (value, then absolute deviation from
+   * the joined median) + one counting aggregation; each pass is a
+   * group-keyed window sort, the per-group medians broadcast back by
+   * AQE. The median is rounded to 6 dp BEFORE deviations (mirrored in
+   * the oracle) so every downstream double is engine-identical.
+   */
+  def madRobust(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val med = percentileExact(df, keys, valueCol, Seq("med" -> 0.5))
+    val joined = df
+      .select((keyCols :+ col(valueCol).cast("double").as("__x")): _*)
+      .join(med, keys)
+      .withColumn("__adev", abs(col("__x") - col("med")))
+    val mad = percentileExact(joined, keys, "__adev", Seq("mad" -> 0.5))
+    joined.join(mad, keys)
+      .groupBy(keyCols: _*)
+      .agg(
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("__adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -521,9 +521,13 @@ object TextOps {
       .withColumn("term",
         round(log((col("cbg") + 1).cast("double") / (col("c1").cast("double") + lit(v))) * 1000000).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(-sum(col("term")) / 1000000.0 / count(lit(1)), 6).as("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("__s"))
+      // avg in INTEGER micro-nats by exact integer division — a
+      // divide-then-round double hit a 6-dp half-point at sf0.1 (Spark
+      // 3.414089 vs DuckDB 3.41409 on the same exact sum); integers
+      // cannot
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(-__s) div n_bigrams").as("avg_nll_micro"))
   }
 
   /**

@@ -171,7 +171,7 @@ class Round7OpsSpec extends AnyFunSuite {
       (3L, "quantum chromodynamics lattice regularization breaks chiral symmetry badly")
     ).toDF("doc_id", "text")
     val r = TextOps.docPerplexity(d, "doc_id", "text")
-      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(r(1L) == r(2L)) // identical docs, identical score
     assert(r(1L) < r(3L), s"repeated phrasing must be more probable: $r")
   }
@@ -183,11 +183,10 @@ class Round7OpsSpec extends AnyFunSuite {
     val d = Seq((1L, "a b a b c")).toDF("doc_id", "text")
     val row = TextOps.docPerplexity(d, "doc_id", "text").head()
     assert(row.getLong(1) == 4L)
-    val t1 = math.rint(math.log(3.0 / 5.0) * 1e6)
-    val t2 = math.rint(math.log(2.0 / 5.0) * 1e6)
-    val want = BigDecimal(-(2 * t1 + 2 * t2) / 1e6 / 4.0)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(math.abs(row.getDouble(2) - want) < 1e-9, s"got ${row.getDouble(2)}, want $want")
+    val t1 = math.rint(math.log(3.0 / 5.0) * 1e6).toLong
+    val t2 = math.rint(math.log(2.0 / 5.0) * 1e6).toLong
+    val want = -(2 * t1 + 2 * t2) / 4L // exact integer micro-nats
+    assert(row.getLong(2) == want, s"got ${row.getLong(2)}, want $want")
   }
 
   // ── inverted index ────────────────────────────────────────────────────
