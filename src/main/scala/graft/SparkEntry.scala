@@ -1157,6 +1157,210 @@ object SparkEntry {
           countDistinct(col("path")).as("n_paths"),
           max(col("port")).as("port"),
           sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // ── round-8 additions ───────────────────────────────────────────────
+
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 shape (volume shipping between a nation PAIR, both
+      // directions, by ship year): both nation dims resolve through the
+      // bounded supplier/nation tables BEFORE touching the facts —
+      // supplier side broadcast (prunes lineitem to the two nations'
+      // suppliers first), customer pre-filtered to the pair so the
+      // custkey join also prunes; revenue in exact integer micros
+      val nations = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000)
+          .cast("long")) / 1000000.0).as("revenue"))
+    }),
+
+    "q_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 shape (national market share of one part type inside one
+      // region's market, by order year): the part slice broadcast prunes
+      // lineitem first; region membership resolves on the bounded
+      // customer/nation side; share = ratio of two exact integer-micro
+      // sums in ONE combinable aggregate (no second pass)
+      val pt = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val regionCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000)
+        .cast("long")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(regionCust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", rev).otherwise(0L)).cast("double") /
+            sum(rev).cast("double"), 6).as("mkt_share"))
+    }),
+
+    "q_tpch_q12" -> ((s, dir) =>
+      // TPC-H Q12 shape (priority-class line counts per line status for
+      // one ship year): the fact slice is pushed to the scan, the orders
+      // side ships only (orderkey, priority), counts are map-side
+      // combinable case-sums — one shuffle on orderkey, one on the
+      // 2-row group key
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))),
+
+    "q_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 shape (suppliers at the maximum quarterly revenue):
+      // revenue per supplier aggregated FIRST (facts never join wide),
+      // the scalar max is a 1-row broadcast cross join, and the equality
+      // is exact because revenue stays in integer micros until output
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000)
+          .cast("long")).as("rev_micro"))
+      val top = rev.agg(max(col("rev_micro")).as("max_rev"))
+      rev.join(broadcast(top), col("rev_micro") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_micro") / 1000000.0).as("total_revenue"))
+    }),
+
+    "q_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 shape (distinct supplier counts per part attribute
+      // group, excluding a supplier blacklist): the blacklist is a
+      // provably-bounded broadcast ANTI join probe-side of the scan, the
+      // part dim broadcasts, and only (attrs, suppkey) pairs shuffle
+      // into the distinct count
+      val blacklist = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey"))
+      val pt = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    "q_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 shape (revenue from small-quantity lines of one brand):
+      // the correlated per-part AVG becomes one partial-agg pass over the
+      // SAME pruned fact slice, joined back on partkey; the 20%-of-avg
+      // comparison is exact integer arithmetic (5·qty·cnt < Σqty in
+      // centi-units), so both engines cut identically
+      val brand = t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy(col("p_partkey").as("ap_partkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qc"),
+          count(lit(1)).as("cnt"))
+      // avgq is a per-part frame (unbounded as parts scale) — AQE decides
+      li.join(avgq, col("p_partkey") === col("ap_partkey"))
+        .filter(round(col("l_quantity") * 100).cast("long") * col("cnt") * 5L < col("sum_qc"))
+        .agg(round(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("double") / 100.0 / 7.0, 6).as("avg_yearly"))
+    }),
+
+    "q_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 shape (well-funded customers with no recent orders, by
+      // country code): the positive-balance average is a 1-row broadcast,
+      // the above-average test is exact rational arithmetic
+      // (bal_cents·cnt > Σcents), and the NOT EXISTS is a LEFT ANTI join
+      // that ships only distinct custkeys of the filtered orders side
+      val cust = t(s, dir, "customer")
+        .withColumn("cntrycode", pmod(col("c_nationkey"), lit(7)))
+        .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("cnt"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.join(broadcast(avgBal))
+        .filter(col("bal_cents") * col("cnt") > col("sum_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_cents")) / 100.0).as("totacctbal"))
+    }),
+
+    "q_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape (groupwise-min join-back: the cheapest supplier
+      // per part in a size/type slice): ONE aggregate finds the per-part
+      // minimum (price, suppkey) struct — deterministic tie-break on
+      // suppkey — so the facts never self-join; both dims broadcast
+      val pt = t(s, dir, "part")
+        .filter(col("p_size") <= 10 && col("p_type") === "SMALL")
+        .select(col("p_partkey"), col("p_name"))
+      val best = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(min(struct(col("pc"), col("l_suppkey"))).as("m"))
+        .select(col("p_partkey"), col("p_name"),
+          (col("m.pc") / 100.0).as("min_price"), col("m.l_suppkey").as("l_suppkey"))
+      best.join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("min_price"))
+    }),
+
+    "q_ams_f2" -> ((s, dir) =>
+      // AMS tug-of-war F2 (self-join size / skew) sketch: 16 ±1 counters
+      // in ONE combinable pass, exact Σf² joined back as the audit
+      Sketches.amsF2(t(s, dir, "lineitem"), "l_partkey", counters = 16)),
+
+    "q_kmv_overlap" -> ((s, dir) => {
+      // KMV vocabulary-overlap estimate between two corpus sources: the
+      // k-min cut of the hash UNION is a uniform sample of it, so the
+      // both-sides fraction estimates Jaccard; exact overlap rides the
+      // same membership exchange as the audit
+      val d = docs(s, dir)
+      def tokSet(src: String) = d.filter(col("source") === src)
+        .select(explode(TextOps.tokensNative(col("text"))).as("tok"))
+      Sketches.kmvOverlap(tokSet("src1"), tokSet("src2"), "tok", k = 256)
     })
   )
 
@@ -2596,6 +2800,152 @@ object SparkEntry {
         |  FROM u)
         |SELECT host, count(*) AS n_docs, count(DISTINCT path) AS n_paths,
         |  max(port) AS port, sum(n_chars)::BIGINT AS total_chars
-        |FROM p GROUP BY host""".stripMargin
+        |FROM p GROUP BY host""".stripMargin,
+
+    // ── round-8 additions ───────────────────────────────────────────────
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT))
+        |    / 1000000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(
+        |    sum(CASE WHEN n1.n_name = 'NATION_5'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)
+        |      ELSE 0 END)::DOUBLE /
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT))::DOUBLE,
+        |  6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND n2.n_regionkey = 0
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT))
+        |      AS rev_micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_micro / 1000000.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_micro = (SELECT max(rev_micro) FROM rev)""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |a AS (SELECT l_partkey AS ap_partkey,
+        |    sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qc,
+        |    count(*) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE
+        |    / 100.0 / 7.0, 6) AS avg_yearly
+        |FROM li JOIN a ON l_partkey = ap_partkey
+        |WHERE CAST(round(l_quantity * 100) AS BIGINT) * cnt * 5 < sum_qc""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey % 7 AS cntrycode,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_acctbal
+        |  FROM customer),
+        |a AS (SELECT sum(bal_cents) AS sum_cents, count(*) AS cnt
+        |  FROM c WHERE c_acctbal > 0.0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  sum(bal_cents) / 100.0 AS totacctbal
+        |FROM c, a
+        |WHERE bal_cents * cnt > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY cntrycode""".stripMargin,
+
+    "q_min_cost_supplier" ->
+      """WITH li AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10 AND p_type = 'SMALL'),
+        |best AS (SELECT p_partkey, p_name, l_suppkey, pc,
+        |    row_number() OVER (PARTITION BY p_partkey ORDER BY pc, l_suppkey) AS rn
+        |  FROM li)
+        |SELECT p_partkey, p_name, s_name, pc / 100.0 AS min_price
+        |FROM best JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1""".stripMargin,
+
+    // AMS replay: same md5-bit sign family, same Σ±1 counters, same
+    // mean-of-squares op order — the estimate matches bit for bit
+    "q_ams_f2" -> {
+      val s = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h16 >> $j) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS s$j")
+        .mkString(", ")
+      val sq = (0 until 16).map(j => s"s$j*s$j").mkString(" + ")
+      s"""WITH h AS (SELECT ${hexToLong("md5(l_partkey::VARCHAR)", 1, 4)} AS h16 FROM lineitem),
+         |s AS (SELECT $s FROM h),
+         |q AS (SELECT ($sq)::DOUBLE / 16.0 AS est_f2 FROM s),
+         |e AS (SELECT sum(f*f)::BIGINT AS exact_f2
+         |  FROM (SELECT count(*) AS f FROM lineitem GROUP BY l_partkey) t)
+         |SELECT round(q.est_f2, 6) AS est_f2, e.exact_f2,
+         |  round(abs(q.est_f2 - e.exact_f2::DOUBLE) / e.exact_f2::DOUBLE, 6) AS rel_err
+         |FROM q CROSS JOIN e""".stripMargin
+    },
+
+    "q_kmv_overlap" ->
+      s"""WITH ta AS (SELECT DISTINCT ${hexToLong("md5(tok)", 1, 8)} AS h
+         |  FROM (SELECT unnest($ToksSql) AS tok FROM documents WHERE source = 'src1') t),
+         |tb AS (SELECT DISTINCT ${hexToLong("md5(tok)", 1, 8)} AS h
+         |  FROM (SELECT unnest($ToksSql) AS tok FROM documents WHERE source = 'src2') t),
+         |u AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+         |  FROM (SELECT h, 1 AS in_a, 0 AS in_b FROM ta
+         |    UNION ALL SELECT h, 0 AS in_a, 1 AS in_b FROM tb) z
+         |  GROUP BY h),
+         |ex AS (SELECT count(*) AS n_union, sum(in_a * in_b)::BIGINT AS n_both FROM u),
+         |km AS (SELECT in_a, in_b FROM u ORDER BY h ASC LIMIT 256),
+         |es AS (SELECT count(*) AS k_used, sum(in_a * in_b)::BIGINT AS k_both FROM km)
+         |SELECT es.k_used, es.k_both, ex.n_union, ex.n_both,
+         |  round(es.k_both::DOUBLE / es.k_used::DOUBLE, 6) AS est_jaccard,
+         |  round(ex.n_both::DOUBLE / ex.n_union::DOUBLE, 6) AS exact_jaccard
+         |FROM es CROSS JOIN ex""".stripMargin
   )
 }

@@ -192,4 +192,80 @@ object Sketches {
       .groupBy(items.columns.map(col): _*)
       .agg(min(col("c")).as("est_cnt"))
   }
+
+  /**
+   * AMS "tug-of-war" second-frequency-moment (F2 = Σ_k f_k²) sketch —
+   * the classic Alon–Matias–Szegedy estimator for self-join size and
+   * key-skew: each of `counters` independent counters sums a ±1 sign per
+   * ROW (sign j = bit j of md5(key), so one digest serves all counters),
+   * and E[S_j²] = F2; the estimate averages the squared counters.
+   *
+   * Scale shape: ONE map-side-combinable aggregation to `counters` longs
+   * of state — F2 of a 100 TB key column costs a single narrow pass, no
+   * per-key frame ever exists (contrast the exact form's full groupBy).
+   * Joint with the exact audit (groupBy + Σf², the gate-scale truth) in
+   * one output row: (est_f2, exact_f2, rel_err).
+   *
+   * md5-derived signs make the sketch bit-identical in every engine.
+   * Variance of the averaged estimator is 2·F2²/counters, so rel_err is
+   * typically ≲ sqrt(2/counters) (~35% at 16) — a planning signal (skew /
+   * join-size triage), not an exact statistic.
+   */
+  def amsF2(df: DataFrame, keyCol: String, counters: Int = 16): DataFrame = {
+    require(counters >= 1 && counters <= 16, s"counters must be in [1,16], got $counters")
+    // first 4 hex chars of md5(key) = 16 independent sign bits
+    val h16 = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10).cast("long")
+    val signSums = (0 until counters).map { j =>
+      sum(when(shiftright(col("h16"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val est = df.select(h16.as("h16"))
+      .agg(signSums.head, signSums.tail: _*)
+      .select((((0 until counters).map(j => col(s"s$j") * col(s"s$j")).reduce(_ + _))
+        .cast("double") / lit(counters.toDouble)).as("est_f2"))
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("exact_f2"))
+    est.crossJoin(broadcast(exact)) // both sides are 1 row
+      .select(round(col("est_f2"), 6).as("est_f2"), col("exact_f2"),
+        round(abs(col("est_f2") - col("exact_f2").cast("double")) /
+          col("exact_f2").cast("double"), 6).as("rel_err"))
+  }
+
+  /**
+   * KMV set-overlap estimate between two value sets A and B (e.g. the
+   * token vocabularies of two corpus sources): keep the k smallest
+   * distinct hashes of A∪B; the fraction of those present in BOTH sides
+   * is an unbiased Jaccard estimate (the k-min set is a uniform sample
+   * of the union). Exact Jaccard from the same membership frame rides
+   * along as the accuracy audit.
+   *
+   * Scale shape: each side reduces to its distinct 32-bit hash set
+   * (map-side partial), the union groupBy is ONE shuffle of (hash, flag)
+   * pairs shared by the estimate AND the exact audit (ReusedExchange),
+   * and the k-min cut is a TakeOrderedAndProject — per-partition top-k,
+   * never a global sort. At 100 TB one would drop the exact branch and
+   * pre-cut each side to its own k-min (a KMV sketch union), making the
+   * comparison a k-row merge of two portable sketches.
+   *
+   * Returns one row:
+   * (k_used, k_both, n_union, n_both, est_jaccard, exact_jaccard).
+   */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val ha = a.select(h32(col(valueCol)).as("h")).distinct()
+      .select(col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val hb = b.select(h32(col(valueCol)).as("h")).distinct()
+      .select(col("h"), lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val u = ha.unionByName(hb).groupBy(col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val exact = u.agg(count(lit(1)).as("n_union"),
+      sum(col("in_a") * col("in_b")).as("n_both"))
+    val est = u.orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("k_used"), sum(col("in_a") * col("in_b")).as("k_both"))
+    est.crossJoin(broadcast(exact)) // both sides are 1 row
+      .select(col("k_used"), col("k_both"), col("n_union"), col("n_both"),
+        round(col("k_both").cast("double") / col("k_used").cast("double"), 6)
+          .as("est_jaccard"),
+        round(col("n_both").cast("double") / col("n_union").cast("double"), 6)
+          .as("exact_jaccard"))
+  }
 }
