@@ -1361,7 +1361,17 @@ object SparkEntry {
       def tokSet(src: String) = d.filter(col("source") === src)
         .select(explode(TextOps.tokensNative(col("text"))).as("tok"))
       Sketches.kmvOverlap(tokSet("src1"), tokSet("src2"), "tok", k = 256)
-    })
+    }),
+
+    "q_temperature_mix" -> ((s, dir) =>
+      // temperature-scaled data mixing (w ∝ n^0.5): integer-exact
+      // targets, md5-ranked deterministic per-source draw
+      TextOps.temperatureMix(docs(s, dir), "source", "doc_id", budget = 200L)),
+
+    "q_bpe_merges" -> ((s, dir) =>
+      // BPE merge-candidate scoring: frequency-weighted adjacent char
+      // pairs over the vocabulary, deterministic top-20
+      TextOps.bpeMergeCandidates(docs(s, dir), "text", k = 20))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -2946,6 +2956,34 @@ object SparkEntry {
          |SELECT es.k_used, es.k_both, ex.n_union, ex.n_both,
          |  round(es.k_both::DOUBLE / es.k_used::DOUBLE, 6) AS est_jaccard,
          |  round(ex.n_both::DOUBLE / ex.n_union::DOUBLE, 6) AS exact_jaccard
-         |FROM es CROSS JOIN ex""".stripMargin
+         |FROM es CROSS JOIN ex""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs,
+        |    CAST(round(pow(count(*)::DOUBLE, 0.5) * 1e6) AS BIGINT) AS w_micro
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(w_micro)::BIGINT AS w_total FROM c),
+        |tg AS (SELECT source, n_docs,
+        |    round(w_micro::DOUBLE / w_total::DOUBLE, 6) AS weight,
+        |    (w_micro * 200) // w_total AS target_n
+        |  FROM c CROSS JOIN tot),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+        |  FROM documents),
+        |sm AS (SELECT r.source, count(*) AS sampled_n
+        |  FROM r JOIN tg ON r.source = tg.source WHERE r.rn <= tg.target_n
+        |  GROUP BY r.source)
+        |SELECT tg.source, tg.n_docs, tg.weight, tg.target_n,
+        |  coalesce(sm.sampled_n, 0)::BIGINT AS sampled_n
+        |FROM tg LEFT JOIN sm ON tg.source = sm.source""".stripMargin,
+
+    "q_bpe_merges" ->
+      s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS f FROM w GROUP BY w HAVING length(w) >= 2),
+         |p AS (SELECT unnest(list_transform(range(1, length(w)),
+         |    i -> substring(w, i::INTEGER, 2))) AS pair, f FROM wc),
+         |pc AS (SELECT pair, sum(f)::BIGINT AS cnt FROM p GROUP BY pair)
+         |SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
   )
 }

@@ -291,6 +291,83 @@ object TextOps {
   }
 
   /**
+   * Temperature-scaled mixture sampling (the data-mixing step that
+   * up-weights small sources): source s gets weight ∝ n_s^(1/T) with
+   * T = 2 here (α = 0.5, the common LLM-pretraining choice), the doc
+   * budget splits as target_s = ⌊budget·w_s⌋, and each source's draw is
+   * the md5-ranked prefix — fully deterministic and engine-replayable.
+   *
+   * Exactness: n^α is irrational, so each source's raw weight is rounded
+   * to INTEGER micro-units first; the normalization and the floor are
+   * then pure integer arithmetic (⌊budget·w_micro / Σw_micro⌋) — no
+   * float sum ever crosses rows, so any partitioning (and any engine)
+   * computes identical targets.
+   *
+   * Scale shape: the weight frame is one row per source (a map-side
+   * combinable count), the md5 rank is one window shuffle keyed by
+   * source with WindowGroupLimit pre-cutting each partition, and the
+   * targets join back on the bounded source key. Returns one row per
+   * source: (source, n_docs, weight, target_n, sampled_n).
+   */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      idCol: String, budget: Long, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro", round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6)
+        .cast("long"))
+    // #sources is bounded → the unpartitioned total is a 1-row broadcast
+    val total = counts.agg(sum(col("w_micro")).as("w_total"))
+    val targets = counts.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("w_micro").cast("double") / col("w_total").cast("double"), 6).as("weight"),
+        expr(s"(w_micro * ${budget}L) div w_total").as("target_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val sampled = df.select(col(sourceCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .join(targets.select(col(sourceCol), col("target_n")), Seq(sourceCol))
+      .filter(col("__rn") <= col("target_n"))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("sampled_n"))
+    targets.join(sampled, Seq(sourceCol), "left_outer")
+      .select(col(sourceCol), col("n_docs"), col("weight"), col("target_n"),
+        coalesce(col("sampled_n"), lit(0L)).as("sampled_n"))
+  }
+
+  /**
+   * BPE first-round merge-candidate scoring: adjacent character-pair
+   * frequencies over the corpus vocabulary, weighted by word frequency —
+   * exactly the statistic byte-pair-encoding training maximizes at each
+   * merge step. Top `k` pairs with a deterministic (count desc, pair asc)
+   * tie-break.
+   *
+   * Scale shape: the corpus first collapses to its (word, freq)
+   * vocabulary (one combinable count — the pair explode then runs over
+   * |vocab| rows, not |corpus| tokens), pair counts are a second
+   * combinable aggregation, and the top-k is a TakeOrderedAndProject.
+   * Full BPE iterates this with re-tokenization; one scoring round is
+   * the per-iteration primitive (and the first round needs no merges
+   * applied).
+   */
+  def bpeMergeCandidates(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vocab = df
+      .select(explode(tokensNative(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      // sequence(1, len-1) would run DESCENDING for 1-char words — guard
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /**
    * Gopher-style repetition metrics — the standard "degenerate document"
    * quality filters: the fraction of duplicated tokens / 2-grams /
    * 3-grams in a document. A high duplicate fraction flags boilerplate,

@@ -2,9 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Sketches
+import graft.ops.{Sketches, TextOps}
 
-/** Round-8 operators: AMS F2 sketch, KMV set-overlap estimate. */
+/** Round-8 operators: AMS F2 sketch, KMV set-overlap estimate,
+  * temperature mixture sampling, BPE merge-candidate scoring. */
 class Round8OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -58,5 +59,42 @@ class Round8OpsSpec extends AnyFunSuite {
       (1 to 500).map(i => s"y$i").toDF("v"), "v", k = 64).head()
     assert(d.getAs[Double]("est_jaccard") == 0.0 &&
       d.getAs[Double]("exact_jaccard") == 0.0)
+  }
+
+  // ── temperature mixture sampling ──────────────────────────────────────
+
+  test("temperatureMix: sqrt weighting up-weights small sources, draw is clamped") {
+    // 100 vs 4 docs: proportional share would give 96%/4%; sqrt gives
+    // 10/(10+2) ≈ 83%/17% — the small source is up-weighted ~4×
+    val df = ((1 to 100).map(i => ("big", i.toLong)) ++
+      (101 to 104).map(i => ("small", i.toLong))).toDF("source", "doc_id")
+    val r = TextOps.temperatureMix(df, "source", "doc_id", budget = 50L)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("n_docs"), x.getAs[Double]("weight"),
+          x.getAs[Long]("target_n"), x.getAs[Long]("sampled_n"))).toMap
+    val (_, wBig, tBig, sBig) = r("big")
+    val (_, wSmall, tSmall, sSmall) = r("small")
+    assert(math.abs(wBig - 10.0 / 12.0) < 1e-4 && math.abs(wSmall - 2.0 / 12.0) < 1e-4)
+    assert(tBig + tSmall <= 50L, "floor targets never exceed the budget")
+    assert(sBig == tBig, "big source fills its target")
+    assert(sSmall == math.min(tSmall, 4L), "draw clamps at the source size")
+    // determinism under partitioning
+    val r2 = TextOps.temperatureMix(df.repartition(7), "source", "doc_id", 50L)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("sampled_n")).toMap
+    assert(r2("big") == sBig && r2("small") == sSmall)
+  }
+
+  // ── BPE merge candidates ──────────────────────────────────────────────
+
+  test("bpeMergeCandidates: frequency-weighted pair counts, 1-char words dropped") {
+    // "abab" appears 3× → pairs ab(×2), ba(×1) per occurrence;
+    // "cd" once → cd(×1); "a" alone contributes nothing
+    val df = Seq("abab abab a", "abab cd a").toDF("text")
+    val top = TextOps.bpeMergeCandidates(df, "text", k = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(top.head == ("ab" -> 6L), s"expected ab=6, got ${top.head}")
+    val m = top.toMap
+    assert(m("ba") == 3L && m("cd") == 1L)
+    assert(!m.keys.exists(_.length != 2))
   }
 }
