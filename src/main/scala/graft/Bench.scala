@@ -70,12 +70,19 @@ object Bench {
     }
     System.err.println("[bench-full] " + line(results, 0))
     val budget = 1980
+    // shrink policy: the reference-surface queries must NEVER drop out of
+    // the visible map (r6 verdict: the fastest-dropped-first rule made all
+    // six core aggregates invisible to perf diffing) — keep core first,
+    // then slowest-first; the fastest non-core queries go last
+    val core = Set("q_mode_string", "q_mode_int", "q_mode_date", "q_mode_grouped",
+      "q_mode_float", "q_mode_ts", "q_mode_scalable", "q_max_by", "q_min_by",
+      "q_skewness", "q_kurtosis", "q_kurtosis_pop", "q_tpch_q1", "q_tpch_q6")
     var keep = results.size
-    val bySlowest = results.sortBy(-_._2)
+    val byPriority = results.sortBy(r => (!core.contains(r._1), -r._2))
     var out = line(results, 0)
     while (out.length > budget && keep > 1) {
       keep -= 1
-      out = line(bySlowest.take(keep).sortBy(_._1), results.size - keep)
+      out = line(byPriority.take(keep).sortBy(_._1), results.size - keep)
     }
     println(out)
     spark.stop()

@@ -1371,7 +1371,18 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       // BPE merge-candidate scoring: frequency-weighted adjacent char
       // pairs over the vocabulary, deterministic top-20
-      TextOps.bpeMergeCandidates(docs(s, dir), "text", k = 20))
+      TextOps.bpeMergeCandidates(docs(s, dir), "text", k = 20)),
+
+    "q_ngram_novelty" -> ((s, dir) =>
+      // per-doc novelty: fraction of distinct 3-grams with corpus df = 1;
+      // one shared gram exchange feeds df-count AND probe join
+      Dedup.ngramNovelty(docs(s, dir), "doc_id", "text")),
+
+    "q_dup_matrix" -> ((s, dir) =>
+      // which sources duplicate each other: verified near-dup pairs
+      // rolled up per order-normalized source pair, exact micro-sum mean
+      Dedup.dupMatrix(docs(s, dir), "doc_id", "text", "source",
+        k = MinhashK, bands = MinhashBands, minJaccard = 0.4))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -2984,6 +2995,35 @@ object SparkEntry {
          |p AS (SELECT unnest(list_transform(range(1, length(w)),
          |    i -> substring(w, i::INTEGER, 2))) AS pair, f FROM wc),
          |pc AS (SELECT pair, sum(f)::BIGINT AS cnt FROM p GROUP BY pair)
-         |SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
+         |SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+         |g AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS gh FROM sh0),
+         |dfc AS (SELECT gh, count(*) AS df FROM g GROUP BY gh)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+         |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS novelty
+         |FROM g JOIN dfc USING (gh) GROUP BY doc_id""".stripMargin,
+
+    "q_dup_matrix" ->
+      s"""$PairsCte,
+         |dsh_t AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t),
+         |jm AS (SELECT p.id1, p.id2,
+         |  CAST(round(round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
+         |    (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6)
+         |    * 1e6) AS BIGINT) AS j_micro
+         |  FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id),
+         |sp AS (SELECT jm.j_micro,
+         |    least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM jm JOIN documents da ON jm.id1 = da.doc_id
+         |  JOIN documents db ON jm.id2 = db.doc_id
+         |  WHERE jm.j_micro >= 400000)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  round(sum(j_micro)::DOUBLE / count(*)::DOUBLE / 1e6, 6) AS avg_jaccard
+         |FROM sp GROUP BY source_a, source_b""".stripMargin
   )
 }

@@ -220,6 +220,66 @@ object Dedup {
   }
 
   /**
+   * N-gram novelty score: per document, the fraction of its distinct
+   * 3-shingles that appear NOWHERE else in the corpus (document frequency
+   * 1). High novelty = original content; low novelty = boilerplate or
+   * near-copies — the complement of a dedup signal, and a cheap
+   * memorization-risk proxy (a doc whose grams all recur is likely
+   * templated).
+   *
+   * Scale shape: the corpus explodes once to distinct (doc_id, gram-md5)
+   * pairs staged behind ONE gram-keyed exchange; the df-count aggregation
+   * and the probe join both consume that exchange (ReusedExchange), so
+   * the text is scanned, shingled and shuffled exactly once. Only 16-byte
+   * hashes move — never gram text.
+   */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokenShingles(col(textCol))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .distinct()
+      .repartition(col("gh"))
+    val dfc = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    g.join(dfc, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+  }
+
+  /**
+   * Cross-source duplication matrix: for every (source, source) pair,
+   * how many verified near-duplicate document pairs span it and their
+   * mean Jaccard — the triage view that tells a corpus owner WHICH feeds
+   * duplicate each other (and themselves) before any removal runs.
+   *
+   * Built on [[verifiedPairs]] (one shared shingle exchange, banded
+   * candidates only — never all-pairs); sources join back on the doc id
+   * and the pair key is order-normalized so (a,b) and (b,a) collapse.
+   * The mean is an exact integer-micro sum (order-free under any
+   * partitioning) divided once at output.
+   */
+  def dupMatrix(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    val pairs = verifiedPairs(docs, idCol, textCol, k, bands)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"),
+        round(col("jaccard") * 1e6).cast("long").as("j_micro"))
+    val src = docs.select(col(idCol).as("did"), col(sourceCol).as("src"))
+    pairs
+      .join(src.select(col("did").as("id1"), col("src").as("src1")), "id1")
+      .join(src.select(col("did").as("id2"), col("src").as("src2")), "id2")
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"), col("j_micro"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("j_micro")).cast("double") / count(lit(1)).cast("double") / 1e6, 6)
+          .as("avg_jaccard"))
+  }
+
+  /**
    * Connected components over a near-duplicate pair graph — turns
    * pairwise dedup hits into CLUSTERS (each document labeled with the
    * smallest doc id reachable through any chain of near-dup pairs), the

@@ -2,10 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Sketches, TextOps}
+import graft.ops.{Dedup, Sketches, TextOps}
 
 /** Round-8 operators: AMS F2 sketch, KMV set-overlap estimate,
-  * temperature mixture sampling, BPE merge-candidate scoring. */
+  * temperature mixture sampling, BPE merge-candidate scoring, n-gram
+  * novelty, cross-source duplication matrix. */
 class Round8OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -96,5 +97,50 @@ class Round8OpsSpec extends AnyFunSuite {
     val m = top.toMap
     assert(m("ba") == 3L && m("cd") == 1L)
     assert(!m.keys.exists(_.length != 2))
+  }
+
+  // ── n-gram novelty ────────────────────────────────────────────────────
+
+  test("ngramNovelty: unique docs score 1, verbatim copies score 0") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "catalyst plans declarative queries into distributed physical operators")
+    ).toDF("doc_id", "text")
+    val r = Dedup.ngramNovelty(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("novelty")).toMap
+    assert(r(1L) == 0.0 && r(2L) == 0.0, "every gram of a copy recurs")
+    assert(r(3L) == 1.0, "every gram of a unique doc has df = 1")
+  }
+
+  test("ngramNovelty: gram exchange is shared (one scan, ReusedExchange)") {
+    val df = Dedup.ngramNovelty(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut < 0) plan else plan.substring(0, cut)
+    assert(finalPlan.contains("ReusedExchange"), plan)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1, plan)
+  }
+
+  // ── cross-source duplication matrix ───────────────────────────────────
+
+  test("dupMatrix: pair key is order-normalized, self-dups kept") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "sA"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "sB"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "sB"),
+      (4L, "unrelated content entirely different words here throughout always", "sA")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.dupMatrix(df, "doc_id", "text", "source",
+        k = 8, bands = 4, minJaccard = 0.9)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getAs[Double]("avg_jaccard"))).toMap
+    // pairs: (1,2) cross sA-sB, (1,3) cross sA-sB, (2,3) within sB
+    assert(r(("sA", "sB")) == (2L, 1.0), s"got $r")
+    assert(r(("sB", "sB")) == (1L, 1.0), s"got $r")
+    assert(!r.contains(("sB", "sA")), "source pair must be order-normalized")
   }
 }
