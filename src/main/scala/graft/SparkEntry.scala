@@ -1382,7 +1382,40 @@ object SparkEntry {
       // which sources duplicate each other: verified near-dup pairs
       // rolled up per order-normalized source pair, exact micro-sum mean
       Dedup.dupMatrix(docs(s, dir), "doc_id", "text", "source",
-        k = MinhashK, bands = MinhashBands, minJaccard = 0.4))
+        k = MinhashK, bands = MinhashBands, minJaccard = 0.4)),
+
+    "q_tpch_q9" -> ((s, dir) => {
+      // TPC-H Q9 shape (product-line profit by supplier nation and order
+      // year; p_retailprice·qty stands in for ps_supplycost, which the
+      // synthetic schema omits): the part-name slice broadcast prunes
+      // lineitem first, profit = rev − cost entirely in integer micros
+      // (exact under any partitioning), nation/supplier dims broadcast
+      val pt = t(s, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val amountMicro =
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000).cast("long") -
+          round(col("p_retailprice") * 1000000).cast("long") *
+            round(col("l_quantity")).cast("long")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(amountMicro) / 1000000.0).as("sum_profit"))
+    }),
+
+    "q_scd2" -> ((s, dir) =>
+      // SCD-2 validity intervals from the event stream: change points
+      // only, [valid_from, valid_to) attached, one keyed shuffle
+      Events.scd2Intervals(t(s, dir, "events")))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -3024,6 +3057,36 @@ object SparkEntry {
          |  WHERE jm.j_micro >= 400000)
          |SELECT source_a, source_b, count(*) AS n_pairs,
          |  round(sum(j_micro)::DOUBLE / count(*)::DOUBLE / 1e6, 6) AS avg_jaccard
-         |FROM sp GROUP BY source_a, source_b""".stripMargin
+         |FROM sp GROUP BY source_a, source_b""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)
+        |    - CAST(round(p_retailprice * 1000000) AS BIGINT)
+        |      * CAST(round(l_quantity) AS BIGINT))
+        |    / 1000000.0 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+        |    round(value, 6) AS value FROM events),
+        |c AS (SELECT *,
+        |    lag(value) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY tsu ASC, event_id ASC)),
+        |ch AS (SELECT user_id, event_type, event_id, tsu, value FROM c
+        |  WHERE rn = 1 OR value IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, value,
+        |  tsu AS valid_from_us,
+        |  lead(tsu) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tsu ASC, event_id ASC) AS valid_to_us
+        |FROM ch""".stripMargin
   )
 }

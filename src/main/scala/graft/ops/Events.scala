@@ -553,4 +553,39 @@ object Events {
         last(col("day_value"), ignoreNulls = true).over(carry).as("value_locf"),
         when(col("day_value").isNotNull, lit(1)).otherwise(lit(0)).as("observed"))
   }
+
+  /**
+   * SCD-type-2 interval build (the CDC WRITE-side twin of the
+   * latest-record-wins merge): compress each (user, type) event stream
+   * to its value CHANGE points and attach [valid_from, valid_to)
+   * validity intervals — valid_to of the last interval is NULL (current
+   * row). The standard dimension-history layout a warehouse merge
+   * produces.
+   *
+   * Change detection is null-safe (`<=>`): a null value is a state like
+   * any other, not a wildcard. Both windows share ONE (user_id,
+   * event_type) exchange and sort — the lag filter and the lead
+   * re-link run back to back in the same partition order, so the whole
+   * operator is one shuffle. Values are copied, never recomputed —
+   * exact in every engine.
+   */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("tsu"),
+        // 6-dp round like the latest-value twin: the value is COPIED, so
+        // the round is identical in every engine (cross-engine hash rule)
+        round(col("value"), 6).as("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("is_first", row_number().over(w) === 1)
+      .filter(col("is_first") || !(col("value") <=> col("prev")))
+    changes
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("tsu").as("valid_from_us"),
+        lead(col("tsu"), 1).over(Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tsu").asc, col("event_id").asc)).as("valid_to_us"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Sketches, TextOps}
 
@@ -142,5 +143,40 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(r(("sA", "sB")) == (2L, 1.0), s"got $r")
     assert(r(("sB", "sB")) == (1L, 1.0), s"got $r")
     assert(!r.contains(("sB", "sA")), "source pair must be order-normalized")
+  }
+
+  // ── SCD-2 intervals ───────────────────────────────────────────────────
+
+  test("scd2Intervals: change points compressed, null-safe, intervals chain") {
+    import java.sql.Timestamp
+    // value sequence 1, 1, 2, null, null, 2 at t = 1..6 s
+    val rows = Seq[(Long, Long, Long, java.lang.Double)](
+      (1L, 1L, 1L, 1.0), (2L, 1L, 2L, 1.0), (3L, 1L, 3L, 2.0),
+      (4L, 1L, 4L, null), (5L, 1L, 5L, null), (6L, 1L, 6L, 2.0))
+    val df = rows.map { case (eid, uid, tSec, v) =>
+      (eid, uid, "login", new Timestamp(tSec * 1000L), v)
+    }.toDF("event_id", "user_id", "event_type", "tsx", "value")
+      // events.ts arrives as nanos-as-long (parquet TIMESTAMP(NANOS))
+      .withColumn("ts", expr("unix_micros(tsx) * 1000")).drop("tsx")
+    val r = graft.ops.Events.scd2Intervals(df)
+      .orderBy("valid_from_us").collect()
+      .map(x => (Option(x.get(2)), x.getLong(3), Option(x.get(4))))
+    assert(r.length == 4, s"6 events → 4 change intervals, got ${r.mkString(";")}")
+    assert(r(0) == (Some(1.0), 1000000L, Some(3000000L)))
+    assert(r(1) == (Some(2.0), 3000000L, Some(4000000L)))
+    assert(r(2) == (None, 4000000L, Some(6000000L)), "null is a state, not a wildcard")
+    assert(r(3) == (Some(2.0), 6000000L, None), "current row is open-ended")
+  }
+
+  // ── TPC-H anchor plans ────────────────────────────────────────────────
+
+  test("q_tpch_q7: nation membership broadcasts, ship-date filter reaches the scan") {
+    val df = SparkEntry.queries("q_tpch_q7")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val scanLine = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .find(_.contains("l_shipdate"))
+    assert(scanLine.exists(_.contains("GreaterThanOrEqual")),
+      s"ship-date range must push to the lineitem scan:\n$plan")
   }
 }
