@@ -327,7 +327,9 @@ object TextOps {
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
     val sampled = df.select(col(sourceCol), col(idCol))
       .withColumn("__rn", row_number().over(w))
-      .join(targets.select(col(sourceCol), col("target_n")), Seq(sourceCol))
+      // targets is one row per source (provably bounded) — broadcast it,
+      // or the planner may broadcast the ranked CORPUS side instead
+      .join(broadcast(targets.select(col(sourceCol), col("target_n"))), Seq(sourceCol))
       .filter(col("__rn") <= col("target_n"))
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("sampled_n"))
     targets.join(sampled, Seq(sourceCol), "left_outer")
