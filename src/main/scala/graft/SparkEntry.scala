@@ -1415,7 +1415,12 @@ object SparkEntry {
     "q_scd2" -> ((s, dir) =>
       // SCD-2 validity intervals from the event stream: change points
       // only, [valid_from, valid_to) attached, one keyed shuffle
-      Events.scd2Intervals(t(s, dir, "events")))
+      Events.scd2Intervals(t(s, dir, "events"))),
+
+    "q_resample_interp" -> ((s, dir) =>
+      // linear-interpolated daily resample (smooth-gauge twin of LOCF):
+      // four carry windows share one user exchange, per-user span grid
+      Events.resampleDailyInterp(t(s, dir, "events")))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -3087,6 +3092,38 @@ object SparkEntry {
         |  tsu AS valid_from_us,
         |  lead(tsu) OVER (PARTITION BY user_id, event_type
         |    ORDER BY tsu ASC, event_id ASC) AS valid_to_us
-        |FROM ch""".stripMargin
+        |FROM ch""".stripMargin,
+
+    "q_resample_interp" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    round(value, 6) AS v FROM events WHERE value IS NOT NULL),
+        |d0 AS (SELECT user_id, tsu // 86400000000 AS day, v,
+        |    row_number() OVER (PARTITION BY user_id, tsu // 86400000000
+        |      ORDER BY tsu DESC, event_id DESC) AS rn
+        |  FROM e),
+        |d1 AS (SELECT user_id, day, v FROM d0 WHERE rn = 1),
+        |sp AS (SELECT user_id, min(day) AS dmin, max(day) AS dmax
+        |  FROM d1 GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(dmin, dmax + 1)) AS day FROM sp),
+        |j AS (SELECT g.user_id, g.day, d1.v
+        |  FROM g LEFT JOIN d1 ON g.user_id = d1.user_id AND g.day = d1.day),
+        |f AS (SELECT user_id, day, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wf AS nd,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  round(CASE WHEN pd = nd THEN pv
+        |    ELSE pv + (nv - pv) * (day - pd)::DOUBLE / (nd - pd)::DOUBLE END, 6)
+        |    AS value_interp,
+        |  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |FROM f""".stripMargin
   )
 }

@@ -555,6 +555,53 @@ object Events {
   }
 
   /**
+   * Daily resampling with LINEAR INTERPOLATION — the smooth-gauge
+   * complement of [[resampleDailyLocf]]: each user's observed days pin
+   * the curve and the dense in-between days take
+   * v = prev + (next − prev)·(day − prevDay)/(nextDay − prevDay).
+   *
+   * Determinism: prev/next values are 6-dp-rounded COPIES of the raw
+   * value, and the interpolation is a fixed-order IEEE expression over
+   * per-row scalars (no cross-row float sum exists to reorder), so any
+   * engine and any partitioning produce the identical double, rounded
+   * once at output. Null-valued observations are dropped (they pin
+   * nothing). One keyed window cascade: all four carry windows reuse the
+   * (user_id) exchange and the grid is bounded by each user's own
+   * observation span — never a global calendar explode.
+   */
+  def resampleDailyInterp(events: DataFrame): DataFrame = {
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("tsu").desc, col("event_id").desc)
+    val daily = events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsu"),
+        round(col("value"), 6).as("v"))
+      .withColumn("day", expr("tsu div 86400000000"))
+      .withColumn("rn", row_number().over(byUserDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("v"))
+    val grid = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(back))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("day"),
+        round(when(col("pd") === col("nd"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("day") - col("pd")).cast("double") /
+            (col("nd") - col("pd")).cast("double")), 6).as("value_interp"),
+        when(col("v").isNotNull, lit(1)).otherwise(lit(0)).as("observed"))
+  }
+
+  /**
    * SCD-type-2 interval build (the CDC WRITE-side twin of the
    * latest-record-wins merge): compress each (user, type) event stream
    * to its value CHANGE points and attach [valid_from, valid_to)

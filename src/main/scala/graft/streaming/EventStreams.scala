@@ -271,4 +271,21 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start_us"), posexplode(col("top")))
       .select(col("window_start_us"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("event_id"), col("col.score").as("value"))
+
+  /** Windowed distinct-user ESTIMATE through the HLL sketch aggregate:
+    * per-window state is the fixed 2^b-byte register array (vs exact
+    * distinct's unbounded per-window user set), registers element-wise-max
+    * merge across micro-batches, and the watermark evicts closed windows —
+    * streaming cardinality at a constant per-window memory bound. The
+    * sketch is md5-deterministic, so the streamed estimate equals the
+    * batch twin's bit for bit (StreamingSpec proves it). */
+  def windowedDistinctHll(events: DataFrame, b: Int = 8,
+      windowLen: String = "5 minutes", watermarkDelay: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(graft.functions.GraftFunctions.hll_distinct(col("user_id"), b).as("est_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("est_users"), col("n_events"))
 }

@@ -327,4 +327,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.size == events.size) // left outer: every event survives
     } finally q.stop()
   }
+
+  test("windowedDistinctHll: sketch registers merge across micro-batches, equals batch") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // 40 users spread over two 5-min windows, DELIVERED IN TWO BATCHES
+    // that split every window — the per-window register state must
+    // survive and element-wise-max merge across the batch boundary
+    val all = (1 to 40).map { i =>
+      StreamEvent(i.toLong, Base + (i % 8).toLong * MinNs, (i % 20).toLong, "view", 1.0)
+    }
+    val (first, second) = all.splitAt(20)
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedDistinctHll(in.toDF(), b = 8)
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    try {
+      in.addData(first)
+      q.processAllAvailable()
+      in.addData(second)
+      q.processAllAvailable()
+      in.addData(Seq(flush))
+      q.processAllAvailable()
+
+      val streamed = s.sql(
+        "SELECT window_start_us, est_users, n_events FROM hll_out WHERE n_events > 1")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+      val batch = all.toDF()
+        .withColumn("w_us", expr("((ts div 1000) div 300000000L) * 300000000L"))
+        .groupBy($"w_us")
+        .agg(graft.functions.GraftFunctions.hll_distinct($"user_id", 8).as("est_users"),
+          count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed.nonEmpty)
+      // at 20 distinct users the b=8 sketch is in its exact
+      // (linear-counting) range: estimates must be near-exact
+      streamed.foreach { case (_, est, _) => assert(est > 0 && est < 30) }
+    } finally q.stop()
+  }
 }
