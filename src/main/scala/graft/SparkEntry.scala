@@ -1420,7 +1420,17 @@ object SparkEntry {
     "q_resample_interp" -> ((s, dir) =>
       // linear-interpolated daily resample (smooth-gauge twin of LOCF):
       // four carry windows share one user exchange, per-user span grid
-      Events.resampleDailyInterp(t(s, dir, "events")))
+      Events.resampleDailyInterp(t(s, dir, "events"))),
+
+    "q_cms_join_size" -> ((s, dir) => {
+      // plan-time join cardinality from two KB-scale CMS grids: the
+      // inner-product upper bound vs the exact join size audit
+      val li = t(s, dir, "lineitem")
+      Sketches.cmsJoinSize(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_linestatus") === "O"),
+        "l_partkey", depth = 4, width = 1024)
+    })
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -3124,6 +3134,32 @@ object SparkEntry {
         |    ELSE pv + (nv - pv) * (day - pd)::DOUBLE / (nd - pd)::DOUBLE END, 6)
         |    AS value_interp,
         |  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q_cms_join_size" -> {
+      def bucket(jExpr: String) =
+        s"${hexToLong(s"md5($jExpr || ':' || term)", 1, 8)} % 1024"
+      s"""WITH ta AS (SELECT l_partkey::VARCHAR AS term, count(*) AS cnt
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         |tb AS (SELECT l_partkey::VARCHAR AS term, count(*) AS cnt
+         |  FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1),
+         |ga AS (SELECT j, bucket, sum(cnt) AS ca FROM (
+         |    SELECT term, cnt, j, ${bucket("j::VARCHAR")} AS bucket
+         |    FROM ta, unnest(range(0, 4)) AS t(j))
+         |  GROUP BY j, bucket),
+         |gb AS (SELECT j, bucket, sum(cnt) AS cb FROM (
+         |    SELECT term, cnt, j, ${bucket("j::VARCHAR")} AS bucket
+         |    FROM tb, unnest(range(0, 4)) AS t(j))
+         |  GROUP BY j, bucket),
+         |ip AS (SELECT j, sum(ca * cb) AS ip FROM ga JOIN gb USING (j, bucket)
+         |  GROUP BY j),
+         |es AS (SELECT min(ip)::BIGINT AS est_join_size FROM ip),
+         |ex AS (SELECT sum(ta.cnt * tb.cnt)::BIGINT AS exact_join_size
+         |  FROM ta JOIN tb USING (term))
+         |SELECT es.est_join_size, ex.exact_join_size,
+         |  round((es.est_join_size - ex.exact_join_size)::DOUBLE
+         |    / ex.exact_join_size::DOUBLE, 6) AS rel_err
+         |FROM es CROSS JOIN ex""".stripMargin
+    }
   )
 }

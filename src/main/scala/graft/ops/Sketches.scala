@@ -194,6 +194,40 @@ object Sketches {
   }
 
   /**
+   * Join-size estimation from two count-min sketches (the classic CMS
+   * inner-product bound): |A ⋈_key B| = Σ_k fA(k)·fB(k), and for each
+   * sketch row j, Σ_bucket cA(j,b)·cB(j,b) over-estimates it (collisions
+   * only ADD mass), so the min over rows is an upper bound that a query
+   * planner can read without ever joining the data. Exact join size runs
+   * alongside as the audit.
+   *
+   * Scale shape: each side collapses to its per-key counts (map-side
+   * combinable), each sketch is a fixed d×w grid regardless of input
+   * size, and the estimate is a d×w-row join — at 100 TB the two grids
+   * are portable KB-scale artifacts built in one pass each. Returns one
+   * row: (est_join_size ≥ exact_join_size, exact_join_size, rel_err).
+   */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(col(keyCol).cast("string").as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val (ta, tb) = (counts(a), counts(b))
+    val sa = cmsSketch(ta, "term", "cnt", depth, width)
+    val sb = cmsSketch(tb, "term", "cnt", depth, width)
+    val est = sa.select(col("j"), col("bucket"), col("c").as("ca"))
+      .join(sb.select(col("j"), col("bucket"), col("c").as("cb")), Seq("j", "bucket"))
+      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
+    val exact = ta.join(tb.select(col("term"), col("cnt").as("cnt_b")), "term")
+      .agg(sum(col("cnt") * col("cnt_b")).as("exact_join_size"))
+    est.crossJoin(broadcast(exact)) // both sides are 1 row
+      .select(col("est_join_size"), col("exact_join_size"),
+        round((col("est_join_size") - col("exact_join_size")).cast("double") /
+          col("exact_join_size").cast("double"), 6).as("rel_err"))
+  }
+
+  /**
    * AMS "tug-of-war" second-frequency-moment (F2 = Σ_k f_k²) sketch —
    * the classic Alon–Matias–Szegedy estimator for self-join size and
    * key-skew: each of `counters` independent counters sums a ±1 sign per

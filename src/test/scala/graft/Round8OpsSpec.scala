@@ -145,6 +145,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(!r.contains(("sB", "sA")), "source pair must be order-normalized")
   }
 
+  // ── CMS join-size estimate ────────────────────────────────────────────
+
+  test("cmsJoinSize: inner product upper-bounds the true join size, exact when collision-free") {
+    // A = {a×3, b×2, d×1}, B = {a×2, c×5, d×4}: |A ⋈ B| = 3·2 + 1·4 = 10
+    val a = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("d")).toDF("k")
+    val b = (Seq.fill(2)("a") ++ Seq.fill(5)("c") ++ Seq.fill(4)("d")).toDF("k")
+    val r = Sketches.cmsJoinSize(a, b, "k", depth = 4, width = 1024).head()
+    assert(r.getAs[Long]("exact_join_size") == 10L)
+    assert(r.getAs[Long]("est_join_size") >= 10L, "CMS inner product never under-estimates")
+    // 4 keys into 1024 buckets: no collisions → the bound is tight
+    assert(r.getAs[Long]("est_join_size") == 10L)
+    assert(r.getAs[Double]("rel_err") == 0.0)
+  }
+
+  // ── daily linear interpolation ────────────────────────────────────────
+
+  test("resampleDailyInterp: gaps fill linearly, null observations pin nothing") {
+    import java.sql.Timestamp
+    val day = 86400L // seconds
+    val rows = Seq[(Long, Long, Long, java.lang.Double)](
+      (1L, 1L, 0L * day, 10.0),
+      (2L, 1L, 2L * day, 40.0),   // day 1 missing → interp 25.0
+      (3L, 1L, 3L * day, null),   // null never pins the curve
+      (4L, 1L, 4L * day, 50.0))   // days 3 → interp 45.0
+    val df = rows.map { case (eid, uid, tSec, v) =>
+      (eid, uid, "gauge", new Timestamp(tSec * 1000L), v)
+    }.toDF("event_id", "user_id", "event_type", "tsx", "value")
+      .withColumn("ts", expr("unix_micros(tsx) * 1000")).drop("tsx")
+    val r = graft.ops.Events.resampleDailyInterp(df)
+      .orderBy("day").collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getInt(3)))
+    assert(r.toSeq == Seq(
+      (0L, 10.0, 1), (1L, 25.0, 0), (2L, 40.0, 1), (3L, 45.0, 0), (4L, 50.0, 1)),
+      s"got ${r.mkString(";")}")
+  }
+
   // ── SCD-2 intervals ───────────────────────────────────────────────────
 
   test("scd2Intervals: change points compressed, null-safe, intervals chain") {
