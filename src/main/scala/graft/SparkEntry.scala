@@ -1430,7 +1430,17 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "R"),
         li.filter(col("l_linestatus") === "O"),
         "l_partkey", depth = 4, width = 1024)
-    })
+    }),
+
+    "q_vocab_overlap_matrix" -> ((s, dir) =>
+      // pairwise source-vocabulary Jaccard: one hash-staged distinct
+      // frame feeds sizes and both self-join sides; hashes only
+      TextOps.vocabOverlapMatrix(docs(s, dir), "source", "text")),
+
+    "q_pmi_lang_source" -> ((s, dir) =>
+      // lang × source pointwise mutual information over the bounded
+      // cell frame — corpus-mix skew diagnostic
+      TextOps.pmiTable(docs(s, dir), "lang", "source"))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -3160,6 +3170,27 @@ object SparkEntry {
          |  round((es.est_join_size - ex.exact_join_size)::DOUBLE
          |    / ex.exact_join_size::DOUBLE, 6) AS rel_err
          |FROM es CROSS JOIN ex""".stripMargin
-    }
+    },
+
+    "q_vocab_overlap_matrix" ->
+      s"""WITH st AS (SELECT DISTINCT source, md5(tok) AS h
+         |  FROM (SELECT source, unnest($ToksSql) AS tok FROM documents) t),
+         |sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+         |iv AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+         |  FROM st a JOIN st b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |  round(n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+         |FROM iv JOIN sz sa ON source_a = sa.source
+         |JOIN sz sb ON source_b = sb.source""".stripMargin,
+
+    "q_pmi_lang_source" ->
+      """WITH j AS (SELECT lang, source, count(*) AS c
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, c,
+        |  round(ln(c::DOUBLE * (sum(c) OVER ())::DOUBLE /
+        |    ((sum(c) OVER (PARTITION BY lang))::DOUBLE
+        |      * (sum(c) OVER (PARTITION BY source))::DOUBLE)), 6) AS pmi
+        |FROM j""".stripMargin
   )
 }

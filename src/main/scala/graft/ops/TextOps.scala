@@ -338,6 +338,63 @@ object TextOps {
   }
 
   /**
+   * Pairwise vocabulary-overlap matrix across corpus strata (the
+   * vocabulary-level sibling of [[graft.ops.Dedup.dupMatrix]]): for every
+   * (stratum, stratum) pair, both vocabulary sizes, the common-token
+   * count, and exact Jaccard. One distinct (stratum, token-hash) frame
+   * staged behind a hash-keyed exchange feeds the per-stratum sizes AND
+   * both self-join sides; each hash joins at most |strata| rows to
+   * |strata| rows, so the join output is bounded by vocab · strata² —
+   * never a token cross product. Only 16-byte hashes shuffle.
+   */
+  def vocabOverlapMatrix(df: org.apache.spark.sql.DataFrame, stratumCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = df
+      .select(col(stratumCol).as("src"), explode(tokensNative(col(textCol))).as("tok"))
+      .select(col("src"), md5(col("tok")).as("h"))
+      .distinct()
+      .repartition(col("h"))
+    val sizes = st.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = st.as("a")
+      .join(st.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("src").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6).as("jaccard"))
+  }
+
+  /**
+   * Pointwise mutual information between two categorical corpus columns
+   * (lang × source here): pmi = ln(c·N / (c_row · c_col)) per cell — the
+   * standard does-this-feed-skew-languages diagnostic. The joint-count
+   * aggregation is the ONLY pass over the corpus; marginals and N come
+   * from windows over the bounded |rows|·|cols| cell frame. Per-cell
+   * arithmetic is fixed-order IEEE over integral counts → identical in
+   * every engine.
+   */
+  def pmiTable(df: org.apache.spark.sql.DataFrame, rowCol: String,
+      colCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("c"))
+    val all = Window.partitionBy()
+    val byRow = Window.partitionBy(col(rowCol))
+    val byCol = Window.partitionBy(col(colCol))
+    // the global window is safe here for the same reason as the quantile
+    // sketch: the cell frame is bounded by |rows|·|cols|, not by data size
+    joint
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("c_row", sum(col("c")).over(byRow))
+      .withColumn("c_col", sum(col("c")).over(byCol))
+      .select(col(rowCol), col(colCol), col("c"),
+        round(log(col("c").cast("double") * col("n").cast("double") /
+          (col("c_row").cast("double") * col("c_col").cast("double"))), 6).as("pmi"))
+  }
+
+  /**
    * BPE first-round merge-candidate scoring: adjacent character-pair
    * frequencies over the corpus vocabulary, weighted by word frequency —
    * exactly the statistic byte-pair-encoding training maximizes at each

@@ -181,6 +181,39 @@ class Round8OpsSpec extends AnyFunSuite {
       s"got ${r.mkString(";")}")
   }
 
+  // ── vocabulary overlap matrix ─────────────────────────────────────────
+
+  test("vocabOverlapMatrix: exact pairwise Jaccard over distinct token sets") {
+    val df = Seq(
+      ("s1", "alpha beta gamma"), ("s1", "beta delta"),
+      ("s2", "beta gamma epsilon"), ("s3", "zeta")).toDF("source", "text")
+    val r = TextOps.vocabOverlapMatrix(df, "source", "text")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getAs[Double]("jaccard"))).toMap
+    // s1 = {alpha,beta,gamma,delta} (4), s2 = {beta,gamma,epsilon} (3),
+    // common 2, union 5 → J = 0.4; s3 shares nothing → absent (inner join)
+    assert(r(("s1", "s2")) == (4L, 3L, 2L, 0.4), s"got $r")
+    assert(!r.keys.exists { case (a, b) => a >= b }, "matrix is strictly upper")
+    assert(!r.contains(("s1", "s3")) && !r.contains(("s2", "s3")))
+  }
+
+  // ── PMI table ─────────────────────────────────────────────────────────
+
+  test("pmiTable: independent columns give zero PMI everywhere") {
+    // 2×2 with perfect independence: p(r,c) = p(r)·p(c) for every cell
+    val df = (Seq.fill(2)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) ++
+      Seq(("fr", "s1")) ++ Seq(("fr", "s2"))).toDF("lang", "source")
+    val r = TextOps.pmiTable(df, "lang", "source").collect()
+    assert(r.length == 4)
+    r.foreach(x => assert(x.getAs[Double]("pmi") == 0.0, x.toString))
+    // and a dependent cell is nonzero: put all fr mass on s1
+    val dep = (Seq.fill(3)(("en", "s2")) ++ Seq.fill(3)(("fr", "s1")))
+      .toDF("lang", "source")
+    val pm = TextOps.pmiTable(dep, "lang", "source")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getAs[Double]("pmi")).toMap
+    assert(pm(("fr", "s1")) > 0.6, s"got $pm") // ln(2) ≈ 0.693
+  }
+
   // ── SCD-2 intervals ───────────────────────────────────────────────────
 
   test("scd2Intervals: change points compressed, null-safe, intervals chain") {
