@@ -1440,7 +1440,28 @@ object SparkEntry {
     "q_pmi_lang_source" -> ((s, dir) =>
       // lang × source pointwise mutual information over the bounded
       // cell frame — corpus-mix skew diagnostic
-      TextOps.pmiTable(docs(s, dir), "lang", "source"))
+      TextOps.pmiTable(docs(s, dir), "lang", "source")),
+
+    "q_winsorized" -> ((s, dir) =>
+      // robust location that keeps every row's magnitude: clamp into the
+      // exact [p5, p95] band, integer-micro sum, divide once
+      Stats.winsorizedMean(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", pLo = 0.05, pHi = 0.95)),
+
+    "q_dominant_supplier" -> ((s, dir) => {
+      // groupwise-share join-back (TPC-H Q20-adjacent): suppliers
+      // carrying ≥ 20% of a part's shipped quantity among ≥2 suppliers;
+      // the share test is exact integer arithmetic (5·q_ps ≥ q_p)
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q_ps"))
+      val p = ps.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("q_ps")).as("q_p"), count(lit(1)).as("n_supp"))
+      ps.join(p, col("l_partkey") === col("pk"))
+        .filter(col("q_ps") * 5 >= col("q_p") && col("n_supp") >= 2)
+        .select(col("l_partkey"), col("l_suppkey"), col("q_ps"), col("q_p"),
+          round(col("q_ps").cast("double") / col("q_p").cast("double"), 6).as("share"))
+    })
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -3191,6 +3212,40 @@ object SparkEntry {
         |  round(ln(c::DOUBLE * (sum(c) OVER ())::DOUBLE /
         |    ((sum(c) OVER (PARTITION BY lang))::DOUBLE
         |      * (sum(c) OVER (PARTITION BY source))::DOUBLE)), 6) AS pmi
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "q_winsorized" -> {
+      def pct(p: String, as: String) =
+        s"""max(CASE WHEN rn = floor((n - 1)::DOUBLE * $p) THEN v END)
+           |      + ((n - 1)::DOUBLE * $p - floor((n - 1)::DOUBLE * $p))
+           |        * (max(CASE WHEN rn = ceil((n - 1)::DOUBLE * $p) THEN v END)
+           |          - max(CASE WHEN rn = floor((n - 1)::DOUBLE * $p) THEN v END))""".stripMargin
+      s"""WITH rk AS (SELECT l_returnflag, l_extendedprice::DOUBLE AS v,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC) - 1 AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem),
+         |b AS (SELECT l_returnflag, n,
+         |    round(${pct("0.05", "lo")}, 6) AS lo,
+         |    round(${pct("0.95", "hi")}, 6) AS hi
+         |  FROM rk GROUP BY l_returnflag, n)
+         |SELECT rk.l_returnflag, count(*) AS n,
+         |  max(b.lo) AS p_lo, max(b.hi) AS p_hi,
+         |  round(sum(CAST(round(least(greatest(rk.v, b.lo), b.hi) * 1e6) AS BIGINT))::DOUBLE
+         |    / count(*)::DOUBLE / 1e6, 6) AS winsorized_mean,
+         |  sum(CASE WHEN rk.v < b.lo OR rk.v > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped
+         |FROM rk JOIN b USING (l_returnflag)
+         |GROUP BY rk.l_returnflag""".stripMargin
+    },
+
+    "q_dominant_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q_ps
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |p AS (SELECT l_partkey AS pk, sum(q_ps) AS q_p, count(*) AS n_supp
+        |  FROM ps GROUP BY l_partkey)
+        |SELECT l_partkey, l_suppkey, q_ps::BIGINT AS q_ps, q_p::BIGINT AS q_p,
+        |  round(q_ps::DOUBLE / q_p::DOUBLE, 6) AS share
+        |FROM ps JOIN p ON l_partkey = pk
+        |WHERE q_ps * 5 >= q_p AND n_supp >= 2""".stripMargin
   )
 }

@@ -87,4 +87,40 @@ object Stats {
         count(lit(1)).as("n"),
         sum(when(col("__adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
   }
+
+  /**
+   * Winsorized mean per group: values are CLAMPED into the
+   * [p_lo, p_hi] exact-percentile band before averaging (vs trimming,
+   * which drops them — winsorizing keeps n stable). The robust-location
+   * estimator that, unlike [[madRobust]]'s median, still uses every
+   * row's magnitude.
+   *
+   * Exactness: the clamp bounds are the 6-dp-rounded interpolated
+   * percentiles (engine-identical by [[percentileExact]]'s op-order
+   * rule); each clamped value is integer-micro-rounded BEFORE the sum,
+   * so the mean is an exact long sum divided once — order-free under
+   * any partitioning. One percentile pass + one joined aggregation;
+   * the per-group bounds frame is bounded by the group count (AQE
+   * broadcasts it).
+   */
+  def winsorizedMean(df: DataFrame, keys: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo,$pHi]")
+    val keyCols = keys.map(col)
+    val bounds = percentileExact(df, keys, valueCol, Seq("lo" -> pLo, "hi" -> pHi))
+    val clampedMicro = round(
+      least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")) * 1e6)
+      .cast("long")
+    df.select((keyCols :+ col(valueCol)): _*)
+      .join(bounds, keys)
+      .groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("lo")).as("p_lo"),
+        max(col("hi")).as("p_hi"),
+        round(sum(clampedMicro).cast("double") / count(lit(1)).cast("double") / 1e6, 6)
+          .as("winsorized_mean"),
+        sum(when(col(valueCol) < col("lo") || col(valueCol) > col("hi"), 1L)
+          .otherwise(0L)).as("n_clamped"))
+  }
 }

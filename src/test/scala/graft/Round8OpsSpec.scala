@@ -181,6 +181,26 @@ class Round8OpsSpec extends AnyFunSuite {
       s"got ${r.mkString(";")}")
   }
 
+  // ── winsorized mean ───────────────────────────────────────────────────
+
+  test("winsorizedMean: clamps into the exact percentile band, outliers tamed") {
+    // g1 = 0..10: p5 = 0.5, p95 = 9.5 (interpolated); the symmetric clamp
+    // keeps the mean at exactly 5.0 with 2 rows clamped
+    val g1 = (0 to 10).map(i => ("g1", i.toDouble))
+    // g2 = ten 1.0s + one 1000.0: the outlier collapses to ~p95
+    val g2 = Seq.fill(10)(("g2", 1.0)) :+ (("g2", 1000.0))
+    val df = (g1 ++ g2).toDF("k", "v")
+    val r = graft.ops.Stats.winsorizedMean(df, Seq("k"), "v")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getAs[Double]("p_lo"), x.getAs[Double]("p_hi"),
+          x.getAs[Double]("winsorized_mean"), x.getLong(5))).toMap
+    assert(r("g1") == (11L, 0.5, 9.5, 5.0, 2L), s"got ${r("g1")}")
+    val (n2, _, hi2, wm2, nc2) = r("g2")
+    assert(n2 == 11L && nc2 == 1L)
+    assert(wm2 < 100.0, s"outlier must be tamed, got $wm2")
+    assert(wm2 == ((10 * 1.0 + hi2) / 11 * 1e6).round / 1e6)
+  }
+
   // ── vocabulary overlap matrix ─────────────────────────────────────────
 
   test("vocabOverlapMatrix: exact pairwise Jaccard over distinct token sets") {
