@@ -1448,6 +1448,23 @@ object SparkEntry {
       Stats.winsorizedMean(t(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_extendedprice", pLo = 0.05, pHi = 0.95)),
 
+    "q_sample_weighted_agg" -> ((s, dir) => {
+      // the BOUNDED-STATE twin of q_sample_weighted: same E-S draw, but
+      // through the O(k)-heap TopKBy aggregate (map-side combinable)
+      // instead of a per-stratum window sort — the 100 TB form; both
+      // forms share one DuckDB oracle, so the gate proves them equal
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("w"))
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      val key = round(log(u) / greatest(col("w").cast("double"), lit(1e-300)), 6)
+      d.select(col("lang"), col("doc_id"), key.as("k"))
+        .groupBy(col("lang"))
+        .agg(GraftFunctions.topk_by(col("doc_id"), col("k"), 15).as("top"))
+        .select(col("lang"), explode(col("top")).as("e"))
+        .select(col("e.id").as("doc_id"), col("lang"))
+    }),
+
     "q_dominant_supplier" -> ((s, dir) => {
       // groupwise-share join-back (TPC-H Q20-adjacent): suppliers
       // carrying ≥ 20% of a part's shipped quantity among ≥2 suppliers;
@@ -3213,6 +3230,19 @@ object SparkEntry {
         |    ((sum(c) OVER (PARTITION BY lang))::DOUBLE
         |      * (sum(c) OVER (PARTITION BY source))::DOUBLE)), 6) AS pmi
         |FROM j""".stripMargin,
+
+    // identical draw to q_sample_weighted — the bounded-state aggregate
+    // and the window sort MUST produce the same sample
+    "q_sample_weighted_agg" ->
+      s"""WITH k_t AS (SELECT doc_id, lang,
+         |  round(ln((${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}::DOUBLE + 0.5) / 4294967296.0)
+         |    / greatest(length(text)::DOUBLE, 1e-300), 6) AS k
+         |  FROM documents)
+         |SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rn
+         |  FROM k_t)
+         |WHERE rn <= 15""".stripMargin,
 
     "q_winsorized" -> {
       def pct(p: String, as: String) =
