@@ -184,4 +184,51 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(keys.toSeq == cells.map((morton _).tupled))
   }
+
+  test("amsF2: exact side equals brute-force Σf² on random data and partitionings") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val keys = Seq.fill(50 + rnd.nextInt(200))(s"k${rnd.nextInt(30)}")
+      val parts = 1 + rnd.nextInt(7)
+      val df = spark.sparkContext.parallelize(keys, parts).toDF("k")
+      val r = graft.ops.Sketches.amsF2(df, "k", counters = 16).head()
+      val brute = keys.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      assert(r.getAs[Long]("exact_f2") == brute)
+      assert(r.getAs[Double]("est_f2") > 0.0)
+    }
+  }
+
+  test("temperatureMix: targets never exceed the budget, weights sum to ~1") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 10) {
+      val nSrc = 2 + rnd.nextInt(6)
+      val rows = (0 until nSrc).flatMap { s =>
+        (0 until (1 + rnd.nextInt(40))).map(i => (s"s$s", (s * 1000 + i).toLong))
+      }
+      val budget = 1L + rnd.nextInt(60)
+      val r = graft.ops.TextOps.temperatureMix(
+        rows.toDF("source", "doc_id"), "source", "doc_id", budget).collect()
+      val targets = r.map(_.getAs[Long]("target_n"))
+      assert(targets.sum <= budget, s"floor targets ${targets.toSeq} exceed $budget")
+      val wsum = r.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+      r.foreach { row =>
+        assert(row.getAs[Long]("sampled_n") ==
+          math.min(row.getAs[Long]("target_n"), row.getAs[Long]("n_docs")))
+      }
+    }
+  }
+
+  test("winsorizedMean: always inside [p_lo, p_hi], idempotent on clamped data") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 10) {
+      val xs = Seq.fill(20 + rnd.nextInt(100))(rnd.nextInt(10000).toDouble / 100)
+      val df = spark.sparkContext.parallelize(xs.map(("g", _)), 1 + rnd.nextInt(5))
+        .toDF("k", "v")
+      val r = graft.ops.Stats.winsorizedMean(df, Seq("k"), "v").head()
+      val (lo, hi, wm) = (r.getAs[Double]("p_lo"), r.getAs[Double]("p_hi"),
+        r.getAs[Double]("winsorized_mean"))
+      assert(wm >= lo - 1e-9 && wm <= hi + 1e-9, s"mean $wm outside [$lo, $hi]")
+    }
+  }
 }
