@@ -29,6 +29,16 @@ case class ClosedSession(
   * (greedy-earliest, strictly increasing). */
 case class FunnelProgress(times: Seq[Long])
 
+/** Cumulative per-type moment state: exact integral sums. `sumMicro` is
+  * Σ round(value·1e6) in a long; `sumSqMicroSq` is Σ micro² as a BigInt
+  * string (micro² reaches 1e18 per row — past any primitive's exact
+  * range, and exactness is what makes the merge order-free). */
+case class MomentState(n: Long, sumMicro: Long, sumSqMicroSq: String)
+
+/** Running moments emitted per micro-batch: the cumulative count, mean
+  * and population std of `value` per event type as of this batch. */
+case class TypeMoments(event_type: String, n: Long, mean_value: Double, std_value: Double)
+
 /** A completed funnel: the user and the µs timestamp of every stage. */
 case class FunnelCompletion(user_id: Long, stage_times: Seq[Long])
 
@@ -271,6 +281,57 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start_us"), posexplode(col("top")))
       .select(col("window_start_us"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("event_id"), col("col.score").as("value"))
+
+  /**
+   * Streaming running moments per event type — the stateful feeder a
+   * streaming z-score anomaly detector reads: cumulative n, mean, and
+   * population std of `value` as of each micro-batch.
+   *
+   * State is EXACT integral sums (Σ micro in a long, Σ micro² as a
+   * BigInt string — micro² overflows every primitive's exact range), so
+   * merging a batch is pure integer addition: any arrival order, any
+   * batch split, any engine produces the identical state, and the
+   * float conversion happens once at emission. This is the streaming
+   * analogue of the batch twin's decimal(38,0) rule
+   * ([[graft.ops.Events.zscoreOutliers]]).
+   *
+   * State is keyed by event TYPE — a bounded domain — so `NoTimeout` is
+   * correct here: cumulative statistics never expire, and the state
+   * store holds |types| entries of O(1) size (contrast per-USER state,
+   * which must evict — see [[funnelStream]]).
+   */
+  def runningMoments(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[TypeMoments] = {
+    import spark.implicits._
+    val typed = withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .as[TimedEvent]
+    typed
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[MomentState, TypeMoments](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, batch: Iterator[TimedEvent], state: GroupState[MomentState]) =>
+          var n = 0L
+          var s1 = 0L
+          var s2 = BigInt(0)
+          batch.foreach { e =>
+            val m = toMicros(e.value).toLong
+            n += 1; s1 += m; s2 += BigInt(m) * BigInt(m)
+          }
+          val prev = state.getOption.getOrElse(MomentState(0L, 0L, "0"))
+          val st = MomentState(prev.n + n, prev.sumMicro + s1,
+            (BigInt(prev.sumSqMicroSq) + s2).toString)
+          state.update(st)
+          // exact integers → doubles once, fixed op order: deterministic
+          val nn = st.n.toDouble
+          val mean = BigDecimal(st.sumMicro).toDouble / nn / 1e6
+          val varPop = (BigDecimal(BigInt(st.sumSqMicroSq)).toDouble -
+            BigDecimal(st.sumMicro).toDouble * BigDecimal(st.sumMicro).toDouble / nn) / nn
+          TypeMoments(tpe, st.n,
+            BigDecimal(mean).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(math.sqrt(math.max(varPop, 0.0)) / 1e6)
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
 
   /** Windowed distinct-user ESTIMATE through the HLL sketch aggregate:
     * per-window state is the fixed 2^b-byte register array (vs exact

@@ -372,4 +372,48 @@ class StreamingSpec extends AnyFunSuite {
       streamed.foreach { case (_, est, _) => assert(est > 0 && est < 30) }
     } finally q.stop()
   }
+
+  test("runningMoments: exact integral state is batch-split invariant") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // non-dyadic values: a raw double Σx² would drift across splits
+    val all = (1 to 30).map(i =>
+      StreamEvent(i.toLong, Base + i.toLong * MinNs, i.toLong, "gauge", i * 1.1))
+
+    def runWith(split: Int): Map[String, (Long, Double, Double)] = {
+      val in = MemoryStream[StreamEvent]
+      val name = s"moments_out_$split"
+      val q = EventStreams.runningMoments(in.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        val (a, b) = all.splitAt(split)
+        in.addData(a); q.processAllAvailable()
+        in.addData(b); q.processAllAvailable()
+        // update mode: the LAST row per type is the cumulative answer
+        s.sql(s"SELECT event_type, n, mean_value, std_value FROM $name")
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      } finally q.stop()
+    }
+
+    val r10 = runWith(10)
+    val r23 = runWith(23)
+    assert(r10 == r23, s"split-dependent state: $r10 vs $r23")
+    val (n, mean, std) = r10("gauge")
+    assert(n == 30L)
+    // exact expectation from the same integral-state rule
+    val micros = (1 to 30).map(i => BigDecimal(i * 1.1 * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong)
+    val s1 = micros.sum
+    val s2 = micros.map(m => BigInt(m) * BigInt(m)).sum
+    val expMean = BigDecimal(BigDecimal(s1).toDouble / 30.0 / 1e6)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expStd = BigDecimal(math.sqrt(
+      (BigDecimal(s2).toDouble - BigDecimal(s1).toDouble * BigDecimal(s1).toDouble / 30.0) / 30.0) / 1e6)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mean == expMean && std == expStd, s"got ($mean, $std), want ($expMean, $expStd)")
+  }
 }
