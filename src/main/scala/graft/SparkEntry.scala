@@ -1448,6 +1448,24 @@ object SparkEntry {
       Stats.winsorizedMean(t(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_extendedprice", pLo = 0.05, pHi = 0.95)),
 
+    "q_monthly_trend" -> ((s, dir) => {
+      // calendar rollup + year-over-year: monthly revenue (exact cents)
+      // with the lag-12 ratio; the unpartitioned lag window is safe on
+      // the bounded #months frame (same rule as the quantile sketch)
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev_year_cents", lag(col("rev_cents"), 12).over(w))
+        .select(col("month"), col("n_orders"),
+          (col("rev_cents") / 100.0).as("revenue"),
+          round(col("rev_cents").cast("double") / col("prev_year_cents").cast("double"), 6)
+            .as("yoy_ratio"))
+    }),
+
     "q_sample_weighted_agg" -> ((s, dir) => {
       // the BOUNDED-STATE twin of q_sample_weighted: same E-S draw, but
       // through the O(k)-heap TopKBy aggregate (map-side combinable)
@@ -3230,6 +3248,16 @@ object SparkEntry {
         |    ((sum(c) OVER (PARTITION BY lang))::DOUBLE
         |      * (sum(c) OVER (PARTITION BY source))::DOUBLE)), 6) AS pmi
         |FROM j""".stripMargin,
+
+    "q_monthly_trend" ->
+      """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    count(*) AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders, rev_cents / 100.0 AS revenue,
+        |  round(rev_cents::DOUBLE
+        |    / (lag(rev_cents, 12) OVER (ORDER BY month))::DOUBLE, 6) AS yoy_ratio
+        |FROM m""".stripMargin,
 
     // identical draw to q_sample_weighted — the bounded-state aggregate
     // and the window sort MUST produce the same sample
