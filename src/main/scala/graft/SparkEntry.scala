@@ -1352,6 +1352,28 @@ object SparkEntry {
       // in ONE combinable pass, exact Σf² joined back as the audit
       Sketches.amsF2(t(s, dir, "lineitem"), "l_partkey", counters = 16)),
 
+    "q_ams_f2_grouped" -> ((s, dir) =>
+      // the skew-TRIAGE view: per-flag F2 estimate next to its exact —
+      // which partitions of the data have self-join blowup
+      Sketches.amsF2Grouped(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_partkey", counters = 16)),
+
+    "q_agg_filter_clause" -> ((s, dir) => {
+      // SQL FILTER-clause composition over the custom aggregates — the
+      // reference forwards filter/distinct params through its rewrite
+      // (src/max_min_by.rs:104), so the Spark forms must compose too
+      GraftFunctions.registerAll(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("li_f8")
+      s.sql("""SELECT
+              |  graft_mode(l_linenumber) FILTER (WHERE l_returnflag = 'R')
+              |    AS mode_r,
+              |  round(graft_skewness(l_extendedprice)
+              |    FILTER (WHERE l_linestatus = 'O'), 6) AS skew_o,
+              |  max_by(l_orderkey, struct(l_extendedprice, l_orderkey))
+              |    FILTER (WHERE l_quantity >= 25.0) AS best_hiqty
+              |FROM li_f8""".stripMargin)
+    }),
+
     "q_kmv_overlap" -> ((s, dir) => {
       // KMV vocabulary-overlap estimate between two corpus sources: the
       // k-min cut of the hash UNION is a uniform sample of it, so the
@@ -3065,6 +3087,34 @@ object SparkEntry {
          |  round(abs(q.est_f2 - e.exact_f2::DOUBLE) / e.exact_f2::DOUBLE, 6) AS rel_err
          |FROM q CROSS JOIN e""".stripMargin
     },
+
+    "q_ams_f2_grouped" -> {
+      val s = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h16 >> $j) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS s$j")
+        .mkString(", ")
+      val sq = (0 until 16).map(j => s"s$j*s$j").mkString(" + ")
+      s"""WITH h AS (SELECT l_returnflag,
+         |    ${hexToLong("md5(l_partkey::VARCHAR)", 1, 4)} AS h16 FROM lineitem),
+         |s AS (SELECT l_returnflag, $s FROM h GROUP BY l_returnflag),
+         |q AS (SELECT l_returnflag, ($sq)::DOUBLE / 16.0 AS est_f2 FROM s),
+         |e AS (SELECT l_returnflag, sum(f*f)::BIGINT AS exact_f2
+         |  FROM (SELECT l_returnflag, count(*) AS f FROM lineitem
+         |    GROUP BY l_returnflag, l_partkey) t
+         |  GROUP BY l_returnflag)
+         |SELECT q.l_returnflag, round(q.est_f2, 6) AS est_f2, e.exact_f2,
+         |  round(abs(q.est_f2 - e.exact_f2::DOUBLE) / e.exact_f2::DOUBLE, 6) AS rel_err
+         |FROM q JOIN e USING (l_returnflag)""".stripMargin
+    },
+
+    "q_agg_filter_clause" ->
+      """SELECT
+        |  (SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+        |    GROUP BY 1 ORDER BY count(*) DESC, l_linenumber DESC LIMIT 1) AS mode_r,
+        |  round(skewness(l_extendedprice)
+        |    FILTER (WHERE l_linestatus = 'O'), 6) AS skew_o,
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25.0
+        |    ORDER BY l_extendedprice DESC, l_orderkey DESC LIMIT 1) AS best_hiqty
+        |FROM lineitem""".stripMargin,
 
     "q_kmv_overlap" ->
       s"""WITH ta AS (SELECT DISTINCT ${hexToLong("md5(tok)", 1, 8)} AS h

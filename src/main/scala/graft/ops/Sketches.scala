@@ -265,6 +265,35 @@ object Sketches {
   }
 
   /**
+   * Per-group [[amsF2]]: the same 16-sign-counter estimate keyed by
+   * `groupCols` — the skew-triage view (WHICH partitions of the data
+   * have self-join blowup). Still ONE combinable pass for the sketch
+   * (16 longs per group) plus the exact audit join on the bounded
+   * group key.
+   */
+  def amsF2Grouped(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      counters: Int = 16): DataFrame = {
+    require(counters >= 1 && counters <= 16, s"counters must be in [1,16], got $counters")
+    require(groupCols.nonEmpty, "use amsF2 for the ungrouped form")
+    val gcols = groupCols.map(col)
+    val h16 = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10).cast("long")
+    val signSums = (0 until counters).map { j =>
+      sum(when(shiftright(col("h16"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val est = df.select((gcols :+ h16.as("h16")): _*)
+      .groupBy(gcols: _*)
+      .agg(signSums.head, signSums.tail: _*)
+      .select((gcols :+ (((0 until counters).map(j => col(s"s$j") * col(s"s$j")).reduce(_ + _))
+        .cast("double") / lit(counters.toDouble)).as("est_f2")): _*)
+    val exact = df.groupBy((gcols :+ col(keyCol)): _*).agg(count(lit(1)).as("f"))
+      .groupBy(gcols: _*).agg(sum(col("f") * col("f")).as("exact_f2"))
+    est.join(exact, groupCols)
+      .select((gcols ++ Seq(round(col("est_f2"), 6).as("est_f2"), col("exact_f2"),
+        round(abs(col("est_f2") - col("exact_f2").cast("double")) /
+          col("exact_f2").cast("double"), 6).as("rel_err"))): _*)
+  }
+
+  /**
    * KMV set-overlap estimate between two value sets A and B (e.g. the
    * token vocabularies of two corpus sources): keep the k smallest
    * distinct hashes of A∪B; the fraction of those present in BOTH sides

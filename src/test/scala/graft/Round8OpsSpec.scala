@@ -257,6 +257,23 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(r(3) == (Some(2.0), 6000000L, None), "current row is open-ended")
   }
 
+  // ── FILTER / DISTINCT composition over the custom aggregates ─────────
+
+  test("graft_mode composes with SQL FILTER and DISTINCT clauses") {
+    // the reference forwards filter/distinct through its rewrite
+    // (src/max_min_by.rs:104) — the Spark registrations must too
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(1, 1, 1, 2, 2, 3).toDF("x").createOrReplaceTempView("t8f")
+    val r = spark.sql(
+      """SELECT graft_mode(x) AS m,
+        |  graft_mode(DISTINCT x) AS md,
+        |  graft_mode(x) FILTER (WHERE x <> 1) AS mf
+        |FROM t8f""".stripMargin).head()
+    assert(r.getInt(0) == 1, "plain mode: most frequent")
+    assert(r.getInt(1) == 3, "DISTINCT collapses counts to 1 → tie-break = max value")
+    assert(r.getInt(2) == 2, "FILTER removes the 1s → mode of {2,2,3}")
+  }
+
   // ── TPC-H anchor plans ────────────────────────────────────────────────
 
   test("q_tpch_q7: nation membership broadcasts, ship-date filter reaches the scan") {
