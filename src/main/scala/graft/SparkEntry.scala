@@ -373,6 +373,12 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), col("vec_id") < 10, LshPlanes, EmbDim)),
 
+    "q_ann_recall" -> ((s, dir) =>
+      // recall@5 audit of the LSH bucket path vs exact brute force —
+      // the bucket-width calibration read before trusting ANN at scale
+      Similarity.annRecallAudit(emb(s, dir), col("vec_id") < 10,
+        LshPlanes, EmbDim, k = 5)),
+
     "q_ann_int8" -> ((s, dir) =>
       // ANN over the quantized corpus: scale-free integer cosine
       Similarity.annInt8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -2002,6 +2008,31 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""$EmbCte,
+         |ex AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) DESC,
+         |      c.vec_id ASC) AS rn
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
+         |  WHERE rn <= 5),
+         |bk AS (SELECT vec_id, array_to_string(list_transform(range(0, $LshPlanes), p ->
+         |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+         |      d -> v[d] * ${planeWeightSql("p", "d - 1")})), (acc, x) -> acc + x) >= 0
+         |    THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM n),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM bk c JOIN bk q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT ex.q_id, count(*) AS k,
+         |  sum(CASE WHEN cand.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |  round(sum(CASE WHEN cand.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS recall
+         |FROM ex LEFT JOIN cand
+         |  ON ex.q_id = cand.q_id AND ex.neighbor_id = cand.neighbor_id
+         |GROUP BY ex.q_id""".stripMargin,
 
     "q_ann_int8" ->
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

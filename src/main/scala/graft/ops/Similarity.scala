@@ -305,4 +305,30 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
+
+  /**
+   * Recall@k audit for the LSH-bucketed ANN path: per query, how many of
+   * the EXACT top-k neighbors land in the query's LSH bucket — the
+   * number that tells an operator whether the bucket width (planes) is
+   * right BEFORE trusting the approximate path at scale. Exact side is
+   * the brute-force ranking (gate-scale truth); candidate side is the
+   * same single-bucket equi-join the ANN query uses; recall is their
+   * per-query intersection over k.
+   */
+  def annRecallAudit(corpus: DataFrame, queryFilter: Column, planes: Int,
+      dim: Int, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, corpus.filter(queryFilter), k)
+      .select(col("q_id"), col("neighbor_id"))
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("v"), planes, dim))
+    val q = bucketed.filter(queryFilter).select(col("vec_id").as("q_id"), col("bucket"))
+    val cand = bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    exact.join(cand.withColumn("hit", lit(1L)), Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("k"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6).as("recall"))
+  }
 }
