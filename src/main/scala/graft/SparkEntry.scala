@@ -1144,9 +1144,14 @@ object SparkEntry {
 
     "q_inverted_index" -> ((s, dir) =>
       // bounded-posting inverted index: df + 10 smallest doc ids per
-      // term with df >= 20; the cap lives inside the TopKBy aggregate
+      // term with df >= 20; the cap lives inside the TopKBy aggregate.
+      // Postings are emitted as a comma-joined STRING in the gate (the
+      // driver's pandas harness cannot sort/hash array columns); the
+      // operator itself keeps the typed array API.
       TextOps.invertedIndex(docs(s, dir), "doc_id", "text",
-        maxPostings = 10, minDf = 20L)),
+        maxPostings = 10, minDf = 20L)
+        .withColumn("postings",
+          concat_ws(",", col("postings").cast("array<string>")))),
 
     "q_url_stats" -> ((s, dir) => {
       // web-corpus provenance roll-up: parse a URL into host/port/path/
@@ -2974,7 +2979,7 @@ object SparkEntry {
     "q_inverted_index" ->
       """WITH tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
         |SELECT term, count(*) AS df,
-        |  list_slice(list(doc_id ORDER BY doc_id ASC), 1, 10) AS postings
+        |  array_to_string(list_slice(list(doc_id ORDER BY doc_id ASC), 1, 10), ',') AS postings
         |FROM tk GROUP BY term HAVING count(*) >= 20""".stripMargin,
 
     "q_url_stats" ->
