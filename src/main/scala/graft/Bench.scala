@@ -35,55 +35,67 @@ object Bench {
       val spread = if (ok.size > 1 && best > 0) (ok.max - best) / best else 0.0
       (name, best, spread)
     }
-    // The driver captures only the LAST ~2 KB of stdout; round 4's line
-    // (78 queries at full double precision) overflowed that buffer and the
-    // driver recorded parsed:null. A JSON object map ("name":cs,) spends
-    // 4 chars/query on syntax and stopped fitting at 111 queries, so the
-    // per-query times ship as two PARALLEL CSV STRINGS: qk = query names
-    // (uniform "q_" prefix stripped, declared in key_prefix), qv =
-    // best-of-3 INTEGER CENTISECONDS (declared in q_unit; -1 = failed),
-    // same order — 2 chars/query, headroom to ~150 queries. If a grown
-    // suite overflows anyway, the shrink loop drops the fastest queries
-    // last-resort (the complete map always goes to stderr for local
-    // tuning).
+    // The driver captures only the LAST ~2000 chars of stdout and sbt
+    // appends a "[success] Total time..." suffix (~75 chars) after our
+    // line — r8's 1980-char line had its HEAD pushed out of the window
+    // (BENCH_r08 parsed:null). With 152+ queries the full name list can
+    // never fit that budget, so the stdout line now carries:
+    //   * qv — best-of-3 INTEGER CENTISECONDS for EVERY query
+    //     (queries_omitted is structurally 0), comma-separated, in
+    //     LEXICOGRAPHIC query-name order ("q_order":"lex") — the names
+    //     are exactly the sorted keys of oracle_sql.json /
+    //     CORRECTNESS_r*.json, and qk_md5 (md5 of the comma-joined full
+    //     names) lets anyone confirm the alignment;
+    //   * "queries" — a named seconds map for the SLOWEST topN, so the
+    //     artifact is human-readable where it matters;
+    //   * "full":"BENCH_FULL.json" — the complete self-describing map
+    //     (name → {sec, spread}) written to the repo working dir, which
+    //     the end-of-round commit snapshots.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def line(rs: Seq[(String, Double, Double)], omitted: Int): String = {
-      val qk = rs.map(_._1.stripPrefix("q_")).mkString(",")
-      val qv = rs.map { case (_, v, _) =>
-        if (v < 0) "-1" else math.round(v * 100).toString
+    val sorted = results // already sorted by name
+    val qv = sorted.map { case (_, v, _) =>
+      if (v < 0) "-1" else math.round(v * 100).toString
+    }.mkString(",")
+    val qkMd5 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(sorted.map(_._1).mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    }
+    val failed = sorted.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val ok = sorted.map(_._2).filter(_ >= 0)
+    val total = ok.sum
+    // p90 of per-query relative spread over 3 runs: how much a single
+    // timing can be trusted (1.2 ⇒ the worst of 3 runs can be 2.2× the
+    // best — exactly why best-of-3, not single-run, is the metric)
+    val spreads = sorted.collect { case (_, v, s) if v >= 0 => s }.sorted
+    val p90 = if (spreads.isEmpty) 0.0
+      else spreads(((spreads.size - 1) * 9) / 10)
+    val fullJson = {
+      val entries = sorted.map { case (k, v, s) =>
+        s""""$k":{"sec":${f3(v)},"spread":${f2(s)}}"""
       }.mkString(",")
-      val failed = results.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
-        .mkString("[", ",", "]")
-      val ok = results.map(_._2).filter(_ >= 0)
-      val total = ok.sum
-      // n_queries: the suite GROWS round over round (42 -> 94 -> 111+),
-      // so total/n_queries is the comparable figure across rounds
-      // p90 of per-query relative spread over 3 runs: how much a single
-      // timing can be trusted (1.2 ⇒ the worst of 3 runs can be 2.2× the
-      // best — exactly why best-of-3, not single-run, is the metric)
-      val spreads = results.collect { case (_, v, s) if v >= 0 => s }.sorted
-      val p90 = if (spreads.isEmpty) 0.0
-        else spreads(((spreads.size - 1) * 9) / 10)
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":3,"spread_p90":${f2(p90)},"key_prefix":"q_","q_unit":"cs","qk":"$qk","qv":"$qv","queries_omitted":$omitted,"failed":$failed,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":3,"spread_p90":${f2(p90)},"sf":"$sfName","queries":{$entries},"failed":$failed}"""
     }
-    System.err.println("[bench-full] " + line(results, 0))
-    val budget = 1980
-    // shrink policy: the reference-surface queries must NEVER drop out of
-    // the visible map (r6 verdict: the fastest-dropped-first rule made all
-    // six core aggregates invisible to perf diffing) — keep core first,
-    // then slowest-first; the fastest non-core queries go last
-    val core = Set("q_mode_string", "q_mode_int", "q_mode_date", "q_mode_grouped",
-      "q_mode_float", "q_mode_ts", "q_mode_scalable", "q_max_by", "q_min_by",
-      "q_skewness", "q_kurtosis", "q_kurtosis_pop", "q_tpch_q1", "q_tpch_q6")
-    var keep = results.size
-    val byPriority = results.sortBy(r => (!core.contains(r._1), -r._2))
-    var out = line(results, 0)
-    while (out.length > budget && keep > 1) {
-      keep -= 1
-      out = line(byPriority.take(keep).sortBy(_._1), results.size - keep)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] full-map write failed: $e") }
+    System.err.println("[bench-full] " + fullJson)
+    def line(topN: Int, omitQv: Boolean): String = {
+      val top = sorted.filter(_._2 >= 0).sortBy(-_._2).take(topN)
+        .map { case (k, v, _) => s""""$k":${f2(v)}""" }.mkString(",")
+      val qvField = if (omitQv) "" else s""""q_order":"lex","qk_md5":"$qkMd5","q_unit":"cs","qv":"$qv","""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":3,"spread_p90":${f2(p90)},"queries":{$top},"queries_named_topn":$topN,${qvField}"queries_omitted":0,"failed":$failed,"full":"$fullPath","sf":"$sfName"}"""
     }
+    // 2000-char driver window minus the sbt suffix and newline margin
+    val budget = 1800
+    var out = line(20, omitQv = false)
+    for (n <- Seq(10, 5, 0) if out.length > budget) out = line(n, omitQv = false)
+    // structurally unreachable below ~350 queries; belt-and-braces so the
+    // line NEVER overflows the window again
+    if (out.length > budget) out = line(5, omitQv = true)
     println(out)
     spark.stop()
   }
