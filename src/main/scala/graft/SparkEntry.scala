@@ -1483,16 +1483,24 @@ object SparkEntry {
 
     "q_monthly_trend" -> ((s, dir) => {
       // calendar rollup + year-over-year: monthly revenue (exact cents)
-      // with the lag-12 ratio; the unpartitioned lag window is safe on
-      // the bounded #months frame (same rule as the quantile sketch)
+      // anchored by an EXPLICIT same-month-previous-year self-join, not
+      // lag(12) — lag is a row offset over months that APPEAR, so one
+      // zero-order calendar month would silently shift every later
+      // anchor to the wrong month. The join also replaces the
+      // single-task unpartitioned window: the bounded #months frame
+      // broadcasts.
       val monthly = t(s, dir, "orders")
         .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
           .as("month"))
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
-      val w = Window.orderBy(col("month"))
+      val prev = monthly.select(col("month").as("pm"),
+        col("rev_cents").as("prev_year_cents"))
       monthly
-        .withColumn("prev_year_cents", lag(col("rev_cents"), 12).over(w))
+        .withColumn("anchor", concat(
+          (substring(col("month"), 1, 4).cast("int") - 1).cast("string"),
+          substring(col("month"), 5, 3)))
+        .join(broadcast(prev), col("anchor") === col("pm"), "left_outer")
         .select(col("month"), col("n_orders"),
           (col("rev_cents") / 100.0).as("revenue"),
           round(col("rev_cents").cast("double") / col("prev_year_cents").cast("double"), 6)
@@ -3340,10 +3348,10 @@ object SparkEntry {
         |    count(*) AS n_orders,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
         |  FROM orders GROUP BY 1)
-        |SELECT month, n_orders, rev_cents / 100.0 AS revenue,
-        |  round(rev_cents::DOUBLE
-        |    / (lag(rev_cents, 12) OVER (ORDER BY month))::DOUBLE, 6) AS yoy_ratio
-        |FROM m""".stripMargin,
+        |SELECT m.month, m.n_orders, m.rev_cents / 100.0 AS revenue,
+        |  round(m.rev_cents::DOUBLE / p.rev_cents::DOUBLE, 6) AS yoy_ratio
+        |FROM m LEFT JOIN m p
+        |  ON p.month = (substr(m.month, 1, 4)::INT - 1)::VARCHAR || substr(m.month, 5, 3)""".stripMargin,
 
     // identical draw to q_sample_weighted — the bounded-state aggregate
     // and the window sort MUST produce the same sample

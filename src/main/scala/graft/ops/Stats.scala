@@ -28,6 +28,13 @@ object Stats {
   /**
    * Exact percentiles per group: one output column per requested p,
    * named `p<percent>` (p50, p95, …), rounded to 6 dp.
+   *
+   * PRECONDITION: `valueCol` must be non-null, non-NaN. Spark's window
+   * sort places NULLs FIRST while the DuckDB/Postgres quantile family
+   * ignores them (and sorts NaN last) — ranking a nullable column here
+   * would silently shift every target rank. Callers own the filter
+   * (see [[winsorizedMean]]); it is not applied here so already-clean
+   * pipelines don't pay a redundant predicate.
    */
   def percentileExact(df: DataFrame, keys: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
@@ -73,8 +80,10 @@ object Stats {
    */
   def madRobust(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     val keyCols = keys.map(col)
-    val med = percentileExact(df, keys, valueCol, Seq("med" -> 0.5))
-    val joined = df
+    // [[percentileExact]] precondition: rank only non-null, non-NaN rows
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+    val med = percentileExact(clean, keys, valueCol, Seq("med" -> 0.5))
+    val joined = clean
       .select((keyCols :+ col(valueCol).cast("double").as("__x")): _*)
       .join(med, keys)
       .withColumn("__adev", abs(col("__x") - col("med")))
@@ -107,11 +116,17 @@ object Stats {
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo,$pHi]")
     val keyCols = keys.map(col)
-    val bounds = percentileExact(df, keys, valueCol, Seq("lo" -> pLo, "hi" -> pHi))
+    // null/NaN rows are excluded EVERYWHERE: unfiltered, n counted them
+    // while sum(clampedMicro) skipped them (deflating the mean), and
+    // Spark's nulls-first ranking would shift the percentile band vs the
+    // oracle's nulls-ignored quantile — the [[percentileExact]]
+    // precondition. Same rule as quantileSketch.
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+    val bounds = percentileExact(clean, keys, valueCol, Seq("lo" -> pLo, "hi" -> pHi))
     val clampedMicro = round(
       least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")) * 1e6)
       .cast("long")
-    df.select((keyCols :+ col(valueCol)): _*)
+    clean.select((keyCols :+ col(valueCol)): _*)
       .join(bounds, keys)
       .groupBy(keyCols: _*)
       .agg(

@@ -321,7 +321,13 @@ object TextOps {
     val targets = counts.crossJoin(broadcast(total))
       .select(col(sourceCol), col("n_docs"),
         round(col("w_micro").cast("double") / col("w_total").cast("double"), 6).as("weight"),
-        expr(s"(w_micro * ${budget}L) div w_total").as("target_n"))
+        // decimal(38,0) product: w_micro ≈ n^α·1e6 (~1e11 at n=1e10), so
+        // w_micro·budget can exceed Long range at corpus scale — a Long
+        // multiply would wrap silently while the DuckDB oracle promotes
+        // to HUGEINT. IntegralDivide on decimals still returns LONG, so
+        // the output schema is unchanged.
+        expr(s"(cast(w_micro as decimal(38,0)) * ${budget}L) div w_total")
+          .as("target_n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)

@@ -321,11 +321,17 @@ object EventStreams {
           val st = MomentState(prev.n + n, prev.sumMicro + s1,
             (BigInt(prev.sumSqMicroSq) + s2).toString)
           state.update(st)
-          // exact integers → doubles once, fixed op order: deterministic
+          // exact integers → doubles once, fixed op order: deterministic.
+          // n·S2 − S1² is computed ENTIRELY in BigInt: S2 and S1²/n are
+          // near-equal huge values at large n, so subtracting them as
+          // doubles would cancel catastrophically and leave the std as
+          // rounding noise — only the (small, exact) difference is
+          // converted to double, then divided by n².
           val nn = st.n.toDouble
           val mean = BigDecimal(st.sumMicro).toDouble / nn / 1e6
-          val varPop = (BigDecimal(BigInt(st.sumSqMicroSq)).toDouble -
-            BigDecimal(st.sumMicro).toDouble * BigDecimal(st.sumMicro).toDouble / nn) / nn
+          val exactVarNum = BigInt(st.sumSqMicroSq) * st.n -
+            BigInt(st.sumMicro) * BigInt(st.sumMicro)
+          val varPop = exactVarNum.toDouble / nn / nn
           TypeMoments(tpe, st.n,
             BigDecimal(mean).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble,
             BigDecimal(math.sqrt(math.max(varPop, 0.0)) / 1e6)

@@ -412,8 +412,35 @@ class StreamingSpec extends AnyFunSuite {
     val expMean = BigDecimal(BigDecimal(s1).toDouble / 30.0 / 1e6)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     val expStd = BigDecimal(math.sqrt(
-      (BigDecimal(s2).toDouble - BigDecimal(s1).toDouble * BigDecimal(s1).toDouble / 30.0) / 30.0) / 1e6)
+      (s2 * 30 - BigInt(s1) * BigInt(s1)).toDouble / (30.0 * 30.0)) / 1e6)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(mean == expMean && std == expStd, s"got ($mean, $std), want ($expMean, $expStd)")
+  }
+
+  test("runningMoments: BigInt variance survives where doubles cancel") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // values ≈ 1e9 with unit-scale spread: S2 ≈ 1e31 micro² where
+    // ulp(double) ≈ 2e15, yet n·S2 − S1² = 8.25e14 — BELOW one ulp of
+    // the operands. The double-subtraction form returns pure rounding
+    // noise here; the exact BigInt difference gives std = √8.25.
+    val big = (0 until 10).map(i =>
+      StreamEvent(i.toLong, Base + i.toLong * MinNs, i.toLong, "big", 1e9 + i))
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.runningMoments(in.toDF())
+      .writeStream.format("memory").queryName("moments_big")
+      .outputMode("update").start()
+    try {
+      in.addData(big); q.processAllAvailable()
+      val row = s.sql("SELECT n, std_value FROM moments_big ORDER BY n DESC")
+        .collect().head
+      assert(row.getLong(0) == 10L)
+      val expStd = BigDecimal(math.sqrt(8.25))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(1) == expStd,
+        s"cancellation: got ${row.getDouble(1)}, want $expStd")
+    } finally q.stop()
   }
 }
