@@ -1537,6 +1537,99 @@ object SparkEntry {
         .filter(col("q_ps") * 5 >= col("q_p") && col("n_supp") >= 2)
         .select(col("l_partkey"), col("l_suppkey"), col("q_ps"), col("q_p"),
           round(col("q_ps").cast("double") / col("q_p").cast("double"), 6).as("share"))
+    }),
+
+    // ── round-9 additions ───────────────────────────────────────────────
+
+    "q_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 shape (important stock): per-part value for one
+      // nation-group's suppliers, HAVING value above a fraction of the
+      // GLOBAL total — the group-by-vs-global-aggregate-subquery join
+      // planner stress. Value is the exact integer product
+      // cents × centi-qty (summed in decimal(38,0): a Long sum wraps at
+      // corpus scale, DuckDB promotes to HUGEINT); the threshold test
+      // val·2000 > total is pure integer arithmetic. The supplier→nation
+      // dim chain broadcasts into the fact scan; the 1-row total
+      // broadcasts into the HAVING filter.
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_regionkey") === 1)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = t(s, dir, "lineitem")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_quantity") * 100).cast("long"))
+            .cast("decimal(38,0)").as("v_c4"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("v_c4")).as("val"))
+      val total = v.agg(sum(col("val")).as("tot"))
+      v.crossJoin(broadcast(total))
+        .filter(col("val") * 2000 > col("tot"))
+        .select(col("l_partkey"),
+          round(col("val").cast("double") / 10000.0, 2).as("value"))
+    }),
+
+    "q_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 shape (potential part promotion): a NESTED SEMI-JOIN
+      // chain — suppliers who DOMINATED (>50% of shipped qty) some
+      // 'small%' part in ship-year 1996, restricted to one region's
+      // nations. Both IN-subqueries become left_semi joins; the part
+      // filter and nation set are bounded broadcasts; only
+      // (partkey, suppkey, qty) aggregates shuffle.
+      val qps = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q_ps"))
+      val qp = qps.groupBy(col("l_partkey").as("pk")).agg(sum(col("q_ps")).as("q_p"))
+      val smallParts = t(s, dir, "part")
+        .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+      val dominantSupp = qps
+        .join(qp, col("l_partkey") === col("pk"))
+        .filter(col("q_ps") * 2 > col("q_p"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_suppkey"))
+      val regionNations = t(s, dir, "nation").filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey"))
+      t(s, dir, "supplier")
+        .join(dominantSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(regionNations),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    "q_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 shape (suppliers who kept orders waiting): the
+      // exists + not-exists multi-way SELF-join on the fact table. This
+      // testdata has no commit/receipt dates, so "late" adapts to
+      // l_shipdate > o_orderdate + 1700 days (≈ the p95 ship delay —
+      // late is the exception, as in the original). A line counts iff
+      // ANOTHER supplier has a line in the same order (left_semi) and NO
+      // other supplier is late in it (left_anti) — both joins equi on
+      // orderkey with the supplier inequality as a residual condition.
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 1700 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
+      val lateOthers = late
+        .select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
+      late
+        .join(others,
+          col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("o2_supp"),
+          "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("o3_supp"),
+          "left_anti")
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
     })
   )
 
@@ -3398,6 +3491,49 @@ object SparkEntry {
         |SELECT l_partkey, l_suppkey, q_ps::BIGINT AS q_ps, q_p::BIGINT AS q_p,
         |  round(q_ps::DOUBLE / q_p::DOUBLE, 6) AS share
         |FROM ps JOIN p ON l_partkey = pk
-        |WHERE q_ps * 5 >= q_p AND n_supp >= 2""".stripMargin
+        |WHERE q_ps * 5 >= q_p AND n_supp >= 2""".stripMargin,
+
+    // ── round-9 additions ───────────────────────────────────────────────
+
+    "q_tpch_q11" ->
+      """WITH v AS (SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round(l_quantity * 100) AS BIGINT)) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 1
+        |  GROUP BY l_partkey),
+        |t AS (SELECT sum(val) AS tot FROM v)
+        |SELECT l_partkey, round(val::DOUBLE / 10000.0, 2) AS value
+        |FROM v, t WHERE val * 2000 > tot""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH qps AS (SELECT l_partkey, l_suppkey,
+        |    sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q_ps
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |qp AS (SELECT l_partkey AS pk, sum(q_ps) AS q_p FROM qps GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM qps JOIN qp ON l_partkey = pk
+        |    WHERE q_ps * 2 > q_p
+        |      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH late AS (SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 1700 DAY)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_suppkey, s_name""".stripMargin
   )
 }
