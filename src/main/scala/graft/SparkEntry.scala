@@ -97,6 +97,28 @@ object SparkEntry {
         .select(date_trunc("hour", timestamp_micros(expr("ts div 1000L"))).as("h"))
         .agg(unix_micros(GraftFunctions.mode_agg(col("h"))).as("mode_hour_us"))),
 
+    "q_mode_byte" -> ((s, dir) =>
+      // Int8 mode (reference src/mode.rs:102-117 dispatches Int8/Int16;
+      // Spark's Byte/Short are the expressible subset — unsigned widths
+      // have no Spark analogue, see SURVEY §2)
+      t(s, dir, "lineitem")
+        .select((col("l_partkey") % 100).cast("byte").as("b"))
+        .agg(GraftFunctions.mode_agg(col("b")).as("mode_byte"))),
+
+    "q_mode_short" -> ((s, dir) =>
+      // Int16 mode over a SMALLINT-ranged projection
+      t(s, dir, "lineitem")
+        .select((col("l_partkey") % 1000).cast("short").as("h"))
+        .agg(GraftFunctions.mode_agg(col("h")).as("mode_short"))),
+
+    "q_mode_float32" -> ((s, dir) =>
+      // Float32 mode (reference src/mode.rs:171-177 Float32 arm): cast
+      // narrows double→float IEEE-identically in both engines; ties →
+      // greatest value as for Float64
+      t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("float").as("q32"))
+        .agg(GraftFunctions.mode_agg(col("q32")).as("mode_qty_f32"))),
+
     "q_mode_empty" -> ((s, dir) =>
       // reference empty-input edge: a global mode over zero rows is one
       // row of NULL (like the max_by/min_by twin), not zero rows
@@ -1794,6 +1816,18 @@ object SparkEntry {
       """SELECT epoch_us(h) AS mode_hour_us FROM (
         |  SELECT date_trunc('hour', ts) AS h FROM events)
         |GROUP BY h ORDER BY count(*) DESC, h DESC LIMIT 1""".stripMargin,
+
+    "q_mode_byte" ->
+      """SELECT CAST(l_partkey % 100 AS TINYINT) AS mode_byte FROM lineitem
+        |GROUP BY 1 ORDER BY count(*) DESC, mode_byte DESC LIMIT 1""".stripMargin,
+
+    "q_mode_short" ->
+      """SELECT CAST(l_partkey % 1000 AS SMALLINT) AS mode_short FROM lineitem
+        |GROUP BY 1 ORDER BY count(*) DESC, mode_short DESC LIMIT 1""".stripMargin,
+
+    "q_mode_float32" ->
+      """SELECT CAST(l_quantity AS FLOAT4) AS mode_qty_f32 FROM lineitem
+        |GROUP BY 1 ORDER BY count(*) DESC, mode_qty_f32 DESC LIMIT 1""".stripMargin,
 
     "q_max_by" ->
       """SELECT o_orderpriority, o_orderkey AS best_orderkey FROM (
