@@ -82,13 +82,33 @@ object Stats {
     val keyCols = keys.map(col)
     // [[percentileExact]] precondition: rank only non-null, non-NaN rows
     val clean = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
-    val med = percentileExact(clean, keys, valueCol, Seq("med" -> 0.5))
-    val joined = clean
+    // ONE exchange for the whole operator. The deviation ranks depend on
+    // the median, so two SORTS are inherent — but not two shuffles: the
+    // median comes from a window-max over the straddle rows of the
+    // value sort (not an aggregate + join back, which re-scanned the
+    // input 4× and duplicated the median subtree on both sides of a
+    // sort-merge join), the deviation re-sort stays inside the same
+    // hash-partitioning, and the final aggregate is partition-local.
+    // Interpolation op order matches percentileExact / the oracle
+    // exactly: lo + (t - floor(t)) · (hi - lo), rounded to 6 dp.
+    val w = Window.partitionBy(keyCols: _*)
+    val staged = clean
       .select((keyCols :+ col(valueCol).cast("double").as("__x")): _*)
-      .join(med, keys)
+      .withColumn("__rn", row_number().over(w.orderBy(col("__x").asc)) - 1)
+      .withColumn("__n", count(lit(1)).over(w))
+    val t = (col("__n") - 1).cast("double") * lit(0.5)
+    def interp(rankCol: Column, v: Column): Column = {
+      val lo = max(when(rankCol === floor(t), v)).over(w)
+      val hi = max(when(rankCol === ceil(t), v)).over(w)
+      round(lo + (t - floor(t).cast("double")) * (hi - lo), 6)
+    }
+    val withMed = staged
+      .withColumn("med", interp(col("__rn"), col("__x")))
       .withColumn("__adev", abs(col("__x") - col("med")))
-    val mad = percentileExact(joined, keys, "__adev", Seq("mad" -> 0.5))
-    joined.join(mad, keys)
+    val withMad = withMed
+      .withColumn("__rn2", row_number().over(w.orderBy(col("__adev").asc)) - 1)
+      .withColumn("mad", interp(col("__rn2"), col("__adev")))
+    withMad
       .groupBy(keyCols: _*)
       .agg(
         max(col("med")).as("med"),
