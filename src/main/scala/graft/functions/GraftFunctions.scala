@@ -245,6 +245,19 @@ object GraftFunctions {
       val inter = size(array_intersect(sa, sb)).cast("double")
       inter / ((size(sa) + size(sb)).cast("double") - inter)
     }))
+    // graft_srp(vec, planes, dim) — the SRP sign signature as SQL, so a
+    // pure-SQL user can band/bucket embeddings for LSH dedup/ANN the
+    // same way the Scala pipeline does (identical md5-seeded planes)
+    ColumnBridge.registerFunction(spark, "graft_srp", {
+      case Seq(v, p, d) if p.foldable && d.foldable =>
+        SrpSignature(
+          Cast(v, org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)),
+          p.eval().asInstanceOf[Number].intValue(),
+          d.eval().asInstanceOf[Number].intValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_srp requires (vector, planes-literal, dim-literal), got ${other.size} args")
+    })
   }
 
   /**

@@ -147,6 +147,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.5) // shingles {abc,bcd,cde} vs {abc,bcd,cdx}: 2/4
   }
 
+  test("graft_srp SQL signature matches the Scala lshBucket kernel") {
+    import graft.ops.Similarity
+    val viaSql = spark.sql(
+      "SELECT graft_srp(array(0.25D, -0.5D, 1.0D), 16, 3) AS sig")
+      .collect().head.getString(0)
+    val viaScala = spark.range(1)
+      .select(Similarity.lshBucket(
+        array(lit(0.25), lit(-0.5), lit(1.0)), 16, 3).as("sig"))
+      .collect().head.getString(0)
+    assert(viaSql == viaScala && viaSql.length == 16 &&
+      viaSql.forall(c => c == '0' || c == '1'))
+  }
+
   test("fingerprint: whitespace-insensitive, content-sensitive") {
     val fps = Seq("a  b\t c", "a b c", "a b d").toDF("text")
       .select(TextOps.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
