@@ -253,6 +253,17 @@ object SparkEntry {
             "\\s+", " ").as("text")),
         "doc_id", "text")),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // daily-ingest shape: src0 is the historical corpus (fingerprint
+      // index), everything else is the new shard; survivors are absent
+      // from the index AND first within the shard
+      val d = docs(s, dir)
+      Dedup.dedupIncremental(
+        d.filter(col("source") =!= "src0"), "doc_id", "text",
+        d.filter(col("source") === "src0").select(md5(col("text")).as("fp")),
+        "fp")
+    }),
+
     "q_user_stats" -> ((s, dir) =>
       // the reference aggregates composed in a real pipeline query
       t(s, dir, "events")
@@ -1909,6 +1920,13 @@ object SparkEntry {
         |  FROM documents)
         |SELECT md5(norm) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM n_t GROUP BY md5(norm)""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH idx AS (SELECT md5(text) AS fp FROM documents WHERE source = 'src0'),
+        |nd AS (SELECT doc_id, md5(text) AS text_hash FROM documents WHERE source <> 'src0')
+        |SELECT min(doc_id) AS doc_id, text_hash FROM nd
+        |WHERE text_hash NOT IN (SELECT fp FROM idx)
+        |GROUP BY text_hash""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH toks AS (SELECT doc_id,

@@ -29,6 +29,33 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /**
+   * Incremental INGEST dedup — the daily-shard shape at 100 TB: a new
+   * shard survives a doc iff its text hash is (a) absent from the
+   * historical fingerprint index and (b) first (smallest id) within the
+   * shard itself. Returns the surviving (id, text_hash) rows.
+   *
+   * Scale: the index side ships ONLY its 16-byte `text_hash` column
+   * (never documents); with the index stored bucketed by hash
+   * ([[graft.sources.Tables.writeBucketed]]) the anti-join is
+   * shuffle-free on the index side and the (small) daily shard is the
+   * only moving data. Intra-shard dedup reuses the same hash exchange
+   * the anti-join needs — one shuffle of the shard total.
+   */
+  def dedupIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      corpusIndex: DataFrame, indexHashCol: String): DataFrame = {
+    val hashed = newDocs
+      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .repartition(col("text_hash"))
+    val idx = corpusIndex.select(col(indexHashCol).as("__idx_hash"))
+    hashed
+      .join(idx, col("text_hash") === col("__idx_hash"), "left_anti")
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("text_hash"))
+  }
+
   /** doc_id + k-element MinHash signature (array of md5-hex strings).
     * Narrow: no shuffle. STAGED projections matter: higher-order exprs are
     * interpreted (no codegen CSE), so tokens/shingles must be materialized

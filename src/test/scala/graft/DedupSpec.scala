@@ -23,6 +23,22 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getLong(1) == 1L) // keep_id = min
   }
 
+  test("dedupIncremental: index hit dropped, intra-shard dup keeps min id") {
+    import org.apache.spark.sql.functions.{col, md5}
+    // history = doc 1's text; shard = docs 2..5 (2 collides with history,
+    // 4 and 5 duplicate each other within the shard)
+    val shard = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (4L, "spark catalyst optimizer pushes filters below joins for columnar scans"),
+      (5L, "spark catalyst optimizer pushes filters below joins for columnar scans")
+    ).toDF("doc_id", "text")
+    val idx = docs.filter(col("doc_id") === 1L).select(md5(col("text")).as("fp"))
+    val r = Dedup.dedupIncremental(shard, "doc_id", "text", idx, "fp")
+      .collect().map(_.getLong(0)).sorted
+    assert(r.toSeq == Seq(3L, 4L)) // 2 killed by history, 5 by intra-shard
+  }
+
   test("chunkDedup: one global survivor per distinct chunk, keep-first by (doc, idx)") {
     // 4-token chunks; doc 1 repeats its own first chunk, doc 2 repeats
     // doc 1's boilerplate, doc 3 is all fresh, doc 4 is too short
