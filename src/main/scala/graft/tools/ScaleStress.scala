@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, TextOps}
+
+/**
+ * 10×-scaling evidence: materializes a 10× copy of the sf0.1 fact
+ * tables (ids offset per replica so dedup workloads become genuinely
+ * heavier — every text appears 10 times under distinct ids) and times
+ * headline operators at 1× and 10×. Near-linear wall-time ratios (≲10×
+ * on 32 cores) demonstrate the plans have no super-linear term —
+ * the empirical counterpart to the SURVEY's 100 TB design arguments.
+ */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val spark = GraftSession.local()
+    import spark.implicits._
+
+    def replicate(df: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
+      val reps = df.sparkSession.range(n).select(col("id").as("__rep"))
+      df.crossJoin(broadcast(reps))
+        .select(df.columns.map { c =>
+          if (idCols.contains(c)) (col(c) + col("__rep") * lit(1000000000L)).as(c)
+          else col(c)
+        }: _*)
+    }
+
+    val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val li10Path = s"$workDir/lineitem10.parquet"
+    val docs10Path = s"$workDir/documents10.parquet"
+    if (!new java.io.File(li10Path).exists()) {
+      replicate(li1, Seq("l_orderkey"), 10).write.mode("overwrite").parquet(li10Path)
+      replicate(docs1, Seq("doc_id"), 10).write.mode("overwrite").parquet(docs10Path)
+    }
+    val li10 = spark.read.parquet(li10Path)
+    val docs10 = spark.read.parquet(docs10Path)
+    println(s"[scale] lineitem 1x=${li1.count()} 10x=${li10.count()}; " +
+      s"documents 1x=${docs1.count()} 10x=${docs10.count()}")
+
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; val s = (System.nanoTime - t0) / 1e9
+      println(f"[scale] $label%-28s $s%6.2f s"); s
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val cases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q1_agg" -> (li => li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price"),
+          count(lit(1)).as("n"))),
+      "mode_agg" -> (li => li.agg(
+        GraftFunctions.mode_agg(col("l_linenumber")).as("m"))),
+      "hll_grouped" -> (li => li.groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.hll_distinct(col("l_partkey"), 8).as("est"))),
+      "window_rank" -> (li => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"), col("l_linestatus"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc)
+        li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      }))
+    val docCases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "exact_dedup" -> (d => Dedup.exactDedup(d, "doc_id", "text")),
+      "chunk_dedup" -> (d => TextOps.chunkDedup(d, "doc_id", "text", 8)),
+      "quality" -> (d => d.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"))),
+      "token_count" -> (d => d.select(col("doc_id"),
+        TextOps.tokenCountBpe(col("text")).as("n"))))
+
+    // warmup
+    noop(li1.groupBy(col("l_returnflag")).count())
+    for (round <- 1 to 2) {
+      println(s"[scale] -- round $round --")
+      val ratios = (cases.map { case (name, q) =>
+        val t1 = time(s"$name 1x")(noop(q(li1)))
+        val t10 = time(s"$name 10x")(noop(q(li10)))
+        name -> t10 / t1
+      } ++ docCases.map { case (name, q) =>
+        val t1 = time(s"$name 1x")(noop(q(docs1)))
+        val t10 = time(s"$name 10x")(noop(q(docs10)))
+        name -> t10 / t1
+      })
+      ratios.foreach { case (n, r) => println(f"[scale] ratio $n%-20s ${r}%5.2f×") }
+    }
+    spark.stop()
+  }
+}
