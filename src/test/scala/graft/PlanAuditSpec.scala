@@ -113,4 +113,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_graft_vector_mean"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("q_tpch_q11: dims broadcast into the fact scan; no cartesian; 1-row total broadcast") {
+    val plan = planOf("q_tpch_q11")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // supplier⋈nation chain rides broadcast joins, never a fact shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the global-total crossJoin is a broadcast of ONE row, nothing else
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q_tpch_q20 / q_tpch_q21: semi/anti chains stay equi-join, no nested loop") {
+    for (q <- Seq("q_tpch_q20", "q_tpch_q21")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+      assert(plan.contains("LeftSemi"), s"$q: $plan")
+    }
+    assert(planOf("q_tpch_q21").contains("LeftAnti"))
+  }
+
+  test("q_mad_robust: single exchange — median, deviation ranks, and agg share one partitioning") {
+    val plan = planOf("q_mad_robust")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // two sorts (by value, by deviation), both inside the same partitioning
+    assert("Sort \\[event_type".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_dedup_incremental: index side ships only hashes through an anti join") {
+    val plan = planOf("q_dedup_incremental")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the index branch reads ONLY (text, source) — no doc ids or payload
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(s => s.contains("text") && !s.contains("doc_id")), plan)
+  }
 }
