@@ -106,6 +106,30 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("text_hash")
 
   /**
+   * Streaming INGEST dedup — the streaming twin of
+   * [[graft.ops.Dedup.dedupIncremental]]: an arriving document survives
+   * iff its text hash (a) misses the STATIC historical fingerprint
+   * index — a stream-static LEFT ANTI join, stateless, the index
+   * broadcast (or per-batch shuffled) fresh each micro-batch — and
+   * (b) was not already seen in the stream within the watermark
+   * horizon (`dropDuplicatesWithinWatermark` on the hash: state is
+   * bounded by the horizon, the ingest-window guarantee a continuous
+   * pipeline needs; the nightly index-merge job resets the horizon).
+   * Only 16-byte hashes enter the join and the state store — document
+   * text never leaves its batch.
+   */
+  def ingestDedupStream(
+      docs: DataFrame, textCol: String, eventTimeCol: String,
+      corpusIndex: DataFrame, indexHashCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .join(broadcast(corpusIndex.select(col(indexHashCol).as("__idx_hash"))),
+        col("text_hash") === col("__idx_hash"), "left_anti")
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /**
    * Gap-based (30 min) sessionization with
    * `flatMapGroupsWithState` + event-time timeout: batch events merge
    * into the open session; a gap or watermark timeout closes and emits

@@ -79,6 +79,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestDedupStream: historical index kills known content, stream dedup kills repeats") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // history knows "alpha"
+    val idx = Seq("alpha").toDF("t")
+      .select(org.apache.spark.sql.functions.md5($"t").as("fp"))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.ingestDedupStream(
+      in.toDF().toDF("doc_id", "text", "event_time"), "text", "event_time",
+      idx, "fp", "30 minutes")
+      .writeStream.format("memory").queryName("ingest_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha", ts(0)), (2L, "beta", ts(1)), (3L, "beta", ts(2)))
+      q.processAllAvailable()
+      in.addData((4L, "gamma", ts(3)), (5L, "alpha", ts(4)))
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id FROM ingest_dedup_out")
+        .collect().map(_.getLong(0)).toSet
+      // 1 and 5 die on the index, 3 dies in-stream; 2 and 4 survive —
+      // the same survivors Dedup.dedupIncremental picks in batch
+      assert(out == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("file-source -> windowed aggs -> parquet sink round trip (real source+sink)") {
     implicit val s = spark
     import s.implicits._
