@@ -231,4 +231,31 @@ class PropertySpec extends AnyFunSuite {
       assert(wm >= lo - 1e-9 && wm <= hi + 1e-9, s"mean $wm outside [$lo, $hi]")
     }
   }
+
+  test("dedupIncremental: survivors disjoint from index, unique, and idempotent") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      // random shard with heavy duplication over a small vocabulary
+      val texts = Vector.tabulate(8)(i => s"document body number $i with shared words")
+      val shard = Seq.tabulate(40)(i => (i.toLong, texts(rnd.nextInt(8))))
+        .toDF("doc_id", "text")
+      val idxTexts = Seq.fill(3)(texts(rnd.nextInt(8))).distinct
+      val idx = idxTexts.toDF("t").select(md5(col("t")).as("fp"))
+      val out = graft.ops.Dedup.dedupIncremental(shard, "doc_id", "text", idx, "fp")
+      val rows = out.collect()
+      val hashes = rows.map(_.getString(1))
+      // unique per hash
+      assert(hashes.distinct.length == hashes.length)
+      // disjoint from the index
+      val idxHashes = idx.collect().map(_.getString(0)).toSet
+      assert(hashes.forall(h => !idxHashes.contains(h)))
+      // idempotent: survivors re-deduped against index ∪ survivors = ∅
+      val merged = idx.union(out.select(col("text_hash").as("fp")))
+      val again = graft.ops.Dedup.dedupIncremental(
+        shard.join(out.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        "doc_id", "text", merged, "fp")
+      assert(again.count() == 0L)
+    }
+  }
 }
