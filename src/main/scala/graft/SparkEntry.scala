@@ -142,9 +142,11 @@ object SparkEntry {
         .agg(GraftFunctions.max_by_det(col("o_orderkey"), col("o_totalprice")).as("best_orderkey"))),
 
     "q_maxmin_by_nulls" -> ((s, dir) => {
-      // reference null-ordering edge (src/max_min_by.rs:216-470): one
-      // group's ordering column is entirely NULL → its max_by/min_by are
-      // NULL, partially-null groups ignore the null rows
+      // engine-convention null edge (Spark/DuckDB max_by both ignore
+      // null ordering keys): an all-NULL group → NULL, partially-null
+      // groups ignore the null rows. The REFERENCE's own snapshot
+      // behavior (null keys WIN, tests/main.rs:177-204) is replayed by
+      // q_maxmin_by_ref below.
       val y = when(col("o_orderpriority") === "1-URGENT", lit(null).cast("double"))
         .otherwise(col("o_totalprice"))
       t(s, dir, "orders")
@@ -163,6 +165,21 @@ object SparkEntry {
           GraftFunctions.max_by_det(col("o_orderkey"), col("o_totalprice")).as("best_orderkey"),
           GraftFunctions.min_by_det(col("o_orderkey"), col("o_totalprice")).as("worst_orderkey"),
           count(lit(1)).as("n"))),
+
+    "q_maxmin_by_ref" -> ((s, dir) => {
+      // EXACT reference-snapshot null semantics (last_value ORDER BY y
+      // NULLS LAST, max_min_by.rs:99,196; tests/main.rs:177-204): a row
+      // whose ordering key is NULL beats every real value in BOTH
+      // max_by and min_by. Nulls sprinkled by orderkey mod 7 so every
+      // group exercises the null-wins path.
+      val y = when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("o_totalprice"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          GraftFunctions.max_by_ref(col("o_orderkey"), y).as("mx_ref"),
+          GraftFunctions.min_by_ref(col("o_orderkey"), y).as("mn_ref"))
+    }),
 
     "q_min_by" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1867,6 +1884,25 @@ object SparkEntry {
         |  arg_min(o_orderkey, o_totalprice) AS worst_orderkey,
         |  count(*) AS n
         |FROM orders WHERE 1 = 0""".stripMargin,
+
+    "q_maxmin_by_ref" ->
+      """WITH y AS (SELECT o_orderpriority, o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS yv
+        |  FROM orders),
+        |nn AS (SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY yv DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY yv ASC, o_orderkey ASC) AS rmin
+        |  FROM y WHERE yv IS NOT NULL),
+        |nl AS (SELECT o_orderpriority, max(o_orderkey) AS nx
+        |  FROM y WHERE yv IS NULL GROUP BY o_orderpriority),
+        |g AS (SELECT DISTINCT o_orderpriority FROM orders)
+        |SELECT g.o_orderpriority,
+        |  COALESCE(nl.nx, mx.o_orderkey) AS mx_ref,
+        |  COALESCE(nl.nx, mn.o_orderkey) AS mn_ref
+        |FROM g
+        |LEFT JOIN nl USING (o_orderpriority)
+        |LEFT JOIN (SELECT o_orderpriority, o_orderkey FROM nn WHERE rmax = 1) mx USING (o_orderpriority)
+        |LEFT JOIN (SELECT o_orderpriority, o_orderkey FROM nn WHERE rmin = 1) mn USING (o_orderpriority)""".stripMargin,
 
     "q_min_by" ->
       """SELECT o_orderpriority, o_orderkey AS best_orderkey FROM (

@@ -97,6 +97,34 @@ object GraftFunctions {
     org.apache.spark.sql.functions.min_by(x, when(y.isNotNull, struct(y, x)))
 
   /**
+   * EXACT reference-replay max_by. The reference rewrites
+   * `max_by(x, y)` to `last_value(x ORDER BY y ASC NULLS LAST)`
+   * (max_min_by.rs:99 `Sort::new(second_arg, true, false)`), so a row
+   * whose ORDERING key is NULL sorts after every real value and WINS —
+   * tests/main.rs:177-190 pin `max_by` over (1,10),(2,NULL),(3,15),
+   * (NULL,8) to 2, not 3. [[max_by_det]] deliberately follows the
+   * Spark/DuckDB convention instead (null keys ignored); this variant
+   * replays the reference snapshot bit-for-bit. Among several null-key
+   * rows the reference is input-order-dependent; here the tie breaks
+   * deterministically to the greatest `x` (the only delta, and only on
+   * that nondeterministic edge).
+   */
+  def max_by_ref(x: Column, y: Column): Column =
+    org.apache.spark.sql.functions.max_by(
+      x, struct(y.isNull.cast("int").as("n"), y.as("y"), x.as("x")))
+
+  /**
+   * EXACT reference-replay min_by: `last_value(x ORDER BY y DESC NULLS
+   * LAST)` (max_min_by.rs:196 `Sort::new(second_arg, false, false)`) —
+   * null ordering keys win min_by TOO (tests/main.rs:192-204 pin the
+   * same NULL-keyed row 2 as the answer). Null rank dominates, then the
+   * LEAST real `y`, ties to least `x`.
+   */
+  def min_by_ref(x: Column, y: Column): Column =
+    when(count(when(y.isNull, lit(1))) > 0, max(when(y.isNull, x)))
+      .otherwise(min_by_det(x, y))
+
+  /**
    * Scalable two-shuffle mode: groupBy(keys :+ value).count, then per keys
    * pick the value with (max count, reference tie-break). O(1) state per
    * reducer key — the 100 TB path for high-cardinality value columns.

@@ -90,6 +90,32 @@ class ModeSpec extends AnyFunSuite {
     assert(e.length == 1 && e(0).isNullAt(0) && e(0).isNullAt(1))
   }
 
+  test("max_by_ref/min_by_ref replay the reference snapshot matrix exactly") {
+    import graft.functions.GraftFunctions.{max_by_ref, min_by_ref}
+    // tests/main.rs:118-151 — plain numeric and string-length cases
+    val t1 = Seq((1, 10), (2, 5), (3, 15), (4, 8)).toDF("x", "y")
+    val r1 = t1.agg(max_by_ref($"x", $"y"), min_by_ref($"x", $"y")).collect().head
+    assert(r1.getInt(0) == 3 && r1.getInt(1) == 2)
+    val names = Seq("Alice", "Bob", "Charlie").toDF("name")
+      .select($"name", org.apache.spark.sql.functions.length($"name").as("len"))
+    val r2 = names.agg(max_by_ref($"name", $"len"), min_by_ref($"name", $"len")).collect().head
+    assert(r2.getString(0) == "Charlie" && r2.getString(1) == "Bob")
+    // tests/main.rs:177-204 — the null-key rows WIN BOTH directions:
+    // (1,10),(2,NULL),(3,15),(NULL,8) → max_by = 2 AND min_by = 2
+    val t3 = Seq((Some(1), Some(10)), (Some(2), None), (Some(3), Some(15)),
+      (None, Some(8))).toDF("x", "y")
+    val r3 = t3.agg(max_by_ref($"x", $"y"), min_by_ref($"x", $"y")).collect().head
+    assert(r3.getInt(0) == 2 && r3.getInt(1) == 2,
+      s"reference null-key-wins semantics: got $r3")
+    // single value; empty set → NULL (tests/main.rs:206-264)
+    val t4 = Seq((1, 10)).toDF("x", "y")
+    val r4 = t4.agg(max_by_ref($"x", $"y"), min_by_ref($"x", $"y")).collect().head
+    assert(r4.getInt(0) == 1 && r4.getInt(1) == 1)
+    val e = t4.filter(org.apache.spark.sql.functions.lit(false))
+      .agg(max_by_ref($"x", $"y"), min_by_ref($"x", $"y")).collect()
+    assert(e.length == 1 && e(0).isNullAt(0) && e(0).isNullAt(1))
+  }
+
   test("mode survives ObjectHashAggregate sort-based fallback (spill path)") {
     val s = spark.newSession()
     graft.functions.GraftFunctions.registerAll(s)
