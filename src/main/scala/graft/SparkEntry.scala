@@ -1893,12 +1893,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY yv DESC, o_orderkey DESC) AS rmax,
         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY yv ASC, o_orderkey ASC) AS rmin
         |  FROM y WHERE yv IS NOT NULL),
-        |nl AS (SELECT o_orderpriority, max(o_orderkey) AS nx
+        |nl AS (SELECT o_orderpriority, max(o_orderkey) AS nx, min(o_orderkey) AS nn_x
         |  FROM y WHERE yv IS NULL GROUP BY o_orderpriority),
         |g AS (SELECT DISTINCT o_orderpriority FROM orders)
         |SELECT g.o_orderpriority,
         |  COALESCE(nl.nx, mx.o_orderkey) AS mx_ref,
-        |  COALESCE(nl.nx, mn.o_orderkey) AS mn_ref
+        |  COALESCE(nl.nn_x, mn.o_orderkey) AS mn_ref
         |FROM g
         |LEFT JOIN nl USING (o_orderpriority)
         |LEFT JOIN (SELECT o_orderpriority, o_orderkey FROM nn WHERE rmax = 1) mx USING (o_orderpriority)

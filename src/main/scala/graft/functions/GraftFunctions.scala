@@ -89,12 +89,15 @@ object GraftFunctions {
     * re-enter the comparison (an all-null-y group must yield NULL, the
     * reference's null/empty-input semantics, max_min_by.rs:216-470). */
   def max_by_det(x: Column, y: Column): Column =
-    org.apache.spark.sql.functions.max_by(x, when(y.isNotNull, struct(y, x)))
+    agg(org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(
+      ex(x), ex(when(y.isNotNull, struct(y, x)))))
 
   /** Deterministic min_by: ties on `y` broken by least `x`; null `y`
-    * rows ignored (see [[max_by_det]]). */
+    * rows ignored (see [[max_by_det]]). Direct Catalyst MinBy so the
+    * behavior is immune to name shadowing (see [[max_by_ref]]). */
   def min_by_det(x: Column, y: Column): Column =
-    org.apache.spark.sql.functions.min_by(x, when(y.isNotNull, struct(y, x)))
+    agg(org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(
+      ex(x), ex(when(y.isNotNull, struct(y, x)))))
 
   /**
    * EXACT reference-replay max_by. The reference rewrites
@@ -109,20 +112,27 @@ object GraftFunctions {
    * deterministically to the greatest `x` (the only delta, and only on
    * that nondeterministic edge).
    */
-  def max_by_ref(x: Column, y: Column): Column =
-    org.apache.spark.sql.functions.max_by(
-      x, struct(y.isNull.cast("int").as("n"), y.as("y"), x.as("x")))
+  def max_by_ref(x: Column, y: Column): Column = {
+    // direct Catalyst MaxBy, NOT functions.max_by: the Column form
+    // resolves "max_by" by NAME through the registry, which recurses
+    // forever in a session where registerReferenceNames shadowed it
+    val key = struct(y.isNull.cast("int").as("n"), y.as("y"), x.as("x"))
+    agg(org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(ex(x), ex(key)))
+  }
 
   /**
    * EXACT reference-replay min_by: `last_value(x ORDER BY y DESC NULLS
    * LAST)` (max_min_by.rs:196 `Sort::new(second_arg, false, false)`) —
    * null ordering keys win min_by TOO (tests/main.rs:192-204 pin the
-   * same NULL-keyed row 2 as the answer). Null rank dominates, then the
-   * LEAST real `y`, ties to least `x`.
+   * same NULL-keyed row 2 as the answer). A single MinBy over a struct
+   * whose lead rank is 0 for null keys (sorting below every real row),
+   * then the real `y`, ties to least `x` (the det-variant direction;
+   * the reference is input-order-dependent on ties).
    */
-  def min_by_ref(x: Column, y: Column): Column =
-    when(count(when(y.isNull, lit(1))) > 0, max(when(y.isNull, x)))
-      .otherwise(min_by_det(x, y))
+  def min_by_ref(x: Column, y: Column): Column = {
+    val key = struct(y.isNotNull.cast("int").as("n"), y.as("y"), x.as("x"))
+    agg(org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(ex(x), ex(key)))
+  }
 
   /**
    * Scalable two-shuffle mode: groupBy(keys :+ value).count, then per keys
@@ -307,5 +317,17 @@ object GraftFunctions {
     fns.foreach { case (name, f) =>
       ColumnBridge.registerFunction(spark, name, unary(name, f))
     }
+    // max_by/min_by differ from Spark's built-ins in the reference: a
+    // NULL ordering key WINS (last_value ... NULLS LAST rewrite,
+    // max_min_by.rs:99,196) — verbatim-migrated SQL gets the snapshot
+    // semantics via the *_ref builders, not the ignore-nulls built-ins
+    def binaryRef(name: String, f: (Column, Column) => Column): Unit =
+      ColumnBridge.registerFunction(spark, name, {
+        case Seq(x, y) => ex(f(ColumnBridge.column(x), ColumnBridge.column(y)))
+        case other => throw new IllegalArgumentException(
+          s"$name requires exactly 2 arguments, got ${other.size}")
+      })
+    binaryRef("max_by", max_by_ref)
+    binaryRef("min_by", min_by_ref)
   }
 }

@@ -63,6 +63,13 @@ class StatsAggSpec extends AnyFunSuite {
     assert(r.getDouble(3) < r.getDouble(0)) // population < sample-corrected here
     // SQL literal 1.0 is DECIMAL(2,1) → mode preserves the input type
     assert(r.getDecimal(2).doubleValue == 10.0)
+    // max_by/min_by shadowed with the reference's null-wins semantics
+    // (tests/main.rs:177-204: both pin to 2 on this input)
+    val nb = spark2.sql(
+      """SELECT max_by(x, y) AS mx, min_by(x, y) AS mn
+        |FROM VALUES (1, 10), (2, NULL), (3, 15), (NULL, 8) t(x, y)""".stripMargin)
+      .collect().head
+    assert(nb.getInt(0) == 2 && nb.getInt(1) == 2, s"got $nb")
   }
 
   test("SQL registration: graft_* callable from spark.sql") {
