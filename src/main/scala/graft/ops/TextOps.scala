@@ -358,8 +358,12 @@ object TextOps {
     val st = df
       .select(col(stratumCol).as("src"), explode(tokensNative(col(textCol))).as("tok"))
       .select(col("src"), md5(col("tok")).as("h"))
-      .distinct()
+      // repartition BEFORE the distinct: HashPartitioning(h) satisfies
+      // the (src, h) clustering, so the dedup is partition-local on the
+      // same exchange the sizes agg and both self-join sides reuse
+      // (same fix as ngramNovelty — the old order shuffled twice)
       .repartition(col("h"))
+      .distinct()
     val sizes = st.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val inter = st.as("a")
       .join(st.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
