@@ -140,6 +140,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Sort \\[event_type".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("WHOLE GATE: no CartesianProduct anywhere; nested-loop joins only on bounded broadcasts") {
+    // The scale-killer regression net: every gate query's physical plan
+    // is checked. BroadcastNestedLoopJoin is legal ONLY where the build
+    // side is provably bounded — 1-row global aggregates (sketch audits,
+    // totals) or a bounded query/frame set (brute-force ANN scans).
+    val bnljAllowed = Set(
+      "q_ams_f2", "q_ann_int8", "q_ann_ivf", "q_ann_recall",
+      "q_bloom_fp_audit", "q_bm25", "q_cms_join_size", "q_cosine_topk",
+      "q_decontaminate_bloom", "q_kmv_distinct", "q_kmv_overlap",
+      "q_quantile_sketch", "q_skew_profile", "q_temperature_mix",
+      "q_tpch_q11", "q_tpch_q22")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val badBnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart || badBnlj)
+        Some(s"$name: cartesian=$cart unexpectedBnlj=$badBnlj")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q_dedup_incremental: index side ships only hashes through an anti join") {
     val plan = planOf("q_dedup_incremental")
     assert(plan.contains("LeftAnti"), plan)
