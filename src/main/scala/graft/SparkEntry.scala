@@ -724,32 +724,45 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           round(col("running") / 1000000.0, 6).as("running_value"))),
 
-    "q_kmv_grouped" -> ((s, dir) =>
+    "q_kmv_grouped" -> ((s, dir) => {
       // per-group distinct estimate (bounded k-long state) next to the
-      // exact count it approximates — the 100 TB countDistinct replacement
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(GraftFunctions.kmv_distinct(col("l_partkey"), 128), 6).as("est_distinct"),
-          countDistinct(col("l_partkey")).as("exact_distinct"))),
+      // exact count it approximates — the 100 TB countDistinct
+      // replacement. The sketch and the exact audit are SEPARATE
+      // aggregations joined on the bounded group key: a mixed
+      // distinct/non-distinct agg makes Spark duplicate every input row
+      // per aggregate family (measured 1.6s vs 0.5s at sf0.1)
+      val li = t(s, dir, "lineitem")
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(round(GraftFunctions.kmv_distinct(col("l_partkey"), 128), 6).as("est_distinct"))
+      val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("est_distinct"), col("exact_distinct"))
+    }),
 
-    "q_hll_distinct" -> ((s, dir) =>
+    "q_hll_distinct" -> ((s, dir) => {
       // deterministic HyperLogLog (md5, 256 byte registers): O(m) state
       // and shuffle bytes vs countDistinct's full distinct-set shuffle;
-      // exact count alongside for the accuracy audit
-      t(s, dir, "lineitem")
-        .agg(
-          round(GraftFunctions.hll_distinct(col("l_partkey"), 8), 2).as("est_distinct"),
-          countDistinct(col("l_partkey")).as("exact_distinct"))),
+      // exact count audit as a separate 1-row broadcast (see
+      // q_kmv_grouped for why not one mixed aggregate)
+      val li = t(s, dir, "lineitem")
+      li.agg(round(GraftFunctions.hll_distinct(col("l_partkey"), 8), 2).as("est_distinct"))
+        .crossJoin(broadcast(
+          li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))))
+    }),
 
-    "q_hll_grouped" -> ((s, dir) =>
+    "q_hll_grouped" -> ((s, dir) => {
       // the grouped form — one 256-byte register bank per group per map
-      // task, merged by element-wise max
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(GraftFunctions.hll_distinct(col("l_partkey"), 8), 2).as("est_distinct"),
-          countDistinct(col("l_partkey")).as("exact_distinct"))),
+      // task, merged by element-wise max; exact audit split out (see
+      // q_kmv_grouped)
+      val li = t(s, dir, "lineitem")
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(round(GraftFunctions.hll_distinct(col("l_partkey"), 8), 2).as("est_distinct"))
+      val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("est_distinct"), col("exact_distinct"))
+    }),
 
     "q_big_orders" -> ((s, dir) => {
       // TPC-H Q18 shape: the fact aggregates FIRST (map-side combinable,
