@@ -49,4 +49,29 @@ object Tables {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .save(path)
+
+  /**
+   * Small-file compaction — the operational tax of every streaming /
+   * incremental pipeline: micro-batches and per-executor writers leave
+   * thousands of KB-scale parquet files whose open/footer overhead
+   * dominates scans and whose count overwhelms driver listing at
+   * 100 TB. Rewrites `srcPath` into `destPath` with files sized near
+   * `targetMB` (computed from the actual on-disk byte size, so a
+   * 100 GB partition compacts to ~800 files at 128 MB, not a guess).
+   * Uses coalesce (no shuffle) — partition-local concatenation; pass
+   * shuffle=true to rebalance skewed inputs at the cost of one
+   * exchange.
+   */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+      targetMB: Int = 128, shuffle: Boolean = false): Int = {
+    require(targetMB >= 1, s"targetMB must be >= 1, got $targetMB")
+    val src = spark.read.parquet(srcPath)
+    val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      (bytes / (BigInt(targetMB) * 1024L * 1024L)).toInt +
+        (if (bytes % (BigInt(targetMB) * 1024L * 1024L) > 0) 1 else 0))
+    val out = if (shuffle) src.repartition(nFiles) else src.coalesce(nFiles)
+    out.write.format("parquet").mode(SaveMode.Overwrite).save(destPath)
+    nFiles
+  }
 }

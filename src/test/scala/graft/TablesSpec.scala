@@ -74,4 +74,21 @@ class TablesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_items_b")
     }
   }
+
+  test("compact: many small files collapse to the target-size count, data intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val (src, dest) = (s"$base/src", s"$base/dest")
+    // 64 splits → 64 small files
+    (1 to 10000).toDF("v").repartition(64)
+      .write.parquet(src)
+    val srcFiles = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(srcFiles >= 32, s"expected many small files, got $srcFiles")
+    val n = graft.sources.Tables.compact(spark, src, dest, targetMB = 128)
+    val destFiles = new java.io.File(dest).listFiles().count(_.getName.endsWith(".parquet"))
+    // tiny table, 128 MB target → a single output file, nothing lost
+    assert(n == 1 && destFiles == 1, s"n=$n files=$destFiles")
+    assert(spark.read.parquet(dest).agg(org.apache.spark.sql.functions.sum($"v"))
+      .head.getLong(0) == 10000L * 10001 / 2)
+  }
 }
