@@ -305,13 +305,21 @@ object SparkEntry {
 
     "q_distinct_stats" -> ((s, dir) =>
       // per-source corpus stats: docs, total tokens, distinct vocabulary
-      docs(s, dir)
-        .select(col("source"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-        .groupBy(col("source"))
-        .agg(
-          countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("token")).as("vocab"))),
+      {
+        // two distinct families + a plain count in ONE agg would
+        // Expand-triplicate the exploded token stream (the largest
+        // frame in the query); three separate aggregations joined on
+        // the bounded source key shuffle strictly less
+        val base = docs(s, dir)
+          .select(col("source"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        val nTok = base.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+        val nDocs = base.select(col("source"), col("doc_id")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val vocab = base.select(col("source"), col("token")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+        nDocs.join(nTok, "source").join(vocab, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"))
+      }),
 
     "q_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")),

@@ -473,15 +473,20 @@ object Events {
       .select(expr("ts div 86400000000000L").as("day"), col("user_id"))
       .distinct()
     val days = userDays.select(col("day")).distinct()
-    userDays
+    val targeted = userDays
       .select(col("day"), col("user_id"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
       .select((col("day") + col("off")).as("day"), col("user_id"), col("off"))
       .join(days, "day")
-      .groupBy(col("day"))
-      .agg(
-        countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
-        countDistinct(col("user_id")).as("wau"))
+    // dau and wau as SEPARATE distinct aggregations joined on day: two
+    // distinct families in one agg would Expand-duplicate the exploded
+    // stream (see q_hll_grouped); dau needs no explode at all — it is
+    // the per-day userDays count
+    val wau = targeted.select(col("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
   }
 
   /**
