@@ -77,6 +77,12 @@ object GraftFunctions {
   def hll_merge_est(c: Column, b: Int): Column =
     agg(HllMergeAgg(ex(c), b))
 
+  /** Fixed-grid histogram bin counts over [lo, hi) — O(nbins) mergeable
+    * state; the streaming-safe carrier for windowed quantile estimation
+    * (see [[graft.functions.HistogramAgg]]). */
+  def histogram(c: Column, lo: Double, hi: Double, nbins: Int): Column =
+    agg(HistogramAgg(Cast(ex(c), DoubleType), lo, hi, nbins))
+
   /** Value of `x` at the max of `y` (Spark built-in; ties arbitrary). */
   def max_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.max_by(x, y)
 

@@ -363,6 +363,44 @@ object EventStreams {
       }
   }
 
+  /**
+   * Streaming windowed QUANTILES through the fixed-grid histogram
+   * aggregate: per-window state is one `nbins`-long count array in the
+   * state store (vs exact quantiles' unbounded per-window value set),
+   * arrays merge across micro-batches by element-wise sum, and the
+   * watermark evicts closed windows. Quantile extraction is a
+   * DETERMINISTIC projection over the final array (cumulative counts
+   * via higher-order folds, then the same interpolation rule as
+   * [[graft.ops.Sketches.quantileSketchGrouped]] — StreamingSpec proves
+   * the streamed estimates equal the batch sketch bit-for-bit).
+   */
+  def windowedQuantiles(events: DataFrame, lo: Double, hi: Double, nbins: Int,
+      ps: Seq[(String, Double)],
+      windowLen: String = "5 minutes", watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile required")
+    val w = (hi - lo) / nbins
+    val hist = withEventTime(events)
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(graft.functions.GraftFunctions.histogram(col("value"), lo, hi, nbins).as("hist"))
+      .select(unix_micros(col("window.start")).as("window_start_us"), col("hist"))
+      // cumulative bin counts; O(nbins²) fold over a bounded array —
+      // window functions are not available on a streaming aggregate
+      .withColumn("cums", expr(
+        "transform(hist, (x, i) -> aggregate(slice(hist, 1, i + 1), 0L, (a, b) -> a + b))"))
+      .withColumn("n", element_at(col("cums"), nbins))
+    val qs = ps.map { case (name, p) =>
+      val t = (col("n") - 1).cast("double") * lit(p)
+      // first bin whose cumulative count exceeds t (0-based)
+      val bin = size(filter(col("cums"), c => c.cast("double") <= t))
+      val cumBefore = when(bin === 0, lit(0L))
+        .otherwise(element_at(col("cums"), bin)).cast("double")
+      val c = element_at(col("hist"), bin + 1).cast("double")
+      round(lit(lo) + lit(w) * (bin.cast("double") + (t - cumBefore) / c), 6).as(name)
+    }
+    hist.select(col("window_start_us") +: col("n") +: qs: _*)
+  }
+
   /** Windowed distinct-user ESTIMATE through the HLL sketch aggregate:
     * per-window state is the fixed 2^b-byte register array (vs exact
     * distinct's unbounded per-window user set), registers element-wise-max

@@ -445,6 +445,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(mean == expMean && std == expStd, s"got ($mean, $std), want ($expMean, $expStd)")
   }
 
+  test("windowedQuantiles: streamed histogram estimates equal the batch sketch") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // two 5-min windows of skewed values, split across micro-batches
+    val evs = (1 to 40).map(i =>
+      StreamEvent(i.toLong, Base + (i % 8).toLong * MinNs, i.toLong, "m",
+        (i * i % 97).toDouble))
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedQuantiles(in.toDF(), 0.0, 100.0, 20, ps)
+      .writeStream.format("memory").queryName("wq_out")
+      .outputMode("update").start()
+    try {
+      val (a, b) = evs.splitAt(17)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      // update mode: last row per window is the cumulative answer
+      val streamed = s.sql(
+        "SELECT window_start_us, n, p50, p90 FROM wq_out")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      // batch twin: the same grid through quantileSketchGrouped keyed by
+      // the same tumbling window start
+      val batch = graft.ops.Sketches.quantileSketchGrouped(
+        EventStreams.withEventTime(evs.toDF())
+          .withColumn("wstart", unix_micros(window(col("event_time"), "5 minutes")("start")))
+          .select(col("wstart"), col("value")),
+        Seq("wstart"), "value", 0.0, 100.0, 20, ps)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("runningMoments: BigInt variance survives where doubles cancel") {
     implicit val s = spark
     import s.implicits._
