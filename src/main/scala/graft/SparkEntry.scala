@@ -594,6 +594,17 @@ object SparkEntry {
           count(lit(1)).as("n"),
           (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_price"))),
 
+    "q_histogram_agg" -> ((s, dir) =>
+      // the SAME histogram through the mergeable HistogramAgg (one
+      // O(nbins) array state instead of a (bucket, partials) shuffle —
+      // the carrier streaming windowed quantiles use); zero bins
+      // dropped to match the groupBy form's output
+      t(s, dir, "lineitem")
+        .agg(GraftFunctions.histogram(col("l_extendedprice"), 0.0, 120000.0, 24).as("hist"))
+        .select(posexplode(col("hist")).as(Seq("bin", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("bin").cast("long").as("bin"), col("cnt"))),
+
     // ── sketches ────────────────────────────────────────────────────────
     "q_kmv_distinct" -> ((s, dir) => {
       // KMV distinct-count sketch vs the exact count (l_partkey is the
@@ -2461,6 +2472,11 @@ object SparkEntry {
         |  count(*) AS n,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_histogram_agg" ->
+      """SELECT CAST(LEAST(GREATEST(floor((l_extendedprice - 0.0) / 5000.0), 0), 23) AS BIGINT) AS bin,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT ${hexToLong("md5(l_partkey::VARCHAR)", 1, 8)} AS h FROM lineitem),
