@@ -837,6 +837,14 @@ object SparkEntry {
             .as("rel_err"))
     }),
 
+    "q_rolling_quantile" -> ((s, dir) =>
+      // rolling 7-day p50/p90 of event values — per-day grid bins merged
+      // over the trailing window; events scanned ONCE, everything after
+      // the first aggregate bounded by calendar × grid
+      Sketches.rollingQuantileSketch(t(s, dir, "events"), "value",
+        windowDays = 7, lo = 0.0, hi = 500.0, nbins = 20,
+        ps = Seq("p50" -> 0.5, "p90" -> 0.9))),
+
     "q_latest_value" -> ((s, dir) => {
       // CDC latest-record-wins merge shape: the current value per
       // (user, type) key — deterministic (ts, event_id) recency order,
@@ -2844,6 +2852,28 @@ object SparkEntry {
          |SELECT e2.day AS day, dau_est, wau_est, wau_exact,
          |  round(abs(wau_est - wau_exact) / wau_exact, 6) AS rel_err
          |FROM e2 JOIN exact ON e2.day = exact.day""".stripMargin,
+
+    "q_rolling_quantile" -> {
+      def estSql(p: String) = {
+        val t = s"((n - 1)::DOUBLE * $p)"
+        s"""arg_min(round(0.0 + 25.0 * (bin::DOUBLE + ($t - (cum - c)::DOUBLE) / c::DOUBLE), 6),
+           |    CASE WHEN cum::DOUBLE > $t THEN bin END)""".stripMargin
+      }
+      s"""WITH v AS (SELECT epoch_us(ts) // 86400000000 AS day, value::DOUBLE AS v
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)),
+         |b AS (SELECT day, least(greatest(CAST(floor((v - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
+         |    count(*) AS c FROM v GROUP BY day, bin),
+         |days AS (SELECT DISTINCT day FROM b),
+         |ex AS (SELECT b.day + t.j AS day, bin, c FROM b, unnest(range(0, 7)) AS t(j)),
+         |m AS (SELECT ex.day, bin, sum(c) AS c FROM ex JOIN days ON ex.day = days.day
+         |  GROUP BY ex.day, bin),
+         |cg AS (SELECT day, bin, c,
+         |    sum(c) OVER (PARTITION BY day ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY day) AS n FROM m)
+         |SELECT day, n::BIGINT AS n, ${estSql("0.5")} AS p50, ${estSql("0.9")} AS p90
+         |FROM cg GROUP BY day, n""".stripMargin
+    },
 
     "q_latest_value" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
