@@ -210,6 +210,23 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"graft_hll requires (value, b-literal), got ${other.size} args")
     })
+    // graft_histogram(x, lo, hi, nbins) — fixed-grid bin counts;
+    // lo/hi/nbins must be foldable literals
+    ColumnBridge.registerFunction(spark, "graft_histogram", {
+      case Seq(x, loE, hiE, nbE) if loE.foldable && hiE.foldable && nbE.foldable =>
+        // SQL double literals fold to Decimal, not java.lang.Number
+        def d(e: Expression): Double = e.eval() match {
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_histogram bound must be numeric, got $other")
+        }
+        HistogramAgg(Cast(x, DoubleType), d(loE), d(hiE),
+          nbE.eval().asInstanceOf[Number].intValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_histogram requires (value, lo, hi, nbins literals), got ${other.size} args")
+    })
     // graft_bloom_build(x, mBits, k) / graft_bloom_hits(bits, grams, mBits, k)
     // — the SQL face of the runtime-filter / decontamination pair;
     // mBits and k must be foldable integer literals

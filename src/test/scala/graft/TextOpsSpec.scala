@@ -147,6 +147,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.5) // shingles {abc,bcd,cde} vs {abc,bcd,cdx}: 2/4
   }
 
+  test("graft_histogram SQL: clamped bin counts") {
+    val r = spark.sql(
+      """SELECT graft_histogram(x, 0.0, 10.0, 5) AS h
+        |FROM VALUES (-1.0), (0.5), (2.5), (2.6), (9.9), (25.0), (CAST(NULL AS DOUBLE)) t(x)
+        |""".stripMargin).collect().head.getSeq[Long](0)
+    // -1 clamps to bin 0; 25 clamps to bin 4; null skipped
+    assert(r == Seq(2L, 2L, 0L, 0L, 2L), r)
+  }
+
   test("graft_srp SQL signature matches the Scala lshBucket kernel") {
     import graft.ops.Similarity
     val viaSql = spark.sql(
