@@ -416,6 +416,12 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token").asc)
         .limit(20)),
 
+    "q_zipf_fit" -> ((s, dir) =>
+      // corpus-quality diagnostic: log-log Zipf slope over the top-50
+      // terms (natural text ≈ −1); integer-micro ln sums, decimal
+      // normal equations, one corpus pass
+      TextOps.zipfFit(docs(s, dir), "text", topK = 50)),
+
     // ── embedding similarity ────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
       val c = emb(s, dir)
@@ -2212,6 +2218,18 @@ object SparkEntry {
       """SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH f AS (SELECT token, count(*) AS f FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+        |  GROUP BY token ORDER BY f DESC, token ASC LIMIT 50),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, token ASC) AS rnk FROM f),
+        |m AS (SELECT CAST(round(ln(rnk::DOUBLE) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(f::DOUBLE) * 1e6) AS BIGINT) AS y FROM r)
+        |SELECT count(*)::BIGINT AS k,
+        |  round((count(*) * sum(x * y) - sum(x) * sum(y))::DOUBLE
+        |    / (count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE, 6) AS zipf_slope
+        |FROM m""".stripMargin,
 
     "q_cosine_topk" ->
       s"""$EmbCte,

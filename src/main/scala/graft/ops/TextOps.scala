@@ -703,6 +703,44 @@ object TextOps {
     * regexp_extract (codegen'd, narrow, oracle-replayable); empty
     * captures → null to match SQL NULLIF semantics. Per-domain grouping
     * over these is the CCNet-style provenance roll-up. */
+  /**
+   * Zipf rank-frequency fit over the corpus vocabulary: the log-log
+   * regression slope of frequency against rank for the top-K terms — a
+   * natural-language corpus sits near −1; a slope far off flags
+   * boilerplate floods or synthetic/templated text. The vocabulary
+   * aggregate is the only corpus-scale pass (explode → map-side
+   * combined counts); ranking and the regression run on the bounded
+   * top-K frame. ln values are 6-dp micro-rounded to LONGS before
+   * summation (order-free exact sums), and the normal-equation
+   * combination runs in decimal(38,0) so a large K cannot overflow —
+   * only the final slope division is floating point, fixed order,
+   * 6-dp rounded: bit-identical in any engine.
+   */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(topK >= 3, s"topK must be >= 3, got $topK")
+    val freq = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("token").asc).limit(topK)
+    // global window over the bounded top-K frame only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("token").asc)
+    freq
+      .withColumn("rnk", row_number().over(w))
+      .select(
+        round(log(col("rnk").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("f").cast("double")) * 1e6).cast("long").as("y"))
+      .select(col("x").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("k"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"))
+  }
+
   def urlParts(url: Column): Seq[Column] = {
     def part(re: String, as: String) =
       nullif(regexp_extract(url, re, 1), lit("")).as(as)
