@@ -422,6 +422,19 @@ object SparkEntry {
       // normal equations, one corpus pass
       TextOps.zipfFit(docs(s, dir), "text", topK = 50)),
 
+    "q_containment" -> ((s, dir) =>
+      // asymmetric shingle containment on LSH candidates: catches a
+      // short doc embedded in a long one (Jaccard-invisible)
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
+
+    "q_source_kl" -> ((s, dir) =>
+      // corpus-mix drift: per-source unigram KL vs the corpus blend
+      TextOps.sourceKlDivergence(docs(s, dir), "source", "text")),
+
+    "q_length_ks" -> ((s, dir) =>
+      // per-source length-distribution drift: exact binned KS statistic
+      TextOps.lengthKsDrift(docs(s, dir), "source", "text")),
+
     // ── embedding similarity ────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
       val c = emb(s, dir)
@@ -2230,6 +2243,45 @@ object SparkEntry {
         |  round((count(*) * sum(x * y) - sum(x) * sum(y))::DOUBLE
         |    / (count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE, 6) AS zipf_slope
         |FROM m""".stripMargin,
+
+    "q_containment" ->
+      s"""$PairsCte,
+         |dsh_t AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t)
+         |SELECT p.id1, p.id2,
+         |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE / len(a.dsh)::DOUBLE, 6) AS c_fwd,
+         |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE / len(b.dsh)::DOUBLE, 6) AS c_rev
+         |FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id""".stripMargin,
+
+    "q_source_kl" ->
+      """WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |st AS (SELECT source, token, count(*) AS c_st FROM tk GROUP BY source, token),
+        |g AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st GROUP BY token),
+        |ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY source),
+        |nn AS (SELECT sum(c_st)::BIGINT AS n FROM st)
+        |SELECT st.source, ns.n_s AS n_tokens,
+        |  round(sum(st.c_st * CAST(round(ln((st.c_st::DOUBLE * (SELECT n FROM nn)::DOUBLE)
+        |      / (ns.n_s::DOUBLE * g.c_t::DOUBLE)) * 1000000) AS BIGINT))::DOUBLE
+        |    / 1000000.0 / ns.n_s::DOUBLE, 6) AS kl_unigram
+        |FROM st JOIN g USING (token) JOIN ns USING (source)
+        |GROUP BY st.source, ns.n_s""".stripMargin,
+
+    "q_length_ks" ->
+      """WITH sl AS (SELECT source, least(length(text) // 64, 4095) AS b, count(*) AS c
+        |    FROM documents GROUP BY source, b),
+        |ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM sl GROUP BY source),
+        |nn AS (SELECT sum(c)::BIGINT AS n FROM sl),
+        |grid AS (SELECT DISTINCT b FROM sl),
+        |dense AS (SELECT ns.source, ns.n_s, grid.b, coalesce(sl.c, 0)::BIGINT AS c
+        |  FROM ns CROSS JOIN grid LEFT JOIN sl ON sl.source = ns.source AND sl.b = grid.b),
+        |cs AS (SELECT source, n_s, b,
+        |  (sum(c) OVER (PARTITION BY source ORDER BY b))::BIGINT AS cum_s FROM dense),
+        |gl AS (SELECT b, sum(c)::BIGINT AS cb FROM sl GROUP BY b),
+        |cg AS (SELECT b, (sum(cb) OVER (ORDER BY b))::BIGINT AS cum_g FROM gl)
+        |SELECT cs.source, cs.n_s AS n_docs,
+        |  round(max(abs(cs.cum_s * (SELECT n FROM nn) - cg.cum_g * cs.n_s))::DOUBLE
+        |    / (cs.n_s * (SELECT n FROM nn))::DOUBLE, 6) AS ks
+        |FROM cs JOIN cg USING (b)
+        |GROUP BY cs.source, cs.n_s""".stripMargin,
 
     "q_cosine_topk" ->
       s"""$EmbCte,

@@ -436,6 +436,40 @@ object Dedup {
   }
 
   /**
+   * ASYMMETRIC containment for LSH candidate pairs — catches the
+   * near-dup family symmetric Jaccard misses: a short document embedded
+   * inside a much longer one (quoted articles, boilerplate-wrapped
+   * bodies, chunk-of-a-book). For shingle sets A, B:
+   *
+   *   c_fwd = |A∩B| / |A|   (how much of doc1 lives inside doc2)
+   *   c_rev = |A∩B| / |B|   (how much of doc2 lives inside doc1)
+   *
+   * A 95%-contained 1-page quote inside a 300-page book has Jaccard
+   * ≈ 0.003 (invisible to [[verifiedPairs]]) but c_fwd ≈ 0.95. Note the
+   * recall asymmetry is inherited from MinHash banding: candidate
+   * GENERATION still keys on symmetric signature collisions, so
+   * extreme-ratio pairs surface only when band keys collide — the
+   * standard corpus-dedup trade (suffix-array substring dedup is the
+   * exhaustive alternative and is not bucket-joinable). Same plan shape
+   * as [[verifiedPairs]]: the corpus is scanned and shingled ONCE
+   * (shared [[shingleSets]] exchange feeds the band join and both
+   * verify sides), exact intersection runs on candidates only.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol)
+    val dsh = sh.select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
+    val j = candidatePairsFromShingles(sh, k, bands)
+      .join(dsh.select(col("doc_id").as("id1"), col("dsh").as("sh1")), "id1")
+      .join(dsh.select(col("doc_id").as("id2"), col("dsh").as("sh2")), "id2")
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    j.select(
+      col("id1"), col("id2"),
+      round(inter / size(col("sh1")).cast("double"), 6).as("c_fwd"),
+      round(inter / size(col("sh2")).cast("double"), 6).as("c_rev"))
+  }
+
+  /**
    * Edit-distance fuzzy near-dup pairs — the record-linkage shape for
    * short keys (titles, names, product codes): normalized prefixes,
    * classic prefix BLOCKING (candidates must share the first `blockLen`

@@ -741,6 +741,114 @@ object TextOps {
           .as("zipf_slope"))
   }
 
+  /**
+   * Per-source unigram KL divergence from the corpus-wide distribution —
+   * the standard corpus-mix drift diagnostic: KL(P_src ‖ P_corpus) near 0
+   * means the source's vocabulary usage matches the blend; a large value
+   * flags a source that will dominate or fight the mixture (machine
+   * code, another language, templated spam). KL = Σ_t P_s(t)·ln(P_s(t)/Q(t));
+   * every source token appears in the global distribution, so no
+   * zero-probability terms arise.
+   *
+   * Scale: ONE corpus-scale pass (explode → map-side-combined
+   * (source, token) counts); the global/token and per-source totals
+   * derive from that vocabulary-sized frame, never re-scanning text.
+   * Each per-token ln term is 6-dp micro-rounded to a LONG (order-free
+   * integral sums, same idiom as [[unigramLogProb]]); the count×term
+   * products accumulate in decimal(38,0) so a 100 TB corpus cannot
+   * overflow; only the final fixed-order division is floating point.
+   * The log argument is computed as (c_st·N)/(n_s·c_t) with all four
+   * factors cast to double BEFORE multiplying — the oracle replays the
+   * identical IEEE expression, so the 6-dp rounding is bit-stable.
+   */
+  def sourceKlDivergence(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+      // every downstream frame (global counts, per-source totals, the
+      // term join) reads this one vocabulary-sized exchange
+      .repartition(col("token"))
+    val g = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val nTot = ns.agg(sum(col("n_s")).as("n"))
+    val term = round(
+      log((col("c_st").cast("double") * col("n").cast("double")) /
+          (col("n_s").cast("double") * col("c_t").cast("double"))) * 1000000)
+      .cast("long")
+    st
+      .join(g, "token")
+      .join(ns, "source")
+      .crossJoin(broadcast(nTot)) // 1-row global total
+      .select(col("source"), col("n_s"),
+        (col("c_st").cast("decimal(38,0)") * term.cast("decimal(38,0)")).as("w"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("w")).as("__s"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        round(col("__s").cast("double") / 1000000.0 / col("n_s").cast("double"), 6)
+          .as("kl_unigram"))
+  }
+
+  /**
+   * Per-source document-length distribution drift — the exact
+   * Kolmogorov–Smirnov statistic between each source's length ECDF and
+   * the corpus-wide ECDF, over a PROVABLY BOUNDED integer grid:
+   * lengths bucket as least(len div bucketWidth, maxBucket), so the
+   * grid never exceeds maxBucket+1 cells regardless of corpus size
+   * (binned KS — the at-scale form; the bin width is the resolution
+   * limit). A source whose documents are systematically shorter/longer
+   * than the blend (truncation bugs, missing concatenation, a crawler
+   * that drops bodies) shows up as a large KS long before means move.
+   *
+   * Scale: one corpus pass producing the (source, bucket) counts —
+   * everything after is grid×source-sized. The ECDF comparison is EXACT
+   * integer arithmetic: max_b |cum_s(b)·N − cum_g(b)·n_s| in
+   * decimal(38,0), divided once at the end — no floating-point
+   * accumulation anywhere, bit-identical in any engine.
+   */
+  def lengthKsDrift(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, textCol: String,
+      bucketWidth: Int = 64, maxBucket: Int = 4095): org.apache.spark.sql.DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val sl = docs
+      .select(col(sourceCol).as("source"),
+        least(expr(s"length($textCol) div $bucketWidth"), lit(maxBucket)).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val ns = sl.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val nTot = ns.agg(sum(col("n_s")).as("n"))
+    // ≤ maxBucket+1 rows by construction → safe to broadcast
+    val grid = sl.select(col("b")).distinct()
+    // densify: a source missing a bucket still needs the ECDF evaluated
+    // there (its cum carries forward while the global cum jumps)
+    val dense = ns
+      .crossJoin(broadcast(grid))
+      .join(sl, Seq("source", "b"), "left")
+      .select(col("source"), col("n_s"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val cumS = sum(col("c")).over(
+      Window.partitionBy(col("source")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val glb = sl.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val cumG = sum(col("cb")).over(
+      Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dense
+      .select(col("source"), col("n_s"), col("b"), cumS.as("cum_s"))
+      .join(glb.select(col("b"), cumG.as("cum_g")), "b")
+      .crossJoin(broadcast(nTot)) // 1-row global total
+      .select(col("source"), col("n_s"),
+        abs(col("cum_s").cast("decimal(38,0)") * col("n").cast("decimal(38,0)") -
+            col("cum_g").cast("decimal(38,0)") * col("n_s").cast("decimal(38,0)"))
+          .as("d"),
+        (col("n_s").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")).as("den"))
+      .groupBy(col("source"), col("n_s"), col("den"))
+      .agg(max(col("d")).as("ksn"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        round(col("ksn").cast("double") / col("den").cast("double"), 6).as("ks"))
+  }
+
   def urlParts(url: Column): Seq[Column] = {
     def part(re: String, as: String) =
       nullif(regexp_extract(url, re, 1), lit("")).as(as)

@@ -150,7 +150,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_bloom_fp_audit", "q_bm25", "q_cms_join_size", "q_cosine_topk",
       "q_decontaminate_bloom", "q_hll_distinct", "q_kmv_distinct",
       "q_kmv_overlap", "q_quantile_sketch", "q_skew_profile",
-      "q_temperature_mix", "q_tpch_q11", "q_tpch_q22")
+      "q_temperature_mix", "q_tpch_q11", "q_tpch_q22",
+      // 1-row corpus-total broadcasts; q_length_ks also broadcasts the
+      // ≤(maxBucket+1)-row length grid
+      "q_source_kl", "q_length_ks")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

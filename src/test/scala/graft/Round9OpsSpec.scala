@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextOps}
+
+/** Round-9 corpus-drift and containment operators: asymmetric shingle
+  * containment on LSH candidates, per-source unigram KL divergence,
+  * binned Kolmogorov–Smirnov length-distribution drift. */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ── containment pairs ─────────────────────────────────────────────────
+
+  test("containmentPairs: identical docs score (1, 1); containment is asymmetric") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, txt),
+      (2L, txt), // exact dup of 1 — signatures equal, must band-collide
+      (3L, txt + " lambda mu") // contains all of 1's shingles plus more
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, "doc_id", "text", k = 8, bands = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getDouble(2), x.getDouble(3))).toMap
+    assert(r((1L, 2L)) == ((1.0, 1.0)))
+    // doc1 ⊂ doc3: forward containment exact 1.0, reverse strictly less
+    for (p <- Seq((1L, 3L), (2L, 3L)); if r.contains(p)) {
+      val (fwd, rev) = r(p)
+      assert(fwd == 1.0, s"$p fwd")
+      assert(rev < 1.0 && rev > 0.5, s"$p rev")
+    }
+    assert(r.contains((1L, 3L)) || r.contains((2L, 3L)),
+      "high-Jaccard contained pair must surface as an LSH candidate")
+  }
+
+  test("containmentPairs: partitioning-independent") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"tok${i % 5} common words shared by many docs tail$i extra${i % 3}"))
+      .toDF("doc_id", "text")
+    val a = Dedup.containmentPairs(docs, "doc_id", "text", 8, 4)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.containmentPairs(docs.repartition(7), "doc_id", "text", 8, 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  // ── per-source unigram KL ─────────────────────────────────────────────
+
+  test("sourceKlDivergence: identical distributions give exactly zero") {
+    // both sources have the same unigram distribution → every per-token
+    // ratio is exactly 1 → ln term is the integer 0, no rounding residue
+    val docs = Seq(
+      ("web", "a a b c"), ("web", "a b c c"),
+      ("book", "a a b c c b a c")).toDF("source", "text")
+    // web: a=3,b=2,c=3 over 8; book: a=3,b=2,c=3 over 8 → P_s == Q
+    val r = TextOps.sourceKlDivergence(docs, "source", "text")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r == Map("web" -> 0.0, "book" -> 0.0))
+  }
+
+  test("sourceKlDivergence: a divergent source scores positive, and the result is partition-free") {
+    val docs = Seq(
+      ("web", "the quick brown fox jumps over the lazy dog"),
+      ("web", "the dog barks at the quick fox"),
+      ("spam", "buy buy buy cheap cheap pills pills pills")).toDF("source", "text")
+    val r1 = TextOps.sourceKlDivergence(docs, "source", "text")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSet
+    val kl = r1.map(x => x._1 -> x._3).toMap
+    assert(kl("spam") > kl("web"))
+    assert(kl("spam") > 0.5, s"disjoint vocabulary should diverge hard, got ${kl("spam")}")
+    val r2 = TextOps.sourceKlDivergence(docs.repartition(5), "source", "text")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(r1 == r2)
+  }
+
+  // ── binned KS length drift ────────────────────────────────────────────
+
+  test("lengthKsDrift: disjoint length buckets give the exact two-sample KS") {
+    val short = "x" * 10 // bucket 0
+    val long_ = "y" * 1000 // bucket 15
+    val docs = Seq(("a", short), ("a", short), ("b", long_), ("b", long_))
+      .toDF("source", "text")
+    // at bucket 0: |cum_a·N − cum_g·n_a| = |2·4 − 2·2| = 4 → 4/(2·4) = 0.5
+    val r = TextOps.lengthKsDrift(docs, "source", "text")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r == Map("a" -> ((2L, 0.5)), "b" -> ((2L, 0.5))))
+  }
+
+  test("lengthKsDrift: same-bucket sources show zero drift; maxBucket caps the grid") {
+    val docs = Seq(
+      ("a", "x" * 10), ("b", "y" * 20), // both bucket 0 at width 64
+      ("a", "z" * 999999), ("b", "w" * 888888)) // both capped at maxBucket
+      .toDF("source", "text")
+    val r = TextOps.lengthKsDrift(docs, "source", "text", bucketWidth = 64, maxBucket = 100)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r == Map("a" -> 0.0, "b" -> 0.0))
+  }
+
+  test("lengthKsDrift: partitioning-independent") {
+    val docs = (1 to 200).map(i => (s"s${i % 3}", "t" * (i * 7 % 300))).toDF("source", "text")
+    val a = TextOps.lengthKsDrift(docs, "source", "text").collect().map(_.toSeq).toSet
+    val b = TextOps.lengthKsDrift(docs.repartition(11), "source", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
