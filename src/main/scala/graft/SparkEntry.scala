@@ -435,6 +435,21 @@ object SparkEntry {
       // per-source length-distribution drift: exact binned KS statistic
       TextOps.lengthKsDrift(docs(s, dir), "source", "text")),
 
+    "q_dsir_weights" -> ((s, dir) =>
+      // DSIR data selection: per-doc avg log-likelihood ratio of the
+      // src3-domain unigram LM vs the raw-corpus LM, integer micro-nats
+      TextOps.dsirWeights(docs(s, dir), "doc_id", "text", "source", "src3")),
+
+    "q_embed_clusters" -> ((s, dir) => {
+      // semantic near-dup clusters: connected components over the
+      // SRP-banded cosine pairs (no all-pairs join anywhere)
+      val c = emb(s, dir)
+      Dedup.connectedComponents(c.select(col("vec_id")), "vec_id",
+        Similarity.nearDupPairsLsh(c, 0.4, SrpPlanes, SrpBandBits, EmbDim)
+          .select(col("id1"), col("id2")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
+
     // ── embedding similarity ────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
       val c = emb(s, dir)
@@ -2282,6 +2297,34 @@ object SparkEntry {
         |    / (cs.n_s * (SELECT n FROM nn))::DOUBLE, 6) AS ks
         |FROM cs JOIN cg USING (b)
         |GROUP BY cs.source, cs.n_s""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS c_dt FROM tk GROUP BY doc_id, token),
+        |raw AS (SELECT token, count(*) AS c_t FROM tk GROUP BY token),
+        |tgt AS (SELECT token, count(*) AS c_tt FROM tk WHERE source = 'src3' GROUP BY token),
+        |st AS (SELECT (SELECT sum(c_t)::BIGINT FROM raw) AS n_raw,
+        |              (SELECT count(*)::BIGINT FROM raw) AS v,
+        |              (SELECT count(*)::BIGINT FROM tk WHERE source = 'src3') AS n_tgt),
+        |term AS (SELECT raw.token,
+        |  CAST(round(ln(((coalesce(tgt.c_tt, 0) + 1)::DOUBLE * st.n_raw::DOUBLE)
+        |    / ((st.n_tgt + st.v)::DOUBLE * raw.c_t::DOUBLE)) * 1000000) AS BIGINT) AS t_micro
+        |  FROM raw LEFT JOIN tgt USING (token) CROSS JOIN st)
+        |SELECT tf.doc_id, sum(tf.c_dt)::BIGINT AS n_tokens,
+        |  (sum(tf.c_dt * term.t_micro) // sum(tf.c_dt))::BIGINT AS dsir_micro
+        |FROM tf JOIN term USING (token)
+        |GROUP BY tf.doc_id""".stripMargin,
+
+    "q_embed_clusters" ->
+      s"""${SrpPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ee AS (SELECT id1 AS src, id2 AS dst FROM pairs WHERE cos >= 0.4
+         |  UNION ALL SELECT id2, id1 FROM pairs WHERE cos >= 0.4),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT reach.node, ee.dst FROM reach JOIN ee ON reach.r = ee.src),
+         |cl AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT vec_id, cluster_id FROM cl""".stripMargin,
 
     "q_cosine_topk" ->
       s"""$EmbCte,

@@ -790,6 +790,62 @@ object TextOps {
   }
 
   /**
+   * DSIR-style importance weights for data selection (Xie et al. 2023,
+   * "Data Selection for Language Models via Importance Resampling" —
+   * public method, hashed-n-gram variant simplified to unigrams): per
+   * document, the average log-likelihood ratio between a TARGET
+   * domain's unigram LM and the raw-corpus LM,
+   *
+   *   w(d) = (1/|d|) Σ_t c_dt · [ ln P_target(t) − ln P_raw(t) ]
+   *
+   * with add-one smoothing on the target side (P_t = (c_tt+1)/(N_t+V))
+   * so off-target vocabulary scores finitely negative. Documents that
+   * look like the target domain score high — rank by w and keep the
+   * top slice to up-sample the target distribution.
+   *
+   * Scale: one corpus tokenize → (doc_id, token) tf counts (the same
+   * exchange class as [[tfIdfTopTerms]]); the per-token term table is
+   * vocabulary-sized and joins on token; the three scalars (N_raw,
+   * N_target, V) ride one 1-row broadcast. Per-token terms are 6-dp
+   * micro-rounded LONGS (order-free sums); the per-doc average is an
+   * exact integer division — bit-identical in any engine. The ln
+   * argument multiplies all four factors as doubles in a fixed order
+   * the oracle replays verbatim.
+   */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String, targetSource: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      explode(tokens(col(textCol))).as("token"))
+    // per-doc term frequencies — the corpus-scale frame
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c_dt"))
+    // vocabulary-sized frames
+    val raw = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val tgt = toks.filter(col("source") === targetSource)
+      .groupBy(col("token")).agg(count(lit(1)).as("c_tt"))
+    val stats = raw.agg(
+        sum(col("c_t")).as("n_raw"), count(lit(1)).as("v"))
+      .crossJoin(toks.filter(col("source") === targetSource)
+        .agg(count(lit(1)).as("n_tgt")))
+    val term = raw
+      .join(tgt, Seq("token"), "left")
+      .crossJoin(broadcast(stats)) // 1-row scalars
+      .select(col("token"),
+        round(log(
+          ((coalesce(col("c_tt"), lit(0L)) + lit(1L)).cast("double") * col("n_raw").cast("double")) /
+          ((col("n_tgt") + col("v")).cast("double") * col("c_t").cast("double"))) * 1000000)
+          .cast("long").as("t_micro"))
+    tf
+      .join(term, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_dt")).as("n_tokens"),
+        sum((col("c_dt").cast("decimal(38,0)") * col("t_micro").cast("decimal(38,0)")))
+          .as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cast(__s div n_tokens as bigint)").as("dsir_micro"))
+  }
+
+  /**
    * Per-source document-length distribution drift — the exact
    * Kolmogorov–Smirnov statistic between each source's length ECDF and
    * the corpus-wide ECDF, over a PROVABLY BOUNDED integer grid:

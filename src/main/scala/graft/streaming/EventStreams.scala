@@ -417,4 +417,60 @@ object EventStreams {
         count(lit(1)).as("n_events"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("est_users"), col("n_events"))
+
+  /** Baseline histogram for [[driftMonitor]]: ONE row holding the bin
+    * counts of a historical batch — build it once offline, broadcast it
+    * into every micro-batch. */
+  def baselineHistogram(history: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nbins: Int): DataFrame =
+    history.agg(graft.functions.GraftFunctions
+      .histogram(col(valueCol).cast("double"), lo, hi, nbins).as("base_hist"))
+
+  /** Exact binned two-sample KS projection over a window histogram vs a
+    * baseline histogram — shared by the streaming monitor and its batch
+    * twin so the spec equality is structural. Integer products: valid
+    * while n_window · n_baseline < 2^63 (any real window qualifies). */
+  private[streaming] def ksProjection(df: DataFrame, threshold: Double): DataFrame =
+    df
+      .withColumn("cums", expr(
+        "transform(hist, (x, i) -> aggregate(slice(hist, 1, i + 1), 0L, (a, b) -> a + b))"))
+      .withColumn("bcums", expr(
+        "transform(base_hist, (x, i) -> aggregate(slice(base_hist, 1, i + 1), 0L, (a, b) -> a + b))"))
+      .withColumn("n", expr("element_at(cums, size(cums))"))
+      .withColumn("nb", expr("element_at(bcums, size(bcums))"))
+      .withColumn("ks_num", expr(
+        "aggregate(zip_with(cums, bcums, (a, b) -> abs(a * nb - b * n)), 0L, (m, x) -> greatest(m, x))"))
+      .select(col("window_start_us"), col("n").as("n_events"),
+        round(col("ks_num").cast("double") / (col("n") * col("nb")).cast("double"), 6).as("ks"),
+        (col("ks_num").cast("double") > col("n").cast("double") * col("nb").cast("double") * threshold)
+          .as("drift"))
+
+  /**
+   * Streaming distribution-drift monitor — the data-quality alarm an
+   * ingest pipeline runs continuously: per event-time window, the
+   * value distribution bins through [[graft.functions.HistogramAgg]]
+   * (O(nbins) long state per window, element-wise-sum merge across
+   * micro-batches, watermark-evicted) and is compared against a STATIC
+   * baseline histogram ([[baselineHistogram]] over a historical batch)
+   * with the exact binned two-sample Kolmogorov–Smirnov statistic —
+   * the streaming twin of [[graft.ops.TextOps.lengthKsDrift]]'s ECDF
+   * comparison. Windows with ks > threshold flag `drift`.
+   *
+   * The baseline is one static row, so the stream-static join is a
+   * broadcast; the KS projection is integer-exact (the drift flag
+   * compares the integer numerator against n·n_b·threshold in double —
+   * one fixed-order multiply, no accumulation), so the streamed
+   * statistic equals the batch twin bit for bit (StreamingSpec).
+   */
+  def driftMonitor(events: DataFrame, baseline: DataFrame,
+      lo: Double, hi: Double, nbins: Int, threshold: Double,
+      windowLen: String = "5 minutes", watermarkDelay: String = "10 minutes"): DataFrame = {
+    val hist = withEventTime(events)
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(graft.functions.GraftFunctions
+        .histogram(col("value").cast("double"), lo, hi, nbins).as("hist"))
+      .select(unix_micros(col("window.start")).as("window_start_us"), col("hist"))
+    ksProjection(hist.crossJoin(baseline), threshold)
+  }
 }

@@ -153,7 +153,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_temperature_mix", "q_tpch_q11", "q_tpch_q22",
       // 1-row corpus-total broadcasts; q_length_ks also broadcasts the
       // ≤(maxBucket+1)-row length grid
-      "q_source_kl", "q_length_ks")
+      "q_source_kl", "q_length_ks", "q_dsir_weights")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

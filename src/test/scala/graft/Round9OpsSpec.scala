@@ -75,6 +75,32 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  // ── DSIR importance weights ───────────────────────────────────────────
+
+  test("dsirWeights: target-domain docs outrank off-domain docs") {
+    val docs = Seq(
+      (1L, "law court judge verdict appeal statute", "legal"),
+      (2L, "law statute court ruling judge appeal", "legal"),
+      (3L, "pizza recipe cheese oven dough tomato", "food"),
+      (4L, "court judge law appeal statute filing", "mix") // looks legal
+    ).toDF("doc_id", "text", "source")
+    val w = TextOps.dsirWeights(docs, "doc_id", "text", "source", "legal")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(4L) > w(3L), s"legal-looking doc must outrank food doc: $w")
+    assert(w(1L) > w(3L) && w(2L) > w(3L), w.toString)
+  }
+
+  test("dsirWeights: partitioning-independent (exact integer micro-nats)") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"tok${i % 7} word${i % 11} filler common text ${i % 3}", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val a = TextOps.dsirWeights(docs, "doc_id", "text", "source", "s1")
+      .collect().map(_.toSeq).toSet
+    val b = TextOps.dsirWeights(docs.repartition(13), "doc_id", "text", "source", "s1")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   // ── binned KS length drift ────────────────────────────────────────────
 
   test("lengthKsDrift: disjoint length buckets give the exact two-sample KS") {

@@ -508,4 +508,46 @@ class StreamingSpec extends AnyFunSuite {
         s"cancellation: got ${row.getDouble(1)}, want $expStd")
     } finally q.stop()
   }
+
+  test("driftMonitor: streamed KS vs static baseline equals batch, flags the drifted window") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // baseline: uniform-ish historical values in [0, 100)
+    val baseline = EventStreams.baselineHistogram(
+      (0 until 200).map(i => (i * 37 % 100).toDouble).toDF("v"), "v", 0.0, 100.0, 10)
+    // window 1 matches the baseline shape; window 2 collapses to [0,10)
+    val evs =
+      (1 to 40).map(i => StreamEvent(i.toLong, Base + MinNs, i.toLong, "m",
+        (i * 37 % 100).toDouble)) ++
+      (1 to 40).map(i => StreamEvent(100L + i, Base + 6L * MinNs, i.toLong, "m",
+        (i % 10).toDouble))
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.driftMonitor(in.toDF(), baseline, 0.0, 100.0, 10, 0.5)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("update").start()
+    try {
+      val (a, b) = evs.splitAt(30) // split mid-window across micro-batches
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      // update mode: the row with the max n per window is the final state
+      val streamed = s.sql("SELECT window_start_us, n_events, ks, drift FROM drift_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      val batch = EventStreams.ksProjection(
+        EventStreams.withEventTime(evs.toDF())
+          .groupBy(unix_micros(window(col("event_time"), "5 minutes")("start")).as("window_start_us"))
+          .agg(graft.functions.GraftFunctions.histogram(col("value"), 0.0, 100.0, 10).as("hist"))
+          .crossJoin(baseline), 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      val byWindow = streamed.toSeq.sortBy(_._1).map(_._2)
+      assert(byWindow.size == 2)
+      assert(!byWindow.head._3, s"matching window must not alarm: $streamed")
+      assert(byWindow.last._3, s"collapsed window must alarm: $streamed")
+    } finally q.stop()
+  }
 }
