@@ -1844,7 +1844,7 @@ object SparkEntry {
     * with [[graft.ops.Dedup.connectedComponents]]'s min-label fixpoint. */
   private val ClustersCte =
     s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |e AS (SELECT id1 AS src, id2 AS dst FROM pairs_t
+       |e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs_t
        |  UNION ALL SELECT id2, id1 FROM pairs_t),
        |reach(node, r) AS (
        |  SELECT doc_id, doc_id FROM documents
@@ -2317,7 +2317,7 @@ object SparkEntry {
 
     "q_embed_clusters" ->
       s"""${SrpPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |ee AS (SELECT id1 AS src, id2 AS dst FROM pairs WHERE cos >= 0.4
+         |ee AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs WHERE cos >= 0.4
          |  UNION ALL SELECT id2, id1 FROM pairs WHERE cos >= 0.4),
          |reach(node, r) AS (
          |  SELECT vec_id, vec_id FROM embeddings

@@ -430,7 +430,7 @@ object EventStreams {
     * baseline histogram — shared by the streaming monitor and its batch
     * twin so the spec equality is structural. Integer products: valid
     * while n_window · n_baseline < 2^63 (any real window qualifies). */
-  private[streaming] def ksProjection(df: DataFrame, threshold: Double): DataFrame =
+  private[graft] def ksProjection(df: DataFrame, threshold: Double): DataFrame =
     df
       .withColumn("cums", expr(
         "transform(hist, (x, i) -> aggregate(slice(hist, 1, i + 1), 0L, (a, b) -> a + b))"))

@@ -78,16 +78,24 @@ class Round9OpsSpec extends AnyFunSuite {
   // ── DSIR importance weights ───────────────────────────────────────────
 
   test("dsirWeights: target-domain docs outrank off-domain docs") {
+    // token multiplicities chosen so the smoothed ratios (c_tt+1)/c_t
+    // cannot coincidentally collide across domains (at tiny scale a
+    // token seen t× in-target and once outside gives (t+1)/(t+1) = 1/1
+    // — the first draft of this test tripped exactly that)
+    val legal = "law law court judge appeal appeal"
     val docs = Seq(
-      (1L, "law court judge verdict appeal statute", "legal"),
-      (2L, "law statute court ruling judge appeal", "legal"),
-      (3L, "pizza recipe cheese oven dough tomato", "food"),
-      (4L, "court judge law appeal statute filing", "mix") // looks legal
+      (1L, legal, "legal"), (2L, legal, "legal"), (3L, legal, "legal"),
+      (4L, "pizza cheese oven dough pizza cheese", "food"),
+      (5L, "law appeal court judge pizza cheese", "mix") // mostly legal
     ).toDF("doc_id", "text", "source")
     val w = TextOps.dsirWeights(docs, "doc_id", "text", "source", "legal")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(w(4L) > w(3L), s"legal-looking doc must outrank food doc: $w")
-    assert(w(1L) > w(3L) && w(2L) > w(3L), w.toString)
+    assert(w(1L) > w(5L) && w(5L) > w(4L),
+      s"expect legal > mix > food: $w")
+    // exact micro-nat replay of the closed form for the pure-target doc:
+    // every term is ln(30/26) → the average IS the term
+    val t = math.round(math.log(30.0 / 26.0) * 1e6)
+    assert(w(1L) == t, s"got ${w(1L)}, want $t")
   }
 
   test("dsirWeights: partitioning-independent (exact integer micro-nats)") {
