@@ -450,6 +450,21 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
+    "q_session_window" -> ((s, dir) =>
+      // native session_window aggregation — the merge-in-aggregate
+      // session plan (no per-user full sort)
+      Events.sessionWindows(t(s, dir, "events"))),
+
+    "q_split_leakfree" -> ((s, dir) => {
+      // leakage-free train/val/test: every near-dup CLUSTER lands in
+      // one split (splitting by doc_id leaks near-dups across splits)
+      val d = docs(s, dir)
+      Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
+        Dedup.candidatePairs(d, "doc_id", "text", MinhashK, MinhashBands))
+        .select(col("doc_id"),
+          TextOps.splitAssign(col("cluster_id")).as("split"))
+    }),
+
     // ── embedding similarity ────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
       val c = emb(s, dir)
@@ -2325,6 +2340,24 @@ object SparkEntry {
          |  SELECT reach.node, ee.dst FROM reach JOIN ee ON reach.r = ee.src),
          |cl AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
          |SELECT vec_id, cluster_id FROM cl""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+        |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |c AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM s)
+        |SELECT user_id, min(tsu) AS start_us, max(tsu) + 1800000000 AS end_us,
+        |  count(*) AS n_events,
+        |  round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_value
+        |FROM c GROUP BY user_id, c.session_seq""".stripMargin,
+
+    "q_split_leakfree" ->
+      s"""$ClustersCte
+         |SELECT doc_id, CASE
+         |  WHEN (${hexToLong("md5(cluster_id::VARCHAR)", 1, 8)}) % 100 < 80 THEN 'train'
+         |  WHEN (${hexToLong("md5(cluster_id::VARCHAR)", 1, 8)}) % 100 < 90 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM clusters_t""".stripMargin,
 
     "q_cosine_topk" ->
       s"""$EmbCte,

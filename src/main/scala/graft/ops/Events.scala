@@ -53,6 +53,36 @@ object Events {
   }
 
   /**
+   * NATIVE session-window twin of [[sessionize]]: the same gap
+   * sessions through Spark's built-in `session_window` aggregation —
+   * sessions merge inside the aggregate (map-side partial merging,
+   * ONE exchange on user_id), no lag/cumsum window pass at all. At
+   * 100 TB this is the cheaper plan: the window-function form sorts
+   * every user's full event list; the session aggregate only keeps
+   * open-session state while merging.
+   *
+   * Boundary semantics (spec-pinned empirically): `session_window`
+   * merges an event EXACTLY gap after the last one into the running
+   * session — the same inclusive boundary as [[sessionize]]'s
+   * `diff > gap` break rule, so the two twins agree on every input,
+   * exact-gap adjacencies included. end_us = last_event + gap (the
+   * session_window end), vs sessionize's last-event end.
+   */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000L")).as("event_time"), col("value"))
+      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 1000000).cast("long")) / 1000000.0, 6)
+          .as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
+  /**
    * AS-OF join, Spark-first: for every left row, the latest right row
    * with `right.ts <= left.ts` in the same key group — without any join
    * operator. Both sides union into one stream ordered by

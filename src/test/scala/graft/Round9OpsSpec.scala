@@ -75,6 +75,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  // ── leakage-free splits ───────────────────────────────────────────────
+
+  test("cluster-keyed splitAssign: no LSH candidate pair straddles two splits") {
+    val docs = (1L to 24L).map { i =>
+      val g = (i - 1) / 3 // 8 groups of 3 near-identical docs
+      val words = (0 to 9).map(j => s"g${g}w${(j * 7 + g) % 13}").mkString(" ")
+      (i, s"$words tail${i % 3}") // distinct vocab per group, tiny suffix
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(docs, "doc_id", "text", 8, 4)
+    val split = Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+      .select(col("doc_id"), TextOps.splitAssign(col("cluster_id")).as("split"))
+    val leaked = pairs
+      .join(split.select(col("doc_id").as("id1"), col("split").as("s1")), "id1")
+      .join(split.select(col("doc_id").as("id2"), col("split").as("s2")), "id2")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(leaked == 0L, s"$leaked near-dup pairs straddle splits")
+    // sanity: the splits are non-degenerate (clusters spread over hashes)
+    assert(split.select(col("split")).distinct().count() >= 2)
+  }
+
   // ── DSIR importance weights ───────────────────────────────────────────
 
   test("dsirWeights: target-domain docs outrank off-domain docs") {
@@ -107,6 +127,46 @@ class Round9OpsSpec extends AnyFunSuite {
     val b = TextOps.dsirWeights(docs.repartition(13), "doc_id", "text", "source", "s1")
       .collect().map(_.toSeq).toSet
     assert(a == b)
+  }
+
+  // ── native session windows ────────────────────────────────────────────
+
+  test("sessionWindows: equals sessionize away from exact-gap boundaries") {
+    import graft.ops.Events
+    val gapUs = 1800L * 1000000L
+    val t0us = 1000000000L * 1000L
+    // user 1: two sessions split by gap+1µs; user 2: one dense session
+    val df = Seq(
+      (1L, 10L, t0us, "a", 1.5),
+      (1L, 11L, t0us + 60L * 1000000L, "a", 2.5),
+      (1L, 12L, t0us + 60L * 1000000L + gapUs + 1L, "a", 4.0),
+      (2L, 20L, t0us, "b", 0.25),
+      (2L, 21L, t0us + 1000000L, "b", 0.75))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts") * 1000) // µs -> ns like the events table
+    val sw = Events.sessionWindows(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val legacy = Events.sessionize(df).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4) + gapUs,
+        r.getLong(2), r.getDouble(5))).toSet
+    assert(sw == legacy, s"native $sw vs legacy-with-gap-end $legacy")
+  }
+
+  test("sessionWindows: exact-gap adjacency boundary is pinned") {
+    import graft.ops.Events
+    val gapUs = 1800L * 1000000L
+    val base = 1000000000L * 1000L
+    val df = Seq(
+      (7L, 1L, base * 1000L, "a", 1.0),
+      (7L, 2L, (base + gapUs) * 1000L, "a", 1.0)) // EXACTLY gap later
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val n = Events.sessionWindows(df).count()
+    // Spark's session_window treats the gap as INCLUSIVE when merging:
+    // an event exactly gap after the last one extends the session —
+    // the same boundary as sessionize's `diff > gap` break rule, so
+    // the two twins agree on every input, boundaries included
+    assert(n == 1, s"expected 1 merged session at the exact-gap boundary, got $n")
   }
 
   // ── binned KS length drift ────────────────────────────────────────────
