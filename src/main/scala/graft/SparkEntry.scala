@@ -465,6 +465,13 @@ object SparkEntry {
           TextOps.splitAssign(col("cluster_id")).as("split"))
     }),
 
+    "q_similarity_join" -> ((s, dir) =>
+      // EXACT shingle-set Jaccard >= 1/2 join via prefix filtering —
+      // the no-false-negative complement to the MinHash/LSH path; the
+      // oracle candidates come from ALL shared shingles, so a match
+      // proves the prefix filter lost nothing
+      Dedup.similarityJoinExact(docs(s, dir), "doc_id", "text", 1, 2)),
+
     // ── embedding similarity ────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
       val c = emb(s, dir)
@@ -2358,6 +2365,19 @@ object SparkEntry {
          |  WHEN (${hexToLong("md5(cluster_id::VARCHAR)", 1, 8)}) % 100 < 90 THEN 'val'
          |  ELSE 'test' END AS split
          |FROM clusters_t""".stripMargin,
+
+    "q_similarity_join" ->
+      s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, $ShinglesSql AS sh FROM toks_t),
+         |tk AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh0),
+         |sets AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS inter
+         |  FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |v AS (SELECT cand.id1, cand.id2, cand.inter,
+         |    (x.n + y.n - cand.inter)::BIGINT AS un
+         |  FROM cand JOIN sets x ON cand.id1 = x.doc_id JOIN sets y ON cand.id2 = y.doc_id)
+         |SELECT id1, id2, round(inter::DOUBLE / un::DOUBLE, 6) AS jaccard
+         |FROM v WHERE inter * 2 >= un * 1""".stripMargin,
 
     "q_cosine_topk" ->
       s"""$EmbCte,

@@ -470,6 +470,70 @@ object Dedup {
   }
 
   /**
+   * EXACT set-similarity join via prefix filtering (the PPJoin family,
+   * Xiao et al. 2008 — public method): every pair of documents whose
+   * 3-shingle-set Jaccard ≥ tNum/tDen, with NO false negatives — the
+   * exact complement to the probabilistic MinHash/LSH path when a
+   * dedup decision must be complete (compliance-grade
+   * decontamination, eval-set isolation). Shingles, not raw tokens:
+   * on templated corpora token SETS are non-discriminative (measured
+   * 92k of 125k sf0.01 pairs above token-set J ≥ 0.5, vs 25 real
+   * near-dup pairs at shingle level).
+   *
+   * Prefix filter: order all shingles by ascending document frequency
+   * (rarest first, ties on value); a doc with n distinct shingles
+   * keeps prefix p = n − ⌈t·n⌉ + 1. Two sets with J ≥ t MUST share a
+   * prefix element under any consistent global order, so the
+   * candidate join touches only prefix collisions — df-ascending
+   * order makes those the RAREST elements, so blocks are the smallest
+   * possible and a boilerplate shingle never fans out.
+   *
+   * Everything is integer-exact: the ceiling is (tNum·n + tDen−1) div
+   * tDen, and the final test is tDen·inter ≥ tNum·union — no float
+   * threshold anywhere, so any engine replays it bit-for-bit (the
+   * oracle generates candidates from ALL shared tokens, proving the
+   * prefix filter lost nothing). One token-keyed exchange stages the
+   * df join; one doc-keyed exchange feeds the prefix window, the
+   * token-set aggregate, and both verify sides (ReusedExchange).
+   */
+  def similarityJoinExact(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val dtok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextOps.tokenShingles(col(textCol)))).as("token"))
+    val freq = dtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // one doc-keyed exchange for the window, the set aggregate, and
+    // both verify joins
+    val staged = dtok.join(freq, "token").repartition(col("doc_id"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = staged
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df").asc, col("token").asc)))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("pfx_len",
+        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1L))
+    val prefixes = ranked.filter(col("rn") <= col("pfx_len"))
+      .select(col("doc_id"), col("token"))
+      .repartition(col("token"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sets = staged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("token"))).as("toks"), count(lit(1)).as("n"))
+    val j = cand
+      .join(sets.select(col("doc_id").as("id1"), col("toks").as("t1"), col("n").as("n1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("toks").as("t2"), col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("un", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * tDen >= col("un") * tNum)
+    j.select(col("id1"), col("id2"),
+      round(col("inter").cast("double") / col("un").cast("double"), 6).as("jaccard"))
+  }
+
+  /**
    * Edit-distance fuzzy near-dup pairs — the record-linkage shape for
    * short keys (titles, names, product codes): normalized prefixes,
    * classic prefix BLOCKING (candidates must share the first `blockLen`

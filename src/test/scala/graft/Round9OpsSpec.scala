@@ -75,6 +75,57 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  // ── exact set-similarity join (prefix filtering) ──────────────────────
+
+  test("similarityJoinExact: finds exactly the pairs above threshold, with exact scores") {
+    val docs = Seq(
+      // shingle sets: 1 -> {abg, bgd}; 2 -> {abg, bgd, gde}: J = 2/3
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota"), // disjoint from all
+      (4L, "alpha beta gamma delta") // exact dup of 1 -> J = 1.0
+    ).toDF("doc_id", "text")
+    val r = Dedup.similarityJoinExact(docs, "doc_id", "text", 1, 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r == Map(
+      (1L, 2L) -> 0.666667, (2L, 4L) -> 0.666667, (1L, 4L) -> 1.0))
+  }
+
+  test("similarityJoinExact: prefix filter is complete vs brute force (property)") {
+    // 40 docs over a small vocabulary -> many pairs cross the threshold
+    val docs = (1L to 40L).map { i =>
+      val toks = (0 to 7).map(j => s"w${(i + j * 3) % 11}").mkString(" ")
+      (i, toks)
+    }.toDF("doc_id", "text")
+    val pp = Dedup.similarityJoinExact(docs, "doc_id", "text", 2, 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // brute force: all pairs, exact 3-SHINGLE-set Jaccard, same threshold
+    val sets = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ").toSeq
+      val sh = if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+               else Set(toks.mkString(" "))
+      r.getLong(0) -> sh
+    }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys; if a < b
+      inter = (sets(a) & sets(b)).size
+      un = sets(a).size + sets(b).size - inter
+      if inter * 5 >= un * 2
+    } yield (a, b, BigDecimal(inter.toDouble / un)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(pp == brute, s"missing=${brute -- pp} extra=${pp -- brute}")
+  }
+
+  test("similarityJoinExact: partitioning-independent") {
+    val docs = (1L to 30L).map(i =>
+      (i, (0 to 6).map(j => s"t${(i * 2 + j) % 9}").mkString(" "))).toDF("doc_id", "text")
+    val a = Dedup.similarityJoinExact(docs, "doc_id", "text", 1, 3)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.similarityJoinExact(docs.repartition(9), "doc_id", "text", 1, 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   // ── leakage-free splits ───────────────────────────────────────────────
 
   test("cluster-keyed splitAssign: no LSH candidate pair straddles two splits") {
