@@ -472,6 +472,12 @@ object SparkEntry {
       // proves the prefix filter lost nothing
       Dedup.similarityJoinExact(docs(s, dir), "doc_id", "text", 1, 2)),
 
+    "q_winnow_pairs" -> ((s, dir) =>
+      // copied-SPAN detection via MOSS winnowing fingerprints: pairs
+      // sharing >= 2 window-min gram hashes (span guarantee >= 31
+      // chars at k=24, w=8)
+      Dedup.winnowPairs(docs(s, dir), "doc_id", "text")),
+
     // ── embedding similarity ────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
       val c = emb(s, dir)
@@ -2378,6 +2384,17 @@ object SparkEntry {
          |  FROM cand JOIN sets x ON cand.id1 = x.doc_id JOIN sets y ON cand.id2 = y.doc_id)
          |SELECT id1, id2, round(inter::DOUBLE / un::DOUBLE, 6) AS jaccard
          |FROM v WHERE inter * 2 >= un * 1""".stripMargin,
+
+    "q_winnow_pairs" ->
+      s"""WITH nr AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nrm FROM documents),
+         |hs AS (SELECT doc_id, CASE WHEN length(nrm) < 24 THEN [${hexToLong("md5(nrm)", 1, 8)}]
+         |  ELSE list_transform(range(1, length(nrm) - 22), p -> ${hexToLong("md5(substr(nrm, p, 24))", 1, 8)}) END AS hs FROM nr),
+         |fp AS (SELECT doc_id, CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+         |  ELSE list_distinct(list_transform(range(1, len(hs) - 6), j -> list_min(list_slice(hs, j, j + 7)))) END AS fps FROM hs),
+         |tk AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS shared_fp
+         |FROM tk a JOIN tk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "q_cosine_topk" ->
       s"""$EmbCte,

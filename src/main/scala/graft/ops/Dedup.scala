@@ -534,6 +534,57 @@ object Dedup {
   }
 
   /**
+   * Winnowing fingerprint pairs (Schleimer, Wilkerson, Aiken 2003 —
+   * the MOSS local fingerprinting algorithm, public method): detects
+   * COPIED SPANS — quoted articles, license blocks, lifted paragraphs
+   * — that whole-document similarity cannot see. Per document, over
+   * the whitespace-collapsed lowercase text: k-char-gram rolling
+   * hashes (md5-derived 32-bit), then every w-window of consecutive
+   * hashes contributes its MINIMUM; the distinct minima are the
+   * fingerprint set. Winnowing guarantee: any shared substring of
+   * length ≥ w+k−1 chars produces w consecutive identical hashes in
+   * both documents, whose window minimum is the same VALUE — so the
+   * pair shares ≥1 fingerprint (property-tested). Expected density
+   * 2/(w+1): a doc keeps ~25% of its gram hashes at w=8, so the
+   * fingerprint join moves a quarter-sized (doc_id, fp) projection,
+   * never text. VALUE-min selection (not MOSS's rightmost-position
+   * tie-break) keeps the set a pure function of the text — engine-
+   * replayable.
+   *
+   * Plan: two narrow interpreted-HOF projections (staged as their own
+   * selects — Catalyst HOFs have no CSE), one exchange on fp for the
+   * self-join, count-aggregated pairs ≥ minShared. Boilerplate spans
+   * shared by MANY docs make hot fp blocks — the same accepted skew
+   * as LSH band buckets (AQE skew-join splits them).
+   */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, w: Int = 8, minShared: Long = 2L): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k,w >= 2, got k=$k w=$w")
+    val nr = docs.select(col(idCol).as("doc_id"),
+      regexp_replace(lower(col(textCol)), "\\s+", " ").as("nrm"))
+    val hs = nr.select(col("doc_id"), expr(
+      s"""CASE WHEN length(nrm) < $k
+         | THEN array(cast(conv(substring(md5(nrm), 1, 8), 16, 10) AS bigint))
+         | ELSE transform(sequence(1, length(nrm) - ${k - 1}),
+         |   p -> cast(conv(substring(md5(substr(nrm, p, $k)), 1, 8), 16, 10) AS bigint))
+         | END""".stripMargin).as("hs"))
+    val fps = hs.select(col("doc_id"), expr(
+      s"""CASE WHEN size(hs) <= $w THEN array(array_min(hs))
+         | ELSE array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+         |   j -> array_min(slice(hs, j, $w))))
+         | END""".stripMargin).as("fps"))
+    val tk = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .repartition(col("fp"))
+    tk.as("a")
+      .join(tk.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
+  /**
    * Edit-distance fuzzy near-dup pairs — the record-linkage shape for
    * short keys (titles, names, product codes): normalized prefixes,
    * classic prefix BLOCKING (candidates must share the first `blockLen`

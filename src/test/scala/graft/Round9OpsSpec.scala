@@ -126,6 +126,46 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ── winnowing fingerprints ────────────────────────────────────────────
+
+  test("winnowPairs: every planted >=31-char shared span is detected (winnowing guarantee)") {
+    val span = "the licensed boilerplate block that was copied verbatim everywhere"
+    // 10 planted pairs (i, i+100) sharing the span amid distinct text;
+    // 10 unrelated SHORT docs (single whole-text fingerprint each)
+    val docs = ((1L to 10L).flatMap { i =>
+      Seq((i, s"u${i}q${i * 7919} $span w${i * 104729}"),
+        (i + 100L, s"z${i}k${i * 7907} $span v${i * 104717}"))
+    } ++ (21L to 30L).map(i => (i, s"tiny$i doc${i * 31}")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 24, w = 8, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 1L to 10L)
+      assert(pairs.contains((i, i + 100L)), s"planted pair ($i, ${i + 100}) missed")
+    // the short unrelated docs pair with nothing
+    assert(!pairs.exists { case (a, b) => a >= 21L && b <= 30L && b >= 21L },
+      s"unrelated short docs must not pair: $pairs")
+  }
+
+  test("winnowPairs: fingerprint density is ~2/(w+1), not all grams") {
+    val text = (1 to 60).map(j => s"word${j * 13 % 97}").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val nFp = Dedup.winnowPairs(docs.union(Seq((2L, text)).toDF("doc_id", "text")),
+      "doc_id", "text", minShared = 1L)
+      .collect().head.getLong(2)
+    val nGrams = text.replaceAll("\\s+", " ").length - 24 + 1
+    assert(nFp < nGrams / 2, s"winnowing must thin the grams: $nFp of $nGrams kept")
+    assert(nFp > nGrams / 10, s"suspiciously few fingerprints: $nFp of $nGrams")
+  }
+
+  test("winnowPairs: partitioning-independent") {
+    val docs = (1L to 30L).map(i =>
+      (i, (0 to 15).map(j => s"w${(i * 3 + j * 5) % 17}").mkString(" "))).toDF("doc_id", "text")
+    val a = Dedup.winnowPairs(docs, "doc_id", "text").collect().map(_.toSeq).toSet
+    val b = Dedup.winnowPairs(docs.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   // ── leakage-free splits ───────────────────────────────────────────────
 
   test("cluster-keyed splitAssign: no LSH candidate pair straddles two splits") {
