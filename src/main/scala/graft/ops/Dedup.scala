@@ -551,29 +551,44 @@ object Dedup {
    * tie-break) keeps the set a pure function of the text — engine-
    * replayable.
    *
-   * Plan: two narrow interpreted-HOF projections (staged as their own
-   * selects — Catalyst HOFs have no CSE), one exchange on fp for the
-   * self-join, count-aggregated pairs ≥ minShared. Boilerplate spans
-   * shared by MANY docs make hot fp blocks — the same accepted skew
-   * as LSH band buckets (AQE skew-join splits them).
+   * Plan — EXPLODED, not array-HOF: gram positions explode to rows, so
+   * md5 runs CODEGEN'D once per gram, and the w-window minimum is a
+   * sliding ROWS frame over (doc_id, pos) — one doc_id exchange that
+   * the per-doc gram count and the fingerprint dedup both reuse. (The
+   * obvious transform/slice array form is a trap: Catalyst HOFs have
+   * no CSE and CollapseProject inlines the staged gram array into the
+   * window lambda, re-hashing the whole document per window position —
+   * O(len·w·len) per doc with the normalization regex inside; measured
+   * 37 CPU-minutes for ONE sf0.1 partition before this rewrite.) The
+   * fp self-join ships only (doc_id, fp) longs; hot boilerplate
+   * fingerprints are the same accepted skew class as LSH band buckets
+   * (AQE skew-join splits them).
    */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 24, w: Int = 8, minShared: Long = 2L): DataFrame = {
     require(k >= 2 && w >= 2, s"need k,w >= 2, got k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
     val nr = docs.select(col(idCol).as("doc_id"),
       regexp_replace(lower(col(textCol)), "\\s+", " ").as("nrm"))
-    val hs = nr.select(col("doc_id"), expr(
-      s"""CASE WHEN length(nrm) < $k
-         | THEN array(cast(conv(substring(md5(nrm), 1, 8), 16, 10) AS bigint))
-         | ELSE transform(sequence(1, length(nrm) - ${k - 1}),
-         |   p -> cast(conv(substring(md5(substr(nrm, p, $k)), 1, 8), 16, 10) AS bigint))
-         | END""".stripMargin).as("hs"))
-    val fps = hs.select(col("doc_id"), expr(
-      s"""CASE WHEN size(hs) <= $w THEN array(array_min(hs))
-         | ELSE array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
-         |   j -> array_min(slice(hs, j, $w))))
-         | END""".stripMargin).as("fps"))
-    val tk = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // one row per gram start; a doc shorter than k keeps one position
+    // (substr then yields the whole text, matching the oracle's CASE)
+    val hashed = nr
+      .select(col("doc_id"), col("nrm"),
+        explode(sequence(lit(1), greatest(length(col("nrm")) - lit(k - 1), lit(1))))
+          .as("p"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(expr(s"substr(nrm, p, $k)")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .repartition(col("doc_id"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val slide = byDoc.orderBy(col("p")).rowsBetween(0, w - 1)
+    val tk = hashed
+      .withColumn("nh", count(lit(1)).over(byDoc))
+      .withColumn("fp", min(col("h")).over(slide))
+      // only windows fully inside the doc (a short doc keeps p=1: its
+      // frame spans every hash — the single-window degenerate case)
+      .filter(col("p") <= greatest(col("nh") - lit(w - 1), lit(1)))
+      .select(col("doc_id"), col("fp")).distinct()
       .repartition(col("fp"))
     tk.as("a")
       .join(tk.as("b"),
