@@ -427,6 +427,11 @@ object SparkEntry {
       // short doc embedded in a long one (Jaccard-invisible)
       Dedup.containmentPairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
+    "q_containment_dedup" -> ((s, dir) =>
+      // actionable form: drop the contained side of every >=0.9
+      // containment pair, keep supersets (mutual -> keep smallest id)
+      Dedup.containmentDedup(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
+
     "q_source_kl" -> ((s, dir) =>
       // corpus-mix drift: per-source unigram KL vs the corpus blend
       TextOps.sourceKlDivergence(docs(s, dir), "source", "text")),
@@ -2294,6 +2299,19 @@ object SparkEntry {
          |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE / len(a.dsh)::DOUBLE, 6) AS c_fwd,
          |  round(len(list_intersect(a.dsh, b.dsh))::DOUBLE / len(b.dsh)::DOUBLE, 6) AS c_rev
          |FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id""".stripMargin,
+
+    "q_containment_dedup" ->
+      s"""$PairsCte,
+         |dsh_t AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t),
+         |vals AS (SELECT p.id1, p.id2,
+         |    round(len(list_intersect(a.dsh, b.dsh))::DOUBLE / len(a.dsh)::DOUBLE, 6) AS c_fwd,
+         |    round(len(list_intersect(a.dsh, b.dsh))::DOUBLE / len(b.dsh)::DOUBLE, 6) AS c_rev
+         |  FROM pairs_t p JOIN dsh_t a ON p.id1 = a.doc_id JOIN dsh_t b ON p.id2 = b.doc_id),
+         |drops AS (SELECT DISTINCT CASE
+         |    WHEN c_fwd >= 0.9 AND c_rev >= 0.9 THEN id2
+         |    WHEN c_fwd >= 0.9 THEN id1 ELSE id2 END AS doc_id
+         |  FROM vals WHERE c_fwd >= 0.9 OR c_rev >= 0.9)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 
     "q_source_kl" ->
       """WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),

@@ -470,6 +470,29 @@ object Dedup {
   }
 
   /**
+   * Containment DEDUP — the actionable form of [[containmentPairs]]:
+   * for every candidate pair where one side is ≥ `thr` contained in
+   * the other, drop the CONTAINED document (the quote, the excerpt,
+   * the boilerplate-wrapped copy) and keep the superset; mutual
+   * containment (near-identical) keeps the smaller id. One-pass
+   * greedy like [[cleanCorpus]]'s near-dup stage — transitive chains
+   * can over-delete, the standard corpus-scale trade. Returns the
+   * surviving doc ids.
+   */
+  def containmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, thr: Double = 0.9): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, k, bands)
+    val drops = pairs
+      .filter(col("c_fwd") >= thr || col("c_rev") >= thr)
+      .select(
+        when(col("c_fwd") >= thr && col("c_rev") >= thr, col("id2")) // mutual: keep min id
+          .when(col("c_fwd") >= thr, col("id1")) // doc1 ⊂ doc2: drop the contained doc1
+          .otherwise(col("id2")).as("doc_id"))
+      .distinct()
+    docs.select(col(idCol).as("doc_id")).join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /**
    * EXACT set-similarity join via prefix filtering (the PPJoin family,
    * Xiao et al. 2008 — public method): every pair of documents whose
    * 3-shingle-set Jaccard ≥ tNum/tDen, with NO false negatives — the

@@ -418,6 +418,27 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("est_users"), col("n_events"))
 
+  /** NATIVE streaming session windows — the Spark-first form of
+    * [[sessionize]]: `session_window` under a watermark keeps one
+    * merging session range per (user, open session) as aggregate
+    * state, merges sessions ACROSS micro-batches, and emits a row
+    * when the watermark passes session end + gap (append mode). No
+    * flatMapGroupsWithState, no manual eviction — the engine owns the
+    * state lifecycle. Same inclusive exact-gap boundary as the batch
+    * [[graft.ops.Events.sessionWindows]] twin (spec-proven equal). */
+  def sessionWindowsStream(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 1000000).cast("long")) / 1000000.0, 6)
+          .as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
   /** Baseline histogram for [[driftMonitor]]: ONE row holding the bin
     * counts of a historical batch — build it once offline, broadcast it
     * into every micro-batch. */

@@ -46,6 +46,20 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("containmentDedup: drops the contained doc, keeps the superset; mutual keeps min id") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, txt), (2L, txt), // mutual containment -> keep 1, drop 2
+      (3L, txt + " lambda mu nu"), // contains 1/2 -> they are dropped anyway
+      (4L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.containmentDedup(docs, "doc_id", "text", 8, 8, thr = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L), s"mutual-containment dup must drop id2: $kept")
+    assert(!kept.contains(1L), s"doc1 is 1.0-contained in doc3: $kept")
+    assert(kept.contains(3L) && kept.contains(4L), kept.toString)
+  }
+
   // ── per-source unigram KL ─────────────────────────────────────────────
 
   test("sourceKlDivergence: identical distributions give exactly zero") {

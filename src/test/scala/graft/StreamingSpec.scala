@@ -509,6 +509,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionWindowsStream: native session windows merge across micro-batches, equal batch") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // one user whose session SPANS the micro-batch boundary (10-min
+    // steps inside a 30-min gap), plus a separate later session
+    val evs = (0 until 6).map(i =>
+      StreamEvent(i.toLong, Base + i.toLong * 10L * MinNs, 7L, "m", 1.25)) ++
+      Seq(StreamEvent(10L, Base + 300L * MinNs, 7L, "m", 2.5))
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.sessionWindowsStream(in.toDF())
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = evs.splitAt(3) // split inside the first session
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      in.addData(Seq(flush)); q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT user_id, start_us, end_us, n_events, sum_value FROM sw_out WHERE user_id = 7")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val batch = graft.ops.Events.sessionWindows(evs.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // the boundary-spanning session arrived whole: 6 events, one row
+      assert(streamed.exists(_._4 == 6L), streamed.toString)
+    } finally q.stop()
+  }
+
   test("driftMonitor: streamed KS vs static baseline equals batch, flags the drifted window") {
     implicit val s = spark
     import s.implicits._
