@@ -254,6 +254,10 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
 
+    "q_chunk_stride" -> ((s, dir) =>
+      // RAG-style overlapping chunk windows: 16-token chunks every 8
+      TextOps.chunkStride(docs(s, dir), "doc_id", "text", 16, 8)),
+
     "q_chunk_dedup" -> ((s, dir) =>
       // chunk-level (paragraph-shape) dedup: 8-token chunks, one global
       // survivor per distinct chunk, per-doc survival counts
@@ -2070,6 +2074,15 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, text_hash FROM nd
         |WHERE text_hash NOT IN (SELECT fp FROM idx)
         |GROUP BY text_hash""".stripMargin,
+
+    "q_chunk_stride" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1)
+        |SELECT doc_id, (s // 8)::INT AS idx,
+        |  len(tk[(s + 1):least(s + 16, len(tk))])::INT AS n_tok,
+        |  array_to_string(tk[(s + 1):least(s + 16, len(tk))], ' ') AS chunk
+        |FROM toks, unnest(range(0, ((len(tk) - 1) // 8) * 8 + 1, 8)) t(s)""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH toks AS (SELECT doc_id,

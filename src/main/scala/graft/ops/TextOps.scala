@@ -583,6 +583,32 @@ object TextOps {
    * per-doc count. Winner selection is min(struct(doc_id, idx)) —
    * deterministic under any partitioning.
    */
+  /**
+   * Overlapping chunk windows with stride — the RAG/context-prep
+   * chunker: token windows of `chunkTokens` starting every `stride`
+   * tokens (stride < chunkTokens ⇒ overlap), one row per chunk with
+   * its index and token count. Trailing windows shorten naturally; a
+   * doc with fewer than `stride` tokens yields exactly one chunk.
+   * The token array materializes ONCE per doc before the Generate
+   * (same staging as [[chunkDedup]] — verified not inlined), so the
+   * tokenizer regex never re-runs per chunk; everything downstream is
+   * codegen'd slicing. Contract: starts = 0, stride, 2·stride … < n.
+   */
+  def chunkStride(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, s"bad chunk/stride $chunkTokens/$stride")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, ((size(tk) - 1) div $stride) * $stride, $stride)"))
+          .as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $stride").cast("int").as("idx"),
+        expr(s"size(slice(tk, start + 1, $chunkTokens))").as("n_tok"),
+        expr(s"array_join(slice(tk, start + 1, $chunkTokens), ' ')").as("chunk"))
+  }
+
   def chunkDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, chunkTokens: Int): org.apache.spark.sql.DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")

@@ -89,6 +89,21 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  // ── stride chunking ───────────────────────────────────────────────────
+
+  test("chunkStride: overlapping windows, shortened tail, single chunk for tiny docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens")).toDF("doc_id", "text")
+    val r = TextOps.chunkStride(docs, "doc_id", "text", chunkTokens = 8, stride = 4)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> (x.getInt(2), x.getString(3))).toMap
+    assert(r((1L, 0)) == ((8, (1 to 8).map(i => s"t$i").mkString(" "))))
+    assert(r((1L, 1)) == ((6, (5 to 10).map(i => s"t$i").mkString(" "))))
+    assert(r((1L, 2)) == ((2, "t9 t10")))
+    assert(r((2L, 0)) == ((3, "only three tokens")))
+    assert(r.size == 4)
+  }
+
   // ── exact set-similarity join (prefix filtering) ──────────────────────
 
   test("similarityJoinExact: finds exactly the pairs above threshold, with exact scores") {
