@@ -72,7 +72,12 @@ object ScaleStress {
       "quality" -> (d => d.select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("q"))),
       "token_count" -> (d => d.select(col("doc_id"),
-        TextOps.tokenCountBpe(col("text")).as("n"))))
+        TextOps.tokenCountBpe(col("text")).as("n"))),
+      // round-9 drift/selection ops: corpus pass + vocab-sized tails
+      "source_kl" -> (d => TextOps.sourceKlDivergence(d, "source", "text")),
+      "length_ks" -> (d => TextOps.lengthKsDrift(d, "source", "text")),
+      "dsir" -> (d => TextOps.dsirWeights(d, "doc_id", "text", "source", "src3")),
+      "chunk_stride" -> (d => TextOps.chunkStride(d, "doc_id", "text", 16, 8)))
 
     // warmup
     noop(li1.groupBy(col("l_returnflag")).count())
