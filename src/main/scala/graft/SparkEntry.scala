@@ -832,13 +832,15 @@ object SparkEntry {
 
     "q_hll_distinct" -> ((s, dir) => {
       // deterministic HyperLogLog (md5, 256 byte registers): O(m) state
-      // and shuffle bytes vs countDistinct's full distinct-set shuffle;
-      // exact count audit as a separate 1-row broadcast (see
-      // q_kmv_grouped for why not one mixed aggregate)
-      val li = t(s, dir, "lineitem")
-      li.agg(round(GraftFunctions.hll_distinct(col("l_partkey"), 8), 2).as("est_distinct"))
-        .crossJoin(broadcast(
-          li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))))
+      // and shuffle bytes vs countDistinct's full distinct-set shuffle.
+      // HLL registers are max-merged, so the sketch over DISTINCT values
+      // is bit-identical to the sketch over the raw column — sketch and
+      // exact audit share ONE scan + ONE map-side-combined distinct
+      // shuffle, both computed in the same single-row aggregate (the r9
+      // split form re-scanned lineitem for the audit: 0.99s vs 0.47s)
+      t(s, dir, "lineitem").select(col("l_partkey")).distinct().agg(
+        round(GraftFunctions.hll_distinct(col("l_partkey"), 8), 2).as("est_distinct"),
+        count(lit(1)).as("exact_distinct"))
     }),
 
     "q_hll_grouped" -> ((s, dir) => {

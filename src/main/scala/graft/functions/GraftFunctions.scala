@@ -83,11 +83,19 @@ object GraftFunctions {
   def histogram(c: Column, lo: Double, hi: Double, nbins: Int): Column =
     agg(HistogramAgg(Cast(ex(c), DoubleType), lo, hi, nbins))
 
-  /** Value of `x` at the max of `y` (Spark built-in; ties arbitrary). */
-  def max_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.max_by(x, y)
+  /** Value of `x` at the max of `y` (null `y` ignored; ties arbitrary).
+    * Built as the Catalyst MaxBy node directly — NOT
+    * `functions.max_by`, which on Spark 4 is `Column.fn("max_by", …)`
+    * and resolves by NAME through the session registry, so in a
+    * session that called [[registerReferenceNames]] the built-in form
+    * silently flips to null-key-WINS semantics. */
+  def max_by(x: Column, y: Column): Column =
+    agg(org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(ex(x), ex(y)))
 
-  /** Value of `x` at the min of `y` (Spark built-in; ties arbitrary). */
-  def min_by(x: Column, y: Column): Column = org.apache.spark.sql.functions.min_by(x, y)
+  /** Value of `x` at the min of `y` (null `y` ignored; ties arbitrary).
+    * Direct Catalyst MinBy — registry-shadowing-immune (see [[max_by]]). */
+  def min_by(x: Column, y: Column): Column =
+    agg(org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(ex(x), ex(y)))
 
   /** Deterministic max_by: ties on `y` broken by greatest `x`. Rows with
     * null `y` are ignored — the struct ordering key is nulled whole,
@@ -328,7 +336,14 @@ object GraftFunctions {
    * Spark's built-ins for this session (Spark's `skewness`/`kurtosis`
    * are population statistics; the reference's are sample
    * bias-corrected). Opt-in on purpose — call it only when migrating
-   * reference SQL verbatim. `max_by`/`min_by` already match.
+   * reference SQL verbatim. `max_by`/`min_by` are ALSO shadowed, with
+   * the reference's null-key-WINS semantics (the `*_ref` builders
+   * below) — which diverges from Spark's null-ignoring built-ins, and
+   * affects ANY name-resolved `max_by`/`min_by` in the same session
+   * (Spark 4's `functions.max_by` is `Column.fn`, i.e. registry
+   * resolution). Library operators are immune: they build the Catalyst
+   * MinBy/MaxBy nodes directly ([[max_by]]/[[min_by]]/[[max_by_det]]/
+   * [[min_by_det]]), proven by the shadowed-session spec.
    */
   def registerReferenceNames(spark: SparkSession): Unit = {
     val fns: Seq[(String, Expression => Expression)] = Seq(

@@ -412,7 +412,7 @@ object Events {
     // day-partitioned window output, so no additional exchange
     val perDay = withinDay.groupBy(col("day")).agg(
       max(col("run")).as("mrun"),
-      max_by(col("run"), col("t")).as("dtot"),
+      graft.functions.GraftFunctions.max_by(col("run"), col("t")).as("dtot"),
       min(col("t")).as("first_t"))
     // densify [day, next_day) from each boundary day — generated rows
     // beyond the first are the fully-spanned days (no boundaries)

@@ -130,7 +130,8 @@ object Sketches {
         (col("bin").cast("double") + (t - cumBefore) / col("c").cast("double"))
       // first bin whose cumulative count exceeds the target rank:
       // min_by over the qualifying suffix (null ordering values skipped)
-      min_by(round(est, 6), when(col("cum").cast("double") > t, col("bin"))).as(name)
+      graft.functions.GraftFunctions.min_by(
+        round(est, 6), when(col("cum").cast("double") > t, col("bin"))).as(name)
     }
     cum.groupBy(col("n")).agg(aggs.head, aggs.tail: _*)
   }
@@ -170,7 +171,8 @@ object Sketches {
       val cumBefore = (col("cum") - col("c")).cast("double")
       val est = lit(lo) + lit(w) *
         (col("bin").cast("double") + (t - cumBefore) / col("c").cast("double"))
-      min_by(round(est, 6), when(col("cum").cast("double") > t, col("bin"))).as(name)
+      graft.functions.GraftFunctions.min_by(
+        round(est, 6), when(col("cum").cast("double") > t, col("bin"))).as(name)
     }
     cum.groupBy((keyCols :+ col("n")): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -378,7 +380,8 @@ object Sketches {
       val cumBefore = (col("cum") - col("c")).cast("double")
       val est = lit(lo) + lit(w) *
         (col("bin").cast("double") + (t - cumBefore) / col("c").cast("double"))
-      min_by(round(est, 6), when(col("cum").cast("double") > t, col("bin"))).as(name)
+      graft.functions.GraftFunctions.min_by(
+        round(est, 6), when(col("cum").cast("double") > t, col("bin"))).as(name)
     }
     cum.groupBy(col("day"), col("n")).agg(aggs.head, aggs.tail: _*)
   }
