@@ -16,7 +16,11 @@ import graft.ops.{Dedup, Events, Multimodal, Packing, Scale, Similarity, Sketche
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    // normalizeTs: the driver's events.ts has shipped as both
+    // TIMESTAMP(NANOS)-as-long and native timestamp[us] (→ timestamp_ntz);
+    // every query site expects the epoch-nanos long, so normalize at the
+    // single load boundary (no-op projection for non-ts tables).
+    graft.ops.EventTime.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship: stats dashboard over lineitem — every reference aggregate in
     * one pass (single shuffle, all map-side combinable). */

@@ -110,6 +110,52 @@ object Dedup {
   }
 
   /**
+   * Skew-proof LSH candidate pairs: [[candidatePairsFromShingles]] dies
+   * on DUPLICATE-HEAVY corpora — one document repeated m = 10⁴ times
+   * puts all m copies in the same band buckets and the all-pairs bucket
+   * join emits O(m²) ≈ 5·10⁷ candidates from that one cluster. No
+   * salting or AQE skew-split can help: the OUTPUT itself is quadratic
+   * (skew mitigation only re-spreads input rows, it cannot shrink a
+   * join's result). The fix has to change what is emitted:
+   *
+   * buckets up to `maxBucket` emit all pairs (byte-identical to the
+   * uncapped operator); larger buckets emit a STAR — every member paired
+   * with the bucket's min doc_id hub, O(m) edges. For every downstream
+   * CONNECTIVITY consumer (near-dup clustering / connectedComponents /
+   * leak-free splits — the reason candidate pairs exist) the star is
+   * equivalent: within a bucket, hub-edges connect exactly the same
+   * component the all-pairs clique would (spec-proven CC-equal). Only a
+   * consumer that re-verifies each candidate pair individually (e.g.
+   * exact-Jaccard filtering) wants the uncapped form — a giant bucket
+   * means near-certain duplicates anyway, which exact-dedup-first
+   * already collapses in [[cleanCorpus]].
+   *
+   * Cost shape: the per-bucket count/min is a window over the SAME
+   * band_key exchange the join reuses (no extra shuffle); a 10⁴-dup
+   * corpus produces bands·m star edges instead of bands·m²/2 pairs.
+   */
+  def candidatePairsCapped(
+      sh: DataFrame, k: Int, bands: Int, maxBucket: Int = 64): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sigs = sh.select(col("doc_id"), TextOps.minhashSignature(col("sh"), k).as("sig"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val banded = sigs
+      .select(col("doc_id"), explode(TextOps.bandKeys(col("sig"), k, bands)).as("band_key"))
+      .repartition(col("band_key"))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("hub", min(col("doc_id")).over(w))
+    val small = banded.filter(col("m") <= maxBucket)
+    val a = small.as("a")
+    val b = small.as("b")
+    val allPairs = a
+      .join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val star = banded.filter(col("m") > maxBucket && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("id1"), col("doc_id").as("id2"))
+    allPairs.unionByName(star).distinct()
+  }
+
+  /**
    * SimHash near-dup candidate pairs with exact Hamming verification —
    * completes the SimHash dedup path (signature → pairs). Pigeonhole
    * banding: two 64-bit signatures within Hamming distance d MUST agree

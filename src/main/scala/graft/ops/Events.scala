@@ -31,7 +31,7 @@ object Events {
    * decisions must be identical across engines.
    */
   def sessionize(events: DataFrame): DataFrame = {
-    val e = events.withColumn("tsu", expr("ts div 1000L"))
+    val e = EventTime.normalizeTs(events).withColumn("tsu", expr("ts div 1000L"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
     val withBreak = e.withColumn(
       "is_new",
@@ -69,7 +69,7 @@ object Events {
    * session_window end), vs sessionize's last-event end.
    */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+    EventTime.normalizeTs(events)
       .select(col("user_id"),
         timestamp_micros(expr("ts div 1000L")).as("event_time"), col("value"))
       .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
@@ -108,9 +108,10 @@ object Events {
     // skipping its null ts, emitting an inconsistent (null ts, value)
     // pair. Filter them out up front. NULL LEFT ts rows sort first in
     // their key group, so nothing precedes them and they carry nulls.
-    val rightClean = right.filter(col(tsCol).isNotNull)
+    val leftN = EventTime.normalizeMicros(left, tsCol)
+    val rightClean = EventTime.normalizeMicros(right, tsCol).filter(col(tsCol).isNotNull)
     val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
-    val l = left
+    val l = leftN
       .withColumn("__side", lit(1))
       .select(
         (Seq(col(keyCol), col(tsCol), col("__side")) ++
@@ -154,7 +155,8 @@ object Events {
     val spark = left.sparkSession
     ColumnBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     val node = graft.plans.AsOfJoinNode(
-      ColumnBridge.analyzed(left), ColumnBridge.analyzed(right),
+      ColumnBridge.analyzed(EventTime.normalizeMicros(left, tsCol)),
+      ColumnBridge.analyzed(EventTime.normalizeMicros(right, tsCol)),
       keyCol, tsCol, valueCols, outPrefix = "asof_",
       toleranceMicros = toleranceMicros)
     ColumnBridge.ofRows(spark, node)
@@ -175,7 +177,7 @@ object Events {
    */
   def funnel(events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
       stages: Seq[String]): DataFrame = {
-    val e = events.select(col(keyCol), col(tsCol), col(typeCol))
+    val e = EventTime.normalizeMicros(events, tsCol).select(col(keyCol), col(tsCol), col(typeCol))
     var frontier = e.filter(col(typeCol) === stages.head)
       .groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("t1"))
@@ -204,7 +206,7 @@ object Events {
       events: DataFrame, keyCol: String, tsCol: String, idCol: String,
       maxGapMicros: Long): DataFrame = {
     require(maxGapMicros > 0, s"maxGapMicros must be > 0, got $maxGapMicros")
-    val e = events.select(
+    val e = EventTime.normalizeMicros(events, tsCol).select(
       col(keyCol), col(tsCol),
       col(idCol), expr(s"$tsCol div ${maxGapMicros}L").as("__wid"))
     val l = e.select(
@@ -242,10 +244,10 @@ object Events {
     // gap 0 would divide by zero in the bucketing; equal-ts pairs are a
     // plain equi-join on (key, ts), not a range join
     require(maxGapMicros > 0, s"maxGapMicros must be > 0, got $maxGapMicros")
-    val l = left.select(
+    val l = EventTime.normalizeMicros(left, tsCol).select(
       (Seq(col(keyCol), expr(s"$tsCol div ${maxGapMicros}L").as("__wid"),
         col(tsCol).as("__ts_l")) ++ leftCols.map(c => col(c).as(s"l_$c"))): _*)
-    val r = right.select(
+    val r = EventTime.normalizeMicros(right, tsCol).select(
       (Seq(col(keyCol), expr(s"$tsCol div ${maxGapMicros}L").as("__wid0"),
         col(tsCol).as("__ts_r")) ++ rightCols.map(c => col(c).as(s"r_$c"))): _*)
       .select(
@@ -267,7 +269,7 @@ object Events {
     * Integer `div` — double division would lose precision on epoch-micros
     * scale longs; µs (not ns) so the boundary decision is engine-portable. */
   def tumblingWindows(events: DataFrame, windowMicros: Long = 300L * 1000000L): DataFrame =
-    events
+    EventTime.normalizeTs(events)
       .groupBy(
         col("event_type"),
         expr(s"(ts div 1000L) div ${windowMicros}L").as("window_id"))
@@ -289,7 +291,7 @@ object Events {
    * most). No broadcast hints: the user dimension is unbounded.
    */
   def retention(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
-    val days = events
+    val days = EventTime.normalizeTs(events)
       .select(col("user_id"),
         expr("(ts div 1000L) div 86400000000L").as("day"))
       .distinct()
@@ -319,7 +321,7 @@ object Events {
    */
   def movingAvg(events: DataFrame, windowMicros: Long): DataFrame = {
     require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
-    val e = events.select(
+    val e = EventTime.normalizeTs(events).select(
       col("user_id"), col("event_id"),
       expr("ts div 1000L").as("tsu"),
       round(col("value") * 1000000).cast("long").as("vmic"))
@@ -444,7 +446,7 @@ object Events {
    * oracle's because both engines see µs timestamps.
    */
   def transitions(events: DataFrame): DataFrame = {
-    val e = events.select(
+    val e = EventTime.normalizeTs(events).select(
       col("user_id"), col("event_type"), expr("ts div 1000L").as("tsu"), col("event_id"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
     val pairs = e
@@ -469,7 +471,7 @@ object Events {
    * event (span 0) are excluded.
    */
   def timeWeightedAvg(events: DataFrame): DataFrame = {
-    val e = events.select(
+    val e = EventTime.normalizeTs(events).select(
       col("user_id"), expr("ts div 1000L").as("tsu"), col("event_id"),
       round(col("value") * 1000000).cast("long").as("vmic"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
@@ -499,7 +501,7 @@ object Events {
    */
   def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val userDays = events
+    val userDays = EventTime.normalizeTs(events)
       .select(expr("ts div 86400000000000L").as("day"), col("user_id"))
       .distinct()
     val days = userDays.select(col("day")).distinct()
@@ -534,7 +536,7 @@ object Events {
   def rollingActiveHll(events: DataFrame, windowDays: Int = 7, b: Int = 8): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     import graft.functions.GraftFunctions.{hll_merge_est, hll_registers}
-    val perDay = events
+    val perDay = EventTime.normalizeTs(events)
       .select(expr("ts div 86400000000000L").as("day"),
         col("user_id").cast("string").as("u"))
       .groupBy(col("day"))
@@ -571,7 +573,7 @@ object Events {
   def resampleDailyLocf(events: DataFrame): DataFrame = {
     val byUserDay = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("tsu").desc, col("event_id").desc)
-    val daily = events
+    val daily = EventTime.normalizeTs(events)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsu"), col("value"))
       .withColumn("day", expr("tsu div 86400000000"))
       .withColumn("rn", row_number().over(byUserDay))
@@ -607,7 +609,7 @@ object Events {
   def resampleDailyInterp(events: DataFrame): DataFrame = {
     val byUserDay = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("tsu").desc, col("event_id").desc)
-    val daily = events
+    val daily = EventTime.normalizeTs(events)
       .filter(col("value").isNotNull)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsu"),
         round(col("value"), 6).as("v"))
@@ -654,7 +656,7 @@ object Events {
   def scd2Intervals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("tsu").asc, col("event_id").asc)
-    val changes = events
+    val changes = EventTime.normalizeTs(events)
       .select(col("user_id"), col("event_type"), col("event_id"),
         expr("ts div 1000").as("tsu"),
         // 6-dp round like the latest-value twin: the value is COPIED, so

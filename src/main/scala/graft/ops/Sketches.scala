@@ -354,7 +354,7 @@ object Sketches {
     require(nbins >= 2 && hi > lo, s"bad sketch dims [$lo,$hi)/$nbins")
     require(ps.nonEmpty, "at least one quantile required")
     val w = (hi - lo) / nbins
-    val clean = events
+    val clean = EventTime.normalizeTs(events)
       .select(expr("ts div 86400000000000L").as("day"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))

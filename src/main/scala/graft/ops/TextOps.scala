@@ -868,6 +868,12 @@ object TextOps {
         sum((col("c_dt").cast("decimal(38,0)") * col("t_micro").cast("decimal(38,0)")))
           .as("__s"))
       .select(col("doc_id"), col("n_tokens"),
+        // `div` TRUNCATES TOWARD ZERO (Spark integral division), and __s
+        // is frequently NEGATIVE (log-ratio micros) — engines whose
+        // integer division FLOORS (e.g. Python //) would differ by 1 µunit
+        // on every negative non-exact quotient. The oracle must replay
+        // truncating division (DuckDB's `//` on integers truncates like
+        // Spark; C-family `/` semantics), not floor division.
         expr("cast(__s div n_tokens as bigint)").as("dsir_micro"))
   }
 

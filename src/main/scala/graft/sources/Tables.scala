@@ -56,21 +56,31 @@ object Tables {
    * thousands of KB-scale parquet files whose open/footer overhead
    * dominates scans and whose count overwhelms driver listing at
    * 100 TB. Rewrites `srcPath` into `destPath` with files sized near
-   * `targetMB` (computed from the actual on-disk byte size, so a
-   * 100 GB partition compacts to ~800 files at 128 MB, not a guess).
-   * Uses coalesce (no shuffle) — partition-local concatenation; pass
-   * shuffle=true to rebalance skewed inputs at the cost of one
-   * exchange.
+   * `targetMB`, computed from the ACTUAL on-disk byte total (a
+   * filesystem `getContentSummary` walk — NOT `optimizedPlan.stats.
+   * sizeInBytes`, which multiplies by the parquet compression factor
+   * and would over-split compressed data 2-5×), so a 100 GB directory
+   * compacts to ~800 files at 128 MB. Uses coalesce (no shuffle —
+   * partition-local concatenation) when the target count is a
+   * reduction; falls back to repartition when the target EXCEEDS the
+   * source partition count (coalesce cannot raise parallelism — it
+   * would silently emit too-few, too-big files) or when shuffle=true
+   * is passed to rebalance skewed inputs.
    */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
       targetMB: Int = 128, shuffle: Boolean = false): Int = {
     require(targetMB >= 1, s"targetMB must be >= 1, got $targetMB")
     val src = spark.read.parquet(srcPath)
-    val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val bytes = BigInt(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength)
+    val target = BigInt(targetMB) * 1024L * 1024L
     val nFiles = math.max(1,
-      (bytes / (BigInt(targetMB) * 1024L * 1024L)).toInt +
-        (if (bytes % (BigInt(targetMB) * 1024L * 1024L) > 0) 1 else 0))
-    val out = if (shuffle) src.repartition(nFiles) else src.coalesce(nFiles)
+      (bytes / target).toInt + (if (bytes % target > 0) 1 else 0))
+    val srcParts = src.rdd.getNumPartitions
+    val out =
+      if (shuffle || nFiles > srcParts) src.repartition(nFiles)
+      else src.coalesce(nFiles)
     out.write.format("parquet").mode(SaveMode.Overwrite).save(destPath)
     nFiles
   }

@@ -65,9 +65,13 @@ object EventStreams {
   private def fromMicros(micros: Double): Double =
     BigDecimal(micros / 1000000.0).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** epoch-nanos long → event-time timestamp column (µs precision). */
+  /** `ts` (epoch-nanos long OR timestamp-typed — normalized via
+    * [[graft.ops.EventTime]]) → event-time timestamp column (µs
+    * precision). Every stream entry point funnels through here, so
+    * timestamp-typed sources work end-to-end. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    graft.ops.EventTime.normalizeTs(events)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 5-minute windowed counts/sums per event_type with a
     * 10-minute watermark — the streaming form of

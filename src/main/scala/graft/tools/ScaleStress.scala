@@ -33,14 +33,18 @@ object ScaleStress {
 
     val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val li10Path = s"$workDir/lineitem10.parquet"
     val docs10Path = s"$workDir/documents10.parquet"
+    val emb10Path = s"$workDir/embeddings10.parquet"
     if (!new java.io.File(li10Path).exists()) {
       replicate(li1, Seq("l_orderkey"), 10).write.mode("overwrite").parquet(li10Path)
       replicate(docs1, Seq("doc_id"), 10).write.mode("overwrite").parquet(docs10Path)
+      replicate(emb1, Seq("vec_id"), 10).write.mode("overwrite").parquet(emb10Path)
     }
     val li10 = spark.read.parquet(li10Path)
     val docs10 = spark.read.parquet(docs10Path)
+    val emb10 = spark.read.parquet(emb10Path)
     println(s"[scale] lineitem 1x=${li1.count()} 10x=${li10.count()}; " +
       s"documents 1x=${docs1.count()} 10x=${docs10.count()}")
 
@@ -78,6 +82,23 @@ object ScaleStress {
       "length_ks" -> (d => TextOps.lengthKsDrift(d, "source", "text")),
       "dsir" -> (d => TextOps.dsirWeights(d, "doc_id", "text", "source", "src3")),
       "chunk_stride" -> (d => TextOps.chunkStride(d, "doc_id", "text", 16, 8)))
+    // the r9/r10-verdict heavy trio, on the duplicate-heavy replica
+    // (every text ×10 under distinct ids). Pair-EMITTING ops have an
+    // inherently quadratic-in-multiplicity OUTPUT (each size-c dup
+    // cluster becomes size 10c → ~100× the intra-cluster pairs), so
+    // their honest scale figure separates wall-ratio from output-ratio:
+    // sub-quadratic WORK = wall-ratio tracking output-ratio, not 100×
+    // compute on 100× pairs from a 10× input.
+    val pairCases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "similarity_join" -> (d => Dedup.similarityJoinExact(d, "doc_id", "text", 1, 2)),
+      "winnow_pairs" -> (d => Dedup.winnowPairs(d, "doc_id", "text")))
+    val embCases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "embed_clusters" -> (e => {
+        val c = graft.ops.Similarity.prepared(e, "vec_id", "embedding")
+        Dedup.connectedComponents(c.select(col("vec_id")), "vec_id",
+          graft.ops.Similarity.nearDupPairsLsh(c, 0.4, 64, 4, 64)
+            .select(col("id1"), col("id2")))
+      }))
 
     // warmup
     noop(li1.groupBy(col("l_returnflag")).count())
@@ -90,6 +111,21 @@ object ScaleStress {
       } ++ docCases.map { case (name, q) =>
         val t1 = time(s"$name 1x")(noop(q(docs1)))
         val t10 = time(s"$name 10x")(noop(q(docs10)))
+        name -> t10 / t1
+      } ++ pairCases.map { case (name, q) =>
+        val n1 = q(docs1).count()
+        val t1 = time(s"$name 1x")(noop(q(docs1)))
+        val n10 = q(docs10).count()
+        val t10 = time(s"$name 10x")(noop(q(docs10)))
+        println(f"[scale] $name%-28s pairs 1x=$n1 10x=$n10 " +
+          f"(output-ratio ${n10.toDouble / math.max(1, n1)}%5.2f×)")
+        name -> t10 / t1
+      } ++ embCases.map { case (name, q) =>
+        val n1 = q(emb1).count()
+        val t1 = time(s"$name 1x")(noop(q(emb1)))
+        val n10 = q(emb10).count()
+        val t10 = time(s"$name 10x")(noop(q(emb10)))
+        println(f"[scale] $name%-28s rows 1x=$n1 10x=$n10")
         name -> t10 / t1
       })
       ratios.foreach { case (n, r) => println(f"[scale] ratio $n%-20s ${r}%5.2f×") }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Round-11 hardening: skewed-duplicate LSH stress (r9 verdict task 3).
+  * A corpus where ONE document is repeated ~10⁴ times makes every one of
+  * its band buckets hold 10⁴ members — the all-pairs bucket join's output
+  * is O(m²) (~5·10⁷ candidate pairs), which no AQE skew-split or salting
+  * can reduce (they re-spread input, the OUTPUT stays quadratic). The
+  * mitigation is [[Dedup.candidatePairsCapped]]: oversized buckets emit a
+  * min-id STAR (O(m) edges) that is connectivity-equivalent for every
+  * clustering consumer. */
+class Round11OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def cc(pairs: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Dedup.connectedComponents(nodes, "doc_id", pairs.select(col("id1"), col("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("candidatePairsCapped: 10⁴-duplicate corpus emits O(m) star edges, not O(m²)") {
+    val m = 10000
+    // one hot text repeated m times + a handful of distinct docs
+    val docs = spark.range(m).select(col("id").as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+      .unionByName(Seq(
+        (100000L, "completely different text about spark physical planning"),
+        (100001L, "completely different text about spark physical planning"),
+        (100002L, "a third unrelated document mentioning watermarks and state"))
+        .toDF("doc_id", "text"))
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val pairs = Dedup.candidatePairsCapped(sh, 8, 4, maxBucket = 64)
+    val n = pairs.count()
+    // star: the hot cluster contributes m-1 edges (dedup'd across its 4
+    // bands), the small pair contributes 1 — NOT the ~2·10⁸/4 all-pairs
+    // explosion. Generous bound: a few edges per member, not m²/2.
+    assert(n < 4L * m, s"capped candidate count should be O(m), got $n")
+    assert(n >= m - 1, s"star must still connect all $m duplicates, got $n edges")
+    // the hot cluster is ONE component under the star edges
+    val comp = cc(pairs, docs.select(col("doc_id")))
+    assert((0L until m.toLong).map(comp).distinct.size == 1,
+      "all duplicate copies must share one cluster id")
+    assert(comp(100000L) == comp(100001L) && comp(100000L) != comp(0L))
+  }
+
+  test("candidatePairsCapped: CC-equivalent to the uncapped all-pairs operator") {
+    // moderate corpus with several dup clusters; maxBucket small enough
+    // that the clusters overflow into the star path
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven",
+      "red orange yellow green blue indigo violet ultraviolet light")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, texts(i % 3))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val full = Dedup.candidatePairsFromShingles(sh, 8, 4)
+    val capped = Dedup.candidatePairsCapped(sh, 8, 4, maxBucket = 5)
+    val nodes = docs.select(col("doc_id"))
+    // same partition of the id space (cluster LABELS may differ — compare
+    // the grouping, not the labels; here min-id labeling makes them equal)
+    assert(cc(capped, nodes) == cc(full, nodes))
+    // and the capped edge list is strictly smaller on the overflowing clusters
+    assert(capped.count() < full.count())
+  }
+
+  test("candidatePairsCapped: small buckets are byte-identical to uncapped") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical"),
+      (3L, "ducks swim on the quiet pond under a pale morning sky"),
+      (4L, "a completely unrelated line of text with its own shingles here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val full = Dedup.candidatePairsFromShingles(sh, 8, 4).collect().map(_.toString).sorted
+    val capped = Dedup.candidatePairsCapped(sh, 8, 4, maxBucket = 64)
+      .collect().map(_.toString).sorted
+    assert(capped.toSeq == full.toSeq)
+  }
+}
