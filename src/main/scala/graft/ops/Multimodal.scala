@@ -65,6 +65,50 @@ object Multimodal {
   }
 
   /**
+   * The pluggable decoder seam: a real deployment implements this with
+   * its image/audio library and passes it to [[extractFeatures]] — the
+   * Spark-side plumbing (typed Dataset, per-partition lifecycle, feature
+   * schema) is identical for every codec. `open()` runs ONCE per
+   * partition (where a real codec allocates its native context);
+   * `Session.close()` runs when the partition's rows are exhausted.
+   * Must be Serializable: the codec object ships to executors, the
+   * session never leaves one.
+   */
+  trait MediaCodec extends Serializable {
+    def open(): MediaCodec.Session
+  }
+
+  object MediaCodec {
+    /** One partition's decoder context. */
+    trait Session {
+      /** payload bytes → (width, height, content identity). */
+      def decode(mediaType: String, payload: Array[Byte]): Decoded
+      def close(): Unit = ()
+    }
+    final case class Decoded(width: Int, height: Int, contentHash: String)
+
+    /** The deterministic md5 stub — the oracle implementation: its output
+      * is replayable by any engine, so the gate query can hash-compare it.
+      * A real deployment swaps in a codec-backed implementation; nothing
+      * else changes. */
+    object Stub extends MediaCodec {
+      def open(): Session = new Session {
+        // a real codec initializes its native context here, once per
+        // partition; the stub's "context" is a reusable digest instance
+        private val md = MessageDigest.getInstance("MD5")
+        def decode(mediaType: String, payload: Array[Byte]): Decoded = {
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          Decoded(
+            Integer.parseInt(hex.substring(0, 4), 16) % 1024 + 1,
+            Integer.parseInt(hex.substring(4, 8), 16) % 1024 + 1,
+            hex)
+        }
+      }
+    }
+  }
+
+  /**
    * Deterministic frame sampling — the video-frame / audio-chunk shape:
    * split each payload into `k` contiguous byte ranges (integer offset
    * arithmetic, last frame takes the remainder) and emit one row per
@@ -123,15 +167,31 @@ object Multimodal {
       md5(concat(col("content_hash"), lit(s"_${w}x$h"))).as("content_hash"))
   }
 
-  /** Batched per-partition feature extraction — the real-decoder shape:
-    * one codec init per partition, then a streamed pass over its rows. */
-  def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  /** Batched per-partition feature extraction through the [[MediaCodec]]
+    * seam — the real-decoder shape: one codec `open()` per partition,
+    * a streamed decode pass over its rows, `close()` at exhaustion.
+    * Defaults to the deterministic [[MediaCodec.Stub]] (the oracle
+    * implementation). */
+  def extractFeatures(media: Dataset[MediaRecord],
+      codec: MediaCodec = MediaCodec.Stub)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // (a real decoder would initialize its codec context here, once)
-      rows.map { r =>
-        val (w, h, hash) = decodeStub(r.payload)
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, w, h, hash)
+      val session = codec.open()
+      val out = rows.map { r =>
+        val d = session.decode(r.media_type, r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+          d.width, d.height, d.contentHash)
+      }
+      // close the codec context when the partition is exhausted, without
+      // materializing the iterator
+      new Iterator[MediaFeatures] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) session.close()
+          h
+        }
+        def next(): MediaFeatures = out.next()
       }
     }
   }

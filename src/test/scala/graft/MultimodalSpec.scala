@@ -45,4 +45,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d2.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
       Seq((2, 0L, 1L), (4, 1L, 1L)))
   }
+
+  test("codec seam: an alternate codec flows through the same plumbing as the stub") {
+    implicit val s = spark
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text").as[MediaRecord]
+    // a fake "real" codec with different decode logic and a lifecycle
+    // counter proving open() runs per-partition, not per-row
+    val opens = spark.sparkContext.longAccumulator("codec-opens")
+    val alt = new Multimodal.MediaCodec {
+      def open(): Multimodal.MediaCodec.Session = {
+        opens.add(1L)
+        new Multimodal.MediaCodec.Session {
+          def decode(mediaType: String, payload: Array[Byte]) =
+            Multimodal.MediaCodec.Decoded(
+              payload.length, payload.headOption.map(_.toInt & 0xff).getOrElse(0),
+              s"alt-${payload.length}")
+        }
+      }
+    }
+    val out = Multimodal.extractFeatures(media.repartition(2), alt)
+      .collect().map(f => f.doc_id -> ((f.n_bytes, f.width, f.height, f.content_hash))).toMap
+    // same schema/row flow, alternate per-row metadata
+    assert(out(1L) == (("hello multimodal world".length.toLong,
+      "hello multimodal world".length, 'h'.toInt, s"alt-${"hello multimodal world".length}")))
+    assert(out.keySet == Set(1L, 2L))
+    assert(opens.value == 2L, s"open() once per partition, got ${opens.value}")
+    // and the default codec is the stub: identical to the declarative path
+    val stub = Multimodal.extractFeatures(media)
+      .collect().map(f => f.doc_id -> ((f.width, f.height, f.content_hash))).toMap
+    val declarative = Multimodal.featureColumns(media.toDF())
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    assert(stub == declarative)
+  }
 }
