@@ -308,6 +308,15 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
+    "q_minhash_pairs_capped" -> ((s, dir) =>
+      // skew-proof LSH banding: buckets over maxBucket emit a min-id STAR
+      // (O(m) edges, CC-equivalent) instead of O(m²) all-pairs — the
+      // duplicate-heavy-corpus guard. maxBucket=2 here so the sf0.01
+      // 3-member buckets actually exercise the star branch.
+      Dedup.candidatePairsCapped(
+        Dedup.shingleSets(docs(s, dir), "doc_id", "text"),
+        MinhashK, MinhashBands, maxBucket = 2)),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.verifiedPairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands)),
 
@@ -453,15 +462,13 @@ object SparkEntry {
       // src3-domain unigram LM vs the raw-corpus LM, integer micro-nats
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text", "source", "src3")),
 
-    "q_embed_clusters" -> ((s, dir) => {
+    "q_embed_clusters" -> ((s, dir) =>
       // semantic near-dup clusters: connected components over the
-      // SRP-banded cosine pairs (no all-pairs join anywhere)
-      val c = emb(s, dir)
-      Dedup.connectedComponents(c.select(col("vec_id")), "vec_id",
-        Similarity.nearDupPairsLsh(c, 0.4, SrpPlanes, SrpBandBits, EmbDim)
-          .select(col("id1"), col("id2")))
-        .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    }),
+      // SRP-banded cosine pairs (no all-pairs join anywhere), with
+      // exact-duplicate vectors collapsed to representatives first —
+      // output-identical, and the duplicate-heavy scale guard (the
+      // uncollapsed form measured 32× wall on a 10×-duplicated corpus)
+      Dedup.embedClustersCollapsed(emb(s, dir), 0.4, SrpPlanes, SrpBandBits, EmbDim)),
 
     "q_session_window" -> ((s, dir) =>
       // native session_window aggregation — the merge-in-aggregate
@@ -2123,6 +2130,20 @@ object SparkEntry {
 
     "q_minhash_pairs" ->
       s"$PairsCte\nSELECT id1, id2 FROM pairs_t",
+
+    "q_minhash_pairs_capped" ->
+      s"""$PairsCte,
+         |bstat_t AS (SELECT band_key, count(*) AS m, min(doc_id) AS hub
+         |  FROM bands_t GROUP BY band_key),
+         |bx_t AS (SELECT b.doc_id, b.band_key, s.m, s.hub
+         |  FROM bands_t b JOIN bstat_t s USING (band_key)),
+         |small_t AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bx_t a JOIN bx_t b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE a.m <= 2),
+         |star_t AS (SELECT hub AS id1, doc_id AS id2 FROM bx_t
+         |  WHERE m > 2 AND doc_id <> hub)
+         |SELECT DISTINCT id1, id2 FROM
+         |  (SELECT id1, id2 FROM small_t UNION ALL SELECT id1, id2 FROM star_t)""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""$PairsCte,

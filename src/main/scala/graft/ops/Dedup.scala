@@ -141,13 +141,26 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
     val banded = sigs
       .select(col("doc_id"), explode(TextOps.bandKeys(col("sig"), k, bands)).as("band_key"))
+      // band_key is never null (md5-derived), but the JOIN pushes an
+      // isnotnull(band_key) into its two sides — stating it explicitly
+      // keeps the star branch canonically IDENTICAL to the join sides,
+      // so AQE stage-reuses ONE scan→shingle→sig→explode exchange for
+      // all three consumers (audited via AqePlanProbe)
+      .filter(col("band_key").isNotNull)
       .repartition(col("band_key"))
       .withColumn("m", count(lit(1)).over(w))
       .withColumn("hub", min(col("doc_id")).over(w))
     val small = banded.filter(col("m") <= maxBucket)
     val a = small.as("a")
     val b = small.as("b")
-    val allPairs = a
+    // merge hint: without it AQE broadcasts one (filtered) side at test
+    // scale, whose BroadcastExchange no longer canonically matches the
+    // band_key shuffle — and the scan→shingle→signature pipeline runs
+    // THREE times (audited). Sort-merge keeps all three consumers (both
+    // join sides + the star branch) on the identical exchange →
+    // ReusedExchange computes the corpus pass once. At 100 TB the banded
+    // frame could never broadcast anyway — this pins the scale plan.
+    val allPairs = a.hint("merge")
       .join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
     val star = banded.filter(col("m") > maxBucket && col("doc_id") =!= col("hub"))
@@ -437,6 +450,37 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
         "result would contain split clusters; raise maxIter")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /**
+   * Semantic near-dup clusters over an embedding corpus with
+   * EXACT-DUPLICATE COLLAPSE — the duplicate-heavy-corpus form of
+   * "CC over [[Similarity.nearDupPairsLsh]] pairs". The 10× scale-stress
+   * measured the uncollapsed pipeline at 32× wall on a 10×-duplicated
+   * corpus: m byte-identical copies of a vector share every SRP band
+   * bucket, so candidate pairs (and the CC edge list) grow ~m² while
+   * the real information grows ~m. Collapsing identical vectors to
+   * their min-id representative FIRST ([[Similarity.exactDupReps]]),
+   * clustering representatives only, then rejoining members is
+   * EXACTLY output-equivalent (spec-proven): identical vectors have
+   * identical signatures — so (copyA, copyB) is a candidate iff
+   * (repA, repB) is — and verify at cosine 1, so every copy lands in
+   * its representative's component with the same min-id cluster label.
+   *
+   * Input is a [[Similarity.prepared]] corpus; output (vec_id,
+   * cluster_id) for every input row.
+   */
+  def embedClustersCollapsed(corpus: DataFrame, threshold: Double,
+      planes: Int, bandBits: Int, dim: Int): DataFrame = {
+    val withReps = Similarity.exactDupReps(corpus)
+    val reps = withReps.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val cc = connectedComponents(reps.select(col("vec_id")), "vec_id",
+      Similarity.nearDupPairsLsh(reps, threshold, planes, bandBits, dim)
+        .select(col("id1"), col("id2")))
+    withReps.select(col("vec_id"), col("rep_id"))
+      .join(cc.select(col("doc_id").as("rep_id"), col("cluster_id")), "rep_id")
+      .select(col("vec_id"), col("cluster_id"))
   }
 
   /**

@@ -49,6 +49,20 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"), v.as("v")).withColumn("nrm", l2norm(col("v")))
   }
 
+  /** Exact-duplicate collapse over a [[prepared]] corpus: every vector
+    * maps to the MIN vec_id among byte-identical vectors (`rep_id`).
+    * One window over a vector-content exchange — the pre-pass that keeps
+    * duplicate-heavy corpora out of quadratic pair generation: m copies
+    * of a vector contribute m²-ish SRP candidate pairs downstream, but
+    * only ONE representative needs to participate (identical vectors
+    * always verify at cosine 1, so collapse is exactness-preserving for
+    * any connectivity consumer — see [[Dedup.embedClustersCollapsed]]).
+    * Returns (vec_id, rep_id, v, nrm); representatives are the rows with
+    * vec_id == rep_id. */
+  def exactDupReps(corpus: DataFrame): DataFrame =
+    corpus.withColumn("rep_id",
+      min(col("vec_id")).over(Window.partitionBy(col("v"))))
+
   /**
    * Brute-force exact top-k: for each query vector, the k nearest corpus
    * vectors by cosine (desc), ties broken by smallest neighbor id.

@@ -93,12 +93,11 @@ object ScaleStress {
       "similarity_join" -> (d => Dedup.similarityJoinExact(d, "doc_id", "text", 1, 2)),
       "winnow_pairs" -> (d => Dedup.winnowPairs(d, "doc_id", "text")))
     val embCases: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "embed_clusters" -> (e => {
-        val c = graft.ops.Similarity.prepared(e, "vec_id", "embedding")
-        Dedup.connectedComponents(c.select(col("vec_id")), "vec_id",
-          graft.ops.Similarity.nearDupPairsLsh(c, 0.4, 64, 4, 64)
-            .select(col("id1"), col("id2")))
-      }))
+      "embed_clusters" -> (e =>
+        // the collapsed pipeline (the uncollapsed form measured 32× wall
+        // at 10×: SRP pairs grow ~m² in duplicate multiplicity)
+        Dedup.embedClustersCollapsed(
+          graft.ops.Similarity.prepared(e, "vec_id", "embedding"), 0.4, 64, 4, 64)))
 
     // warmup
     noop(li1.groupBy(col("l_returnflag")).count())

@@ -68,6 +68,31 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(capped.count() < full.count())
   }
 
+  test("embedClustersCollapsed: output-identical to uncollapsed CC on a dup-heavy corpus") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(7)
+    // 6 base vectors: 0/1 near-identical (cos≈1), others spread out;
+    // then every vector duplicated 8× under distinct ids
+    val base = (0 until 6).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      if (i == 1) (1L, (0 until 16).map(d => v(d) + 0.001f).toArray) else (i.toLong, v)
+    }
+    val dup = (0 until 8).flatMap(r => base.map { case (id, v) =>
+      (id + r * 1000L, v.toSeq)
+    })
+    val df = spark.createDataFrame(dup).toDF("vec_id", "embedding")
+    val corpus = Similarity.prepared(df, "vec_id", "embedding")
+    val collapsed = Dedup.embedClustersCollapsed(corpus, 0.4, 16, 4, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Dedup.connectedComponents(corpus.select(col("vec_id")), "vec_id",
+        Similarity.nearDupPairsLsh(corpus, 0.4, 16, 4, 16).select(col("id1"), col("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed == plain)
+    assert(collapsed.size == dup.size)
+    // all 8 copies of vector 3 share one cluster, labeled by the min id
+    assert((0 until 8).map(r => collapsed(3L + r * 1000L)).distinct.size == 1)
+  }
+
   test("candidatePairsCapped: small buckets are byte-identical to uncapped") {
     val docs = Seq(
       (1L, "spark catalyst optimizer rewrites logical plans into physical"),
