@@ -74,7 +74,13 @@ object Bench {
     val p90 = if (spreads.isEmpty) 0.0
       else spreads(((spreads.size - 1) * 9) / 10)
     val fullJson = {
-      val entries = sorted.map { case (k, v, s) =>
+      // failed queries are OMITTED from the map (they are enumerated in
+      // failed[]): a -1 sentinel inside the map silently skews any
+      // consumer that sums/averages/ratios per-query times. The compact
+      // stdout qv field keeps its positional -1s — it is fixed-width
+      // aligned to qk_md5 over ALL names, where omission would shift
+      // every later entry.
+      val entries = sorted.collect { case (k, v, s) if v >= 0 =>
         s""""$k":{"sec":${f3(v)},"spread":${f2(s)}}"""
       }.mkString(",")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":3,"spread_p90":${f2(p90)},"sf":"$sfName","queries":{$entries},"failed":$failed}"""
