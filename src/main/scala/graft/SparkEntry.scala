@@ -1575,6 +1575,12 @@ object SparkEntry {
       // targets, md5-ranked deterministic per-source draw
       TextOps.temperatureMix(docs(s, dir), "source", "doc_id", budget = 200L)),
 
+    "q_budget_select" -> ((s, dir) =>
+      // token-budget data selection: per source, greedily keep the
+      // highest-quality docs while the running BPE-token total stays
+      // within budget — integer cumsum, deterministic quality ranking
+      TextOps.budgetSelect(docs(s, dir), "doc_id", "text", "source", 800L)),
+
     "q_bpe_merges" -> ((s, dir) =>
       // BPE merge-candidate scoring: frequency-weighted adjacent char
       // pairs over the vocabulary, deterministic top-20
@@ -1904,9 +1910,9 @@ object SparkEntry {
 
   /** The q_quality scoring expression over a table with (doc_id, text,
     * toks) columns — shared by q_quality and q_cluster_rep. */
-  private def qualitySelectSql(from: String) = {
+  private def qualitySelectSql(from: String, extraCols: String = "") = {
     val enHits = s"len(list_filter(toks, t -> t IN (${TextOps.EN_STOP.map(w => s"'$w'").mkString(", ")})))"
-    s"""SELECT doc_id, round(
+    s"""SELECT ${extraCols}doc_id, round(
        |  0.3 * (least(len(toks)::DOUBLE, 100.0) / 100.0)
        |  + 0.4 * (CASE WHEN len(toks) > 0 THEN $enHits::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
        |  + 0.3 * (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text)::DOUBLE)
@@ -3685,6 +3691,17 @@ object SparkEntry {
         |SELECT tg.source, tg.n_docs, tg.weight, tg.target_n,
         |  coalesce(sm.sampled_n, 0)::BIGINT AS sampled_n
         |FROM tg LEFT JOIN sm ON tg.source = sm.source""".stripMargin,
+
+    "q_budget_select" ->
+      s"""WITH toks_t AS (SELECT source, doc_id, text, $ToksSql AS toks FROM documents),
+         |q_t AS (${qualitySelectSql("toks_t",
+             "source, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS n_tokens, ")}),
+         |c_t AS (SELECT source, doc_id, quality, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q_t)
+         |SELECT source, doc_id, quality, n_tokens, cum_tokens
+         |FROM c_t WHERE cum_tokens <= 800""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),

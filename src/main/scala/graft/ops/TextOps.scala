@@ -650,6 +650,38 @@ object TextOps {
     size(call_function("regexp_extract_all", lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
 
   /**
+   * Token-budget data selection — the "data budget" step of corpus
+   * assembly: per source, keep the highest-quality documents while the
+   * running BPE-token total stays within `budgetTokens` (greedy by
+   * quality desc, ties → smallest doc_id — fully deterministic, and the
+   * standard practical approximation of quality-per-token knapsack).
+   *
+   * One narrow scoring pass (quality + token count are single-kernel
+   * expressions over the text) and ONE source-partitioned window for
+   * the running sum — per-source state never exceeds one partition's
+   * sort at any corpus size; the cumulative sum is over integer token
+   * counts, so the cutoff decision is exact in every engine (quality
+   * itself is a 6-dp rounded copy both engines compute IEEE-identically
+   * — q_quality's rule).
+   */
+  def budgetSelect(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(
+      col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      qualityScore(col(textCol)).as("quality"),
+      tokenCountBpe(col(textCol)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
+  /**
    * Polynomial rolling-hash fingerprint of the whitespace-normalized
    * lowercase text: fold (acc*31 + codepoint) mod 1e9+7. Integral → exact
    * and identical in every engine. Native kernel

@@ -93,6 +93,27 @@ class Round11OpsSpec extends AnyFunSuite {
     assert((0 until 8).map(r => collapsed(3L + r * 1000L)).distinct.size == 1)
   }
 
+  test("budgetSelect: greedy quality order, exact integer cutoff, per-source budget") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      // srcA: clean English (high quality) vs junk; each ~5-9 BPE tokens
+      (1L, "srcA", "the cat and the dog are good"),
+      (2L, "srcA", "@@ ## $$ %% ^^"),
+      (3L, "srcA", "a book is on the table"),
+      (4L, "srcB", "we have a few words here")
+    ).toDF("doc_id", "source", "text")
+    val sel = TextOps.budgetSelect(docs, "doc_id", "text", "source", 14L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toList
+    val byId = sel.map(x => x._2 -> x._3).toMap
+    // srcA: docs 1 and 3 are high quality (7 and 6 tokens; cum 7, 13 ≤ 14);
+    // junk doc 2 ranks last and would blow the budget → excluded
+    assert(byId.contains(1L) && byId.contains(3L) && !byId.contains(2L))
+    assert(byId(4L) <= 14L) // srcB has its own budget
+    // budget 0 → nothing survives; budget huge → everything does
+    assert(TextOps.budgetSelect(docs, "doc_id", "text", "source", 0L).count() == 0)
+    assert(TextOps.budgetSelect(docs, "doc_id", "text", "source", 1000L).count() == 4)
+  }
+
   test("candidatePairsCapped: small buckets are byte-identical to uncapped") {
     val docs = Seq(
       (1L, "spark catalyst optimizer rewrites logical plans into physical"),
