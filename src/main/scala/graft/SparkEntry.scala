@@ -591,6 +591,30 @@ object SparkEntry {
       Events.asOfJoin(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
     }),
 
+    "q_asof_forward" -> ((s, dir) => {
+      // forward direction: the user's EARLIEST purchase at-or-after each
+      // click (merge_asof direction='forward')
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(round(max(col("value")), 6).as("pvalue"))
+      Events.asOfJoinForward(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+    }),
+
+    "q_asof_nearest" -> ((s, dir) => {
+      // nearest direction: the purchase closest in time to each click,
+      // either side; equal distances resolve to the earlier purchase
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(round(max(col("value")), 6).as("pvalue"))
+      Events.asOfJoinNearest(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+    }),
+
     "q_asof_native" -> ((s, dir) => {
       // same query as q_asof, planned through the custom AsOfJoinExec
       // physical operator (LogicalPlan + Strategy + SparkPlan extension)
@@ -2639,6 +2663,30 @@ object SparkEntry {
         |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
         |SELECT c.user_id, c.tsu, c.event_id, p.ptsu AS asof_tsu, p.pvalue AS asof_pvalue
         |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu <= c.tsu""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),
+        |clicks AS (SELECT user_id, tsu, event_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu AS ptsu, round(max(value), 6) AS pvalue
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
+        |SELECT c.user_id, c.tsu, c.event_id, p.ptsu AS asof_tsu, p.pvalue AS asof_pvalue
+        |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu >= c.tsu""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),
+        |clicks AS (SELECT user_id, tsu, event_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu AS ptsu, round(max(value), 6) AS pvalue
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu),
+        |b AS (SELECT c.user_id, c.tsu, c.event_id, p.ptsu AS btsu, p.pvalue AS bval
+        |  FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu <= c.tsu),
+        |f AS (SELECT c.user_id, c.tsu, c.event_id, p.ptsu AS ftsu, p.pvalue AS fval
+        |  FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu >= c.tsu)
+        |SELECT b.user_id, b.tsu, b.event_id,
+        |  CASE WHEN f.ftsu IS NULL OR (b.btsu IS NOT NULL AND b.tsu - b.btsu <= f.ftsu - f.tsu)
+        |    THEN b.btsu ELSE f.ftsu END AS asof_tsu,
+        |  CASE WHEN f.ftsu IS NULL OR (b.btsu IS NOT NULL AND b.tsu - b.btsu <= f.ftsu - f.tsu)
+        |    THEN b.bval ELSE f.fval END AS asof_pvalue
+        |FROM b JOIN f ON b.user_id = f.user_id AND b.tsu = f.tsu AND b.event_id = f.event_id""".stripMargin,
 
     "q_asof_native" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),

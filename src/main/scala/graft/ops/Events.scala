@@ -140,6 +140,82 @@ object Events {
   }
 
   /**
+   * FORWARD as-of join: for every left row, the EARLIEST right row with
+   * `right.ts >= left.ts` in the same key group (pandas
+   * `merge_asof(direction='forward')`). Implemented as the exact mirror
+   * of [[asOfJoin]] under time negation — run the backward join on −ts —
+   * so the one-window-shuffle plan shape, null handling and equal-ts
+   * INCLUSIVE boundary all carry over unchanged.
+   */
+  def asOfJoinForward(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val nl = EventTime.normalizeMicros(left, tsCol).withColumn(tsCol, -col(tsCol))
+    val nr = EventTime.normalizeMicros(right, tsCol).withColumn(tsCol, -col(tsCol))
+    asOfJoin(nl, nr, keyCol, tsCol, valueCols)
+      .withColumn(tsCol, -col(tsCol))
+      .withColumn(s"asof_$tsCol", -col(s"asof_$tsCol"))
+  }
+
+  /**
+   * NEAREST as-of join: for every left row, the right row in the same
+   * key group whose ts is CLOSEST (either direction); ties — equal
+   * distance before and after — resolve to the earlier (backward) row,
+   * deterministically. Same output schema as [[asOfJoin]].
+   *
+   * Plan shape: both directional carries run over ONE union frame and
+   * one key-partition exchange — the ascending window computes the
+   * latest right ≤ ts, the descending window the earliest right ≥ ts
+   * (right rows sort before the left row at equal ts in BOTH passes:
+   * inclusive boundaries). Two sorts, one shuffle — cheaper than
+   * joining the backward and forward results (which would need a
+   * unique left row id and a third shuffle).
+   */
+  def asOfJoinNearest(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftN = EventTime.normalizeMicros(left, tsCol)
+    val rightClean = EventTime.normalizeMicros(right, tsCol).filter(col(tsCol).isNotNull)
+    val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val l = leftN
+      .withColumn("__side", lit(1))
+      .select(
+        (Seq(col(keyCol), col(tsCol), col("__side")) ++
+          leftCols.map(col) ++
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = rightClean
+      .withColumn("__side", lit(0))
+      .select(
+        (Seq(col(keyCol), col(tsCol), col("__side")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          valueCols.map(col)): _*)
+    val wB = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCarries = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__b_$c", last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wB))
+        .withColumn(s"__f_$c", last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wF))
+    }
+      .withColumn("__b_ts", last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(wB))
+      .withColumn("__f_ts", last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(wF))
+    // choose backward when forward is absent, or both exist and the
+    // backward distance is <= the forward distance (tie → earlier)
+    val chooseB = col("__f_ts").isNull ||
+      (col("__b_ts").isNotNull &&
+        (col(tsCol) - col("__b_ts")) <= (col("__f_ts") - col(tsCol)))
+    withCarries
+      .filter(col("__side") === 1)
+      .select(
+        (Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
+          (when(chooseB, col("__b_ts")).otherwise(col("__f_ts")).as(s"asof_$tsCol") +:
+            valueCols.map(c =>
+              when(chooseB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"asof_$c")))): _*)
+  }
+
+  /**
    * AS-OF join via the custom physical operator
    * ([[graft.plans.AsOfJoinExec]]): same semantics and output columns as
    * [[asOfJoin]] (spec-checked equal), but planned as a streaming

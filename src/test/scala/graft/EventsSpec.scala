@@ -51,6 +51,29 @@ class EventsSpec extends AnyFunSuite {
     assert(r("c9") == (-1L, -1.0))     // other key's purchases invisible
   }
 
+  test("asOfJoinForward / asOfJoinNearest: direction semantics, inclusive bounds, tie → backward") {
+    val clicks = Seq((1L, 100L, "c1"), (1L, 200L, "c2"), (1L, 50L, "c0"),
+        (1L, 125L, "cm"), (2L, 100L, "c9"))
+      .toDF("user_id", "tsu", "tag")
+    val purchases = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (2L, 300L, 9.0))
+      .toDF("user_id", "tsu", "pvalue")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getString(2), (
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) -1.0 else x.getDouble(4)))).toMap
+    val f = m(Events.asOfJoinForward(clicks, purchases, "user_id", "tsu", Seq("pvalue")))
+    assert(f("c0") == (100L, 10.0))   // earliest at-or-after
+    assert(f("c1") == (100L, 10.0))   // equal ts matches (>=)
+    assert(f("c2") == (-1L, -1.0))    // after the last purchase → null
+    assert(f("c9") == (300L, 9.0))    // key 2 forward match
+    val n = m(Events.asOfJoinNearest(clicks, purchases, "user_id", "tsu", Seq("pvalue")))
+    assert(n("c0") == (100L, 10.0))   // only forward exists
+    assert(n("c1") == (100L, 10.0))   // distance 0
+    assert(n("c2") == (150L, 20.0))   // only backward exists
+    assert(n("cm") == (100L, 10.0))   // 125 is 25 from both → tie → EARLIER
+    assert(n("c9") == (300L, 9.0))
+  }
+
   test("asOfJoinNative: custom AsOfJoinExec == window form, and is planned") {
     val clicks = Seq((1L, 100L, "c1"), (1L, 200L, "c2"), (1L, 50L, "c0"), (2L, 100L, "c9"))
       .toDF("user_id", "tsu", "tag")
