@@ -289,6 +289,24 @@ object SparkEntry {
         "fp")
     }),
 
+    "q_neardup_incremental" -> ((s, dir) => {
+      // snapshot-ingest NEAR-dup: even doc_ids are the historical corpus
+      // (persisted LSH band-key index), odd doc_ids the new shard; a new
+      // doc is flagged iff it shares a band key with history
+      val d = docs(s, dir)
+      Dedup.neardupIncremental(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        Dedup.bandKeyIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", MinhashK, MinhashBands),
+        MinhashK, MinhashBands)
+    }),
+
+    "q_dedup_spans" -> ((s, dir) =>
+      // corpus-wide duplicated-span removal (n-gram-grained substring
+      // dedup): every non-first occurrence of a duplicated 8-token span
+      // is cut; per-doc stats + the cleaned normalized text
+      Dedup.dedupSpans(docs(s, dir), "doc_id", "text", gram = 8)),
+
     "q_user_stats" -> ((s, dir) =>
       // the reference aggregates composed in a real pipeline query
       t(s, dir, "events")
@@ -2117,6 +2135,43 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, text_hash FROM nd
         |WHERE text_hash NOT IN (SELECT fp FROM idx)
         |GROUP BY text_hash""".stripMargin,
+
+    "q_neardup_incremental" ->
+      s"""$PairsCte
+         |SELECT n.doc_id, min(e.doc_id) AS dup_of
+         |FROM bands_t n JOIN bands_t e ON n.band_key = e.band_key
+         |WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+         |GROUP BY n.doc_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |g AS (SELECT doc_id, s AS pos,
+        |    md5(array_to_string(tk[(s + 1):(s + 8)], ' ')) AS h
+        |  FROM toks, unnest(range(0, len(tk) - 8 + 1)) t(s)),
+        |r AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM g),
+        |d AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + u AS i FROM d, unnest(range(0, 8)) v(u)),
+        |sp AS (SELECT doc_id,
+        |    sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)::BIGINT AS n_spans
+        |  FROM (SELECT doc_id, pos, max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM d)
+        |  GROUP BY doc_id),
+        |tp AS (SELECT doc_id, j - 1 AS i, tk[j] AS tok
+        |  FROM toks, unnest(range(1, len(tk) + 1)) t(j)),
+        |kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tp
+        |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |dc AS (SELECT doc_id, count(*)::BIGINT AS dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+        |  coalesce(dc.dup_tokens, 0) AS dup_tokens,
+        |  coalesce(sp.n_spans, 0) AS n_spans,
+        |  coalesce(cl.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN dc USING (doc_id) LEFT JOIN sp USING (doc_id)
+        |  LEFT JOIN cl ON t.doc_id = cl.doc_id""".stripMargin,
 
     "q_chunk_stride" ->
       """WITH toks AS (SELECT doc_id,

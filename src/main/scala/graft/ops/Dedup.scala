@@ -168,6 +168,113 @@ object Dedup {
     allPairs.unionByName(star).distinct()
   }
 
+  /** (doc_id, band_key) LSH rows for a corpus — the PERSISTABLE near-dup
+    * index. At 100 TB this is what lives between snapshots: ~bands rows
+    * of (id, 32-byte key) per document, written bucketed by band_key
+    * ([[graft.sources.Tables.writeBucketed]]) so incremental probes
+    * ([[neardupIncremental]]) join it shuffle-free. */
+  def bandKeyIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame =
+    shingleSets(docs, idCol, textCol)
+      .select(col("doc_id"), TextOps.minhashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"), explode(TextOps.bandKeys(col("sig"), k, bands)).as("band_key"))
+
+  /**
+   * Incremental NEAR-dup — the snapshot-ingest twin of
+   * [[dedupIncremental]] (which is exact-hash only): a new shard is
+   * probed against the historical [[bandKeyIndex]]; a new doc is flagged
+   * iff it shares ≥1 LSH band key with an existing doc, `dup_of` = the
+   * smallest matching historical id. Only flagged rows return.
+   *
+   * Scale: the full corpus is NEVER re-signatured — the index side ships
+   * (id, band_key) only, and stored bucketed by band_key the probe join
+   * shuffles just the (small) daily shard's band rows. min-aggregation
+   * instead of a window keeps the reduce partial-agg friendly.
+   */
+  def neardupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      bandIndex: DataFrame, k: Int, bands: Int): DataFrame =
+    bandKeyIndex(newDocs, idCol, textCol, k, bands)
+      .repartition(col("band_key"))
+      .join(bandIndex.select(col("doc_id").as("__ex_id"), col("band_key")), "band_key")
+      .groupBy(col("doc_id"))
+      .agg(min(col("__ex_id")).as("dup_of"))
+
+  /**
+   * Corpus-wide duplicated-SPAN removal — the n-gram-grained distributed
+   * form of exact-substring training-data dedup (Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better"): every
+   * occurrence of a `gram`-token span that appears more than once in the
+   * corpus is removed EXCEPT the globally first (smallest (doc_id,
+   * position)). Pair detection ([[winnowPairs]]) says who copied whom;
+   * this produces the cleaned corpus itself.
+   *
+   * Returns (doc_id, n_tokens, dup_tokens, n_spans, clean_text) for every
+   * document: token count, tokens covered by removed spans, count of
+   * maximal removed intervals, and the surviving tokens re-joined
+   * (normalized: lowercased alnum tokens, single-space separated).
+   *
+   * Scale: one corpus-wide shuffle of (gram-hash, doc_id, pos) rows is
+   * the irreducible price of GLOBAL substring dedup (the distributed
+   * stand-in for a suffix array). It is paid as a partial-aggregable
+   * groupBy — min(struct(doc_id,pos)) + count per hash, NOT a
+   * row_number window (no global per-hash sort); the gram frame is
+   * pre-partitioned by hash so the aggregate and the occurrence-side
+   * join share ONE exchange (ReuseExchange). Everything downstream
+   * (coverage, interval merge, rejoin) is per-document.
+   */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      gram: Int): DataFrame = {
+    require(gram >= 2, s"gram must be >= 2, got $gram")
+    // repartition by doc_id: the three consumers (gram stream, token
+    // positions, per-doc stats) share ONE scan+tokenize exchange
+    val toks = docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
+      .repartition(col("doc_id"))
+    // every gram occurrence, hash-partitioned once for both consumers
+    val g = toks
+      .filter(size(col("tk")) >= gram)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - gram)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(gram)))).as("h"))
+      .repartition(col("h"))
+    // first occurrence per duplicated hash: an aggregation (map-side
+    // combinable), deliberately not a row_number window
+    val firsts = g.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    // non-first occurrences of duplicated grams = spans to remove
+    val d = g.join(firsts, "h")
+      .filter(!(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val cov = d
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (gram - 1))).as("i"))
+      .distinct()
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val spans = d
+      .withColumn("prev_end", max(col("pos") + gram).over(ws))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1L)
+        .otherwise(0L)).as("n_spans"))
+    val tokPos = toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("i", "tok")))
+    val cleaned = tokPos
+      .join(cov, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    val dupCnt = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(dupCnt, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /**
    * SimHash near-dup candidate pairs with exact Hamming verification —
    * completes the SimHash dedup path (signature → pairs). Pigeonhole

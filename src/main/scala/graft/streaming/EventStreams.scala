@@ -134,6 +134,37 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("text_hash")
 
   /**
+   * Streaming twin of [[graft.ops.Dedup.neardupIncremental]]: each
+   * arriving doc is MinHash-banded and probed against the STATIC
+   * historical [[graft.ops.Dedup.bandKeyIndex]] via a stream-static
+   * equi-join; a doc sharing ≥1 band key with history emits
+   * (window, doc_id, dup_of = min matching historical id) once its
+   * event-time window expires. The index never recomputes per batch
+   * (static side; broadcast when small, bucketed by band_key at
+   * scale); only flagged docs reach the aggregation state, and the
+   * watermark bounds it.
+   */
+  def neardupStream(docs: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, bandIndex: DataFrame, k: Int, bands: Int,
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val banded = docs
+      .select(col(idCol).as("doc_id"), col(eventTimeCol).as("event_time"),
+        graft.ops.TextOps.tokenShingles(col(textCol)).as("sh"))
+      .select(col("doc_id"), col("event_time"),
+        graft.ops.TextOps.minhashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"), col("event_time"),
+        explode(graft.ops.TextOps.bandKeys(col("sig"), k, bands)).as("band_key"))
+    // watermark BEFORE the inner probe join: an unmatched row must still
+    // advance event time, or windows never close on quiet streams
+    banded
+      .withWatermark("event_time", watermarkDelay)
+      .join(bandIndex.select(col("doc_id").as("__ex_id"), col("band_key")), "band_key")
+      .groupBy(window(col("event_time"), windowLen), col("doc_id"))
+      .agg(min(col("__ex_id")).as("dup_of"))
+  }
+
+  /**
    * Gap-based (30 min) sessionization with
    * `flatMapGroupsWithState` + event-time timeout: batch events merge
    * into the open session; a gap or watermark timeout closes and emits

@@ -127,4 +127,52 @@ class Round11OpsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(capped.toSeq == full.toSeq)
   }
+
+  test("neardupIncremental: new shard probes the historical band index") {
+    val hist = Seq(
+      (2L, "spark catalyst optimizer rewrites logical plans into physical trees"),
+      (4L, "ducks swim on the quiet pond under a pale morning sky today"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, "spark catalyst optimizer rewrites logical plans into physical trees"),
+      (13L, "an entirely new document about watermark state and session windows"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.bandKeyIndex(hist, "doc_id", "text", 8, 4)
+    val out = Dedup.neardupIncremental(fresh, "doc_id", "text", idx, 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the verbatim copy is flagged against its historical twin; the
+    // genuinely new doc is NOT flagged
+    assert(out == Map(11L -> 2L))
+  }
+
+  test("dedupSpans: non-first occurrences of duplicated 8-grams are cut") {
+    val span = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),            // first occurrence kept
+      (2L, s"prefix words here $span and a suffix tail"), // copy removed
+      (3L, "completely original text with no repeated span at all ok"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", gram = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((12L, 0L, 0L, s"alpha beta $span gamma delta")))
+    // doc 2: the 8 copied tokens cut as ONE merged span, rest survives
+    assert(out(2L) == ((15L, 8L, 1L, "prefix words here and a suffix tail")))
+    assert(out(3L)._2 == 0L && out(3L)._4.startsWith("completely original"))
+  }
+
+  test("dedupSpans: overlapping duplicated grams merge into one interval") {
+    // doc 2 copies a 10-token run from doc 1 → three overlapping dup
+    // 8-grams covering positions 0..9 = ONE merged 10-token span
+    val run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = Seq(
+      (1L, s"$run closing words"),
+      (2L, s"$run different ending"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", gram = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((0L, 0L, s"$run closing words")))
+    assert(out(2L) == ((10L, 1L, "different ending")))
+  }
 }

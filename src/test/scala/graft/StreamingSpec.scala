@@ -107,6 +107,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("neardupStream: stream-static band probe equals batch neardupIncremental") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val hist = Seq(
+      (2L, "spark catalyst optimizer rewrites logical plans into physical trees"),
+      (4L, "ducks swim on the quiet pond under a pale morning sky today"))
+      .toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.bandKeyIndex(hist, "doc_id", "text", 8, 4)
+    val fresh = Seq(
+      (11L, "spark catalyst optimizer rewrites logical plans into physical trees", ts(0)),
+      (13L, "an entirely new document about watermark state and session windows", ts(1)),
+      (15L, "ducks swim on the quiet pond under a pale morning sky today", ts(2)))
+    val flush = (99L, "flush row far in the future to close every window", ts(600))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.neardupStream(
+      in.toDF().toDF("doc_id", "text", "event_time"), "doc_id", "text",
+      "event_time", idx, 8, 4)
+      .writeStream.format("memory").queryName("neardup_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(fresh: _*)
+      q.processAllAvailable()
+      in.addData(flush)
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id, dup_of FROM neardup_stream_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.Dedup.neardupIncremental(
+        fresh.map(x => (x._1, x._2)).toDF("doc_id", "text"),
+        "doc_id", "text", idx, 8, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == batch)
+      assert(out == Map(11L -> 2L, 15L -> 4L))
+    } finally q.stop()
+  }
+
   test("file-source -> windowed aggs -> parquet sink round trip (real source+sink)") {
     implicit val s = spark
     import s.implicits._
