@@ -2154,9 +2154,9 @@ object SparkEntry {
         |d AS (SELECT doc_id, pos FROM r WHERE rn > 1),
         |cov AS (SELECT DISTINCT doc_id, pos + u AS i FROM d, unnest(range(0, 8)) v(u)),
         |sp AS (SELECT doc_id,
-        |    sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)::BIGINT AS n_spans
-        |  FROM (SELECT doc_id, pos, max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM d)
+        |    sum(CASE WHEN prev_i IS NULL OR i - prev_i > 1 THEN 1 ELSE 0 END)::BIGINT AS n_spans
+        |  FROM (SELECT doc_id, i,
+        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i FROM cov)
         |  GROUP BY doc_id),
         |tp AS (SELECT doc_id, j - 1 AS i, tk[j] AS tok
         |  FROM toks, unnest(range(1, len(tk) + 1)) t(j)),

@@ -210,24 +210,33 @@ object Dedup {
    *
    * Returns (doc_id, n_tokens, dup_tokens, n_spans, clean_text) for every
    * document: token count, tokens covered by removed spans, count of
-   * maximal removed intervals, and the surviving tokens re-joined
+   * maximal CONTIGUOUS removed runs, and the surviving tokens re-joined
    * (normalized: lowercased alnum tokens, single-space separated).
    *
    * Scale: one corpus-wide shuffle of (gram-hash, doc_id, pos) rows is
    * the irreducible price of GLOBAL substring dedup (the distributed
    * stand-in for a suffix array). It is paid as a partial-aggregable
    * groupBy — min(struct(doc_id,pos)) + count per hash, NOT a
-   * row_number window (no global per-hash sort); the gram frame is
-   * pre-partitioned by hash so the aggregate and the occurrence-side
-   * join share ONE exchange (ReuseExchange). Everything downstream
-   * (coverage, interval merge, rejoin) is per-document.
+   * row_number window (no global per-hash sort); the occurrence join is
+   * merge-hinted so both consumers reuse the one gram-hash exchange
+   * (an AQE broadcast would break canonical reuse and re-run the gram
+   * pipeline per consumer — audited). Everything downstream is ONE
+   * per-document pass: token positions left-join the covered-position
+   * set, and a single doc-partitioned window + groupBy produces all
+   * four outputs (run starts via lag, kept tokens via null-skipping
+   * collect_list) — no per-metric re-expansion of the corpus subtree.
    */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
       gram: Int): DataFrame = {
     require(gram >= 2, s"gram must be >= 2, got $gram")
     // repartition by doc_id: the three consumers (gram stream, token
-    // positions, per-doc stats) share ONE scan+tokenize exchange
-    val toks = docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
+    // positions, per-doc stats) share ONE scan+tokenize exchange.
+    // isnotnull(doc_id) is stated explicitly: the downstream left-outer
+    // coverage join infers it on ONE gram-pipeline consumer only, which
+    // would break canonical exchange reuse with the aggregate consumer
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
       .repartition(col("doc_id"))
     // every gram occurrence, hash-partitioned once for both consumers
     val g = toks
@@ -236,6 +245,11 @@ object Dedup {
         explode(sequence(lit(0), size(col("tk")) - gram)).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(gram)))).as("h"))
+      // h is never null (md5 of a non-null concat), but the inner join
+      // pushes isnotnull(h) into ITS side only — stating it explicitly
+      // keeps the aggregate side canonically IDENTICAL, so ReuseExchange
+      // runs the tokenize+explode+md5 gram pipeline ONCE for both
+      .filter(col("h").isNotNull)
       .repartition(col("h"))
     // first occurrence per duplicated hash: an aggregation (map-side
     // combinable), deliberately not a row_number window
@@ -243,33 +257,32 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
     // non-first occurrences of duplicated grams = spans to remove
-    val d = g.join(firsts, "h")
+    val d = g.hint("merge").join(firsts, "h")
       .filter(!(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos"))
     val cov = d
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (gram - 1))).as("i"))
       .distinct()
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val spans = d
-      .withColumn("prev_end", max(col("pos") + gram).over(ws))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1L)
-        .otherwise(0L)).as("n_spans"))
+      .withColumn("__c", lit(true))
     val tokPos = toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("i", "tok")))
-    val cleaned = tokPos
-      .join(cov, Seq("doc_id", "i"), "left_anti")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val agg = tokPos
+      .join(cov, Seq("doc_id", "i"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(false)))
+      .withColumn("__pc", lag(col("__c"), 1, false).over(wd))
       .groupBy(col("doc_id"))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("dup_tokens"),
+        sum(when(col("__c") && !col("__pc"), 1L).otherwise(0L)).as("n_spans"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("__c"), struct(col("i"), col("tok"))))),
           x => x.getField("tok"))).as("clean_text"))
-    val dupCnt = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
-    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
-      .join(dupCnt, Seq("doc_id"), "left")
-      .join(spans, Seq("doc_id"), "left")
-      .join(cleaned, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
+    // docs with zero tokens have no token-position rows: restore them
+    toks.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))

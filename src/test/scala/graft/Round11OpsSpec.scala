@@ -175,4 +175,20 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out(1L) == ((0L, 0L, s"$run closing words")))
     assert(out(2L) == ((10L, 1L, "different ending")))
   }
+
+  test("dedupSpans: abutting removed regions count as ONE contiguous run") {
+    // doc 2 copies two DIFFERENT 8-token runs from docs 1a/1b that sit
+    // back-to-back in doc 2: coverage is contiguous → n_spans = 1
+    val runA = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val runB = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"$runA tail words here"),
+      (2L, s"$runB other tail words"),
+      (3L, s"$runA $runB distinct ending"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", gram = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(3L) == ((16L, 1L, "distinct ending")))
+  }
 }
