@@ -188,14 +188,21 @@ object Dedup {
    *
    * Scale: the full corpus is NEVER re-signatured — the index side ships
    * (id, band_key) only, and stored bucketed by band_key the probe join
-   * shuffles just the (small) daily shard's band rows. min-aggregation
-   * instead of a window keeps the reduce partial-agg friendly.
+   * shuffles just the (small) daily shard's band rows. The index is
+   * pre-reduced to its per-band MIN id before the join: dup_of is a min
+   * over matching (band, historical id) pairs, and min over bands of
+   * per-band mins is the same value — so a duplicate-flooded band
+   * bucket (10⁴ historical copies) contributes ONE probe row instead of
+   * making the join output quadratic. min-aggregation instead of a
+   * window keeps both reduces partial-agg friendly.
    */
   def neardupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
       bandIndex: DataFrame, k: Int, bands: Int): DataFrame =
     bandKeyIndex(newDocs, idCol, textCol, k, bands)
       .repartition(col("band_key"))
-      .join(bandIndex.select(col("doc_id").as("__ex_id"), col("band_key")), "band_key")
+      .join(
+        bandIndex.groupBy(col("band_key")).agg(min(col("doc_id")).as("__ex_id")),
+        "band_key")
       .groupBy(col("doc_id"))
       .agg(min(col("__ex_id")).as("dup_of"))
 

@@ -156,10 +156,15 @@ object EventStreams {
       .select(col("doc_id"), col("event_time"),
         explode(graft.ops.TextOps.bandKeys(col("sig"), k, bands)).as("band_key"))
     // watermark BEFORE the inner probe join: an unmatched row must still
-    // advance event time, or windows never close on quiet streams
+    // advance event time, or windows never close on quiet streams.
+    // The static index pre-reduces to its per-band min id (same dup_of,
+    // see Dedup.neardupIncremental) so a duplicate-flooded band bucket
+    // cannot make the probe join output quadratic.
     banded
       .withWatermark("event_time", watermarkDelay)
-      .join(bandIndex.select(col("doc_id").as("__ex_id"), col("band_key")), "band_key")
+      .join(
+        bandIndex.groupBy(col("band_key")).agg(min(col("doc_id")).as("__ex_id")),
+        "band_key")
       .groupBy(window(col("event_time"), windowLen), col("doc_id"))
       .agg(min(col("__ex_id")).as("dup_of"))
   }

@@ -81,7 +81,20 @@ object ScaleStress {
       "source_kl" -> (d => TextOps.sourceKlDivergence(d, "source", "text")),
       "length_ks" -> (d => TextOps.lengthKsDrift(d, "source", "text")),
       "dsir" -> (d => TextOps.dsirWeights(d, "doc_id", "text", "source", "src3")),
-      "chunk_stride" -> (d => TextOps.chunkStride(d, "doc_id", "text", 16, 8)))
+      "chunk_stride" -> (d => TextOps.chunkStride(d, "doc_id", "text", 16, 8)),
+      // round-11 additions. dedup_spans on the ×10 replica is its own
+      // worst case: EVERY gram is duplicated, so the removal set d is
+      // ~9/10 of all gram occurrences — heavy but linear (the
+      // first-occurrence reduce emits one row per hash; the occurrence
+      // join output equals its input). neardup_incr probes odd ids
+      // against the even-id band index; the ×10 replica preserves id
+      // parity, so every band bucket holds ~10 historical copies — the
+      // per-band min pre-reduction is what keeps the probe join linear.
+      "dedup_spans" -> (d => Dedup.dedupSpans(d, "doc_id", "text", 8)),
+      "neardup_incr" -> (d => Dedup.neardupIncremental(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        Dedup.bandKeyIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 8, 4), 8, 4)))
     // the r9/r10-verdict heavy trio, on the duplicate-heavy replica
     // (every text ×10 under distinct ids). Pair-EMITTING ops have an
     // inherently quadratic-in-multiplicity OUTPUT (each size-c dup

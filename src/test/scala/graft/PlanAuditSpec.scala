@@ -140,6 +140,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Sort \\[event_type".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q_dedup_spans: gram pipeline runs once (reused exchange), first-occurrence reduce is partial-agg") {
+    val df = SparkEntry.queries("q_dedup_spans")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut < 0) plan else plan.substring(0, cut)
+    // the occurrence join's second consumer of the (doc_id,pos,h) gram
+    // exchange must be a ReusedExchange — not a re-run of
+    // tokenize+explode+md5 (the AQE-broadcast / one-sided-isnotnull trap)
+    assert(finalPlan.contains("ReusedExchange"), plan)
+    // first-occurrence-per-hash is a map-side-combinable aggregation,
+    // not a row_number window (no global per-hash sort)
+    assert(finalPlan.contains("partial_min(struct(doc_id"), plan)
+    assert(!finalPlan.contains("row_number"), plan)
+  }
+
+  test("q_neardup_incremental: index pre-reduces to per-band min BEFORE the probe join") {
+    val plan = planOf("q_neardup_incremental")
+    // duplicate-flood guard: a band bucket with m historical copies must
+    // contribute ONE probe row, so the join output stays linear
+    assert("keys=\\[band_key[\\s\\S]{0,120}partial_min\\(doc_id".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("WHOLE GATE: no CartesianProduct anywhere; nested-loop joins only on bounded broadcasts") {
     // The scale-killer regression net: every gate query's physical plan
     // is checked. BroadcastNestedLoopJoin is legal ONLY where the build
