@@ -307,6 +307,28 @@ object SparkEntry {
       // is cut; per-doc stats + the cleaned normalized text
       Dedup.dedupSpans(docs(s, dir), "doc_id", "text", gram = 8)),
 
+    "q_index_maintain" -> ((s, dir) => {
+      // snapshot maintenance of the LSH band index WITHOUT a rebuild:
+      // start = even ids, retire ids divisible by 10, add odd ids
+      val d = docs(s, dir)
+      Dedup.updateBandIndex(
+        Dedup.bandKeyIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", MinhashK, MinhashBands),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        d.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+        MinhashK, MinhashBands)
+    }),
+
+    "q_corpus_diff" -> ((s, dir) => {
+      // dataset-versioning triage: src0/src1 is the old snapshot, the
+      // rest the new; per content hash added/removed/common counts
+      val d = docs(s, dir)
+      Dedup.corpusDiff(
+        d.filter(col("source").isin("src0", "src1")),
+        d.filter(!col("source").isin("src0", "src1")),
+        "doc_id", "text")
+    }),
+
     "q_user_stats" -> ((s, dir) =>
       // the reference aggregates composed in a real pipeline query
       t(s, dir, "events")
@@ -2142,6 +2164,26 @@ object SparkEntry {
          |FROM bands_t n JOIN bands_t e ON n.band_key = e.band_key
          |WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
          |GROUP BY n.doc_id""".stripMargin,
+
+    "q_index_maintain" ->
+      s"""$PairsCte
+         |SELECT doc_id, band_key FROM bands_t
+         |WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0) OR doc_id % 2 = 1""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT md5(text) AS text_hash, count(*) AS n_old FROM documents
+        |  WHERE source IN ('src0', 'src1') GROUP BY md5(text)),
+        |n AS (SELECT md5(text) AS text_hash, count(*) AS n_new FROM documents
+        |  WHERE source NOT IN ('src0', 'src1') GROUP BY md5(text)),
+        |j AS (SELECT coalesce(o.text_hash, n.text_hash) AS h, o.n_old, n.n_new
+        |  FROM o FULL OUTER JOIN n ON o.text_hash = n.text_hash)
+        |SELECT CASE WHEN n_old IS NULL THEN 'added'
+        |            WHEN n_new IS NULL THEN 'removed'
+        |            ELSE 'common' END AS status,
+        |  count(*) AS n_texts,
+        |  sum(coalesce(n_old, 0))::BIGINT AS n_docs_old,
+        |  sum(coalesce(n_new, 0))::BIGINT AS n_docs_new
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q_dedup_spans" ->
       """WITH toks AS (SELECT doc_id,

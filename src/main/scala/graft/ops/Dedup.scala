@@ -206,6 +206,50 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("__ex_id")).as("dup_of"))
 
+  /** Maintain a persisted [[bandKeyIndex]] across snapshots without a
+    * full rebuild: drop the rows of removed docs, append the banded rows
+    * of the new shard. Both inputs are id-keyed deltas — at 100 TB the
+    * historical index never re-signatures; written back bucketed by
+    * band_key the result stays probe-ready ([[neardupIncremental]]).
+    * Spec-proven equal to a from-scratch rebuild of the surviving set. */
+  def updateBandIndex(index: DataFrame, addedDocs: DataFrame,
+      idCol: String, textCol: String, removedIds: DataFrame,
+      k: Int, bands: Int): DataFrame = {
+    val removed = removedIds.select(col(removedIds.columns.head).as("__rm_id"))
+    index
+      .join(removed, col("doc_id") === col("__rm_id"), "left_anti")
+      .unionByName(bandKeyIndex(addedDocs, idCol, textCol, k, bands))
+  }
+
+  /**
+   * Snapshot diff — dataset-versioning triage between two corpus
+   * snapshots: per content hash, is it `added` (only in the new
+   * snapshot), `removed` (only in the old), or `common`? Returns
+   * (status, n_texts, n_docs_old, n_docs_new). One hash-keyed
+   * shuffle per side feeding a full-outer join of two pre-aggregated
+   * (hash → count) frames — documents never cross the wire, and the
+   * join inputs are already distinct-per-hash so its output is bounded
+   * by the distinct-text count.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def hashed(df: DataFrame) = df
+      .select(md5(col(textCol)).as("text_hash"))
+      .groupBy(col("text_hash")).agg(count(lit(1)).as("n"))
+    val o = hashed(oldDocs).withColumnRenamed("n", "n_old")
+    val n = hashed(newDocs).withColumnRenamed("n", "n_new")
+    o.join(n, Seq("text_hash"), "full_outer")
+      .select(
+        when(col("n_old").isNull, lit("added"))
+          .when(col("n_new").isNull, lit("removed"))
+          .otherwise(lit("common")).as("status"),
+        col("n_old"), col("n_new"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_texts"),
+        sum(coalesce(col("n_old"), lit(0L))).as("n_docs_old"),
+        sum(coalesce(col("n_new"), lit(0L))).as("n_docs_new"))
+  }
+
   /**
    * Corpus-wide duplicated-SPAN removal — the n-gram-grained distributed
    * form of exact-substring training-data dedup (Lee et al. 2022,

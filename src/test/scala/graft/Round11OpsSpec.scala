@@ -176,6 +176,43 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((10L, 1L, "different ending")))
   }
 
+  test("updateBandIndex: delta maintenance equals a from-scratch rebuild") {
+    val texts = Seq(
+      "spark catalyst optimizer rewrites logical plans into physical trees",
+      "ducks swim on the quiet pond under a pale morning sky today",
+      "a third unrelated document mentioning watermarks and state stores",
+      "an entirely new document about session windows and event time")
+    val base = (0 until 20).map(i => (i.toLong, texts(i % 4))).toDF("doc_id", "text")
+    val added = Seq(
+      (100L, texts(0)), (101L, "fresh text that only the new shard has seen"))
+      .toDF("doc_id", "text")
+    val removed = Seq(3L, 7L).toDF("rid")
+    val maintained = Dedup.updateBandIndex(
+      Dedup.bandKeyIndex(base, "doc_id", "text", 8, 4),
+      added, "doc_id", "text", removed, 8, 4)
+      .collect().map(_.toString).sorted.toSeq
+    val rebuilt = Dedup.bandKeyIndex(
+      base.filter(!col("doc_id").isin(3L, 7L)).unionByName(added),
+      "doc_id", "text", 8, 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(maintained == rebuilt)
+  }
+
+  test("corpusDiff: added/removed/common counts across snapshots") {
+    val oldS = Seq((1L, "aaa"), (2L, "bbb"), (3L, "bbb"), (4L, "ccc"))
+      .toDF("doc_id", "text")
+    val newS = Seq((10L, "bbb"), (11L, "ddd"), (12L, "ddd"), (13L, "ccc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldS, newS, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // aaa removed (1 doc), ddd added (2 docs), bbb+ccc common (3 old / 2 new)
+    assert(out == Map(
+      "removed" -> ((1L, 1L, 0L)),
+      "added" -> ((1L, 0L, 2L)),
+      "common" -> ((2L, 3L, 2L))))
+  }
+
   test("dedupSpans: abutting removed regions count as ONE contiguous run") {
     // doc 2 copies two DIFFERENT 8-token runs from docs 1a/1b that sit
     // back-to-back in doc 2: coverage is contiguous → n_spans = 1
