@@ -319,6 +319,11 @@ object SparkEntry {
         MinhashK, MinhashBands)
     }),
 
+    "q_shard_assign" -> ((s, dir) =>
+      // balanced training shards: per source, deal docs ranked by token
+      // count descending round-robin over 8 shards (LPT greedy)
+      TextOps.shardAssign(docs(s, dir), "doc_id", "text", "source", 8)),
+
     "q_corpus_diff" -> ((s, dir) => {
       // dataset-versioning triage: src0/src1 is the old snapshot, the
       // rest the new; per content hash added/removed/common counts
@@ -2169,6 +2174,15 @@ object SparkEntry {
       s"""$PairsCte
          |SELECT doc_id, band_key FROM bands_t
          |WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0) OR doc_id % 2 = 1""".stripMargin,
+
+    "q_shard_assign" ->
+      s"""WITH t AS (SELECT source AS stratum, doc_id,
+         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS n_tokens
+         |  FROM documents)
+         |SELECT stratum, doc_id, n_tokens,
+         |  ((row_number() OVER (PARTITION BY stratum
+         |      ORDER BY n_tokens DESC, doc_id ASC) - 1) % 8)::INT AS shard
+         |FROM t""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH o AS (SELECT md5(text) AS text_hash, count(*) AS n_old FROM documents

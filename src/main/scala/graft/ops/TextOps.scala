@@ -682,6 +682,32 @@ object TextOps {
   }
 
   /**
+   * Balanced training-shard assignment — split each stratum's docs into
+   * `nShards` shards with near-equal token mass: docs ranked by BPE
+   * token count descending (doc_id tie-break) are dealt round-robin, the
+   * LPT greedy that bounds any shard at ~(1 + 1/rank) of the mean even
+   * under Zipfian length skew (plain hash-sharding balances doc COUNTS,
+   * not token mass). Returns (doc_id, stratum, n_tokens, shard).
+   *
+   * Scale posture matches [[budgetSelect]]: one narrow token-count pass
+   * and ONE stratum-partitioned window — shard planning is per-stratum
+   * (source/language), never a global sort.
+   */
+  def shardAssign(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, strataCol: String,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(
+      col(strataCol).as("stratum"), col(idCol).as("doc_id"),
+      tokenCountBpe(col(textCol)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    scored.withColumn("shard",
+      ((row_number().over(w) - 1) % nShards).cast("int"))
+  }
+
+  /**
    * Polynomial rolling-hash fingerprint of the whitespace-normalized
    * lowercase text: fold (acc*31 + codepoint) mod 1e9+7. Integral → exact
    * and identical in every engine. Native kernel

@@ -213,6 +213,29 @@ class Round11OpsSpec extends AnyFunSuite {
       "common" -> ((2L, 3L, 2L))))
   }
 
+  test("shardAssign: LPT round-robin balances token mass under length skew") {
+    import graft.ops.TextOps
+    // Zipfian-ish: one giant doc, a few mid, many small — plain
+    // count-balanced sharding would put the giant + extras in one shard
+    val docs = (0 until 40).map { i =>
+      val words = if (i == 0) 400 else if (i < 5) 60 else 8
+      (i.toLong, "s", Seq.fill(words)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = TextOps.shardAssign(docs, "doc_id", "text", "source", 4)
+    val loads = out.groupBy("shard").agg(sum("n_tokens").as("load"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(loads.keySet == Set(0, 1, 2, 3))
+    // the giant doc (rank 1) goes to shard 0; every other shard's load
+    // stays within 2x of the non-giant mean (count-balance could not)
+    val rest = loads.filterNot(_._1 == 0).values
+    assert(rest.max <= 2 * rest.min, loads.toString)
+    // deterministic: same input, same assignment
+    val again = TextOps.shardAssign(docs, "doc_id", "text", "source", 4)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val first = out.collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(again == first)
+  }
+
   test("dedupSpans: abutting removed regions count as ONE contiguous run") {
     // doc 2 copies two DIFFERENT 8-token runs from docs 1a/1b that sit
     // back-to-back in doc 2: coverage is contiguous → n_spans = 1

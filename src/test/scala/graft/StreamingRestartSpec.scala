@@ -117,4 +117,53 @@ class StreamingRestartSpec extends AnyFunSuite {
   }
 
   private def unix_ts(nanos: Long): Long = nanos / 1000L
+
+  test("neardupStream: per-doc window-min state survives kill-and-restart") {
+    val s = spark
+    import s.implicits._
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val hist = Seq(
+      (2L, "spark catalyst optimizer rewrites logical plans into physical trees"),
+      (4L, "ducks swim on the quiet pond under a pale morning sky today"))
+      .toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.bandKeyIndex(hist, "doc_id", "text", 8, 4)
+    // docs 11 (dup) and 13 (novel) arrive, query STOPS with their window
+    // open; doc 15 (dup, same window) and the flush land while it's down
+    val b1 = Seq(
+      (11L, "spark catalyst optimizer rewrites logical plans into physical trees", ts(0)),
+      (13L, "an entirely new document about watermark state and session windows", ts(1)))
+    val b2 = Seq(
+      (15L, "ducks swim on the quiet pond under a pale morning sky today", ts(2)))
+    val flushRow = (99L, "flush row far in the future to close every window", ts(600))
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-neardup").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    b1.toDF("doc_id", "text", "event_time").coalesce(1).write.parquet(inDir)
+    def startQuery() = {
+      val stream = s.readStream.schema(b1.toDF("doc_id", "text", "event_time").schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      EventStreams.neardupStream(stream, "doc_id", "text", "event_time", idx, 8, 4)
+        .select($"doc_id", $"dup_of")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toDF("doc_id", "text", "event_time").coalesce(1).write.mode("append").parquet(inDir)
+    Seq(flushRow).toDF("doc_id", "text", "event_time").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = s.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Dedup.neardupIncremental(
+      (b1 ++ b2).map(x => (x._1, x._2)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 11's flagged row lived ONLY in the checkpointed window state
+    // across the restart; a lost state store would drop or double it
+    assert(out == batch)
+    assert(out == Map(11L -> 2L, 15L -> 4L))
+  }
 }
