@@ -258,4 +258,46 @@ class PropertySpec extends AnyFunSuite {
       assert(again.count() == 0L)
     }
   }
+
+  test("dedupSpans: internal consistency and partitioning-invariance on random corpora") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (trial <- 1 to 3) {
+      // random docs built from a few shared runs + random filler: real
+      // duplicated spans at random offsets, some docs fully unique
+      val runs = Vector.fill(3)(Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docs = Seq.tabulate(25) { i =>
+        val parts = Seq.fill(rnd.nextInt(3))(runs(rnd.nextInt(3))) ++
+          Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, rnd.shuffle(parts).mkString(" "))
+      }.toDF("doc_id", "text")
+      def run(parts: Int) =
+        graft.ops.Dedup.dedupSpans(docs.repartition(parts), "doc_id", "text", gram = 8)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+          .toMap
+      val a = run(1)
+      // same answer under a different input partitioning (exercises the
+      // gram-hash reduce's partial/merge paths and the window pass)
+      assert(run(7) == a, s"trial $trial: partitioning changed the result")
+      a.foreach { case (id, (nTok, dupTok, nSpans, clean)) =>
+        val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+        // removed mass accounts exactly for the missing tokens
+        assert(nTok - dupTok == kept, s"doc $id: $nTok - $dupTok != $kept")
+        // spans exist iff tokens were removed, and each span removes
+        // at least `gram` contiguous tokens... except where spans from
+        // different grams merge — so the weaker exact bound: dup >= gram
+        // whenever any span exists, and spans <= dup / 1 (trivial)
+        if (nSpans > 0) assert(dupTok >= 8, s"doc $id: span smaller than gram")
+        if (dupTok > 0) assert(nSpans >= 1)
+      }
+      // global: total dup tokens is positive iff some run repeated
+      val totalDup = a.values.map(_._2).sum
+      val textCounts = docs.collect().map(_.getString(1))
+      val anyRepeat = runs.exists(r => textCounts.count(_.contains(r)) > 1)
+      if (anyRepeat) assert(totalDup > 0)
+    }
+  }
 }
