@@ -648,6 +648,18 @@ object SparkEntry {
       Events.asOfJoinForward(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
     }),
 
+    "q_asof_native_forward" -> ((s, dir) => {
+      // the same forward as-of through the custom physical operator
+      // (time-negation mirror of the streaming sort-merge)
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(round(max(col("value")), 6).as("pvalue"))
+      Events.asOfJoinNativeForward(clicks, purchases, "user_id", "tsu", Seq("pvalue"))
+    }),
+
     "q_asof_nearest" -> ((s, dir) => {
       // nearest direction: the purchase closest in time to each click,
       // either side; equal distances resolve to the earlier purchase
@@ -2776,6 +2788,14 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu <= c.tsu""".stripMargin,
 
     "q_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),
+        |clicks AS (SELECT user_id, tsu, event_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu AS ptsu, round(max(value), 6) AS pvalue
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
+        |SELECT c.user_id, c.tsu, c.event_id, p.ptsu AS asof_tsu, p.pvalue AS asof_pvalue
+        |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ptsu >= c.tsu""".stripMargin,
+
+    "q_asof_native_forward" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu, value FROM events),
         |clicks AS (SELECT user_id, tsu, event_id FROM e WHERE event_type = 'click'),
         |p AS (SELECT user_id, tsu AS ptsu, round(max(value), 6) AS pvalue

@@ -238,6 +238,21 @@ object Events {
     ColumnBridge.ofRows(spark, node)
   }
 
+  /** FORWARD as-of through the native operator — [[asOfJoinForward]]
+    * semantics on the [[asOfJoinNative]] physical plan, by the same
+    * time-negation mirror (the streaming sort-merge and its O(1)
+    * reducer state are direction-agnostic under −ts). */
+  def asOfJoinNativeForward(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val nl = EventTime.normalizeMicros(left, tsCol).withColumn(tsCol, -col(tsCol))
+    val nr = EventTime.normalizeMicros(right, tsCol).withColumn(tsCol, -col(tsCol))
+    asOfJoinNative(nl, nr, keyCol, tsCol, valueCols, toleranceMicros)
+      .withColumn(tsCol, -col(tsCol))
+      .withColumn(s"asof_$tsCol", -col(s"asof_$tsCol"))
+  }
+
   /**
    * Ordered funnel analysis: for each key, the earliest time of stage 1,
    * the earliest stage-2 event strictly after it, the earliest stage-3

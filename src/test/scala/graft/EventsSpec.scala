@@ -115,6 +115,29 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoinNativeForward: random data across partitionings equals window forward form") {
+    val rnd = new scala.util.Random(43)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("user_id", "tsu", "event_id")
+    val right = rnd.shuffle((0 until 12).flatMap(u =>
+      (1 to 40).map(_ => (u.toLong, rnd.nextInt(1000).toLong))).distinct)
+      .map { case (u, t) => (u, t, u * 10000.0 + t) }
+      .toDF("user_id", "tsu", "pvalue")
+    val key = (r: org.apache.spark.sql.Row) => (
+      r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    val want = Events.asOfJoinForward(left, right, "user_id", "tsu", Seq("pvalue"))
+      .collect().map(key).sortBy(x => (x._1, x._2, x._3)).toSeq
+    for (parts <- Seq(1, 5)) {
+      val got = Events.asOfJoinNativeForward(
+        left.repartition(parts), right.repartition(parts + 1), "user_id", "tsu", Seq("pvalue"))
+        .collect().map(key).sortBy(x => (x._1, x._2, x._3)).toSeq
+      assert(got == want, s"mismatch at parts=$parts")
+    }
+  }
+
   test("asOfJoinNative: tolerance voids matches older than the bound") {
     val clicks = Seq((1L, 100L, 5L), (1L, 500L, 6L)).toDF("user_id", "tsu", "event_id")
     val purchases = Seq((1L, 90L, 1.5)).toDF("user_id", "tsu", "pvalue")
