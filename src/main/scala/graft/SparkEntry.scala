@@ -1711,6 +1711,17 @@ object SparkEntry {
       // only, [valid_from, valid_to) attached, one keyed shuffle
       Events.scd2Intervals(t(s, dir, "events"))),
 
+    "q_point_in_time" -> ((s, dir) => {
+      // leak-free feature lookup: each click reads the purchase-value
+      // SCD2 version valid AT THE CLICK'S OWN TIME (never the future)
+      val e = t(s, dir, "events")
+      val dim = Events.scd2Intervals(e).filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"))
+      Events.pointInTimeJoin(clicks, dim, "user_id", "tsu", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("tsu"), col("dim_value"))
+    }),
+
     "q_resample_interp" -> ((s, dir) =>
       // linear-interpolated daily resample (smooth-gauge twin of LOCF):
       // four carry windows share one user exchange, per-user span grid
@@ -3948,6 +3959,28 @@ object SparkEntry {
         |  lead(tsu) OVER (PARTITION BY user_id, event_type
         |    ORDER BY tsu ASC, event_id ASC) AS valid_to_us
         |FROM ch""".stripMargin,
+
+    "q_point_in_time" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+        |    round(value, 6) AS value FROM events),
+        |c AS (SELECT *,
+        |    lag(value) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY tsu ASC, event_id ASC)),
+        |ch AS (SELECT user_id, event_type, event_id, tsu, value FROM c
+        |  WHERE rn = 1 OR value IS DISTINCT FROM prev),
+        |scd AS (SELECT user_id, value,
+        |    tsu AS valid_from_us,
+        |    lead(tsu) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tsu ASC, event_id ASC) AS valid_to_us
+        |  FROM ch WHERE event_type = 'purchase'),
+        |clicks AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.tsu, s.value AS dim_value
+        |FROM clicks c LEFT JOIN scd s ON c.user_id = s.user_id
+        |  AND c.tsu >= s.valid_from_us
+        |  AND (s.valid_to_us IS NULL OR c.tsu < s.valid_to_us)""".stripMargin,
 
     "q_resample_interp" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,

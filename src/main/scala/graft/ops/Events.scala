@@ -238,6 +238,31 @@ object Events {
     ColumnBridge.ofRows(spark, node)
   }
 
+  /**
+   * POINT-IN-TIME join — the leak-free feature-store lookup: each fact
+   * row picks the SCD2 dimension version ([[scd2Intervals]] shape:
+   * key + [valid_from_us, valid_to_us) half-open intervals) valid AT
+   * THE FACT'S OWN TIME; a plain latest-value join would leak future
+   * attribute values into past training rows. Equi-join on the key
+   * with the interval predicate as a residual filter — SCD2 versions
+   * are non-overlapping per key, so at most one dim row matches and
+   * output size equals the fact side. `tsCol` is epoch-µs (or any
+   * [[EventTime.normalizeMicros]]-accepted type). Streaming twin:
+   * [[graft.streaming.EventStreams.pointInTimeEnrich]].
+   */
+  def pointInTimeJoin(facts: DataFrame, scd2Dim: DataFrame, key: String,
+      tsCol: String, dimValueCols: Seq[String]): DataFrame = {
+    val f = EventTime.normalizeMicros(facts, tsCol)
+    val d = scd2Dim.select(
+      (col(key).as("__dk") +: col("valid_from_us") +: col("valid_to_us") +:
+        dimValueCols.map(c => col(c).as(s"dim_$c"))): _*)
+    f.join(d,
+        col(key) === col("__dk") && col(tsCol) >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col(tsCol) < col("valid_to_us")),
+        "left_outer")
+      .drop("__dk")
+  }
+
   /** FORWARD as-of through the native operator — [[asOfJoinForward]]
     * semantics on the [[asOfJoinNative]] physical plan, by the same
     * time-negation mirror (the streaming sort-merge and its O(1)

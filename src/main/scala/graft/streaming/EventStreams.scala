@@ -328,6 +328,31 @@ object EventStreams {
     withEventTime(events).join(broadcast(dim), Seq(key), "left_outer")
 
   /**
+   * POINT-IN-TIME stream enrichment against an SCD2-versioned static
+   * dimension (the output shape of [[graft.ops.Events.scd2Intervals]]:
+   * key + value + [valid_from_us, valid_to_us) half-open intervals):
+   * each event picks the dimension version valid AT ITS EVENT TIME —
+   * the leak-free feature-store lookup (a plain latest-value join
+   * would leak future attribute values into past training rows).
+   * Stateless stream-static join: SCD2 versions are non-overlapping
+   * per key, so the interval predicate matches at most one row and no
+   * dedup state is needed; the dim broadcasts (or falls back to a
+   * per-batch shuffle) exactly like [[enrichStream]].
+   */
+  def pointInTimeEnrich(events: DataFrame, scd2Dim: DataFrame,
+      key: String, dimValueCols: Seq[String]): DataFrame = {
+    val e = withEventTime(events).withColumn("tsu", expr("ts div 1000"))
+    val d = broadcast(scd2Dim.select(
+      (col(key).as("__dk") +: col("valid_from_us") +: col("valid_to_us") +:
+        dimValueCols.map(c => col(c).as(s"dim_$c"))): _*))
+    e.join(d,
+        col(key) === col("__dk") && col("tsu") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("tsu") < col("valid_to_us")),
+        "left_outer")
+      .drop("__dk")
+  }
+
+  /**
    * Per-window heavy hitters on the stream: the k highest-value events
    * per tumbling window via the bounded [[graft.functions.TopKBy]]
    * aggregate — O(k) heap state per window IN THE STATE STORE (and in

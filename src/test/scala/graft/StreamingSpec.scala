@@ -145,6 +145,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pointInTimeEnrich: each event sees the SCD2 version valid at ITS time, no leakage") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val MinNs = 60L * 1000000000L
+    val Base = 1704067200L * 1000000000L
+    // dimension history for user 7: value 1.0 from t0, 2.0 from t30
+    val dimEvents = Seq(
+      (1L, Base + 0L * MinNs, 7L, "price", 1.0),
+      (2L, Base + 30L * MinNs, 7L, "price", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim = graft.ops.Events.scd2Intervals(dimEvents)
+      .withColumnRenamed("value", "price")
+      .drop("event_type")
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = EventStreams.pointInTimeEnrich(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      dim, "user_id", Seq("price"))
+      .select($"event_id", $"dim_price")
+      .writeStream.format("memory").queryName("pit_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (10L, Base + 10L * MinNs, 7L, "view", 0.0),  // inside v1
+        (11L, Base + 30L * MinNs, 7L, "view", 0.0),  // boundary: v2 inclusive
+        (12L, Base + 90L * MinNs, 7L, "view", 0.0),  // open-ended v2
+        (13L, Base - 5L * MinNs, 7L, "view", 0.0),   // before history: null
+        (14L, Base + 10L * MinNs, 8L, "view", 0.0))  // unknown key: null
+      q.processAllAvailable()
+      val out = s.sql("SELECT event_id, dim_price FROM pit_out")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+      assert(out(10L) == 1.0 && out(11L) == 2.0 && out(12L) == 2.0)
+      assert(out(13L).isNaN && out(14L).isNaN)
+    } finally q.stop()
+  }
+
   test("file-source -> windowed aggs -> parquet sink round trip (real source+sink)") {
     implicit val s = spark
     import s.implicits._
