@@ -1711,6 +1711,19 @@ object SparkEntry {
       // only, [valid_from, valid_to) attached, one keyed shuffle
       Events.scd2Intervals(t(s, dir, "events"))),
 
+    "q_label_window" -> ((s, dir) => {
+      // supervised-label generation: for every click, the user's
+      // purchases within the strictly-future 24h window — count, first
+      // time, exact integer-micro sum (banded join, never a cross join)
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value"))
+      Events.labelWindow(clicks, purchases, "user_id", "tsu", "event_id",
+        "value", horizonMicros = 86400000000L)
+    }),
+
     "q_point_in_time" -> ((s, dir) => {
       // leak-free feature lookup: each click reads the purchase-value
       // SCD2 version valid AT THE CLICK'S OWN TIME (never the future)
@@ -3959,6 +3972,25 @@ object SparkEntry {
         |  lead(tsu) OVER (PARTITION BY user_id, event_type
         |    ORDER BY tsu ASC, event_id ASC) AS valid_to_us
         |FROM ch""".stripMargin,
+
+    "q_label_window" ->
+      """WITH clicks AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS tsu,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vmicro FROM events
+        |  WHERE event_type = 'purchase'),
+        |lab AS (SELECT c.event_id,
+        |    count(*) AS n_outcomes,
+        |    min(p.tsu) AS first_outcome_us,
+        |    sum(p.vmicro)::BIGINT AS outcome_sum_micro
+        |  FROM clicks c JOIN p ON c.user_id = p.user_id
+        |    AND p.tsu > c.tsu AND p.tsu <= c.tsu + 86400000000
+        |  GROUP BY c.event_id)
+        |SELECT c.event_id, c.user_id, c.tsu,
+        |  coalesce(lab.n_outcomes, 0) AS n_outcomes,
+        |  lab.first_outcome_us,
+        |  coalesce(lab.outcome_sum_micro, 0) AS outcome_sum_micro
+        |FROM clicks c LEFT JOIN lab USING (event_id)""".stripMargin,
 
     "q_point_in_time" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,

@@ -344,6 +344,50 @@ object Events {
   }
 
   /**
+   * LABEL WINDOW — supervised-label generation: for every fact row,
+   * aggregate the key's outcomes in the STRICTLY-FUTURE horizon
+   * (fact_ts, fact_ts + horizon] — "did the user purchase within N
+   * hours of this click, how many times, how much, and when first".
+   * The strict lower bound keeps the label leak-free (an outcome AT
+   * the fact's own instant is not a consequence of it); facts with no
+   * outcome keep n=0 / sum=0 / null first time. Values integer-micro
+   * summed (exact under any partitioning, cross-engine).
+   *
+   * Same banded shape as [[rangeSelfJoin]]: outcomes explode into
+   * their horizon-bucket and the previous one, the join is equi on
+   * (key, bucket) with the exact window predicate as a residual —
+   * output-proportional where a naive inequality join cross-products
+   * every key group. The label aggregation keys on the fact id, and
+   * the final left join restores zero-outcome facts.
+   */
+  def labelWindow(facts: DataFrame, outcomes: DataFrame, keyCol: String,
+      tsCol: String, factIdCol: String, valueCol: String,
+      horizonMicros: Long): DataFrame = {
+    require(horizonMicros > 0, s"horizonMicros must be > 0, got $horizonMicros")
+    val f = EventTime.normalizeMicros(facts, tsCol).select(
+      col(keyCol), col(tsCol), col(factIdCol),
+      expr(s"$tsCol div ${horizonMicros}L").as("__wid"))
+    val o = EventTime.normalizeMicros(outcomes, tsCol).select(
+      col(keyCol),
+      explode(array(expr(s"$tsCol div ${horizonMicros}L"),
+        expr(s"$tsCol div ${horizonMicros}L") - 1)).as("__wid"),
+      col(tsCol).as("__ots"),
+      round(col(valueCol) * 1e6).cast("long").as("__omicro"))
+    val lab = f.join(o, Seq(keyCol, "__wid"))
+      .filter(col("__ots") > col(tsCol) && col("__ots") <= col(tsCol) + horizonMicros)
+      .groupBy(col(factIdCol))
+      .agg(count(lit(1)).as("n_outcomes"),
+        min(col("__ots")).as("first_outcome_us"),
+        sum(col("__omicro")).as("outcome_sum_micro"))
+    f.select(col(factIdCol), col(keyCol), col(tsCol))
+      .join(lab, Seq(factIdCol), "left")
+      .select(col(factIdCol), col(keyCol), col(tsCol),
+        coalesce(col("n_outcomes"), lit(0L)).as("n_outcomes"),
+        col("first_outcome_us"),
+        coalesce(col("outcome_sum_micro"), lit(0L)).as("outcome_sum_micro"))
+  }
+
+  /**
    * General two-table banded range join: all (left, right) row pairs in
    * the same key group with |left.ts - right.ts| <= maxGapMicros. Same
    * Spark-first shape as [[rangeSelfJoin]]: the right side explodes into

@@ -138,6 +138,36 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelWindow: equals the naive quadratic label join on random data") {
+    val rnd = new scala.util.Random(17)
+    val facts = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(500).toLong * 10L, i.toLong))
+      .toDF("user_id", "tsu", "event_id")
+    val outs = (1 to 300).map(_ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(500).toLong * 10L, rnd.nextInt(100) / 7.0))
+      .toDF("user_id", "tsu", "value")
+    val h = 137L
+    val got = Events.labelWindow(facts, outs, "user_id", "tsu", "event_id", "value", h)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))).toMap
+    val fRows = facts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val oRows = outs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    fRows.foreach { case (u, t, id) =>
+      val w = oRows.filter { case (ou, ot, _) => ou == u && ot > t && ot <= t + h }
+      val want = (w.size.toLong,
+        if (w.isEmpty) -1L else w.map(_._2).min,
+        w.map(x => math.round(x._3 * 1e6)).sum)
+      assert(got(id) == want, s"fact $id (u=$u t=$t): got ${got(id)}, want $want")
+    }
+    // strict lower bound: an outcome AT the fact's instant never labels it
+    val self = Events.labelWindow(
+      Seq((1L, 100L, 9L)).toDF("user_id", "tsu", "event_id"),
+      Seq((1L, 100L, 5.0)).toDF("user_id", "tsu", "value"),
+      "user_id", "tsu", "event_id", "value", h)
+      .collect().head
+    assert(self.getLong(3) == 0L)
+  }
+
   test("asOfJoinNative: tolerance voids matches older than the bound") {
     val clicks = Seq((1L, 100L, 5L), (1L, 500L, 6L)).toDF("user_id", "tsu", "event_id")
     val purchases = Seq((1L, 90L, 1.5)).toDF("user_id", "tsu", "pvalue")
