@@ -34,17 +34,27 @@ object ScaleStress {
     val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ev1 = graft.ops.EventTime.normalizeTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val li10Path = s"$workDir/lineitem10.parquet"
     val docs10Path = s"$workDir/documents10.parquet"
     val emb10Path = s"$workDir/embeddings10.parquet"
+    val ev10Path = s"$workDir/events10.parquet"
     if (!new java.io.File(li10Path).exists()) {
       replicate(li1, Seq("l_orderkey"), 10).write.mode("overwrite").parquet(li10Path)
       replicate(docs1, Seq("doc_id"), 10).write.mode("overwrite").parquet(docs10Path)
       replicate(emb1, Seq("vec_id"), 10).write.mode("overwrite").parquet(emb10Path)
     }
+    if (!new java.io.File(ev10Path).exists()) {
+      // user_id offset too: 10× USERS (the realistic 100 TB growth axis
+      // for event data — more keys, same per-key density)
+      replicate(ev1, Seq("event_id", "user_id"), 10)
+        .write.mode("overwrite").parquet(ev10Path)
+    }
     val li10 = spark.read.parquet(li10Path)
     val docs10 = spark.read.parquet(docs10Path)
     val emb10 = spark.read.parquet(emb10Path)
+    val ev10 = spark.read.parquet(ev10Path)
     println(s"[scale] lineitem 1x=${li1.count()} 10x=${li10.count()}; " +
       s"documents 1x=${docs1.count()} 10x=${docs10.count()}")
 
@@ -105,6 +115,34 @@ object ScaleStress {
     val pairCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "similarity_join" -> (d => Dedup.similarityJoinExact(d, "doc_id", "text", 1, 2)),
       "winnow_pairs" -> (d => Dedup.winnowPairs(d, "doc_id", "text")))
+    // event-time suite on 10× USERS (same per-key density): these are
+    // all key-partitioned windows / banded equi-joins, so wall should
+    // track input, never key-count² — the r10-broken suite's scale proof
+    val eventCases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "sessionize" -> (e => graft.ops.Events.sessionize(e)),
+      "asof_join" -> (e => {
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("event_id"))
+        val p = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), expr("ts div 1000L").as("tsu"))
+          .agg(round(max(col("value")), 6).as("pvalue"))
+        graft.ops.Events.asOfJoin(c, p, "user_id", "tsu", Seq("pvalue"))
+      }),
+      "label_window" -> (e => {
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("event_id"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("value"))
+        graft.ops.Events.labelWindow(c, p, "user_id", "tsu", "event_id",
+          "value", 86400000000L)
+      }),
+      "point_in_time" -> (e => {
+        val dim = graft.ops.Events.scd2Intervals(e)
+          .filter(col("event_type") === "purchase")
+        val c = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000L").as("tsu"))
+        graft.ops.Events.pointInTimeJoin(c, dim, "user_id", "tsu", Seq("value"))
+      }))
     val embCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "embed_clusters" -> (e =>
         // the collapsed pipeline (the uncollapsed form measured 32× wall
@@ -123,6 +161,10 @@ object ScaleStress {
       } ++ docCases.map { case (name, q) =>
         val t1 = time(s"$name 1x")(noop(q(docs1)))
         val t10 = time(s"$name 10x")(noop(q(docs10)))
+        name -> t10 / t1
+      } ++ eventCases.map { case (name, q) =>
+        val t1 = time(s"$name 1x")(noop(q(ev1)))
+        val t10 = time(s"$name 10x")(noop(q(ev10)))
         name -> t10 / t1
       } ++ pairCases.map { case (name, q) =>
         val n1 = q(docs1).count()
