@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * Table IO for the graft engine: parquet loaders plus bucketed writes —
@@ -83,5 +84,25 @@ object Tables {
       else src.coalesce(nFiles)
     out.write.format("parquet").mode(SaveMode.Overwrite).save(destPath)
     nFiles
+  }
+
+  /**
+   * Z-ORDER clustered write — the layout half of
+   * [[graft.ops.Scale.zorderKey16]]: range-partition on the Morton key
+   * (one sampled global shuffle), sort within each file, and KEEP the
+   * `__z` column so parquet writes file-level min/max stats on it.
+   * Rows close in BOTH key dimensions land in the same files, so a
+   * two-sided range predicate (and any `__z` range) prunes whole files
+   * at planning time — Delta/Iceberg Z-ORDER clustering as a plain
+   * parquet write. At 100 TB the one range exchange is the price paid
+   * ONCE at write time to make every later selective scan cheap.
+   */
+  def writeZordered(df: DataFrame, destPath: String, zKey: Column,
+      nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    df.withColumn("__z", zKey)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .write.format("parquet").mode(SaveMode.Overwrite).save(destPath)
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
@@ -73,6 +74,43 @@ class TablesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_orders_b")
       spark.sql("DROP TABLE IF EXISTS t_items_b")
     }
+  }
+
+  test("writeZordered: files hold narrow ranges in BOTH dimensions, data intact") {
+    import graft.ops.Scale
+    val s = spark
+    import s.implicits._
+    // 32x32 grid, every (cell, day) once, shuffled — a row-order write
+    // would spread every cell over every file
+    val rnd = new scala.util.Random(5)
+    val rows = rnd.shuffle(for { c <- 0 until 32; d <- 0 until 32 } yield (c, d))
+      .toDF("cell", "day")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
+    graft.sources.Tables.writeZordered(
+      rows, dir, Scale.zorderKey16(col("cell"), col("day")), nFiles = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 32 * 32)
+    assert(back.select("cell", "day").collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      rows.collect().map(r => (r.getInt(0), r.getInt(1))).toSet)
+    // per-file locality: each file covers a small sub-square of the grid,
+    // so its distinct-cell AND distinct-day spans are far below 32
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 8)
+    val spans = files.map { f =>
+      val part = spark.read.parquet(f.getAbsolutePath)
+      val cs = part.select("cell").distinct().count()
+      val ds = part.select("day").distinct().count()
+      (cs, ds)
+    }
+    // z-order sub-squares: a 1/16 slice of the 1024-cell curve touches
+    // ~8-16 values per axis, never all 32 (row-order would hit 32 days)
+    assert(spans.forall { case (cs, ds) => cs <= 20 && ds <= 20 },
+      spans.mkString(","))
+    // and a __z range predicate prunes at the parquet stats level:
+    // the scan with a tight __z filter reads fewer rows than the table
+    val zmin = back.agg(org.apache.spark.sql.functions.min(col("__z"))).head.getLong(0)
+    val pruned = back.filter(col("__z") <= zmin + 10L)
+    assert(pruned.count() < 64)
   }
 
   test("compact: many small files collapse to the target-size count, data intact") {
