@@ -319,6 +319,17 @@ object SparkEntry {
         MinhashK, MinhashBands)
     }),
 
+    "q_negative_sample" -> ((s, dir) => {
+      // contrastive negatives: every 7th doc is a "query"; 3 md5-keyed
+      // negatives each, drawn from its hash bucket only (never a cross
+      // join), with (q, q+1) treated as the known positive pair
+      val ids = docs(s, dir).select(col("doc_id"))
+      val q = ids.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("qid"))
+      val pool = ids.select(col("doc_id").as("did"))
+      val pos = q.select(col("qid"), (col("qid") + 1).as("did"))
+      TextOps.negativeSample(q, pool, pos, "qid", "did", k = 3, buckets = 8)
+    }),
+
     "q_shard_assign" -> ((s, dir) =>
       // balanced training shards: per source, deal docs ranked by token
       // count descending round-robin over 8 shards (LPT greedy)
@@ -2210,6 +2221,22 @@ object SparkEntry {
       s"""$PairsCte
          |SELECT doc_id, band_key FROM bands_t
          |WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0) OR doc_id % 2 = 1""".stripMargin,
+
+    "q_negative_sample" ->
+      s"""WITH q AS (SELECT doc_id AS qid,
+         |    (${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}) % 8 AS b
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |d AS (SELECT doc_id AS did,
+         |    (${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}) % 8 AS b
+         |  FROM documents),
+         |cand AS (SELECT q.qid, d.did,
+         |    md5(q.qid::VARCHAR || '|' || d.did::VARCHAR) AS rk
+         |  FROM q JOIN d USING (b)
+         |  WHERE d.did <> q.qid AND d.did <> q.qid + 1),
+         |r AS (SELECT qid, did,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rk ASC, did ASC) AS rn
+         |  FROM cand)
+         |SELECT qid, rn::INT AS rank, did FROM r WHERE rn <= 3""".stripMargin,
 
     "q_shard_assign" ->
       s"""WITH t AS (SELECT source AS stratum, doc_id,

@@ -708,6 +708,44 @@ object TextOps {
   }
 
   /**
+   * Deterministic NEGATIVE sampling for contrastive training pairs: for
+   * each query id, `k` pseudo-random pool ids that are not the query
+   * itself and not among its known positives. The draw is md5-keyed, so
+   * it is reproducible across runs, engines and partitionings (same
+   * audit-ability rule as [[weightedSample]]).
+   *
+   * Scale shape: the pool is hash-bucketed (md5 mod `buckets`) and each
+   * query draws ONLY from its own bucket — the candidate join moves
+   * |pool|/buckets rows per query instead of the full |Q|×|D| cross
+   * product, and the per-query top-k window sorts that bounded slice.
+   * Size `buckets` so |pool|/buckets comfortably exceeds k plus the
+   * per-query positive count.
+   */
+  def negativeSample(queryIds: org.apache.spark.sql.DataFrame,
+      poolIds: org.apache.spark.sql.DataFrame,
+      positives: org.apache.spark.sql.DataFrame,
+      qCol: String, dCol: String, k: Int,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && buckets >= 1, s"need k >= 1 and buckets >= 1: $k, $buckets")
+    import org.apache.spark.sql.expressions.Window
+    def bucket(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+    val q = queryIds.select(col(qCol).as("qid")).withColumn("__b", bucket(col("qid")))
+    val d = poolIds.select(col(dCol).as("did")).withColumn("__b", bucket(col("did")))
+      .repartition(col("__b"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("__rk").asc, col("did").asc)
+    q.join(d, "__b")
+      .filter(col("qid") =!= col("did"))
+      .join(positives.select(col(qCol).as("qid"), col(dCol).as("did")),
+        Seq("qid", "did"), "left_anti")
+      .withColumn("__rk",
+        md5(concat(col("qid").cast("string"), lit("|"), col("did").cast("string"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("did"))
+  }
+
+  /**
    * Polynomial rolling-hash fingerprint of the whitespace-normalized
    * lowercase text: fold (acc*31 + codepoint) mod 1e9+7. Integral → exact
    * and identical in every engine. Native kernel

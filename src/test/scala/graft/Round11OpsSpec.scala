@@ -236,6 +236,29 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("negativeSample: k per query, never self or a positive, partitioning-invariant") {
+    import graft.ops.TextOps
+    val ids = (0L until 400L).toDF("id")
+    val q = ids.filter(col("id") % 10 === 0).select(col("id").as("qid"))
+    val pool = ids.select(col("id").as("did"))
+    val pos = q.select(col("qid"), (col("qid") + 1).as("did"))
+    def run(parts: Int) =
+      TextOps.negativeSample(q.repartition(parts), pool.repartition(parts + 1),
+        pos, "qid", "did", k = 5, buckets = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run(1)
+    assert(run(6).toSet == a.toSet)
+    val byQ = a.groupBy(_._1)
+    assert(byQ.size == 40)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 5, s"query $qid got ${rows.length} negatives")
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5))
+      rows.foreach { case (_, _, did) =>
+        assert(did != qid && did != qid + 1, s"query $qid drew excluded doc $did")
+      }
+    }
+  }
+
   test("dedupSpans: abutting removed regions count as ONE contiguous run") {
     // doc 2 copies two DIFFERENT 8-token runs from docs 1a/1b that sit
     // back-to-back in doc 2: coverage is contiguous → n_spans = 1
