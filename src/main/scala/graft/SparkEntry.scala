@@ -561,6 +561,17 @@ object SparkEntry {
         .select(col("q_id"), col("neighbor_id"), col("cos"), col("rn"))
     }),
 
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive HARD negatives: per query vector, the 3 most-similar
+      // pool vectors excluding itself and its known positive (q, q+10)
+      val c = emb(s, dir)
+      val q = c.filter(col("vec_id") < 10)
+      val pos = q.select(col("vec_id").as("q_id"),
+        (col("vec_id") + 10).as("neighbor_id"))
+      Similarity.hardNegatives(c, q, pos, 3)
+        .select(col("q_id"), col("neighbor_id"), col("cos"), col("rn"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       // SRP-banded candidates + exact cosine on candidates only — the
       // all-pairs corpus⋈corpus join never appears in the plan
@@ -2667,6 +2678,17 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""$EmbCte,
+         |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |    round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.vec_id <> q.vec_id + 10
+         |  WHERE q.vec_id < 10)
+         |SELECT q_id, neighbor_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin,
 
     "q_embed_neardup" ->
       s"""$SrpPairsCte

@@ -80,6 +80,33 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /**
+   * HARD-negative mining for contrastive training: per query, the k
+   * pool vectors MOST similar to it that are not the query itself and
+   * not among its known positives — the negatives that actually move a
+   * contrastive loss, vs the random draws of
+   * [[graft.ops.TextOps.negativeSample]]. Positives are excluded
+   * BEFORE the top-k window, so every query yields k eligible
+   * negatives. Same plan shape as [[bruteForceTopK]] (query set
+   * broadcast, corpus unshuffled, per-query window); beyond single-node
+   * scale, pre-filter the corpus with [[annIvf]]/[[annLsh]] buckets and
+   * hand the candidate slice to this exact ranker.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      positives: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
+      .join(positives.select(col("q_id"), col("neighbor_id")),
+        Seq("q_id", "neighbor_id"), "left_anti")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** All pairs (id1<id2) with cosine ≥ threshold — the exact near-dup
     * baseline; use the LSH path beyond single-node scale. The stream side
     * is repartitioned to the session's parallelism: a small corpus often

@@ -27,6 +27,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(topk(3).getDouble(2) == -1.0)
   }
 
+  test("hardNegatives: the positive is skipped even when it IS the nearest neighbor") {
+    val c = Similarity.prepared(emb, "vec_id", "embedding")
+    val q = c.filter($"vec_id" === 0)
+    // vec 1 is vec 0's nearest neighbor AND its known positive
+    val pos = Seq((0L, 1L)).toDF("q_id", "neighbor_id")
+    val out = Similarity.hardNegatives(c, q, pos, 3).orderBy($"rn").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L))
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+  }
+
   test("nearDupPairs: only the close pair passes a high threshold") {
     val c = Similarity.prepared(emb, "vec_id", "embedding")
     val pairs = Similarity.nearDupPairs(c, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
