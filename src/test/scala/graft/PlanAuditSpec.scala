@@ -172,6 +172,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val bnljAllowed = Set(
       "q_ams_f2", "q_ann_int8", "q_ann_ivf", "q_ann_recall",
       "q_bloom_fp_audit", "q_bm25", "q_cms_join_size", "q_cosine_topk",
+      // bounded query-set broadcast, same shape as q_cosine_topk
+      "q_hard_negatives",
       "q_decontaminate_bloom", "q_hll_distinct", "q_kmv_distinct",
       "q_kmv_overlap", "q_quantile_sketch", "q_skew_profile",
       "q_temperature_mix", "q_tpch_q11", "q_tpch_q22",
