@@ -719,7 +719,10 @@ object TextOps {
    * |pool|/buckets rows per query instead of the full |Q|×|D| cross
    * product, and the per-query top-k window sorts that bounded slice.
    * Size `buckets` so |pool|/buckets comfortably exceeds k plus the
-   * per-query positive count.
+   * per-query positive count — and SCALE buckets WITH the pool: the
+   * total work is |Q|·|pool|/buckets, so a pinned bucket count makes
+   * a joint 10× query+pool growth cost ~100× (measured 25× wall in
+   * ScaleStress before its probe scaled buckets; 2.7× after).
    */
   def negativeSample(queryIds: org.apache.spark.sql.DataFrame,
       poolIds: org.apache.spark.sql.DataFrame,

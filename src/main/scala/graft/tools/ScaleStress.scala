@@ -101,6 +101,20 @@ object ScaleStress {
       // parity, so every band bucket holds ~10 historical copies — the
       // per-band min pre-reduction is what keeps the probe join linear.
       "dedup_spans" -> (d => Dedup.dedupSpans(d, "doc_id", "text", 8)),
+      "negative_sample" -> (d => {
+        val ids = d.select(col("doc_id"))
+        // buckets MUST scale with the pool (negativeSample's documented
+        // contract: per-bucket slice ≈ constant). A fixed bucket count
+        // measured 25× wall at 10× here — |Q|·|D|/B is quadratic in
+        // replication when B is pinned.
+        val buckets = math.max(64, (ids.count() / 78L).toInt)
+        TextOps.negativeSample(
+          ids.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("qid")),
+          ids.select(col("doc_id").as("did")),
+          ids.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("qid"), (col("doc_id") + 1).as("did")),
+          "qid", "did", 3, buckets)
+      }),
       "neardup_incr" -> (d => Dedup.neardupIncremental(
         d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         Dedup.bandKeyIndex(
