@@ -319,6 +319,11 @@ object SparkEntry {
         MinhashK, MinhashBands)
     }),
 
+    "q_collocations" -> ((s, dir) =>
+      // PMI-ranked adjacent token pairs (min count 5, top 20): the
+      // independence-normalized phrase-candidate statistic
+      TextOps.collocations(docs(s, dir), "text", minCount = 5, k = 20)),
+
     "q_negative_sample" -> ((s, dir) => {
       // contrastive negatives: every 7th doc is a "query"; 3 md5-keyed
       // negatives each, drawn from its hash bucket only (never a cross
@@ -2232,6 +2237,25 @@ object SparkEntry {
       s"""$PairsCte
          |SELECT doc_id, band_key FROM bands_t
          |WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0) OR doc_id % 2 = 1""".stripMargin,
+
+    "q_collocations" ->
+      s"""WITH toks_t AS (SELECT $ToksSql AS toks FROM documents),
+         |bg0 AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |  ELSE [array_to_string(toks, ' ')] END) AS bigram FROM toks_t),
+         |bg AS (SELECT bigram, count(*) AS cnt FROM bg0
+         |  WHERE strpos(bigram, ' ') > 0 GROUP BY bigram),
+         |ug AS (SELECT w, count(*) AS c FROM
+         |  (SELECT unnest(toks) AS w FROM toks_t) GROUP BY w),
+         |nb_t AS (SELECT sum(cnt)::BIGINT AS nb FROM bg),
+         |nu_t AS (SELECT sum(c)::BIGINT AS nu FROM ug)
+         |SELECT bigram, cnt,
+         |  round(ln(cnt::DOUBLE * nu * nu / (nb::DOUBLE * u1.c * u2.c)), 6) AS pmi
+         |FROM bg CROSS JOIN nb_t CROSS JOIN nu_t
+         |JOIN ug u1 ON split_part(bigram, ' ', 1) = u1.w
+         |JOIN ug u2 ON split_part(bigram, ' ', 2) = u2.w
+         |WHERE cnt >= 5
+         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
 
     "q_negative_sample" ->
       s"""WITH q AS (SELECT doc_id AS qid,

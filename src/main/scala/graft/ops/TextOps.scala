@@ -708,6 +708,44 @@ object TextOps {
   }
 
   /**
+   * Collocation mining — adjacent token pairs whose co-occurrence beats
+   * independence: PMI = ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram
+   * events and marginals over unigram counts, restricted to pairs seen
+   * at least `minCount` times (raw PMI without a floor surfaces
+   * hapax noise). The classic phrase-candidate statistic
+   * (Church & Hanks 1990); complements [[bpeMergeCandidates]] (raw
+   * frequency) with an independence-normalized ranking.
+   *
+   * One fused tokenize+shingle pass; both count tables are map-side
+   * combinable; the two 1-row totals broadcast (bounded). The ln is a
+   * single per-row evaluation with an identical operand order in the
+   * DuckDB oracle — IEEE-identical, no float summation.
+   */
+  def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && k >= 1, s"need minCount >= 1 and k >= 1: $minCount, $k")
+    val bgAll = docs.select(explode(tokenShingles(col(textCol), 2)).as("bigram"))
+      .filter(instr(col("bigram"), " ") > 0)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    val ug = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nb = bgAll.agg(sum(col("cnt")).as("nb"))
+    val nu = ug.agg(sum(col("c")).as("nu"))
+    bgAll.filter(col("cnt") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(ug.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(ug.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nu))
+      .select(col("bigram"), col("cnt"),
+        round(log(col("cnt").cast("double") * col("nu") * col("nu") /
+          (col("nb").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /**
    * Deterministic NEGATIVE sampling for contrastive training pairs: for
    * each query id, `k` pseudo-random pool ids that are not the query
    * itself and not among its known positives. The draw is md5-keyed, so

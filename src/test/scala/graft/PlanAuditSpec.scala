@@ -174,6 +174,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_bloom_fp_audit", "q_bm25", "q_cms_join_size", "q_cosine_topk",
       // bounded query-set broadcast, same shape as q_cosine_topk
       "q_hard_negatives",
+      // two 1-row corpus-total broadcasts (nb, nu)
+      "q_collocations",
       "q_decontaminate_bloom", "q_hll_distinct", "q_kmv_distinct",
       "q_kmv_overlap", "q_quantile_sketch", "q_skew_profile",
       "q_temperature_mix", "q_tpch_q11", "q_tpch_q22",
