@@ -8,31 +8,47 @@ object Bench {
     // per-query numbers reflect steady-state throughput
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // INTERLEAVED full sweeps, not 3 consecutive runs per query: a
+    // transient contention window on the shared runner (the r10/r11
+    // artifact-killer — 2-minute stalls poisoned contiguous lexicographic
+    // blocks identically in all 3 consecutive runs) now hits each query in
+    // at most ONE sweep, and min-across-sweeps absorbs it. min (not mean)
+    // remains the steady-state figure: planning + janino compile are
+    // one-time costs that amortize over a real workload. A failed sweep
+    // records the -1 sentinel (NOT the time-to-exception, which would let
+    // a broken query pose as a fast one).
+    val sweeps = 3
+    val benchT0 = System.nanoTime()
+    // runs(q)(s) = seconds for query q in sweep s (or -1); offs(q)(s) =
+    // wall-clock offset (seconds since bench start) at which that run
+    // STARTED — a contention window is then visible as a contiguous
+    // offset range in exactly one sweep, auditable from the artifact.
+    val runs = Array.fill(named.size, sweeps)(-1.0)
+    val offs = Array.fill(named.size, sweeps)(0.0)
+    for (s <- 0 until sweeps; ((name, fn), qi) <- named.zipWithIndex) {
+      val t0 = System.nanoTime()
+      offs(qi)(s) = (t0 - benchT0) / 1e9
       // noop sink: forces every output column to be computed — count()
       // would let the optimizer prune the very expressions being measured.
-      // best of 3 runs: a single-run bench swung individual queries 6-8×
-      // on UNCHANGED code (r5→r6), far above the 2× regression gate —
-      // min-of-3 is the steady-state figure (planning + janino compile
-      // are one-time costs that amortize over a real workload), and the
-      // per-query spread is reported so noise is visible, not inferred.
-      // A failed run records the -1 sentinel (NOT the time-to-exception,
-      // which would let a broken query pose as a fast one).
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
+      runs(qi)(s) =
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e")
+            System.err.println(s"[bench] $name sweep $s failed: $e")
             -1.0
         }
-      }
-      val ok = times.filter(_ >= 0)
+    }
+    val results = named.zipWithIndex.map { case ((name, _), qi) =>
+      val ok = runs(qi).filter(_ >= 0)
       val best = if (ok.nonEmpty) ok.min else -1.0
-      // relative repeat-run spread: (max-min)/min over the successful runs
-      val spread = if (ok.size > 1 && best > 0) (ok.max - best) / best else 0.0
+      // relative cross-sweep spread: (max-min)/min over successful sweeps.
+      // Under interleaving a large spread means ONE sweep was disturbed —
+      // the min is still clean; under the old consecutive scheme a
+      // disturbance inflated all three and was invisible here.
+      val spread = if (ok.length > 1 && best > 0) (ok.max - best) / best else 0.0
       (name, best, spread)
     }
     // The driver captures only the LAST ~2000 chars of stdout and sbt
@@ -40,7 +56,7 @@ object Bench {
     // line — r8's 1980-char line had its HEAD pushed out of the window
     // (BENCH_r08 parsed:null). With 152+ queries the full name list can
     // never fit that budget, so the stdout line now carries:
-    //   * qv — best-of-3 INTEGER CENTISECONDS for EVERY query
+    //   * qv — best-of-sweeps INTEGER CENTISECONDS for EVERY query
     //     (queries_omitted is structurally 0), comma-separated, in
     //     LEXICOGRAPHIC query-name order ("q_order":"lex") — the names
     //     are exactly the sorted keys of oracle_sql.json /
@@ -49,8 +65,8 @@ object Bench {
     //   * "queries" — a named seconds map for the SLOWEST topN, so the
     //     artifact is human-readable where it matters;
     //   * "full":"BENCH_FULL.json" — the complete self-describing map
-    //     (name → {sec, spread}) written to the repo working dir, which
-    //     the end-of-round commit snapshots.
+    //     (name → {sec, spread, per-sweep runs + wall offsets}) written to
+    //     the repo working dir, which the end-of-round commit snapshots.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -67,9 +83,9 @@ object Bench {
       .mkString("[", ",", "]")
     val ok = sorted.map(_._2).filter(_ >= 0)
     val total = ok.sum
-    // p90 of per-query relative spread over 3 runs: how much a single
-    // timing can be trusted (1.2 ⇒ the worst of 3 runs can be 2.2× the
-    // best — exactly why best-of-3, not single-run, is the metric)
+    // p90 of per-query relative cross-sweep spread: how much a single
+    // timing can be trusted (1.2 ⇒ the worst sweep can be 2.2× the best —
+    // exactly why min-across-sweeps, not single-run, is the metric)
     val spreads = sorted.collect { case (_, v, s) if v >= 0 => s }.sorted
     val p90 = if (spreads.isEmpty) 0.0
       else spreads(((spreads.size - 1) * 9) / 10)
@@ -79,11 +95,16 @@ object Bench {
       // consumer that sums/averages/ratios per-query times. The compact
       // stdout qv field keeps its positional -1s — it is fixed-width
       // aligned to qk_md5 over ALL names, where omission would shift
-      // every later entry.
-      val entries = sorted.collect { case (k, v, s) if v >= 0 =>
-        s""""$k":{"sec":${f3(v)},"spread":${f2(s)}}"""
+      // every later entry. "runs" holds the raw per-sweep seconds (with
+      // -1 sentinels) and "off" the sweep wall-clock start offsets, so a
+      // contention window can be localized post-hoc to one sweep's time
+      // range instead of needing judge adjudication.
+      val entries = sorted.zipWithIndex.collect { case ((k, v, s), qi) if v >= 0 =>
+        val rs = runs(qi).map(r => if (r < 0) "-1" else f3(r)).mkString("[", ",", "]")
+        val os = offs(qi).map(o => f2(o)).mkString("[", ",", "]")
+        s""""$k":{"sec":${f3(v)},"spread":${f2(s)},"runs":$rs,"off":$os}"""
       }.mkString(",")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":3,"spread_p90":${f2(p90)},"sf":"$sfName","queries":{$entries},"failed":$failed}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":$sweeps,"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},"sf":"$sfName","queries":{$entries},"failed":$failed}"""
     }
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
@@ -93,7 +114,7 @@ object Bench {
       val top = sorted.filter(_._2 >= 0).sortBy(-_._2).take(topN)
         .map { case (k, v, _) => s""""$k":${f2(v)}""" }.mkString(",")
       val qvField = if (omitQv) "" else s""""q_order":"lex","qk_md5":"$qkMd5","q_unit":"cs","qv":"$qv","""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":3,"spread_p90":${f2(p90)},"queries":{$top},"queries_named_topn":$topN,${qvField}"queries_omitted":0,"failed":$failed,"full":"$fullPath","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":$sweeps,"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},"queries":{$top},"queries_named_topn":$topN,${qvField}"queries_omitted":0,"failed":$failed,"full":"$fullPath","sf":"$sfName"}"""
     }
     // 2000-char driver window minus the sbt suffix and newline margin
     val budget = 1800

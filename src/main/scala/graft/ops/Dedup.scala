@@ -215,6 +215,10 @@ object Dedup {
   def updateBandIndex(index: DataFrame, addedDocs: DataFrame,
       idCol: String, textCol: String, removedIds: DataFrame,
       k: Int, bands: Int): DataFrame = {
+    // a multi-column frame would silently treat its FIRST column as the
+    // id and delete the wrong rows — make the contract explicit
+    require(removedIds.columns.length == 1,
+      s"removedIds must be a single-column id frame, got ${removedIds.columns.mkString("[", ",", "]")}")
     val removed = removedIds.select(col(removedIds.columns.head).as("__rm_id"))
     index
       .join(removed, col("doc_id") === col("__rm_id"), "left_anti")

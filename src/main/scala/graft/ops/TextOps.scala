@@ -656,29 +656,86 @@ object TextOps {
    * quality desc, ties → smallest doc_id — fully deterministic, and the
    * standard practical approximation of quality-per-token knapsack).
    *
-   * One narrow scoring pass (quality + token count are single-kernel
-   * expressions over the text) and ONE source-partitioned window for
-   * the running sum — per-source state never exceeds one partition's
-   * sort at any corpus size; the cumulative sum is over integer token
-   * counts, so the cutoff decision is exact in every engine (quality
-   * itself is a 6-dp rounded copy both engines compute IEEE-identically
-   * — q_quality's rule).
+   * Distributed form (no per-source serial sort): [[qualityScore]] is
+   * 6-dp rounded in [0,1], so a source has AT MOST 10^6+1 distinct
+   * quality values regardless of corpus size — the running total is
+   * computed on that BOUNDED per-(source, quality) bucket frame
+   * (partial-aggregable groupBy, then a window over <= 1e6 tiny rows
+   * per source), buckets whose preceding mass already exceeds the
+   * budget are pruned BEFORE any doc-level work, and the only doc-level
+   * window partitions by (source, quality) — a quality TIE GROUP, never
+   * the whole source. Same answer as the single-window form
+   * (cum_tokens = higher-bucket mass + within-tie-group cumsum; ties
+   * order by doc_id inside their bucket exactly as the global sort
+   * did), same exact-integer cutoff; the cumulative sum is over integer
+   * token counts so the decision is engine-identical. The one skew
+   * caveat: a tie group = docs sharing one exact 6-dp quality value;
+   * byte-identical boilerplate floods land in one partition and belong
+   * to [[graft.ops.Dedup]] upstream.
    */
   def budgetSelect(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, sourceCol: String,
+      budgetTokens: Long): org.apache.spark.sql.DataFrame =
+    budgetSelectScored(
+      docs.select(
+        col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        qualityScore(col(textCol)).as("quality"),
+        tokenCountBpe(col(textCol)).cast("long").as("n_tokens")),
+      budgetTokens)
+
+  /**
+   * The selection machinery of [[budgetSelect]] on a PRE-SCORED frame
+   * with columns (source, doc_id, quality, n_tokens) — quality 6-dp
+   * rounded, n_tokens integral. This is the 100 TB entry point: the
+   * frame is consumed by TWO branches (the bounded bucket totals and
+   * the doc-level tie-group cumsum), and column pruning gives each
+   * branch its own scan, so a caller who passes raw text through
+   * [[budgetSelect]] pays the scoring kernel once per branch — fine
+   * for ad-hoc use, wasteful at scale. Materialize the 4-column scored
+   * frame (tiny next to the corpus: no text) and pass it here; the
+   * kernel then runs once, and each branch re-reads 4 narrow columns.
+   */
+  def budgetSelectScored(scoredIn: org.apache.spark.sql.DataFrame,
       budgetTokens: Long): org.apache.spark.sql.DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(
-      col(sourceCol).as("source"), col(idCol).as("doc_id"),
-      qualityScore(col(textCol)).as("quality"),
-      tokenCountBpe(col(textCol)).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
+    // bucket key = quality in exact integer MICRO-units: quality is
+    // already 6-dp rounded, so round(q·1e6) recovers the exact integer
+    // — a bigint key joins and hash-partitions WITHOUT the
+    // knownfloatingpointnormalized wrapper a double key gets, which
+    // would force a second full doc-stream exchange between the join
+    // (raw-keyed) and the window (normalized-keyed). -1 stands in for
+    // a null quality (empty text) and sorts after every real bucket,
+    // matching DESC NULLS LAST.
+    def qm(quality: Column): Column =
+      coalesce(round(quality * 1e6).cast("long"), lit(-1L))
+    val scored = scoredIn.withColumn("__qm", qm(col("quality")))
+    // bounded bucket frame: token mass per (source, 6-dp quality value)
+    val wBucket = Window.partitionBy(col("source"))
+      .orderBy(col("__qm").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored
+      .groupBy(col("source"), col("__qm"))
+      .agg(sum(col("n_tokens")).as("__bucket_tokens"))
+      .withColumn("__cum_before",
+        coalesce(sum(col("__bucket_tokens")).over(wBucket), lit(0L)))
+      // cum_tokens >= __cum_before for every doc of the bucket, so a
+      // bucket whose preceding mass already exceeds the budget can be
+      // dropped wholesale — the doc-level exchange below this join never
+      // ships the (typically vast) below-the-cut tail of the corpus
+      .filter(col("__cum_before") <= budgetTokens)
+      .select(col("source"), col("__qm"), col("__cum_before"))
+    // within one quality tie group, the global (quality desc, doc_id
+    // asc) order reduces to doc_id asc
+    val wDoc = Window.partitionBy(col("source"), col("__qm"))
+      .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(offsets, Seq("source", "__qm")) // AQE broadcasts the small side
+      .withColumn("cum_tokens", col("__cum_before") + sum(col("n_tokens")).over(wDoc))
       .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("source"), col("doc_id"), col("quality"),
+        col("n_tokens"), col("cum_tokens"))
   }
 
   /**
@@ -689,22 +746,51 @@ object TextOps {
    * under Zipfian length skew (plain hash-sharding balances doc COUNTS,
    * not token mass). Returns (doc_id, stratum, n_tokens, shard).
    *
-   * Scale posture matches [[budgetSelect]]: one narrow token-count pass
-   * and ONE stratum-partitioned window — shard planning is per-stratum
-   * (source/language), never a global sort.
+   * Distributed form (no per-stratum serial sort), same decomposition
+   * as [[budgetSelect]]: the global rank by (n_tokens desc, doc_id asc)
+   * splits into (a) the count of docs in strictly-longer token-count
+   * buckets — computed on the bounded per-(stratum, n_tokens) bucket
+   * frame, whose size is capped by the max document token count, not
+   * the corpus — plus (b) a row_number over ONLY the (stratum,
+   * n_tokens) tie group, ordered by doc_id. Identical assignment to
+   * the one-window form; the only serial unit is a tie group of
+   * identical-length docs (byte-identical floods belong to dedup
+   * upstream).
    */
   def shardAssign(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, strataCol: String,
+      nShards: Int): org.apache.spark.sql.DataFrame =
+    shardAssignScored(
+      docs.select(
+        col(strataCol).as("stratum"), col(idCol).as("doc_id"),
+        tokenCountBpe(col(textCol)).cast("long").as("n_tokens")),
+      nShards)
+
+  /** The deal-out machinery of [[shardAssign]] on a pre-counted frame
+    * (stratum, doc_id, n_tokens) — the scale entry point, for the same
+    * two-branch reason as [[budgetSelectScored]]. */
+  def shardAssignScored(scored: org.apache.spark.sql.DataFrame,
       nShards: Int): org.apache.spark.sql.DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(
-      col(strataCol).as("stratum"), col(idCol).as("doc_id"),
-      tokenCountBpe(col(textCol)).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("stratum"))
-      .orderBy(col("n_tokens").desc, col("doc_id").asc)
-    scored.withColumn("shard",
-      ((row_number().over(w) - 1) % nShards).cast("int"))
+    // bounded bucket frame: docs per (stratum, exact token count)
+    val wBucket = Window.partitionBy(col("stratum"))
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored
+      .groupBy(col("stratum"), col("n_tokens"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .withColumn("__rank_before",
+        coalesce(sum(col("__bucket_n")).over(wBucket), lit(0L)))
+      .select(col("stratum"), col("n_tokens"), col("__rank_before"))
+    // within a tie group the global order reduces to doc_id asc
+    val wDoc = Window.partitionBy(col("stratum"), col("n_tokens"))
+      .orderBy(col("doc_id").asc)
+    scored
+      .join(offsets, Seq("stratum", "n_tokens")) // AQE broadcasts the small side
+      .withColumn("shard",
+        ((col("__rank_before") + row_number().over(wDoc) - 1) % nShards).cast("int"))
+      .select(col("stratum"), col("doc_id"), col("n_tokens"), col("shard"))
   }
 
   /**

@@ -318,11 +318,13 @@ object EventStreams {
 
   /**
    * Stream-static enrichment join: the streaming side joins a STATIC
-   * dimension (re-read per micro-batch, broadcast — no state store at
-   * all, unlike stream-stream). The standard shape for decorating an
-   * event stream with slowly-changing reference data; at scale the dim
-   * stays broadcastable or the join falls back to a per-batch shuffle,
-   * either way stateless.
+   * dimension (re-read per micro-batch — no state store at all, unlike
+   * stream-stream). The standard shape for decorating an event stream
+   * with slowly-changing reference data. The broadcast() hint here
+   * FORCES a broadcast hash join — use this entry point only when the
+   * dim is known-bounded (the usual reference-data case); an unbounded
+   * dim belongs in a per-batch shuffle join, which
+   * [[pointInTimeEnrich]] demonstrates (no hint, planner decides).
    */
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     withEventTime(events).join(broadcast(dim), Seq(key), "left_outer")
@@ -336,15 +338,19 @@ object EventStreams {
    * would leak future attribute values into past training rows).
    * Stateless stream-static join: SCD2 versions are non-overlapping
    * per key, so the interval predicate matches at most one row and no
-   * dedup state is needed; the dim broadcasts (or falls back to a
-   * per-batch shuffle) exactly like [[enrichStream]].
+   * dedup state is needed. NO broadcast hint: an SCD2 dimension grows
+   * with history (every key version is a row), so the planner picks
+   * broadcast from its size stats when the dim is small and falls back
+   * to a per-batch shuffled equi-join (interval predicate as residual)
+   * when it is not — a forced hint here would OOM the driver on a
+   * large dimension.
    */
   def pointInTimeEnrich(events: DataFrame, scd2Dim: DataFrame,
       key: String, dimValueCols: Seq[String]): DataFrame = {
     val e = withEventTime(events).withColumn("tsu", expr("ts div 1000"))
-    val d = broadcast(scd2Dim.select(
+    val d = scd2Dim.select(
       (col(key).as("__dk") +: col("valid_from_us") +: col("valid_to_us") +:
-        dimValueCols.map(c => col(c).as(s"dim_$c"))): _*))
+        dimValueCols.map(c => col(c).as(s"dim_$c"))): _*)
     e.join(d,
         col(key) === col("__dk") && col("tsu") >= col("valid_from_us") &&
           (col("valid_to_us").isNull || col("tsu") < col("valid_to_us")),

@@ -22,8 +22,11 @@ object ModeBench {
     import spark.implicits._
 
     def dataset(n: Int, nullPct: Double, strings: Boolean): DataFrame = {
-      // mirrors arrow's bench_util generators: values cycle over a
-      // bounded distinct set; nulls deterministic by position
+      // same sizes / null fractions / types as the reference's
+      // benches/mode.rs matrix; values here cycle over a bounded
+      // distinct set with positional nulls (arrow's bench_util draws
+      // seeded-random values, so distributions — and thus rows/s —
+      // are comparable in shape, not strictly head-to-head)
       val base = spark.range(n.toLong).select(
         col("id"),
         when(pmod(col("id"), lit(100)) < lit((nullPct * 100).toInt), lit(null))

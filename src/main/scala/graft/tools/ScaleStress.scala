@@ -19,6 +19,11 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    // optional: comma-separated case names — run only those probes
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet else Set.empty
+    def keep[A](cs: Seq[(String, A)]): Seq[(String, A)] =
+      if (only.isEmpty) cs else cs.filter { case (n, _) => only(n) }
     val spark = GraftSession.local()
     import spark.implicits._
 
@@ -101,6 +106,14 @@ object ScaleStress {
       // parity, so every band bucket holds ~10 historical copies — the
       // per-band min pre-reduction is what keeps the probe join linear.
       "dedup_spans" -> (d => Dedup.dedupSpans(d, "doc_id", "text", 8)),
+      // round-12 distributed forms. The ×10 replica is their adversarial
+      // case BY CONSTRUCTION: every text appears 10× under distinct ids,
+      // so every (source, quality) / (stratum, n_tokens) tie group —
+      // the one serial unit left after the bucketed-rank rewrite —
+      // grows 10×. Near-linear wall here means the decomposition holds
+      // exactly where the old per-source single window serialized.
+      "budget_select" -> (d => TextOps.budgetSelect(d, "doc_id", "text", "source", 800L)),
+      "shard_assign" -> (d => TextOps.shardAssign(d, "doc_id", "text", "source", 8)),
       "negative_sample" -> (d => {
         val ids = d.select(col("doc_id"))
         // buckets MUST scale with the pool (negativeSample's documented
@@ -168,19 +181,19 @@ object ScaleStress {
     noop(li1.groupBy(col("l_returnflag")).count())
     for (round <- 1 to 2) {
       println(s"[scale] -- round $round --")
-      val ratios = (cases.map { case (name, q) =>
+      val ratios = (keep(cases).map { case (name, q) =>
         val t1 = time(s"$name 1x")(noop(q(li1)))
         val t10 = time(s"$name 10x")(noop(q(li10)))
         name -> t10 / t1
-      } ++ docCases.map { case (name, q) =>
+      } ++ keep(docCases).map { case (name, q) =>
         val t1 = time(s"$name 1x")(noop(q(docs1)))
         val t10 = time(s"$name 10x")(noop(q(docs10)))
         name -> t10 / t1
-      } ++ eventCases.map { case (name, q) =>
+      } ++ keep(eventCases).map { case (name, q) =>
         val t1 = time(s"$name 1x")(noop(q(ev1)))
         val t10 = time(s"$name 10x")(noop(q(ev10)))
         name -> t10 / t1
-      } ++ pairCases.map { case (name, q) =>
+      } ++ keep(pairCases).map { case (name, q) =>
         val n1 = q(docs1).count()
         val t1 = time(s"$name 1x")(noop(q(docs1)))
         val n10 = q(docs10).count()
@@ -188,7 +201,7 @@ object ScaleStress {
         println(f"[scale] $name%-28s pairs 1x=$n1 10x=$n10 " +
           f"(output-ratio ${n10.toDouble / math.max(1, n1)}%5.2f×)")
         name -> t10 / t1
-      } ++ embCases.map { case (name, q) =>
+      } ++ keep(embCases).map { case (name, q) =>
         val n1 = q(emb1).count()
         val t1 = time(s"$name 1x")(noop(q(emb1)))
         val n10 = q(emb10).count()

@@ -193,6 +193,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q_budget_select: no full-source sort partition — cumsum decomposed onto quality buckets") {
+    val plan = planOf("q_budget_select")
+    // the r11 scale-killer was ONE window `partitionBy(source)
+    // orderBy(quality DESC, doc_id ASC)` over every doc of a source —
+    // its signature sort order must be gone from the plan entirely
+    assert("quality#\\d+ DESC NULLS LAST, doc_id".r.findFirstIn(plan).isEmpty, plan)
+    // the only doc-level window partitions by (source, quality) — a tie
+    // group — and orders by doc_id alone
+    assert("\\], \\[doc_id#\\d+L ASC NULLS FIRST\\]".r.findFirstIn(plan).isDefined, plan)
+    // the bucket frame is map-side combinable before its exchange
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("q_shard_assign: no full-stratum sort partition — rank decomposed onto token-count buckets") {
+    val plan = planOf("q_shard_assign")
+    // old signature: row_number over orderBy(n_tokens DESC, doc_id ASC)
+    // across the whole stratum
+    assert("n_tokens#\\d+L DESC NULLS LAST, doc_id".r.findFirstIn(plan).isEmpty, plan)
+    // doc-level window = (stratum, n_tokens) tie group ordered by doc_id
+    assert("\\], \\[doc_id#\\d+L ASC NULLS FIRST\\]".r.findFirstIn(plan).isDefined, plan)
+    // bucket counts combine map-side
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("q_dedup_incremental: index side ships only hashes through an anti join") {
     val plan = planOf("q_dedup_incremental")
     assert(plan.contains("LeftAnti"), plan)
