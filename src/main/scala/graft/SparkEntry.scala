@@ -559,6 +559,20 @@ object SparkEntry {
       // chars at k=24, w=8)
       Dedup.winnowPairs(docs(s, dir), "doc_id", "text")),
 
+    "q_winnow_pairs_capped" -> ((s, dir) =>
+      // flood-guarded winnowing: fingerprint buckets over maxBucket emit
+      // a min-id star (O(m) rows, CC-equivalent) instead of m²/2 pairs.
+      // maxBucket=2 so sf0.01's 3+-doc fingerprint buckets actually
+      // exercise the star branch.
+      Dedup.winnowPairsCapped(docs(s, dir), "doc_id", "text", maxBucket = 2)),
+
+    "q_similarity_join_capped" -> ((s, dir) =>
+      // flood-guarded exact PPJoin: prefix blocks over maxBlock emit star
+      // candidates, every candidate still exactly verified. maxBlock=2
+      // exercises the star on sf0.01.
+      Dedup.similarityJoinExactCapped(docs(s, dir), "doc_id", "text", 1, 2,
+        maxBlock = 2)),
+
     // ── embedding similarity ────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
       val c = emb(s, dir)
@@ -2692,6 +2706,51 @@ object SparkEntry {
          |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS shared_fp
          |FROM tk a JOIN tk b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q_winnow_pairs_capped" ->
+      s"""WITH nr AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nrm FROM documents),
+         |hs AS (SELECT doc_id, CASE WHEN length(nrm) < 24 THEN [${hexToLong("md5(nrm)", 1, 8)}]
+         |  ELSE list_transform(range(1, length(nrm) - 22), p -> ${hexToLong("md5(substr(nrm, p, 24))", 1, 8)}) END AS hs FROM nr),
+         |fp AS (SELECT doc_id, CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+         |  ELSE list_distinct(list_transform(range(1, len(hs) - 6), j -> list_min(list_slice(hs, j, j + 7)))) END AS fps FROM hs),
+         |tk AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+         |bstat AS (SELECT fp, count(*) AS m, min(doc_id) AS hub FROM tk GROUP BY fp),
+         |bx AS (SELECT tk.doc_id, tk.fp, s.m, s.hub FROM tk JOIN bstat s USING (fp)),
+         |pr AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bx a JOIN bx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  WHERE a.m <= 2
+         |  UNION ALL
+         |  SELECT hub AS id1, doc_id AS id2 FROM bx WHERE m > 2 AND doc_id <> hub)
+         |SELECT id1, id2, count(*)::BIGINT AS shared_fp
+         |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q_similarity_join_capped" ->
+      s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, $ShinglesSql AS sh FROM toks_t),
+         |tk AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh0),
+         |sets AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+         |freq AS (SELECT g, count(*) AS df FROM tk GROUP BY g),
+         |ranked AS (SELECT tk.doc_id, tk.g, s.n,
+         |    row_number() OVER (PARTITION BY tk.doc_id ORDER BY f.df ASC, tk.g ASC) AS rn
+         |  FROM tk JOIN freq f USING (g) JOIN sets s USING (doc_id)),
+         |pfx AS (SELECT doc_id, g, n FROM ranked WHERE rn <= n - ((1 * n + 1) // 2) + 1),
+         |bstat AS (SELECT g, count(*) AS m, min(doc_id) AS hub FROM pfx GROUP BY g),
+         |px AS (SELECT p.doc_id, p.g, p.n, s.m, s.hub FROM pfx p JOIN bstat s USING (g)),
+         |cand AS (SELECT DISTINCT id1, id2 FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2
+         |    FROM px a JOIN px b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      AND a.n * 2 >= b.n * 1 AND b.n * 2 >= a.n * 1
+         |    WHERE a.m <= 2
+         |    UNION ALL
+         |    SELECT hub AS id1, doc_id AS id2 FROM px WHERE m > 2 AND doc_id <> hub)),
+         |iv AS (SELECT c.id1, c.id2, count(*)::BIGINT AS inter
+         |  FROM cand c JOIN tk a ON a.doc_id = c.id1 JOIN tk b ON b.doc_id = c.id2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |v AS (SELECT iv.id1, iv.id2, iv.inter, (x.n + y.n - iv.inter)::BIGINT AS un
+         |  FROM iv JOIN sets x ON iv.id1 = x.doc_id JOIN sets y ON iv.id2 = y.doc_id)
+         |SELECT id1, id2, round(inter::DOUBLE / un::DOUBLE, 6) AS jaccard
+         |FROM v WHERE inter * 2 >= un * 1""".stripMargin,
 
     "q_cosine_topk" ->
       s"""$EmbCte,

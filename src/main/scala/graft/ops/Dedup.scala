@@ -829,6 +829,70 @@ object Dedup {
   }
 
   /**
+   * Flood-guarded [[similarityJoinExact]]: a prefix token shared by
+   * m > `maxBlock` documents (a 10⁴-duplicate flood — df-ascending
+   * prefix selection already keeps boilerplate OUT of prefixes on
+   * healthy corpora, but identical duplicates share their whole rare
+   * prefix) would generate m²/2 candidates from that block. Here such
+   * blocks contribute min-id STAR candidates instead (hub × member,
+   * O(m)); every candidate — star or not — still passes the EXACT
+   * integer Jaccard verification, so each emitted pair is true.
+   *
+   * Contract: blocks ≤ maxBlock are byte-identical to the uncapped
+   * operator. The guarantee weakens from "no false negatives" to "no
+   * false negatives except pairs whose ONLY shared prefix tokens sit
+   * in flooded blocks and which don't involve those blocks' hubs" —
+   * for a duplicate flood this is exactly the right trade: members
+   * verify against the hub at J = 1 and [[connectedComponents]]
+   * recovers the clique (spec-proven CC-equal). Compliance-grade
+   * exhaustive joins should pre-collapse exact duplicates
+   * ([[exactDedup]]) and use the uncapped form.
+   */
+  def similarityJoinExactCapped(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int = 1, tDen: Int = 2, maxBlock: Int = 64): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    import org.apache.spark.sql.expressions.Window
+    val dtok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextOps.tokenShingles(col(textCol)))).as("token"))
+    val freq = dtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val staged = dtok.join(freq, "token").repartition(col("doc_id"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = staged
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df").asc, col("token").asc)))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("pfx_len",
+        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1L))
+    val byTok = Window.partitionBy(col("token"))
+    val prefixes = ranked.filter(col("rn") <= col("pfx_len"))
+      .select(col("doc_id"), col("token"), col("n"))
+      .repartition(col("token"))
+      .withColumn("m", count(lit(1)).over(byTok))
+      .withColumn("hub", min(col("doc_id")).over(byTok))
+    val small = prefixes.filter(col("m") <= maxBlock)
+    val candSmall = small.as("a").hint("merge")
+      .join(small.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * tDen >= col("b.n") * tNum &&
+        col("b.n") * tDen >= col("a.n") * tNum)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val candStar = prefixes.filter(col("m") > maxBlock && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("id1"), col("doc_id").as("id2"))
+    val cand = candSmall.unionByName(candStar).distinct()
+    val sets = staged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("token"))).as("toks"), count(lit(1)).as("n"))
+    val j = cand
+      .join(sets.select(col("doc_id").as("id1"), col("toks").as("t1"), col("n").as("n1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("toks").as("t2"), col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("un", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * tDen >= col("un") * tNum)
+    j.select(col("id1"), col("id2"),
+      round(col("inter").cast("double") / col("un").cast("double"), 6).as("jaccard"))
+  }
+
+  /**
    * Winnowing fingerprint pairs (Schleimer, Wilkerson, Aiken 2003 —
    * the MOSS local fingerprinting algorithm, public method): detects
    * COPIED SPANS — quoted articles, license blocks, lifted paragraphs
@@ -889,6 +953,72 @@ object Dedup {
       .join(tk.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
+  /**
+   * Flood-guarded [[winnowPairs]] — the [[candidatePairsCapped]]
+   * treatment applied to the fingerprint self-join: a fingerprint
+   * shared by m > `maxBucket` documents (license blocks, boilerplate
+   * headers, a 10⁴-duplicate flood) would emit m²/2 pair rows from
+   * that bucket alone — a quadratic OUTPUT no skew-split can shrink.
+   * Here such buckets contribute a min-id STAR (hub paired with every
+   * member, O(m) rows) instead.
+   *
+   * Contract: buckets ≤ maxBucket behave byte-identically to
+   * [[winnowPairs]]. For flooded buckets, pairs INVOLVING THE HUB keep
+   * true shared-fingerprint counts (the hub genuinely shares those
+   * fingerprints); pairs between two non-hub members lose the flooded
+   * fingerprints' contribution and may fall below `minShared`. Every
+   * CONNECTIVITY consumer (copied-span clustering / dedup via
+   * [[connectedComponents]]) sees the same components — a flooded
+   * bucket's members all reach each other through its hub
+   * (spec-proven); only a consumer reading per-pair evidence counts
+   * between non-hub members wants the uncapped form, after collapsing
+   * exact duplicates first ([[cleanCorpus]]'s order).
+   *
+   * Cost shape: the per-bucket count/min is a window over the SAME fp
+   * exchange the join reuses — no extra shuffle.
+   */
+  def winnowPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, w: Int = 8, minShared: Long = 2L,
+      maxBucket: Int = 64): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k,w >= 2, got k=$k w=$w")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val nr = docs.select(col(idCol).as("doc_id"),
+      regexp_replace(lower(col(textCol)), "\\s+", " ").as("nrm"))
+    val hashed = nr
+      .select(col("doc_id"), col("nrm"),
+        explode(sequence(lit(1), greatest(length(col("nrm")) - lit(k - 1), lit(1))))
+          .as("p"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(expr(s"substr(nrm, p, $k)")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .repartition(col("doc_id"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val slide = byDoc.orderBy(col("p")).rowsBetween(0, w - 1)
+    val byFp = Window.partitionBy(col("fp"))
+    val tk = hashed
+      .withColumn("nh", count(lit(1)).over(byDoc))
+      .withColumn("fp", min(col("h")).over(slide))
+      .filter(col("p") <= greatest(col("nh") - lit(w - 1), lit(1)))
+      .select(col("doc_id"), col("fp")).distinct()
+      .repartition(col("fp"))
+      .withColumn("m", count(lit(1)).over(byFp))
+      .withColumn("hub", min(col("doc_id")).over(byFp))
+    val small = tk.filter(col("m") <= maxBucket)
+    // merge hint for the same reason as candidatePairsCapped: keep both
+    // join sides + the star branch on ONE reused fp exchange
+    val pairRows = small.as("a").hint("merge")
+      .join(small.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val starRows = tk.filter(col("m") > maxBucket && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("id1"), col("doc_id").as("id2"))
+    pairRows.unionByName(starRows)
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)

@@ -62,4 +62,82 @@ class Round12OpsSpec extends AnyFunSuite {
         == rows(shardNaive(n)), s"nShards=$n")
     }
   }
+
+  // ── flood guards for the exact pair-emitters ─────────────────────────
+
+  import graft.ops.Dedup
+
+  private def cc(pairs: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Dedup.connectedComponents(nodes, "doc_id", pairs.select(col("id1"), col("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("winnowPairsCapped: large maxBucket is byte-identical to winnowPairs on real docs") {
+    assert(rows(Dedup.winnowPairsCapped(docs, "doc_id", "text", maxBucket = 100000))
+      == rows(Dedup.winnowPairs(docs, "doc_id", "text")))
+  }
+
+  test("similarityJoinExactCapped: large maxBlock is byte-identical to similarityJoinExact") {
+    assert(rows(Dedup.similarityJoinExactCapped(docs, "doc_id", "text", 1, 2, maxBlock = 100000))
+      == rows(Dedup.similarityJoinExact(docs, "doc_id", "text", 1, 2)))
+  }
+
+  test("winnowPairsCapped: 10⁴-duplicate flood emits O(m) star rows, one component") {
+    val m = 10000
+    val text = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the duplicate flood repeats this very paragraph verbatim"
+    val flood = spark.range(m).select(col("id").as("doc_id"), lit(text).as("text"))
+      .unionByName(Seq(
+        (100000L, "a genuinely distinct document with its own fingerprint profile entirely"),
+        (100001L, "a genuinely distinct document with its own fingerprint profile entirely"),
+        (100002L, "a third text that shares nothing with either of the previous groups here"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.winnowPairsCapped(flood, "doc_id", "text", maxBucket = 64)
+    val n = pairs.count()
+    // hub-star: the flood contributes m-1 pairs (hub with every member,
+    // all its fingerprints agreeing), the distinct pair contributes 1 —
+    // NOT m²/2 ≈ 5·10⁷
+    assert(n < 2L * m, s"capped pair count should be O(m), got $n")
+    assert(n >= m - 1, s"hub must pair with all $m duplicates, got $n")
+    // hub pairs carry TRUE shared counts — every fingerprint of the text
+    val maxShared = pairs.agg(max(col("shared_fp"))).collect()(0).getLong(0)
+    assert(maxShared >= 2, s"hub pairs must keep real shared-fp counts, got max=$maxShared")
+    val comp = cc(pairs, flood.select(col("doc_id")))
+    assert((0L until m.toLong).map(comp).distinct.size == 1)
+    assert(comp(100000L) == comp(100001L) && comp(100000L) != comp(0L))
+  }
+
+  test("similarityJoinExactCapped: 10⁴-duplicate flood verifies O(m) hub pairs at J=1") {
+    val m = 10000
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val flood = spark.range(m).select(col("id").as("doc_id"), lit(text).as("text"))
+      .unionByName(Seq(
+        (100000L, "one two three four five six seven eight nine ten eleven twelve"),
+        (100001L, "one two three four five six seven eight nine ten eleven twelve"))
+        .toDF("doc_id", "text"))
+    val out = Dedup.similarityJoinExactCapped(flood, "doc_id", "text", 1, 2, maxBlock = 64)
+    val n = out.count()
+    assert(n < 2L * m, s"capped output should be O(m), got $n")
+    assert(n >= m - 1, s"hub must verify against all $m duplicates, got $n")
+    // every emitted pair is still EXACT-verified: identical docs at J=1
+    val floodPairs = out.filter(col("id2") < 100000L)
+    assert(floodPairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    val comp = cc(out, flood.select(col("doc_id")))
+    assert((0L until m.toLong).map(comp).distinct.size == 1)
+    assert(comp(100000L) == comp(100001L) && comp(100000L) != comp(0L))
+  }
+
+  test("capped pair-emitters: CC-equivalent to uncapped on an overflowing multi-cluster corpus") {
+    val texts = Seq(
+      "spark catalyst rewrites logical plans into optimized physical operators every day",
+      "ducks swim across the quiet pond under a pale morning sky in autumn weather",
+      "a completely different third corpus text with unique vocabulary throughout itself")
+    val docs3 = (0 until 30).map(i => (i.toLong, texts(i % 3))).toDF("doc_id", "text")
+    val nodes = docs3.select(col("doc_id"))
+    // maxBucket/maxBlock = 2 force every 10-member cluster into the star path
+    assert(cc(Dedup.winnowPairsCapped(docs3, "doc_id", "text", maxBucket = 2), nodes)
+      == cc(Dedup.winnowPairs(docs3, "doc_id", "text"), nodes))
+    assert(cc(Dedup.similarityJoinExactCapped(docs3, "doc_id", "text", 1, 2, maxBlock = 2), nodes)
+      == cc(Dedup.similarityJoinExact(docs3, "doc_id", "text", 1, 2), nodes))
+  }
 }
