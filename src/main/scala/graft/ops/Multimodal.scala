@@ -106,6 +106,38 @@ object Multimodal {
         }
       }
     }
+
+    /**
+     * A REAL image codec through the same seam, JDK-only: `javax.imageio`
+     * decodes PNG/BMP/GIF/JPEG bytes with the readers shipped in every
+     * JRE — zero added dependency, headless-safe (`BufferedImage` never
+     * touches a display). Dimensions are the decoded raster's actual
+     * width/height; content identity stays md5(payload) (byte identity
+     * is decode-independent, so downstream exact-dup joins behave the
+     * same whichever codec produced the features). This is the
+     * existence proof that the [[MediaCodec]] plumbing carries real
+     * bytes, not just the stub's derived values; a deployment with
+     * other formats (video frames, audio) plugs its own codec the same
+     * way and nothing else in the pipeline changes.
+     */
+    object ImageIo extends MediaCodec {
+      def open(): Session = new Session {
+        // per-partition context: one digest instance reused across rows
+        // (ImageIO.read allocates its reader per call — a codec with a
+        // reusable native context would hold it here instead)
+        private val md = MessageDigest.getInstance("MD5")
+        def decode(mediaType: String, payload: Array[Byte]): Decoded = {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null,
+            s"payload is not a decodable image (media_type=$mediaType, " +
+              s"n_bytes=${payload.length})")
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          Decoded(img.getWidth, img.getHeight, hex)
+        }
+      }
+    }
   }
 
   /**

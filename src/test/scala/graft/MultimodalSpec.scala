@@ -77,4 +77,69 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getString(5)))).toMap
     assert(stub == declarative)
   }
+
+  /** Encode a real wxh image as `fmt` ("png"/"bmp") bytes via ImageIO —
+    * pixels seeded from (doc_id, x, y) so every image is distinct. */
+  private def imageBytes(id: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("ImageIo codec decodes REAL png/bmp bytes through the seam") {
+    implicit val s = spark
+    // real images, varied dims and formats, across multiple partitions
+    val records = (1L to 12L).map { id =>
+      val (w, h) = (3 + (id % 5).toInt * 7, 2 + (id % 3).toInt * 11)
+      val fmt = if (id % 2 == 0) "png" else "bmp"
+      (MediaRecord(id, s"image/$fmt", imageBytes(id, w, h, fmt)), w, h)
+    }
+    val expected = records.map { case (r, w, h) => r.doc_id -> ((w, h)) }.toMap
+    val md5s = records.map { case (r, _, _) =>
+      r.doc_id -> java.security.MessageDigest.getInstance("MD5")
+        .digest(r.payload).map("%02x".format(_)).mkString
+    }.toMap
+    val media = spark.createDataset(records.map(_._1)).repartition(3)
+    val out = Multimodal.extractFeatures(media, Multimodal.MediaCodec.ImageIo)
+    // identical schema to the stub path — nothing downstream can tell
+    // which codec produced the features
+    assert(out.schema == Multimodal.extractFeatures(media).schema)
+    val feats = out.collect().map(f => f.doc_id -> f).toMap
+    assert(feats.keySet == expected.keySet)
+    expected.foreach { case (id, (w, h)) =>
+      assert(feats(id).width == w && feats(id).height == h,
+        s"doc $id: decoded ${feats(id).width}x${feats(id).height}, wrote ${w}x$h")
+      assert(feats(id).content_hash == md5s(id))
+      assert(feats(id).n_bytes > 0L && feats(id).media_type.startsWith("image/"))
+    }
+    // and the codec rejects garbage instead of fabricating dimensions
+    val bad = spark.createDataset(Seq(MediaRecord(99L, "image/png",
+      "definitely not an image".getBytes("UTF-8"))))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad, Multimodal.MediaCodec.ImageIo).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("ImageIo and stub agree on content identity for the same bytes") {
+    implicit val s = spark
+    val recs = Seq(MediaRecord(1L, "image/png", imageBytes(1L, 8, 6, "png")))
+    val media = spark.createDataset(recs)
+    val real = Multimodal.extractFeatures(media, Multimodal.MediaCodec.ImageIo).head()
+    val stub = Multimodal.extractFeatures(media).head()
+    // byte identity is codec-independent; dimensions are codec-truth
+    assert(real.content_hash == stub.content_hash)
+    assert(real.width == 8 && real.height == 6)
+  }
 }
