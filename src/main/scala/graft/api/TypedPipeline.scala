@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Events, TextOps}
 
 /** A corpus document (the `documents` testdata schema). */
 case class Doc(
@@ -14,6 +14,47 @@ case class ScoredDoc(
     doc_id: Long, lang: String, source: String,
     lang_pred: String, quality: Double, n_tokens: Int,
     fingerprint: Long, split: String)
+
+/** A document kept by [[TypedPipeline.selectBudget]] — quality-ranked
+  * within its source, running token total within budget. */
+case class BudgetedDoc(
+    source: String, doc_id: Long, quality: Double,
+    n_tokens: Long, cum_tokens: Long)
+
+/** A document dealt to a balanced training shard by
+  * [[TypedPipeline.assignShards]]. */
+case class ShardedDoc(source: String, doc_id: Long, n_tokens: Long, shard: Int)
+
+/** A (query, positive) id pair — known positives for negative sampling. */
+case class IdPair(qid: Long, did: Long)
+
+/** One sampled negative for a query (rank 1..k, deterministic draw). */
+case class NegativePair(qid: Long, rank: Int, did: Long)
+
+/** A supervised-learning fact row: entity key + event-time (epoch-µs)
+  * + the fact's own id (the label join key). */
+case class Fact(fact_id: Long, key: Long, ts_us: Long)
+
+/** An outcome row used to label facts (key + event-time + value). */
+case class Outcome(key: Long, ts_us: Long, value: Double)
+
+/** A fact with its strictly-future-window label aggregate
+  * ([[TypedPipeline.labelFacts]]); `outcome_sum_micro` is the exact
+  * integer-micro sum of outcome values in the window. */
+case class LabeledFact(
+    fact_id: Long, key: Long, ts_us: Long,
+    n_outcomes: Long, first_outcome_us: Option[Long], outcome_sum_micro: Long)
+
+/** One SCD2 dimension version: value valid over [valid_from_us,
+  * valid_to_us) — `None` = still current. */
+case class DimVersion(
+    key: Long, valid_from_us: Long, valid_to_us: Option[Long], value: Double)
+
+/** A fact enriched with the dimension value valid AT ITS OWN TIME
+  * ([[TypedPipeline.enrichPointInTime]]); `None` = no version covered
+  * the fact's timestamp. */
+case class EnrichedFact(
+    fact_id: Long, key: Long, ts_us: Long, dim_value: Option[Double])
 
 /**
  * Typed `Dataset[T]` facade over the document pipeline — the API shape
@@ -55,5 +96,63 @@ object TypedPipeline {
     import docs.sparkSession.implicits._
     val survivors = Dedup.cleanCorpus(docs.toDF(), "doc_id", "text", qualityMin, jaccardMax)
     docs.join(survivors, Seq("doc_id"), "left_semi").as[Doc]
+  }
+
+  /** Token-budget data selection ([[TextOps.budgetSelect]]): per source,
+    * the highest-quality documents whose running BPE-token total stays
+    * within `budgetTokens`. Distributed bounded-bucket form — no
+    * per-source serial sort. */
+  def selectBudget(docs: Dataset[Doc], budgetTokens: Long): Dataset[BudgetedDoc] = {
+    import docs.sparkSession.implicits._
+    TextOps.budgetSelect(docs.toDF(), "doc_id", "text", "source", budgetTokens)
+      .as[BudgetedDoc]
+  }
+
+  /** Balanced training-shard assignment ([[TextOps.shardAssign]]): per
+    * source, deal documents ranked by token count round-robin across
+    * `nShards` shards (the LPT-bounded greedy). */
+  def assignShards(docs: Dataset[Doc], nShards: Int): Dataset[ShardedDoc] = {
+    import docs.sparkSession.implicits._
+    TextOps.shardAssign(docs.toDF(), "doc_id", "text", "source", nShards)
+      .select(col("stratum").as("source"), col("doc_id"), col("n_tokens"), col("shard"))
+      .as[ShardedDoc]
+  }
+
+  /** Deterministic contrastive negative sampling
+    * ([[TextOps.negativeSample]]): for each query id, `k` md5-keyed
+    * negatives from the pool, excluding the query itself and its known
+    * positives. Size `buckets` so |pool|/buckets comfortably exceeds k
+    * plus the per-query positive count, and scale it with the pool. */
+  def sampleNegatives(
+      queryIds: Dataset[java.lang.Long], poolIds: Dataset[java.lang.Long],
+      positives: Dataset[IdPair], k: Int, buckets: Int): Dataset[NegativePair] = {
+    import queryIds.sparkSession.implicits._
+    TextOps.negativeSample(
+        queryIds.toDF("qid"), poolIds.toDF("did"), positives.toDF(),
+        "qid", "did", k, buckets)
+      .as[NegativePair]
+  }
+
+  /** Leak-free supervised labels ([[Events.labelWindow]]): each fact
+    * aggregated with its key's outcomes in the strictly-future
+    * (ts, ts + horizonMicros] window — banded equi-join, never a
+    * key-group cross product. */
+  def labelFacts(facts: Dataset[Fact], outcomes: Dataset[Outcome],
+      horizonMicros: Long): Dataset[LabeledFact] = {
+    import facts.sparkSession.implicits._
+    Events.labelWindow(facts.toDF(), outcomes.toDF(), "key", "ts_us",
+        "fact_id", "value", horizonMicros)
+      .as[LabeledFact]
+  }
+
+  /** Point-in-time feature lookup ([[Events.pointInTimeJoin]]): each
+    * fact reads the SCD2 dimension version valid AT THE FACT'S OWN TIME
+    * (never a future value — the leak-free feature-store join). */
+  def enrichPointInTime(
+      facts: Dataset[Fact], dim: Dataset[DimVersion]): Dataset[EnrichedFact] = {
+    import facts.sparkSession.implicits._
+    Events.pointInTimeJoin(facts.toDF(), dim.toDF(), "key", "ts_us", Seq("value"))
+      .select(col("fact_id"), col("key"), col("ts_us"), col("dim_value"))
+      .as[EnrichedFact]
   }
 }

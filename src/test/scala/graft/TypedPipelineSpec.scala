@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.api.{Doc, TypedPipeline}
+import graft.api.{Doc, DimVersion, Fact, IdPair, Outcome, TypedPipeline}
 
 class TypedPipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -35,5 +35,57 @@ class TypedPipelineSpec extends AnyFunSuite {
         graft.ops.TextOps.qualityScore($"text").as("q"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
     assert(typed == untyped)
+  }
+
+  test("typed selectBudget/assignShards match the oracle-checked untyped ops") {
+    val docs = TypedPipeline.load(spark, "/root/testdata/sf0.001")
+    val budget = TypedPipeline.selectBudget(docs, 800L).collect()
+      .map(b => (b.source, b.doc_id, b.quality, b.n_tokens, b.cum_tokens)).toSet
+    val untypedB = graft.ops.TextOps
+      .budgetSelect(docs.toDF(), "doc_id", "text", "source", 800L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    assert(budget == untypedB && budget.nonEmpty)
+    val shards = TypedPipeline.assignShards(docs, 8).collect()
+      .map(sd => (sd.source, sd.doc_id, sd.n_tokens, sd.shard)).toSet
+    val untypedS = graft.ops.TextOps
+      .shardAssign(docs.toDF(), "doc_id", "text", "source", 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(shards == untypedS && shards.map(_._4).size == 8)
+  }
+
+  test("typed sampleNegatives matches the untyped op and honors exclusions") {
+    val q = spark.createDataset((0L until 70L by 7).map(java.lang.Long.valueOf))
+    val pool = spark.createDataset((0L until 70L).map(java.lang.Long.valueOf))
+    val pos = spark.createDataset((0L until 70L by 7).map(i => IdPair(i, i + 1)))
+    val typed = TypedPipeline.sampleNegatives(q, pool, pos, k = 3, buckets = 4)
+      .collect().map(n => (n.qid, n.rank, n.did)).toSet
+    val untyped = graft.ops.TextOps.negativeSample(
+        q.toDF("qid"), pool.toDF("did"), pos.toDF(), "qid", "did", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(typed == untyped && typed.nonEmpty)
+    assert(typed.forall { case (qid, _, did) => did != qid && did != qid + 1 })
+  }
+
+  test("typed labelFacts and enrichPointInTime are leak-free and match naive logic") {
+    val facts = spark.createDataset(Seq(
+      Fact(1L, 10L, 1000L), Fact(2L, 10L, 5000L), Fact(3L, 20L, 1000L)))
+    val outcomes = spark.createDataset(Seq(
+      Outcome(10L, 1500L, 2.5), Outcome(10L, 2000L, 1.0), // in fact 1's window
+      Outcome(10L, 1000L, 9.0),                           // AT fact 1's ts: excluded
+      Outcome(10L, 7000L, 4.0),                           // in fact 2's window only
+      Outcome(20L, 99999L, 1.0)))                         // beyond fact 3's horizon
+    val lab = TypedPipeline.labelFacts(facts, outcomes, horizonMicros = 2000L)
+      .collect().map(l => l.fact_id -> l).toMap
+    assert(lab(1L).n_outcomes == 2L && lab(1L).first_outcome_us.contains(1500L)
+      && lab(1L).outcome_sum_micro == 3500000L)
+    assert(lab(2L).n_outcomes == 1L && lab(2L).outcome_sum_micro == 4000000L)
+    assert(lab(3L).n_outcomes == 0L && lab(3L).first_outcome_us.isEmpty)
+    val dim = spark.createDataset(Seq(
+      DimVersion(10L, 0L, Some(3000L), 1.5), DimVersion(10L, 3000L, None, 7.5)))
+    val enriched = TypedPipeline.enrichPointInTime(facts, dim)
+      .collect().map(e => e.fact_id -> e.dim_value).toMap
+    assert(enriched(1L).contains(1.5))  // ts 1000 -> first version
+    assert(enriched(2L).contains(7.5))  // ts 5000 -> open current version
+    assert(enriched(3L).isEmpty)        // key 20: no dim row
   }
 }
