@@ -288,6 +288,16 @@ object Similarity {
    * the corpus never shuffles (cell filter rides the broadcast join) —
    * and with the corpus bucketed by cell
    * ([[graft.sources.Tables.writeBucketed]]) even the scan prunes.
+   *
+   * SCALE CONTRACT (measured, Scale100Probe): per-query work is one
+   * cell's slice, |corpus| / |cells| — and `labelCol` PINS the cell
+   * count at the label arity. Growing corpus and query set ×N under a
+   * fixed quantizer is ~N² candidate work by construction (measured:
+   * 38× wall at ×100/×100, decade 22.5× — the fixed-quantizer bend).
+   * At scale, the quantizer must refine with the corpus: use a
+   * finer-grained cell key, or the hash-quantized [[annLsh]] (cells ∝
+   * 2^planes, measured 6.7× wall for the same ×100/×100 growth) /
+   * [[annInt8TopK]] paths.
    */
   def annIvf(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
