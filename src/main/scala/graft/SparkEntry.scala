@@ -1703,6 +1703,53 @@ object SparkEntry {
       // within budget — integer cumsum, deterministic quality ranking
       TextOps.budgetSelect(docs(s, dir), "doc_id", "text", "source", 800L)),
 
+    "q_token_budget_report" -> ((s, dir) => {
+      // training-mix accounting — the "data card" numbers a mixture
+      // designer reads before weighting: per-source docs/tokens, corpus
+      // token share, and the epochs a 1M-token budget implies per
+      // source. One map-side-combinable agg; the 1-row total broadcasts.
+      val perSrc = docs(s, dir)
+        .select(col("source"),
+          TextOps.tokenCountBpe(col("text")).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"),
+          round(lit(1000000.0) / col("n_tokens"), 6).as("epochs_at_1m"))
+    }),
+
+    "q_seqlen_histogram" -> ((s, dir) =>
+      // sequence-length histogram in power-of-two buckets: bucket =
+      // bit-length of the BPE token count (length of its binary string
+      // — integer-exact boundaries, never a float log2, which rounds
+      // 2^k down on exact powers in IEEE ln-ratio form). The
+      // pre-packing profile that sizes max_seq_len and predicts
+      // padding waste. Token counts staged once (HOFs have no CSE).
+      docs(s, dir)
+        .select(TextOps.tokenCountBpe(col("text")).cast("long").as("nt"))
+        .select(length(bin(col("nt"))).as("len_bucket"), col("nt"))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("nt")).as("min_tokens"),
+          max(col("nt")).as("max_tokens"), sum(col("nt")).as("sum_tokens"))),
+
+    "q_dup_cluster_sizes" -> ((s, dir) => {
+      // corpus-health: near-dup cluster SIZE distribution — how many
+      // docs sit in clusters of each size, i.e. what a dedup pass will
+      // reclaim (n_docs - n_clusters rows per size). Reuses the CC
+      // clustering; the two-level reaggregation is over cluster ids,
+      // never documents.
+      val d = docs(s, dir)
+      Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
+          Dedup.candidatePairs(d, "doc_id", "text", MinhashK, MinhashBands))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    }),
+
     "q_bpe_merges" -> ((s, dir) =>
       // BPE merge-candidate scoring: frequency-weighted adjacent char
       // pairs over the vocabulary, deterministic top-20
@@ -1763,6 +1810,27 @@ object SparkEntry {
         .select(col("user_id"), col("tsu"), col("value"))
       Events.labelWindow(clicks, purchases, "user_id", "tsu", "event_id",
         "value", horizonMicros = 86400000000L)
+    }),
+
+    "q_time_to_convert" -> ((s, dir) => {
+      // conversion-lag percentiles: per user, the first click and the
+      // first purchase strictly after it; exact p50/p90 of the lag,
+      // grouped by the click's epoch-day mod 7 (an integer-exact
+      // weekday-class key — bounded groups, so the percentile rank
+      // window never sorts the whole population in one task)
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      val firstClick = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("tsu")).as("click_us"))
+      val conv = firstClick
+        .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsu")), Seq("user_id"))
+        .filter(col("tsu") > col("click_us"))
+        .groupBy(col("user_id"), col("click_us"))
+        .agg(min(col("tsu")).as("conv_us"))
+        .select(expr("(click_us div 86400000000L) % 7").as("dow"),
+          (col("conv_us") - col("click_us")).as("lag_us"))
+      Stats.percentileExact(conv, Seq("dow"), "lag_us",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
     }),
 
     "q_point_in_time" -> ((s, dir) => {
@@ -4037,6 +4105,57 @@ object SparkEntry {
          |  FROM q_t)
          |SELECT source, doc_id, quality, n_tokens, cum_tokens
          |FROM c_t WHERE cum_tokens <= 800""".stripMargin,
+
+    "q_token_budget_report" ->
+      """WITH s_t AS (SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot_t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM s_t)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens::DOUBLE / tot, 6) AS token_share,
+        |  round(1000000.0 / n_tokens, 6) AS epochs_at_1m
+        |FROM s_t, tot_t""".stripMargin,
+
+    "q_seqlen_histogram" ->
+      """WITH n_t AS (SELECT
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS nt
+        |  FROM documents)
+        |SELECT length(bin(nt)) AS len_bucket, count(*) AS n_docs,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens,
+        |  sum(nt)::BIGINT AS sum_tokens
+        |FROM n_t GROUP BY len_bucket""".stripMargin,
+
+    "q_dup_cluster_sizes" ->
+      s"""$ClustersCte,
+         |sz_t AS (SELECT cluster_id, count(*) AS sz FROM clusters_t
+         |  GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  (sz * count(*))::BIGINT AS n_docs
+         |FROM sz_t GROUP BY sz""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS click_us FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |cv AS (SELECT fc.user_id, fc.click_us, min(epoch_us(p.ts)) AS conv_us
+        |  FROM fc JOIN events p ON p.user_id = fc.user_id
+        |    AND p.event_type = 'purchase' AND epoch_us(p.ts) > fc.click_us
+        |  GROUP BY fc.user_id, fc.click_us),
+        |lag_t AS (SELECT (click_us // 86400000000) % 7 AS dow,
+        |    (conv_us - click_us)::DOUBLE AS v FROM cv),
+        |rk AS (SELECT dow, v,
+        |    row_number() OVER (PARTITION BY dow ORDER BY v ASC) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY dow) AS n
+        |  FROM lag_t),
+        |g AS (SELECT dow, n,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN v END) AS lo50,
+        |    max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5) THEN v END) AS hi50,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.9) THEN v END) AS lo90,
+        |    max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.9) THEN v END) AS hi90
+        |  FROM rk GROUP BY dow, n)
+        |SELECT dow,
+        |  round(lo50 + ((n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5)) * (hi50 - lo50), 6) AS p50,
+        |  round(lo90 + ((n - 1)::DOUBLE * 0.9 - floor((n - 1)::DOUBLE * 0.9)) * (hi90 - lo90), 6) AS p90
+        |FROM g""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),

@@ -179,6 +179,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_decontaminate_bloom", "q_hll_distinct", "q_kmv_distinct",
       "q_kmv_overlap", "q_quantile_sketch", "q_skew_profile",
       "q_temperature_mix", "q_tpch_q11", "q_tpch_q22",
+      // 1-row corpus-token-total broadcast (the share denominator)
+      "q_token_budget_report",
       // 1-row corpus-total broadcasts; q_length_ks also broadcasts the
       // ≤(maxBucket+1)-row length grid
       "q_source_kl", "q_length_ks", "q_dsir_weights")
