@@ -42,6 +42,19 @@ case class TypeMoments(event_type: String, n: Long, mean_value: Double, std_valu
 /** A completed funnel: the user and the µs timestamp of every stage. */
 case class FunnelCompletion(user_id: Long, stage_times: Seq[Long])
 
+/** Per-key delayed-label state: facts awaiting their horizon close as
+  * (fact_id, ts_us); the outcome buffer that can still label a current
+  * or future fact as (ts_us, value in exact integer micro-units). */
+case class LabelState(facts: Seq[(Long, Long)], outcomes: Seq[(Long, Long)])
+
+/** A labeled fact, emitted exactly once — after the watermark proves
+  * its strictly-future (tsu, tsu+horizon] outcome window complete.
+  * Mirrors [[graft.ops.Events.labelWindow]]'s output row (None ≡ the
+  * batch twin's NULL first_outcome_us on zero-outcome facts). */
+case class LabeledFact(
+    event_id: Long, user_id: Long, tsu: Long,
+    n_outcomes: Long, first_outcome_us: Option[Long], outcome_sum_micro: Long)
+
 /**
  * Structured Streaming analytics over the event stream — the streaming
  * twins of the batch ops in [[graft.ops.Events]] (which the DuckDB oracle
@@ -356,6 +369,89 @@ object EventStreams {
           (col("valid_to_us").isNull || col("tsu") < col("valid_to_us")),
         "left_outer")
       .drop("__dk")
+  }
+
+  /**
+   * Streaming DELAYED-LABEL generation — the online-training twin of
+   * [[graft.ops.Events.labelWindow]]: each `factType` event is held
+   * until the watermark proves its strictly-future (ts, ts+horizon]
+   * outcome window COMPLETE, then emitted exactly once with the count /
+   * first time / exact integer-micro sum of the `outcomeType` events
+   * inside it (zero-outcome facts emit too, with None ≡ the batch
+   * NULL). Emitting any earlier would publish a label that a
+   * still-in-flight outcome could falsify; this is the leak-free *and*
+   * race-free form.
+   *
+   * Keyed `flatMapGroupsWithState` with event-time timeout, not a
+   * stream-stream join: the label is a per-fact AGGREGATE with
+   * left-outer semantics, which a join+agg chain cannot emit exactly
+   * once per fact on window close. State is bounded by the horizon +
+   * watermark delay, never #facts-ever: a fact leaves when
+   * watermark > ts+horizon; an outcome is evicted as soon as no
+   * pending fact (needs ts_out > min pending fact ts) nor any
+   * future-admissible fact (needs ts_out > watermark — later facts
+   * arrive with ts ≥ watermark and can only consume strictly-later
+   * outcomes) can use it; a quiet key's leftovers age out by timeout
+   * and the state row is removed. Out-of-order arrivals within the
+   * watermark delay are handled on both sides (facts and outcomes
+   * buffer independently); an event later than the watermark is
+   * dropped by Spark, the standard lateness contract.
+   */
+  def labelWindowStream(events: DataFrame, factType: String,
+      outcomeType: String, horizonMicros: Long,
+      watermarkDelay: String = "30 minutes")(
+      implicit spark: SparkSession): Dataset[LabeledFact] = {
+    import spark.implicits._
+    require(horizonMicros > 0, s"horizonMicros must be > 0, got $horizonMicros")
+    val typed = withEventTime(events)
+      .filter(col("event_type").isin(factType, outcomeType))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LabelState, LabeledFact](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[TimedEvent], state: GroupState[LabelState]) =>
+          val prev = state.getOption.getOrElse(LabelState(Nil, Nil))
+          var facts = prev.facts
+          var outcomes = prev.outcomes
+          batch.foreach { e =>
+            val tsu = e.ts / 1000
+            if (e.event_type == factType) facts :+= ((e.event_id, tsu))
+            else outcomes :+= ((tsu, toMicros(e.value).toLong))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // a fact is final only STRICTLY past its horizon: an outcome AT
+          // ts+horizon is inside the window and may still arrive while
+          // watermark == ts+horizon
+          val (ripe, pending) = facts.partition { case (_, fts) =>
+            fts + horizonMicros < wmUs }
+          val out = ripe.sortBy(identity).map { case (fid, fts) =>
+            val win = outcomes.filter { case (ots, _) =>
+              ots > fts && ots <= fts + horizonMicros }
+            LabeledFact(fid, userId, fts, win.size.toLong,
+              if (win.isEmpty) None else Some(win.map(_._1).min),
+              win.map(_._2).sum)
+          }
+          val minFts = pending.map(_._2).minOption
+          val kept = outcomes.filter { case (ots, _) =>
+            minFts.exists(ots > _) || ots > wmUs }
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(LabelState(pending, kept))
+            // wake when the oldest pending fact's horizon closes (that
+            // timestamp is >= the current watermark by the pending
+            // definition; +1ms makes it strictly later, as required) —
+            // or, with only future-admissible outcomes left, when the
+            // watermark passes the newest one and the key can be dropped
+            val wakeMs = minFts match {
+              case Some(m) => (m + horizonMicros) / 1000L + 1L
+              case None => kept.map(_._1).max / 1000L + 1L
+            }
+            state.setTimeoutTimestamp(wakeMs)
+          }
+          out.iterator
+      }
   }
 
   /**

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.{EventStreams, StreamEvent}
@@ -30,16 +31,20 @@ class StreamingRestartSpec extends AnyFunSuite {
   private val flush = StreamEvent(99L, Base + 1000L * MinNs, 999L, "flush", 0.0)
   private def allEvents = batch1 ++ batch2
 
-  /** Run `op` over a file source with a kill/restart between batch1 and
-    * batch2+flush; return the parquet-sink rows. */
-  private def runWithRestart(name: String)(op: DataFrame => DataFrame): DataFrame = {
+  /** Run `op` over a file source with a kill/restart between b1 and
+    * b2+flush; return the parquet-sink rows. The flush sentinel is
+    * overridable: an operator that filters by event_type needs its
+    * watermark push to survive that filter. */
+  private def runWithRestart(name: String, b1: Seq[StreamEvent] = batch1,
+      b2: Seq[StreamEvent] = batch2, flushEvent: StreamEvent = flush)(
+      op: DataFrame => DataFrame): DataFrame = {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory(s"graft-restart-$name").toString
     val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
-    batch1.toDF().coalesce(1).write.parquet(inDir)
+    b1.toDF().coalesce(1).write.parquet(inDir)
     def startQuery() = {
-      val stream = s.readStream.schema(batch1.toDF().schema)
+      val stream = s.readStream.schema(b1.toDF().schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
       op(stream).writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
@@ -49,8 +54,8 @@ class StreamingRestartSpec extends AnyFunSuite {
     try q1.processAllAvailable() finally q1.stop()
     // the session/window state is now only in the checkpoint; more data
     // (including the watermark flush) lands while the query is DOWN
-    batch2.toDF().coalesce(1).write.mode("append").parquet(inDir)
-    Seq(flush).toDF().coalesce(1).write.mode("append").parquet(inDir)
+    b2.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    Seq(flushEvent).toDF().coalesce(1).write.mode("append").parquet(inDir)
     val q2 = startQuery()
     try q2.processAllAvailable() finally q2.stop()
     s.read.parquet(outDir)
@@ -165,5 +170,43 @@ class StreamingRestartSpec extends AnyFunSuite {
     // across the restart; a lost state store would drop or double it
     assert(out == batch)
     assert(out == Map(11L -> 2L, 15L -> 4L))
+  }
+
+  test("labelWindowStream: pending facts and buffered outcomes survive kill-and-restart") {
+    val s = spark
+    import s.implicits._
+    val H = 3600000000L // 60-minute horizon (µs)
+    // the click at t0 AND its first outcome (t30) arrive before the
+    // stop: both the pending fact and the outcome buffer live only in
+    // the checkpoint across the restart; t65 (outside t0's window) and
+    // the watermark push arrive after. user 8's zero-outcome click also
+    // spans the restart.
+    val b1 = Seq(
+      StreamEvent(1L, Base + 0L * MinNs, 7L, "click", 0.0),
+      StreamEvent(3L, Base + 30L * MinNs, 7L, "purchase", 1.1),
+      StreamEvent(6L, Base + 5L * MinNs, 8L, "click", 0.0))
+    val b2 = Seq(StreamEvent(5L, Base + 65L * MinNs, 7L, "purchase", 3.3))
+    // the flush must BE an outcome event: labelWindowStream filters to
+    // its two event types before the watermark, so a 'flush' type would
+    // never advance it
+    val push = StreamEvent(99L, Base + 1000L * MinNs, 999L, "purchase", 0.0)
+    implicit val sp = s
+    val out = runWithRestart("labelwin", b1, b2, push)(
+        EventStreams.labelWindowStream(_, "click", "purchase", H).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))).toSet
+    val e = (b1 ++ b2 :+ push).toDF().withColumn("tsu", expr("ts div 1000"))
+    val batch = graft.ops.Events.labelWindow(
+        e.filter($"event_type" === "click").select($"user_id", $"tsu", $"event_id"),
+        e.filter($"event_type" === "purchase").select($"user_id", $"tsu", $"value"),
+        "user_id", "tsu", "event_id", "value", H)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))).toSet
+    assert(out == batch, s"restarted $out vs batch $batch")
+    // click 1: exactly the checkpoint-buffered t30 outcome (t65 outside)
+    assert(out.contains((1L, 7L, Base / 1000, 1L,
+      Some(Base / 1000 + 30L * 60000000L), 1100000L)))
+    // click 6: zero outcomes — emitted once, not lost with the restart
+    assert(out.count(_._1 == 6L) == 1)
   }
 }

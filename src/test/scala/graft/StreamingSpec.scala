@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Events
@@ -655,6 +656,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(byWindow.size == 2)
       assert(!byWindow.head._3, s"matching window must not alarm: $streamed")
       assert(byWindow.last._3, s"collapsed window must alarm: $streamed")
+    } finally q.stop()
+  }
+
+  test("labelWindowStream: delayed labels equal batch labelWindow, exactly once per fact") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val H = 3600000000L // 60-minute horizon (µs)
+    // user 7: clicks t0/t10; purchases t30 (labels both), t60 (AT click
+    // t0's horizon boundary — inside, ots <= fts+h), t65 (labels t10
+    // only). user 8: click with no purchases -> zero-outcome label.
+    // non-dyadic values: an inexact sum rule would diverge from batch.
+    val evs = Seq(
+      StreamEvent(1L, Base + 0L * MinNs, 7L, "click", 0.0),
+      StreamEvent(2L, Base + 10L * MinNs, 7L, "click", 0.0),
+      StreamEvent(3L, Base + 30L * MinNs, 7L, "purchase", 1.1),
+      StreamEvent(4L, Base + 60L * MinNs, 7L, "purchase", 2.2),
+      StreamEvent(5L, Base + 65L * MinNs, 7L, "purchase", 3.3),
+      StreamEvent(6L, Base + 5L * MinNs, 8L, "click", 0.0))
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.labelWindowStream(in.toDF(), "click", "purchase", H)
+      .writeStream.format("memory").queryName("labels_out")
+      .outputMode("append").start()
+    try {
+      // out-of-order feed across batches: a purchase (t30) lands BEFORE
+      // its clicks' horizons close; the boundary purchase (t60) and a
+      // click (t10) arrive in a LATER batch than newer events
+      in.addData(evs(0), evs(2), evs(5))
+      q.processAllAvailable()
+      in.addData(evs(4), evs(1), evs(3))
+      q.processAllAvailable()
+      // watermark flush: a far-future OUTCOME (stays inside the operator's
+      // event-type filter so the watermark actually advances)
+      in.addData(StreamEvent(99L, Base + 1000L * MinNs, 999L, "purchase", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(98L, Base + 1001L * MinNs, 999L, "purchase", 0.0))
+      q.processAllAvailable()
+
+      val streamed = s.sql(
+        "SELECT event_id, user_id, tsu, n_outcomes, first_outcome_us, outcome_sum_micro FROM labels_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+      // exactly once per fact
+      assert(streamed.map(_._1).distinct.length == streamed.length)
+
+      val e = evs.toDF().withColumn("tsu", expr("ts div 1000"))
+      val batch = Events.labelWindow(
+          e.filter($"event_type" === "click").select($"user_id", $"tsu", $"event_id"),
+          e.filter($"event_type" === "purchase").select($"user_id", $"tsu", $"value"),
+          "user_id", "tsu", "event_id", "value", H)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+      assert(streamed.toSet == batch.toSet,
+        s"streamed ${streamed.toSet} vs batch ${batch.toSet}")
+      assert(streamed.length == 3) // two labeled clicks for user 7, one zero-outcome for user 8
+      val byId = streamed.map(l => l._1 -> l).toMap
+      // click 1 window (t0, t60]: purchases t30 + boundary t60
+      assert(byId(1L)._4 == 2L && byId(1L)._5.contains(Base / 1000 + 30L * 60000000L)
+        && byId(1L)._6 == 3300000L)
+      // click 6 (user 8): zero outcomes, null first, zero sum
+      assert(byId(6L)._4 == 0L && byId(6L)._5.isEmpty && byId(6L)._6 == 0L)
     } finally q.stop()
   }
 }
