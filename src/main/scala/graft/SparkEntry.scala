@@ -1734,6 +1734,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("nt")).as("min_tokens"),
           max(col("nt")).as("max_tokens"), sum(col("nt")).as("sum_tokens"))),
 
+    "q_token_fertility" -> ((s, dir) =>
+      // tokenizer-fertility report: chars per BPE token by language —
+      // the metric that tells a tokenizer team which languages pay the
+      // highest token tax. Exact integer sums, one division at the end.
+      docs(s, dir)
+        .select(col("lang"), col("n_chars"),
+          TextOps.tokenCountBpe(col("text")).cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("nt")).as("sum_tokens"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_tokens"),
+          round(col("sum_chars").cast("double") / col("sum_tokens"), 6)
+            .as("chars_per_token"))),
+
+    "q_dup_rate_by_source" -> ((s, dir) =>
+      // per-source exact-duplicate rate: distinct text hashes vs docs —
+      // which ingestion feeds are flooding the corpus. One partial-
+      // aggregable pass over (source, md5) then a count rollup.
+      docs(s, dir)
+        .select(col("source"), md5(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"))),
+
     "q_dup_cluster_sizes" -> ((s, dir) => {
       // corpus-health: near-dup cluster SIZE distribution — how many
       // docs sit in clusters of each size, i.e. what a dedup pass will
@@ -4124,6 +4151,21 @@ object SparkEntry {
         |  min(nt) AS min_tokens, max(nt) AS max_tokens,
         |  sum(nt)::BIGINT AS sum_tokens
         |FROM n_t GROUP BY len_bucket""".stripMargin,
+
+    "q_token_fertility" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS nt
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars, sum(nt)::BIGINT AS sum_tokens,
+        |  round(sum(n_chars)::DOUBLE / sum(nt), 6) AS chars_per_token
+        |FROM d GROUP BY lang""".stripMargin,
+
+    "q_dup_rate_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_dup_cluster_sizes" ->
       s"""$ClustersCte,
