@@ -111,7 +111,14 @@ object Scale100Probe {
         Dedup.shingleSets(d, "doc_id", "text"), 8, 4, maxBucket = 64)),
       "dedup_spans" -> (d => Dedup.dedupSpans(d, "doc_id", "text", 8)),
       "budget_select" -> (d =>
-        TextOps.budgetSelect(d, "doc_id", "text", "source", 800L)))
+        TextOps.budgetSelect(d, "doc_id", "text", "source", 800L)),
+      // the r12 flood guards on their designed adversary: every text
+      // ×N under distinct ids, so every fingerprint bucket / prefix
+      // block holds ≥N copies — the star branch IS the measured path
+      "winnow_capped" -> (d => Dedup.winnowPairsCapped(
+        d, "doc_id", "text", maxBucket = 64)),
+      "simjoin_capped" -> (d => Dedup.similarityJoinExactCapped(
+        d, "doc_id", "text", 1, 2, maxBlock = 64)))
     // embedding family on the ×N duplicate flood: the collapsed SRP
     // clustering (exact-dup collapse first — N×-replicated vectors
     // collapse back to the base corpus before any pair work) and the
