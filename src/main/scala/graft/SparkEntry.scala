@@ -4139,8 +4139,8 @@ object SparkEntry {
         |  FROM documents GROUP BY source),
         |tot_t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM s_t)
         |SELECT source, n_docs, n_tokens,
-        |  round(n_tokens::DOUBLE / tot, 6) AS token_share,
-        |  round(1000000.0 / n_tokens, 6) AS epochs_at_1m
+        |  round(n_tokens::DOUBLE / nullif(tot, 0), 6) AS token_share,
+        |  round(1000000.0 / nullif(n_tokens, 0), 6) AS epochs_at_1m
         |FROM s_t, tot_t""".stripMargin,
 
     "q_seqlen_histogram" ->
@@ -4158,7 +4158,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
         |  sum(n_chars)::BIGINT AS sum_chars, sum(nt)::BIGINT AS sum_tokens,
-        |  round(sum(n_chars)::DOUBLE / sum(nt), 6) AS chars_per_token
+        |  round(sum(n_chars)::DOUBLE / nullif(sum(nt), 0), 6) AS chars_per_token
         |FROM d GROUP BY lang""".stripMargin,
 
     "q_dup_rate_by_source" ->

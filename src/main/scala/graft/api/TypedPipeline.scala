@@ -16,14 +16,19 @@ case class ScoredDoc(
     fingerprint: Long, split: String)
 
 /** A document kept by [[TypedPipeline.selectBudget]] — quality-ranked
-  * within its source, running token total within budget. */
+  * within its source, running token total within budget. quality and
+  * n_tokens are Options: a null/empty-text document scores NULL on
+  * both (it ranks last within its source and adds nothing to the
+  * cumsum) and a primitive field would throw at decode time. */
 case class BudgetedDoc(
-    source: String, doc_id: Long, quality: Double,
-    n_tokens: Long, cum_tokens: Long)
+    source: String, doc_id: Long, quality: Option[Double],
+    n_tokens: Option[Long], cum_tokens: Long)
 
 /** A document dealt to a balanced training shard by
-  * [[TypedPipeline.assignShards]]. */
-case class ShardedDoc(source: String, doc_id: Long, n_tokens: Long, shard: Int)
+  * [[TypedPipeline.assignShards]] (n_tokens None ≡ null text — ranked
+  * last, still dealt a shard). */
+case class ShardedDoc(
+    source: String, doc_id: Long, n_tokens: Option[Long], shard: Int)
 
 /** A (query, positive) id pair — known positives for negative sampling. */
 case class IdPair(qid: Long, did: Long)

@@ -124,7 +124,14 @@ object Multimodal {
       def open(): Session = new Session {
         // per-partition context: one digest instance reused across rows
         // (ImageIO.read allocates its reader per call — a codec with a
-        // reusable native context would hold it here instead)
+        // reusable native context would hold it here instead).
+        // useCache=false: ImageIO's default wraps every stream in a
+        // DISK-backed FileCacheImageInputStream — a scratch temp file
+        // per decoded row on the executor; the payload is already fully
+        // in memory, so force the memory-backed stream instead. (JVM-
+        // global flag, but memory-caching is strictly what Spark
+        // executors want for byte-array payloads.)
+        javax.imageio.ImageIO.setUseCache(false)
         private val md = MessageDigest.getInstance("MD5")
         def decode(mediaType: String, payload: Array[Byte]): Decoded = {
           val img = javax.imageio.ImageIO.read(

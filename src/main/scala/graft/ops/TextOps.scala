@@ -730,9 +730,21 @@ object TextOps {
     val wDoc = Window.partitionBy(col("source"), col("__qm"))
       .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL-SAFE source equality: a null-source doc group survives the
+    // window and groupBy branches on both sides, so a null-unsafe join
+    // here would silently drop exactly those docs (the r11 single-window
+    // form kept them — its partitionBy treats null as its own group).
+    // EqualNullSafe is still an equi-key: the join stays hash/broadcast.
+    val off2 = offsets.select(col("source").as("__osrc"),
+      col("__qm").as("__oqm"), col("__cum_before"))
     scored
-      .join(offsets, Seq("source", "__qm")) // AQE broadcasts the small side
-      .withColumn("cum_tokens", col("__cum_before") + sum(col("n_tokens")).over(wDoc))
+      .join(off2, col("source") <=> col("__osrc") && col("__qm") === col("__oqm"))
+      // coalesce: a tie group whose every member has null n_tokens (null
+      // text) sums to NULL — the single-window form's running sum simply
+      // skips nulls, so the decomposed cum must read "bucket offset + 0"
+      // there, not NULL (which the budget filter would silently drop)
+      .withColumn("cum_tokens",
+        col("__cum_before") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("source"), col("doc_id"), col("quality"),
         col("n_tokens"), col("cum_tokens"))
@@ -786,8 +798,15 @@ object TextOps {
     // within a tie group the global order reduces to doc_id asc
     val wDoc = Window.partitionBy(col("stratum"), col("n_tokens"))
       .orderBy(col("doc_id").asc)
+    // NULL-SAFE keys, same reason as [[budgetSelectScored]]: a null
+    // stratum (or a null token count from null text) forms its own
+    // group in both branches — the single-window form ranked it
+    // (desc NULLS LAST); a null-unsafe join would silently drop it.
+    val off2 = offsets.select(col("stratum").as("__ost"),
+      col("n_tokens").as("__ont"), col("__rank_before"))
     scored
-      .join(offsets, Seq("stratum", "n_tokens")) // AQE broadcasts the small side
+      .join(off2,
+        col("stratum") <=> col("__ost") && col("n_tokens") <=> col("__ont"))
       .withColumn("shard",
         ((col("__rank_before") + row_number().over(wDoc) - 1) % nShards).cast("int"))
       .select(col("stratum"), col("doc_id"), col("n_tokens"), col("shard"))

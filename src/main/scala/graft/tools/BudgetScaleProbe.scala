@@ -55,12 +55,15 @@ object BudgetScaleProbe {
       col("source"), col("doc_id"),
       TextOps.qualityScore(col("text")).as("quality"),
       TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
+    // each file gated on ITS OWN existence: a run killed between the two
+    // writes must not leave the probe reading a path that was never
+    // (re)written on the next attempt
     val s1Path = s"$workDir/scored1.parquet"
     val s10Path = s"$workDir/scored10.parquet"
-    if (!new java.io.File(s1Path).exists()) {
+    if (!new java.io.File(s1Path).exists())
       score(d1).write.mode("overwrite").parquet(s1Path)
+    if (!new java.io.File(s10Path).exists())
       score(d10).write.mode("overwrite").parquet(s10Path)
-    }
     val s1 = spark.read.parquet(s1Path)
     val s10 = spark.read.parquet(s10Path)
 

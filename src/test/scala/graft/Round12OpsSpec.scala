@@ -63,6 +63,43 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetSelect/shardAssign: null source/stratum and null text survive (null-safe keys)") {
+    // the r12 bucket decomposition's equi-joins would silently drop
+    // null-keyed rows the single-window forms kept; EqualNullSafe keys
+    // and the coalesced tie-group cumsum must keep them byte-identical
+    val d = Seq[(Long, String, String)](
+        (1L, "good quality text with several proper english words here", "a"),
+        (2L, "another document with plenty of useful english words inside", "a"),
+        (3L, "short text", null),
+        (4L, null, null),          // null text AND null source
+        (5L, null, "a"),           // null text, real source
+        (6L, "more words for the null source group to rank deterministically", null))
+      .toDF("doc_id", "text", "source")
+    val budget = 100000L
+    val scoredB = d.select(col("source"), col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
+    val wB = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naiveB = scoredB
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wB))
+      .filter(col("cum_tokens") <= budget)
+    val distB = TextOps.budgetSelect(d, "doc_id", "text", "source", budget)
+    assert(rows(distB) == rows(naiveB))
+    assert(distB.filter(col("source").isNull).count() == 3, "null-source docs must survive")
+    assert(distB.filter(col("doc_id") === 5L).count() == 1, "null-text doc must survive")
+    val scoredS = d.select(col("source").as("stratum"), col("doc_id"),
+      TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
+    val wS = Window.partitionBy(col("stratum"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val naiveS = scoredS.withColumn("shard",
+      ((row_number().over(wS) - 1) % 4).cast("int"))
+    val distS = TextOps.shardAssign(d, "doc_id", "text", "source", 4)
+    assert(rows(distS) == rows(naiveS))
+    assert(distS.count() == 6, "every doc gets a shard, null keys included")
+  }
+
   // ── flood guards for the exact pair-emitters ─────────────────────────
 
   import graft.ops.Dedup

@@ -43,13 +43,16 @@ class TypedPipelineSpec extends AnyFunSuite {
       .map(b => (b.source, b.doc_id, b.quality, b.n_tokens, b.cum_tokens)).toSet
     val untypedB = graft.ops.TextOps
       .budgetSelect(docs.toDF(), "doc_id", "text", "source", 800L).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toSet
     assert(budget == untypedB && budget.nonEmpty)
     val shards = TypedPipeline.assignShards(docs, 8).collect()
       .map(sd => (sd.source, sd.doc_id, sd.n_tokens, sd.shard)).toSet
     val untypedS = graft.ops.TextOps
       .shardAssign(docs.toDF(), "doc_id", "text", "source", 8).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3))).toSet
     assert(shards == untypedS && shards.map(_._4).size == 8)
   }
 
