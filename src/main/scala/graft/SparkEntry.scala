@@ -1761,6 +1761,19 @@ object SparkEntry {
           round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
             .as("dup_rate"))),
 
+    "q_expectations" -> ((s, dir) =>
+      // data-quality gate: six declarative checks in ONE aggregation
+      // pass (the Deequ/Great-Expectations shape, Spark-native). The
+      // in_set check intentionally excludes es/zh so a FAILING verdict
+      // row is exercised, not just the happy path.
+      graft.ops.Expect.run(docs(s, dir), Seq(
+        graft.ops.Expect.RowsBetween(1L, 10000000L),
+        graft.ops.Expect.NullRateAtMost("text", 0.01),
+        graft.ops.Expect.Unique("doc_id"),
+        graft.ops.Expect.InSet("lang", Seq("en", "de", "fr")),
+        graft.ops.Expect.MinAtLeast("n_chars", 1.0),
+        graft.ops.Expect.MaxAtMost("n_chars", 1000000.0)))),
+
     "q_dup_cluster_sizes" -> ((s, dir) => {
       // corpus-health: near-dup cluster SIZE distribution — how many
       // docs sit in clusters of each size, i.e. what a dedup pass will
@@ -4160,6 +4173,31 @@ object SparkEntry {
         |  sum(n_chars)::BIGINT AS sum_chars, sum(nt)::BIGINT AS sum_tokens,
         |  round(sum(n_chars)::DOUBLE / nullif(sum(nt), 0), 6) AS chars_per_token
         |FROM d GROUP BY lang""".stripMargin,
+
+    "q_expectations" ->
+      """WITH w AS (SELECT count(*) AS n,
+        |    count(text) AS m1,
+        |    count(doc_id) AS m2, count(DISTINCT doc_id) AS d2,
+        |    sum(CASE WHEN lang IS NULL OR lang IN ('en','de','fr')
+        |        THEN 0 ELSE 1 END) AS m3,
+        |    min(n_chars::DOUBLE) AS m4, max(n_chars::DOUBLE) AS m5
+        |  FROM documents)
+        |SELECT 0 AS ord, 'rows_between' AS check, NULL AS col_name,
+        |  n::DOUBLE AS metric, 1.0::DOUBLE AS lo, 10000000.0::DOUBLE AS hi,
+        |  (n >= 1 AND n <= 10000000) AS passed FROM w
+        |UNION ALL SELECT 1, 'null_rate_at_most', 'text',
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE (n - m1)::DOUBLE / n END, 6),
+        |  0.0, 0.01,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE (n - m1)::DOUBLE / n END, 6) <= 0.01
+        |  FROM w
+        |UNION ALL SELECT 2, 'unique', 'doc_id', (m2 - d2)::DOUBLE, 0.0, 0.0,
+        |  m2 = d2 FROM w
+        |UNION ALL SELECT 3, 'in_set', 'lang', coalesce(m3, 0)::DOUBLE, 0.0, 0.0,
+        |  coalesce(m3, 0) = 0 FROM w
+        |UNION ALL SELECT 4, 'min_at_least', 'n_chars', m4, 1.0, NULL,
+        |  (m4 IS NULL OR m4 >= 1.0) FROM w
+        |UNION ALL SELECT 5, 'max_at_most', 'n_chars', m5, NULL, 1000000.0,
+        |  (m5 IS NULL OR m5 <= 1000000.0) FROM w""".stripMargin,
 
     "q_dup_rate_by_source" ->
       """SELECT source, count(*) AS n_docs,

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality EXPECTATIONS over a table — the assertion gate a
+ * pipeline runs between stages ("row count sane, key unique, null
+ * rate bounded, categories closed, ranges respected") before letting
+ * data flow onward to training. The Spark-native answer to the
+ * Deequ/Great-Expectations shape, deliberately small: declarative
+ * checks in, one verdict row per check out.
+ *
+ * Scale shape: ALL checks evaluate in ONE aggregation over ONE scan —
+ * each check contributes 1-2 map-side-combinable aggregate
+ * expressions to a single 1-row frame, which then unpivots to a row
+ * per check (no second scan, no per-check job). The exception is
+ * [[Expect.Unique]], whose exact duplicate count needs a distinct
+ * aggregate: Spark plans mixed distinct aggregates by Expanding the
+ * scan once per distinct column, so EVERY Unique check multiplies the
+ * scanned rows — keep to the one or two genuine key columns and let
+ * [[Profile.profile]]'s KMV estimate cover advisory distinctness.
+ *
+ * Verdicts are engine-replayable: rates rounded to 6 dp, extrema
+ * compared as doubles, empty-table checks pass vacuously (rate 0,
+ * no extrema) — the DuckDB oracle mirrors each rule.
+ */
+object Expect {
+
+  /** One declarative expectation; `run` turns a batch of these into
+    * (check, col_name, metric, lo, hi, passed) verdict rows. */
+  sealed trait Check
+  /** Total row count in [lo, hi]. */
+  final case class RowsBetween(lo: Long, hi: Long) extends Check
+  /** null fraction of `column` ≤ maxRate (empty table → rate 0). */
+  final case class NullRateAtMost(column: String, maxRate: Double) extends Check
+  /** `column` has no duplicate non-null values (metric = dup count). */
+  final case class Unique(column: String) extends Check
+  /** Every non-null value of `column` is in `allowed` (metric =
+    * violation count). */
+  final case class InSet(column: String, allowed: Seq[String]) extends Check
+  /** min(column) ≥ bound (empty/all-null → vacuously true). */
+  final case class MinAtLeast(column: String, bound: Double) extends Check
+  /** max(column) ≤ bound (empty/all-null → vacuously true). */
+  final case class MaxAtMost(column: String, bound: Double) extends Check
+
+  /** Evaluate every check in one aggregation pass; returns one verdict
+    * row per check: (check, col_name, metric, lo, hi, passed), in the
+    * order the checks were given. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val aggs: Seq[Column] = checks.zipWithIndex.flatMap { case (c, i) =>
+      c match {
+        case RowsBetween(_, _) => Nil // reads the shared row count
+        case NullRateAtMost(cl, _) => Seq(count(col(cl)).as(s"__m$i"))
+        case Unique(cl) => Seq(count(col(cl)).as(s"__m$i"),
+          countDistinct(col(cl)).as(s"__d$i"))
+        case InSet(cl, allowed) => Seq(
+          sum(when(col(cl).isNull || col(cl).isin(allowed: _*), 0L)
+            .otherwise(1L)).as(s"__m$i"))
+        case MinAtLeast(cl, _) => Seq(min(col(cl).cast("double")).as(s"__m$i"))
+        case MaxAtMost(cl, _) => Seq(max(col(cl).cast("double")).as(s"__m$i"))
+      }
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val n = col("__n").cast("double")
+    def m(i: Int) = col(s"__m$i")
+    val verdicts: Seq[Column] = checks.zipWithIndex.map { case (c, i) =>
+      val (name, column, metric, lo, hi, passed) = c match {
+        case RowsBetween(l, h) =>
+          ("rows_between", lit(null).cast("string"), n,
+            lit(l.toDouble), lit(h.toDouble),
+            col("__n") >= l && col("__n") <= h)
+        case NullRateAtMost(cl, r) =>
+          val rate = round(when(col("__n") === 0L, 0.0)
+            .otherwise((n - m(i).cast("double")) / n), 6)
+          ("null_rate_at_most", lit(cl), rate, lit(0.0), lit(r), rate <= r)
+        case Unique(cl) =>
+          val dups = (m(i) - col(s"__d$i")).cast("double")
+          ("unique", lit(cl), dups, lit(0.0), lit(0.0), dups === 0.0)
+        case InSet(cl, _) =>
+          val v = coalesce(m(i), lit(0L)).cast("double")
+          ("in_set", lit(cl), v, lit(0.0), lit(0.0), v === 0.0)
+        case MinAtLeast(cl, b) =>
+          ("min_at_least", lit(cl), m(i), lit(b), lit(null).cast("double"),
+            m(i).isNull || m(i) >= b)
+        case MaxAtMost(cl, b) =>
+          ("max_at_most", lit(cl), m(i), lit(null).cast("double"), lit(b),
+            m(i).isNull || m(i) <= b)
+      }
+      struct(lit(i).as("ord"), lit(name).as("check"), column.as("col_name"),
+        metric.cast("double").as("metric"), lo.cast("double").as("lo"),
+        hi.cast("double").as("hi"), passed.as("passed"))
+    }
+    wide
+      .select(explode(array(verdicts: _*)).as("v"))
+      .select(col("v.ord").as("ord"), col("v.check").as("check"),
+        col("v.col_name").as("col_name"), col("v.metric").as("metric"),
+        col("v.lo").as("lo"), col("v.hi").as("hi"), col("v.passed").as("passed"))
+  }
+
+  /** `run`, then throw if any check failed — the hard pipeline gate.
+    * The verdict frame is small (one row per check): the collect here
+    * is the assertion point, not a data path. */
+  def validate(df: DataFrame, checks: Seq[Check]): Unit = {
+    val failed = run(df, checks).filter(!col("passed"))
+      .collect().map(r => s"${r.getString(1)}(${r.getString(2)}): metric=${r.getDouble(3)}")
+    require(failed.isEmpty, s"expectations failed: ${failed.mkString("; ")}")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Expect
+import graft.ops.Expect._
+
+class ExpectSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def d = Seq[(Long, String, java.lang.Double)](
+      (1L, "en", 1.5), (2L, "en", 2.5), (3L, "de", null), (2L, null, 9.0))
+    .toDF("id", "lang", "v")
+
+  test("verdict rows: metrics, bounds and pass/fail per check") {
+    val out = Expect.run(d, Seq(
+        RowsBetween(1L, 10L),
+        NullRateAtMost("lang", 0.3),
+        NullRateAtMost("lang", 0.2),   // 1/4 = 0.25 > 0.2 -> fail
+        Unique("id"),                  // id 2 duplicated -> fail
+        InSet("lang", Seq("en", "de")),
+        InSet("lang", Seq("en")),      // de violates -> fail
+        MinAtLeast("v", 1.0),
+        MaxAtMost("v", 5.0)))          // 9.0 -> fail
+      .orderBy(col("ord")).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      ("rows_between", 4.0, true),
+      ("null_rate_at_most", 0.25, true),
+      ("null_rate_at_most", 0.25, false),
+      ("unique", 1.0, false),
+      ("in_set", 0.0, true),
+      ("in_set", 1.0, false),
+      ("min_at_least", 1.5, true),
+      ("max_at_most", 9.0, false)))
+  }
+
+  test("empty table: rate 0, extrema vacuous, rows_between can still fail") {
+    val e = d.filter(col("id") < 0L)
+    val out = Expect.run(e, Seq(
+        RowsBetween(1L, 10L), NullRateAtMost("lang", 0.0),
+        Unique("id"), InSet("lang", Seq("en")),
+        MinAtLeast("v", 1.0), MaxAtMost("v", 5.0)))
+      .orderBy(col("ord")).collect().map(r => (r.getString(1), r.getBoolean(6)))
+    assert(out.toSeq == Seq(("rows_between", false), ("null_rate_at_most", true),
+      ("unique", true), ("in_set", true), ("min_at_least", true),
+      ("max_at_most", true)))
+  }
+
+  test("validate throws on failure, names the failing checks, passes otherwise") {
+    Expect.validate(d, Seq(RowsBetween(1L, 10L), InSet("lang", Seq("en", "de"))))
+    val e = intercept[IllegalArgumentException] {
+      Expect.validate(d, Seq(Unique("id"), MaxAtMost("v", 5.0)))
+    }
+    assert(e.getMessage.contains("unique(id)") && e.getMessage.contains("max_at_most(v)"))
+  }
+
+  test("one aggregation pass: a single scan and no shuffle beyond the global agg") {
+    val plan = Expect.run(d, Seq(RowsBetween(1L, 10L),
+        NullRateAtMost("lang", 0.3), MinAtLeast("v", 0.0), MaxAtMost("v", 9.9)))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan|Scan ").length <= 3, plan) // one source scan
+    assert(!plan.contains("Join"), plan)
+  }
+}
