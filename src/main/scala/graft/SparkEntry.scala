@@ -1716,8 +1716,13 @@ object SparkEntry {
       val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
       perSrc.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"),
-          round(lit(1000000.0) / col("n_tokens"), 6).as("epochs_at_1m"))
+          // zero-token guards: ANSI division THROWS on a 0 denominator
+          // (it does not NULL); NULL is the contract, mirrored by the
+          // oracle's nullif
+          round(when(col("tot") > 0,
+            col("n_tokens").cast("double") / col("tot")), 6).as("token_share"),
+          round(when(col("n_tokens") > 0,
+            lit(1000000.0) / col("n_tokens")), 6).as("epochs_at_1m"))
     }),
 
     "q_seqlen_histogram" -> ((s, dir) =>
@@ -1746,7 +1751,9 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           sum(col("nt")).as("sum_tokens"))
         .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_tokens"),
-          round(col("sum_chars").cast("double") / col("sum_tokens"), 6)
+          // ANSI-safe: a zero-token language reads NULL, not an error
+          round(when(col("sum_tokens") > 0,
+            col("sum_chars").cast("double") / col("sum_tokens")), 6)
             .as("chars_per_token"))),
 
     "q_dup_rate_by_source" -> ((s, dir) =>
@@ -2169,7 +2176,7 @@ object SparkEntry {
     s"""SELECT ${extraCols}doc_id, round(
        |  0.3 * (least(len(toks)::DOUBLE, 100.0) / 100.0)
        |  + 0.4 * (CASE WHEN len(toks) > 0 THEN $enHits::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
-       |  + 0.3 * (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text)::DOUBLE)
+       |  + 0.3 * (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / nullif(length(text), 0)::DOUBLE)
        |, 6) AS quality
        |FROM $from""".stripMargin
   }

@@ -161,7 +161,13 @@ object TextOps {
     val st = textStats(text)
     val nToks = st.getField("n_toks").cast("double")
     val stopRatio = when(nToks > 0, st.getField("hits_en").cast("double") / nToks).otherwise(lit(0.0))
-    val punctRatio = (st.getField("removed")).cast("double") / st.getField("n_chars").cast("double")
+    // n_chars = 0 (EMPTY text) must yield NULL explicitly: an unguarded
+    // 0/0 returns NULL only under legacy mode — Spark 4's default ANSI
+    // dialect THROWS DIVIDE_BY_ZERO, so one empty document would kill a
+    // whole corpus job. NULL quality is the documented contract (ranks
+    // last; budgetSelect's -1 bucket).
+    val punctRatio = when(st.getField("n_chars") > 0,
+      st.getField("removed").cast("double") / st.getField("n_chars").cast("double"))
     val lenScore = least(nToks, lit(100.0)) / lit(100.0)
     round(lit(0.3) * lenScore + lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio), 6)
   }
@@ -173,7 +179,9 @@ object TextOps {
     val nToks = size(toks).cast("double")
     val stopRatio = when(nToks > 0, stopwordHits(toks, EN_STOP).cast("double") / nToks).otherwise(lit(0.0))
     val cleaned = regexp_replace(lower(text), "[^a-z0-9\\s]", "")
-    val punctRatio = (length(text) - length(cleaned)).cast("double") / length(text).cast("double")
+    // same ANSI-safe empty-text guard as the kernel form (spec parity)
+    val punctRatio = when(length(text) > 0,
+      (length(text) - length(cleaned)).cast("double") / length(text).cast("double"))
     val lenScore = least(nToks, lit(100.0)) / lit(100.0)
     round(lit(0.3) * lenScore + lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio), 6)
   }

@@ -300,4 +300,54 @@ class PropertySpec extends AnyFunSuite {
       if (anyRepeat) assert(totalDup > 0)
     }
   }
+
+  test("budgetSelect/shardAssign equal the single-window reference on random null-riddled corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextOps
+    val words = Seq("the", "quick", "brown", "fox", "data", "engine", "scale",
+      "token", "spark", "plan", "join", "window", "shard", "budget")
+    val rnd = new scala.util.Random(1234)
+    for (round <- 1 to 8) {
+      // random docs: random lengths, random sources including NULL and
+      // the empty string, random NULL texts, duplicate token counts
+      val rows = (1L to (20L + rnd.nextInt(40))).map { id =>
+        val text = if (rnd.nextInt(8) == 0) null
+          else Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")
+        val source = rnd.nextInt(5) match {
+          case 0 => null
+          case 1 => ""
+          case k => s"s$k"
+        }
+        (id, text, source)
+      }
+      val parts = 1 + rnd.nextInt(5)
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts)).toDF("doc_id", "text", "source")
+      def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] = {
+        val names = df.columns.sorted
+        df.select(names.map(col): _*).collect().map(_.toString).toSet
+      }
+      val budget = Seq(0L, 10L, 60L, 1000000L)(rnd.nextInt(4))
+      val scoredB = d.select(col("source"), col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
+      val wB = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naiveB = scoredB.withColumn("cum_tokens", sum(col("n_tokens")).over(wB))
+        .filter(col("cum_tokens") <= budget)
+      assert(rowsOf(TextOps.budgetSelect(d, "doc_id", "text", "source", budget))
+        == rowsOf(naiveB), s"round=$round budget=$budget parts=$parts")
+      val nShards = 1 + rnd.nextInt(6)
+      val scoredS = d.select(col("source").as("stratum"), col("doc_id"),
+        TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
+      val wS = Window.partitionBy(col("stratum"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      val naiveS = scoredS.withColumn("shard",
+        ((row_number().over(wS) - 1) % nShards).cast("int"))
+      assert(rowsOf(TextOps.shardAssign(d, "doc_id", "text", "source", nShards))
+        == rowsOf(naiveS), s"round=$round nShards=$nShards parts=$parts")
+    }
+  }
 }
