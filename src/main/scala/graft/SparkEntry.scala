@@ -1781,6 +1781,17 @@ object SparkEntry {
         graft.ops.Expect.MinAtLeast("n_chars", 1.0),
         graft.ops.Expect.MaxAtMost("n_chars", 1000000.0)))),
 
+    "q_expectations_by_source" -> ((s, dir) =>
+      // per-feed quality gate: the grouped form that catches ONE bad
+      // ingestion source where the global rate still passes — per
+      // source: volume bounds, text null rate, key uniqueness, length
+      // floor; one keyed aggregation pass
+      graft.ops.Expect.runGrouped(docs(s, dir), "source", Seq(
+        graft.ops.Expect.RowsBetween(5L, 1000000L),
+        graft.ops.Expect.NullRateAtMost("text", 0.01),
+        graft.ops.Expect.Unique("doc_id"),
+        graft.ops.Expect.MinAtLeast("n_chars", 1.0)))),
+
     "q_dup_cluster_sizes" -> ((s, dir) => {
       // corpus-health: near-dup cluster SIZE distribution — how many
       // docs sit in clusters of each size, i.e. what a dedup pass will
@@ -4205,6 +4216,26 @@ object SparkEntry {
         |  (m4 IS NULL OR m4 >= 1.0) FROM w
         |UNION ALL SELECT 5, 'max_at_most', 'n_chars', m5, NULL, 1000000.0,
         |  (m5 IS NULL OR m5 <= 1000000.0) FROM w""".stripMargin,
+
+    "q_expectations_by_source" ->
+      """WITH w AS (SELECT source AS group_key, count(*) AS n,
+        |    count(text) AS m1,
+        |    count(doc_id) AS m2, count(DISTINCT doc_id) AS d2,
+        |    min(n_chars::DOUBLE) AS m3
+        |  FROM documents GROUP BY source)
+        |SELECT group_key, 0 AS ord, 'rows_between' AS check,
+        |  NULL AS col_name, n::DOUBLE AS metric,
+        |  5.0::DOUBLE AS lo, 1000000.0::DOUBLE AS hi,
+        |  (n >= 5 AND n <= 1000000) AS passed FROM w
+        |UNION ALL SELECT group_key, 1, 'null_rate_at_most', 'text',
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE (n - m1)::DOUBLE / n END, 6),
+        |  0.0, 0.01,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE (n - m1)::DOUBLE / n END, 6) <= 0.01
+        |  FROM w
+        |UNION ALL SELECT group_key, 2, 'unique', 'doc_id',
+        |  (m2 - d2)::DOUBLE, 0.0, 0.0, m2 = d2 FROM w
+        |UNION ALL SELECT group_key, 3, 'min_at_least', 'n_chars',
+        |  m3, 1.0, NULL, (m3 IS NULL OR m3 >= 1.0) FROM w""".stripMargin,
 
     "q_dup_rate_by_source" ->
       """SELECT source, count(*) AS n_docs,

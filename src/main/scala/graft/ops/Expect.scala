@@ -44,12 +44,10 @@ object Expect {
   /** max(column) ≤ bound (empty/all-null → vacuously true). */
   final case class MaxAtMost(column: String, bound: Double) extends Check
 
-  /** Evaluate every check in one aggregation pass; returns one verdict
-    * row per check: (check, col_name, metric, lo, hi, passed), in the
-    * order the checks were given. */
-  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    require(checks.nonEmpty, "no checks given")
-    val aggs: Seq[Column] = checks.zipWithIndex.flatMap { case (c, i) =>
+  /** The aggregate expressions a batch of checks needs — shared by the
+    * global and grouped runners (indices key metrics to checks). */
+  private def checkAggs(checks: Seq[Check]): Seq[Column] =
+    checks.zipWithIndex.flatMap { case (c, i) =>
       c match {
         case RowsBetween(_, _) => Nil // reads the shared row count
         case NullRateAtMost(cl, _) => Seq(count(col(cl)).as(s"__m$i"))
@@ -62,10 +60,13 @@ object Expect {
         case MaxAtMost(cl, _) => Seq(max(col(cl).cast("double")).as(s"__m$i"))
       }
     }
-    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+
+  /** One verdict struct per check, as expressions over the wide frame's
+    * __n/__m/__d columns — shared by both runners. */
+  private def verdictStructs(checks: Seq[Check]): Seq[Column] = {
     val n = col("__n").cast("double")
     def m(i: Int) = col(s"__m$i")
-    val verdicts: Seq[Column] = checks.zipWithIndex.map { case (c, i) =>
+    checks.zipWithIndex.map { case (c, i) =>
       val (name, column, metric, lo, hi, passed) = c match {
         case RowsBetween(l, h) =>
           ("rows_between", lit(null).cast("string"), n,
@@ -92,11 +93,44 @@ object Expect {
         metric.cast("double").as("metric"), lo.cast("double").as("lo"),
         hi.cast("double").as("hi"), passed.as("passed"))
     }
+  }
+
+  /** Evaluate every check in one aggregation pass; returns one verdict
+    * row per check: (check, col_name, metric, lo, hi, passed), in the
+    * order the checks were given. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val aggs = checkAggs(checks)
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val verdicts = verdictStructs(checks)
     wide
       .select(explode(array(verdicts: _*)).as("v"))
       .select(col("v.ord").as("ord"), col("v.check").as("check"),
         col("v.col_name").as("col_name"), col("v.metric").as("metric"),
         col("v.lo").as("lo"), col("v.hi").as("hi"), col("v.passed").as("passed"))
+  }
+
+  /** Per-GROUP expectations — one verdict row per (group, check): the
+    * form that catches a single bad ingestion feed inside an otherwise
+    * healthy corpus ("source X suddenly 40% null text") where the
+    * global rate still passes. Same one-pass shape as [[run]], keyed:
+    * one groupBy aggregation (map-side combinable; a grouped
+    * [[Unique]] still costs the distinct Expand), verdicts unpivoted
+    * per group with no second scan. [[RowsBetween]] bounds each
+    * GROUP's row count here — the per-feed volume alarm. */
+  def runGrouped(df: DataFrame, groupCol: String,
+      checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val aggs = checkAggs(checks)
+    val wide = df.groupBy(col(groupCol).as("group_key"))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    val verdicts = verdictStructs(checks)
+    wide
+      .select(col("group_key"), explode(array(verdicts: _*)).as("v"))
+      .select(col("group_key"), col("v.ord").as("ord"),
+        col("v.check").as("check"), col("v.col_name").as("col_name"),
+        col("v.metric").as("metric"), col("v.lo").as("lo"),
+        col("v.hi").as("hi"), col("v.passed").as("passed"))
   }
 
   /** `run`, then throw if any check failed — the hard pipeline gate.

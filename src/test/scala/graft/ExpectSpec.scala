@@ -57,6 +57,30 @@ class ExpectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unique(id)") && e.getMessage.contains("max_at_most(v)"))
   }
 
+  test("runGrouped: per-group verdicts catch the one bad feed the global check misses") {
+    val feeds = Seq[(Long, String, String)](
+        (1L, "ok", "good"), (2L, "ok", "good"), (3L, "ok", "good"),
+        (4L, "ok", "good"), (5L, "ok", "good"), (6L, "ok", "good"),
+        (7L, null, "bad"), (8L, "ok", "bad"))
+      .toDF("id", "text", "feed")
+    // global: 1/8 nulls = 0.125 <= 0.2 -> PASSES and hides the bad feed
+    val global = Expect.run(feeds, Seq(NullRateAtMost("text", 0.2)))
+      .collect()(0)
+    assert(global.getBoolean(6))
+    // grouped: feed 'bad' is 50% null -> its verdict row fails
+    val grouped = Expect.runGrouped(feeds, "feed",
+        Seq(NullRateAtMost("text", 0.2), RowsBetween(2L, 100L), Unique("id")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(2), r.getDouble(4), r.getBoolean(7)))
+      .toSet
+    assert(grouped(("bad", "null_rate_at_most", 0.5, false)))
+    assert(grouped(("good", "null_rate_at_most", 0.0, true)))
+    assert(grouped(("good", "rows_between", 6.0, true)))
+    assert(grouped(("bad", "rows_between", 2.0, true)))
+    assert(grouped.count(_._2 == "unique") == 2 &&
+      grouped.filter(_._2 == "unique").forall(_._4))
+  }
+
   test("one aggregation pass: a single scan and no shuffle beyond the global agg") {
     val plan = Expect.run(d, Seq(RowsBetween(1L, 10L),
         NullRateAtMost("lang", 0.3), MinAtLeast("v", 0.0), MaxAtMost("v", 9.9)))
