@@ -3504,7 +3504,7 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, count(*) AS n_segments,
         |  round(sum(vmic::HUGEINT * dur::HUGEINT)::DOUBLE
-        |    / (sum(dur)::DOUBLE * 1000000.0), 6) AS twa_value
+        |    / (nullif(sum(dur), 0)::DOUBLE * 1000000.0), 6) AS twa_value
         |FROM seg WHERE dur IS NOT NULL GROUP BY user_id""".stripMargin,
 
     "q_rolling_active" ->

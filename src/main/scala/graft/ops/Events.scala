@@ -643,10 +643,15 @@ object Events {
       .agg(
         count(lit(1)).as("n_segments"),
         round(
-          // cast BEFORE the product: vmic (~1e9 for 1e3-scale values) ×
-          // µs gaps (~1e11) exceeds a long; decimal(38,0)×long is exact
-          sum(col("vmic").cast("decimal(38,0)") * col("dur")).cast("double") /
-            (sum(col("dur")).cast("double") * 1000000.0), 6).as("twa_value"))
+          // zero-elapsed guard: a SAME-INSTANT burst gives every segment
+          // dur = 0, and ANSI division by the zero total THROWS (it does
+          // not NULL) — one bursty key would kill the job. TWA over zero
+          // elapsed time is undefined -> NULL, mirrored by the oracle.
+          when(sum(col("dur")) > 0,
+            // cast BEFORE the product: vmic (~1e9 for 1e3-scale values) ×
+            // µs gaps (~1e11) exceeds a long; decimal(38,0)×long is exact
+            sum(col("vmic").cast("decimal(38,0)") * col("dur")).cast("double") /
+              (sum(col("dur")).cast("double") * 1000000.0)), 6).as("twa_value"))
   }
 
   /**

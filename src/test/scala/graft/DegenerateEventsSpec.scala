@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Events
+
+/**
+ * Degenerate-event robustness, the event-side companion of
+ * DegenerateDocsSpec: same-instant bursts (zero elapsed time),
+ * single-event users, constant-value types, lone outcome events —
+ * none may throw under Spark 4's default ANSI dialect (division by a
+ * zero time-span / zero variance throws instead of returning NULL),
+ * and the contracted outputs are pinned.
+ */
+class DegenerateEventsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val MinNs = 60L * 1000000000L
+  private val Base = 1704067200L * 1000000000L
+
+  // user 1: three events AT THE SAME INSTANT (a burst — zero elapsed
+  //   time, the twa divide-by-zero trap); user 2: a single event;
+  // user 3: a normal two-point stream; type "flat": constant value
+  //   (zero variance); user 4: purchase with no click.
+  private def zoo = Seq(
+      (1L, Base, 1L, "flat", 5.0),
+      (2L, Base, 1L, "flat", 5.0),
+      (3L, Base, 1L, "flat", 5.0),
+      (4L, Base + 5L * MinNs, 2L, "click", 1.0),
+      (5L, Base, 3L, "click", 2.0),
+      (6L, Base + 10L * MinNs, 3L, "purchase", 4.0),
+      (7L, Base + MinNs, 4L, "purchase", 9.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("timeWeightedAvg: a same-instant burst yields NULL twa, not a divide-by-zero crash") {
+    val out = Events.timeWeightedAvg(zoo).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // user 1: two zero-length segments, zero elapsed time -> NULL twa
+    assert(out(1L)._1 == 2L && out(1L)._2.isEmpty)
+    // user 2: single event, no segment at all -> no row
+    assert(!out.contains(2L))
+    // user 3: one real 10-minute segment at value 2.0
+    assert(out(3L) == ((1L, Some(2.0))))
+  }
+
+  test("zscoreOutliers: a zero-variance type flags nothing and does not throw") {
+    val out = Events.zscoreOutliers(zoo, threshold = 0.1).collect()
+    assert(out.forall(_.getString(1) != "flat"))
+  }
+
+  test("the remaining event ops survive the degenerate zoo") {
+    assert(Events.sessionize(zoo).count() >= 4)
+    assert(Events.sessionWindows(zoo).count() >= 4)
+    assert(Events.movingAvg(zoo, 3600000000L).collect() != null)
+    assert(Events.resampleDailyInterp(zoo).collect() != null)
+    assert(Events.resampleDailyLocf(zoo).collect() != null)
+    assert(Events.transitions(zoo).collect() != null)
+    assert(Events.retention(zoo).collect() != null)
+    assert(Events.scd2Intervals(zoo).count() >= 4)
+    assert(Events.rollingDistinctUsers(zoo, 7).collect().nonEmpty)
+    val clicks = zoo.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("event_id"))
+    val purchases = zoo.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("value"))
+    // user 4's purchase has no click; user 2's click has no purchase
+    val lab = Events.labelWindow(clicks, purchases, "user_id", "tsu",
+      "event_id", "value", 86400000000L).collect()
+    assert(lab.length == 2)
+    val asof = Events.asOfJoin(clicks, purchases
+      .groupBy(col("user_id"), col("tsu")).agg(round(max(col("value")), 6).as("pvalue")),
+      "user_id", "tsu", Seq("pvalue")).collect()
+    assert(asof.length == 2)
+  }
+}
