@@ -1792,6 +1792,41 @@ object SparkEntry {
         graft.ops.Expect.Unique("doc_id"),
         graft.ops.Expect.MinAtLeast("n_chars", 1.0)))),
 
+    "q_expect_regex" -> ((s, dir) =>
+      // format-conformance gate: RLIKE rate checks in the same one-pass
+      // aggregation (lang must be a 2-letter code, source must match the
+      // feed-naming scheme; the capitalized-text check intentionally
+      // FAILS — rate 0 < 0.5 — so a failing verdict row is exercised)
+      graft.ops.Expect.run(docs(s, dir), Seq(
+        graft.ops.Expect.MatchesRegex("lang", "^[a-z]{2}$", 0.99),
+        graft.ops.Expect.MatchesRegex("source", "^src[0-9]+$", 1.0),
+        graft.ops.Expect.MatchesRegex("text", "^[A-Z]", 0.5)))),
+
+    "q_reconcile" -> ((s, dir) => {
+      // cross-table row reconciliation: a length-filter stage must obey
+      // rows(out) == rows(in) - rows(dropped). The 'filter_split' triple
+      // is the exact complement (passes); 'leaky_split' uses a
+      // mismatched drop predicate (< 190 vs >= 200) so the conservation
+      // check FAILS — both verdict paths exercised in one frame.
+      val d = docs(s, dir)
+      val kept = d.filter(col("n_chars") >= 200)
+      graft.ops.Expect.reconcile(d, kept, d.filter(col("n_chars") < 200))
+        .withColumn("stage", lit("filter_split"))
+        .unionByName(
+          graft.ops.Expect.reconcile(d, kept, d.filter(col("n_chars") < 190))
+            .withColumn("stage", lit("leaky_split")))
+    }),
+
+    "q_reconcile_by_source" -> ((s, dir) => {
+      // per-feed reconciliation: the same conservation law keyed by
+      // source, catching one feed leaking rows while global totals
+      // still balance; three keyed counts full-outer-joined
+      val d = docs(s, dir)
+      graft.ops.Expect.reconcileBy(d,
+        d.filter(col("n_chars") >= 200),
+        d.filter(col("n_chars") < 200), "source")
+    }),
+
     "q_dup_cluster_sizes" -> ((s, dir) => {
       // corpus-health: near-dup cluster SIZE distribution — how many
       // docs sit in clusters of each size, i.e. what a dedup pass will
@@ -4236,6 +4271,50 @@ object SparkEntry {
         |  (m2 - d2)::DOUBLE, 0.0, 0.0, m2 = d2 FROM w
         |UNION ALL SELECT group_key, 3, 'min_at_least', 'n_chars',
         |  m3, 1.0, NULL, (m3 IS NULL OR m3 >= 1.0) FROM w""".stripMargin,
+
+    "q_expect_regex" ->
+      """WITH w AS (SELECT
+        |    count(lang) AS c0, sum(CASE WHEN lang IS NOT NULL
+        |      AND regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS m0,
+        |    count(source) AS c1, sum(CASE WHEN source IS NOT NULL
+        |      AND regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS m1,
+        |    count(text) AS c2, sum(CASE WHEN text IS NOT NULL
+        |      AND regexp_matches(text, '^[A-Z]') THEN 1 ELSE 0 END) AS m2
+        |  FROM documents)
+        |SELECT 0 AS ord, 'matches_regex' AS check, 'lang' AS col_name,
+        |  round(CASE WHEN c0 = 0 THEN 0.0 ELSE m0::DOUBLE / c0 END, 6) AS metric,
+        |  0.99::DOUBLE AS lo, NULL::DOUBLE AS hi,
+        |  (c0 = 0 OR round(CASE WHEN c0 = 0 THEN 0.0 ELSE m0::DOUBLE / c0 END, 6)
+        |    >= 0.99) AS passed FROM w
+        |UNION ALL SELECT 1, 'matches_regex', 'source',
+        |  round(CASE WHEN c1 = 0 THEN 0.0 ELSE m1::DOUBLE / c1 END, 6),
+        |  1.0, NULL,
+        |  (c1 = 0 OR round(CASE WHEN c1 = 0 THEN 0.0 ELSE m1::DOUBLE / c1 END, 6)
+        |    >= 1.0) FROM w
+        |UNION ALL SELECT 2, 'matches_regex', 'text',
+        |  round(CASE WHEN c2 = 0 THEN 0.0 ELSE m2::DOUBLE / c2 END, 6),
+        |  0.5, NULL,
+        |  (c2 = 0 OR round(CASE WHEN c2 = 0 THEN 0.0 ELSE m2::DOUBLE / c2 END, 6)
+        |    >= 0.5) FROM w""".stripMargin,
+
+    "q_reconcile" ->
+      """WITH c AS (SELECT count(*) AS n_in,
+        |    count(*) FILTER (WHERE n_chars >= 200) AS n_out,
+        |    count(*) FILTER (WHERE n_chars < 200) AS d1,
+        |    count(*) FILTER (WHERE n_chars < 190) AS d2
+        |  FROM documents)
+        |SELECT n_in AS rows_in, n_out AS rows_out, d1 AS rows_dropped,
+        |  (n_out = n_in - d1) AS passed, 'filter_split' AS stage FROM c
+        |UNION ALL SELECT n_in, n_out, d2, (n_out = n_in - d2),
+        |  'leaky_split' FROM c""".stripMargin,
+
+    "q_reconcile_by_source" ->
+      """WITH c AS (SELECT source AS group_key, count(*) AS rows_in,
+        |    count(*) FILTER (WHERE n_chars >= 200) AS rows_out,
+        |    count(*) FILTER (WHERE n_chars < 200) AS rows_dropped
+        |  FROM documents GROUP BY source)
+        |SELECT group_key, rows_in, rows_out, rows_dropped,
+        |  (rows_out = rows_in - rows_dropped) AS passed FROM c""".stripMargin,
 
     "q_dup_rate_by_source" ->
       """SELECT source, count(*) AS n_docs,

@@ -43,6 +43,12 @@ object Expect {
   final case class MinAtLeast(column: String, bound: Double) extends Check
   /** max(column) ≤ bound (empty/all-null → vacuously true). */
   final case class MaxAtMost(column: String, bound: Double) extends Check
+  /** Fraction of NON-NULL values of `column` matching `regex`
+    * (find-anywhere RLIKE semantics — anchor with ^/$ for full-value
+    * matches) ≥ minRate; empty/all-null → vacuously true, metric 0.
+    * Costs one codegen'd RLIKE conditional-sum in the shared pass. */
+  final case class MatchesRegex(column: String, regex: String,
+      minRate: Double) extends Check
 
   /** The aggregate expressions a batch of checks needs — shared by the
     * global and grouped runners (indices key metrics to checks). */
@@ -58,6 +64,9 @@ object Expect {
             .otherwise(1L)).as(s"__m$i"))
         case MinAtLeast(cl, _) => Seq(min(col(cl).cast("double")).as(s"__m$i"))
         case MaxAtMost(cl, _) => Seq(max(col(cl).cast("double")).as(s"__m$i"))
+        case MatchesRegex(cl, re, _) => Seq(
+          sum(when(col(cl).rlike(re), 1L).otherwise(0L)).as(s"__m$i"),
+          count(col(cl)).as(s"__c$i"))
       }
     }
 
@@ -88,6 +97,12 @@ object Expect {
         case MaxAtMost(cl, b) =>
           ("max_at_most", lit(cl), m(i), lit(null).cast("double"), lit(b),
             m(i).isNull || m(i) <= b)
+        case MatchesRegex(cl, _, r) =>
+          val c = col(s"__c$i")
+          val rate = round(when(c === 0L, 0.0)
+            .otherwise(coalesce(m(i), lit(0L)).cast("double") / c.cast("double")), 6)
+          ("matches_regex", lit(cl), rate, lit(r), lit(null).cast("double"),
+            c === 0L || rate >= r)
       }
       struct(lit(i).as("ord"), lit(name).as("check"), column.as("col_name"),
         metric.cast("double").as("metric"), lo.cast("double").as("lo"),
@@ -131,6 +146,47 @@ object Expect {
         col("v.check").as("check"), col("v.col_name").as("col_name"),
         col("v.metric").as("metric"), col("v.lo").as("lo"),
         col("v.hi").as("hi"), col("v.passed").as("passed"))
+  }
+
+  /** Cross-table ROW RECONCILIATION — the conservation law a filter /
+    * dedup / split stage must obey: rows(out) == rows(in) -
+    * rows(dropped). One verdict row with all three counts; a false
+    * `passed` means the stage leaked or double-dropped rows. Each
+    * input contributes ONE map-side-combinable count aggregate; the
+    * three 1-row frames cross-join on the driver side of the plan, so
+    * cost is three scans and zero shuffles of real data. */
+  def reconcile(in: DataFrame, out: DataFrame,
+      dropped: DataFrame): DataFrame = {
+    val nIn = in.agg(count(lit(1)).as("rows_in"))
+    val nOut = out.agg(count(lit(1)).as("rows_out"))
+    val nDrop = dropped.agg(count(lit(1)).as("rows_dropped"))
+    nIn.crossJoin(nOut).crossJoin(nDrop)
+      .select(col("rows_in"), col("rows_out"), col("rows_dropped"),
+        (col("rows_out") === col("rows_in") - col("rows_dropped"))
+          .as("passed"))
+  }
+
+  /** Per-group reconciliation — rows(out) == rows(in) - rows(dropped)
+    * within every `groupCol` value (the form that catches ONE feed
+    * losing rows while the global totals still balance). Three keyed
+    * counts full-outer-joined on the group key; absent groups count 0,
+    * so a group present only in `out` (spurious rows) or only in
+    * `dropped` (phantom drops) fails loudly rather than vanishing.
+    * The join frames carry one row per group — tiny at any corpus
+    * scale where the group column is a feed/source identifier. */
+  def reconcileBy(in: DataFrame, out: DataFrame, dropped: DataFrame,
+      groupCol: String): DataFrame = {
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy(col(groupCol).as("group_key")).agg(count(lit(1)).as(name))
+    cnt(in, "rows_in")
+      .join(cnt(out, "rows_out"), Seq("group_key"), "full_outer")
+      .join(cnt(dropped, "rows_dropped"), Seq("group_key"), "full_outer")
+      .select(col("group_key"),
+        coalesce(col("rows_in"), lit(0L)).as("rows_in"),
+        coalesce(col("rows_out"), lit(0L)).as("rows_out"),
+        coalesce(col("rows_dropped"), lit(0L)).as("rows_dropped"))
+      .withColumn("passed",
+        col("rows_out") === col("rows_in") - col("rows_dropped"))
   }
 
   /** `run`, then throw if any check failed — the hard pipeline gate.

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
@@ -18,35 +17,12 @@ object BudgetScaleProbe {
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val spark = GraftSession.local()
 
-    def budgetNaive(docs: DataFrame, budget: Long): DataFrame = {
-      val scored = docs.select(
-        col("source"), col("doc_id"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("quality").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .filter(col("cum_tokens") <= budget)
-    }
-    def shardNaive(docs: DataFrame, nShards: Int): DataFrame = {
-      val scored = docs.select(
-        col("source").as("stratum"), col("doc_id"),
-        TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy(col("stratum"))
-        .orderBy(col("n_tokens").desc, col("doc_id").asc)
-      scored.withColumn("shard",
-        ((row_number().over(w) - 1) % nShards).cast("int"))
-    }
+    import ProbeSupport.{budgetNaive, shardNaive}
 
     val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
     val d10 = spark.read.parquet(s"$workDir/documents10.parquet")
-    def time(label: String)(df: => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val s = (System.nanoTime - t0) / 1e9
-      println(f"[probe] $label%-32s $s%6.2f s"); s
-    }
+    def time(label: String)(df: => DataFrame): Double =
+      ProbeSupport.time("probe", label)(ProbeSupport.noop(df))
     // the scale entry points take a PRE-SCORED frame (the kernel runs
     // once, materialized — the pattern the scaladoc prescribes); probe
     // them on scored parquet so the measured ratio isolates the
@@ -55,17 +31,8 @@ object BudgetScaleProbe {
       col("source"), col("doc_id"),
       TextOps.qualityScore(col("text")).as("quality"),
       TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
-    // each file gated on ITS OWN existence: a run killed between the two
-    // writes must not leave the probe reading a path that was never
-    // (re)written on the next attempt
-    val s1Path = s"$workDir/scored1.parquet"
-    val s10Path = s"$workDir/scored10.parquet"
-    if (!new java.io.File(s1Path).exists())
-      score(d1).write.mode("overwrite").parquet(s1Path)
-    if (!new java.io.File(s10Path).exists())
-      score(d10).write.mode("overwrite").parquet(s10Path)
-    val s1 = spark.read.parquet(s1Path)
-    val s10 = spark.read.parquet(s10Path)
+    val s1 = ProbeSupport.materialize(spark, s"$workDir/scored1.parquet", score(d1))
+    val s10 = ProbeSupport.materialize(spark, s"$workDir/scored10.parquet", score(d10))
 
     // warmup
     d1.groupBy(col("source")).count().collect()

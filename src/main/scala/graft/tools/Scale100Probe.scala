@@ -34,19 +34,10 @@ object Scale100Probe {
       if (only.isEmpty) cs else cs.filter { case (n, _) => only(n) }
     val spark = GraftSession.local()
 
-    def replicate(df: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
-      val reps = df.sparkSession.range(n).select(col("id").as("__rep"))
-      df.crossJoin(broadcast(reps))
-        .select(df.columns.map { c =>
-          if (idCols.contains(c)) (col(c) + col("__rep") * lit(10000000000L)).as(c)
-          else col(c)
-        }: _*)
-    }
-    def materialize(path: String, mk: => DataFrame): DataFrame = {
-      if (!new java.io.File(path).exists())
-        mk.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+    def replicate(df: DataFrame, idCols: Seq[String], n: Int): DataFrame =
+      ProbeSupport.replicate(df, idCols, n)
+    def materialize(path: String, mk: => DataFrame): DataFrame =
+      ProbeSupport.materialize(spark, path, mk)
 
     val ev1 = graft.ops.EventTime.normalizeTs(
       spark.read.parquet(s"$sfDir/events.parquet"))
@@ -73,12 +64,9 @@ object Scale100Probe {
         s"embeddings=${v.count()}")
     }
 
-    def time(label: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; val s = (System.nanoTime - t0) / 1e9
-      println(f"[scale100] $label%-32s $s%7.2f s"); s
-    }
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    def time(label: String)(f: => Unit): Double =
+      ProbeSupport.time("scale100", label)(f)
+    def noop(df: DataFrame): Unit = ProbeSupport.noop(df)
 
     val eventCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "sessionize" -> (e => Events.sessionize(e)),

@@ -27,14 +27,10 @@ object ScaleStress {
     val spark = GraftSession.local()
     import spark.implicits._
 
-    def replicate(df: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
-      val reps = df.sparkSession.range(n).select(col("id").as("__rep"))
-      df.crossJoin(broadcast(reps))
-        .select(df.columns.map { c =>
-          if (idCols.contains(c)) (col(c) + col("__rep") * lit(1000000000L)).as(c)
-          else col(c)
-        }: _*)
-    }
+    // ids offset by 1e9 per replica (this probe's historical offset —
+    // keeps the cached /tmp replicas comparable across rounds)
+    def replicate(df: DataFrame, idCols: Seq[String], n: Int): DataFrame =
+      ProbeSupport.replicate(df, idCols, n, offset = 1000000000L)
 
     val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -63,12 +59,9 @@ object ScaleStress {
     println(s"[scale] lineitem 1x=${li1.count()} 10x=${li10.count()}; " +
       s"documents 1x=${docs1.count()} 10x=${docs10.count()}")
 
-    def time(label: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; val s = (System.nanoTime - t0) / 1e9
-      println(f"[scale] $label%-28s $s%6.2f s"); s
-    }
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    def time(label: String)(f: => Unit): Double =
+      ProbeSupport.time("scale", label)(f)
+    def noop(df: DataFrame): Unit = ProbeSupport.noop(df)
 
     val cases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q1_agg" -> (li => li.groupBy(col("l_returnflag"), col("l_linestatus"))

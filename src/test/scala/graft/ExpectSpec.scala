@@ -81,6 +81,46 @@ class ExpectSpec extends AnyFunSuite {
       grouped.filter(_._2 == "unique").forall(_._4))
   }
 
+  test("matches_regex: rate over non-null values, vacuous on all-null/empty") {
+    val out = Expect.run(d, Seq(
+        MatchesRegex("lang", "^[a-z]{2}$", 0.99),  // 3/3 non-null match
+        MatchesRegex("lang", "^e", 0.8),           // 2/3 = 0.667 -> fail
+        MatchesRegex("lang", "n$", 0.5)))          // en matches anywhere-find
+      .orderBy(col("ord")).collect()
+      .map(r => (r.getDouble(3), r.getBoolean(6)))
+    assert(out.toSeq == Seq((1.0, true), (0.666667, false), (0.666667, true)))
+    // all-null column and empty frame are both vacuously true, metric 0
+    val allNull = Seq[(Long, String)]((1L, null), (2L, null)).toDF("id", "s")
+    val v1 = Expect.run(allNull, Seq(MatchesRegex("s", "x", 1.0))).collect()(0)
+    assert(v1.getDouble(3) == 0.0 && v1.getBoolean(6))
+    val v2 = Expect.run(allNull.filter(col("id") < 0L),
+      Seq(MatchesRegex("s", "x", 1.0))).collect()(0)
+    assert(v2.getDouble(3) == 0.0 && v2.getBoolean(6))
+  }
+
+  test("reconcile: conservation holds for an exact split, fails for a leaky one") {
+    val in = (1L to 10L).toDF("id")
+    val out = in.filter(col("id") <= 7L)
+    val ok = Expect.reconcile(in, out, in.filter(col("id") > 7L)).collect()(0)
+    assert((ok.getLong(0), ok.getLong(1), ok.getLong(2), ok.getBoolean(3)) ==
+      ((10L, 7L, 3L, true)))
+    val leaky = Expect.reconcile(in, out, in.filter(col("id") > 8L)).collect()(0)
+    assert(!leaky.getBoolean(3) && leaky.getLong(2) == 2L)
+  }
+
+  test("reconcileBy: absent groups count 0 and fail instead of vanishing") {
+    val in = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val out = Seq((1L, "a"), (9L, "c")).toDF("id", "g")  // c: spurious group
+    val dropped = Seq((2L, "a"), (3L, "b")).toDF("id", "g")
+    val rows = Expect.reconcileBy(in, out, dropped, "g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(rows == Set(
+      ("a", 2L, 1L, 1L, true),
+      ("b", 1L, 0L, 1L, true),
+      ("c", 0L, 1L, 0L, false)))  // rows only in `out` fail loudly
+  }
+
   test("one aggregation pass: a single scan and no shuffle beyond the global agg") {
     val plan = Expect.run(d, Seq(RowsBetween(1L, 10L),
         NullRateAtMost("lang", 0.3), MinAtLeast("v", 0.0), MaxAtMost("v", 9.9)))
