@@ -1926,6 +1926,39 @@ object SparkEntry {
         Seq("p50" -> 0.5, "p90" -> 0.9))
     }),
 
+    "q_attribution" -> ((s, dir) => {
+      // multi-touch attribution: every purchase's credit spread over the
+      // same user's clicks in the strictly-before 24h lookback (linear
+      // model, first/last-touch flags); banded equi-join — the backward
+      // twin of q_label_window, never a per-user cross product
+      val e = t(s, dir, "events").withColumn("tsu", expr("ts div 1000L"))
+      val touches = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val convs = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("event_id").as("conv_id"),
+          col("value"))
+      Events.attribution(touches, convs, "user_id", "tsu", "event_id",
+        "conv_id", "value", lookbackMicros = 86400000000L)
+    }),
+
+    "q_interarrival" -> ((s, dir) =>
+      // per-user burstiness profile: n/mean/p50/p90/max of the µs gaps
+      // between consecutive events — one user_id exchange, straddle-rank
+      // percentiles, no per-group array
+      Events.interArrival(t(s, dir, "events"))),
+
+    "q_concentration_users" -> ((s, dir) =>
+      // traffic-concentration diagnostic: Gini + top-1/top-10 shares of
+      // per-user event counts via the tied-rank closed form — no global
+      // key sort, the only unpartitioned window is over distinct COUNT
+      // values
+      graft.ops.Stats.concentration(t(s, dir, "events"), "user_id")),
+
+    "q_concentration_sources" -> ((s, dir) =>
+      // corpus-side twin: how unevenly documents spread over ingestion
+      // feeds
+      graft.ops.Stats.concentration(docs(s, dir), "source")),
+
     "q_point_in_time" -> ((s, dir) => {
       // leak-free feature lookup: each click reads the purchase-value
       // SCD2 version valid AT THE CLICK'S OWN TIME (never the future)
@@ -2181,6 +2214,30 @@ object SparkEntry {
   /** LSH plane weight w(p,d): md5-derived uint32 → [-0.5, 0.5). `d` 0-based. */
   private def planeWeightSql(p: String, d: String) =
     s"(${hexToLong(s"md5($p || '_' || ($d))", 1, 8)}::DOUBLE / 4294967296.0 - 0.5)"
+
+  /** DuckDB twin of [[graft.ops.Stats.concentration]]: Gini of per-key
+    * row counts via the tied-rank closed form (rank only distinct count
+    * values; S2 doubles the rank identity so every term stays integral)
+    * plus top-1 / top-10 shares. NULLS FIRST mirrors Spark's asc
+    * null ordering on the top-k tie-break. */
+  private def concentrationSql(table: String, key: String): String =
+    s"""WITH pk AS (SELECT $key AS k, count(*) AS x FROM $table GROUP BY $key),
+       |bv AS (SELECT x, count(*) AS m FROM pk GROUP BY x),
+       |rk AS (SELECT x, m, coalesce(sum(m) OVER (ORDER BY x ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a FROM bv),
+       |f AS (SELECT sum(x * m * (2 * a + m + 1)) AS s2, sum(x * m) AS t,
+       |    sum(m) AS n FROM rk),
+       |tp AS (SELECT sum(x) AS topk_sum, max(x) AS top1 FROM
+       |  (SELECT x FROM pk ORDER BY x DESC, k ASC NULLS FIRST LIMIT 10))
+       |SELECT coalesce(n, 0)::BIGINT AS n_keys, coalesce(t, 0)::BIGINT AS n_rows,
+       |  round(CASE WHEN n IS NULL OR t = 0 THEN NULL
+       |    ELSE (s2::DOUBLE - (n + 1)::DOUBLE * t::DOUBLE)
+       |         / (n::DOUBLE * t::DOUBLE) END, 6) AS gini,
+       |  round(CASE WHEN t = 0 THEN NULL
+       |    ELSE top1::DOUBLE / t::DOUBLE END, 6) AS top1_share,
+       |  round(CASE WHEN t = 0 THEN NULL
+       |    ELSE topk_sum::DOUBLE / t::DOUBLE END, 6) AS topk_share
+       |FROM f, tp""".stripMargin
 
   /** DuckDB twin of [[graft.ops.Similarity.srpCandidatePairs]] +
     * candidate-only exact cosine: $EmbCte extended with the SRP sign
@@ -4353,6 +4410,51 @@ object SparkEntry {
         |  round(lo50 + ((n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5)) * (hi50 - lo50), 6) AS p50,
         |  round(lo90 + ((n - 1)::DOUBLE * 0.9 - floor((n - 1)::DOUBLE * 0.9)) * (hi90 - lo90), 6) AS p90
         |FROM g""".stripMargin,
+
+    "q_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ctsu, event_id AS conv_id,
+        |    round(value, 6) AS v FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.conv_id, c.ctsu AS conv_tsu,
+        |    t.event_id, t.tsu AS touch_tsu, c.v
+        |  FROM c JOIN t ON t.user_id = c.user_id
+        |    AND t.tsu < c.ctsu AND t.tsu >= c.ctsu - 86400000000)
+        |SELECT user_id, conv_id, conv_tsu, event_id, touch_tsu,
+        |  count(*) OVER (PARTITION BY conv_id) AS n_touches,
+        |  (row_number() OVER (PARTITION BY conv_id
+        |     ORDER BY touch_tsu ASC, event_id ASC) = 1) AS first_touch,
+        |  (row_number() OVER (PARTITION BY conv_id
+        |     ORDER BY touch_tsu DESC, event_id DESC) = 1) AS last_touch,
+        |  round(v / count(*) OVER (PARTITION BY conv_id), 6) AS linear_credit
+        |FROM j""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |g AS (SELECT user_id, tsu - lag(tsu) OVER (PARTITION BY user_id
+        |    ORDER BY tsu ASC, event_id ASC) AS gap_us FROM ev),
+        |rk AS (SELECT user_id, gap_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap_us ASC) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT user_id, n AS n_gaps,
+        |  sum(gap_us)::DOUBLE / n AS mean_gap_us,
+        |  max(CASE WHEN rn = floor((n-1)::DOUBLE * 0.5) THEN gap_us::DOUBLE END)
+        |    + ((n-1)::DOUBLE * 0.5 - floor((n-1)::DOUBLE * 0.5))
+        |    * (max(CASE WHEN rn = ceil((n-1)::DOUBLE * 0.5) THEN gap_us::DOUBLE END)
+        |       - max(CASE WHEN rn = floor((n-1)::DOUBLE * 0.5) THEN gap_us::DOUBLE END))
+        |    AS p50_gap_us,
+        |  max(CASE WHEN rn = floor((n-1)::DOUBLE * 0.9) THEN gap_us::DOUBLE END)
+        |    + ((n-1)::DOUBLE * 0.9 - floor((n-1)::DOUBLE * 0.9))
+        |    * (max(CASE WHEN rn = ceil((n-1)::DOUBLE * 0.9) THEN gap_us::DOUBLE END)
+        |       - max(CASE WHEN rn = floor((n-1)::DOUBLE * 0.9) THEN gap_us::DOUBLE END))
+        |    AS p90_gap_us,
+        |  max(gap_us) AS max_gap_us
+        |FROM rk GROUP BY user_id, n""".stripMargin,
+
+    "q_concentration_users" -> concentrationSql("events", "user_id"),
+
+    "q_concentration_sources" -> concentrationSql("documents", "source"),
 
     "q_bpe_merges" ->
       s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),

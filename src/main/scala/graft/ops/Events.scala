@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -836,5 +836,104 @@ object Events {
         lead(col("tsu"), 1).over(Window
           .partitionBy(col("user_id"), col("event_type"))
           .orderBy(col("tsu").asc, col("event_id").asc)).as("valid_to_us"))
+  }
+
+  /**
+   * MULTI-TOUCH ATTRIBUTION: for every conversion, find the same key's
+   * touch events in the strictly-before lookback window
+   * [conv_ts - lookback, conv_ts) and assign conversion credit — the
+   * linear model (value / n_touches to every touch) with first- and
+   * last-touch flags so single-touch models are a filter away. One
+   * output row per (conversion, touch); conversions with no touch in
+   * the window emit nothing (they are unattributable, the caller can
+   * anti-join for them).
+   *
+   * Scale shape mirrors [[labelWindow]] run backwards: touches explode
+   * into their lookback-bucket and the NEXT one (a conversion only
+   * looks back, so a touch can only serve conversions in its own or
+   * the following bucket), the join is equi on (key, bucket) with the
+   * exact window predicate as a residual — output-proportional, never
+   * a per-key cross product. The per-conversion n/first/last run in a
+   * window partitioned by conversion id: bounded groups (touches of
+   * one key within one lookback window), never a global sort. Credit
+   * divides the 6-dp-rounded value by an exact integer count — ANSI-
+   * safe (n >= 1 by construction) and engine-exact.
+   */
+  def attribution(touches: DataFrame, conversions: DataFrame,
+      keyCol: String, tsCol: String, touchIdCol: String, convIdCol: String,
+      valueCol: String, lookbackMicros: Long): DataFrame = {
+    require(lookbackMicros > 0, s"lookbackMicros must be > 0, got $lookbackMicros")
+    val c = EventTime.normalizeMicros(conversions, tsCol).select(
+      col(keyCol), col(convIdCol), col(tsCol).as("conv_tsu"),
+      round(col(valueCol), 6).as("__value"),
+      expr(s"$tsCol div ${lookbackMicros}L").as("__wid"))
+    val t = EventTime.normalizeMicros(touches, tsCol).select(
+      col(keyCol), col(touchIdCol), col(tsCol).as("touch_tsu"))
+      .select(col(keyCol), col(touchIdCol), col("touch_tsu"),
+        explode(array(expr(s"touch_tsu div ${lookbackMicros}L"),
+          expr(s"touch_tsu div ${lookbackMicros}L") + 1)).as("__wid"))
+    val joined = c.join(t, Seq(keyCol, "__wid"))
+      .filter(col("touch_tsu") < col("conv_tsu") &&
+        col("touch_tsu") >= col("conv_tsu") - lookbackMicros)
+    val byConv = Window.partitionBy(col(convIdCol))
+    val ordAsc = byConv.orderBy(col("touch_tsu").asc, col(touchIdCol).asc)
+    val ordDesc = byConv.orderBy(col("touch_tsu").desc, col(touchIdCol).desc)
+    joined
+      .withColumn("n_touches", count(lit(1)).over(byConv))
+      .withColumn("first_touch", row_number().over(ordAsc) === 1)
+      .withColumn("last_touch", row_number().over(ordDesc) === 1)
+      .select(col(keyCol), col(convIdCol), col("conv_tsu"),
+        col(touchIdCol), col("touch_tsu"), col("n_touches"),
+        col("first_touch"), col("last_touch"),
+        round(col("__value") / col("n_touches"), 6).as("linear_credit"))
+  }
+
+  /**
+   * INTER-ARRIVAL-TIME profile: per key, the distribution of gaps
+   * between consecutive events — the burstiness fingerprint that
+   * separates steady users from bots and batch-replayed feeds. Gaps in
+   * µs from one lag over the per-key (ts, id) order; keys with fewer
+   * than two events have no gap and emit no row. Mean is an exact
+   * integer-sum divide; p50/p90 use [[Stats.percentileExact]]'s
+   * rank-straddle interpolation (same operation order as the oracle,
+   * never the builtin `percentile`'s per-group array) inlined into the
+   * same aggregation that computes n/mean/max — no straddle-only
+   * filter, so ONE grouped pass serves every statistic. Both windows
+   * and the final aggregate share the single user_id exchange; gap
+   * sums are exact integer µs (order-free under any partitioning).
+   *
+   * mean/p50/p90 are emitted as RAW doubles, deliberately unrounded:
+   * at epoch-gap magnitude (10^10 µs) one ulp is ~10^-5, so a 6-dp
+   * decimal round sits BELOW the float's resolution — Spark's
+   * BigDecimal round perturbs the double while other engines' round
+   * is a no-op there, making rounding itself the cross-engine
+   * divergence. Identical operation order on exact integer inputs is
+   * what guarantees bit-equal results instead.
+   */
+  def interArrival(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    val w = Window.partitionBy(col("user_id"))
+    val ranked = EventTime.normalizeTs(events)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000L").as("tsu"))
+      .withColumn("gap_us", col("tsu") - lag(col("tsu"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("__rn", row_number().over(w.orderBy(col("gap_us").asc)) - 1)
+      .withColumn("__n", count(lit(1)).over(w))
+    def pct(p: Double): Column = {
+      val t = (col("__n") - 1).cast("double") * lit(p)
+      val vLo = max(when(col("__rn") === floor(t), col("gap_us").cast("double")))
+      val vHi = max(when(col("__rn") === ceil(t), col("gap_us").cast("double")))
+      // identical op order to percentileExact / the oracle: lo + d·(hi−lo)
+      vLo + (t - floor(t).cast("double")) * (vHi - vLo)
+    }
+    ranked
+      .groupBy(col("user_id"), col("__n"))
+      .agg(
+        (sum(col("gap_us")).cast("double") / col("__n")).as("mean_gap_us"),
+        pct(0.5).as("p50_gap_us"),
+        pct(0.9).as("p90_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .withColumnRenamed("__n", "n_gaps")
   }
 }

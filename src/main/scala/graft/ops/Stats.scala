@@ -158,4 +158,60 @@ object Stats {
         sum(when(col(valueCol) < col("lo") || col(valueCol) > col("hi"), 1L)
           .otherwise(0L)).as("n_clamped"))
   }
+
+  /**
+   * CONCENTRATION profile of a key column: how unevenly the rows
+   * distribute over keys — Gini coefficient of the per-key counts plus
+   * top-1 / top-k shares. The "is 1% of users 90% of the traffic / one
+   * source most of the corpus" diagnostic that decides salting and
+   * sampling strategy before a big job runs.
+   *
+   * Gini via the rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+   * (x ascending, rank i 1..n) — but computed WITHOUT ranking keys:
+   * tied values contribute a closed form, so group keys by their exact
+   * count x (m_x keys share it), rank only the DISTINCT count values
+   * (a frame bounded by the count-value arity, tiny next to the key
+   * count), and fold Σᵢ i·xᵢ per value as x·m·(2a + m + 1) / 2 where a
+   * = keys with smaller counts. Doubling the identity removes the /2,
+   * keeping every term integral: S2 = Σ x·m·(2a+m+1) in decimal(38,0)
+   * (n·T-scale products overflow a long at cluster scale), and
+   * G = (S2 − (n+1)·T) / (n·T) divides once at the end. No global
+   * key sort anywhere: one count shuffle, one tiny distinct-value
+   * frame, one TakeOrdered(k) for the top-k share.
+   *
+   * Empty input → one row with n_keys 0 and NULL gini/shares (the
+   * n·T = 0 divisions are guarded, never an ANSI throw).
+   */
+  def concentration(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
+    val byVal = perKey.groupBy(col("x")).agg(count(lit(1)).as("m"))
+    // the ONLY unpartitioned window, over the distinct-count frame —
+    // bounded by count-value arity, not key count
+    val w = Window.orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val folded = byVal
+      .withColumn("a", coalesce(sum(col("m")).over(w), lit(0L)))
+      .agg(
+        sum(col("x").cast("decimal(38,0)") * col("m") *
+          (lit(2L) * col("a") + col("m") + lit(1L))).as("s2"),
+        sum(col("x") * col("m")).as("t"),
+        sum(col("m")).as("n"))
+    val top = perKey.orderBy(col("x").desc, col(keyCol).asc).limit(topK)
+      .agg(sum(col("x")).as("topk_sum"), max(col("x")).as("top1"))
+    folded.crossJoin(top)
+      .select(
+        coalesce(col("n"), lit(0L)).as("n_keys"),
+        coalesce(col("t"), lit(0L)).as("n_rows"),
+        round(when(col("n").isNull || col("t") === 0L, lit(null))
+          .otherwise((col("s2").cast("double") -
+            (col("n") + 1L).cast("double") * col("t").cast("double")) /
+            (col("n").cast("double") * col("t").cast("double"))), 6).as("gini"),
+        round(when(col("t") === 0L, lit(null))
+          .otherwise(col("top1").cast("double") / col("t").cast("double")), 6)
+          .as("top1_share"),
+        round(when(col("t") === 0L, lit(null))
+          .otherwise(col("topk_sum").cast("double") / col("t").cast("double")), 6)
+          .as("topk_share"))
+  }
 }

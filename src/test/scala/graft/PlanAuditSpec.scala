@@ -183,7 +183,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_token_budget_report",
       // 1-row corpus-total broadcasts; q_length_ks also broadcasts the
       // ≤(maxBucket+1)-row length grid
-      "q_source_kl", "q_length_ks", "q_dsir_weights")
+      "q_source_kl", "q_length_ks", "q_dsir_weights",
+      // cross-joins of 1-row count/fold frames (verdict assembly)
+      "q_reconcile", "q_concentration_users", "q_concentration_sources")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

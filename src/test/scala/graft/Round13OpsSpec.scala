@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Events, Stats}
+
+/** Round-13 operators: multi-touch attribution, inter-arrival profile,
+  * concentration (Gini). Pinned contracts on hand frames plus
+  * naive-form equality on the real sf0.001 tables, mirroring the
+  * labelWindow / budgetSelect proof pattern. */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  // ---- attribution ----
+
+  test("attribution: window bounds, credit split and first/last flags pinned") {
+    // user 1: touches at 5 (== conv-L, included), 10, 20; excluded at 25
+    //   (== conv instant) and 4 (before window); conv at 25, value 9.0
+    // user 2: conv with no touch -> no row
+    val touches = Seq((1L, 4L, 100L), (1L, 5L, 101L), (1L, 10L, 102L),
+        (1L, 20L, 103L), (1L, 25L, 104L), (2L, 500L, 105L))
+      .toDF("user_id", "tsu", "event_id")
+    val convs = Seq((1L, 25L, 900L, 9.0), (2L, 100L, 901L, 7.0))
+      .toDF("user_id", "tsu", "conv_id", "value")
+    val out = Events.attribution(touches, convs, "user_id", "tsu",
+      "event_id", "conv_id", "value", lookbackMicros = 20L)
+      .collect().map(r => (r.getLong(3),
+        (r.getLong(5), r.getBoolean(6), r.getBoolean(7), r.getDouble(8))))
+      .toMap
+    assert(out.keySet == Set(101L, 102L, 103L)) // 100/104 out of window, 105 wrong conv
+    assert(out(101L) == ((3L, true, false, 3.0)))  // first touch
+    assert(out(102L) == ((3L, false, false, 3.0)))
+    assert(out(103L) == ((3L, false, true, 3.0)))  // last touch
+  }
+
+  test("attribution: banded join is row-identical to the naive inequality join") {
+    val e = graft.ops.EventTime.normalizeTs(events)
+      .withColumn("tsu", expr("ts div 1000L"))
+    val touches = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsu"), col("event_id"))
+    val convs = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("ctsu"),
+        col("event_id").as("conv_id"), round(col("value"), 6).as("v"))
+    val lb = 86400000000L
+    val naive = convs.join(
+        touches.select(col("user_id"), col("tsu").as("ttsu"), col("event_id")),
+        Seq("user_id"))
+      .filter(col("ttsu") < col("ctsu") && col("ttsu") >= col("ctsu") - lb)
+      .select(col("user_id"), col("conv_id"), col("ctsu"), col("event_id"),
+        col("ttsu"))
+    val banded = Events.attribution(touches,
+        convs.select(col("user_id"), col("ctsu").as("tsu"), col("conv_id"),
+          col("v").as("value")),
+        "user_id", "tsu", "event_id", "conv_id", "value", lb)
+      .select(col("user_id"), col("conv_id"), col("conv_tsu"), col("event_id"),
+        col("touch_tsu"))
+    val a = naive.collect().map(_.toString).sorted.toSeq
+    val b = banded.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  // ---- interArrival ----
+
+  test("interArrival: gaps, mean, interpolated p50/p90, single-event users absent") {
+    // user 1: events at 0/10/30/100 µs -> gaps 10,20,70
+    // user 2: one event -> no gaps -> no row
+    val e = Seq((1L, 0L, 10L, "a", 0.0), (2L, 10000L, 10L, "a", 0.0),
+        (3L, 30000L, 10L, "a", 0.0), (4L, 100000L, 10L, "a", 0.0),
+        (5L, 0L, 20L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.interArrival(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet == Set(10L))
+    val (n, mean, p50, p90, mx) = out(10L)
+    assert(n == 3L && mx == 70L)
+    assert(math.abs(mean - 100.0 / 3) < 1e-12)
+    assert(p50 == 20.0)                    // rank 1 exactly
+    assert(math.abs(p90 - 60.0) < 1e-9)    // 20 + 0.8 * (70 - 20)
+  }
+
+  test("interArrival: ties in gap values interpolate deterministically") {
+    // gaps 10,10,10,40 -> p50 rank 1.5 -> 10 + 0.5*(10-10) = 10
+    val e = Seq((1L, 0L), (2L, 10000L), (3L, 20000L), (4L, 30000L), (5L, 70000L))
+      .map { case (id, ts) => (id, ts, 1L, "a", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.interArrival(e).collect()(0)
+    assert(r.getLong(1) == 4L && r.getDouble(3) == 10.0)
+  }
+
+  // ---- concentration ----
+
+  test("concentration: gini/top-shares pinned on hand distributions") {
+    // counts [1,1,1,1,6]: G = (2*40 - 6*10) / (5*10) = 0.4
+    val skewed = (Seq.fill(1)(("e", 0)) ++ Seq.fill(6)(("a", 0)) ++
+        Seq(("b", 0), ("c", 0), ("d", 0)))
+      .toDF("k", "pad")
+    val r1 = Stats.concentration(skewed, "k").collect()(0)
+    assert(r1.getLong(0) == 5L && r1.getLong(1) == 10L)
+    assert(r1.getDouble(2) == 0.4)
+    assert(r1.getDouble(3) == 0.6 && r1.getDouble(4) == 1.0)
+    // topK=1 keeps only the heaviest key's share
+    val r1b = Stats.concentration(skewed, "k", topK = 1).collect()(0)
+    assert(r1b.getDouble(4) == 0.6)
+    // uniform distribution -> gini 0
+    val uniform = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+      .withColumn("pad", lit(0))
+    assert(Stats.concentration(uniform, "k").collect()(0).getDouble(2) == 0.0)
+    // empty input -> zero counts, NULL gini/shares, no ANSI throw
+    val r3 = Stats.concentration(uniform.filter(col("k") === "zzz"), "k").collect()(0)
+    assert(r3.getLong(0) == 0L && r3.getLong(1) == 0L && r3.isNullAt(2) &&
+      r3.isNullAt(3) && r3.isNullAt(4))
+  }
+
+  test("concentration: closed-form fold matches the naive global-rank Gini on real events") {
+    val out = Stats.concentration(events, "user_id").collect()(0)
+    // naive: collect per-key counts, sort ascending, rank identity
+    val xs = events.groupBy(col("user_id")).count()
+      .collect().map(_.getLong(1)).sorted
+    val n = xs.length.toLong
+    val t = xs.sum
+    val s = xs.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+    val gini = (BigDecimal(2 * s) - BigDecimal((n + 1) * t)) /
+      BigDecimal(n * t)
+    assert(out.getLong(0) == n && out.getLong(1) == t)
+    assert(math.abs(out.getDouble(2) - gini.toDouble) < 1e-6)
+    val top10 = xs.reverse.take(10).sum
+    assert(math.abs(out.getDouble(4) - top10.toDouble / t) < 1e-6)
+  }
+}
