@@ -162,7 +162,22 @@ object ScaleStress {
         val c = e.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), expr("ts div 1000L").as("tsu"))
         graft.ops.Events.pointInTimeJoin(c, dim, "user_id", "tsu", Seq("value"))
-      }))
+      }),
+      // r13: backward banded join + bounded per-conversion windows
+      "attribution" -> (e => {
+        val touches = e.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("event_id"))
+        val convs = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+            col("event_id").as("conv_id"), col("value"))
+        graft.ops.Events.attribution(touches, convs, "user_id", "tsu",
+          "event_id", "conv_id", "value", 86400000000L)
+      }),
+      // r13: one user exchange for lag + rank + agg
+      "interarrival" -> (e => graft.ops.Events.interArrival(e)),
+      // r13: count shuffle + distinct-count-value fold — with 10× USERS
+      // the tiny value frame is the only serial piece
+      "concentration" -> (e => graft.ops.Stats.concentration(e, "user_id")))
     val embCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "embed_clusters" -> (e =>
         // the collapsed pipeline (the uncollapsed form measured 32× wall
