@@ -55,6 +55,19 @@ case class LabeledFact(
     event_id: Long, user_id: Long, tsu: Long,
     n_outcomes: Long, first_outcome_us: Option[Long], outcome_sum_micro: Long)
 
+/** Per-key attribution state: conversions awaiting their watermark
+  * close as (conv_id, ts_us, value already 6-dp rounded); touch buffer
+  * as (touch_id, ts_us). */
+case class AttribState(convs: Seq[(Long, Long, Double)], touches: Seq[(Long, Long)])
+
+/** One attributed (conversion, touch) credit row, emitted exactly once
+  * when the watermark reaches the conversion's own instant. Mirrors
+  * [[graft.ops.Events.attribution]]'s output row. */
+case class AttributedTouch(
+    user_id: Long, conv_id: Long, conv_tsu: Long, touch_id: Long,
+    touch_tsu: Long, n_touches: Long, first_touch: Boolean,
+    last_touch: Boolean, linear_credit: Double)
+
 /**
  * Structured Streaming analytics over the event stream — the streaming
  * twins of the batch ops in [[graft.ops.Events]] (which the DuckDB oracle
@@ -447,6 +460,89 @@ object EventStreams {
             val wakeMs = minFts match {
               case Some(m) => (m + horizonMicros) / 1000L + 1L
               case None => kept.map(_._1).max / 1000L + 1L
+            }
+            state.setTimeoutTimestamp(wakeMs)
+          }
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming MULTI-TOUCH ATTRIBUTION — the online twin of
+   * [[graft.ops.Events.attribution]]: each `convType` event waits until
+   * the watermark reaches its own instant (every touch strictly before
+   * it must have arrived by then — a later-arriving earlier touch would
+   * be watermark-dropped), then emits one credit row per `touchType`
+   * event of the same key inside [conv_ts − lookback, conv_ts), exactly
+   * once: linear credit value/n (6-dp, the batch twin's rounding) with
+   * first/last-touch flags. Zero-touch conversions emit nothing, like
+   * the batch form.
+   *
+   * Keyed `flatMapGroupsWithState` with event-time timeout. State is
+   * bounded by the lookback + watermark delay, never #events-ever:
+   * a conversion leaves as soon as it is emitted (watermark ≥ its ts);
+   * a touch is evicted once ts + lookback < watermark — no pending
+   * conversion can use it then (every pending conv has cts > watermark,
+   * so its window floor cts − lookback > ts), and no future conversion
+   * can either (future convs arrive with cts ≥ watermark). A quiet
+   * key's leftovers age out by timeout and the state row is removed.
+   */
+  def attributionStream(events: DataFrame, touchType: String,
+      convType: String, lookbackMicros: Long,
+      watermarkDelay: String = "30 minutes")(
+      implicit spark: SparkSession): Dataset[AttributedTouch] = {
+    import spark.implicits._
+    require(lookbackMicros > 0, s"lookbackMicros must be > 0, got $lookbackMicros")
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val typed = withEventTime(events)
+      .filter(col("event_type").isin(touchType, convType))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttributedTouch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[TimedEvent], state: GroupState[AttribState]) =>
+          val prev = state.getOption.getOrElse(AttribState(Nil, Nil))
+          var convs = prev.convs
+          var touches = prev.touches
+          batch.foreach { e =>
+            val tsu = e.ts / 1000
+            if (e.event_type == convType) convs :+= ((e.event_id, tsu, round6(e.value)))
+            else touches :+= ((e.event_id, tsu))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // ripe at watermark == its instant already: the equal-time touch
+          // is EXCLUDED by the strict window, and any earlier one would
+          // now be late-dropped
+          val (ripe, pending) = convs.partition { case (_, cts, _) => cts <= wmUs }
+          val out = ripe.sortBy { case (cid, cts, _) => (cts, cid) }
+            .flatMap { case (cid, cts, v) =>
+              val win = touches
+                .filter { case (_, tts) =>
+                  tts < cts && tts >= cts - lookbackMicros }
+                .sortBy { case (tid, tts) => (tts, tid) }
+              val n = win.size.toLong
+              win.zipWithIndex.map { case ((tid, tts), i) =>
+                AttributedTouch(userId, cid, cts, tid, tts, n,
+                  i == 0, i == win.size - 1, round6(v / n))
+              }
+            }
+          // touch eviction: older than every pending AND every possible
+          // future conversion's window (see scaladoc for the proof that
+          // emitted-conversion needs can never resurrect an evicted touch)
+          val kept = touches.filter { case (_, tts) => tts + lookbackMicros >= wmUs }
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AttribState(pending, kept))
+            // wake when the oldest pending conversion ripens (its cts is
+            // > watermark by the pending definition; ms-truncation +1
+            // keeps the timeout strictly in the future) — or, touches
+            // only, when the last one ages out
+            val wakeMs = pending.map(_._2).minOption match {
+              case Some(m) => m / 1000L + 1L
+              case None => (kept.map(_._2).max + lookbackMicros) / 1000L + 1L
             }
             state.setTimeoutTimestamp(wakeMs)
           }

@@ -209,4 +209,42 @@ class StreamingRestartSpec extends AnyFunSuite {
     // click 6: zero outcomes — emitted once, not lost with the restart
     assert(out.count(_._1 == 6L) == 1)
   }
+
+  test("attributionStream: pending conversion and touch buffer survive kill-and-restart") {
+    val s = spark
+    import s.implicits._
+    val L = 3600000000L // 60-minute lookback (µs)
+    // touches t0/t10 AND the pending conversion t40 arrive before the
+    // stop — all three rows live only in the checkpoint across the
+    // restart; a second conversion t70 (window [10,70): t10 only) and
+    // the watermark push arrive after.
+    val b1 = Seq(
+      StreamEvent(1L, Base + 0L * MinNs, 7L, "click", 0.0),
+      StreamEvent(2L, Base + 10L * MinNs, 7L, "click", 0.0),
+      StreamEvent(4L, Base + 40L * MinNs, 7L, "purchase", 9.9))
+    val b2 = Seq(StreamEvent(5L, Base + 70L * MinNs, 7L, "purchase", 1.1))
+    // the push must be one of the operator's two event types
+    val push = StreamEvent(99L, Base + 1000L * MinNs, 999L, "click", 0.0)
+    implicit val sp = s
+    val out = runWithRestart("attrib", b1, b2, push)(
+        EventStreams.attributionStream(_, "click", "purchase", L).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getDouble(8))).toSet
+    val e = (b1 ++ b2 :+ push).toDF().withColumn("tsu", expr("ts div 1000"))
+    val batch = graft.ops.Events.attribution(
+        e.filter($"event_type" === "click").select($"user_id", $"tsu", $"event_id"),
+        e.filter($"event_type" === "purchase")
+          .select($"user_id", $"tsu", $"event_id".as("conv_id"), $"value"),
+        "user_id", "tsu", "event_id", "conv_id", "value", L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getDouble(8))).toSet
+    assert(out == batch, s"restarted $out vs batch $batch")
+    // conversion t40: both checkpoint-buffered touches credited 4.95 each
+    assert(out.count(p => p._2 == 4L && p._6 == 2L && p._9 == 4.95) == 2)
+    // conversion t70 (arrived after restart): only t10 in window
+    assert(out.count(_._2 == 5L) == 1 &&
+      out.exists(p => p._2 == 5L && p._4 == 2L && p._9 == 1.1))
+  }
 }

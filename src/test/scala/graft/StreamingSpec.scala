@@ -719,4 +719,72 @@ class StreamingSpec extends AnyFunSuite {
       assert(byId(6L)._4 == 0L && byId(6L)._5.isEmpty && byId(6L)._6 == 0L)
     } finally q.stop()
   }
+
+  test("attributionStream: credits equal batch attribution, exactly once per pair") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val L = 3600000000L // 60-minute lookback (µs)
+    // user 7: clicks t0/t15/t30; purchase t40 v=9.9 (all three in
+    // [-20,40) -> credit 3.3 each), purchase t60 v=1.1 (window [0,60):
+    // t0 EXACTLY at the floor is included -> n=3), purchase t75 v=2.2
+    // (window [15,75): t15+t30). user 8: purchase, no clicks -> nothing.
+    val evs = Seq(
+      StreamEvent(1L, Base + 0L * MinNs, 7L, "click", 0.0),
+      StreamEvent(2L, Base + 15L * MinNs, 7L, "click", 0.0),
+      StreamEvent(3L, Base + 30L * MinNs, 7L, "click", 0.0),
+      StreamEvent(4L, Base + 40L * MinNs, 7L, "purchase", 9.9),
+      StreamEvent(5L, Base + 60L * MinNs, 7L, "purchase", 1.1),
+      StreamEvent(6L, Base + 75L * MinNs, 7L, "purchase", 2.2),
+      StreamEvent(7L, Base + 5L * MinNs, 8L, "purchase", 7.7))
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.attributionStream(in.toDF(), "click", "purchase", L)
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      // cross-batch out-of-order: batch 1's max is t40, so the t15/t30
+      // clicks of batch 2 arrive genuinely late (above the t10
+      // watermark) and AFTER the t60 purchase in feed order
+      in.addData(evs(0), evs(3), evs(6))
+      q.processAllAvailable()
+      in.addData(evs(4), evs(1), evs(2), evs(5))
+      q.processAllAvailable()
+      // watermark flush (touch-typed so it passes the operator's filter
+      // and emits nothing by itself)
+      in.addData(StreamEvent(99L, Base + 1000L * MinNs, 999L, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(98L, Base + 1001L * MinNs, 999L, "click", 0.0))
+      q.processAllAvailable()
+
+      val streamed = s.sql(
+        """SELECT user_id, conv_id, conv_tsu, touch_id, touch_tsu,
+          |  n_touches, first_touch, last_touch, linear_credit
+          |FROM attrib_out""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+          r.getBoolean(7), r.getDouble(8)))
+      // exactly once per (conversion, touch) pair
+      assert(streamed.map(p => (p._2, p._4)).distinct.length == streamed.length)
+
+      val e = evs.toDF().withColumn("tsu", expr("ts div 1000"))
+      val batch = Events.attribution(
+          e.filter($"event_type" === "click")
+            .select($"user_id", $"tsu", $"event_id"),
+          e.filter($"event_type" === "purchase")
+            .select($"user_id", $"tsu", $"event_id".as("conv_id"), $"value"),
+          "user_id", "tsu", "event_id", "conv_id", "value", L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+          r.getBoolean(7), r.getDouble(8)))
+      assert(streamed.toSet == batch.toSet,
+        s"streamed ${streamed.toSet} vs batch ${batch.toSet}")
+      assert(streamed.length == 8) // 3 + 3 + 2 pairs; user 8 absent
+      // the t40 conversion: 9.9 / 3 with the batch twin's 6-dp rounding
+      val t40 = streamed.filter(_._2 == 4L)
+      assert(t40.forall(p => p._6 == 3L && p._9 == 3.3))
+      assert(t40.count(_._7) == 1 && t40.count(_._8) == 1)
+      // the boundary: click t0 sits exactly at conv t60's window floor
+      assert(streamed.exists(p => p._2 == 5L && p._4 == 1L))
+    } finally q.stop()
+  }
 }
