@@ -1377,6 +1377,13 @@ object SparkEntry {
         Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands),
         iters = 5)),
 
+    "q_triangles" -> ((s, dir) =>
+      // triangle census of the duplication graph: degree-ordered
+      // orientation bounds the wedge join at O(m^1.5) — the structural
+      // "how clique-y are dup clusters" complement of q_pagerank
+      graft.ops.Graph.triangleStats(
+        Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands))),
+
     "q_bloom_semi_join" -> ((s, dir) => {
       // runtime-filter pattern: Brand#23 partkeys → KB-scale bloom
       // broadcast prunes lineitem IN ITS SCAN; the exact semi join
@@ -3973,6 +3980,25 @@ object SparkEntry {
          |  WHERE pr.iter < 5
          |  GROUP BY pr.iter, e.dst)
          |SELECT doc_id, r AS rank_micro FROM pr WHERE iter = 5""".stripMargin,
+
+    "q_triangles" ->
+      s"""$PairsCte,
+         |und AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+         |  FROM pairs_t WHERE id1 <> id2),
+         |dg AS (SELECT v, count(*) AS deg FROM
+         |  (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+         |tri AS (SELECT count(*) AS t FROM und e1
+         |  JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nd AS (SELECT count(*) AS n_nodes,
+         |  sum(deg * (deg - 1) // 2) AS wedges FROM dg),
+         |ed AS (SELECT count(*) AS n_edges FROM und)
+         |SELECT coalesce(n_nodes, 0)::BIGINT AS n_nodes,
+         |  n_edges::BIGINT AS n_edges, t::BIGINT AS n_triangles,
+         |  coalesce(wedges, 0)::BIGINT AS n_wedges,
+         |  round(CASE WHEN wedges IS NULL OR wedges = 0 THEN NULL
+         |    ELSE (3 * t)::DOUBLE / wedges::DOUBLE END, 6) AS clustering_coeff
+         |FROM nd, ed, tri""".stripMargin,
 
     "q_bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -185,7 +185,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // ≤(maxBucket+1)-row length grid
       "q_source_kl", "q_length_ks", "q_dsir_weights",
       // cross-joins of 1-row count/fold frames (verdict assembly)
-      "q_reconcile", "q_concentration_users", "q_concentration_sources")
+      "q_reconcile", "q_concentration_users", "q_concentration_sources",
+      "q_triangles")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

@@ -117,6 +117,45 @@ class Round13OpsSpec extends AnyFunSuite {
       r3.isNullAt(3) && r3.isNullAt(4))
   }
 
+  // ---- triangleStats ----
+
+  test("triangleStats: census pinned on K4 + pendant; canonicalization; empty graph") {
+    // K4 over 1..4 (4 triangles) + pendant edge 4-5:
+    // wedges 3+3+3+6+0 = 15, GCC = 12/15 = 0.8
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 :+ ((4L, 5L))).toDF("id1", "id2")
+    val r = graft.ops.Graph.triangleStats(edges).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 7L, 4L, 15L)))
+    assert(r.getDouble(4) == 0.8)
+    // reversed duplicates and self-loops canonicalize away
+    val messy = edges.unionByName(
+      edges.select(col("id2").as("id1"), col("id1").as("id2")))
+      .unionByName(Seq((3L, 3L)).toDF("id1", "id2"))
+    val r2 = graft.ops.Graph.triangleStats(messy).collect()(0)
+    assert((r2.getLong(1), r2.getLong(2)) == ((7L, 4L)))
+    // empty graph: zero counts, NULL coefficient, no ANSI throw
+    val r3 = graft.ops.Graph.triangleStats(
+      edges.filter(col("id1") < 0L)).collect()(0)
+    assert(r3.getLong(0) == 0L && r3.getLong(2) == 0L && r3.isNullAt(4))
+  }
+
+  test("triangleStats: oriented count equals the naive a<b<c join on real pairs") {
+    val pairs = graft.ops.Dedup.candidatePairs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", 8, 4)
+    val out = graft.ops.Graph.triangleStats(pairs).collect()(0)
+    val und = pairs.select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val naive = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .count()
+    assert(out.getLong(2) == naive && naive > 0)
+  }
+
   test("concentration: closed-form fold matches the naive global-rank Gini on real events") {
     val out = Stats.concentration(events, "user_id").collect()(0)
     // naive: collect per-key counts, sort ascending, rank identity
