@@ -50,6 +50,19 @@ case class LabeledFact(
     fact_id: Long, key: Long, ts_us: Long,
     n_outcomes: Long, first_outcome_us: Option[Long], outcome_sum_micro: Long)
 
+/** A touch event competing for conversion credit (key + event-time). */
+case class Touch(touch_id: Long, key: Long, ts_us: Long)
+
+/** A conversion whose value is attributed over preceding touches. */
+case class Conversion(conv_id: Long, key: Long, ts_us: Long, value: Double)
+
+/** One attributed (conversion, touch) credit row
+  * ([[TypedPipeline.attributeTouches]]). */
+case class CreditedTouch(
+    key: Long, conv_id: Long, conv_tsu: Long, touch_id: Long,
+    touch_tsu: Long, n_touches: Long, first_touch: Boolean,
+    last_touch: Boolean, linear_credit: Double)
+
 /** One SCD2 dimension version: value valid over [valid_from_us,
   * valid_to_us) — `None` = still current. */
 case class DimVersion(
@@ -159,5 +172,17 @@ object TypedPipeline {
     Events.pointInTimeJoin(facts.toDF(), dim.toDF(), "key", "ts_us", Seq("value"))
       .select(col("fact_id"), col("key"), col("ts_us"), col("dim_value"))
       .as[EnrichedFact]
+  }
+
+  /** Multi-touch attribution ([[Events.attribution]]): each
+    * conversion's value spread linearly over the key's touches in the
+    * strictly-before lookback window, with first/last-touch flags —
+    * banded equi-join, bounded per-conversion windows. */
+  def attributeTouches(touches: Dataset[Touch], convs: Dataset[Conversion],
+      lookbackMicros: Long): Dataset[CreditedTouch] = {
+    import touches.sparkSession.implicits._
+    Events.attribution(touches.toDF(), convs.toDF(), "key", "ts_us",
+        "touch_id", "conv_id", "value", lookbackMicros)
+      .as[CreditedTouch]
   }
 }

@@ -91,4 +91,29 @@ class TypedPipelineSpec extends AnyFunSuite {
     assert(enriched(2L).contains(7.5))  // ts 5000 -> open current version
     assert(enriched(3L).isEmpty)        // key 20: no dim row
   }
+
+  test("typed attributeTouches matches the untyped attribution rows") {
+    import graft.api.{Conversion, Touch}
+    val touches = spark.createDataset(Seq(
+      Touch(101L, 10L, 500L), Touch(102L, 10L, 900L),
+      Touch(103L, 10L, 1000L),   // AT the conversion instant: excluded
+      Touch(104L, 20L, 100L)))
+    val convs = spark.createDataset(Seq(
+      Conversion(900L, 10L, 1000L, 5.0),
+      Conversion(901L, 30L, 1000L, 7.0))) // no touches -> absent
+    val out = TypedPipeline.attributeTouches(touches, convs, 600L)
+      .collect().map(c => c.touch_id -> c).toMap
+    assert(out.keySet == Set(101L, 102L)) // 500 >= 1000-600, 900 < 1000
+    assert(out(101L).linear_credit == 2.5 && out(101L).first_touch
+      && !out(101L).last_touch && out(101L).n_touches == 2L)
+    assert(out(102L).last_touch && out(102L).conv_id == 900L)
+    // row-identity with the untyped DataFrame surface
+    val untyped = graft.ops.Events.attribution(
+        touches.toDF(), convs.toDF(), "key", "ts_us", "touch_id",
+        "conv_id", "value", 600L)
+      .collect().map(_.toString).sorted.toSeq
+    val typed = TypedPipeline.attributeTouches(touches, convs, 600L)
+      .toDF().collect().map(_.toString).sorted.toSeq
+    assert(typed == untyped)
+  }
 }
