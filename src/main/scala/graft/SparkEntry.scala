@@ -580,6 +580,13 @@ object SparkEntry {
         .select(col("q_id"), col("neighbor_id"), col("cos"), col("rn"))
     }),
 
+    "q_margin_mine" -> ((s, dir) =>
+      // margin-based parallel-pair mining: per query vector the best
+      // other-side match, kept only when it beats the runner-up by
+      // >= 0.02 cosine (hubness-proof, vs a plain cosine threshold);
+      // q_cosine_topk's broadcast shape, top-2 cut before the exchange
+      Similarity.marginMine(emb(s, dir), col("vec_id") < 10, 0.02)),
+
     "q_hard_negatives" -> ((s, dir) => {
       // contrastive HARD negatives: per query vector, the 3 most-similar
       // pool vectors excluding itself and its known positive (q, q+10)
@@ -2986,6 +2993,22 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    "q_margin_mine" ->
+      s"""$EmbCte,
+         |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS match_id,
+         |    round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 10 AND NOT c.vec_id < 10),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, match_id ASC) AS rn FROM scored),
+         |agg AS (SELECT q_id,
+         |    max(CASE WHEN rn = 1 THEN match_id END) AS match_id,
+         |    max(CASE WHEN rn = 1 THEN cos END) AS cos_best,
+         |    max(CASE WHEN rn = 2 THEN cos END) AS cos_second
+         |  FROM rk WHERE rn <= 2 GROUP BY q_id)
+         |SELECT q_id, match_id, cos_best, cos_second,
+         |  round(cos_best - cos_second, 6) AS margin
+         |FROM agg WHERE round(cos_best - cos_second, 6) >= 0.02""".stripMargin,
 
     "q_hard_negatives" ->
       s"""$EmbCte,

@@ -107,6 +107,43 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /**
+   * MARGIN-BASED parallel-pair mining (the bitext scorer of Artetxe &
+   * Schwenk 2019, "Margin-based parallel corpus mining"): for each
+   * query-side vector, its best candidate-side match plus the absolute
+   * margin cos(best) − cos(runner-up); a match counts only when margin
+   * ≥ minMargin. Plain cosine thresholds are dominated by HUBNESS —
+   * some vectors sit near everything and win every query — while a
+   * margin demands the match beat its own competition. Queries with
+   * fewer than two candidates have no margin and are excluded
+   * (documented: a 1-candidate "mining" problem is a lookup).
+   *
+   * Scale shape = [[bruteForceTopK]]: bounded query side broadcast
+   * against the unshuffled corpus, per-query rows cut to the top 2 by
+   * the rank filter before the single q_id exchange aggregates them;
+   * compose with the ANN bucketing (annLsh) as the prefilter beyond
+   * single-node, exactly as documented for [[hardNegatives]].
+   */
+  def marginMine(corpus: DataFrame, querySide: Column,
+      minMargin: Double): DataFrame = {
+    val q = corpus.filter(querySide).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus.filter(!querySide)
+      .join(broadcast(q), lit(true))
+      .select(col("q_id"), col("vec_id").as("match_id"),
+        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("match_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col("q_id"))
+      .agg(
+        max(when(col("rn") === 1, col("match_id"))).as("match_id"),
+        max(when(col("rn") === 1, col("cos"))).as("cos_best"),
+        max(when(col("rn") === 2, col("cos"))).as("cos_second"))
+      .withColumn("margin", round(col("cos_best") - col("cos_second"), 6))
+      .filter(col("margin") >= minMargin)
+  }
+
   /** All pairs (id1<id2) with cosine ≥ threshold — the exact near-dup
     * baseline; use the LSH path beyond single-node scale. The stream side
     * is repartitioned to the session's parallelism: a small corpus often

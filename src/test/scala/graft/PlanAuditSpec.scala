@@ -173,7 +173,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_ams_f2", "q_ann_int8", "q_ann_ivf", "q_ann_recall",
       "q_bloom_fp_audit", "q_bm25", "q_cms_join_size", "q_cosine_topk",
       // bounded query-set broadcast, same shape as q_cosine_topk
-      "q_hard_negatives",
+      "q_hard_negatives", "q_margin_mine",
       // two 1-row corpus-total broadcasts (nb, nu)
       "q_collocations",
       "q_decontaminate_bloom", "q_hll_distinct", "q_kmv_distinct",

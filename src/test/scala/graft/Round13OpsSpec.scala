@@ -117,6 +117,34 @@ class Round13OpsSpec extends AnyFunSuite {
       r3.isNullAt(3) && r3.isNullAt(4))
   }
 
+  // ---- marginMine ----
+
+  test("marginMine: hub ties score zero margin; lone candidates excluded") {
+    import graft.ops.Similarity
+    // queries 1=(1,0), 2=(0,1); candidates 10=(2,0), 11=(1,1),
+    // 12=(0,3), 13=(0,1). q1: best 10 (cos 1) vs 11 (0.707107) ->
+    // margin 0.292893. q2: 12 and 13 BOTH at cos 1 (a hub tie) ->
+    // margin 0 -> dropped at 0.1, kept at 0.0.
+    val emb = Seq(
+        (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+        (10L, Seq(2f, 0f)), (11L, Seq(1f, 1f)),
+        (12L, Seq(0f, 3f)), (13L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Similarity.prepared(emb, "vec_id", "embedding")
+    val strict = Similarity.marginMine(corpus, col("vec_id") < 10, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(strict.toSeq == Seq((1L, 10L, 0.292893)))
+    val loose = Similarity.marginMine(corpus, col("vec_id") < 10, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(loose == Set((1L, 10L, 0.292893), (2L, 12L, 0.0)))
+    // a single candidate has no runner-up: no margin, no row
+    val lone = Similarity.marginMine(
+      Similarity.prepared(Seq((1L, Seq(1f, 0f)), (10L, Seq(2f, 0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding"),
+      col("vec_id") < 10, 0.0)
+    assert(lone.count() == 0L)
+  }
+
   // ---- triangleStats ----
 
   test("triangleStats: census pinned on K4 + pendant; canonicalization; empty graph") {
