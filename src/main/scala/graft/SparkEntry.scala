@@ -1961,6 +1961,11 @@ object SparkEntry {
       // percentiles, no per-group array
       Events.interArrival(t(s, dir, "events"))),
 
+    "q_level_shift" -> ((s, dir) =>
+      // sliding two-sample step detector on daily per-type volumes:
+      // next-7-observed-days mean minus previous-7 — full frames only
+      Events.levelShift(t(s, dir, "events"), w = 7)),
+
     "q_concentration_users" -> ((s, dir) =>
       // traffic-concentration diagnostic: Gini + top-1/top-10 shares of
       // per-user event counts via the tied-rank closed form — no global
@@ -4500,6 +4505,23 @@ object SparkEntry {
         |    AS p90_gap_us,
         |  max(gap_us) AS max_gap_us
         |FROM rk GROUP BY user_id, n""".stripMargin,
+
+    "q_level_shift" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY event_type, day),
+        |fr AS (SELECT event_type, day,
+        |    count(n) OVER b AS n_before, count(n) OVER a AS n_after,
+        |    sum(n) OVER b AS sum_before, sum(n) OVER a AS sum_after
+        |  FROM daily
+        |  WINDOW b AS (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |    a AS (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING))
+        |SELECT event_type, day,
+        |  round(sum_before::DOUBLE / 7, 6) AS before_avg,
+        |  round(sum_after::DOUBLE / 7, 6) AS after_avg,
+        |  round(sum_after::DOUBLE / 7 - sum_before::DOUBLE / 7, 6) AS shift
+        |FROM fr WHERE n_before = 7 AND n_after = 7""".stripMargin,
 
     "q_concentration_users" -> concentrationSql("events", "user_id"),
 

@@ -889,6 +889,47 @@ object Events {
   }
 
   /**
+   * LEVEL-SHIFT (change-point) detection on daily volumes: per event
+   * type and day, the mean daily count of the next `w` observed days
+   * minus the mean of the previous `w` — the two-sample sliding
+   * step detector that flags a feed doubling or halving its volume
+   * (the ingestion regression a global mean hides). Both frames must
+   * be FULL (w rows each) or the day emits no verdict — a half-window
+   * at the series edge would fabricate a shift. Frames are ROWS over
+   * OBSERVED days (a day with zero events is absent, not zero —
+   * callers wanting calendar frames densify first, e.g. via the
+   * resample ops).
+   *
+   * One (type, day) count aggregation, then two window frames over the
+   * same type-keyed exchange — groups bounded by days-per-type, never
+   * a global sort. Counts are exact longs; each mean is one double
+   * division of exact integers, same op order as the oracle, rounded
+   * to 6 dp at day-count magnitude (safe, unlike epoch-µs magnitude —
+   * see [[interArrival]]).
+   */
+  def levelShift(events: DataFrame, w: Int = 7): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val daily = EventTime.normalizeTs(events)
+      .groupBy(col("event_type"),
+        expr("(ts div 1000L) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val before = byType.rowsBetween(-w, -1)
+    val after = byType.rowsBetween(0, w - 1)
+    daily
+      .withColumn("n_before", count(col("n")).over(before))
+      .withColumn("n_after", count(col("n")).over(after))
+      .withColumn("sum_before", sum(col("n")).over(before))
+      .withColumn("sum_after", sum(col("n")).over(after))
+      .filter(col("n_before") === w && col("n_after") === w)
+      .select(col("event_type"), col("day"),
+        round(col("sum_before").cast("double") / w, 6).as("before_avg"),
+        round(col("sum_after").cast("double") / w, 6).as("after_avg"),
+        round(col("sum_after").cast("double") / w -
+          col("sum_before").cast("double") / w, 6).as("shift"))
+  }
+
+  /**
    * INTER-ARRIVAL-TIME profile: per key, the distribution of gaps
    * between consecutive events — the burstiness fingerprint that
    * separates steady users from bots and batch-replayed feeds. Gaps in

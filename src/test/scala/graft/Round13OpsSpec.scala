@@ -117,6 +117,33 @@ class Round13OpsSpec extends AnyFunSuite {
       r3.isNullAt(3) && r3.isNullAt(4))
   }
 
+  // ---- levelShift ----
+
+  test("levelShift: step detected at full frames only; observed-day semantics") {
+    val DayNs = 86400L * 1000000000L
+    def mk(day: Long, c: Int): Seq[(Long, Long, Long, String, Double)] =
+      (1 to c).map(i => (day * 100 + i, day * DayNs + i * 1000000000L,
+        1L, "a", 0.0))
+    // days 1..5 with counts 4,4,8,8,8 and w=2: day 3 shift 4 (4->8),
+    // day 4 shift 2 (6->8); days 1-2 lack a full before frame, day 5 a
+    // full after frame
+    val e = (mk(1, 4) ++ mk(2, 4) ++ mk(3, 8) ++ mk(4, 8) ++ mk(5, 8))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.Events.levelShift(e, w = 2).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(3L, 4L))
+    assert(out(3L) == ((4.0, 8.0, 4.0)))
+    assert(out(4L) == ((6.0, 8.0, 2.0)))
+    // a missing calendar day is ABSENT, not zero: frames slide over
+    // observed rows, so day 5 still sees (day2, day3) as its before frame
+    val gappy = (mk(1, 4) ++ mk(2, 4) ++ mk(3, 8) ++ mk(5, 8) ++ mk(6, 8))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out2 = graft.ops.Events.levelShift(gappy, w = 2).collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(out2.keySet == Set(3L, 5L) && out2(5L) == 2.0)
+  }
+
   // ---- marginMine ----
 
   test("marginMine: hub ties score zero margin; lone candidates excluded") {
