@@ -1966,6 +1966,11 @@ object SparkEntry {
       // next-7-observed-days mean minus previous-7 — full frames only
       Events.levelShift(t(s, dir, "events"), w = 7)),
 
+    "q_top_paths" -> ((s, dir) =>
+      // journey mining: the 20 most common first-5-event session paths;
+      // the maxSteps cut lands BEFORE any per-session collection
+      Events.topPaths(t(s, dir, "events"), maxSteps = 5, k = 20)),
+
     "q_concentration_users" -> ((s, dir) =>
       // traffic-concentration diagnostic: Gini + top-1/top-10 shares of
       // per-user event counts via the tied-rank closed form — no global
@@ -4526,6 +4531,25 @@ object SparkEntry {
     "q_concentration_users" -> concentrationSql("events", "user_id"),
 
     "q_concentration_sources" -> concentrationSql("documents", "source"),
+
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS tsu FROM events),
+        |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new FROM l),
+        |c AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s),
+        |r AS (SELECT user_id, session_seq, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY tsu, event_id) AS rn FROM c),
+        |p AS (SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, session_seq)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),

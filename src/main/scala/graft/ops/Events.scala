@@ -889,6 +889,49 @@ object Events {
   }
 
   /**
+   * TOP SESSION PATHS — product-analytics journey mining: the k most
+   * common event-type paths, where a path is the first `maxSteps`
+   * events of one gap-sessionized visit joined as
+   * "view>click>purchase". The Sankey/flow view of behavior that
+   * funnel() can't give (funnels test ONE hypothesized order; paths
+   * surface the orders that actually happen).
+   *
+   * Scale shape: the sessionize lag/cumsum windows and the per-session
+   * rank share ONE user_id exchange; the row_number cut to maxSteps
+   * happens BEFORE any collection, so no per-session array ever holds
+   * more than maxSteps entries (a bot session of 10⁶ events contributes
+   * maxSteps rows, not a 10⁶-element buffer). Path assembly sorts the
+   * bounded (rn, type) structs per session; the final count + top-k is
+   * a tiny path-cardinality aggregate cut by TakeOrdered. Ties at the
+   * k boundary break on path text — deterministic in every engine.
+   */
+  def topPaths(events: DataFrame, maxSteps: Int = 5, k: Int = 20): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = EventTime.normalizeTs(events).withColumn("tsu", expr("ts div 1000L"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val withSeq = e
+      .withColumn("is_new",
+        when(col("tsu") - lag(col("tsu"), 1).over(byUser) > SessionGapMicros, 1)
+          .otherwise(when(lag(col("tsu"), 1).over(byUser).isNull, 1).otherwise(0)))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("tsu"), col("event_id"))
+    withSeq
+      .withColumn("rn", row_number().over(bySession))
+      .filter(col("rn") <= maxSteps)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(concat_ws(">",
+        transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /**
    * LEVEL-SHIFT (change-point) detection on daily volumes: per event
    * type and day, the mean daily count of the next `w` observed days
    * minus the mean of the previous `w` — the two-sample sliding

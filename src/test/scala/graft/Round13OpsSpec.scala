@@ -117,6 +117,35 @@ class Round13OpsSpec extends AnyFunSuite {
       r3.isNullAt(3) && r3.isNullAt(4))
   }
 
+  // ---- topPaths ----
+
+  test("topPaths: session journeys counted, capped at maxSteps, gap splits paths") {
+    val MinNs = 60L * 1000000000L
+    val Base = 1704067200L * 1000000000L
+    // user 1: session A view>click>purchase, then (after a >30min gap)
+    // session B view>view; user 2: view>click>purchase
+    val e = Seq(
+        (1L, Base, 1L, "view", 0.0),
+        (2L, Base + 1 * MinNs, 1L, "click", 0.0),
+        (3L, Base + 2 * MinNs, 1L, "purchase", 0.0),
+        (4L, Base + 60 * MinNs, 1L, "view", 0.0),
+        (5L, Base + 61 * MinNs, 1L, "view", 0.0),
+        (6L, Base, 2L, "view", 0.0),
+        (7L, Base + 1 * MinNs, 2L, "click", 0.0),
+        (8L, Base + 2 * MinNs, 2L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val full = graft.ops.Events.topPaths(e, maxSteps = 5, k = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == Map("view>click>purchase" -> 2L, "view>view" -> 1L))
+    // maxSteps truncates the journey before collection
+    val cut = graft.ops.Events.topPaths(e, maxSteps = 2, k = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cut == Map("view>click" -> 2L, "view>view" -> 1L))
+    // k cuts deterministically on (count desc, path asc)
+    val top1 = graft.ops.Events.topPaths(e, maxSteps = 5, k = 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "view>click>purchase")
+  }
+
   // ---- levelShift ----
 
   test("levelShift: step detected at full frames only; observed-day semantics") {
