@@ -124,7 +124,13 @@ object ScaleStress {
       "neardup_incr" -> (d => Dedup.neardupIncremental(
         d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         Dedup.bandKeyIndex(
-          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 8, 4), 8, 4)))
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 8, 4), 8, 4)),
+      // r13: triangle census over CAPPED banding pairs — the honest
+      // duplicate-flood composition (uncapped pairs are quadratic in
+      // multiplicity before the census even starts)
+      "triangles" -> (d => graft.ops.Graph.triangleStats(
+        Dedup.candidatePairsCapped(
+          Dedup.shingleSets(d, "doc_id", "text"), 8, 4, maxBucket = 64))))
     // the r9/r10-verdict heavy trio, on the duplicate-heavy replica
     // (every text ×10 under distinct ids). Pair-EMITTING ops have an
     // inherently quadratic-in-multiplicity OUTPUT (each size-c dup
@@ -175,6 +181,9 @@ object ScaleStress {
       }),
       // r13: one user exchange for lag + rank + agg
       "interarrival" -> (e => graft.ops.Events.interArrival(e)),
+      // r13: maxSteps cut BEFORE collection is what 10× users exercises
+      "top_paths" -> (e => graft.ops.Events.topPaths(e)),
+      "level_shift" -> (e => graft.ops.Events.levelShift(e)),
       // r13: count shuffle + distinct-count-value fold — with 10× USERS
       // the tiny value frame is the only serial piece
       "concentration" -> (e => graft.ops.Stats.concentration(e, "user_id")))
@@ -183,7 +192,12 @@ object ScaleStress {
         // the collapsed pipeline (the uncollapsed form measured 32× wall
         // at 10×: SRP pairs grow ~m² in duplicate multiplicity)
         Dedup.embedClustersCollapsed(
-          graft.ops.Similarity.prepared(e, "vec_id", "embedding"), 0.4, 64, 4, 64)))
+          graft.ops.Similarity.prepared(e, "vec_id", "embedding"), 0.4, 64, 4, 64)),
+      // r13: fixed query set against a 10× candidate corpus — wall
+      // should track the corpus scan, not queries × corpus²
+      "margin_mine" -> (e => graft.ops.Similarity.marginMine(
+        graft.ops.Similarity.prepared(e, "vec_id", "embedding"),
+        col("vec_id") < 10, 0.0)))
 
     // warmup
     noop(li1.groupBy(col("l_returnflag")).count())
