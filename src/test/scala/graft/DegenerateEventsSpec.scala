@@ -51,6 +51,35 @@ class DegenerateEventsSpec extends AnyFunSuite {
     assert(out.forall(_.getString(1) != "flat"))
   }
 
+  test("r13 event ops survive the degenerate zoo") {
+    // interArrival: user 1's same-instant burst -> gaps of ZERO (not
+    // dropped, not a throw); single-event users absent
+    val ia = Events.interArrival(zoo).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(5))))
+      .toMap
+    assert(ia(1L) == ((2L, 0.0, 0L))) // two zero gaps, mean 0, max 0
+    assert(!ia.contains(2L) && !ia.contains(4L))
+    // attribution: a touch AT the conversion instant is excluded even
+    // in a burst; lookback 1µs on the burst yields nothing
+    val touches = zoo.filter(col("event_type") === "flat")
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("event_id"))
+    val convs = zoo.filter(col("event_type") === "flat")
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        (col("event_id") + 100L).as("conv_id"), col("value"))
+    assert(Events.attribution(touches, convs, "user_id", "tsu",
+      "event_id", "conv_id", "value", 1L).count() == 0L)
+    // levelShift: one day per type -> no full frame -> empty, no throw
+    assert(Events.levelShift(zoo, w = 7).count() == 0L)
+    // topPaths: same-instant burst orders by event_id (deterministic)
+    val paths = Events.topPaths(zoo, maxSteps = 5, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(paths("flat>flat>flat") == 1L) // user 1's burst, id order
+    // concentration over a single-key frame: gini 0, share 1
+    val c = graft.ops.Stats.concentration(
+      zoo.filter(col("user_id") === 1L), "user_id").collect()(0)
+    assert(c.getLong(0) == 1L && c.getDouble(2) == 0.0 && c.getDouble(3) == 1.0)
+  }
+
   test("the remaining event ops survive the degenerate zoo") {
     assert(Events.sessionize(zoo).count() >= 4)
     assert(Events.sessionWindows(zoo).count() >= 4)
