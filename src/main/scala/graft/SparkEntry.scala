@@ -1806,6 +1806,17 @@ object SparkEntry {
         graft.ops.Expect.Unique("doc_id"),
         graft.ops.Expect.MinAtLeast("n_chars", 1.0)))),
 
+    "q_quality_calibrated" -> ((s, dir) => {
+      // cross-source score calibration: per doc, the fraction of its
+      // SOURCE strictly below its quality bin (bin-granular percentile
+      // — no per-source sort partition: the only ordered frame is the
+      // 1000-row bin histogram)
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.ops.TextOps.qualityScore(col("text")).as("quality"))
+      graft.ops.Stats.histogramPercentile(scored, Seq("source"),
+        "quality", 0.0, 1.0, 1000)
+    }),
+
     "q_expect_regex" -> ((s, dir) =>
       // format-conformance gate: RLIKE rate checks in the same one-pass
       // aggregation (lang must be a 2-letter code, source must match the
@@ -2775,6 +2786,22 @@ object SparkEntry {
     "q_quality" ->
       s"""WITH toks_t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
          |${qualitySelectSql("toks_t")}""".stripMargin,
+
+    "q_quality_calibrated" ->
+      s"""WITH toks_t AS (SELECT doc_id, source, text, $ToksSql AS toks FROM documents),
+         |q AS (${qualitySelectSql("toks_t", "source, ")}),
+         |b AS (SELECT doc_id, source, quality,
+         |    CAST(least(greatest(floor((quality - 0.0) / (1.0 - 0.0) * 1000),
+         |      0.0), 999.0) AS BIGINT) AS bin FROM q),
+         |h AS (SELECT source, bin, count(*) AS m FROM b GROUP BY source, bin),
+         |c AS (SELECT source, bin,
+         |    coalesce(sum(m) OVER (PARTITION BY source ORDER BY bin ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |    sum(m) OVER (PARTITION BY source) AS n
+         |  FROM h)
+         |SELECT b.doc_id, b.source, b.quality,
+         |  round(c.below::DOUBLE / c.n::DOUBLE, 6) AS pct_below
+         |FROM b JOIN c ON b.source = c.source AND b.bin = c.bin""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -160,6 +160,56 @@ object Stats {
   }
 
   /**
+   * HISTOGRAM-BASED percentile rank — the distributed form of
+   * per-group score calibration ("this doc's quality is in its
+   * source's top decile") that makes scores COMPARABLE across groups
+   * with different distributions before mixing. Each row gets
+   * `pct_below` = fraction of its group strictly below its value's
+   * bin, at bin granularity over the fixed [lo, hi) range.
+   *
+   * This is deliberately NOT percent_rank(): an exact rank sorts each
+   * whole group through one window partition — the serial-bottleneck
+   * disease the bucketed budgetSelect/shardAssign rewrites cured. Here
+   * the only ordered frame is the per-group BIN histogram (`bins`
+   * rows, constant), the per-row cost is one equi join back on
+   * (group, bin), and every count is an exact long — fully
+   * distributed at any group size. Bin-granular ties are the price;
+   * size `bins` to the resolution the downstream threshold needs.
+   *
+   * Rows with NULL values keep a NULL pct (left join). The bin
+   * formula floor((v−lo)/(hi−lo)·bins), clamped to [0, bins), runs in
+   * identical IEEE op order in the oracle, so boundary doubles land in
+   * the same bin in every engine.
+   */
+  def histogramPercentile(df: DataFrame, keys: Seq[String], valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val keyCols = keys.map(col)
+    // greatest/least IGNORE nulls (they return the largest non-null), so
+    // an unguarded clamp would quietly file every NULL value into bin 0
+    // and hand it bin 0's pct — keep NULL null explicitly
+    val bin = when(col(valueCol).isNull, lit(null))
+      .otherwise(least(greatest(
+        floor((col(valueCol) - lo) / (hi - lo) * bins), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("long"))
+    val binned = df.withColumn("__bin", bin)
+    val below = Window.partitionBy(keyCols: _*).orderBy(col("__bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(keyCols: _*)
+    val cum = binned
+      .groupBy((keyCols :+ col("__bin")): _*).agg(count(lit(1)).as("__m"))
+      .withColumn("__below", coalesce(sum(col("__m")).over(below), lit(0L)))
+      .withColumn("__n", sum(col("__m")).over(whole))
+      .drop("__m")
+    binned
+      .join(cum, keys :+ "__bin", "left")
+      .withColumn("pct_below",
+        round(col("__below").cast("double") / col("__n").cast("double"), 6))
+      .drop("__bin", "__below", "__n")
+  }
+
+  /**
    * CONCENTRATION profile of a key column: how unevenly the rows
    * distribute over keys — Gini coefficient of the per-key counts plus
    * top-1 / top-k shares. The "is 1% of users 90% of the traffic / one

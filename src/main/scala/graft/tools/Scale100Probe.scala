@@ -91,7 +91,20 @@ object Scale100Probe {
         val c = e.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), expr("ts div 1000L").as("tsu"))
         Events.pointInTimeJoin(c, dim, "user_id", "tsu", Seq("value"))
-      }))
+      }),
+      // r13 wave: backward banded join; key-partitioned gap windows;
+      // path mining with the pre-collection cut
+      "attribution" -> (e => {
+        val touches = e.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("event_id"))
+        val convs = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+            col("event_id").as("conv_id"), col("value"))
+        Events.attribution(touches, convs, "user_id", "tsu", "event_id",
+          "conv_id", "value", 86400000000L)
+      }),
+      "interarrival" -> (e => Events.interArrival(e)),
+      "top_paths" -> (e => Events.topPaths(e)))
     // duplicate-flood dedup family: at ×N every band bucket holds ≥N
     // copies, so capped banding's star branch IS the measured path
     val docCases: Seq[(String, DataFrame => DataFrame)] = Seq(

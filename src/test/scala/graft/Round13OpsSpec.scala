@@ -117,6 +117,30 @@ class Round13OpsSpec extends AnyFunSuite {
       r3.isNullAt(3) && r3.isNullAt(4))
   }
 
+  // ---- histogramPercentile ----
+
+  test("histogramPercentile: bin-granular pct, clamping, null pass-through") {
+    import graft.ops.Stats
+    val d = Seq(("g", 0.1), ("g", 0.2), ("g", 0.2), ("g", 0.9),
+        ("h", 5.0), ("h", -1.0))
+      .toDF("k", "v")
+    val out = Stats.histogramPercentile(d, Seq("k"), "v", 0.0, 1.0, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("g", 0.1)) == 0.0)
+    assert(out(("g", 0.2)) == 0.25)  // one of four strictly below its bin
+    assert(out(("g", 0.9)) == 0.75)
+    // out-of-range values clamp into the edge bins: -1 -> bin 0 (pct 0),
+    // 5 -> top bin (everything else below)
+    assert(out(("h", -1.0)) == 0.0 && out(("h", 5.0)) == 0.5)
+    // null values keep a null pct
+    val withNull = Seq(("g", Some(0.5)), ("g", None))
+      .toDF("k", "v")
+    val rows = Stats.histogramPercentile(withNull, Seq("k"), "v", 0.0, 1.0, 10)
+      .collect()
+    assert(rows.count(_.isNullAt(2)) == 1)
+  }
+
   // ---- topPaths ----
 
   test("topPaths: session journeys counted, capped at maxSteps, gap splits paths") {
