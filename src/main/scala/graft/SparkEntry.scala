@@ -1982,6 +1982,11 @@ object SparkEntry {
       // the maxSteps cut lands BEFORE any per-session collection
       Events.topPaths(t(s, dir, "events"), maxSteps = 5, k = 20)),
 
+    "q_ab_lift" -> ((s, dir) =>
+      // experiment readout: md5-deterministic 50/50 arms, per-user
+      // integer-micro metric, Welch z from exact n·S2−S1² state
+      Events.abLift(t(s, dir, "events"))),
+
     "q_concentration_users" -> ((s, dir) =>
       // traffic-concentration diagnostic: Gini + top-1/top-10 shares of
       // per-user event counts via the tied-rank closed form — no global
@@ -4558,6 +4563,34 @@ object SparkEntry {
     "q_concentration_users" -> concentrationSql("events", "user_id"),
 
     "q_concentration_sources" -> concentrationSql("documents", "source"),
+
+    "q_ab_lift" ->
+      s"""WITH u AS (SELECT user_id,
+         |    sum(CAST(round(value * 1000000) AS BIGINT)) AS sm,
+         |    (${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |w AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN arm = 0 THEN sm ELSE 0 END)::HUGEINT AS s1_c,
+         |    sum(CASE WHEN arm = 0 THEN sm::HUGEINT * sm::HUGEINT
+         |      ELSE 0 END) AS s2_c,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         |    sum(CASE WHEN arm = 1 THEN sm ELSE 0 END)::HUGEINT AS s1_t,
+         |    sum(CASE WHEN arm = 1 THEN sm::HUGEINT * sm::HUGEINT
+         |      ELSE 0 END) AS s2_t
+         |  FROM u)
+         |SELECT n_c, n_t,
+         |  round(CASE WHEN n_c > 0 THEN s1_c::DOUBLE / n_c / 1e6 END, 6) AS mean_c,
+         |  round(CASE WHEN n_t > 0 THEN s1_t::DOUBLE / n_t / 1e6 END, 6) AS mean_t,
+         |  round(CASE WHEN n_c > 0 AND n_t > 0
+         |    THEN s1_t::DOUBLE / n_t / 1e6 - s1_c::DOUBLE / n_c / 1e6 END, 6) AS lift,
+         |  round(CASE WHEN n_c > 1 AND n_t > 1 THEN
+         |    (s1_t::DOUBLE / n_t / 1e6 - s1_c::DOUBLE / n_c / 1e6)
+         |    / sqrt((n_t * s2_t - s1_t * s1_t)::DOUBLE
+         |        / (n_t::DOUBLE * (n_t - 1)::DOUBLE) / 1e12 / n_t
+         |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
+         |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
+         |FROM w""".stripMargin,
 
     "q_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -889,6 +889,61 @@ object Events {
   }
 
   /**
+   * A/B EXPERIMENT READOUT: deterministic 50/50 arm assignment by md5
+   * of the unit key (engine-replayable, stable under data growth —
+   * the [[TextOps.splitAssign]] rule applied to experimentation), the
+   * per-user metric (exact integer-micro sum of `value`), and the
+   * arm-level summary: counts, means, lift and the Welch two-sample
+   * z statistic.
+   *
+   * Exactness discipline = [[graft.streaming.EventStreams.runningMoments]]:
+   * all sums are integral (Σ micro and Σ micro² in decimal(38,0) —
+   * micro² passes every primitive's exact range), and the variance
+   * numerator n·S2 − S1² is formed ENTIRELY in exact arithmetic
+   * before ONE conversion to double — subtracting two near-equal
+   * huge doubles would cancel catastrophically. One user-keyed
+   * aggregation (map-side combinable) + one 1-row arm pivot; no
+   * window, no sort. Arms with <2 users → NULL z (no ANSI throw).
+   */
+  def abLift(events: DataFrame): DataFrame = {
+    val byUser = EventTime.normalizeTs(events)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("sm"))
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+    def armAgg(a: Int, name: String) = Seq(
+      sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(col("arm") === a, col("sm")).otherwise(0L))
+        .cast("decimal(38,0)").as(s"s1_$name"),
+      sum(when(col("arm") === a,
+        col("sm").cast("decimal(38,0)") * col("sm")).otherwise(lit(0)))
+        .as(s"s2_$name"))
+    val aggs = armAgg(0, "c") ++ armAgg(1, "t")
+    val wide = byUser.agg(aggs.head, aggs.tail: _*)
+    def mean(s: String) = col(s"s1_$s").cast("double") / col(s"n_$s") / 1e6
+    // sample variance in VALUE units: (n·S2 − S1²) exact, then one
+    // double conversion, ÷ n(n−1) ÷ 1e12
+    def variance(s: String) =
+      (col(s"n_$s") * col(s"s2_$s") - col(s"s1_$s") * col(s"s1_$s"))
+        .cast("double") /
+        (col(s"n_$s").cast("double") * (col(s"n_$s") - 1L).cast("double")) / 1e12
+    val ok = col("n_c") > 1L && col("n_t") > 1L
+    val both = col("n_c") > 0L && col("n_t") > 0L
+    wide.select(
+      col("n_c"), col("n_t"),
+      round(when(col("n_c") > 0L, mean("c")).otherwise(lit(null)), 6)
+        .as("mean_c"),
+      round(when(col("n_t") > 0L, mean("t")).otherwise(lit(null)), 6)
+        .as("mean_t"),
+      round(when(both, mean("t") - mean("c")).otherwise(lit(null)), 6)
+        .as("lift"),
+      round(when(ok, (mean("t") - mean("c")) /
+        sqrt(variance("t") / col("n_t") + variance("c") / col("n_c")))
+        .otherwise(lit(null)), 6).as("z"))
+  }
+
+  /**
    * TOP SESSION PATHS — product-analytics journey mining: the k most
    * common event-type paths, where a path is the first `maxSteps`
    * events of one gap-sessionized visit joined as

@@ -117,6 +117,34 @@ class Round13OpsSpec extends AnyFunSuite {
       r3.isNullAt(3) && r3.isNullAt(4))
   }
 
+  // ---- abLift ----
+
+  test("abLift: deterministic arms, exact moments, degenerate arms yield NULL z") {
+    val e = graft.ops.EventTime.normalizeTs(events)
+    val out = graft.ops.Events.abLift(e).collect()(0)
+    val (nc, nt) = (out.getLong(0), out.getLong(1))
+    // arms partition the user population deterministically
+    val users = e.select(col("user_id")).distinct().count()
+    assert(nc + nt == users && nc > 1 && nt > 1)
+    // lift consistent with the two means (same rounding both paths)
+    assert(math.abs(out.getDouble(4) - (out.getDouble(3) - out.getDouble(2))) < 2e-6)
+    assert(!out.isNullAt(5)) // both arms populated -> real z
+    // identical on re-run: no randomness anywhere
+    val again = graft.ops.Events.abLift(e).collect()(0)
+    assert(out.toString == again.toString)
+    // a one-arm population: arm-0 users only -> z and arm-t stats NULL
+    val armExpr = (conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 2).cast("int")
+    val oneArm = e.withColumn("__a", armExpr).filter(col("__a") === 0).drop("__a")
+    val r1 = graft.ops.Events.abLift(oneArm).collect()(0)
+    assert(r1.getLong(1) == 0L && r1.isNullAt(3) && r1.isNullAt(4) && r1.isNullAt(5))
+    // a 2-user population (one per arm): means real, z NULL (n<2)
+    val twoUsers = e.filter(col("user_id").isin(0L, 1L))
+    val r2 = graft.ops.Events.abLift(twoUsers).collect()(0)
+    if (r2.getLong(0) == 1L && r2.getLong(1) == 1L)
+      assert(!r2.isNullAt(2) && !r2.isNullAt(3) && r2.isNullAt(5))
+  }
+
   // ---- histogramPercentile ----
 
   test("histogramPercentile: bin-granular pct, clamping, null pass-through") {
