@@ -1384,6 +1384,12 @@ object SparkEntry {
         Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands),
         iters = 5)),
 
+    "q_local_clustering" -> ((s, dir) =>
+      // per-node clique-ness of the duplication graph: triangles(v) and
+      // 2T/(d(d-1)) — template families vs chain edits
+      graft.ops.Graph.localClustering(
+        Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands))),
+
     "q_triangles" -> ((s, dir) =>
       // triangle census of the duplication graph: degree-ordered
       // orientation bounds the wedge join at O(m^1.5) — the structural
@@ -4045,6 +4051,24 @@ object SparkEntry {
          |  WHERE pr.iter < 5
          |  GROUP BY pr.iter, e.dst)
          |SELECT doc_id, r AS rank_micro FROM pr WHERE iter = 5""".stripMargin,
+
+    "q_local_clustering" ->
+      s"""$PairsCte,
+         |und AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+         |  FROM pairs_t WHERE id1 <> id2),
+         |dg AS (SELECT v, count(*) AS deg FROM
+         |  (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+         |tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3 FROM und e1
+         |  JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pn AS (SELECT v, count(*) AS t FROM
+         |  (SELECT v1 AS v FROM tri UNION ALL SELECT v2 FROM tri
+         |   UNION ALL SELECT v3 FROM tri) GROUP BY v)
+         |SELECT dg.v AS node_id, dg.deg, coalesce(pn.t, 0)::BIGINT AS triangles,
+         |  round(CASE WHEN dg.deg < 2 THEN NULL
+         |    ELSE (2 * coalesce(pn.t, 0))::DOUBLE
+         |         / (dg.deg * (dg.deg - 1))::DOUBLE END, 6) AS local_cc
+         |FROM dg LEFT JOIN pn ON dg.v = pn.v""".stripMargin,
 
     "q_triangles" ->
       s"""$PairsCte,

@@ -82,6 +82,57 @@ object Graph {
    * (|GCC| ≤ 1, 6-dp round engine-safe). Empty graph → zero counts,
    * NULL coefficient, no ANSI throw.
    */
+  /**
+   * PER-NODE triangle counts + local clustering coefficient
+   * 2·T(v) / (deg(v)·(deg(v)−1)) — which nodes sit inside cliques
+   * (template/boilerplate families) vs chains (incremental edits).
+   * Same degree-ordered wedge enumeration as [[triangleStats]], but the
+   * closure join is an INNER join that keeps each closed triangle's
+   * corner triple (center u, x, y); exploding the three corners and
+   * counting per node credits every triangle to all three vertices
+   * exactly once. Left join back to the degree table keeps
+   * triangle-free nodes (t = 0); deg < 2 → NULL coefficient (a leaf
+   * cannot close anything), guarded, never an ANSI divide-by-zero.
+   */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = true)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .localCheckpoint(eager = true)
+    val closed = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("u"), col("e1.w").as("x"), col("e2.w").as("y"))
+      .join(und,
+        least(col("x"), col("y")) === col("a") &&
+          greatest(col("x"), col("y")) === col("b"),
+        "left_semi")
+    val perNode = closed
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("node_id"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+      .withColumn("local_cc",
+        round(when(col("deg") < 2L, lit(null))
+          .otherwise((lit(2L) * col("triangles")).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double")), 6))
+  }
+
   def triangleStats(pairs: DataFrame): DataFrame = {
     // canonical undirected edges a < b; reused by the orientation, the
     // closure probe and the edge count — checkpoint once

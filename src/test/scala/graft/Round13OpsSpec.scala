@@ -276,6 +276,26 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r3.getLong(0) == 0L && r3.getLong(2) == 0L && r3.isNullAt(4))
   }
 
+  test("localClustering: per-node credit, leaves NULL, triangle-free zero") {
+    // K4 over 1..4 + pendant 4-5: nodes 1-3 have deg 3 and sit in 3
+    // triangles each (cc = 1.0); node 4 deg 4, 3 triangles, cc = 0.5;
+    // node 5 is a leaf -> NULL cc, 0 triangles
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 :+ ((4L, 5L))).toDF("id1", "id2")
+    val out = graft.ops.Graph.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((3L, 3L, Some(1.0))))
+    assert(out(2L) == ((3L, 3L, Some(1.0))))
+    assert(out(3L) == ((3L, 3L, Some(1.0))))
+    assert(out(4L) == ((4L, 3L, Some(0.5))))
+    assert(out(5L) == ((1L, 0L, None)))
+    // total per-node credit = 3 x the global census
+    val total = out.values.map(_._2).sum
+    val global = graft.ops.Graph.triangleStats(edges).collect()(0).getLong(2)
+    assert(total == 3 * global)
+  }
+
   test("triangleStats: oriented count equals the naive a<b<c join on real pairs") {
     val pairs = graft.ops.Dedup.candidatePairs(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
