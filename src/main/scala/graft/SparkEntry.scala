@@ -1993,6 +1993,12 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_session_paths" -> ((s, dir) =>
+      // per-session journey prefixes through the bounded PathPrefix
+      // aggregate under native session_window — O(maxSteps) state per
+      // session, no rank window, streaming-identical shape
+      Events.sessionPaths(t(s, dir, "events"), maxSteps = 5)),
+
     "q_concentration_users" -> ((s, dir) =>
       // traffic-concentration diagnostic: Gini + top-1/top-10 shares of
       // per-user event counts via the tied-rank closed form — no global
@@ -4615,6 +4621,25 @@ object SparkEntry {
          |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
+
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS tsu FROM events),
+        |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new FROM l),
+        |c AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s),
+        |r AS (SELECT user_id, session_seq, event_type, tsu,
+        |    row_number() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY tsu, event_id) AS rn FROM c)
+        |SELECT user_id, min(tsu) AS start_us,
+        |  string_agg(CASE WHEN rn <= 5 THEN event_type END, '>' ORDER BY rn)
+        |    AS path,
+        |  count(*) AS n_events
+        |FROM r GROUP BY user_id, session_seq""".stripMargin,
 
     "q_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

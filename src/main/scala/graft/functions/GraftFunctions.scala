@@ -60,6 +60,13 @@ object GraftFunctions {
   def topk_by(id: Column, score: Column, k: Int): Column =
     agg(TopKBy(ex(id), ex(score), k))
 
+  /** Journey-prefix aggregate: the labels of the group's k EARLIEST
+    * rows (by ts, ties by id) joined with ">" — O(k) state, order-free
+    * merge, usable under `session_window` in streaming (see
+    * [[graft.functions.PathPrefix]]). */
+  def path_prefix(ts: Column, id: Column, label: Column, k: Int): Column =
+    agg(PathPrefix(ex(ts), ex(id), ex(label), k))
+
   /** Deterministic (md5-based) HyperLogLog distinct estimate with 2^b
     * byte registers — engine-replayable `approx_count_distinct` (see
     * [[graft.functions.HllSketchAgg]]). */

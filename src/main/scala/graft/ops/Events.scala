@@ -83,6 +83,32 @@ object Events {
         col("n_events"), col("sum_value"))
 
   /**
+   * Per-session JOURNEY PREFIX through the native session aggregate:
+   * (user, session start, first-maxSteps path, event count) — the
+   * per-session granularity under [[topPaths]]'s corpus rollup, and
+   * the batch twin of [[graft.streaming.EventStreams.sessionPathsStream]].
+   * The bounded [[graft.functions.PathPrefix]] aggregate keeps the k
+   * earliest (ts, id, type) per session in O(k) state with an
+   * order-free merge — no per-session rank window, no event list ever
+   * materialized, and the SAME aggregate runs unchanged under a
+   * streaming session_window (where a rank window cannot).
+   */
+  def sessionPaths(events: DataFrame, maxSteps: Int = 5,
+      gap: String = "30 minutes"): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        col("event_id"), col("event_type"))
+      .withColumn("event_time", timestamp_micros(col("tsu")))
+      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      .agg(graft.functions.GraftFunctions.path_prefix(
+          col("tsu"), col("event_id"), col("event_type"), maxSteps).as("path"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        col("path"), col("n_events"))
+  }
+
+  /**
    * AS-OF join, Spark-first: for every left row, the latest right row
    * with `right.ts <= left.ts` in the same key group — without any join
    * operator. Both sides union into one stream ordered by

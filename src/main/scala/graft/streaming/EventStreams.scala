@@ -702,6 +702,29 @@ object EventStreams {
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"), col("sum_value"))
 
+  /** STREAMING session journeys — the online twin of
+    * [[graft.ops.Events.sessionPaths]]: per closed session, the
+    * first-maxSteps event-type path via the bounded
+    * [[graft.functions.PathPrefix]] aggregate under `session_window`.
+    * This is exactly why the path is an AGGREGATE and not a rank
+    * window: session_window state merges across micro-batches with
+    * out-of-order arrivals, and PathPrefix's order-free earliest-k
+    * merge keeps the path correct under ANY arrival order in O(k)
+    * state per open session — a rank-and-collect cannot run inside
+    * streaming aggregation at all. Watermark closes and evicts
+    * sessions; rows emit append-mode on close. */
+  def sessionPathsStream(events: DataFrame, maxSteps: Int = 5,
+      gap: String = "30 minutes", watermarkDelay: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withColumn("tsu", expr("ts div 1000"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      .agg(graft.functions.GraftFunctions.path_prefix(
+          col("tsu"), col("event_id"), col("event_type"), maxSteps).as("path"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        col("path"), col("n_events"))
+
   /** Baseline histogram for [[driftMonitor]]: ONE row holding the bin
     * counts of a historical batch — build it once offline, broadcast it
     * into every micro-batch. */

@@ -327,4 +327,78 @@ class Round13OpsSpec extends AnyFunSuite {
     val top10 = xs.reverse.take(10).sum
     assert(math.abs(out.getDouble(4) - top10.toDouble / t) < 1e-6)
   }
+
+  // ---- sessionPaths / PathPrefix ----
+
+  private val MinNs = 60L * 1000000000L
+  private val BaseNs = 1704067200L * 1000000000L // 2024-01-01T00:00Z
+
+  test("sessionPaths: pinned prefix, id tie-break, truncation, null label, gap split") {
+    // user 1 session A: 7 events; 102/103 share a ts (id breaks the tie,
+    // and they arrive REVERSED in the input); 104's label is null (it
+    // consumes a prefix slot but is skipped at join time, string_agg
+    // style); 106/107 fall beyond maxSteps=5. Session B starts 95 min
+    // later. user 2 has a single event.
+    val evs = Seq(
+      (103L, BaseNs + 1L * MinNs, 1L, "c"),
+      (102L, BaseNs + 1L * MinNs, 1L, "b"),
+      (101L, BaseNs, 1L, "a"),
+      (104L, BaseNs + 2L * MinNs, 1L, null),
+      (105L, BaseNs + 3L * MinNs, 1L, "e"),
+      (106L, BaseNs + 4L * MinNs, 1L, "f"),
+      (107L, BaseNs + 5L * MinNs, 1L, "g"),
+      (108L, BaseNs + 100L * MinNs, 1L, "h"),
+      (201L, BaseNs + 7L * MinNs, 2L, "z"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.sessionPaths(evs, maxSteps = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    val baseUs = BaseNs / 1000L
+    assert(out.size == 3, out.toString)
+    assert(out((1L, baseUs)) == (("a>b>c>e", 7L)))          // null slot eaten
+    assert(out((1L, baseUs + 100L * 60000000L)) == (("h", 1L)))
+    assert(out((2L, baseUs + 7L * 60000000L)) == (("z", 1L)))
+  }
+
+  test("sessionPaths: equals the naive rank-window form on real events, partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.ops.EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val ws = Window.partitionBy("user_id", "session_seq")
+      .orderBy("tsu", "event_id")
+    val naive = e.withColumn("prev", lag("tsu", 1).over(w))
+      .withColumn("is_new", when(col("prev").isNull ||
+        col("tsu") - col("prev") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_seq", sum("is_new").over(w))
+      .withColumn("rn", row_number().over(ws))
+      .groupBy("user_id", "session_seq")
+      .agg(min("tsu").as("start_us"), count(lit(1)).as("n_events"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rn <= 5 THEN " +
+          "struct(rn, event_type) END)), x -> x.event_type)"), ">")
+          .as("path"))
+      .select("user_id", "start_us", "path", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val got = Events.sessionPaths(events, maxSteps = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == naive && got.nonEmpty)
+    // order-free merge: a shuffled 13-partition input yields the set
+    val shuffled = Events.sessionPaths(events.repartition(13), maxSteps = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(shuffled == got)
+  }
+
+  test("sessionPaths: maxSteps=1 degenerates to the session's first event type") {
+    val got = Events.sessionPaths(events, maxSteps = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val full = Events.sessionPaths(events, maxSteps = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getString(2).split(">")(0)).toMap
+    assert(got == full && got.nonEmpty)
+  }
 }

@@ -617,6 +617,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionPathsStream: out-of-order micro-batches yield the batch journey prefix") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // ONE session of 6 events (minutes 0..5, distinct types) delivered
+    // shuffled across two micro-batches — the order-free earliest-k
+    // merge must still produce the first-5 prefix in event-time order,
+    // plus a later second session
+    val types = Array("a", "b", "c", "d", "e", "f")
+    val evs = (0 until 6).map(i =>
+      StreamEvent(10L + i, Base + i.toLong * MinNs, 7L, types(i), 1.0)) :+
+      StreamEvent(20L, Base + 300L * MinNs, 7L, "z", 1.0)
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.sessionPathsStream(in.toDF(), maxSteps = 5)
+      .writeStream.format("memory").queryName("sp_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: minutes 2, 4, 0 (shuffled); batch 2: 1, 3, 5 + later session
+      in.addData(Seq(evs(2), evs(4), evs(0))); q.processAllAvailable()
+      in.addData(Seq(evs(1), evs(3), evs(5), evs(6))); q.processAllAvailable()
+      in.addData(Seq(flush)); q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT user_id, start_us, path, n_events FROM sp_out WHERE user_id = 7")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val batch = Events.sessionPaths(evs.toDF(), maxSteps = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed.exists(_._3 == "a>b>c>d>e"), streamed.toString)
+      assert(streamed.exists(t => t._3 == "z" && t._4 == 1L), streamed.toString)
+    } finally q.stop()
+  }
+
   test("driftMonitor: streamed KS vs static baseline equals batch, flags the drifted window") {
     implicit val s = spark
     import s.implicits._
