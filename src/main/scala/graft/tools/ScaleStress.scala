@@ -183,6 +183,9 @@ object ScaleStress {
       "interarrival" -> (e => graft.ops.Events.interArrival(e)),
       // r13: maxSteps cut BEFORE collection is what 10× users exercises
       "top_paths" -> (e => graft.ops.Events.topPaths(e)),
+      // r13: O(maxSteps) aggregate state per session under native
+      // session_window — wall should track events, never session size
+      "session_paths" -> (e => graft.ops.Events.sessionPaths(e)),
       "level_shift" -> (e => graft.ops.Events.levelShift(e)),
       // r13: count shuffle + distinct-count-value fold — with 10× USERS
       // the tiny value frame is the only serial piece
