@@ -1999,6 +1999,11 @@ object SparkEntry {
       // session, no rank window, streaming-identical shape
       Events.sessionPaths(t(s, dir, "events"), maxSteps = 5)),
 
+    "q_feature_windows" -> ((s, dir) =>
+      // trailing 1/7/28-day per-user features on one compact day-frame
+      // exchange — RANGE frames over the day number, recency lag
+      Events.featureWindows(t(s, dir, "events"))),
+
     "q_concentration_users" -> ((s, dir) =>
       // traffic-concentration diagnostic: Gini + top-1/top-10 shares of
       // per-user event counts via the tied-rank closed form — no global
@@ -4640,6 +4645,23 @@ object SparkEntry {
         |    AS path,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, session_seq""".stripMargin,
+
+    "q_feature_windows" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+        |d AS (SELECT user_id, day, count(*) AS n_1d, sum(vmic) AS vm
+        |  FROM e GROUP BY 1, 2)
+        |SELECT user_id, day, n_1d,
+        |  CAST(sum(n_1d) OVER w7 AS BIGINT) AS n_7d,
+        |  CAST(sum(n_1d) OVER w28 AS BIGINT) AS n_28d,
+        |  round(CAST(sum(vm) OVER w7 AS DOUBLE) / 1000000.0, 6) AS v_7d,
+        |  day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |    AS days_since_prev
+        |FROM d
+        |WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  w28 AS (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

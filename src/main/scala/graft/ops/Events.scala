@@ -521,6 +521,43 @@ object Events {
   }
 
   /**
+   * Trailing MULTI-HORIZON activity features per (user, active day) —
+   * the feature-generation staple that pairs with [[pointInTimeJoin]]
+   * (build features here, join them point-in-time there): for every day
+   * a user is active, the event count over the trailing 1/7/28-day
+   * windows, the trailing-7-day value sum, and the gap in days since
+   * the previous active day (recency).
+   *
+   * Scale shape: events pre-aggregate to one row per (user, day) — a
+   * partial-aggregable (map-side-combined) shuffle that shrinks the
+   * stream by the per-user daily density BEFORE any window runs — then
+   * all three trailing frames plus the recency lag share that ONE
+   * user-partitioned exchange over the compact day frame. The frames
+   * are RANGE over the integral day number (calendar-correct across
+   * absent days: 7 DAYS, not 7 rows — a user active twice a month must
+   * NOT see January in a "7-day" window), so a sparse user costs only
+   * their active days and no densification ever materializes. Value
+   * sums are integral micros (order-free exact), divided and 6-dp
+   * rounded once at the end. `days_since_prev` is null on a user's
+   * first active day.
+   */
+  def featureWindows(events: DataFrame): DataFrame = {
+    val d = EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 86400000000000L").as("day"),
+        round(col("value") * 1000000).cast("long").as("vmic"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_1d"), sum(col("vmic")).as("vm"))
+    def trailing(days: Int) = Window.partitionBy(col("user_id"))
+      .orderBy(col("day")).rangeBetween(-(days - 1), 0)
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    d.select(col("user_id"), col("day"), col("n_1d"),
+      sum(col("n_1d")).over(trailing(7)).as("n_7d"),
+      sum(col("n_1d")).over(trailing(28)).as("n_28d"),
+      round(sum(col("vm")).over(trailing(7)) / 1000000.0, 6).as("v_7d"),
+      (col("day") - lag(col("day"), 1).over(wl)).as("days_since_prev"))
+  }
+
+  /**
    * Per-type z-score outliers: events whose `value` deviates from their
    * event_type's mean by more than `threshold` population standard
    * deviations. The moments are EXACT integer sums (micros for Σx,

@@ -393,6 +393,33 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("featureWindows: calendar RANGE frames, not row frames; recency lag; micro-exact sums") {
+    // user 1 active on days 0 (2 events), 3, 8, 40; user 2 on day 1.
+    // Day 8's 7-day frame spans days 2..8 — day 0 must fall OUT even
+    // though it is only two ROWS back (the calendar-vs-rows trap).
+    val day0 = 19723L // 2024-01-01
+    def ev(id: Long, u: Long, d: Long, v: Double) =
+      (id, BaseNs + d * 86400L * 1000000000L, u, "view", v)
+    val evs = Seq(ev(1, 1, 0, 1.5), ev(2, 1, 0, 2.5), ev(3, 1, 3, 10.0),
+      ev(4, 1, 8, 0.25), ev(5, 1, 40, 1.0), ev(6, 2, 1, 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.featureWindows(evs)
+      .collect().map(r => (r.getLong(0), r.getLong(1) - day0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(out.size == 5)
+    assert(out((1L, 0L)) == ((2L, 2L, 2L, 4.0, -1L)))
+    assert(out((1L, 3L)) == ((1L, 3L, 3L, 14.0, 3L)))
+    assert(out((1L, 8L)) == ((1L, 2L, 4L, 10.25, 5L)))   // day 0 out of 7d
+    assert(out((1L, 40L)) == ((1L, 1L, 1L, 1.0, 32L)))   // both frames alone
+    assert(out((2L, 1L)) == ((1L, 1L, 1L, 7.0, -1L)))
+    // partitioning invariance: the day pre-aggregate + RANGE frames are
+    // deterministic under any input split
+    val shuffled = Events.featureWindows(evs.repartition(7))
+      .collect().map(r => r.toSeq).toSet
+    assert(shuffled == Events.featureWindows(evs).collect().map(_.toSeq).toSet)
+  }
+
   test("sessionPaths: maxSteps=1 degenerates to the session's first event type") {
     val got = Events.sessionPaths(events, maxSteps = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
