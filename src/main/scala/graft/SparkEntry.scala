@@ -1993,6 +1993,13 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_ab_cuped" -> ((s, dir) =>
+      // CUPED variance-reduced readout: pre-cutoff activity as the
+      // control covariate, pooled theta from exact integer moments,
+      // adjusted Welch z + variance-reduction rho^2
+      Events.abCuped(t(s, dir, "events"),
+        cutoffMicros = 1705363200000000L)), // 2024-01-16T00:00Z
+
     "q_session_paths" -> ((s, dir) =>
       // per-session journey prefixes through the bounded PathPrefix
       // aggregate under native session_window — O(maxSteps) state per
@@ -4626,6 +4633,69 @@ object SparkEntry {
          |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
+
+    "q_ab_cuped" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+         |u AS (SELECT user_id,
+         |    sum(CASE WHEN tsu < 1705363200000000 THEN vmic ELSE 0 END) AS x,
+         |    sum(CASE WHEN tsu >= 1705363200000000 THEN vmic ELSE 0 END) AS y,
+         |    (${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2 AS arm
+         |  FROM e GROUP BY user_id),
+         |w AS (SELECT count(*)::BIGINT AS n,
+         |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         |    sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |    sum(y::HUGEINT * y::HUGEINT) AS syy,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::HUGEINT AS sx_c,
+         |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::HUGEINT AS sy_c,
+         |    sum(CASE WHEN arm = 0 THEN x::HUGEINT * x::HUGEINT ELSE 0 END) AS sxx_c,
+         |    sum(CASE WHEN arm = 0 THEN x::HUGEINT * y::HUGEINT ELSE 0 END) AS sxy_c,
+         |    sum(CASE WHEN arm = 0 THEN y::HUGEINT * y::HUGEINT ELSE 0 END) AS syy_c,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         |    sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::HUGEINT AS sx_t,
+         |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::HUGEINT AS sy_t,
+         |    sum(CASE WHEN arm = 1 THEN x::HUGEINT * x::HUGEINT ELSE 0 END) AS sxx_t,
+         |    sum(CASE WHEN arm = 1 THEN x::HUGEINT * y::HUGEINT ELSE 0 END) AS sxy_t,
+         |    sum(CASE WHEN arm = 1 THEN y::HUGEINT * y::HUGEINT ELSE 0 END) AS syy_t
+         |  FROM u),
+         |m AS (SELECT *,
+         |    (n * sxx - sx * sx) AS vxx, (n * sxy - sx * sy) AS vxy,
+         |    (n * syy - sy * sy) AS vyy,
+         |    CASE WHEN (n * sxx - sx * sx) > 0
+         |      THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+         |      ELSE 0.0 END AS theta,
+         |    sx::DOUBLE / n / 1e6 AS mxp
+         |  FROM w),
+         |f AS (SELECT *,
+         |    sy_c::DOUBLE / n_c / 1e6
+         |      - theta * (sx_c::DOUBLE / n_c / 1e6 - mxp) AS madj_c,
+         |    sy_t::DOUBLE / n_t / 1e6
+         |      - theta * (sx_t::DOUBLE / n_t / 1e6 - mxp) AS madj_t,
+         |    ((n_c * syy_c - sy_c * sy_c)::DOUBLE
+         |      - 2 * theta * (n_c * sxy_c - sx_c * sy_c)::DOUBLE
+         |      + theta * theta * (n_c * sxx_c - sx_c * sx_c)::DOUBLE)
+         |      / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 AS va_c,
+         |    ((n_t * syy_t - sy_t * sy_t)::DOUBLE
+         |      - 2 * theta * (n_t * sxy_t - sx_t * sy_t)::DOUBLE
+         |      + theta * theta * (n_t * sxx_t - sx_t * sx_t)::DOUBLE)
+         |      / (n_t::DOUBLE * (n_t - 1)::DOUBLE) / 1e12 AS va_t
+         |  FROM m)
+         |SELECT n_c, n_t, round(theta, 6) AS theta,
+         |  round(CASE WHEN n_c > 0 AND n_t > 0
+         |    THEN sy_t::DOUBLE / n_t / 1e6 - sy_c::DOUBLE / n_c / 1e6 END, 6)
+         |    AS lift_raw,
+         |  round(CASE WHEN n_c > 0 AND n_t > 0
+         |    THEN madj_t - madj_c END, 6) AS lift_adj,
+         |  round(CASE WHEN n_c > 1 AND n_t > 1
+         |      AND va_t / n_t + va_c / n_c > 0
+         |    THEN (madj_t - madj_c) / sqrt(va_t / n_t + va_c / n_c) END, 6)
+         |    AS z_adj,
+         |  round(CASE WHEN vxx > 0 AND vyy > 0
+         |    THEN (vxy::DOUBLE * vxy::DOUBLE) / (vxx::DOUBLE * vyy::DOUBLE)
+         |    END, 6) AS rho2
+         |FROM f""".stripMargin,
 
     "q_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

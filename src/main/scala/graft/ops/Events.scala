@@ -1007,6 +1007,93 @@ object Events {
   }
 
   /**
+   * CUPED-adjusted experiment readout (Deng et al. 2013): variance
+   * reduction for [[abLift]] using each user's PRE-period activity as
+   * the control covariate. Covariate X = the user's value sum strictly
+   * before `cutoffMicros`, metric Y = the sum at/after it (a user with
+   * no pre-period events contributes X = 0). θ = Cov(X,Y)/Var(X) is
+   * fitted POOLED across both arms (assignment is independent of X, so
+   * pooling is unbiased and halves the estimator noise), the adjusted
+   * per-arm mean is mean(Y) − θ·(mean(X_arm) − mean(X_pooled)), and the
+   * Welch z uses the adjusted per-arm variance
+   * Var(Y) − 2θ·Cov(X,Y) + θ²·Var(X). `rho2` (= the squared X,Y
+   * correlation) is the fraction of metric variance CUPED removed —
+   * the "how much smaller could this experiment have been" number.
+   *
+   * Exactness/scale shape of [[abLift]] kept: ONE user aggregate (the
+   * only shuffle), then one 18-column global fold whose moment sums are
+   * exact integral micros (long Σ, decimal(38,0) Σ², order-free under
+   * any partitioning); every double op happens once, in a fixed order,
+   * on the single result row. θ and all z math are engine-replayable
+   * because their inputs are exact integers.
+   */
+  def abCuped(events: DataFrame, cutoffMicros: Long): DataFrame = {
+    val byUser = EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        round(col("value") * 1000000).cast("long").as("vmic"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("tsu") < cutoffMicros, col("vmic")).otherwise(0L)).as("x"),
+        sum(when(col("tsu") >= cutoffMicros, col("vmic")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+    def dd(c: Column) = c.cast("decimal(19,0)")
+    def prod(a: Column, b: Column) = (dd(a) * dd(b)).cast("decimal(38,0)")
+    def moments(flt: Column => Column, s: String) = Seq(
+      sum(flt(lit(1L))).as(s"n$s"),
+      sum(flt(col("x"))).as(s"sx$s"), sum(flt(col("y"))).as(s"sy$s"),
+      sum(flt(prod(col("x"), col("x"))).cast("decimal(38,0)")).as(s"sxx$s"),
+      sum(flt(prod(col("x"), col("y"))).cast("decimal(38,0)")).as(s"sxy$s"),
+      sum(flt(prod(col("y"), col("y"))).cast("decimal(38,0)")).as(s"syy$s"))
+    val aggs = moments(c => c, "") ++
+      moments(c => when(col("arm") === 0, c).otherwise(lit(0)), "_c") ++
+      moments(c => when(col("arm") === 1, c).otherwise(lit(0)), "_t")
+    val wide = byUser.agg(aggs.head, aggs.tail: _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def v(nc: String, sab: String, sa: String, sb: String) =
+      dec(col(nc)) * col(sab) - dec(col(sa)) * dec(col(sb))
+    def meanD(s: String, n: String) =
+      col(s).cast("double") / col(n) / lit(1e6)
+    def vaAdj(s: String) =
+      (v(s"n$s", s"syy$s", s"sy$s", s"sy$s").cast("double")
+        - lit(2) * col("theta") * v(s"n$s", s"sxy$s", s"sx$s", s"sy$s").cast("double")
+        + col("theta") * col("theta")
+          * v(s"n$s", s"sxx$s", s"sx$s", s"sx$s").cast("double")) /
+        (col(s"n$s").cast("double") * (col(s"n$s") - 1L).cast("double")) / lit(1e12)
+    wide
+      .withColumn("vxx", v("n", "sxx", "sx", "sx"))
+      .withColumn("vxy", v("n", "sxy", "sx", "sy"))
+      .withColumn("vyy", v("n", "syy", "sy", "sy"))
+      .withColumn("theta", when(col("vxx") > 0,
+        col("vxy").cast("double") / col("vxx").cast("double")).otherwise(lit(0.0)))
+      .withColumn("mxp", meanD("sx", "n"))
+      .withColumn("madj_c",
+        meanD("sy_c", "n_c") - col("theta") * (meanD("sx_c", "n_c") - col("mxp")))
+      .withColumn("madj_t",
+        meanD("sy_t", "n_t") - col("theta") * (meanD("sx_t", "n_t") - col("mxp")))
+      .withColumn("va_c", vaAdj("_c"))
+      .withColumn("va_t", vaAdj("_t"))
+      .select(
+        col("n_c"), col("n_t"),
+        round(col("theta"), 6).as("theta"),
+        round(when(col("n_c") > 0 && col("n_t") > 0,
+          meanD("sy_t", "n_t") - meanD("sy_c", "n_c")).otherwise(lit(null)), 6)
+          .as("lift_raw"),
+        round(when(col("n_c") > 0 && col("n_t") > 0,
+          col("madj_t") - col("madj_c")).otherwise(lit(null)), 6).as("lift_adj"),
+        round(when(col("n_c") > 1 && col("n_t") > 1 &&
+            col("va_t") / col("n_t") + col("va_c") / col("n_c") > 0,
+          (col("madj_t") - col("madj_c")) /
+            sqrt(col("va_t") / col("n_t") + col("va_c") / col("n_c")))
+          .otherwise(lit(null)), 6).as("z_adj"),
+        round(when(col("vxx") > 0 && col("vyy") > 0,
+          (col("vxy").cast("double") * col("vxy").cast("double")) /
+            (col("vxx").cast("double") * col("vyy").cast("double")))
+          .otherwise(lit(null)), 6).as("rho2"))
+  }
+
+  /**
    * TOP SESSION PATHS — product-analytics journey mining: the k most
    * common event-type paths, where a path is the first `maxSteps`
    * events of one gap-sessionized visit joined as

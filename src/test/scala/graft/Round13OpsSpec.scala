@@ -393,6 +393,70 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("abCuped: fold algebra equals the naive driver-side CUPED on real events") {
+    val cutoff = 1705363200000000L // 2024-01-16, mid-range
+    val perUser = graft.ops.EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        round(col("value") * 1000000).cast("long").as("vmic"))
+      .groupBy("user_id")
+      .agg(sum(when(col("tsu") < cutoff, col("vmic")).otherwise(0L)).as("x"),
+        sum(when(col("tsu") >= cutoff, col("vmic")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    def mom(rows: Array[(Long, Long, Int)]) = {
+      val n = BigInt(rows.length)
+      val sx = BigInt(rows.map(_._1).sum); val sy = BigInt(rows.map(_._2).sum)
+      val sxx = rows.map(r => BigInt(r._1) * BigInt(r._1)).sum
+      val sxy = rows.map(r => BigInt(r._1) * BigInt(r._2)).sum
+      val syy = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      (n, sx, sy, sxx, sxy, syy)
+    }
+    val (n, sx, _, sxx, sxy, syy0) = mom(perUser)
+    val sy = BigInt(perUser.map(_._2).sum)
+    val vxx = n * sxx - sx * sx; val vxy = n * sxy - sx * sy
+    val vyy = n * syy0 - sy * sy
+    val theta = vxy.toDouble / vxx.toDouble
+    val mxp = sx.toDouble / n.toDouble / 1e6
+    def arm(a: Int) = {
+      val rs = perUser.filter(_._3 == a)
+      val (na, sxa, sya, sxxa, sxya, syya) = mom(rs)
+      val madj = sya.toDouble / na.toDouble / 1e6 -
+        theta * (sxa.toDouble / na.toDouble / 1e6 - mxp)
+      val va = ((na * syya - sya * sya).toDouble
+        - 2 * theta * (na * sxya - sxa * sya).toDouble
+        + theta * theta * (na * sxxa - sxa * sxa).toDouble) /
+        (na.toDouble * (na - 1).toDouble) / 1e12
+      (na, madj, va)
+    }
+    val (nc, madjC, vaC) = arm(0); val (nt, madjT, vaT) = arm(1)
+    val r = Events.abCuped(events, cutoff).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((nc.toLong, nt.toLong)))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(r.getDouble(2) == r6(theta))
+    assert(r.getDouble(4) == r6(madjT - madjC), "lift_adj")
+    assert(r.getDouble(5) ==
+      r6((madjT - madjC) / math.sqrt(vaT / nt.toDouble + vaC / nc.toDouble)), "z_adj")
+    assert(r.getDouble(6) ==
+      r6(vxy.toDouble * vxy.toDouble / (vxx.toDouble * vyy.toDouble)), "rho2")
+    // CUPED must not be a no-op here: pre/post sums of the same users
+    // correlate, so rho2 > 0 and |z_adj| >= |z_raw| is expected shape
+    assert(r.getDouble(6) > 0.0)
+  }
+
+  test("abCuped: degenerate cutoffs — no pre-period collapses to raw; no post-period nulls z") {
+    // cutoff before all data: X = 0 for every user -> vxx = 0 -> theta
+    // = 0 and the adjusted lift IS the raw lift
+    val early = Events.abCuped(events, cutoffMicros = 0L).collect()(0)
+    assert(early.getDouble(2) == 0.0)
+    assert(early.getDouble(3) == early.getDouble(4))
+    // cutoff after all data: Y = 0 everywhere -> zero metric variance
+    // -> z_adj and rho2 are NULL, raw lift is exactly 0
+    val late = Events.abCuped(events, cutoffMicros = Long.MaxValue).collect()(0)
+    assert(late.getDouble(3) == 0.0 && late.isNullAt(5) && late.isNullAt(6))
+  }
+
   test("featureWindows: calendar RANGE frames, not row frames; recency lag; micro-exact sums") {
     // user 1 active on days 0 (2 events), 3, 8, 40; user 2 on day 1.
     // Day 8's 7-day frame spans days 2..8 — day 0 must fall OUT even
