@@ -1993,6 +1993,19 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_jaro_winkler" -> ((s, dir) => {
+      // record-linkage scoring: codegen'd byte-based Jaro-Winkler over
+      // adjacent-key part-name pairs (block first, score candidates —
+      // the fuzzy complement to levenshtein in q_fuzzy_pairs)
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val nxt = p.select((col("p_partkey") - 1L).as("p_partkey"),
+        col("p_name").as("next_name"))
+      p.join(nxt, "p_partkey")
+        .select(col("p_partkey"),
+          round(GraftFunctions.jaro_winkler(col("p_name"), col("next_name")), 6)
+            .as("jw"))
+    }),
+
     "q_ab_cuped" -> ((s, dir) =>
       // CUPED variance-reduced readout: pre-cutoff activity as the
       // control covariate, pooled theta from exact integer moments,
@@ -4633,6 +4646,11 @@ object SparkEntry {
          |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
+
+    "q_jaro_winkler" ->
+      """SELECT p1.p_partkey,
+        |  round(jaro_winkler_similarity(p1.p_name, p2.p_name), 6) AS jw
+        |FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1""".stripMargin,
 
     "q_ab_cuped" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,

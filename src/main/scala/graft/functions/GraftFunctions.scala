@@ -60,6 +60,12 @@ object GraftFunctions {
   def topk_by(id: Column, score: Column, k: Int): Column =
     agg(TopKBy(ex(id), ex(score), k))
 
+  /** Byte-based classic Jaro-Winkler similarity (DuckDB-contract:
+    * window max/2−1, prefix ≤ 4 at 0.1 above jaro 0.7, empty → 0) —
+    * codegen'd native expression, see [[graft.functions.JaroWinkler]]. */
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(ex(a), ex(b)))
+
   /** Journey-prefix aggregate: the labels of the group's k EARLIEST
     * rows (by ts, ties by id) joined with ">" — O(k) state, order-free
     * merge, usable under `session_window` in streaming (see
@@ -315,6 +321,8 @@ object GraftFunctions {
       val (ad, bd) = (Similarity.toDouble(a), Similarity.toDouble(b))
       Similarity.dot(ad, bd) / (Similarity.l2norm(ad) * Similarity.l2norm(bd))
     }))
+    ColumnBridge.registerFunction(spark, "graft_jaro_winkler",
+      binaryCol("graft_jaro_winkler", (a, b) => jaro_winkler(a, b)))
     ColumnBridge.registerFunction(spark, "graft_jaccard", binaryCol("graft_jaccard", (a, b) => {
       val sa = array_distinct(TextOps.shingles3(TextOps.tokens(a)))
       val sb = array_distinct(TextOps.shingles3(TextOps.tokens(b)))

@@ -393,6 +393,43 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("jaroWinkler: classic contract pinned — window, boost threshold, prefix, bytes") {
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),  // transposition + prefix 3
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abcd", "badc", 0.8333333333333334),      // prefix 0: no boost
+      ("aXXXXX", "aYYYYY", 0.4444444444444444),  // jaro <= 0.7: boost gated OFF
+      ("ab", "ba", 0.0),                         // window 0: no matches
+      ("héllo", "hello", 0.84),             // BYTE semantics (é = 2 bytes)
+      ("", "", 0.0), ("a", "", 0.0),             // DuckDB empty contract
+      ("same", "same", 1.0))
+    val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.jaro_winkler(col("a"), col("b")).as("jw"))
+    val got = df.collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(math.abs(g - want) < 1e-9, s"jw($a, $b) = $g, want $want")
+    }
+    // full doGenCode: a real scan's scoring projection stays inside
+    // whole-stage codegen (the literal frame above constant-folds)
+    val scan = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(graft.functions.GraftFunctions.jaro_winkler(
+        col("p_name"), col("p_type")).as("jw"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_jaro_winkler"), plan)
+    assert(scan.count() > 0)
+    // SQL surface
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(math.abs(spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA')").collect()(0).getDouble(0)
+      - 0.9611111111111111) < 1e-9)
+    // null propagation
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.jaro_winkler(col("a"), col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("abCuped: fold algebra equals the naive driver-side CUPED on real events") {
     val cutoff = 1705363200000000L // 2024-01-16, mid-range
     val perUser = graft.ops.EventTime.normalizeTs(events)
