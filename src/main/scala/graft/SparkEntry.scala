@@ -1993,6 +1993,13 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_target_encode" -> ((s, dir) =>
+      // leakage-safe categorical feature: LOO smoothed target mean per
+      // event_type — category aggregate + one-row prior broadcast, no
+      // window, exact long numerators
+      Stats.targetEncode(t(s, dir, "events"), "event_id", "event_type",
+        "value", priorStrength = 10.0)),
+
     "q_jaro_winkler" -> ((s, dir) => {
       // record-linkage scoring: codegen'd byte-based Jaro-Winkler over
       // adjacent-key part-name pairs (block first, score candidates —
@@ -4646,6 +4653,19 @@ object SparkEntry {
          |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 1000000) AS BIGINT) AS t FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT sum(t)::DOUBLE / count(*) AS prior FROM e),
+        |c AS (SELECT event_type, count(*) AS n_c, sum(t)::BIGINT AS s_c
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round(CASE WHEN (c.n_c - 1)::DOUBLE + 10.0 > 0
+        |    THEN ((c.s_c - e.t)::DOUBLE + 10.0 * g.prior)
+        |      / ((c.n_c - 1)::DOUBLE + 10.0) / 1e6 END, 6) AS enc
+        |FROM e JOIN c USING (event_type) CROSS JOIN g""".stripMargin,
 
     "q_jaro_winkler" ->
       """SELECT p1.p_partkey,

@@ -264,4 +264,48 @@ object Stats {
           .otherwise(col("topk_sum").cast("double") / col("t").cast("double")), 6)
           .as("topk_share"))
   }
+
+  /**
+   * Leave-one-out TARGET ENCODING with additive smoothing — the
+   * leakage-safe categorical feature (Micci-Barreca 2001): each row's
+   * category is encoded as the smoothed mean target of the OTHER rows
+   * in its category, enc = (S_cat − t_own + m·prior) / (n_cat − 1 + m),
+   * prior = the global target mean, m = `priorStrength`. Leaving the
+   * row's own target out is what makes the feature safe to train on
+   * (the naive category mean leaks the label into its own row); the
+   * smoothing pulls rare categories toward the prior (a singleton
+   * category encodes exactly AS the prior when m > 0, and NULL when
+   * m = 0 — there is no information to encode).
+   *
+   * Scale shape: one category aggregate (map-side combinable — the
+   * category frame is |distinct categories|, not |rows|), one
+   * single-row global aggregate cross-joined in (planner broadcasts
+   * it), one equi-join back to the rows — no window, no per-category
+   * sort, nothing keyed on the row count. Target sums are integral
+   * micros, so S_cat − t_own is EXACT long arithmetic and the one
+   * double division per row happens in a fixed order (engine-
+   * replayable). Rows with a null category or null target are
+   * excluded by contract (LOO is undefined for them and null join
+   * keys drop on both engines anyway).
+   */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+      targetCol: String, priorStrength: Double): DataFrame = {
+    require(priorStrength >= 0,
+      s"priorStrength must be >= 0, got $priorStrength")
+    val e = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(idCol), col(catCol),
+        round(col(targetCol) * 1000000).cast("long").as("tmic"))
+    val prior = e.agg(
+      (sum(col("tmic")).cast("double") / count(lit(1))).as("prior"))
+    val cats = e.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n_c"), sum(col("tmic")).as("s_c"))
+    val den = (col("n_c") - 1L).cast("double") + lit(priorStrength)
+    e.join(cats, catCol).crossJoin(prior)
+      .select(col(idCol), col(catCol),
+        round(when(den > 0,
+          ((col("s_c") - col("tmic")).cast("double") +
+            lit(priorStrength) * col("prior")) / den / lit(1e6))
+          .otherwise(lit(null)), 6).as("enc"))
+  }
 }

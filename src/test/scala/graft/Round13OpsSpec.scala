@@ -393,6 +393,33 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("targetEncode: leave-one-out means, smoothing pull, singleton -> prior, m=0 -> null") {
+    // cat a: targets 1.0, 2.0, 3.0; cat b: 10.0 (singleton); one null
+    // cat and one null target row must drop
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 10.0), (5L, null, 5.0))
+      .toDF("id", "cat", "v")
+      .union(Seq((6L, "a", Option.empty[Double])).toDF("id", "cat", "v"))
+    val prior = (1.0 + 2.0 + 3.0 + 10.0) / 4 // 4.0
+    val out = Stats.targetEncode(df, "id", "cat", "v", priorStrength = 2.0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // null rows dropped
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // LOO: row 1 sees (2+3+2*4)/(2+2); own target NEVER contributes
+    assert(out(1L).get == r6((2.0 + 3.0 + 2 * prior) / 4))
+    assert(out(2L).get == r6((1.0 + 3.0 + 2 * prior) / 4))
+    assert(out(3L).get == r6((1.0 + 2.0 + 2 * prior) / 4))
+    // singleton with m>0: exactly the prior (no self-leak)
+    assert(out(4L).get == r6(prior))
+    // m = 0: singleton has nothing to encode -> null; others unsmoothed
+    val raw = Stats.targetEncode(df, "id", "cat", "v", priorStrength = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(raw(4L).isEmpty)
+    assert(raw(1L).get == 2.5) // (2+3)/2
+  }
+
   test("jaroWinkler: classic contract pinned — window, boost threshold, prefix, bytes") {
     val cases = Seq(
       ("MARTHA", "MARHTA", 0.9611111111111111),  // transposition + prefix 3
