@@ -1993,6 +1993,11 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_seasonal_error" -> ((s, dir) =>
+      // forecastability floor: seasonal-naive (lag-7-day) MAE/WAPE per
+      // type on the compact (type, day) frame, observed-day pairs only
+      Events.seasonalError(t(s, dir, "events"), periodDays = 7)),
+
     "q_target_encode" -> ((s, dir) =>
       // leakage-safe categorical feature: LOO smoothed target mean per
       // event_type — category aggregate + one-row prior broadcast, no
@@ -4653,6 +4658,17 @@ object SparkEntry {
          |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
+
+    "q_seasonal_error" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |j AS (SELECT d.event_type, d.n, p.n AS pred
+        |  FROM d JOIN d p ON p.event_type = d.event_type
+        |    AND p.day + 7 = d.day)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(sum(abs(n - pred))::DOUBLE / count(*), 6) AS mae,
+        |  round(sum(abs(n - pred))::DOUBLE / sum(pred)::DOUBLE, 6) AS wape
+        |FROM j GROUP BY event_type""".stripMargin,
 
     "q_target_encode" ->
       """WITH e AS (SELECT event_id, event_type,

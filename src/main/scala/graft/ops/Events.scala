@@ -1178,6 +1178,39 @@ object Events {
   }
 
   /**
+   * Seasonal-naive FORECASTABILITY diagnostic: per event type, the
+   * error of the dumbest seasonal model — "today's volume = the volume
+   * `periodDays` ago" — over every day where both sides were observed.
+   * This is the floor any real forecast must beat; a type whose WAPE
+   * is already small is strongly periodic (don't bother modeling it),
+   * one whose WAPE is huge is noise or trend. MAE = mean |actual −
+   * predicted|, WAPE = Σ|err| / Σpredicted (the weighted form — a
+   * plain MAPE would let tiny days dominate).
+   *
+   * Scale shape: events collapse to one row per (type, day) map-side
+   * first; the lag-`periodDays` alignment is an equi-join of that
+   * compact frame against itself shifted (evaluated only on OBSERVED
+   * day pairs — absent days are not zeros, same contract as
+   * [[levelShift]]), and both error sums are EXACT integer counts —
+   * one double division per type at the very end, engine-replayable.
+   */
+  def seasonalError(events: DataFrame, periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val daily = EventTime.normalizeTs(events)
+      .groupBy(col("event_type"), expr("ts div 86400000000000L").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pred = daily.select(col("event_type"),
+      (col("day") + periodDays).as("day"), col("n").as("pred"))
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(abs(col("n") - col("pred"))).cast("double") /
+          count(lit(1)), 6).as("mae"),
+        round(sum(abs(col("n") - col("pred"))).cast("double") /
+          sum(col("pred")).cast("double"), 6).as("wape"))
+  }
+
+  /**
    * INTER-ARRIVAL-TIME profile: per key, the distribution of gaps
    * between consecutive events — the burstiness fingerprint that
    * separates steady users from bots and batch-replayed feeds. Gaps in

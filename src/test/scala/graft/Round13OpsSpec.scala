@@ -393,6 +393,31 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("seasonalError: observed-day lag alignment, exact MAE/WAPE, no-overlap type absent") {
+    val dayNs = 86400L * 1000000000L
+    // type "a": days 0..9 with volumes 10,20,10,20,... (period-2 but we
+    // test lag 7): day d pairs with d-7 -> evaluated days 7,8,9 with
+    // |err| = |20-20|=0? volumes: day d volume = 10 + 10*(d%2). pairs:
+    // (7 vs 0): 20 vs 10 -> 10; (8 vs 1): 10 vs 20 -> 10; (9 vs 2): 20
+    // vs 10 -> 10. mae = 10, wape = 30/(10+20+10) = 0.75
+    // type "b": only days 0..3 -> no d,d-7 pair -> absent from output
+    def rows(tpe: String, days: Seq[Long]) = days.flatMap { d =>
+      val vol = (10 + 10 * (d % 2)).toInt
+      (0 until vol).map(i => (d * 1000 + i, BaseNs + d * dayNs + i * 1000000000L, 1L, tpe))
+    }
+    val evs = (rows("a", 0L to 9L) ++ rows("b", 0L to 3L))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.seasonalError(evs, periodDays = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("a"))
+    assert(out("a") == ((3L, 10.0, 0.75)))
+    // a perfectly periodic series has zero error at its own period
+    val p2 = Events.seasonalError(evs.filter(col("event_type") === "a"),
+      periodDays = 2).collect()(0)
+    assert(p2.getDouble(2) == 0.0 && p2.getDouble(3) == 0.0)
+  }
+
   test("targetEncode: leave-one-out means, smoothing pull, singleton -> prior, m=0 -> null") {
     // cat a: targets 1.0, 2.0, 3.0; cat b: 10.0 (singleton); one null
     // cat and one null target row must drop
