@@ -1397,6 +1397,14 @@ object SparkEntry {
       graft.ops.Graph.triangleStats(
         Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands))),
 
+    "q_kcore" -> ((s, dir) =>
+      // dup-farm detector: bounded 2-core peel of the duplication graph
+      // — CC can't tell a dense farm from an accidental chain; the
+      // peel deletes every chain/leaf and keeps only mutually-dense mass
+      graft.ops.Graph.kCore(
+        Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands),
+        k = 2, iters = 4)),
+
     "q_bloom_semi_join" -> ((s, dir) => {
       // runtime-filter pattern: Brand#23 partkeys → KB-scale bloom
       // broadcast prunes lineitem IN ITS SCAN; the exact semi join
@@ -4094,6 +4102,22 @@ object SparkEntry {
          |  WHERE pr.iter < 5
          |  GROUP BY pr.iter, e.dst)
          |SELECT doc_id, r AS rank_micro FROM pr WHERE iter = 5""".stripMargin,
+
+    "q_kcore" ->
+      s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT id1 AS src, id2 AS dst FROM pairs_t WHERE id1 <> id2
+         |  UNION SELECT id2, id1 FROM pairs_t WHERE id1 <> id2),
+         |kc(iter, src, dst) AS (
+         |  SELECT 0, src, dst FROM sym
+         |  UNION ALL
+         |  SELECT t.iter + 1, t.src, t.dst FROM (
+         |    SELECT kc.iter, kc.src, kc.dst,
+         |      count(*) OVER (PARTITION BY kc.src) AS dsrc,
+         |      count(*) OVER (PARTITION BY kc.dst) AS ddst
+         |    FROM kc WHERE kc.iter < 4) t
+         |  WHERE t.dsrc >= 2 AND t.ddst >= 2)
+         |SELECT src AS doc_id, count(*) AS deg
+         |FROM kc WHERE iter = 4 GROUP BY src""".stripMargin,
 
     "q_local_clustering" ->
       s"""$PairsCte,

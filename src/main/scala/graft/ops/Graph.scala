@@ -180,4 +180,45 @@ object Graph {
           .otherwise((lit(3L) * col("n_triangles")).cast("double") /
             col("n_wedges").cast("double")), 6).as("clustering_coeff"))
   }
+
+  /**
+   * Bounded k-CORE peel: iteratively delete nodes with degree < k; the
+   * survivors are the maximal subgraph where everyone has ≥ k
+   * neighbors — on a duplicate-pair graph, the "dup farm" detector (a
+   * 3-core is template mass-production; CC alone can't tell a dense
+   * farm from a long accidental chain, and triangles can't tell one
+   * dense cluster from many). The k-core is UNIQUE, so the result is
+   * iteration-order-free by construction.
+   *
+   * Deterministic BOUNDED form: exactly `iters` peel rounds (a
+   * converged peel makes the remaining rounds no-ops, so any `iters` ≥
+   * the cascade depth yields the true fixpoint — spec-proven; an
+   * unconverged run is still a well-defined partial peel that the
+   * DuckDB oracle replays round-for-round with a recursive CTE
+   * carrying the iteration counter). Each round is one map-side
+   * degree aggregate + two semi-joins of the edge list against the
+   * survivor set — all equi-joins hash-partitioned on the node id,
+   * nothing quadratic, no broadcast of anything unbounded;
+   * `localCheckpoint` truncates lineage per round (the [[pageRank]]
+   * idiom). Output: surviving node → its degree in the surviving
+   * subgraph.
+   */
+  def kCore(pairs: DataFrame, k: Int, iters: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    var e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kid"))
+      e = e.join(surv, col("src") === col("kid"), "left_semi")
+        .join(surv, col("dst") === col("kid"), "left_semi")
+        .localCheckpoint(eager = true)
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+  }
 }

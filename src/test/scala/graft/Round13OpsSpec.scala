@@ -393,6 +393,47 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("kCore: peel cascade, fixpoint invariance, chain dies, farm survives") {
+    // K4 on 10..13 + chain 1-2-3-4 + pendant 13-20
+    val k4 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val edges = (k4 ++ Seq((1L, 2L), (2L, 3L), (3L, 4L), (13L, 20L)))
+      .toDF("id1", "id2")
+    val out = graft.ops.Graph.kCore(edges, k = 2, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain and pendant peel away completely (cascade: ends first, then
+    // the middle); only the K4 farm survives, each node at deg 3
+    assert(out == Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+    // the k-core is unique: more rounds after convergence change nothing
+    val more = graft.ops.Graph.kCore(edges, k = 2, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == out)
+    // k above the max degree peels everything; empty in, empty out
+    assert(graft.ops.Graph.kCore(edges, k = 5, iters = 6).count() == 0)
+    assert(graft.ops.Graph.kCore(
+      edges.filter(col("id1") < 0), k = 2, iters = 2).count() == 0)
+  }
+
+  test("kCore: bounded peel equals the naive driver-side fixpoint on real pairs") {
+    val pairs = graft.ops.Dedup.candidatePairs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", 8, 4)
+    val got = graft.ops.Graph.kCore(pairs, k = 2, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive: peel to TRUE fixpoint in driver code
+    var es = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.groupBy(_._1).map { case (n, xs) => n -> xs.size }
+      val surv = deg.filter(_._2 >= 2).keySet
+      val next = es.filter(e => surv(e._1) && surv(e._2))
+      changed = next != es; es = next
+    }
+    val naive = es.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("seasonalError: observed-day lag alignment, exact MAE/WAPE, no-overlap type absent") {
     val dayNs = 86400L * 1000000000L
     // type "a": days 0..9 with volumes 10,20,10,20,... (period-2 but we
