@@ -74,6 +74,25 @@ case class DimVersion(
 case class EnrichedFact(
     fact_id: Long, key: Long, ts_us: Long, dim_value: Option[Double])
 
+/** A categorical training row to encode (id + category + target). */
+case class CatTarget(id: Long, cat: String, target: Double)
+
+/** A leave-one-out encoded row ([[TypedPipeline.encodeTarget]]);
+  * `None` = nothing to encode (singleton category at priorStrength 0). */
+case class EncodedCat(id: Long, cat: String, enc: Option[Double])
+
+/** One trailing-window feature row per (user, active day)
+  * ([[TypedPipeline.buildFeatures]]); `days_since_prev` is None on a
+  * user's first active day. */
+case class UserDayFeatures(
+    user_id: Long, day: Long, n_1d: Long, n_7d: Long, n_28d: Long,
+    v_7d: Double, days_since_prev: Option[Long])
+
+/** One gap-sessionized visit with its first-k journey prefix
+  * ([[TypedPipeline.sessionJourneys]]). */
+case class SessionJourney(
+    user_id: Long, start_us: Long, path: String, n_events: Long)
+
 /**
  * Typed `Dataset[T]` facade over the document pipeline — the API shape
  * for callers who want case-class rows and compile-time column safety.
@@ -184,5 +203,35 @@ object TypedPipeline {
     Events.attribution(touches.toDF(), convs.toDF(), "key", "ts_us",
         "touch_id", "conv_id", "value", lookbackMicros)
       .as[CreditedTouch]
+  }
+
+  /** Leave-one-out smoothed target encoding
+    * ([[graft.ops.Stats.targetEncode]]): each row's category encoded as
+    * the smoothed mean target of the OTHER rows of its category —
+    * leakage-safe by construction. */
+  def encodeTarget(rows: Dataset[CatTarget],
+      priorStrength: Double): Dataset[EncodedCat] = {
+    import rows.sparkSession.implicits._
+    graft.ops.Stats.targetEncode(rows.toDF(), "id", "cat", "target",
+        priorStrength)
+      .as[EncodedCat]
+  }
+
+  /** Trailing 1/7/28-day per-user features ([[Events.featureWindows]]):
+    * calendar-valued RANGE frames over the compact (user, day) frame —
+    * the feature-build stage that pairs with [[enrichPointInTime]]. */
+  def buildFeatures(
+      events: Dataset[graft.streaming.StreamEvent]): Dataset[UserDayFeatures] = {
+    import events.sparkSession.implicits._
+    Events.featureWindows(events.toDF()).as[UserDayFeatures]
+  }
+
+  /** Per-session journey prefixes ([[Events.sessionPaths]]): the first
+    * `maxSteps` event types of each gap-sessionized visit via the
+    * bounded PathPrefix aggregate under native session_window. */
+  def sessionJourneys(events: Dataset[graft.streaming.StreamEvent],
+      maxSteps: Int = 5): Dataset[SessionJourney] = {
+    import events.sparkSession.implicits._
+    Events.sessionPaths(events.toDF(), maxSteps).as[SessionJourney]
   }
 }

@@ -130,7 +130,13 @@ object ScaleStress {
       // multiplicity before the census even starts)
       "triangles" -> (d => graft.ops.Graph.triangleStats(
         Dedup.candidatePairsCapped(
-          Dedup.shingleSets(d, "doc_id", "text"), 8, 4, maxBucket = 64))))
+          Dedup.shingleSets(d, "doc_id", "text"), 8, 4, maxBucket = 64))),
+      // r13: bounded peel over capped pairs — per-round cost tracks the
+      // (capped) edge list, duplicate floods included
+      "kcore" -> (d => graft.ops.Graph.kCore(
+        Dedup.candidatePairsCapped(
+          Dedup.shingleSets(d, "doc_id", "text"), 8, 4, maxBucket = 64),
+        k = 2, iters = 4)))
     // the r9/r10-verdict heavy trio, on the duplicate-heavy replica
     // (every text ×10 under distinct ids). Pair-EMITTING ops have an
     // inherently quadratic-in-multiplicity OUTPUT (each size-c dup
@@ -186,6 +192,16 @@ object ScaleStress {
       // r13: O(maxSteps) aggregate state per session under native
       // session_window — wall should track events, never session size
       "session_paths" -> (e => graft.ops.Events.sessionPaths(e)),
+      // r13: map-side day collapse then RANGE frames on the compact
+      // per-user-day frame — wall tracks the collapse, not the frames
+      "feature_windows" -> (e => graft.ops.Events.featureWindows(e)),
+      // r13: category aggregate + one-row prior broadcast + join back
+      "target_encode" -> (e => graft.ops.Stats.targetEncode(
+        e, "event_id", "event_type", "value", 10.0)),
+      // r13: one user shuffle + an 18-column single-row fold
+      "ab_cuped" -> (e => graft.ops.Events.abCuped(e, 1705363200000000L)),
+      // r13: (type, day) collapse + shifted self-join — near-flat
+      "seasonal_error" -> (e => graft.ops.Events.seasonalError(e)),
       "level_shift" -> (e => graft.ops.Events.levelShift(e)),
       // r13: count shuffle + distinct-count-value fold — with 10× USERS
       // the tiny value frame is the only serial piece

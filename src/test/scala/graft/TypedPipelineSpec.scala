@@ -116,4 +116,34 @@ class TypedPipelineSpec extends AnyFunSuite {
       .toDF().collect().map(_.toString).sorted.toSeq
     assert(typed == untyped)
   }
+
+  test("typed encodeTarget / buildFeatures / sessionJourneys round-trip the r13 ops") {
+    import graft.api.CatTarget
+    import graft.streaming.StreamEvent
+    // LOO encoding through the typed surface
+    val enc = TypedPipeline.encodeTarget(spark.createDataset(Seq(
+        CatTarget(1L, "a", 1.0), CatTarget(2L, "a", 3.0),
+        CatTarget(3L, "b", 10.0))), priorStrength = 0.0)
+      .collect().map(e => e.id -> e.enc).toMap
+    assert(enc(1L).contains(3.0) && enc(2L).contains(1.0)) // the OTHER row
+    assert(enc(3L).isEmpty)                                // singleton, m=0
+    // per-user-day features + session journeys over one typed event feed
+    val base = 1704067200L * 1000000000L
+    val dayNs = 86400L * 1000000000L
+    val evs = spark.createDataset(Seq(
+      StreamEvent(1L, base, 7L, "view", 1.0),
+      StreamEvent(2L, base + 60L * 1000000000L, 7L, "click", 2.0),
+      StreamEvent(3L, base + 8L * dayNs, 7L, "purchase", 4.0)))
+    val feats = TypedPipeline.buildFeatures(evs)
+      .collect().map(f => f.day - 19723L -> f).toMap
+    assert(feats(0L).n_1d == 2L && feats(0L).v_7d == 3.0
+      && feats(0L).days_since_prev.isEmpty)
+    assert(feats(8L).n_7d == 1L && feats(8L).n_28d == 3L
+      && feats(8L).days_since_prev.contains(8L))
+    val js = TypedPipeline.sessionJourneys(evs).collect()
+      .map(j => j.start_us -> j).toMap
+    assert(js(base / 1000L).path == "view>click"
+      && js(base / 1000L).n_events == 2L)
+    assert(js(base / 1000L + 8L * 86400000000L).path == "purchase")
+  }
 }
