@@ -2001,6 +2001,14 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_link_records" -> ((s, dir) => {
+      // entity resolution: best fuzzy name match per part via prefix
+      // blocking + codegen'd Jaro-Winkler scoring + top-1 arg-max
+      val p = t(s, dir, "part")
+      Dedup.linkRecords(p, p, "p_partkey", "p_name", "p_partkey", "p_name",
+        threshold = 0.88, blockPrefix = 3)
+    }),
+
     "q_seasonal_error" -> ((s, dir) =>
       // forecastability floor: seasonal-naive (lag-7-day) MAE/WAPE per
       // type on the compact (type, day) frame, observed-day pairs only
@@ -4682,6 +4690,18 @@ object SparkEntry {
          |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
+
+    "q_link_records" ->
+      """WITH l AS (SELECT p_partkey AS lid, p_name AS lname,
+        |    lower(substr(p_name, 1, 3)) AS blk FROM part),
+        |r AS (SELECT p_partkey AS rid, p_name AS rname,
+        |    lower(substr(p_name, 1, 3)) AS blk FROM part),
+        |c AS (SELECT lid, rid,
+        |    jaro_winkler_similarity(lname, rname) AS jw
+        |  FROM l JOIN r USING (blk) WHERE lid <> rid),
+        |f AS (SELECT lid, rid, jw, row_number() OVER (PARTITION BY lid
+        |    ORDER BY jw DESC, rid) AS rn FROM c WHERE jw >= 0.88)
+        |SELECT lid, rid, round(jw, 6) AS jw FROM f WHERE rn = 1""".stripMargin,
 
     "q_seasonal_error" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

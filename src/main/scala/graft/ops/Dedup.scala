@@ -1072,6 +1072,47 @@ object Dedup {
   }
 
   /**
+   * Blocked RECORD LINKAGE: for every left record, its single best
+   * fuzzy name match on the right — block on a cheap lowercase name
+   * prefix, score candidates with the codegen'd
+   * [[graft.functions.JaroWinkler]] kernel inside the join stage, keep
+   * matches ≥ `threshold`, then arg-max per left id (score desc, right
+   * id asc — fully deterministic; equal names tie at 1.0 and fall to
+   * the id). Identity rows (same id both sides) are excluded so the
+   * self-link form answers "who else is probably this entity".
+   *
+   * Scale contract: the candidate join is an EQUI join on the block
+   * key (hash-partitioned, never cartesian) and the threshold filter
+   * runs IN the scoring projection before the per-left arg-max, which
+   * Spark executes as a WindowGroupLimit top-1 (no per-left sort
+   * materialization). Cost is per-block quadratic — the block key is
+   * the caller's scale lever (same contract as [[fuzzyPairs]] /
+   * [[similarityJoinExact]]; pre-collapse exact duplicates or lengthen
+   * the prefix under flood).
+   */
+  def linkRecords(left: DataFrame, right: DataFrame,
+      leftId: String, leftName: String, rightId: String, rightName: String,
+      threshold: Double, blockPrefix: Int = 3): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1, got $blockPrefix")
+    val l = left.select(col(leftId).as("lid"), col(leftName).as("lname"),
+      lower(substring(col(leftName), 1, blockPrefix)).as("blk"))
+    val r = right.select(col(rightId).as("rid"), col(rightName).as("rname"),
+      lower(substring(col(rightName), 1, blockPrefix)).as("blk"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lid"))
+      .orderBy(col("jw").desc, col("rid").asc)
+    l.join(r, "blk")
+      .filter(col("lid") =!= col("rid"))
+      .withColumn("jw",
+        graft.functions.GraftFunctions.jaro_winkler(col("lname"), col("rname")))
+      .filter(col("jw") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lid"), col("rid"), round(col("jw"), 6).as("jw"))
+  }
+
+  /**
    * Bloom-filter benchmark decontamination — the zero-shuffle scale path
    * beside the equi-join [[crossContamination]]:
    *

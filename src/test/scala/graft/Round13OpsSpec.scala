@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Events, Stats}
+import graft.ops.{Dedup, Events, Stats}
 
 /** Round-13 operators: multi-touch attribution, inter-arrival profile,
   * concentration (Gini). Pinned contracts on hand frames plus
@@ -391,6 +391,36 @@ class Round13OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getLong(3))).toSet
     assert(shuffled == got)
+  }
+
+  test("linkRecords: best-match arg-max, threshold, identity exclusion, tie to min id") {
+    val left = Seq((1L, "MARTHA STEWART"), (2L, "UNMATCHABLE ZZZ"))
+      .toDF("id", "name")
+    val right = Seq(
+      (10L, "MARHTA STEWART"),   // close (transposition)
+      (11L, "MARTHA STEWART"),   // exact -> 1.0, must win
+      (12L, "MARTHA STEWARD"),   // close but below 1.0
+      (13L, "MARTHA STEWART"),   // exact too -> tie at 1.0, loses to 11
+      (20L, "zzz nothing"))      // different block
+      .toDF("id", "name")
+    val out = Dedup.linkRecords(left, right, "id", "name", "id", "name",
+      threshold = 0.9, blockPrefix = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((11L, 1.0)))) // 2 has no block mate above 0.9
+    // identity exclusion: self-link of right never links a row to itself
+    val self = Dedup.linkRecords(right, right, "id", "name", "id", "name",
+      threshold = 0.9, blockPrefix = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(self(11L) == 13L && self(13L) == 11L) // exact twins find each other
+    assert(self.forall { case (l, r) => l != r })
+    // the per-left arg-max compiles to a WindowGroupLimit top-1, not a
+    // full per-left sort
+    val plan = Dedup.linkRecords(
+      spark.read.parquet("/root/testdata/sf0.001/part.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/part.parquet"),
+      "p_partkey", "p_name", "p_partkey", "p_name", 0.88, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 
   test("kCore: peel cascade, fixpoint invariance, chain dies, farm survives") {
