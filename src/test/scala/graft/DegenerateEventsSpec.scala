@@ -80,6 +80,40 @@ class DegenerateEventsSpec extends AnyFunSuite {
     assert(c.getLong(0) == 1L && c.getDouble(2) == 0.0 && c.getDouble(3) == 1.0)
   }
 
+  test("r13 wave-3 ops survive the degenerate zoo") {
+    // sessionPaths: the same-instant burst is one session whose path
+    // orders by event_id; single-event users still emit their session
+    val sp = Events.sessionPaths(zoo, maxSteps = 2).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(sp.contains((1L, "flat>flat", 3L))) // truncated at 2 of 3
+    assert(sp.contains((2L, "click", 1L)))
+    // featureWindows: the burst collapses to one user-day row; lag null
+    val fw = Events.featureWindows(zoo).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.isNullAt(6)))).toMap
+    assert(fw(1L) == ((3L, 3L, true)))
+    assert(fw(2L) == ((1L, 1L, true)))
+    // abCuped on a tiny frame: n < 2 per arm may null z but never throw
+    assert(Events.abCuped(zoo, Base / 1000L + 1L).collect().length == 1)
+    // seasonalError: no (day, day-7) overlap anywhere -> empty, no throw
+    assert(Events.seasonalError(zoo, periodDays = 7).count() == 0L)
+    // targetEncode: the constant-value burst type encodes exactly its
+    // leave-one-out mean (5.0); singletons pull fully to the prior
+    val te = graft.ops.Stats.targetEncode(zoo, "event_id", "event_type",
+        "value", priorStrength = 1.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val prior = (5.0 + 5.0 + 5.0 + 1.0 + 2.0 + 4.0 + 9.0) / 7
+    assert(math.abs(te(1L) - (5.0 + 5.0 + prior) / 3) < 1e-6)
+    // linkRecords: an empty side or no block overlap yields empty
+    val names = zoo.select(col("event_id").as("id"),
+      col("event_type").as("nm"))
+    assert(graft.ops.Dedup.linkRecords(names, names.filter(lit(false)),
+      "id", "nm", "id", "nm", 0.5).count() == 0L)
+    // kCore on a single edge: both endpoints deg 1 < 2 -> peeled empty
+    assert(graft.ops.Graph.kCore(
+      Seq((1L, 2L)).toDF("id1", "id2"), k = 2, iters = 3).count() == 0L)
+  }
+
   test("the remaining event ops survive the degenerate zoo") {
     assert(Events.sessionize(zoo).count() >= 4)
     assert(Events.sessionWindows(zoo).count() >= 4)

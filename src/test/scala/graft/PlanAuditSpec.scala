@@ -186,7 +186,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_source_kl", "q_length_ks", "q_dsir_weights",
       // cross-joins of 1-row count/fold frames (verdict assembly)
       "q_reconcile", "q_concentration_users", "q_concentration_sources",
-      "q_triangles")
+      "q_triangles",
+      // 1-row global-prior broadcast (the LOO smoothing target)
+      "q_target_encode")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
