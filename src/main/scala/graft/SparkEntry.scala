@@ -2001,12 +2001,18 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_session_cooccur" -> ((s, dir) =>
+      // journey coupling: which event types share sessions more (or
+      // less) than independence predicts — distinct (session, type)
+      // reduction first, so bot sessions cost |types|, never length
+      Events.sessionCooccurrence(t(s, dir, "events"))),
+
     "q_link_records" -> ((s, dir) => {
       // entity resolution: best fuzzy name match per part via prefix
       // blocking + codegen'd Jaro-Winkler scoring + top-1 arg-max
       val p = t(s, dir, "part")
       Dedup.linkRecords(p, p, "p_partkey", "p_name", "p_partkey", "p_name",
-        threshold = 0.88, blockPrefix = 3)
+        threshold = 0.88, blockPrefix = 9)
     }),
 
     "q_seasonal_error" -> ((s, dir) =>
@@ -4691,11 +4697,38 @@ object SparkEntry {
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
 
+    "q_session_cooccur" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS tsu FROM events),
+        |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new FROM l),
+        |c AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM c),
+        |ns AS (SELECT count(*) AS s FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM st)),
+        |ta AS (SELECT event_type, count(*) AS n FROM st GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_seq = b.session_seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  round((n_ab::DOUBLE * ns.s::DOUBLE) / (ta.n::DOUBLE * tb.n::DOUBLE), 6)
+        |    AS lift
+        |FROM p JOIN ta ON ta.event_type = p.type_a
+        |  JOIN ta tb ON tb.event_type = p.type_b
+        |  CROSS JOIN ns""".stripMargin,
+
     "q_link_records" ->
       """WITH l AS (SELECT p_partkey AS lid, p_name AS lname,
-        |    lower(substr(p_name, 1, 3)) AS blk FROM part),
+        |    lower(substr(p_name, 1, 9)) AS blk FROM part),
         |r AS (SELECT p_partkey AS rid, p_name AS rname,
-        |    lower(substr(p_name, 1, 3)) AS blk FROM part),
+        |    lower(substr(p_name, 1, 9)) AS blk FROM part),
         |c AS (SELECT lid, rid,
         |    jaro_winkler_similarity(lname, rname) AS jw
         |  FROM l JOIN r USING (blk) WHERE lid <> rid),

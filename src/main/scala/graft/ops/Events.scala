@@ -53,6 +53,54 @@ object Events {
   }
 
   /**
+   * Session CO-OCCURRENCE lift matrix: for every event-type pair
+   * (a < b), in how many sessions both appear, and the lift
+   * n_ab·S / (n_a·n_b) — lift > 1 means the types travel together
+   * (journey coupling), < 1 means they repel (alternative paths).
+   * This is the symmetric pairwise view [[topPaths]]'s ordered
+   * journeys can't give cheaply (a path treats view→click and
+   * click→view as different strings; co-occurrence doesn't care).
+   *
+   * Scale shape: events reduce to DISTINCT (user, session, type)
+   * first — per-session rows bounded by the TYPE VOCABULARY, not the
+   * session length (a 10⁶-event bot session contributes ≤ |types|
+   * rows) — then the pair join is an equi-join on the session key
+   * with per-session output ≤ |types|²/2, the per-type totals are a
+   * |types|-row frame the planner broadcasts back, and the session
+   * count is a 1-row broadcast. All counts exact integers; lift is
+   * one fixed-order double expression, 6-dp rounded.
+   */
+  def sessionCooccurrence(events: DataFrame): DataFrame = {
+    val e = EventTime.normalizeTs(events).withColumn("tsu", expr("ts div 1000L"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val st = e
+      .withColumn("is_new",
+        when(col("tsu") - lag(col("tsu"), 1).over(byUser) > SessionGapMicros, 1)
+          .otherwise(when(lag(col("tsu"), 1).over(byUser).isNull, 1).otherwise(0)))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+    val nSessions = st.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).as("s"))
+    val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_seq") === col("b.session_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(perType.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(perType.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .crossJoin(nSessions)
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round((col("n_ab").cast("double") * col("s").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+  }
+
+  /**
    * NATIVE session-window twin of [[sessionize]]: the same gap
    * sessions through Spark's built-in `session_window` aggregation —
    * sessions merge inside the aggregate (map-side partial merging,

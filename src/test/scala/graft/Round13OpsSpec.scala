@@ -393,6 +393,27 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("sessionCooccurrence: distinct-per-session reduction, exact lift, gap split") {
+    // user 1 session A: view, click, view (duplicate type must count
+    // ONCE); session B (100 min later): view alone.
+    // user 2: click + purchase in one session.
+    // S = 3; sessions(view) = 2, sessions(click) = 2, sessions(purchase) = 1
+    val evs = Seq(
+      (1L, BaseNs, 1L, "view"),
+      (2L, BaseNs + 1L * MinNs, 1L, "click"),
+      (6L, BaseNs + 2L * MinNs, 1L, "view"),
+      (3L, BaseNs + 100L * MinNs, 1L, "view"),
+      (4L, BaseNs, 2L, "click"),
+      (5L, BaseNs + 5L * MinNs, 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.sessionCooccurrence(evs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 2)
+    assert(out(("click", "view")) == ((1L, 0.75)))      // 1*3/(2*2)
+    assert(out(("click", "purchase")) == ((1L, 1.5)))   // 1*3/(2*1)
+  }
+
   test("linkRecords: best-match arg-max, threshold, identity exclusion, tie to min id") {
     val left = Seq((1L, "MARTHA STEWART"), (2L, "UNMATCHABLE ZZZ"))
       .toDF("id", "name")
