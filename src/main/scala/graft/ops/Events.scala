@@ -73,27 +73,39 @@ object Events {
   def sessionCooccurrence(events: DataFrame): DataFrame = {
     val e = EventTime.normalizeTs(events).withColumn("tsu", expr("ts div 1000L"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
-    val st = e
+    // ONE pass: session assignment -> per-session sorted type set ->
+    // explode pair combinations, singleton elements AND a per-session
+    // marker together, so a single count aggregation yields n_ab (both
+    // non-null), n_type (b null) and S (both null) without ever
+    // re-running the window pipeline per consumer (a self-join form
+    // would recompute the sessionization once per side). The arrays are
+    // ≤ |type vocabulary| long, so the interpreted HOFs cost nothing.
+    val sets = e
       .withColumn("is_new",
         when(col("tsu") - lag(col("tsu"), 1).over(byUser) > SessionGapMicros, 1)
           .otherwise(when(lag(col("tsu"), 1).over(byUser).isNull, 1).otherwise(0)))
       .withColumn("session_seq", sum(col("is_new")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("user_id"), col("session_seq"), col("event_type"))
-      .distinct()
-    val nSessions = st.select(col("user_id"), col("session_seq")).distinct()
-      .agg(count(lit(1)).as("s"))
-    val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    val pairs = st.as("a")
-      .join(st.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.session_seq") === col("b.session_seq") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
-      .agg(count(lit(1)).as("n_ab"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    val counts = sets
+      .select(explode(concat(
+        expr("flatten(transform(ts, (x, i) -> " +
+          "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"),
+        expr("transform(ts, x -> struct(x AS a, CAST(NULL AS STRING) AS b))"),
+        array(struct(lit(null).cast("string").as("a"),
+          lit(null).cast("string").as("b"))))).as("it"))
+      .groupBy(col("it.a").as("ta"), col("it.b").as("tb"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = counts.filter(col("ta").isNotNull && col("tb").isNotNull)
+      .select(col("ta").as("type_a"), col("tb").as("type_b"), col("n").as("n_ab"))
+    val perType = counts.filter(col("ta").isNotNull && col("tb").isNull)
+      .select(col("ta"), col("n"))
+    val nSessions = counts.filter(col("ta").isNull && col("tb").isNull)
+      .select(col("n").as("s"))
     pairs
-      .join(perType.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
-      .join(perType.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .join(perType.select(col("ta").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(perType.select(col("ta").as("type_b"), col("n").as("n_b")), "type_b")
       .crossJoin(nSessions)
       .select(col("type_a"), col("type_b"), col("n_ab"),
         round((col("n_ab").cast("double") * col("s").cast("double")) /
