@@ -2001,6 +2001,22 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_phash_dedup" -> ((s, dir) => {
+      // frame/image-level perceptual dedup plumbing: per-partition codec
+      // signatures -> 4x16-bit pigeonhole banding -> bit_count(xor)
+      // Hamming verify; payload bytes never leave their scan partitions
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // payload = each doc's leading 200 chars (the "thumbnail" frame):
+      // the corpus has no byte-identical full texts, but near-dup docs
+      // share their leading frame — exactly what frame-level dedup sees
+      Multimodal.perceptualDedup(
+        Multimodal.asMediaTable(
+          docs(s, dir).withColumn("text", substring(col("text"), 1, 200)),
+          "doc_id", "text")
+          .as[graft.ops.MediaRecord])
+    }),
+
     "q_session_cooccur" -> ((s, dir) =>
       // journey coupling: which event types share sessions more (or
       // less) than independence predicts — distinct (session, type)
@@ -4696,6 +4712,28 @@ object SparkEntry {
          |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
+
+    "q_phash_dedup" ->
+      s"""WITH sg AS (SELECT doc_id,
+         |    ${hexToLong("md5(substr(text, 1, 200))", 1, 4)} AS b0,
+         |    ${hexToLong("md5(substr(text, 1, 200))", 5, 4)} AS b1,
+         |    ${hexToLong("md5(substr(text, 1, 200))", 9, 4)} AS b2,
+         |    ${hexToLong("md5(substr(text, 1, 200))", 13, 4)} AS b3
+         |  FROM documents),
+         |bd AS (SELECT doc_id, 0 AS band_idx, b0 AS band_val FROM sg
+         |  UNION ALL SELECT doc_id, 1, b1 FROM sg
+         |  UNION ALL SELECT doc_id, 2, b2 FROM sg
+         |  UNION ALL SELECT doc_id, 3, b3 FROM sg),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+         |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |h AS (SELECT id1, id2,
+         |    (bit_count(xor(s1.b0, s2.b0)) + bit_count(xor(s1.b1, s2.b1))
+         |     + bit_count(xor(s1.b2, s2.b2))
+         |     + bit_count(xor(s1.b3, s2.b3)))::BIGINT AS hamming
+         |  FROM cand JOIN sg s1 ON s1.doc_id = cand.id1
+         |    JOIN sg s2 ON s2.doc_id = cand.id2)
+         |SELECT id1, id2, hamming FROM h WHERE hamming <= 3""".stripMargin,
 
     "q_session_cooccur" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

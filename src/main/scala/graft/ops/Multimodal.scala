@@ -14,6 +14,10 @@ case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Long,
     width: Int, height: Int, content_hash: String)
 
+/** A 64-bit perceptual signature as four 16-bit bands
+  * ([[Multimodal.perceptualSignatures]]). */
+case class MediaSignature(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
 /**
  * Multimodal (image/audio/video) column plumbing. Media travels as an
  * opaque `binary` column with typed metadata alongside — the schema,
@@ -83,6 +87,18 @@ object Multimodal {
     trait Session {
       /** payload bytes → (width, height, content identity). */
       def decode(mediaType: String, payload: Array[Byte]): Decoded
+
+      /** 64-bit PERCEPTUAL signature as four 16-bit bands (the
+        * pigeonhole unit of [[Multimodal.perceptualDedup]]). Default:
+        * derived from the content hash (byte identity — exact dups
+        * collide, engine-replayable, what the oracle checks); a real
+        * image codec overrides with an actual perceptual hash so
+        * re-encoded/near-identical pixels collide too (see
+        * [[ImageIo]]'s 8×8 average-hash). */
+      def pHashBands(mediaType: String, payload: Array[Byte]): Array[Int] = {
+        val h = decode(mediaType, payload).contentHash
+        Array.tabulate(4)(i => Integer.parseInt(h.substring(4 * i, 4 * i + 4), 16))
+      }
       def close(): Unit = ()
     }
     final case class Decoded(width: Int, height: Int, contentHash: String)
@@ -142,6 +158,48 @@ object Multimodal {
           md.reset()
           val hex = md.digest(payload).map("%02x".format(_)).mkString
           Decoded(img.getWidth, img.getHeight, hex)
+        }
+
+        /** REAL perceptual hash: 8×8 average-hash over the decoded
+          * raster — integer-exact luma block means vs the global mean,
+          * row-major MSB-first, split into 16-bit bands. Identical
+          * pixels hash identically whatever container encoded them
+          * (PNG vs BMP byte streams differ; their aHash does not). */
+        override def pHashBands(
+            mediaType: String, payload: Array[Byte]): Array[Int] = {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null,
+            s"payload is not a decodable image (media_type=$mediaType)")
+          val (w, h) = (img.getWidth, img.getHeight)
+          // per-cell integer luma sums over the 8×8 grid (block edges by
+          // integer ratio — exact for any dimensions)
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(7, y * 8 / h)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(7, x * 8 / w)
+              val rgb = img.getRGB(x, y)
+              val luma = ((rgb >> 16 & 0xff) * 299 +
+                (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              sums(cy * 8 + cx) += luma
+              counts(cy * 8 + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val avgs = Array.tabulate(64)(i => sums(i) / math.max(1, counts(i)))
+          val mean = avgs.sum / 64
+          val bands = new Array[Int](4)
+          var i = 0
+          while (i < 64) {
+            if (avgs(i) >= mean) bands(i / 16) |= 1 << (15 - i % 16)
+            i += 1
+          }
+          bands
         }
       }
     }
@@ -233,5 +291,73 @@ object Multimodal {
         def next(): MediaFeatures = out.next()
       }
     }
+  }
+
+  /** Per-payload 64-bit perceptual signature as four 16-bit bands,
+    * through the same per-partition codec lifecycle as
+    * [[extractFeatures]]. Only (doc_id, 4 ints) leaves the scan stage —
+    * payload bytes never shuffle. */
+  def perceptualSignatures(media: Dataset[MediaRecord],
+      codec: MediaCodec = MediaCodec.Stub)(
+      implicit spark: SparkSession): Dataset[MediaSignature] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val session = codec.open()
+      val out = rows.map { r =>
+        val b = session.pHashBands(r.media_type, r.payload)
+        MediaSignature(r.doc_id, b(0), b(1), b(2), b(3))
+      }
+      new Iterator[MediaSignature] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) session.close()
+          h
+        }
+        def next(): MediaSignature = out.next()
+      }
+    }
+  }
+
+  /**
+   * PERCEPTUAL near-duplicate pairs over media payloads — frame-level /
+   * image-level dedup: signatures via [[perceptualSignatures]], then
+   * the SimHash pigeonhole (4 bands of 16 bits: any pair within
+   * Hamming ≤ 3 must agree on ≥ 1 whole band), candidates verified by
+   * exact Hamming distance (`bit_count(xor)` per band — codegen'd
+   * integer ops, no arrays). With the [[MediaCodec.ImageIo]] codec the
+   * signature is a real 8×8 average-hash, so the SAME pixels found in
+   * DIFFERENT containers (a PNG and a BMP of one image) pair at
+   * Hamming 0 even though their byte hashes differ — the dedup
+   * byte-identity joins can never see. With the [[MediaCodec.Stub]]
+   * the signature is content-hash-derived (exact-dup collisions only),
+   * which is what the engine-replayable oracle checks.
+   *
+   * Scale shape: the banding join is [[Dedup.candidatePairs]]'s — an
+   * equi-join on (band index, band value) over a 5-int/row frame,
+   * distinct pairs, then one narrow join back to signatures per side.
+   * Payloads stay in their scan partitions.
+   */
+  def perceptualDedup(media: Dataset[MediaRecord],
+      codec: MediaCodec = MediaCodec.Stub, maxHamming: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole over 4 bands guarantees recall only to Hamming 3, got $maxHamming")
+    val sigs = perceptualSignatures(media, codec).toDF()
+    val banded = sigs.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_idx", "band_val")))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    def s(side: String, id: String) = sigs.select(col("doc_id").as(id),
+      col("b0").as(s"b0$side"), col("b1").as(s"b1$side"),
+      col("b2").as(s"b2$side"), col("b3").as(s"b3$side"))
+    val ham = (0 to 3).map(i =>
+      bit_count(expr(s"b${i}a ^ b${i}b"))).reduce(_ + _)
+    cand.join(s("a", "id1"), "id1").join(s("b", "id2"), "id2")
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
   }
 }

@@ -142,4 +142,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(real.content_hash == stub.content_hash)
     assert(real.width == 8 && real.height == 6)
   }
+
+  /** 16x16 block image: an 8x8 grid of 2x2 cells, each fully black or
+    * white per the `cells` bitmask (row-major, bit 63 = top-left). */
+  private def blockImage(cells: Long, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val on = (cells >> (63 - (cy * 8 + cx))) & 1L
+      val rgb = if (on == 1L) 0xffffff else 0x000000
+      for (dy <- 0 until 2; dx <- 0 until 2)
+        img.setRGB(cx * 2 + dx, cy * 2 + dy, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
+    bos.toByteArray
+  }
+
+  test("perceptualDedup: real aHash pairs cross-format and near-identical images") {
+    implicit val s = spark
+    // left-half white, right-half black, as PNG (1) and BMP (2) — same
+    // pixels, DIFFERENT bytes; (3) = one flipped cell (Hamming 1);
+    // (4) = inverted pattern (Hamming 64: never a candidate)
+    val half = (0 until 64).map(i => if (i % 8 < 4) 1L << (63 - i) else 0L)
+      .reduce(_ | _)
+    val recs = Seq(
+      MediaRecord(1L, "image/png", blockImage(half, "png")),
+      MediaRecord(2L, "image/bmp", blockImage(half, "bmp")),
+      MediaRecord(3L, "image/png", blockImage(half ^ (1L << 63), "png")),
+      MediaRecord(4L, "image/png", blockImage(~half, "png")))
+    // byte hashes all differ — exact-dup joins see nothing here
+    assert(recs.map(r => java.security.MessageDigest.getInstance("MD5")
+      .digest(r.payload).toSeq).distinct.size == 4)
+    val media = spark.createDataset(recs).repartition(2)
+    val pairs = Multimodal.perceptualDedup(
+        media, Multimodal.MediaCodec.ImageIo, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      pairs.toString)
+    // stub path: signatures derive from byte identity — distinct bytes,
+    // no pairs (the engine-replayable oracle contract)
+    assert(Multimodal.perceptualDedup(media, Multimodal.MediaCodec.Stub)
+      .count() == 0L)
+  }
 }
