@@ -188,7 +188,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_reconcile", "q_concentration_users", "q_concentration_sources",
       "q_triangles",
       // 1-row global-prior broadcast (the LOO smoothing target)
-      "q_target_encode")
+      "q_target_encode",
+      // 1-row session-count broadcast (the lift denominator)
+      "q_session_cooccur")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
