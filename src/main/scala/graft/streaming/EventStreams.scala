@@ -196,6 +196,73 @@ object EventStreams {
   }
 
   /**
+   * Streaming twin of [[graft.ops.Multimodal.perceptualDedup]]'s probe
+   * side — media-ingest dedup: each arriving payload is signatured
+   * through the SAME per-partition [[graft.ops.Multimodal.MediaCodec]]
+   * lifecycle (`open()` once per partition of every micro-batch),
+   * pigeonhole-banded, and probed against a STATIC historical signature
+   * set ([[graft.ops.Multimodal.perceptualSignatures]] output); band
+   * candidates verify by exact `bit_count(xor)` Hamming and a doc whose
+   * best candidate passes emits (window, doc_id, dup_of, hamming) when
+   * its window expires.
+   *
+   * Flood guard, [[neardupStream]]'s: the static side pre-reduces each
+   * band bucket to its min-id REPRESENTATIVE row (signature included),
+   * so a probe meets ≤ 4 candidates however flooded a bucket is —
+   * bounded and deterministic; a near-dup hiding behind a bucket's
+   * representative is the documented recall trade (batch
+   * perceptualDedup is the exhaustive pass). `dup_of` is the min
+   * passing candidate id, `hamming` the min passing distance.
+   */
+  def phashStream(media: DataFrame, staticSigs: DataFrame,
+      codec: graft.ops.Multimodal.MediaCodec = graft.ops.Multimodal.MediaCodec.Stub,
+      maxHamming: Int = 3, windowLen: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = media
+      .select(col("doc_id").cast("long"), col("media_type"),
+        col("payload"), col("event_time"))
+      .as[(Long, String, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions { rows =>
+        val session = codec.open()
+        val out = rows.map { case (id, mt, pl, et) =>
+          val b = session.pHashBands(mt, pl)
+          (id, b(0), b(1), b(2), b(3), et)
+        }
+        new Iterator[(Long, Int, Int, Int, Int, java.sql.Timestamp)] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) session.close()
+            h
+          }
+          def next(): (Long, Int, Int, Int, Int, java.sql.Timestamp) = out.next()
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "event_time")
+    val banded = sigs.select(col("doc_id"), col("event_time"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val idx = staticSigs
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band_idx", "band_val")))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(min(struct(col("doc_id"), col("b0"), col("b1"), col("b2"),
+        col("b3"))).as("ex"))
+    val ham = (0 to 3).map(i =>
+      bit_count(expr(s"b$i ^ ex.b$i"))).reduce(_ + _).cast("long")
+    banded
+      .withWatermark("event_time", watermarkDelay)
+      .join(idx, Seq("band_idx", "band_val"))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(window(col("event_time"), windowLen), col("doc_id"))
+      .agg(min(col("ex.doc_id")).as("dup_of"), min(col("hamming")).as("hamming"))
+  }
+
+  /**
    * Gap-based (30 min) sessionization with
    * `flatMapGroupsWithState` + event-time timeout: batch events merge
    * into the open session; a gap or watermark timeout closes and emits

@@ -617,6 +617,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("phashStream: media ingest probes the static perceptual index, byte-dup flags at Hamming 0") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ops.{MediaRecord, Multimodal}
+
+    val p1 = "the same leading frame bytes".getBytes("UTF-8")
+    val p2 = "completely different payload".getBytes("UTF-8")
+    val hist = spark.createDataset(Seq(
+      MediaRecord(1L, "image/stub", p1), MediaRecord(2L, "image/stub", p2)))
+    val staticSigs = Multimodal.perceptualSignatures(hist).toDF()
+      .localCheckpoint(true)
+
+    val in = MemoryStream[(Long, String, Array[Byte], Long)]
+    val media = in.toDF().toDF("doc_id", "media_type", "payload", "ts")
+      .withColumn("event_time",
+        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.phashStream(media, staticSigs)
+      .writeStream.format("memory").queryName("ph_out")
+      .outputMode("append").start()
+    try {
+      // doc 100 re-ingests p1's bytes (stub signature collides -> dup
+      // of 1 at Hamming 0); doc 101 is novel
+      in.addData(Seq((100L, "image/stub", p1, Base),
+        (101L, "image/stub", "novel bytes never seen".getBytes("UTF-8"), Base)))
+      q.processAllAvailable()
+      in.addData(Seq((999L, "image/stub", p2, Base + 1000L * MinNs)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, dup_of, hamming FROM ph_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rows.contains(100L) && rows(100L) == ((1L, 0L)), rows.toString)
+      assert(!rows.contains(101L), rows.toString)
+    } finally q.stop()
+  }
+
   test("sessionPathsStream: out-of-order micro-batches yield the batch journey prefix") {
     implicit val s = spark
     import s.implicits._
