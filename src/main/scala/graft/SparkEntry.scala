@@ -2001,6 +2001,18 @@ object SparkEntry {
       // integer-micro metric, Welch z from exact n·S2−S1² state
       Events.abLift(t(s, dir, "events"))),
 
+    "q_k_anonymity" -> ((s, dir) =>
+      // privacy audit: how much of the corpus sits in quasi-identifier
+      // classes smaller than k=5 over (lang, source, length-bucket)
+      Stats.kAnonymity(
+        docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
+        Seq("lang", "source", "len_bucket"), k = 5)),
+
+    "q_benford" -> ((s, dir) =>
+      // fabricated-numbers audit: first-digit distribution of extended
+      // price vs Benford, chi^2 as a digit-ordered left fold
+      Stats.benford(t(s, dir, "lineitem"), "l_extendedprice")),
+
     "q_phash_dedup" -> ((s, dir) => {
       // frame/image-level perceptual dedup plumbing: per-partition codec
       // signatures -> 4x16-bit pigeonhole banding -> bit_count(xor)
@@ -4712,6 +4724,33 @@ object SparkEntry {
          |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
          |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
          |FROM w""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH c AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+        |    count(*) AS n FROM documents GROUP BY 1, 2, 3)
+        |SELECT sum(n)::BIGINT AS n_rows, count(*) AS n_classes,
+        |  sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_below_k,
+        |  round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+        |    / sum(n)::DOUBLE, 6) AS share_below_k,
+        |  min(n) AS min_class, max(n) AS max_class
+        |FROM c""".stripMargin,
+
+    "q_benford" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS m
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+        |d AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS d,
+        |    count(*) AS n FROM v GROUP BY 1),
+        |tt AS (SELECT sum(n)::BIGINT AS t FROM d),
+        |f AS (SELECT round(list_reduce(list(
+        |      ((n::DOUBLE - tt.t::DOUBLE * log10(1.0 + 1.0 / d))
+        |       * (n::DOUBLE - tt.t::DOUBLE * log10(1.0 + 1.0 / d)))
+        |      / (tt.t::DOUBLE * log10(1.0 + 1.0 / d))
+        |      ORDER BY d), (a, b) -> a + b), 6) AS chi2
+        |  FROM d CROSS JOIN tt)
+        |SELECT d.d, d.n, round(d.n::DOUBLE / tt.t::DOUBLE, 6) AS observed,
+        |  round(log10(1.0 + 1.0 / d.d), 6) AS expected, f.chi2
+        |FROM d CROSS JOIN tt CROSS JOIN f""".stripMargin,
 
     "q_phash_dedup" ->
       s"""WITH sg AS (SELECT doc_id,

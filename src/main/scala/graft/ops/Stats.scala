@@ -266,6 +266,75 @@ object Stats {
   }
 
   /**
+   * K-ANONYMITY audit over quasi-identifier columns — the re-ID risk
+   * diagnostic a privacy review asks for before a dataset ships: group
+   * rows by the quasi-identifier tuple, then report how much of the
+   * data lives in equivalence classes smaller than k (those rows are
+   * the linkable ones — a class of 1 is a fingerprint). One map-side-
+   * combinable aggregate over the quasi columns, then one global fold
+   * of the |classes|-row frame; every output but the share is an exact
+   * integer, and the share is one fixed-order double division.
+   * Null quasi values group as their own class (SQL GROUP BY
+   * semantics; a null is as linkable as any value).
+   */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    classes.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_below_k"),
+      min(col("n")).as("min_class"),
+      max(col("n")).as("max_class"))
+      .select(col("n_rows"), col("n_classes"), col("rows_below_k"),
+        round(col("rows_below_k").cast("double") /
+          col("n_rows").cast("double"), 6).as("share_below_k"),
+        col("min_class"), col("max_class"))
+  }
+
+  /**
+   * BENFORD first-digit audit — the fabricated-numbers smell test:
+   * empirical first-significant-digit frequencies of a positive
+   * numeric column vs Benford's log10(1 + 1/d) expectation, plus the
+   * χ² statistic over the 9 digits. Digit extraction is string-exact
+   * (first char of the integer-scaled magnitude — no float log10 on
+   * the data path); counts are exact integers and the χ² is a 9-term
+   * fixed-order double fold, so the result is engine-replayable.
+   * Non-positive and null values are excluded by contract (Benford is
+   * only defined on positive magnitudes).
+   */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // integer cents: exact first digit for money-scale columns — never
+    // a float log10 on the data path
+    val mag = round(col(valueCol) * 100).cast("long")
+    val digits = df
+      .filter(col(valueCol).isNotNull && mag > 0L)
+      .select(substring(mag.cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    // ONE row carrying the digit-ordered (d, n) array: the integer total
+    // is order-free; the χ² is a LEFT FOLD in digit order (a bag-order
+    // double sum could flip a 6-dp boundary vs the oracle)
+    val folded = digits
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("dn"))
+      .withColumn("t",
+        expr("aggregate(transform(dn, x -> x.n), 0L, (a, x) -> a + x)"))
+      .withColumn("chi2", round(expr(
+        "aggregate(transform(dn, x -> " +
+          "((CAST(x.n AS DOUBLE) - CAST(t AS DOUBLE) * log10(1.0 + 1.0 / x.d))" +
+          " * (CAST(x.n AS DOUBLE) - CAST(t AS DOUBLE) * log10(1.0 + 1.0 / x.d)))" +
+          " / (CAST(t AS DOUBLE) * log10(1.0 + 1.0 / x.d))), " +
+          "0D, (a, x) -> a + x)"), 6))
+    folded.select(col("t"), col("chi2"), explode(col("dn")).as("x"))
+      .select(col("x.d").as("d"), col("x.n").as("n"),
+        round(col("x.n").cast("double") / col("t").cast("double"), 6)
+          .as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("x.d")), 6).as("expected"),
+        col("chi2"))
+  }
+
+  /**
    * Leave-one-out TARGET ENCODING with additive smoothing — the
    * leakage-safe categorical feature (Micci-Barreca 2001): each row's
    * category is encoded as the smoothed mean target of the OTHER rows

@@ -393,6 +393,41 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("kAnonymity: class-size fold, null quasi values are their own class") {
+    // classes: ("a",1)x1, ("a",2)x2, ("b",1)x5, (null,1)x2  -> k=5:
+    // below-k rows = 1 + 2 + 2 = 5 of 10
+    val df = (Seq(("a", 1, 0)) ++ Seq.fill(2)(("a", 2, 0)) ++
+      Seq.fill(5)(("b", 1, 0)) ++ Seq.fill(2)((null: String, 1, 0)))
+      .toDF("q1", "q2", "pad")
+    val r = Stats.kAnonymity(df, Seq("q1", "q2"), k = 5).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 4L, 5L)))
+    assert(r.getDouble(3) == 0.5)
+    assert((r.getLong(4), r.getLong(5)) == ((1L, 5L)))
+  }
+
+  test("benford: string-exact digits, exclusions, digit-ordered chi2 fold") {
+    val df = Seq(Some(1.0), Some(2.5), Some(0.19), Some(9.99),
+      Some(0.001), Some(-5.0), None).toDF("v")
+    val out = Stats.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // 0.001 -> cents 0 (excluded); -5 and null excluded; t = 4
+    assert(out.keySet == Set(1, 2, 9))
+    val (n1, o1, e1, chi) = out(1)
+    assert(n1 == 2L && o1 == 0.5)
+    assert(e1 == math.round(math.log10(2.0) * 1e6) / 1e6)
+    // chi2 replayed with the same digit-ordered fold
+    val t = 4.0
+    val exp = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val ns = Map(1 -> 2.0, 2 -> 1.0, 9 -> 1.0)
+    val want = Seq(1, 2, 9).foldLeft(0.0) { (a, d) =>
+      val e = t * exp(d - 1)
+      a + (ns(d) - e) * (ns(d) - e) / e
+    }
+    assert(chi == math.round(want * 1e6) / 1e6, s"$chi vs $want")
+    assert(out(2)._4 == chi && out(9)._4 == chi)
+  }
+
   test("sessionCooccurrence: distinct-per-session reduction, exact lift, gap split") {
     // user 1 session A: view, click, view (duplicate type must count
     // ONCE); session B (100 min later): view alone.
