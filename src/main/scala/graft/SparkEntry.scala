@@ -2008,6 +2008,13 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("lang", "source", "len_bucket"), k = 5)),
 
+    "q_l_diversity" -> ((s, dir) =>
+      // homogeneity audit: classes that are k-anonymous but carry < 2
+      // distinct languages still leak the language
+      Stats.lDiversity(
+        docs(s, dir).withColumn("len_bucket", expr("n_chars div 200")),
+        Seq("source", "len_bucket"), "lang", l = 2)),
+
     "q_benford" -> ((s, dir) =>
       // fabricated-numbers audit: first-digit distribution of extended
       // price vs Benford, chi^2 as a digit-ordered left fold
@@ -4733,6 +4740,18 @@ object SparkEntry {
         |  round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
         |    / sum(n)::DOUBLE, 6) AS share_below_k,
         |  min(n) AS min_class, max(n) AS max_class
+        |FROM c""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH c AS (SELECT source, n_chars // 200 AS len_bucket,
+        |    count(*) AS n, count(DISTINCT lang) AS n_sensitive
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT sum(n)::BIGINT AS n_rows, count(*) AS n_classes,
+        |  sum(CASE WHEN n_sensitive < 2 THEN n ELSE 0 END)::BIGINT
+        |    AS rows_below_l,
+        |  round(sum(CASE WHEN n_sensitive < 2 THEN n ELSE 0 END)::DOUBLE
+        |    / sum(n)::DOUBLE, 6) AS share_below_l,
+        |  min(n_sensitive) AS min_diversity
         |FROM c""".stripMargin,
 
     "q_benford" ->

@@ -295,6 +295,34 @@ object Stats {
   }
 
   /**
+   * L-DIVERSITY audit — [[kAnonymity]]'s companion: k-anonymity alone
+   * is defeated by a homogeneous class (20 indistinguishable rows that
+   * all share the same sensitive value still leak it); this reports,
+   * per quasi-identifier class, how many DISTINCT sensitive values it
+   * carries, and the share of rows in classes with fewer than `l`.
+   * Two map-side-combinable aggregates (distinct collapses inside the
+   * first) + one global fold; exact integers + one fixed-order share.
+   */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+    classes.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n_sensitive") < l, col("n")).otherwise(0L))
+        .as("rows_below_l"),
+      min(col("n_sensitive")).as("min_diversity"))
+      .select(col("n_rows"), col("n_classes"), col("rows_below_l"),
+        round(col("rows_below_l").cast("double") /
+          col("n_rows").cast("double"), 6).as("share_below_l"),
+        col("min_diversity"))
+  }
+
+  /**
    * BENFORD first-digit audit — the fabricated-numbers smell test:
    * empirical first-significant-digit frequencies of a positive
    * numeric column vs Benford's log10(1 + 1/d) expectation, plus the

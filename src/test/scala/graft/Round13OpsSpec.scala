@@ -405,6 +405,18 @@ class Round13OpsSpec extends AnyFunSuite {
     assert((r.getLong(4), r.getLong(5)) == ((1L, 5L)))
   }
 
+  test("lDiversity: homogeneous classes counted by rows, null sensitive excluded from distinct") {
+    // class A: 3 rows, 1 distinct sensitive (homogeneous -> below l=2)
+    // class B: 2 rows, 2 distinct; class C: 1 row, sensitive null ->
+    // countDistinct 0 -> below l
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "x"), ("b", "y"), ("c", null: String)).toDF("q", "s")
+    val r = Stats.lDiversity(df, Seq("q"), "s", l = 2).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 4L)))
+    assert(r.getDouble(3) == 0.666667) // 6-dp rounded share
+    assert(r.getLong(4) == 0L)
+  }
+
   test("benford: string-exact digits, exclusions, digit-ordered chi2 fold") {
     val df = Seq(Some(1.0), Some(2.5), Some(0.19), Some(9.99),
       Some(0.001), Some(-5.0), None).toDF("v")
