@@ -2008,6 +2008,12 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("lang", "source", "len_bucket"), k = 5)),
 
+    "q_diff_in_diff" -> ((s, dir) =>
+      // trend-robust experiment readout: per-user signed post-minus-pre
+      // delta through abLift's exact Welch fold
+      Events.diffInDiff(t(s, dir, "events"),
+        cutoffMicros = 1705363200000000L)),
+
     "q_l_diversity" -> ((s, dir) =>
       // homogeneity audit: classes that are k-anonymous but carry < 2
       // distinct languages still leak the language
@@ -4741,6 +4747,39 @@ object SparkEntry {
         |    / sum(n)::DOUBLE, 6) AS share_below_k,
         |  min(n) AS min_class, max(n) AS max_class
         |FROM c""".stripMargin,
+
+    "q_diff_in_diff" ->
+      s"""WITH u AS (SELECT user_id,
+         |    sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+         |      THEN CAST(round(value * 1000000) AS BIGINT)
+         |      ELSE -CAST(round(value * 1000000) AS BIGINT) END) AS d,
+         |    (${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |w AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN arm = 0 THEN d ELSE 0 END)::HUGEINT AS s1_c,
+         |    sum(CASE WHEN arm = 0 THEN d::HUGEINT * d::HUGEINT
+         |      ELSE 0 END) AS s2_c,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         |    sum(CASE WHEN arm = 1 THEN d ELSE 0 END)::HUGEINT AS s1_t,
+         |    sum(CASE WHEN arm = 1 THEN d::HUGEINT * d::HUGEINT
+         |      ELSE 0 END) AS s2_t
+         |  FROM u)
+         |SELECT n_c, n_t,
+         |  round(CASE WHEN n_c > 0 THEN s1_c::DOUBLE / n_c / 1e6 END, 6)
+         |    AS delta_c,
+         |  round(CASE WHEN n_t > 0 THEN s1_t::DOUBLE / n_t / 1e6 END, 6)
+         |    AS delta_t,
+         |  round(CASE WHEN n_c > 0 AND n_t > 0
+         |    THEN s1_t::DOUBLE / n_t / 1e6 - s1_c::DOUBLE / n_c / 1e6 END, 6)
+         |    AS did,
+         |  round(CASE WHEN n_c > 1 AND n_t > 1 THEN
+         |    (s1_t::DOUBLE / n_t / 1e6 - s1_c::DOUBLE / n_c / 1e6)
+         |    / sqrt((n_t * s2_t - s1_t * s1_t)::DOUBLE
+         |        / (n_t::DOUBLE * (n_t - 1)::DOUBLE) / 1e12 / n_t
+         |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
+         |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
+         |FROM w""".stripMargin,
 
     "q_l_diversity" ->
       """WITH c AS (SELECT source, n_chars // 200 AS len_bucket,

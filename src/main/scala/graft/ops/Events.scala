@@ -1154,6 +1154,61 @@ object Events {
   }
 
   /**
+   * DIFFERENCE-IN-DIFFERENCES readout — the third leg of the
+   * experimentation family ([[abLift]] raw, [[abCuped]] variance-
+   * reduced, this one trend-robust): per user the SIGNED pre/post
+   * delta D = post-cutoff value sum − pre-cutoff sum (ONE conditional
+   * integer-micro sum: +v after the cutoff, −v before), then
+   * [[abLift]]'s exact Welch fold applied to D. DiD subtracts each
+   * arm's own baseline, so a level difference between arms that
+   * existed BEFORE the cutoff cannot masquerade as treatment effect —
+   * the readout is mean(D_t) − mean(D_c) with a z from exact
+   * n·S2 − S1² moments. Same scale shape as abLift: one user shuffle,
+   * one 8-column global fold, fixed-order double math on the single
+   * result row.
+   */
+  def diffInDiff(events: DataFrame, cutoffMicros: Long): DataFrame = {
+    val byUser = EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        round(col("value") * 1000000).cast("long").as("vmic"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("tsu") >= cutoffMicros, col("vmic"))
+        .otherwise(-col("vmic"))).as("d"))
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+    def armAgg(a: Int, name: String) = Seq(
+      sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n_$name"),
+      // decimal(38,0): s1² at cluster scale overflows a long (ANSI throw)
+      sum(when(col("arm") === a, col("d")).otherwise(0L))
+        .cast("decimal(38,0)").as(s"s1_$name"),
+      sum(when(col("arm") === a,
+        (col("d").cast("decimal(19,0)") * col("d").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).otherwise(lit(0)))
+        .cast("decimal(38,0)").as(s"s2_$name"))
+    val aggs = armAgg(0, "c") ++ armAgg(1, "t")
+    val wide = byUser.agg(aggs.head, aggs.tail: _*)
+    def mean(s: String) = col(s"s1_$s").cast("double") / col(s"n_$s") / 1e6
+    def variance(s: String) =
+      (col(s"n_$s") * col(s"s2_$s") - col(s"s1_$s") * col(s"s1_$s"))
+        .cast("double") /
+        (col(s"n_$s").cast("double") * (col(s"n_$s") - 1L).cast("double")) / 1e12
+    val ok = col("n_c") > 1L && col("n_t") > 1L
+    val both = col("n_c") > 0L && col("n_t") > 0L
+    wide.select(
+      col("n_c"), col("n_t"),
+      round(when(col("n_c") > 0L, mean("c")).otherwise(lit(null)), 6)
+        .as("delta_c"),
+      round(when(col("n_t") > 0L, mean("t")).otherwise(lit(null)), 6)
+        .as("delta_t"),
+      round(when(both, mean("t") - mean("c")).otherwise(lit(null)), 6)
+        .as("did"),
+      round(when(ok, (mean("t") - mean("c")) /
+        sqrt(variance("t") / col("n_t") + variance("c") / col("n_c")))
+        .otherwise(lit(null)), 6).as("z"))
+  }
+
+  /**
    * TOP SESSION PATHS — product-analytics journey mining: the k most
    * common event-type paths, where a path is the first `maxSteps`
    * events of one gap-sessionized visit joined as

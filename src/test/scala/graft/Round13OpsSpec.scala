@@ -393,6 +393,48 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("diffInDiff: baseline level differences cancel; consistency with abCuped inputs") {
+    val cutoff = 1705363200000000L
+    val r = Events.diffInDiff(events, cutoff).collect()(0)
+    // same arms as abLift/abCuped on the same population
+    val cu = Events.abCuped(events, cutoff).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((cu.getLong(0), cu.getLong(1))))
+    // did == mean-delta difference recomputed naively
+    val perUser = graft.ops.EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        round(col("value") * 1000000).cast("long").as("vmic"))
+      .groupBy("user_id")
+      .agg(sum(when(col("tsu") >= cutoff, col("vmic"))
+        .otherwise(-col("vmic"))).as("d"))
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+      .collect().map(x => (x.getLong(1), x.getInt(2)))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    def meanD(a: Int) = {
+      val ds = perUser.filter(_._2 == a).map(_._1)
+      BigInt(ds.sum).toDouble / ds.length / 1e6
+    }
+    assert(r.getDouble(4) == r6(meanD(1) - meanD(0)))
+    // THE DiD invariance: a persistent level difference on one arm
+    // (same +1000.0 injected pre AND post for every arm-0 user) leaves
+    // each user's delta — and therefore the DiD — exactly unchanged,
+    // where abLift's raw post-period lift would shift by 1000
+    val armExpr = (conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 2).cast("int")
+    val arm0 = events.select(col("user_id")).distinct()
+      .withColumn("__a", armExpr).filter(col("__a") === 0).drop("__a")
+    def inject(tsNs: Long, idBase: Long) = arm0.select(
+      (col("user_id") + idBase).as("event_id"), lit(tsNs).as("ts"),
+      col("user_id"), lit("shift").as("event_type"), lit(1000.0).as("value"))
+    val shifted = graft.ops.EventTime.normalizeTs(events)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .unionByName(inject(1704067200000000000L, 1000000L)) // pre-cutoff
+      .unionByName(inject(1706630400000000000L, 2000000L)) // post-cutoff
+    val r2 = Events.diffInDiff(shifted, cutoff).collect()(0)
+    assert(r2.getDouble(4) == r.getDouble(4), "persistent level shift must cancel")
+  }
+
   test("kAnonymity: class-size fold, null quasi values are their own class") {
     // classes: ("a",1)x1, ("a",2)x2, ("b",1)x5, (null,1)x2  -> k=5:
     // below-k rows = 1 + 2 + 2 = 5 of 10
