@@ -2008,6 +2008,12 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("lang", "source", "len_bucket"), k = 5)),
 
+    "q_ab_conversion" -> ((s, dir) =>
+      // binary-metric readout: post-cutoff purchase conversion, pooled
+      // two-proportion z on the md5 arms
+      Events.abConversion(t(s, dir, "events"), "purchase",
+        cutoffMicros = 1705363200000000L)),
+
     "q_diff_in_diff" -> ((s, dir) =>
       // trend-robust experiment readout: per-user signed post-minus-pre
       // delta through abLift's exact Welch fold
@@ -4747,6 +4753,34 @@ object SparkEntry {
         |    / sum(n)::DOUBLE, 6) AS share_below_k,
         |  min(n) AS min_class, max(n) AS max_class
         |FROM c""".stripMargin,
+
+    "q_ab_conversion" ->
+      s"""WITH u AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase'
+         |      AND epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END) AS conv,
+         |    (${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |w AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS x_c,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS x_t
+         |  FROM u)
+         |SELECT n_c, x_c, n_t, x_t,
+         |  round(CASE WHEN n_c > 0 THEN x_c::DOUBLE / n_c::DOUBLE END, 6)
+         |    AS rate_c,
+         |  round(CASE WHEN n_t > 0 THEN x_t::DOUBLE / n_t::DOUBLE END, 6)
+         |    AS rate_t,
+         |  round(CASE WHEN n_c > 0 AND n_t > 0
+         |    THEN x_t::DOUBLE / n_t::DOUBLE - x_c::DOUBLE / n_c::DOUBLE END, 6)
+         |    AS lift,
+         |  round(CASE WHEN n_c > 0 AND n_t > 0 AND x_c + x_t > 0
+         |      AND x_c + x_t < n_c + n_t
+         |    THEN (x_t::DOUBLE / n_t::DOUBLE - x_c::DOUBLE / n_c::DOUBLE)
+         |      / sqrt((x_c + x_t)::DOUBLE / (n_c + n_t)::DOUBLE
+         |        * (1.0 - (x_c + x_t)::DOUBLE / (n_c + n_t)::DOUBLE)
+         |        * (1.0 / n_c::DOUBLE + 1.0 / n_t::DOUBLE)) END, 6) AS z
+         |FROM w""".stripMargin,
 
     "q_diff_in_diff" ->
       s"""WITH u AS (SELECT user_id,

@@ -1154,6 +1154,52 @@ object Events {
   }
 
   /**
+   * CONVERSION-RATE A/B readout — the binary-metric leg of the
+   * experimentation family: a user converts if they have ≥ 1
+   * `convType` event at/after the cutoff; the readout is the
+   * two-proportion z-test (pooled variance) on the md5 arms. Every
+   * moment is an exact integer count (conversion is a per-user
+   * max-flag, order-free); the rate/z math is fixed-order doubles on
+   * the single fold row. z is NULL when either arm is empty or the
+   * pooled rate is degenerate (0 or 1 — no variance to test against).
+   */
+  def abConversion(events: DataFrame, convType: String,
+      cutoffMicros: Long = 0L): DataFrame = {
+    val byUser = EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType &&
+        col("tsu") >= cutoffMicros, 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+    val wide = byUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_c"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_t"))
+    def rate(x: String, n: String) =
+      col(x).cast("double") / col(n).cast("double")
+    val pPool = (col("x_c") + col("x_t")).cast("double") /
+      (col("n_c") + col("n_t")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_c").cast("double") + lit(1.0) / col("n_t").cast("double")))
+    val both = col("n_c") > 0L && col("n_t") > 0L
+    wide.select(
+      col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+      round(when(col("n_c") > 0L, rate("x_c", "n_c")).otherwise(lit(null)), 6)
+        .as("rate_c"),
+      round(when(col("n_t") > 0L, rate("x_t", "n_t")).otherwise(lit(null)), 6)
+        .as("rate_t"),
+      round(when(both, rate("x_t", "n_t") - rate("x_c", "n_c"))
+        .otherwise(lit(null)), 6).as("lift"),
+      round(when(both && col("x_c") + col("x_t") > 0L &&
+          col("x_c") + col("x_t") < col("n_c") + col("n_t"),
+        (rate("x_t", "n_t") - rate("x_c", "n_c")) / se)
+        .otherwise(lit(null)), 6).as("z"))
+  }
+
+  /**
    * DIFFERENCE-IN-DIFFERENCES readout — the third leg of the
    * experimentation family ([[abLift]] raw, [[abCuped]] variance-
    * reduced, this one trend-robust): per user the SIGNED pre/post

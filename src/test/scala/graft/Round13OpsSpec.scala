@@ -393,6 +393,46 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("abConversion: per-user max flag, pooled z, degenerate-rate guards") {
+    // hand frame with KNOWN md5 arms: users 0..9 — compute arms, then
+    // give arm-1 users purchases and arm-0 users none except user A
+    val armOf = (0L to 9L).map { u =>
+      u -> Events.abConversion(
+        Seq((1L, 1704067200000000000L, u, "view", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "purchase").collect()(0).getLong(0) // n_c==1 means arm 0
+    }.toMap.map { case (u, nc) => u -> (if (nc == 1L) 0 else 1) }
+    val c0 = armOf.filter(_._2 == 0).keys.toSeq.sorted
+    val c1 = armOf.filter(_._2 == 1).keys.toSeq.sorted
+    assert(c0.nonEmpty && c1.nonEmpty)
+    // every arm-1 user converts (two purchase events must count ONCE);
+    // arm-0: exactly one converts
+    val ts0 = 1704067200000000000L
+    val evs = (c1.flatMap(u => Seq(
+        (u * 10 + 1, ts0, u, "purchase", 1.0),
+        (u * 10 + 2, ts0 + 1000000000L, u, "purchase", 1.0))) ++
+      c0.map(u => (u * 10 + 3, ts0, u, "view", 1.0)) :+
+      ((c0.head * 10 + 4, ts0, c0.head, "purchase", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.abConversion(evs, "purchase").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((c0.length.toLong, 1L, c1.length.toLong, c1.length.toLong)))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val (nc, nt) = (c0.length.toDouble, c1.length.toDouble)
+    val (pc, pt) = (1.0 / nc, 1.0)
+    val pp = (1.0 + nt) / (nc + nt)
+    assert(r.getDouble(6) == r6(pt - pc))
+    assert(r.getDouble(7) ==
+      r6((pt - pc) / math.sqrt(pp * (1.0 - pp) * (1.0 / nc + 1.0 / nt))))
+    // degenerate: everyone converts -> pooled rate 1 -> z NULL, lift 0
+    val all = Events.abConversion(evs.withColumn("event_type",
+      lit("purchase")), "purchase").collect()(0)
+    assert(all.getDouble(6) == 0.0 && all.isNullAt(7))
+    // cutoff after all data: nobody converts -> z NULL, rates 0
+    val none = Events.abConversion(evs, "purchase", Long.MaxValue).collect()(0)
+    assert(none.getDouble(4) == 0.0 && none.getDouble(5) == 0.0 && none.isNullAt(7))
+  }
+
   test("diffInDiff: baseline level differences cancel; consistency with abCuped inputs") {
     val cutoff = 1705363200000000L
     val r = Events.diffInDiff(events, cutoff).collect()(0)
