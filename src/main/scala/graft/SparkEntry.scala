@@ -2008,6 +2008,13 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("lang", "source", "len_bucket"), k = 5)),
 
+    "q_percentile_weighted" -> ((s, dir) =>
+      // volume-weighted price percentiles: a flood of small lines can't
+      // dominate the statistic the way it dominates the row count
+      Stats.percentileWeighted(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", "l_quantity",
+        Seq("p50" -> 0.5, "p90" -> 0.9))),
+
     "q_ab_conversion" -> ((s, dir) =>
       // binary-metric readout: post-cutoff purchase conversion, pooled
       // two-proportion z on the md5 arms
@@ -4753,6 +4760,20 @@ object SparkEntry {
         |    / sum(n)::DOUBLE, 6) AS share_below_k,
         |  min(n) AS min_class, max(n) AS max_class
         |FROM c""".stripMargin,
+
+    "q_percentile_weighted" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |c AS (SELECT *, sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM r)
+        |SELECT l_returnflag,
+        |  round(min(CASE WHEN cw::DOUBLE >= 0.5 * tw::DOUBLE THEN v END), 6)
+        |    AS p50,
+        |  round(min(CASE WHEN cw::DOUBLE >= 0.9 * tw::DOUBLE THEN v END), 6)
+        |    AS p90
+        |FROM c GROUP BY l_returnflag""".stripMargin,
 
     "q_ab_conversion" ->
       s"""WITH u AS (SELECT user_id,

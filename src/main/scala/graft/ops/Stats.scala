@@ -65,6 +65,40 @@ object Stats {
   }
 
   /**
+   * WEIGHTED exact percentiles per group — the corpus-accounting form
+   * of [[percentileExact]]: "the doc-length p50 weighted by TOKENS"
+   * weights each row by its mass, so a million tiny docs can't
+   * dominate the statistic the way they dominate the row count. Uses
+   * the lower-cumulative-weight definition (smallest v whose
+   * cumulative weight reaches p·W — a step function, no
+   * interpolation), which with INTEGER weights is fully deterministic
+   * and engine-replayable. Ties are handled by a RANGE frame (all
+   * rows of equal value share one cumulative weight — intra-tie order
+   * cannot matter, so neither can partitioning). One group-keyed
+   * window + one map-side-combinable min aggregation.
+   *
+   * PRECONDITION (as [[percentileExact]]): non-null, non-NaN values;
+   * weights non-null and ≥ 0 integers.
+   */
+  def percentileWeighted(df: DataFrame, keys: Seq[String], valueCol: String,
+      weightCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(keyCols: _*)
+    val ranked = df
+      .select((keyCols :+ col(valueCol).cast("double").as("__v") :+
+        col(weightCol).cast("long").as("__w")): _*)
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__tw", sum(col("__w")).over(full))
+    val aggs = ps.map { case (name, p) =>
+      round(min(when(col("__cw").cast("double") >=
+        lit(p) * col("__tw").cast("double"), col("__v"))), 6).as(name)
+    }
+    ranked.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Robust center/spread/outliers per group — median, MAD (median
    * absolute deviation), and the count of |x − med| > 3·MAD outliers.
    * The robust complement of the moment aggregates: one wild value

@@ -146,7 +146,26 @@ object ScaleStress {
     // compute on 100× pairs from a 10× input.
     val pairCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "similarity_join" -> (d => Dedup.similarityJoinExact(d, "doc_id", "text", 1, 2)),
-      "winnow_pairs" -> (d => Dedup.winnowPairs(d, "doc_id", "text")))
+      "winnow_pairs" -> (d => Dedup.winnowPairs(d, "doc_id", "text")),
+      // r13: stub signatures are content-derived, so a 10x dup replica
+      // floods band buckets with identical signatures — pair output is
+      // quadratic in multiplicity by CONTRACT; wall must track output
+      "phash_dedup" -> (d => {
+        implicit val sp = d.sparkSession
+        import sp.implicits._
+        graft.ops.Multimodal.perceptualDedup(
+          graft.ops.Multimodal.asMediaTable(
+            d.withColumn("text", substring(col("text"), 1, 200)),
+            "doc_id", "text").as[graft.ops.MediaRecord])
+      }),
+      // r13: per-block quadratic linkage — duplicate-heavy replicas grow
+      // block populations 10x, candidates ~100x; the block key is the
+      // documented lever
+      "link_records" -> (d => {
+        val n = d.withColumn("nm", substring(col("text"), 1, 40))
+        Dedup.linkRecords(n, n, "doc_id", "nm", "doc_id", "nm",
+          threshold = 0.95, blockPrefix = 12)
+      }))
     // event-time suite on 10× USERS (same per-key density): these are
     // all key-partitioned windows / banded equi-joins, so wall should
     // track input, never key-count² — the r10-broken suite's scale proof
@@ -202,6 +221,11 @@ object ScaleStress {
       "ab_cuped" -> (e => graft.ops.Events.abCuped(e, 1705363200000000L)),
       // r13: (type, day) collapse + shifted self-join — near-flat
       "seasonal_error" -> (e => graft.ops.Events.seasonalError(e)),
+      // r13: distinct (session, type) reduction bounds the pair join
+      "session_cooccur" -> (e => graft.ops.Events.sessionCooccurrence(e)),
+      // r13: one user shuffle + single-row folds
+      "diff_in_diff" -> (e => graft.ops.Events.diffInDiff(e, 1705363200000000L)),
+      "ab_conversion" -> (e => graft.ops.Events.abConversion(e, "purchase")),
       "level_shift" -> (e => graft.ops.Events.levelShift(e)),
       // r13: count shuffle + distinct-count-value fold — with 10× USERS
       // the tiny value frame is the only serial piece

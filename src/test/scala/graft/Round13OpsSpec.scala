@@ -393,6 +393,39 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("percentileWeighted: lower-cumulative step, tie RANGE frame, mass dominance") {
+    // group g: values 1..4 with weights 1,1,1,7 -> W=10:
+    //   p50 target 5 -> smallest v with cumW>=5 is 4 (cum: 1,2,3,10)
+    //   p10 target 1 -> v=1
+    // group h: tied values 2,2 (w 3,3) then 9 (w 4) -> cum(2)=6 >= 5 -> p50=2
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L), ("g", 4.0, 7L),
+      ("h", 2.0, 3L), ("h", 2.0, 3L), ("h", 9.0, 4L))
+      .toDF("k", "v", "w")
+    val out = Stats.percentileWeighted(df, Seq("k"), "v", "w",
+      Seq("p10" -> 0.1, "p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out("g") == ((1.0, 4.0)))
+    assert(out("h")._2 == 2.0)
+    // partitioning cannot matter (RANGE frame shares cumW across ties)
+    val shuffled = Stats.percentileWeighted(df.repartition(7), Seq("k"), "v", "w",
+      Seq("p10" -> 0.1, "p50" -> 0.5)).collect().map(_.toSeq).toSet
+    assert(shuffled == Stats.percentileWeighted(df, Seq("k"), "v", "w",
+      Seq("p10" -> 0.1, "p50" -> 0.5)).collect().map(_.toSeq).toSet)
+    // uniform weights degenerate to the unweighted step percentile on
+    // real data: smallest v with >= p fraction of rows at or below
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag").as("k"),
+        col("l_extendedprice").cast("double").as("v"))
+    val got = Stats.percentileWeighted(li.withColumn("w", lit(1L)),
+      Seq("k"), "v", "w", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val naive = li.collect().groupBy(_.getString(0)).map { case (k, rs) =>
+      val vs = rs.map(_.getDouble(1)).sorted
+      k -> vs(math.ceil(0.5 * vs.length).toInt - 1)
+    }
+    got.foreach { case (k, v) => assert(v == naive(k), s"$k: $v vs ${naive(k)}") }
+  }
+
   test("abConversion: per-user max flag, pooled z, degenerate-rate guards") {
     // hand frame with KNOWN md5 arms: users 0..9 — compute arms, then
     // give arm-1 users purchases and arm-0 users none except user A
