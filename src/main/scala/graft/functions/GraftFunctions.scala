@@ -222,6 +222,16 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"graft_topk requires (id, score, k-literal), got ${other.size} args")
     })
+    // graft_path_prefix(ts, id, label, k) — the earliest-k journey
+    // aggregate in SQL (usable under session_window there too)
+    ColumnBridge.registerFunction(spark, "graft_path_prefix", {
+      case Seq(ts, id, label, kExpr) if kExpr.foldable =>
+        PathPrefix(ts, id, label,
+          kExpr.eval().asInstanceOf[Number].intValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_path_prefix requires (ts, id, label, k-literal), got ${other.size} args")
+    })
     // graft_hll(x, b) — b must be a foldable integer literal
     ColumnBridge.registerFunction(spark, "graft_hll", {
       case Seq(x, bExpr) if bExpr.foldable =>

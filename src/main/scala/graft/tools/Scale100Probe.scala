@@ -104,7 +104,11 @@ object Scale100Probe {
           "conv_id", "value", 86400000000L)
       }),
       "interarrival" -> (e => Events.interArrival(e)),
-      "top_paths" -> (e => Events.topPaths(e)))
+      "top_paths" -> (e => Events.topPaths(e)),
+      // r13 wave 3: the session aggregate's per-partition session sort
+      // is the cost driver; feature_windows collapses map-side first
+      "session_paths" -> (e => Events.sessionPaths(e)),
+      "feature_windows" -> (e => Events.featureWindows(e)))
     // duplicate-flood dedup family: at ×N every band bucket holds ≥N
     // copies, so capped banding's star branch IS the measured path
     val docCases: Seq[(String, DataFrame => DataFrame)] = Seq(

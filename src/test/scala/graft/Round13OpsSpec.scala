@@ -827,6 +827,15 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == Events.featureWindows(evs).collect().map(_.toSeq).toSet)
   }
 
+  test("graft_path_prefix: the journey aggregate is SQL-registered") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val out = spark.sql(
+      "SELECT graft_path_prefix(tsu, id, lbl, 2) FROM VALUES " +
+        "(3L, 1L, 'b'), (1L, 2L, 'a'), (2L, 3L, 'c') AS t(tsu, id, lbl)")
+      .collect()(0).getString(0)
+    assert(out == "a>c") // earliest 2 by (ts, id), joined in time order
+  }
+
   test("sessionPaths: maxSteps=1 degenerates to the session's first event type") {
     val got = Events.sessionPaths(events, maxSteps = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
