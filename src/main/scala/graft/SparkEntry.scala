@@ -2008,6 +2008,18 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("lang", "source", "len_bucket"), k = 5)),
 
+    "q_feature_incremental" -> ((s, dir) => {
+      // feature-store maintenance: history lives as the stored day
+      // frame; the post-cutoff shard refreshes ONLY touched users —
+      // bit-equal to the full recompute restricted to them
+      val e = t(s, dir, "events")
+      val cutNs = 1705363200000000000L
+      Events.featureWindowsIncremental(
+        Events.featureDayFrame(
+          graft.ops.EventTime.normalizeTs(e).filter(col("ts") < cutNs)),
+        graft.ops.EventTime.normalizeTs(e).filter(col("ts") >= cutNs))
+    }),
+
     "q_percentile_weighted" -> ((s, dir) =>
       // volume-weighted price percentiles: a flood of small lines can't
       // dominate the statistic the way it dominates the row count
@@ -4760,6 +4772,26 @@ object SparkEntry {
         |    / sum(n)::DOUBLE, 6) AS share_below_k,
         |  min(n) AS min_class, max(n) AS max_class
         |FROM c""".stripMargin,
+
+    "q_feature_incremental" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vmic,
+        |    epoch_us(ts) AS tsu FROM events),
+        |t AS (SELECT DISTINCT user_id FROM e
+        |  WHERE tsu >= 1705363200000000),
+        |d AS (SELECT e.user_id, day, count(*) AS n_1d, sum(vmic) AS vm
+        |  FROM e JOIN t ON t.user_id = e.user_id GROUP BY 1, 2)
+        |SELECT user_id, day, n_1d,
+        |  CAST(sum(n_1d) OVER w7 AS BIGINT) AS n_7d,
+        |  CAST(sum(n_1d) OVER w28 AS BIGINT) AS n_28d,
+        |  round(CAST(sum(vm) OVER w7 AS DOUBLE) / 1000000.0, 6) AS v_7d,
+        |  day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |    AS days_since_prev
+        |FROM d
+        |WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  w28 AS (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_percentile_weighted" ->
       """WITH r AS (SELECT l_returnflag,

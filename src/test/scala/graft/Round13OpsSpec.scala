@@ -393,6 +393,36 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("featureWindowsIncremental: merge-then-window equals full recompute for touched users only") {
+    val dayNs = 86400L * 1000000000L
+    def ev(id: Long, u: Long, d: Long, v: Double) =
+      (id, BaseNs + d * dayNs + id * 1000000L, u, "view", v)
+    // history: users 1, 2, 3 active across days 0..10
+    val pre = Seq(ev(1, 1, 0, 1.0), ev(2, 1, 3, 2.0), ev(3, 1, 8, 3.0),
+      ev(4, 2, 1, 5.0), ev(5, 2, 9, 1.5), ev(6, 3, 2, 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // shard: touches users 1 (new day + an EXISTING day) and 4 (new)
+    val post = Seq(ev(10, 1, 8, 0.5), ev(11, 1, 12, 1.0), ev(12, 4, 12, 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val incr = Events.featureWindowsIncremental(
+      Events.featureDayFrame(pre), post)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val full = Events.featureWindows(pre.unionByName(post))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    // exactly the touched users' rows, bit-equal to the full recompute
+    assert(incr.keys.map(_._1).toSet == Set(1L, 4L))
+    incr.foreach { case (k, v) => assert(full(k) == v, k.toString) }
+    assert(incr.keySet == full.keySet.filter(k => k._1 == 1L || k._1 == 4L))
+    // the existing-day merge summed partials: user 1 day 8 now has 2 events
+    assert(incr((1L, 19723L + 8L)).head == 2L)
+    // day-frame additivity (what makes persistence exact)
+    val mergedDays = Events.mergeFeatureDays(Events.featureDayFrame(pre), post)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fullDays = Events.featureDayFrame(pre.unionByName(post))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(mergedDays == fullDays)
+  }
+
   test("percentileWeighted: lower-cumulative step, tie RANGE frame, mass dominance") {
     // group g: values 1..4 with weights 1,1,1,7 -> W=10:
     //   p50 target 5 -> smallest v with cumW>=5 is 4 (cum: 1,2,3,10)
