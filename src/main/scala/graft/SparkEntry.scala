@@ -2008,6 +2008,10 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("lang", "source", "len_bucket"), k = 5)),
 
+    "q_stickiness" -> ((s, dir) =>
+      // engagement ratio: DAU / trailing-28d MAU per observed day
+      Events.stickiness(t(s, dir, "events"), windowDays = 28)),
+
     "q_feature_incremental" -> ((s, dir) => {
       // feature-store maintenance: history lives as the stored day
       // frame; the post-cutoff shard refreshes ONLY touched users —
@@ -4772,6 +4776,20 @@ object SparkEntry {
         |    / sum(n)::DOUBLE, 6) AS share_below_k,
         |  min(n) AS min_class, max(n) AS max_class
         |FROM c""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |ex AS (SELECT ud.day + t.j AS day, user_id, t.j AS off
+        |  FROM ud, unnest(range(0, 28)) AS t(j))
+        |SELECT ex.day AS day,
+        |  count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+        |  count(DISTINCT user_id) AS mau,
+        |  round(count(DISTINCT CASE WHEN off = 0 THEN user_id END)::DOUBLE
+        |    / count(DISTINCT user_id)::DOUBLE, 6) AS stickiness
+        |FROM ex JOIN days ON ex.day = days.day
+        |GROUP BY ex.day""".stripMargin,
 
     "q_feature_incremental" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,

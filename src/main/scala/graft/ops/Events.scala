@@ -859,6 +859,21 @@ object Events {
   }
 
   /**
+   * STICKINESS — DAU / trailing-`windowDays` MAU per day, the
+   * engagement ratio product teams track ("of everyone active this
+   * month, how many came back today"): 1.0 = everyone daily, ~1/30 =
+   * everyone monthly. Built on [[rollingDistinctUsers]]'s explode
+   * shape (exact distinct counts, no self-join); the ratio is one
+   * fixed-order double per observed day, and an observed day always
+   * has dau ≥ 1 so the division can't hit zero.
+   */
+  def stickiness(events: DataFrame, windowDays: Int = 28): DataFrame =
+    rollingDistinctUsers(events, windowDays)
+      .select(col("day"), col("dau"), col("wau").as("mau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+
+  /**
    * Sketch-based DAU/WAU — the 100-TB shape of [[rollingDistinctUsers]]:
    * ONE pass builds a 2^b-byte HLL register array per day (map-side
    * combinable, so the shuffle carries a few sketches per partition —

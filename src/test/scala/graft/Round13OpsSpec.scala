@@ -393,6 +393,22 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("stickiness: ratio bounds, daily-everyone = 1.0, window consistency on real events") {
+    val out = Events.stickiness(events, windowDays = 28).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, dau, mau, st) =>
+      assert(dau >= 1L && mau >= dau)
+      assert(st > 0.0 && st <= 1.0)
+      assert(st == math.round(dau.toDouble / mau * 1e6) / 1e6)
+    }
+    // a single-user daily stream has stickiness exactly 1.0 everywhere
+    val daily = (0L until 5L).map(d =>
+      (d, BaseNs + d * 86400L * 1000000000L, 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.stickiness(daily).collect().forall(_.getDouble(3) == 1.0))
+  }
+
   test("featureWindowsIncremental: merge-then-window equals full recompute for touched users only") {
     val dayNs = 86400L * 1000000000L
     def ev(id: Long, u: Long, d: Long, v: Double) =
