@@ -2008,6 +2008,10 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("lang", "source", "len_bucket"), k = 5)),
 
+    "q_bounce_rate" -> ((s, dir) =>
+      // single-event-session share per day on the compact session frame
+      Events.bounceRate(t(s, dir, "events"))),
+
     "q_stickiness" -> ((s, dir) =>
       // engagement ratio: DAU / trailing-28d MAU per observed day
       Events.stickiness(t(s, dir, "events"), windowDays = 28)),
@@ -2030,6 +2034,11 @@ object SparkEntry {
       Stats.percentileWeighted(t(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_extendedprice", "l_quantity",
         Seq("p50" -> 0.5, "p90" -> 0.9))),
+
+    "q_ab_power" -> ((s, dir) =>
+      // experiment sizing: the MDE this population's variance allows at
+      // alpha=.05 / 80% power, from exact Welch moments
+      Events.abPower(t(s, dir, "events"))),
 
     "q_ab_conversion" -> ((s, dir) =>
       // binary-metric readout: post-cutoff purchase conversion, pooled
@@ -4777,6 +4786,24 @@ object SparkEntry {
         |  min(n) AS min_class, max(n) AS max_class
         |FROM c""".stripMargin,
 
+    "q_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new FROM l),
+        |c AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s),
+        |g AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |    min(tsu) // 86400000000 AS day
+        |  FROM c GROUP BY 1, 2)
+        |SELECT day, count(*) AS n_sessions,
+        |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+        |  round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS bounce_rate
+        |FROM g GROUP BY day""".stripMargin,
+
     "q_stickiness" ->
       """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |    user_id FROM events),
@@ -4824,6 +4851,36 @@ object SparkEntry {
         |  round(min(CASE WHEN cw::DOUBLE >= 0.9 * tw::DOUBLE THEN v END), 6)
         |    AS p90
         |FROM c GROUP BY l_returnflag""".stripMargin,
+
+    "q_ab_power" ->
+      s"""WITH u AS (SELECT user_id,
+         |    sum(CAST(round(value * 1000000) AS BIGINT)) AS sm,
+         |    (${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |w AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN arm = 0 THEN sm ELSE 0 END)::HUGEINT AS s1_c,
+         |    sum(CASE WHEN arm = 0 THEN sm::HUGEINT * sm::HUGEINT
+         |      ELSE 0 END) AS s2_c,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         |    sum(CASE WHEN arm = 1 THEN sm ELSE 0 END)::HUGEINT AS s1_t,
+         |    sum(CASE WHEN arm = 1 THEN sm::HUGEINT * sm::HUGEINT
+         |      ELSE 0 END) AS s2_t
+         |  FROM u),
+         |m AS (SELECT *,
+         |    sqrt((n_t * s2_t - s1_t * s1_t)::DOUBLE
+         |        / (n_t::DOUBLE * (n_t - 1)::DOUBLE) / 1e12 / n_t
+         |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
+         |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) AS se,
+         |    s1_c::DOUBLE / n_c / 1e6 AS mean_c
+         |  FROM w)
+         |SELECT n_c, n_t,
+         |  round(CASE WHEN n_c > 1 AND n_t > 1 THEN se END, 6) AS se,
+         |  round(CASE WHEN n_c > 1 AND n_t > 1
+         |    THEN (1.959964 + 0.841621) * se END, 6) AS mde_abs,
+         |  round(CASE WHEN n_c > 1 AND n_t > 1 AND mean_c <> 0.0
+         |    THEN (1.959964 + 0.841621) * se / mean_c END, 6) AS mde_rel
+         |FROM m""".stripMargin,
 
     "q_ab_conversion" ->
       s"""WITH u AS (SELECT user_id,

@@ -859,6 +859,22 @@ object Events {
   }
 
   /**
+   * BOUNCE RATE per session-start day — the share of visits that
+   * ended after ONE event: [[sessionize]]'s output collapsed to
+   * (day, sessions, bounces, rate). Integer counts on the compact
+   * session frame, one fixed-order ratio; a day with sessions always
+   * has ≥ 1, so the division is total.
+   */
+  def bounceRate(events: DataFrame): DataFrame =
+    sessionize(events)
+      .groupBy(expr("start_us div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") /
+          col("n_sessions").cast("double"), 6).as("bounce_rate"))
+
+  /**
    * STICKINESS — DAU / trailing-`windowDays` MAU per day, the
    * engagement ratio product teams track ("of everyone active this
    * month, how many came back today"): 1.0 = everyone daily, ~1/30 =
@@ -1215,6 +1231,52 @@ object Events {
           (col("vxy").cast("double") * col("vxy").cast("double")) /
             (col("vxx").cast("double") * col("vyy").cast("double")))
           .otherwise(lit(null)), 6).as("rho2"))
+  }
+
+  /**
+   * MINIMUM DETECTABLE EFFECT — the experiment-sizing readout: with
+   * the arms and per-user variance THIS population actually has, what
+   * absolute (and relative-to-control) lift could a two-sided
+   * α = 0.05 test detect at 80% power? MDE = (z_{α/2} + z_{power})·SE
+   * with the Welch standard error from [[abLift]]'s exact moments and
+   * the conventional constants z_{0.025} = 1.959964, z_{0.8} =
+   * 0.841621 pinned as literals (both engines see the same doubles —
+   * no normal-quantile library variance). Answers "is this experiment
+   * even worth running" BEFORE the effect exists; NULL when an arm
+   * has < 2 users or zero variance.
+   */
+  def abPower(events: DataFrame): DataFrame = {
+    val byUser = EventTime.normalizeTs(events)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("sm"))
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+    def armAgg(a: Int, name: String) = Seq(
+      sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(col("arm") === a, col("sm")).otherwise(0L))
+        .cast("decimal(38,0)").as(s"s1_$name"),
+      sum(when(col("arm") === a,
+        (col("sm").cast("decimal(19,0)") * col("sm").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).otherwise(lit(0)))
+        .cast("decimal(38,0)").as(s"s2_$name"))
+    val aggs = armAgg(0, "c") ++ armAgg(1, "t")
+    val wide = byUser.agg(aggs.head, aggs.tail: _*)
+    def variance(s: String) =
+      (col(s"n_$s") * col(s"s2_$s") - col(s"s1_$s") * col(s"s1_$s"))
+        .cast("double") /
+        (col(s"n_$s").cast("double") * (col(s"n_$s") - 1L).cast("double")) / 1e12
+    val se = sqrt(variance("t") / col("n_t") + variance("c") / col("n_c"))
+    val meanC = col("s1_c").cast("double") / col("n_c") / 1e6
+    val ok = col("n_c") > 1L && col("n_t") > 1L
+    wide.select(
+      col("n_c"), col("n_t"),
+      round(when(ok, se).otherwise(lit(null)), 6).as("se"),
+      round(when(ok, lit(1.959964 + 0.841621) * se).otherwise(lit(null)), 6)
+        .as("mde_abs"),
+      round(when(ok && meanC =!= 0.0,
+        lit(1.959964 + 0.841621) * se / meanC).otherwise(lit(null)), 6)
+        .as("mde_rel"))
   }
 
   /**

@@ -393,6 +393,42 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("abPower: MDE from exact moments; a confirmed lift must exceed its own MDE check") {
+    val r = Events.abPower(events).collect()(0)
+    assert(r.getLong(0) > 1L && r.getLong(1) > 1L)
+    val (se, mdeAbs, mdeRel) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(se > 0.0 && mdeAbs > 0.0 && mdeRel > 0.0)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(mdeAbs == r6((1.959964 + 0.841621) * se) ||
+      math.abs(mdeAbs - (1.959964 + 0.841621) * se) < 2e-6)
+    // internal consistency with abLift: |z| >= 1.96 iff |lift| >= 1.96*se
+    val lift = Events.abLift(events).collect()(0)
+    val zFromSe = lift.getDouble(4) / se
+    assert(math.abs(zFromSe - lift.getDouble(5)) < 2e-2) // same se, rounded inputs
+    // single-arm degenerate: NULLs, no throw
+    val armExpr = (conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 2).cast("int")
+    val oneArm = graft.ops.EventTime.normalizeTs(events)
+      .withColumn("__a", armExpr).filter(col("__a") === 0).drop("__a")
+    val d = Events.abPower(oneArm).collect()(0)
+    assert(d.isNullAt(2) && d.isNullAt(3) && d.isNullAt(4))
+  }
+
+  test("bounceRate: counts on the session frame, bounds, single-event day = 1.0") {
+    val out = Events.bounceRate(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (n, b, rate) =>
+      assert(n >= 1L && b >= 0L && b <= n)
+      assert(rate == math.round(b.toDouble / n * 1e6) / 1e6)
+    }
+    // one lone event -> one bounced session -> rate 1.0
+    val lone = Seq((1L, BaseNs, 9L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.bounceRate(lone).collect()(0)
+    assert(r.getLong(1) == 1L && r.getDouble(3) == 1.0)
+  }
+
   test("stickiness: ratio bounds, daily-everyone = 1.0, window consistency on real events") {
     val out = Events.stickiness(events, windowDays = 28).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
