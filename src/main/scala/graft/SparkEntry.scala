@@ -2008,6 +2008,11 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("lang", "source", "len_bucket"), k = 5)),
 
+    "q_hash_vectorize" -> ((s, dir) =>
+      // hashing-trick BoW: fixed-dim sparse features, zero vocab state,
+      // md5 buckets so collisions replay identically in any engine
+      TextOps.hashingVectorize(docs(s, dir), "doc_id", "text", 256)),
+
     "q_bounce_rate" -> ((s, dir) =>
       // single-event-session share per day on the compact session frame
       Events.bounceRate(t(s, dir, "events"))),
@@ -4785,6 +4790,15 @@ object SparkEntry {
         |    / sum(n)::DOUBLE, 6) AS share_below_k,
         |  min(n) AS min_class, max(n) AS max_class
         |FROM c""".stripMargin,
+
+    "q_hash_vectorize" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ((${hexToLong("md5(token)", 1, 8)}) % 256)::BIGINT AS bucket,
+         |  count(*) AS n
+         |FROM tk GROUP BY 1, 2""".stripMargin,
 
     "q_bounce_rate" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

@@ -215,6 +215,30 @@ object TextOps {
   }
 
   /**
+   * FEATURE-HASHING vectorizer (the hashing trick, Weinberger et al.
+   * 2009): sparse bag-of-words features with FIXED dimensionality and
+   * ZERO vocabulary state — bucket = md5(token) mod `numBuckets`, one
+   * row per (doc, bucket) with the collision-summed count. This is
+   * the 100 TB training-prep shape for a linear baseline: no vocab
+   * build pass, no dictionary broadcast, dimensionality chosen up
+   * front; collisions are the documented trade and the md5 keying
+   * makes them REPRODUCIBLE (the oracle replays every token's exact
+   * bucket). One explode + one (doc, bucket) partial-aggregable count
+   * — nothing keyed on the vocabulary size anywhere.
+   */
+  def hashingVectorize(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, numBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
    * TF-IDF top terms per document: explode tokens, tf = in-doc count,
    * idf = ln(N / df) from a document-frequency table, keep the `topN`
    * highest-scoring terms per doc. Two aggregations (both map-side

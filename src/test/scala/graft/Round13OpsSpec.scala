@@ -393,6 +393,23 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("hashingVectorize: bucket determinism, collision sums, total-count conservation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.TextOps.hashingVectorize(docs, "doc_id", "text", 64)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, b, n) => b >= 0 && b < 64 && n >= 1 })
+    // conservation: bucket counts sum to the token count per doc
+    val tokTotals = docs.select(col("doc_id"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketTotals = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    bucketTotals.foreach { case (d, s) => assert(s == tokTotals(d), d.toString) }
+    // determinism: a token's bucket is a pure md5 function
+    assert(out.collect().map(_.toSeq).toSet ==
+      graft.ops.TextOps.hashingVectorize(docs.repartition(13), "doc_id", "text", 64)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("abPower: MDE from exact moments; a confirmed lift must exceed its own MDE check") {
     val r = Events.abPower(events).collect()(0)
     assert(r.getLong(0) > 1L && r.getLong(1) > 1L)
