@@ -2025,8 +2025,11 @@ object SparkEntry {
       // feature-store maintenance: history lives as the stored day
       // frame; the post-cutoff shard refreshes ONLY touched users —
       // bit-equal to the full recompute restricted to them
+      // realistic shard: the FINAL day arrives; history is the stored
+      // day frame (the whole point: zero raw-history re-scan, and the
+      // re-window touches only that day's users)
       val e = t(s, dir, "events")
-      val cutNs = 1705363200000000000L
+      val cutNs = 1706572800000000000L // 2024-01-30T00:00Z
       Events.featureWindowsIncremental(
         Events.featureDayFrame(
           graft.ops.EventTime.normalizeTs(e).filter(col("ts") < cutNs)),
@@ -4837,7 +4840,7 @@ object SparkEntry {
         |    CAST(round(value * 1000000) AS BIGINT) AS vmic,
         |    epoch_us(ts) AS tsu FROM events),
         |t AS (SELECT DISTINCT user_id FROM e
-        |  WHERE tsu >= 1705363200000000),
+        |  WHERE tsu >= 1706572800000000),
         |d AS (SELECT e.user_id, day, count(*) AS n_1d, sum(vmic) AS vm
         |  FROM e JOIN t ON t.user_id = e.user_id GROUP BY 1, 2)
         |SELECT user_id, day, n_1d,

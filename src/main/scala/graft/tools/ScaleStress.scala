@@ -70,6 +70,10 @@ object ScaleStress {
           count(lit(1)).as("n"))),
       "mode_agg" -> (li => li.agg(
         GraftFunctions.mode_agg(col("l_linenumber")).as("m"))),
+      // r13: group-keyed RANGE cum-weight window + min aggregation
+      "percentile_weighted" -> (li => graft.ops.Stats.percentileWeighted(
+        li, Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        Seq("p50" -> 0.5, "p90" -> 0.9))),
       "hll_grouped" -> (li => li.groupBy(col("l_returnflag"))
         .agg(GraftFunctions.hll_distinct(col("l_partkey"), 8).as("est"))),
       "window_rank" -> (li => {
@@ -131,6 +135,9 @@ object ScaleStress {
       "triangles" -> (d => graft.ops.Graph.triangleStats(
         Dedup.candidatePairsCapped(
           Dedup.shingleSets(d, "doc_id", "text"), 8, 4, maxBucket = 64))),
+      // r13: explode + (doc, bucket) combine — vocab-size-free
+      "hash_vectorize" -> (d =>
+        graft.ops.TextOps.hashingVectorize(d, "doc_id", "text", 256)),
       // r13: bounded peel over capped pairs — per-round cost tracks the
       // (capped) edge list, duplicate floods included
       "kcore" -> (d => graft.ops.Graph.kCore(
@@ -226,6 +233,18 @@ object ScaleStress {
       // r13: one user shuffle + single-row folds
       "diff_in_diff" -> (e => graft.ops.Events.diffInDiff(e, 1705363200000000L)),
       "ab_conversion" -> (e => graft.ops.Events.abConversion(e, "purchase")),
+      // r13: session-frame collapse then day counts
+      "bounce_rate" -> (e => graft.ops.Events.bounceRate(e)),
+      // r13: 28-way day explode of the (user, day) distinct frame
+      "stickiness" -> (e => graft.ops.Events.stickiness(e)),
+      // r13: merged day partials + left-semi touched-user window
+      "feature_incremental" -> (e => {
+        val cutNs = 1705363200000000000L
+        val n = graft.ops.EventTime.normalizeTs(e)
+        graft.ops.Events.featureWindowsIncremental(
+          graft.ops.Events.featureDayFrame(n.filter(col("ts") < cutNs)),
+          n.filter(col("ts") >= cutNs))
+      }),
       "level_shift" -> (e => graft.ops.Events.levelShift(e)),
       // r13: count shuffle + distinct-count-value fold — with 10× USERS
       // the tiny value frame is the only serial piece
