@@ -2348,7 +2348,55 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(count(lit(1)).as("numwait"))
-    })
+    }),
+
+    "q_auc" -> ((s, dir) =>
+      // ranking quality: does `value` rank purchases above everything
+      // else? Exact Mann-Whitney AUC with average-rank ties, bucket-
+      // decomposed so no sort partition ever holds the full score range
+      Stats.aucRoc(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label")),
+
+    "q_psi" -> ((s, dir) =>
+      // drift monitor: PSI of the value distribution, weeks 3-4 vs the
+      // weeks 1-2 baseline, 10 baseline-frozen equal-width bins
+      Stats.psi(t(s, dir, "events"), "value",
+        col("ts") < lit(1705363200000000000L), bins = 10)),
+
+    "q_chi2" -> ((s, dir) =>
+      // independence audit: is the event-type mix uniform across the
+      // day of week? chi^2 + Cramer's V off one contingency aggregate
+      Stats.chi2Independence(
+        t(s, dir, "events")
+          .withColumn("dow", expr("(ts div 86400000000000L + 4) % 7")),
+        "event_type", "dow")),
+
+    "q_corr_matrix" -> ((s, dir) =>
+      // feature-redundancy screen: all pairwise Pearson correlations of
+      // the lineitem numerics from ONE pass of exact sufficient stats
+      Stats.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    "q_srm" -> ((s, dir) =>
+      // experiment hygiene: do the md5 arms actually split 50/50?
+      // 1-dof chi^2 sample-ratio-mismatch gate at alpha = .01
+      Events.srmCheck(t(s, dir, "events"))),
+
+    "q_rolling_corr" -> ((s, dir) =>
+      // co-movement drift: trailing-28d correlation of daily click vs
+      // purchase volumes on the compact day frame
+      Events.rollingCorr(t(s, dir, "events"), "click", "purchase",
+        windowDays = 28, minDays = 7)),
+
+    "q_assign_ids" -> ((s, dir) =>
+      // dense surrogate keys in c_name order WITHOUT the single-task
+      // global row_number: one range exchange + per-partition stamps +
+      // a broadcast offset frame
+      Scale.assignIds(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        Seq("c_name")))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -5482,6 +5530,149 @@ object SparkEntry {
         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
-        |GROUP BY s_suppkey, s_name""".stripMargin
+        |GROUP BY s_suppkey, s_name""".stripMargin,
+
+    "q_auc" ->
+      """WITH v AS (SELECT value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT s,
+        |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS np,
+        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS nn
+        |  FROM v GROUP BY s),
+        |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negbelow
+        |  FROM g),
+        |f AS (SELECT sum(np::HUGEINT * (2 * negbelow + nn)) AS u2,
+        |    sum(np)::BIGINT AS p, sum(nn)::BIGINT AS n FROM c)
+        |SELECT coalesce(p, 0) AS n_pos, coalesce(n, 0) AS n_neg,
+        |  round(CASE WHEN p > 0 AND n > 0
+        |    THEN u2::DOUBLE / (2.0 * p::DOUBLE * n::DOUBLE) END, 6) AS auc
+        |FROM f""".stripMargin,
+
+    "q_psi" ->
+      """WITH v AS (SELECT value AS val,
+        |    (epoch_us(ts) < 1705363200000000) AS b
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (SELECT min(val) AS lo, max(val) AS hi FROM v WHERE b),
+        |binned AS (SELECT CASE WHEN r.hi = r.lo THEN 0
+        |    ELSE least(9, greatest(0, floor((val - r.lo) / (r.hi - r.lo) * 10)))::BIGINT
+        |    END AS bin, b
+        |  FROM v CROSS JOIN r),
+        |c AS (SELECT bin,
+        |    sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n_base,
+        |    sum(CASE WHEN NOT b THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |  FROM binned GROUP BY bin),
+        |dense AS (SELECT gs.bin, coalesce(c.n_base, 0)::BIGINT AS n_base,
+        |    coalesce(c.n_cur, 0)::BIGINT AS n_cur
+        |  FROM (SELECT unnest(range(0, 10))::BIGINT AS bin) gs
+        |  LEFT JOIN c USING (bin)),
+        |t AS (SELECT sum(n_base)::BIGINT AS tb, sum(n_cur)::BIGINT AS tc FROM dense),
+        |f AS (SELECT round(list_reduce(list(
+        |      ((n_cur::DOUBLE + 0.5) / (t.tc::DOUBLE + 5.0)
+        |       - (n_base::DOUBLE + 0.5) / (t.tb::DOUBLE + 5.0))
+        |      * ln(((n_cur::DOUBLE + 0.5) / (t.tc::DOUBLE + 5.0))
+        |           / ((n_base::DOUBLE + 0.5) / (t.tb::DOUBLE + 5.0)))
+        |      ORDER BY bin), (a, b) -> a + b), 6) AS psi
+        |  FROM dense CROSS JOIN t)
+        |SELECT dense.bin, dense.n_base, dense.n_cur,
+        |  round((dense.n_base::DOUBLE + 0.5) / (t.tb::DOUBLE + 5.0), 6) AS p_base,
+        |  round((dense.n_cur::DOUBLE + 0.5) / (t.tc::DOUBLE + 5.0), 6) AS p_cur,
+        |  f.psi
+        |FROM dense CROSS JOIN t CROSS JOIN f""".stripMargin,
+
+    "q_chi2" ->
+      """WITH e AS (SELECT event_type::VARCHAR AS a,
+        |    (((epoch_us(ts) // 86400000000) + 4) % 7)::VARCHAR AS b FROM events),
+        |c AS (SELECT a, b, count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(n)::BIGINT AS na FROM c GROUP BY 1),
+        |mb AS (SELECT b, sum(n)::BIGINT AS nb FROM c GROUP BY 1),
+        |j AS (SELECT c.a, c.b, c.n, ma.na, mb.nb
+        |  FROM c JOIN ma USING (a) JOIN mb USING (b)),
+        |tt AS (SELECT count(DISTINCT a)::BIGINT AS ka,
+        |    count(DISTINCT b)::BIGINT AS kb, sum(n)::BIGINT AS n FROM j),
+        |f AS (SELECT round(list_reduce(list(
+        |      (j.n::DOUBLE * j.n::DOUBLE)
+        |      / (j.na::DOUBLE * j.nb::DOUBLE / tt.n::DOUBLE)
+        |      ORDER BY j.a, j.b), (x, y) -> x + y)
+        |    - any_value(tt.n)::DOUBLE, 6) AS chi2
+        |  FROM j CROSS JOIN tt)
+        |SELECT tt.n AS n_rows, tt.ka AS n_a, tt.kb AS n_b,
+        |  CASE WHEN tt.ka > 0 THEN (tt.ka - 1) * (tt.kb - 1) END AS dof,
+        |  f.chi2,
+        |  round(CASE WHEN tt.n > 0 AND tt.ka > 1 AND tt.kb > 1
+        |    THEN sqrt(f.chi2 / (tt.n::DOUBLE * (least(tt.ka, tt.kb) - 1)::DOUBLE))
+        |    END, 6) AS cramers_v
+        |FROM tt CROSS JOIN f""".stripMargin,
+
+    "q_corr_matrix" -> {
+      val defs = Seq("q" -> "l_quantity", "e" -> "l_extendedprice",
+        "d" -> "l_discount", "t" -> "l_tax")
+      val names = defs.toMap
+      val pairs = for (i <- defs.indices; j <- defs.indices if i < j)
+        yield (defs(i)._1, defs(j)._1)
+      val arms = pairs.map { case (a, b) =>
+        s"""SELECT '${names(a)}' AS col_a, '${names(b)}' AS col_b, n,
+           |  round(CASE WHEN (n*s_$a$a - s_$a*s_$a) > 0 AND (n*s_$b$b - s_$b*s_$b) > 0
+           |    THEN (n*s_$a$b - s_$a*s_$b)::DOUBLE
+           |      / (sqrt((n*s_$a$a - s_$a*s_$a)::DOUBLE) * sqrt((n*s_$b$b - s_$b*s_$b)::DOUBLE))
+           |    END, 6) AS corr FROM w""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val sums = defs.map { case (k, _) =>
+        s"sum($k)::HUGEINT AS s_$k" }.mkString(", ") + ",\n  " +
+        (for (i <- defs.indices; j <- defs.indices if i <= j)
+          yield s"sum(${defs(i)._1}::HUGEINT * ${defs(j)._1}) AS s_${defs(i)._1}${defs(j)._1}")
+          .mkString(", ")
+      s"""WITH m AS (SELECT ${defs.map { case (k, c) =>
+            s"CAST(round($c * 1000000) AS BIGINT) AS $k" }.mkString(", ")}
+         |  FROM lineitem),
+         |w AS (SELECT count(*)::BIGINT AS n, $sums FROM m)
+         |SELECT col_a, col_b, n, corr FROM (
+         |  $arms
+         |)""".stripMargin
+    },
+
+    "q_srm" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT (${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2 AS arm
+         |  FROM u),
+         |w AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t FROM a),
+         |f AS (SELECT n_c, n_t,
+         |    round(CASE WHEN n_c + n_t > 0
+         |      THEN n_t::DOUBLE / (n_c + n_t)::DOUBLE END, 6) AS ratio_t,
+         |    round(CASE WHEN n_c + n_t > 0
+         |      THEN ((n_c - n_t) * (n_c - n_t))::DOUBLE / (n_c + n_t)::DOUBLE
+         |      END, 6) AS chi2
+         |  FROM w)
+         |SELECT n_c, n_t, ratio_t, chi2,
+         |  coalesce(chi2 > 6.635, false) AS srm FROM f""".stripMargin,
+
+    "q_rolling_corr" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |s AS (SELECT day, x, y,
+        |    count(*) OVER w AS k,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x::HUGEINT * y) OVER w AS sxy,
+        |    sum(x::HUGEINT * x) OVER w AS sxx,
+        |    sum(y::HUGEINT * y) OVER w AS syy
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+        |SELECT day, x AS n_a, y AS n_b, k::BIGINT AS n_days,
+        |  round(CASE WHEN k >= 7 AND (k * sxx - sx::HUGEINT * sx) > 0
+        |      AND (k * syy - sy::HUGEINT * sy) > 0
+        |    THEN (k * sxy - sx::HUGEINT * sy)::DOUBLE
+        |      / (sqrt((k * sxx - sx::HUGEINT * sx)::DOUBLE)
+        |         * sqrt((k * syy - sy::HUGEINT * sy)::DOUBLE)) END, 6) AS corr
+        |FROM s""".stripMargin,
+
+    "q_assign_ids" ->
+      """SELECT c_custkey, c_name,
+        |  row_number() OVER (ORDER BY c_name) AS uid
+        |FROM customer""".stripMargin
   )
 }

@@ -1545,4 +1545,93 @@ object Events {
         max(col("gap_us")).as("max_gap_us"))
       .withColumnRenamed("__n", "n_gaps")
   }
+
+  /**
+   * SAMPLE-RATIO-MISMATCH check — the experiment-hygiene gate that
+   * must pass BEFORE any readout from [[abLift]]'s arms is believed:
+   * if the md5 coin assigns 50/50 but the observed unit counts differ
+   * beyond chance, the assignment or logging pipeline is broken and
+   * every downstream lift is suspect. One-dof χ² against the equal
+   * split: with e = N/2 per arm, χ² = (n_c − e)²/e + (n_t − e)²/e
+   * collapses to (n_c − n_t)²/N — an exact integer numerator over an
+   * exact integer N, ONE double division (engine-replayable). The
+   * flag trips at χ² > 6.635 (α = 0.01 — the industry SRM threshold:
+   * a looser α would kill healthy experiments by chance alone at
+   * fleet scale). Scale shape: one distinct-user aggregate (map-side
+   * combinable) folding straight to a single row; no window, no sort.
+   */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val byUser = EventTime.normalizeTs(events)
+      .select(col("user_id")).distinct()
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+    byUser.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"))
+      .select(col("n_c"), col("n_t"),
+        round(when(col("n_c") + col("n_t") > 0L,
+          col("n_t").cast("double") /
+            (col("n_c") + col("n_t")).cast("double"))
+          .otherwise(lit(null)), 6).as("ratio_t"),
+        round(when(col("n_c") + col("n_t") > 0L,
+          ((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
+            .cast("double") / (col("n_c") + col("n_t")).cast("double"))
+          .otherwise(lit(null)), 6).as("chi2"))
+      .withColumn("srm", coalesce(col("chi2") > 6.635, lit(false)))
+  }
+
+  /**
+   * ROLLING CORRELATION between the daily volumes of two event types —
+   * "do these two behaviors still move together?", the co-movement
+   * drift monitor: per observed day, Pearson corr of (count of
+   * `typeA`, count of `typeB`) over the trailing `windowDays` of
+   * OBSERVED days (RANGE frame over the integral day number —
+   * calendar-correct across gaps). All six sufficient sums (k, Σx,
+   * Σy, Σxy, Σx², Σy²) are windowed EXACT integers off the compact
+   * (day, x, y) frame, and the correlation forms the textbook
+   * identity (k·Σxy − Σx·Σy)/(√(k·Σx²−(Σx)²)·√(k·Σy²−(Σy)²)) in
+   * exact long arithmetic before three fixed-order double
+   * conversions — engine-replayable. Days with < `minDays` trailing
+   * observations or a zero-variance side → NULL corr (never a throw).
+   *
+   * Scale shape: events collapse map-side to one row per day (the
+   * only row-count-keyed work), then every window runs on the
+   * |days| frame — bounded by the calendar (36,500 rows per century),
+   * the [[stickiness]]/[[seasonalError]] contract. Days where
+   * NEITHER type occurs don't exist in the frame and correctly
+   * contribute nothing; days where one type occurs carry an exact 0
+   * for the other.
+   */
+  def rollingCorr(events: DataFrame, typeA: String, typeB: String,
+      windowDays: Int = 28, minDays: Int = 7): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
+    require(minDays >= 2 && minDays <= windowDays,
+      s"minDays must be in [2, windowDays], got $minDays")
+    val days = EventTime.normalizeTs(events)
+      .filter(col("event_type") === typeA || col("event_type") === typeB)
+      .select(expr("ts div 86400000000000L").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1L), 0L)
+    // products in decimal(38,0): a 10⁹-count day squares past a long
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val sums = days
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(dec(col("x")) * col("y")).over(w))
+      .withColumn("sxx", sum(dec(col("x")) * col("x")).over(w))
+      .withColumn("syy", sum(dec(col("y")) * col("y")).over(w))
+    val dx = (col("k") * col("sxx") - dec(col("sx")) * col("sx")).cast("double")
+    val dy = (col("k") * col("syy") - dec(col("sy")) * col("sy")).cast("double")
+    val num = (col("k") * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
+    sums.select(col("day"), col("x").as("n_a"), col("y").as("n_b"),
+      col("k").as("n_days"),
+      round(when(col("k") >= minDays && dx > 0.0 && dy > 0.0,
+        num / (sqrt(dx) * sqrt(dy))).otherwise(lit(null)), 6).as("corr"))
+  }
 }

@@ -152,4 +152,58 @@ object Scale {
     }
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
   }
+
+  /**
+   * DENSE CONTIGUOUS ID ASSIGNMENT in a total order, WITHOUT the
+   * single-task global sort: `row_number() OVER (ORDER BY key)` — the
+   * textbook way to mint vocabulary ids, surrogate keys, or position
+   * indexes — funnels the entire table through ONE window partition at
+   * any scale. This operator produces the identical 1-based ids from
+   * one range exchange: range-repartition on `orderCols` (ascending
+   * range per ascending partition id), sort within each partition,
+   * stamp the per-partition row index locally, then shift every
+   * partition by the running total of the (tiny, partition-count-row)
+   * count frame. The assignment is independent of WHERE the range
+   * boundaries fall — only the total order determines an id — so the
+   * result is deterministic even though the range sampler isn't part
+   * of the contract.
+   *
+   * CONTRACT: `orderCols` must be a TOTAL order (include a unique
+   * tie-breaker column). Rows that tie on every order column would
+   * otherwise receive an arbitrary permutation of their id range
+   * (shuffle fetch order is nondeterministic under retry).
+   *
+   * Mechanics: `monotonically_increasing_id()` encodes
+   * (partitionId << 33) | localRowIndex and is evaluated AFTER the
+   * within-partition sort (Catalyst never pushes a nondeterministic
+   * projection through a Sort), so decoding it yields the sorted-local
+   * index with zero extra passes; the offsets frame (one row per
+   * partition) broadcasts back. ONE full-data exchange total — the
+   * same shuffle count as writing the table sorted.
+   */
+  def assignIds(df: DataFrame, orderCols: Seq[String],
+      idName: String = "uid"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    import org.apache.spark.sql.expressions.Window
+    val asc = orderCols.map(col(_).asc)
+    val stamped = df
+      .repartitionByRange(asc: _*)
+      .sortWithinPartitions(asc: _*)
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mono"), 33))
+      .withColumn("__idx", col("__mono").bitwiseAND(lit((1L << 33) - 1)))
+    // one row per partition; the running offset folds over this tiny
+    // frame (its single-partition window ranks partition COUNTS, never
+    // data rows)
+    val wOff = Window.orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stamped.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    stamped
+      .join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(idName, col("__off") + col("__idx") + lit(1L))
+      .drop("__mono", "__pid", "__idx", "__opid", "__off")
+  }
 }

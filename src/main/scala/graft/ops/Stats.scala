@@ -439,4 +439,242 @@ object Stats {
             lit(priorStrength) * col("prior")) / den / lit(1e6))
           .otherwise(lit(null)), 6).as("enc"))
   }
+
+  /**
+   * Distributed exact ROC-AUC — the ranking-quality readout for a
+   * scored binary label, computed as the Mann-Whitney U statistic
+   * with the standard average-rank tie convention: AUC =
+   * [Σ over positives of (negatives ranked strictly below + ½ ties)]
+   * / (P·N). The doubled numerator 2U = Σ_s n_pos(s)·(2·negBelow(s) +
+   * n_neg(s)) is an exact INTEGER (decimal(38,0) — P·N passes 10¹² at
+   * petabyte row counts), so the whole statistic is one double
+   * division at the end: engine-replayable to the bit.
+   *
+   * Scale shape (no global row sort anywhere — the [[percentileExact]]
+   * straddle trick applied to rank sums): rows pre-aggregate to one
+   * row per DISTINCT SCORE (map-side combinable), scores land in
+   * `buckets` equal-width bins between the global min/max (one 1-row
+   * broadcast agg), cumulative negatives fold over the bounded bucket
+   * frame, and the within-bucket running sum is a window PARTITIONED
+   * BY BUCKET — every sort partition holds ~|distinct scores|/buckets
+   * keys, never the corpus. A continuous 100 TB score column shuffles
+   * its distinct-value frame twice and its raw rows zero times beyond
+   * the first aggregate.
+   *
+   * `labelCol` must be 0/1-coercible (boolean or numeric); rows with a
+   * null score or label are excluded by contract. Degenerate inputs
+   * (no positives, or no negatives) → NULL auc, never an ANSI throw.
+   */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val clean = df
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
+        col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+    // one row per distinct score: the only raw-row shuffle
+    val perScore = clean.groupBy(col("__s")).agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__np"),
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__nn"))
+    // equal-width bucket key from the global score range (1-row
+    // broadcast). max == min (or a single distinct score) → bucket 0.
+    val rng = perScore.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+    val bucketed = perScore.crossJoin(rng).withColumn("__b",
+      when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+        least(lit(buckets - 1L), greatest(lit(0L),
+          floor((col("__s") - col("__lo")) / (col("__hi") - col("__lo")) *
+            lit(buckets))))))
+    // bounded bucket frame: negatives strictly below each bucket
+    val wBucket = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(sum(col("__nn")).as("__bn"))
+      .withColumn("__negBeforeBucket",
+        coalesce(sum(col("__bn")).over(wBucket), lit(0L)))
+      .select(col("__b").as("__ob"), col("__negBeforeBucket"))
+    // within-bucket running negatives: partitioned by bucket, so the
+    // sort partitions are |distinct scores| / buckets, never global
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u2 = bucketed
+      .join(broadcast(offsets), col("__b") === col("__ob"))
+      .withColumn("__negBelow",
+        col("__negBeforeBucket") + coalesce(sum(col("__nn")).over(wIn), lit(0L)))
+      .agg(
+        sum(col("__np").cast("decimal(38,0)") *
+          (lit(2L) * col("__negBelow") + col("__nn"))).as("__u2"),
+        sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"))
+    u2.select(
+      coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+      coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+      round(when(col("n_pos") > 0L && col("n_neg") > 0L,
+        col("__u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+        .otherwise(lit(null)), 6).as("auc"))
+  }
+
+  /**
+   * POPULATION STABILITY INDEX — the model-monitoring drift number:
+   * how far the current distribution of a score/feature has moved
+   * from its baseline, PSI = Σ_bins (p_cur − p_base)·ln(p_cur/p_base).
+   * Bins are `bins` equal-width intervals over the BASELINE min/max
+   * (the deployed-model convention: edges freeze at training time);
+   * current values outside that range clamp into the edge bins.
+   * Proportions are Laplace-smoothed, p = (n + ½)/(N + B/2), so an
+   * empty bin contributes a finite, deterministic term instead of ±∞
+   * — and every bin 0..B−1 is densified in, so both engines fold the
+   * identical B terms in bin order (a bag-order double sum could flip
+   * a 6-dp boundary). Convention: PSI < 0.1 stable, 0.1–0.25 drifting,
+   * > 0.25 action.
+   *
+   * Scale shape: one map-side-combinable (bin × period) count over the
+   * rows, then everything else happens on the B-row frame. The 1-row
+   * baseline range agg broadcasts; no sort touches row-count data.
+   */
+  def psi(df: DataFrame, valueCol: String, baseline: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val clean = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(valueCol).cast("double").as("__v"),
+        baseline.cast("boolean").as("__base"))
+    val rng = clean.filter(col("__base"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val counts = clean.crossJoin(rng)
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(bins - 1L), greatest(lit(0L),
+            floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo")) *
+              lit(bins))))))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("__base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("__base"), 1L).otherwise(0L)).as("n_cur"))
+    // densify to ALL bins so the fold has exactly `bins` fixed terms
+    val allBins = rng.select(explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val dense = allBins.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // totals + the bin-ordered left fold, Benford-style, on ONE row
+    val folded = dense
+      .agg(sort_array(collect_list(
+        struct(col("bin"), col("n_base"), col("n_cur")))).as("bc"))
+      .withColumn("tb",
+        expr("aggregate(transform(bc, x -> x.n_base), 0L, (a, x) -> a + x)"))
+      .withColumn("tc",
+        expr("aggregate(transform(bc, x -> x.n_cur), 0L, (a, x) -> a + x)"))
+      .withColumn("psi", round(expr(
+        s"""aggregate(transform(bc, x ->
+           |  ((CAST(x.n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + ${bins / 2.0})
+           |   - (CAST(x.n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + ${bins / 2.0}))
+           |  * ln(((CAST(x.n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + ${bins / 2.0}))
+           |       / ((CAST(x.n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + ${bins / 2.0})))),
+           |0D, (a, x) -> a + x)""".stripMargin), 6))
+    folded.select(col("tb"), col("tc"), col("psi"), explode(col("bc")).as("x"))
+      .select(col("x.bin").as("bin"), col("x.n_base").as("n_base"),
+        col("x.n_cur").as("n_cur"),
+        round((col("x.n_base").cast("double") + lit(0.5)) /
+          (col("tb").cast("double") + lit(bins / 2.0)), 6).as("p_base"),
+        round((col("x.n_cur").cast("double") + lit(0.5)) /
+          (col("tc").cast("double") + lit(bins / 2.0)), 6).as("p_cur"),
+        col("psi"))
+  }
+
+  /**
+   * χ² TEST OF INDEPENDENCE between two categoricals + Cramér's V —
+   * "does the split of B actually differ across A, beyond what its
+   * margins predict?": χ² = Σ_cells (n_ab − e_ab)²/e_ab with e_ab =
+   * n_a·n_b/N, dof = (|A|−1)(|B|−1), V = sqrt(χ²/(N·(min(|A|,|B|)−1))).
+   * Cell counts, margins and N are exact integers off ONE map-side-
+   * combinable (a, b) aggregate; the χ² folds over the cell frame in
+   * (a, b) order (deterministic double order, Benford-style). The cell
+   * frame is |A|·|B| — this operator is for CATEGORICAL columns
+   * (contract: bounded arity; a high-cardinality key belongs in
+   * [[concentration]] or a sketch, not a contingency table).
+   * Absent combinations (n_ab = 0, which still owe e_ab to the sum)
+   * are never densified: expanding (n−e)²/e = n²/e − 2n + e and using
+   * Σ_all e = Σ_all n = N collapses the statistic to
+   * χ² = Σ_observed n²/e − N, so the fold touches observed cells only.
+   * Null categories group as their own class (SQL GROUP BY semantics).
+   */
+  def chi2Independence(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val aMarg = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val bMarg = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+    val folded = cells
+      .join(broadcast(aMarg), "__a").join(broadcast(bMarg), "__b")
+      .agg(
+        sort_array(collect_list(struct(col("__a"), col("__b"), col("__n"),
+          col("__na"), col("__nb")))).as("c"),
+        countDistinct(col("__a")).as("ka"),
+        countDistinct(col("__b")).as("kb"),
+        sum(col("__n")).as("n"))
+      // χ² = Σ_observed n²/e − N  (e = na·nb/N): the margin identity
+      // spares densifying the |A|·|B| grid; fold order = (a, b) asc
+      .withColumn("chi2", round(expr(
+        """aggregate(transform(c, x ->
+          |  (CAST(x.__n AS DOUBLE) * CAST(x.__n AS DOUBLE))
+          |  / (CAST(x.__na AS DOUBLE) * CAST(x.__nb AS DOUBLE) / CAST(n AS DOUBLE))),
+          |0D, (a, x) -> a + x)""".stripMargin) - col("n").cast("double"), 6))
+    folded.select(
+      col("n").as("n_rows"), col("ka").as("n_a"), col("kb").as("n_b"),
+      when(col("ka") > 0L, (col("ka") - 1L) * (col("kb") - 1L)).as("dof"),
+      col("chi2"),
+      round(when(col("n") > 0L && col("ka") > 1L && col("kb") > 1L,
+        sqrt(col("chi2") / (col("n").cast("double") *
+          (least(col("ka"), col("kb")) - 1L).cast("double"))))
+        .otherwise(lit(null)), 6).as("cramers_v"))
+  }
+
+  /**
+   * One-pass PAIRWISE PEARSON CORRELATION MATRIX over numeric feature
+   * columns — the feature-redundancy screen before training: every
+   * corr(i, j) from a SINGLE aggregate of exact sufficient statistics.
+   * Values scale to integral micros, so Σx, Σx² and Σxy are exact
+   * (decimal(38,0) — a 10¹² row × 10¹¹-micro column keeps n·Σxy under
+   * 10³⁵), and each correlation is formed from the textbook identity
+   * (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²)·sqrt(n·Σy² − (Σy)²))
+   * ENTIRELY in exact arithmetic before three double conversions in
+   * fixed order — engine-replayable, no Welford drift. Scale shape:
+   * one map-side-combinable pass over the rows, k(k+3)/2 running sums,
+   * ONE result row → exploded to the k(k−1)/2 long-form pairs. Columns
+   * must be non-null by contract (a nullable feature needs per-pair
+   * pairwise-complete counts — a different, 3×-wider statistic).
+   * Zero-variance columns → NULL corr, never an ANSI throw.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val mics = cols.map(c => round(col(c) * 1000000).cast("long").as(s"__m_$c"))
+    val base = df.select(mics: _*)
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield (i, j)
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(col(s"__m_$c")).cast("decimal(38,0)").as(s"__s_$c")) ++
+      cols.map(c => sum(col(s"__m_$c").cast("decimal(38,0)") * col(s"__m_$c"))
+        .as(s"__ss_$c")) ++
+      pairs.map { case (i, j) =>
+        sum(col(s"__m_${cols(i)}").cast("decimal(38,0)") * col(s"__m_${cols(j)}"))
+          .as(s"__sp_${i}_$j") }
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val pairCols = pairs.map { case (i, j) =>
+      val (a, b) = (cols(i), cols(j))
+      val num = (col("__n") * col(s"__sp_${i}_$j") -
+        col(s"__s_$a") * col(s"__s_$b")).cast("double")
+      val dx = (col("__n") * col(s"__ss_$a") -
+        col(s"__s_$a") * col(s"__s_$a")).cast("double")
+      val dy = (col("__n") * col(s"__ss_$b") -
+        col(s"__s_$b") * col(s"__s_$b")).cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
+          .otherwise(lit(null).cast("double")), 6).as("corr"))
+    }
+    wide.select(col("__n").as("n"), explode(array(pairCols: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("n"), col("p.corr").as("corr"))
+  }
 }

@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Events, Scale, Stats}
+
+/** Round-14 operators: distributed AUC, PSI drift, chi^2 independence,
+  * one-pass correlation matrix, SRM check, rolling correlation, and
+  * scalable dense-ID assignment. Pinned contracts on hand frames plus
+  * naive-form / permutation-invariance equality, the labelWindow /
+  * budgetSelect proof pattern. */
+class Round14OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  private val DAY = 86400000000000L // ns
+
+  // ---- aucRoc ----
+
+  test("aucRoc: perfect separation is 1.0, reversed is 0.0, random ties at 0.5") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+      .toDF("score", "label")
+    assert(Stats.aucRoc(perfect, "score", "label").collect()(0).getDouble(2) == 1.0)
+    val reversed = Seq((0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0))
+      .toDF("score", "label")
+    assert(Stats.aucRoc(reversed, "score", "label").collect()(0).getDouble(2) == 0.0)
+    // one shared score: every pos-neg pair ties -> 0.5 exactly
+    val allTied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))
+      .toDF("score", "label")
+    assert(Stats.aucRoc(allTied, "score", "label").collect()(0).getDouble(2) == 0.5)
+  }
+
+  test("aucRoc: average-rank tie handling matches the closed form") {
+    // scores: pos at 0.7, neg at 0.7 (tie -> 1/2), pos at 0.9 above both
+    // negs (2), neg at 0.3 below both poss. U = (1 + 0.5) + 2 ... compute:
+    // positives {0.9, 0.7}, negatives {0.7, 0.3}.
+    // pos 0.9: beats both negs = 2. pos 0.7: beats 0.3 (1) + ties 0.7 (0.5).
+    // U = 3.5, P*N = 4 -> AUC = 0.875
+    val df = Seq((0.9, 1), (0.7, 1), (0.7, 0), (0.3, 0)).toDF("s", "y")
+    assert(Stats.aucRoc(df, "s", "y").collect()(0).getDouble(2) == 0.875)
+  }
+
+  test("aucRoc: bucket decomposition is invariant to the bucket count") {
+    val e = events.withColumn("label",
+      (col("event_type") === "purchase").cast("int"))
+    val one = Stats.aucRoc(e, "value", "label", buckets = 1).collect()(0)
+    val many = Stats.aucRoc(e, "value", "label", buckets = 4096).collect()(0)
+    val default = Stats.aucRoc(e, "value", "label").collect()(0)
+    assert(one == many && one == default)
+  }
+
+  test("aucRoc: degenerate single-class inputs yield NULL auc, no throw") {
+    val allPos = Seq((0.9, 1), (0.1, 1)).toDF("s", "y")
+    val r = Stats.aucRoc(allPos, "s", "y").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+    val empty = Seq.empty[(Double, Int)].toDF("s", "y")
+    val r2 = Stats.aucRoc(empty, "s", "y").collect()(0)
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L && r2.isNullAt(2))
+  }
+
+  // ---- psi ----
+
+  test("psi: identical base and current distributions score ~0") {
+    val df = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
+      .toDF("v", "b")
+    val out = Stats.psi(df, "v", col("b"), bins = 10).collect()
+    assert(out.length == 10)
+    // equal counts + equal smoothing -> every term is exactly 0
+    assert(out.forall(_.getDouble(5) == 0.0))
+  }
+
+  test("psi: a shifted current distribution scores high and clamps to edge bins") {
+    // baseline in [0, 10); current all at 100 -> everything clamps to bin 9
+    val base = (0 until 100).map(i => (i % 10 + 0.0, true))
+    val cur = (0 until 100).map(_ => (100.0, false))
+    val out = Stats.psi((base ++ cur).toDF("v", "b"), "v", col("b"), bins = 10)
+      .collect().sortBy(_.getLong(0))
+    assert(out(9).getLong(2) == 100L) // all current mass in the top bin
+    assert(out(0).getDouble(5) > 1.0) // big drift
+  }
+
+  test("psi: all bins densified even when a middle bin is empty") {
+    val df = Seq((0.0, true), (9.99, true), (0.0, false)).toDF("v", "b")
+    val out = Stats.psi(df, "v", col("b"), bins = 10).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(0)).sorted.toSeq == (0L to 9L))
+  }
+
+  // ---- chi2Independence ----
+
+  test("chi2Independence: perfectly independent margins give chi2 = 0") {
+    // 2x2 with n_ab = na*nb/N exactly: (10,10),(10,10)
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(10)(("y", "v"))
+    val r = Stats.chi2Independence(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getLong(0) == 40L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("chi2Independence: a deterministic 2x2 matches the textbook value") {
+    // cells: (x,u)=20 (x,v)=10 (y,u)=10 (y,v)=20, N=60
+    // e = 30*30/60 = 15 for every cell, chi2 = 4 * (5^2/15) = 6.666667
+    val rows = Seq.fill(20)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(20)(("y", "v"))
+    val r = Stats.chi2Independence(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getDouble(4) == 6.666667)
+    // V = sqrt(6.666667 / (60 * 1)) = 0.333333
+    assert(r.getDouble(5) == 0.333333)
+  }
+
+  test("chi2Independence: missing cells contribute via the margin identity") {
+    // (x,u)=10, (y,v)=10, no (x,v)/(y,u): complete dependence, V = 1
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v"))
+    val r = Stats.chi2Independence(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getDouble(4) == 20.0 && r.getDouble(5) == 1.0)
+  }
+
+  // ---- corrMatrix ----
+
+  test("corrMatrix: exact +1/-1/0 on constructed columns") {
+    val df = (1 to 50).map(i =>
+        (i.toDouble, 2.0 * i + 3.0, -1.0 * i, if (i % 2 == 0) 1.0 else 0.0))
+      .toDF("a", "b", "c", "d")
+    val out = Stats.corrMatrix(df, Seq("a", "b", "c", "d")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("a", "b")).getDouble(3) == 1.0)
+    assert(out(("a", "c")).getDouble(3) == -1.0)
+    assert(out.size == 6)
+    assert(out.values.forall(_.getLong(2) == 50L))
+  }
+
+  test("corrMatrix: zero-variance column yields NULL corr, no throw") {
+    val df = (1 to 10).map(i => (i.toDouble, 5.0)).toDF("a", "b")
+    val r = Stats.corrMatrix(df, Seq("a", "b")).collect()(0)
+    assert(r.isNullAt(3))
+  }
+
+  test("corrMatrix: matches Spark's builtin corr at 6dp on real data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ours = Stats.corrMatrix(li, Seq("l_quantity", "l_extendedprice"))
+      .collect()(0).getDouble(3)
+    val builtin = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(ours - builtin) < 1e-6)
+  }
+
+  // ---- srmCheck ----
+
+  test("srmCheck: arm counts cover every distinct user exactly once") {
+    val r = Events.srmCheck(events).collect()(0)
+    val users = events.select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == users)
+    // chi2 = (n_c - n_t)^2 / N, flag iff > 6.635
+    val chi2 = math.round(math.pow(r.getLong(0) - r.getLong(1), 2) /
+      users.toDouble * 1e6) / 1e6
+    assert(r.getDouble(3) == chi2)
+    assert(r.getBoolean(4) == (chi2 > 6.635))
+  }
+
+  test("srmCheck: arm split matches abLift's md5 coin") {
+    // the same users must land in the same arms as abLift's assignment
+    val armOf = events.select(col("user_id")).distinct()
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+      .groupBy(col("arm")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val r = Events.srmCheck(events).collect()(0)
+    assert(r.getLong(0) == armOf.getOrElse(0, 0L))
+    assert(r.getLong(1) == armOf.getOrElse(1, 0L))
+  }
+
+  // ---- rollingCorr ----
+
+  test("rollingCorr: exactly co-moving series hit +1, opposing hit -1") {
+    // days 0..9: x = i+1, y = 2(i+1) -> corr 1 once minDays reached
+    val up = (0 until 10).flatMap { i =>
+      Seq.fill(i + 1)((i * DAY, "a")) ++ Seq.fill(2 * (i + 1))((i * DAY, "b"))
+    }.toDF("ts", "event_type")
+    val out = Events.rollingCorr(up, "a", "b", windowDays = 28, minDays = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(out.head.isNullAt(4)) // day 0: k=1 < minDays
+    assert(out.drop(1).forall(_.getDouble(4) == 1.0))
+    // x rises while y falls -> -1
+    val down = (0 until 10).flatMap { i =>
+      Seq.fill(i + 1)((i * DAY, "a")) ++ Seq.fill(20 - i)((i * DAY, "b"))
+    }.toDF("ts", "event_type")
+    val out2 = Events.rollingCorr(down, "a", "b", windowDays = 28, minDays = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(out2.drop(1).forall(_.getDouble(4) == -1.0))
+  }
+
+  test("rollingCorr: RANGE frame is calendar-correct across day gaps") {
+    // days 0, 1, 40: day 40's trailing-28d window must contain ONLY day 40
+    val df = Seq((0L, "a"), (0L, "b"), (1 * DAY, "a"), (1 * DAY, "b"),
+      (40 * DAY, "a"), (40 * DAY, "b")).toDF("ts", "event_type")
+    val out = Events.rollingCorr(df, "a", "b", windowDays = 28, minDays = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(40L) == 1L) // not 3: days 0/1 fell out of range
+  }
+
+  test("rollingCorr: zero-variance window yields NULL, and days with one "
+      + "type carry an exact 0 for the other") {
+    val df = Seq((0L, "a"), (1 * DAY, "a"), (2 * DAY, "a")).toDF("ts", "event_type")
+    val out = Events.rollingCorr(df, "a", "b", windowDays = 28, minDays = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(out.forall(_.getLong(2) == 0L)) // n_b = 0 on every day
+    assert(out.forall(_.isNullAt(4)))      // y variance is 0 -> NULL
+  }
+
+  // ---- assignIds ----
+
+  test("assignIds: ids are exactly row_number() over the total order") {
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val ours = Scale.assignIds(c, Seq("c_name"))
+      .select(col("c_custkey"), col("uid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = c.orderBy(col("c_name")).collect().map(_.getLong(0))
+      .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(ours == naive)
+  }
+
+  test("assignIds: dense 1..n and invariant to the input partitioning") {
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val base = Scale.assignIds(c, Seq("c_name"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).sorted.toSeq
+    val ids = base.map(_._2)
+    assert(ids.min == 1L && ids.max == ids.length.toLong &&
+      ids.distinct.length == ids.length)
+    val reshuffled = Scale.assignIds(c.repartition(17), Seq("c_name"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(base == reshuffled)
+  }
+}
