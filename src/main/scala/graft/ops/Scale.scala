@@ -173,37 +173,39 @@ object Scale {
    * otherwise receive an arbitrary permutation of their id range
    * (shuffle fetch order is nondeterministic under retry).
    *
-   * Mechanics: `monotonically_increasing_id()` encodes
-   * (partitionId << 33) | localRowIndex and is evaluated AFTER the
-   * within-partition sort (Catalyst never pushes a nondeterministic
-   * projection through a Sort), so decoding it yields the sorted-local
-   * index with zero extra passes; the offsets frame (one row per
-   * partition) broadcasts back. ONE full-data exchange total — the
-   * same shuffle count as writing the table sorted.
+   * Mechanics: ONE pinned-count range exchange + within-partition
+   * sort, then `RDD.zipWithIndex` over the sorted partitions — the
+   * genuine per-partition-imperative shape (a local counter per
+   * partition + one offsets pass), which is exactly what zipWithIndex
+   * is: a partition-count job whose numPartitions-entry offsets array
+   * rides into a second pass that stamps each row with
+   * offset(partition) + localIndex. Both passes hang off the SAME RDD,
+   * so the range exchange's map outputs are computed once and the
+   * boundary sample cannot diverge between them.
+   *
+   * Deliberately NOT `monotonically_increasing_id()` /
+   * `spark_partition_id()`: those read the runtime TASK id, and any
+   * downstream stage-collapsing transform (a `coalesce(1)` before a
+   * single-file write is the classic) silently re-binds every row to
+   * the merged task's id — permuted ids, no error. zipWithIndex's
+   * indices bind to the RDD's own partition structure, immune to how
+   * later stages are scheduled. The pinned partition count keeps AQE
+   * from re-coalescing the exchange between the two passes.
    */
   def assignIds(df: DataFrame, orderCols: Seq[String],
       idName: String = "uid"): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val asc = orderCols.map(col(_).asc)
-    val stamped = df
-      .repartitionByRange(asc: _*)
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(numParts, asc: _*)
       .sortWithinPartitions(asc: _*)
-      .withColumn("__mono", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mono"), 33))
-      .withColumn("__idx", col("__mono").bitwiseAND(lit((1L << 33) - 1)))
-    // one row per partition; the running offset folds over this tiny
-    // frame (its single-partition window ranks partition COUNTS, never
-    // data rows)
-    val wOff = Window.orderBy(col("__pid").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = stamped.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .select(col("__pid").as("__opid"), col("__off"))
-    stamped
-      .join(broadcast(offsets), col("__pid") === col("__opid"))
-      .withColumn(idName, col("__off") + col("__idx") + lit(1L))
-      .drop("__mono", "__pid", "__idx", "__opid", "__off")
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(idName, LongType, nullable = false))
+    val stamped = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(stamped, schema)
   }
 }

@@ -467,16 +467,31 @@ object Stats {
    */
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String,
       buckets: Int = 1024): DataFrame = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val clean = df
       .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
         col(labelCol).isNotNull)
       .select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("int").as("__y"))
     // one row per distinct score: the only raw-row shuffle
-    val perScore = clean.groupBy(col("__s")).agg(
+    aucRocScored(clean.groupBy(col("__s")).agg(
       sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__np"),
-      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__nn"))
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__nn")), buckets)
+  }
+
+  /**
+   * The rank machinery of [[aucRoc]] on a PRE-AGGREGATED per-score
+   * frame with columns (__s double, __np long, __nn long). This is the
+   * 100 TB entry point — the [[graft.ops.TextOps.budgetSelectScored]]
+   * rule: the per-score frame is consumed by THREE branches (the 1-row
+   * range agg, the bucket offsets, and the bucketed scores join), and
+   * column pruning gives each branch its own lineage, so a caller who
+   * passes raw rows through [[aucRoc]] pays the raw scan + distinct-
+   * score aggregation per branch. Materialize the (tiny: 3 narrow
+   * columns, one row per distinct score) frame and pass it here; each
+   * branch then re-reads the compact frame instead of the corpus.
+   */
+  def aucRocScored(perScore: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     // equal-width bucket key from the global score range (1-row
     // broadcast). max == min (or a single distinct score) → bucket 0.
     val rng = perScore.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))

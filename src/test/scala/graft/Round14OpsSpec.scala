@@ -224,6 +224,20 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(ours == naive)
   }
 
+  test("assignIds: ids survive a downstream coalesce(1) (single-file write path)") {
+    // regression: a TaskContext-bound id (monotonically_increasing_id /
+    // spark_partition_id) re-binds to the merged task under coalesce(1)
+    // and silently permutes ids; zipWithIndex's indices bind to the
+    // RDD's own partitions and must not move
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val coalesced = Scale.assignIds(c, Seq("c_name")).coalesce(1)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val naive = c.orderBy(col("c_name")).collect().map(_.getString(1))
+      .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(coalesced == naive)
+  }
+
   test("assignIds: dense 1..n and invariant to the input partitioning") {
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .select(col("c_custkey"), col("c_name"))
