@@ -74,6 +74,13 @@ object ScaleStress {
       "percentile_weighted" -> (li => graft.ops.Stats.percentileWeighted(
         li, Seq("l_returnflag"), "l_extendedprice", "l_quantity",
         Seq("p50" -> 0.5, "p90" -> 0.9))),
+      // r14: one pass of k(k+3)/2 exact sums, one result row
+      "corr_matrix" -> (li => graft.ops.Stats.corrMatrix(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+      // r14: one range exchange + zipWithIndex (6M rows at 10×)
+      "assign_ids" -> (li => graft.ops.Scale.assignIds(
+        li.select(col("l_orderkey"), col("l_linenumber")),
+        Seq("l_orderkey", "l_linenumber"))),
       "hll_grouped" -> (li => li.groupBy(col("l_returnflag"))
         .agg(GraftFunctions.hll_distinct(col("l_partkey"), 8).as("est"))),
       "window_rank" -> (li => {
@@ -177,6 +184,22 @@ object ScaleStress {
     // all key-partitioned windows / banded equi-joins, so wall should
     // track input, never key-count² — the r10-broken suite's scale proof
     val eventCases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      // r14: distinct-score collapse + bucket-partitioned rank windows
+      "auc" -> (e => graft.ops.Stats.aucRoc(
+        e.withColumn("label", (col("event_type") === "purchase").cast("int")),
+        "value", "label")),
+      // r14: one (bin × period) count; everything else on the B-row frame
+      "psi" -> (e => graft.ops.Stats.psi(e, "value",
+        col("ts") < lit(1705363200000000000L), bins = 10)),
+      // r14: one contingency aggregate + broadcast margins
+      "chi2" -> (e => graft.ops.Stats.chi2Independence(
+        e.withColumn("dow", expr("(ts div 86400000000000L + 4) % 7")),
+        "event_type", "dow")),
+      // r14: one distinct-user aggregate to a single row
+      "srm" -> (e => graft.ops.Events.srmCheck(e)),
+      // r14: day-frame collapse + RANGE sufficient-stat windows
+      "rolling_corr" -> (e => graft.ops.Events.rollingCorr(
+        e, "click", "purchase", windowDays = 28, minDays = 7)),
       "sessionize" -> (e => graft.ops.Events.sessionize(e)),
       "asof_join" -> (e => {
         val c = e.filter(col("event_type") === "click")
