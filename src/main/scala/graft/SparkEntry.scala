@@ -2396,7 +2396,21 @@ object SparkEntry {
       // a broadcast offset frame
       Scale.assignIds(
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
-        Seq("c_name")))
+        Seq("c_name"))),
+
+    "q_auc_by" -> ((s, dir) =>
+      // segmented ranking quality: the same Mann-Whitney AUC, one row
+      // per day-of-week — every stage partitions by the segment too
+      Stats.aucRoc(
+        t(s, dir, "events")
+          .withColumn("label", (col("event_type") === "purchase").cast("int"))
+          .withColumn("dow", expr("(ts div 86400000000000L + 4) % 7")),
+        "value", "label", keys = Seq("dow"))),
+
+    "q_embed_cov" -> ((s, dir) =>
+      // PCA-prep: the full 64x64 embedding covariance matrix from ONE
+      // O(d^2)-state aggregate pass (never a d^2-row explode per vector)
+      Similarity.embedCovariance(t(s, dir, "embeddings"), "embedding"))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -5673,6 +5687,40 @@ object SparkEntry {
     "q_assign_ids" ->
       """SELECT c_custkey, c_name,
         |  row_number() OVER (ORDER BY c_name) AS uid
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q_auc_by" ->
+      """WITH v AS (SELECT
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT dow, s,
+        |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS np,
+        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS nn
+        |  FROM v GROUP BY dow, s),
+        |c AS (SELECT dow, np, nn, coalesce(sum(nn) OVER (PARTITION BY dow
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS negbelow
+        |  FROM g)
+        |SELECT dow, sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+        |  round(CASE WHEN sum(np) > 0 AND sum(nn) > 0
+        |    THEN sum(np::HUGEINT * (2 * negbelow + nn))::DOUBLE
+        |      / (2.0 * sum(np)::DOUBLE * sum(nn)::DOUBLE) END, 6) AS auc
+        |FROM c GROUP BY dow""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH m AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (SELECT i, j FROM range(1, 65) t1(i), range(1, 65) t2(j)
+        |  WHERE i <= j),
+        |s AS (SELECT i, j, count(*)::BIGINT AS n,
+        |    sum(v[i])::HUGEINT AS si, sum(v[j])::HUGEINT AS sj,
+        |    sum(v[i]::HUGEINT * v[j])::HUGEINT AS sij
+        |  FROM m, p GROUP BY i, j)
+        |SELECT (i - 1)::INT AS i, (j - 1)::INT AS j, n,
+        |  round((n * sij - si * sj)::DOUBLE / (n::DOUBLE * n::DOUBLE)
+        |    / (1000.0 * 1000.0), 6) + 0.0 AS cov
+        |FROM s""".stripMargin
   )
 }

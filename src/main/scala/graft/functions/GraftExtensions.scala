@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_vector_mean", "element-wise mean of array<double> vectors",
         args => VectorMean(Cast(args.head,
           org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)))),
+      ("graft_vector_outer_sum",
+        "exact covariance sufficient stats of quantized array<bigint> vectors",
+        args => VectorOuterSum(args.head)),
       ("kurtosis_samp", "sample bias-corrected excess kurtosis",
         args => GraftKurtosis(Cast(args.head, DoubleType))),
       ("kurtosis_pop", "population excess kurtosis",

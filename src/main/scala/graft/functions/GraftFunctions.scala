@@ -48,6 +48,12 @@ object GraftFunctions {
     * [[graft.functions.VectorMean]]). */
   def vector_mean(c: Column): Column = agg(VectorMean(ex(c)))
 
+  /** Exact covariance sufficient statistics of a QUANTIZED array<bigint>
+    * vector column: one O(d²) map-side state instead of a d²-row
+    * explode per vector (see [[graft.functions.VectorOuterSum]];
+    * [[graft.ops.Similarity.embedCovariance]] is the user entry). */
+  def vector_outer_sum(c: Column): Column = agg(VectorOuterSum(ex(c)))
+
   /** Per-group KMV distinct-count estimate: at most k longs of state per
     * group vs countDistinct's full distinct-set shuffle (see
     * [[graft.functions.KmvDistinctAgg]]). */
@@ -196,6 +202,7 @@ object GraftFunctions {
       "graft_mode" -> (e => GraftMode(e)),
       "graft_vector_mean" -> (e => VectorMean(
         Cast(e, org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)))),
+      "graft_vector_outer_sum" -> (e => VectorOuterSum(e)),
       // parity aliases for the non-conflicting reference names
       "kurtosis_pop" -> (e => GraftKurtosisPop(Cast(e, DoubleType))),
       "kurtosis_samp" -> (e => GraftKurtosis(Cast(e, DoubleType))),

@@ -288,3 +288,191 @@ case class VectorMean(
   override protected def withNewChildInternal(newChild: Expression): VectorMean =
     copy(child = newChild)
 }
+
+/** Mutable state of [[VectorOuterSum]]: dim, row count, element sums,
+  * and the upper-triangular product sums (d(d+1)/2 entries, row-major
+  * over i ≤ j). All exact longs. */
+final class VectorOuterBuffer(
+    var d: Int, var n: Long, var s: Array[Long], var p: Array[Long])
+
+/**
+ * One-pass exact sufficient statistics for the COVARIANCE MATRIX of a
+ * quantized `array<bigint>` embedding column: row count n, per-dimension
+ * sums Σxᵢ, and all upper-triangular product sums Σxᵢxⱼ — everything a
+ * caller needs to form cov(i,j) = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n² exactly (the
+ * PCA/whitening prep step of an embedding pipeline).
+ *
+ * Why an aggregate: the compositional form (posexplode to (pos, value)
+ * → self-join on the row id → groupBy (i, j)) shuffles d² rows PER
+ * INPUT ROW; this buffer ships one O(d²) state per map task — at 100 TB
+ * and d = 64 that is 2 080 longs per task instead of 4 096 rows per
+ * vector. Runs under ObjectHashAggregate (sort-based fallback under
+ * pressure), map-side combinable, merge is element-wise addition.
+ *
+ * Exactness: inputs are caller-quantized integers (see
+ * [[graft.ops.Similarity.embedCovariance]] — SQL `round(x·scale)` on
+ * both engines, never a Scala-side rounding), every sum/product is
+ * `Math.addExact`/`multiplyExact` — overflow fails LOUDLY with the
+ * quantization scale as the caller's lever, never a silent wrap. The
+ * result is order-free under any partitioning (integer addition
+ * commutes), so the statistic is engine-replayable to the bit.
+ *
+ * Null vectors are ignored (like sum over an absent row); null ELEMENTS
+ * and dimension mismatches throw — silently mixing dims would corrupt
+ * every pair sum (the [[VectorMean]] rule). Empty input → NULL.
+ */
+case class VectorOuterSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VectorOuterBuffer]
+  with UnaryLike[Expression] {
+
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("prods", ArrayType(StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("sij", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vector_outer_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> (quantize first), got " +
+        other.catalogString)
+  }
+
+  override def createAggregationBuffer(): VectorOuterBuffer =
+    new VectorOuterBuffer(0, 0L, null, null)
+
+  private def init(buf: VectorOuterBuffer, d: Int): Unit = {
+    buf.d = d
+    buf.s = new Array[Long](d)
+    buf.p = new Array[Long](d * (d + 1) / 2)
+  }
+
+  override def update(buf: VectorOuterBuffer, input: InternalRow): VectorOuterBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val d = arr.numElements()
+      var i = 0
+      while (i < d) {
+        if (arr.isNullAt(i)) {
+          throw new IllegalArgumentException(
+            s"$prettyName: null element at position $i — dense vectors required")
+        }
+        i += 1
+      }
+      if (d > 0) {
+        if (buf.s == null) init(buf, d)
+        else if (buf.d != d) {
+          throw new IllegalArgumentException(
+            s"$prettyName: vector length mismatch (${buf.d} vs $d)")
+        }
+        val x = arr.toLongArray()
+        i = 0
+        var k = 0
+        while (i < d) {
+          buf.s(i) = Math.addExact(buf.s(i), x(i))
+          var j = i
+          while (j < d) {
+            buf.p(k) = Math.addExact(buf.p(k), Math.multiplyExact(x(i), x(j)))
+            k += 1
+            j += 1
+          }
+          i += 1
+        }
+        buf.n += 1L
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: VectorOuterBuffer, other: VectorOuterBuffer): VectorOuterBuffer = {
+    if (other.s != null) {
+      if (buf.s == null) init(buf, other.d)
+      else if (buf.d != other.d) {
+        throw new IllegalArgumentException(
+          s"$prettyName: vector length mismatch (${buf.d} vs ${other.d})")
+      }
+      var i = 0
+      while (i < buf.s.length) {
+        buf.s(i) = Math.addExact(buf.s(i), other.s(i)); i += 1
+      }
+      i = 0
+      while (i < buf.p.length) {
+        buf.p(i) = Math.addExact(buf.p(i), other.p(i)); i += 1
+      }
+      buf.n += other.n
+    }
+    buf
+  }
+
+  override def eval(buf: VectorOuterBuffer): Any = {
+    if (buf.s == null || buf.n == 0L) return null
+    val prods = new Array[Any](buf.p.length)
+    var i = 0
+    var k = 0
+    while (i < buf.d) {
+      var j = i
+      while (j < buf.d) {
+        prods(k) = InternalRow(i, j, buf.p(k))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    InternalRow(buf.n, new GenericArrayData(buf.s.map(l => l: Any)),
+      new GenericArrayData(prods))
+  }
+
+  override def serialize(buf: VectorOuterBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    if (buf.s == null) out.writeInt(-1)
+    else {
+      out.writeInt(buf.d)
+      out.writeLong(buf.n)
+      var i = 0
+      while (i < buf.s.length) { out.writeLong(buf.s(i)); i += 1 }
+      i = 0
+      while (i < buf.p.length) { out.writeLong(buf.p(i)); i += 1 }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorOuterBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val d = in.readInt()
+    if (d < 0) new VectorOuterBuffer(0, 0L, null, null)
+    else {
+      val buf = new VectorOuterBuffer(0, 0L, null, null)
+      init(buf, d)
+      buf.n = in.readLong()
+      var i = 0
+      while (i < buf.s.length) { buf.s(i) = in.readLong(); i += 1 }
+      i = 0
+      while (i < buf.p.length) { buf.p(i) = in.readLong(); i += 1 }
+      buf
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorOuterSum =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorOuterSum =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): VectorOuterSum =
+    copy(child = newChild)
+}

@@ -433,4 +433,50 @@ object Similarity {
       .select(col("q_id"), col("k"), col("n_hit"),
         round(col("n_hit").cast("double") / col("k").cast("double"), 6).as("recall"))
   }
+
+  /**
+   * EMBEDDING COVARIANCE MATRIX — the PCA/whitening prep step of an
+   * embedding pipeline (which dimensions carry variance? which are
+   * redundant? what rotation decorrelates them?): the population
+   * covariance cov(i, j) = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n² for every i ≤ j of a
+   * d-dim vector column, in long form (i, j, n, cov).
+   *
+   * Elements are quantized to exact integers by SQL `round(x·scale)`
+   * (default millis; the quantization is the documented resolution —
+   * and the overflow headroom lever: at scale 10³ and unit-range
+   * embeddings, exact long sums survive ~10¹³ rows per dimension
+   * pair). All sums accumulate in ONE
+   * [[graft.functions.VectorOuterSum]] pass — O(d²) state per map
+   * task, never a d²-row explode per vector — and the covariance forms
+   * n·Σxᵢxⱼ − Σxᵢ·Σxⱼ entirely in exact decimal(38,0) before one
+   * fixed-order double division chain: engine-replayable to the bit.
+   * The d×d matrix itself is tiny (d ≤ a few hundred); eigen-solving
+   * it for the actual PCA rotation is a driver-side afterstep on
+   * d(d+1)/2 rows, not a distributed concern.
+   *
+   * Null vectors are ignored; empty input → empty output; a dimension
+   * mismatch between rows throws (the [[graft.functions.VectorMean]]
+   * contract).
+   */
+  def embedCovariance(df: DataFrame, vecCol: String,
+      scale: Int = 1000): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val q = expr(
+      s"transform(cast($vecCol as array<double>), x -> cast(round(x * $scale) as bigint))")
+    val st = df.filter(col(vecCol).isNotNull)
+      .agg(graft.functions.GraftFunctions.vector_outer_sum(q).as("st"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    st.select(col("st.n").as("n"), col("st.sums").as("s"),
+        explode(col("st.prods")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("n"),
+        // + 0.0 normalizes IEEE negative zero: a tiny negative
+        // covariance rounds to -0.0 on engines that round in binary
+        // (DuckDB) but to 0.0 through Spark's BigDecimal round — the
+        // values are ==-equal yet hash differently
+        (round((dec(col("n")) * col("p.sij") -
+            dec(element_at(col("s"), col("p.i") + 1)) *
+              element_at(col("s"), col("p.j") + 1)).cast("double") /
+          (col("n").cast("double") * col("n").cast("double")) /
+          (lit(scale.toDouble) * lit(scale.toDouble)), 6) + lit(0.0)).as("cov"))
+  }
 }

@@ -464,70 +464,101 @@ object Stats {
    * `labelCol` must be 0/1-coercible (boolean or numeric); rows with a
    * null score or label are excluded by contract. Degenerate inputs
    * (no positives, or no negatives) → NULL auc, never an ANSI throw.
+   *
+   * `keys` (optional) computes a SEGMENTED AUC — one row per key tuple
+   * (per model, per cohort, per language): every stage partitions by
+   * the keys as well, so segments rank independently and in parallel.
+   * Key arity is bounded by contract (the per-key range frame
+   * broadcasts); a null key groups as its own segment.
    */
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024, keys: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
     val clean = df
       .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
         col(labelCol).isNotNull)
-      .select(col(scoreCol).cast("double").as("__s"),
-        col(labelCol).cast("int").as("__y"))
-    // one row per distinct score: the only raw-row shuffle
-    aucRocScored(clean.groupBy(col("__s")).agg(
+      .select(keyCols :+ col(scoreCol).cast("double").as("__s") :+
+        col(labelCol).cast("int").as("__y"): _*)
+    // one row per distinct (keys, score): the only raw-row shuffle
+    aucRocScored(clean.groupBy(keyCols :+ col("__s"): _*).agg(
       sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__np"),
-      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__nn")), buckets)
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__nn")),
+      buckets, keys)
   }
 
   /**
    * The rank machinery of [[aucRoc]] on a PRE-AGGREGATED per-score
-   * frame with columns (__s double, __np long, __nn long). This is the
-   * 100 TB entry point — the [[graft.ops.TextOps.budgetSelectScored]]
-   * rule: the per-score frame is consumed by THREE branches (the 1-row
-   * range agg, the bucket offsets, and the bucketed scores join), and
-   * column pruning gives each branch its own lineage, so a caller who
-   * passes raw rows through [[aucRoc]] pays the raw scan + distinct-
-   * score aggregation per branch. Materialize the (tiny: 3 narrow
-   * columns, one row per distinct score) frame and pass it here; each
-   * branch then re-reads the compact frame instead of the corpus.
+   * frame with columns (keys..., __s double, __np long, __nn long).
+   * This is the 100 TB entry point — the
+   * [[graft.ops.TextOps.budgetSelectScored]] rule: the per-score frame
+   * is consumed by THREE branches (the per-key range agg, the bucket
+   * offsets, and the bucketed scores join), and column pruning gives
+   * each branch its own lineage, so a caller who passes raw rows
+   * through [[aucRoc]] pays the raw scan + distinct-score aggregation
+   * per branch. Materialize the (tiny: narrow columns, one row per
+   * distinct score) frame and pass it here; each branch then re-reads
+   * the compact frame instead of the corpus.
    */
-  def aucRocScored(perScore: DataFrame, buckets: Int = 1024): DataFrame = {
+  def aucRocScored(perScore: DataFrame, buckets: Int = 1024,
+      keys: Seq[String] = Nil): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    // equal-width bucket key from the global score range (1-row
-    // broadcast). max == min (or a single distinct score) → bucket 0.
-    val rng = perScore.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
-    val bucketed = perScore.crossJoin(rng).withColumn("__b",
-      when(col("__hi") === col("__lo"), lit(0L)).otherwise(
-        least(lit(buckets - 1L), greatest(lit(0L),
-          floor((col("__s") - col("__lo")) / (col("__hi") - col("__lo")) *
-            lit(buckets))))))
-    // bounded bucket frame: negatives strictly below each bucket
-    val wBucket = Window.orderBy(col("__b").asc)
+    val keyCols = keys.map(col)
+    // equal-width bucket key per segment from its score range (bounded
+    // broadcast frame). max == min (or a single distinct score) → bucket 0.
+    val rng = perScore.groupBy(keyCols: _*)
+      .agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+    // NULL-SAFE key equality (the budgetSelectScored lesson: groupBy
+    // keeps a null-key segment on both sides, so a null-unsafe join
+    // would silently drop exactly those rows); keys empty → the 1-row
+    // global range cross-joins in. EqualNullSafe is still an equi-key:
+    // the join stays hash/broadcast.
+    def nullSafeJoin(left: DataFrame, right: DataFrame,
+        onKeys: Seq[String]): DataFrame = {
+      val renamed = onKeys.foldLeft(right)((d, k) =>
+        d.withColumnRenamed(k, s"__r_$k"))
+      val cond = onKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+      left.join(broadcast(renamed), cond)
+        .drop(onKeys.map(k => s"__r_$k"): _*)
+    }
+    val bucketed = (if (keys.isEmpty) perScore.crossJoin(broadcast(rng))
+      else nullSafeJoin(perScore, rng, keys))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(buckets - 1L), greatest(lit(0L),
+            floor((col("__s") - col("__lo")) / (col("__hi") - col("__lo")) *
+              lit(buckets))))))
+      .drop("__lo", "__hi")
+    // bounded bucket frame: negatives strictly below each bucket,
+    // folded per segment
+    val wBucket = Window.partitionBy(keyCols: _*).orderBy(col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(col("__b"))
+    val offsets = bucketed.groupBy(keyCols :+ col("__b"): _*)
       .agg(sum(col("__nn")).as("__bn"))
       .withColumn("__negBeforeBucket",
         coalesce(sum(col("__bn")).over(wBucket), lit(0L)))
-      .select(col("__b").as("__ob"), col("__negBeforeBucket"))
-    // within-bucket running negatives: partitioned by bucket, so the
-    // sort partitions are |distinct scores| / buckets, never global
-    val wIn = Window.partitionBy(col("__b")).orderBy(col("__s").asc)
+      .drop("__bn")
+    // within-bucket running negatives: partitioned by (keys, bucket),
+    // so the sort partitions are ~|distinct scores| / buckets, never
+    // global
+    val wIn = Window.partitionBy(keyCols :+ col("__b"): _*)
+      .orderBy(col("__s").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val u2 = bucketed
-      .join(broadcast(offsets), col("__b") === col("__ob"))
+    val u2 = nullSafeJoin(bucketed, offsets, keys :+ "__b")
       .withColumn("__negBelow",
         col("__negBeforeBucket") + coalesce(sum(col("__nn")).over(wIn), lit(0L)))
+      .groupBy(keyCols: _*)
       .agg(
         sum(col("__np").cast("decimal(38,0)") *
           (lit(2L) * col("__negBelow") + col("__nn"))).as("__u2"),
         sum(col("__np")).as("n_pos"),
         sum(col("__nn")).as("n_neg"))
-    u2.select(
+    u2.select(keyCols ++ Seq(
       coalesce(col("n_pos"), lit(0L)).as("n_pos"),
       coalesce(col("n_neg"), lit(0L)).as("n_neg"),
       round(when(col("n_pos") > 0L && col("n_neg") > 0L,
         col("__u2").cast("double") /
           (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
-        .otherwise(lit(null)), 6).as("auc"))
+        .otherwise(lit(null)), 6).as("auc")): _*)
   }
 
   /**

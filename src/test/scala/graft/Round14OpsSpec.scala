@@ -61,6 +61,90 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L && r2.isNullAt(2))
   }
 
+  test("aucRoc: segmented form ranks each key independently") {
+    // segment a: perfect; segment b: reversed; segment null: all tied
+    val df = Seq(
+      (Some("a"), 0.9, 1), (Some("a"), 0.1, 0),
+      (Some("b"), 0.1, 1), (Some("b"), 0.9, 0),
+      (None: Option[String], 0.5, 1), (None, 0.5, 0))
+      .toDF("seg", "s", "y")
+    val out = Stats.aucRoc(df, "s", "y", keys = Seq("seg")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getDouble(3))
+      .toMap
+    assert(out("a") == 1.0 && out("b") == 0.0 && out(null) == 0.5)
+  }
+
+  test("aucRoc: segmented totals match the global split") {
+    val e = graft.ops.EventTime.normalizeTs(events)
+      .withColumn("label", (col("event_type") === "purchase").cast("int"))
+      .withColumn("dow", expr("(ts div 86400000000000L + 4) % 7"))
+    val by = Stats.aucRoc(e, "value", "label", keys = Seq("dow")).collect()
+    val glob = Stats.aucRoc(e, "value", "label").collect()(0)
+    assert(by.map(_.getLong(1)).sum == glob.getLong(0))
+    assert(by.map(_.getLong(2)).sum == glob.getLong(1))
+    // each segment's AUC equals the unsegmented AUC of that slice
+    val d0 = by.find(_.getLong(0) == 0L).get
+    val solo = Stats.aucRoc(e.filter(expr("(ts div 86400000000000L + 4) % 7 = 0")),
+      "value", "label").collect()(0)
+    assert(d0.getDouble(3) == solo.getDouble(2))
+  }
+
+  // ---- embedCovariance ----
+
+  test("embedCovariance: hand-computed 2-dim matrix is exact") {
+    // vectors (1,2),(3,6),(5,10): mean (3,6); cov(0,0)=8/3, cov(0,1)=16/3,
+    // cov(1,1)=32/3 (population). quantize at 1000 is exact for these
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 6.0f), Seq(5.0f, 10.0f))
+      .toDF("embedding")
+    val out = graft.ops.Similarity.embedCovariance(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(out.size == 3)
+    assert(out((0, 0)) == math.rint(8.0 / 3.0 * 1e6) / 1e6)
+    assert(out((0, 1)) == math.rint(16.0 / 3.0 * 1e6) / 1e6)
+    assert(out((1, 1)) == math.rint(32.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("embedCovariance: constant dimension has zero variance and covariance") {
+    val df = Seq(Seq(1.0f, 7.0f), Seq(2.0f, 7.0f)).toDF("embedding")
+    val out = graft.ops.Similarity.embedCovariance(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(out((1, 1)) == 0.0 && out((0, 1)) == 0.0 && out((0, 0)) == 0.25)
+  }
+
+  test("embedCovariance: agrees with covar_pop on the quantized values") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ours = graft.ops.Similarity.embedCovariance(emb, "embedding")
+      .filter(col("i") === 3 && col("j") === 17).collect()(0).getDouble(3)
+    val ref = emb.select(
+        (expr("cast(round(embedding[3] * 1000) as bigint)") / 1000.0).as("x"),
+        (expr("cast(round(embedding[17] * 1000) as bigint)") / 1000.0).as("y"))
+      .agg(covar_pop(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(ours - ref) < 1e-6)
+  }
+
+  test("vector_outer_sum: SQL-registered form matches the Column API") {
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 6.0f)).toDF("embedding")
+    df.createOrReplaceTempView("r14_vos")
+    val viaSql = spark.sql(
+      """SELECT graft_vector_outer_sum(
+        |  transform(cast(embedding as array<double>),
+        |    x -> cast(round(x * 1000) as bigint))) AS st
+        |FROM r14_vos""".stripMargin).collect()(0).getStruct(0)
+    assert(viaSql.getLong(0) == 2L)
+    assert(viaSql.getSeq[Long](1) == Seq(4000L, 8000L))
+  }
+
+  test("embedCovariance: dimension mismatch fails loudly, empty input is empty") {
+    val bad = Seq(Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)).toDF("embedding")
+    val e = intercept[Exception] {
+      graft.ops.Similarity.embedCovariance(bad, "embedding").collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
+    val empty = Seq.empty[Seq[Float]].toDF("embedding")
+    assert(graft.ops.Similarity.embedCovariance(empty, "embedding").count() == 0L)
+  }
+
   // ---- psi ----
 
   test("psi: identical base and current distributions score ~0") {
