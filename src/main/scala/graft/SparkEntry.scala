@@ -2410,7 +2410,13 @@ object SparkEntry {
     "q_embed_cov" -> ((s, dir) =>
       // PCA-prep: the full 64x64 embedding covariance matrix from ONE
       // O(d^2)-state aggregate pass (never a d^2-row explode per vector)
-      Similarity.embedCovariance(t(s, dir, "embeddings"), "embedding"))
+      Similarity.embedCovariance(t(s, dir, "embeddings"), "embedding")),
+
+    "q_project" -> ((s, dir) =>
+      // JL reduction 64 -> 16 before ANN: per-row md5-seeded projection
+      // kernel inside the scan stage — no shuffle, engine-replayable
+      Similarity.randomProject(t(s, dir, "embeddings"), "embedding",
+        dim = 64, outDim = 16))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -5721,6 +5727,19 @@ object SparkEntry {
         |SELECT (i - 1)::INT AS i, (j - 1)::INT AS j, n,
         |  round((n * sij - si * sj)::DOUBLE / (n::DOUBLE * n::DOUBLE)
         |    / (1000.0 * 1000.0), 6) + 0.0 AS cov
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q_project" -> {
+      val elems = (0 until 16).map { p =>
+        s"""round(list_reduce(list_transform(range(1, 65),
+           |      d -> v[d] * ${planeWeightSql(p.toString, "d - 1")}),
+           |    (a, b) -> a + b), 6) + 0.0""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH m AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)
+         |SELECT vec_id, label, [
+         |  $elems
+         |] AS proj FROM m""".stripMargin
+    }
   )
 }

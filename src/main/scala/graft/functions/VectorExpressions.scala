@@ -476,3 +476,80 @@ case class VectorOuterSum(
   override protected def withNewChildInternal(newChild: Expression): VectorOuterSum =
     copy(child = newChild)
 }
+
+/**
+ * Johnson-Lindenstrauss RANDOM PROJECTION to `planes` dimensions — the
+ * continuous sibling of [[SrpSignature]]: the same md5-seeded
+ * [[graft.ops.Similarity.planeWeight]] hyperplanes, but emitting the
+ * raw dot products as an `array<double>` instead of their sign bits.
+ * Reducing d → k before ANN/clustering shrinks a 100 TB embedding
+ * table by d/k while approximately preserving pairwise distances
+ * (JL lemma); downstream cosine/IVF then runs on the short vectors.
+ *
+ * BIT-IDENTICAL contract (the [[SrpSignature]] discipline): each
+ * output element is the same ascending-index left fold over the same
+ * md5-derived weights, so any engine replays it exactly — rounding
+ * and −0.0 normalization happen in the CALLER's projection
+ * ([[graft.ops.Similarity.randomProject]]), mirrored in the oracle.
+ * CodegenFallback: one eval does all planes; the cost is the
+ * planes·dim multiply-adds, not dispatch.
+ */
+case class RandomProjection(child: Expression, planes: Int, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(planes > 0 && planes <= 1024, s"planes must be in [1,1024], got $planes")
+  require(dim > 0 && dim <= 65536, s"dim must be in [1,65536], got $dim")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_random_projection"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val weights: Array[Double] = {
+    val w = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      var d = 0
+      while (d < dim) {
+        w(p * dim + d) = graft.ops.Similarity.planeWeight(p, d)
+        d += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length mismatch (${arr.numElements()} vs $dim)")
+    }
+    val x = arr.toDoubleArray()
+    val out = new Array[Double](planes)
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      val base = p * dim
+      var d = 0
+      while (d < dim) {
+        acc += x(d) * weights(base + d)
+        d += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjection =
+    copy(child = newChild)
+}

@@ -458,6 +458,38 @@ object Similarity {
    * mismatch between rows throws (the [[graft.functions.VectorMean]]
    * contract).
    */
+  /**
+   * Johnson-Lindenstrauss RANDOM PROJECTION d → k: replaces each
+   * embedding with its dot products against `outDim` md5-seeded
+   * hyperplanes (the [[planeWeight]] family [[lshBucket]] signs — here
+   * kept continuous), 6-dp rounded. Pairwise distances survive
+   * approximately (JL lemma), so downstream cosine top-k, IVF, or
+   * clustering runs on vectors d/k× smaller — the standard first move
+   * before ANN over a 100 TB embedding table. Pure per-row map
+   * (one [[graft.functions.RandomProjection]] kernel inside the scan
+   * stage — no shuffle, no state); deterministic md5 weights make the
+   * projection engine-replayable, and each element is normalized with
+   * + 0.0 (a tiny negative dot rounds to −0.0 in binary engines but
+   * 0.0 through BigDecimal — ==-equal, hash-different).
+   *
+   * Null vectors project to null; a dimension mismatch throws (the
+   * [[graft.functions.DotProduct]] rule).
+   */
+  def randomProject(df: DataFrame, vecCol: String, dim: Int,
+      outDim: Int, outCol: String = "proj"): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, dim], got $outDim (dim $dim)")
+    val raw = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.RandomProjection(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          col(vecCol).cast("array<double>")), outDim, dim))
+    df.withColumn("__rp", raw)
+      .withColumn(outCol,
+        array((0 until outDim).map(p =>
+          round(element_at(col("__rp"), p + 1), 6) + lit(0.0)): _*))
+      .drop("__rp", vecCol)
+  }
+
   def embedCovariance(df: DataFrame, vecCol: String,
       scale: Int = 1000): DataFrame = {
     require(scale >= 1, s"scale must be >= 1, got $scale")

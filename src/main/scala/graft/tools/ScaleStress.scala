@@ -282,7 +282,13 @@ object ScaleStress {
       // should track the corpus scan, not queries × corpus²
       "margin_mine" -> (e => graft.ops.Similarity.marginMine(
         graft.ops.Similarity.prepared(e, "vec_id", "embedding"),
-        col("vec_id") < 10, 0.0)))
+        col("vec_id") < 10, 0.0)),
+      // r14: one O(d²)-state aggregate pass, one result row
+      "embed_cov" -> (e => graft.ops.Similarity.embedCovariance(
+        e, "embedding")),
+      // r14: per-row projection kernel, no shuffle
+      "project" -> (e => graft.ops.Similarity.randomProject(
+        e, "embedding", dim = 64, outDim = 16)))
 
     // warmup
     noop(li1.groupBy(col("l_returnflag")).count())

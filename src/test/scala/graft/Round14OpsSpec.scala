@@ -145,6 +145,45 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(graft.ops.Similarity.embedCovariance(empty, "embedding").count() == 0L)
   }
 
+  // ---- randomProject ----
+
+  test("randomProject: signs agree with the SRP signature plane-for-plane") {
+    // same md5 plane family: element p's sign must equal lshBucket's
+    // p-th bit (>= 0 -> '1')
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pre = graft.ops.Similarity.prepared(emb, "vec_id", "embedding")
+    val both = graft.ops.Similarity.randomProject(
+        pre.select(col("vec_id"), col("v")), "v", dim = 64, outDim = 16)
+      .join(pre.select(col("vec_id"),
+        graft.ops.Similarity.lshBucket(col("v"), 16, 64).as("sig")), "vec_id")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val proj = r.getSeq[Double](r.fieldIndex("proj"))
+      val sig = r.getString(r.fieldIndex("sig"))
+      proj.zip(sig).foreach { case (x, bit) =>
+        assert((x >= 0) == (bit == '1'), s"plane sign mismatch: $x vs $bit")
+      }
+    }
+  }
+
+  test("randomProject: linear to rounding and preserves dimension contract") {
+    val df = Seq((1L, Seq.fill(64)(0.25f)), (2L, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.randomProject(df, "embedding", 64, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](r.fieldIndex("proj")))
+      .toMap
+    // v2 = 2*v1 exactly -> each projection doubles (to 6-dp rounding)
+    out(1L).zip(out(2L)).foreach { case (a, b) =>
+      assert(math.abs(b - 2 * a) < 2e-6, s"$b != 2*$a") }
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.ops.Similarity.randomProject(bad, "embedding", 64, 8).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
+  }
+
   // ---- psi ----
 
   test("psi: identical base and current distributions score ~0") {
