@@ -2416,7 +2416,25 @@ object SparkEntry {
       // JL reduction 64 -> 16 before ANN: per-row md5-seeded projection
       // kernel inside the scan stage — no shuffle, engine-replayable
       Similarity.randomProject(t(s, dir, "embeddings"), "embedding",
-        dim = 64, outDim = 16))
+        dim = 64, outDim = 16)),
+
+    "q_cdf" -> ((s, dir) =>
+      // quantile-transform feature map: mid-rank empirical CDF of price
+      // within each return flag — the aucRoc bucket decomposition, so
+      // no sort partition ever holds a group's full value range
+      Stats.cdfNormalize(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice")),
+
+    "q_ann_join" -> ((s, dir) => {
+      // cross-corpus retrieval: even-id vectors query the odd-id half —
+      // SRP bucket equi-join (never a cross product), cosine verify,
+      // top-3 per query
+      val all = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.annJoin(
+        all.filter(col("vec_id") % 2 === 0),
+        all.filter(col("vec_id") % 2 === 1),
+        planes = 8, dim = 64, minCos = 0.1, k = 3)
+    })
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -5740,6 +5758,40 @@ object SparkEntry {
          |SELECT vec_id, label, [
          |  $elems
          |] AS proj FROM m""".stripMargin
-    }
+    },
+
+    "q_cdf" ->
+      """WITH g AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    count(*)::BIGINT AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT l_returnflag, v, c,
+        |    coalesce(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM g)
+        |SELECT l_returnflag, v AS l_extendedprice, c AS n_eq,
+        |  round((2 * below + c)::DOUBLE / (2.0 * n::DOUBLE), 6) AS cdf
+        |FROM s""".stripMargin,
+
+    "q_ann_join" ->
+      s"""$EmbCte,
+         |bk AS (SELECT vec_id, v, nrm, array_to_string(list_transform(range(0, 8), p ->
+         |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+         |      d -> v[d] * ${planeWeightSql("p", "d - 1")})), (acc, x) -> acc + x) >= 0
+         |    THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM n),
+         |l AS (SELECT vec_id AS l_id, v AS lv, nrm AS lnrm, bucket
+         |  FROM bk WHERE vec_id % 2 = 0),
+         |r AS (SELECT vec_id AS r_id, v AS rv, nrm AS rnrm, bucket
+         |  FROM bk WHERE vec_id % 2 = 1),
+         |scored AS (SELECT l_id, r_id,
+         |    round(${dotSql("lv", "rv")} / (lnrm * rnrm), 6) AS cos
+         |  FROM l JOIN r USING (bucket)),
+         |flt AS (SELECT * FROM scored WHERE cos >= 0.1)
+         |SELECT l_id, r_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY l_id
+         |    ORDER BY cos DESC, r_id ASC) AS rn FROM flt)
+         |WHERE rn <= 3""".stripMargin
   )
 }

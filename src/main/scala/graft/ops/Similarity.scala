@@ -459,6 +459,44 @@ object Similarity {
    * contract).
    */
   /**
+   * Cross-table ANN JOIN — "for every vector in LEFT, its best
+   * matches from RIGHT": the retrieval-augmentation / cross-corpus
+   * alignment shape (queries against a knowledge base, candidates
+   * against a reference set), where [[annLshTopK]]-style self-join
+   * machinery doesn't apply because the two sides are different
+   * tables. Both sides hash to their [[lshBucket]] SRP signature,
+   * candidates are the exact-bucket equi-join (shuffle on the bucket
+   * key — never a cross product), survivors verify with the true
+   * cosine ≥ `minCos`, and a per-left top-k window (score desc,
+   * id asc — Spark executes it as a WindowGroupLimit) keeps the k
+   * best. A left vector whose bucket contains no right vector emits
+   * nothing — LSH recall is the documented trade (more planes = fewer
+   * collisions = higher precision/lower recall; the `q_ann_recall`
+   * audit shape applies unchanged).
+   *
+   * Hot-bucket caution (the q_ann_lsh family contract): a bucket with
+   * L left and R right members emits L·R candidates — near-duplicate
+   * floods belong behind [[exactDupReps]] first.
+   *
+   * Both inputs must be [[prepared]] frames (vec_id, v, nrm).
+   */
+  def annJoin(left: DataFrame, right: DataFrame, planes: Int, dim: Int,
+      minCos: Double, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lb = left.select(col("vec_id").as("l_id"), col("v").as("lv"),
+      col("nrm").as("lnrm"), lshBucket(col("v"), planes, dim).as("bucket"))
+    val rb = right.select(col("vec_id").as("r_id"), col("v").as("rv"),
+      col("nrm").as("rnrm"), lshBucket(col("v"), planes, dim).as("bucket"))
+    val scored = lb.join(rb, "bucket")
+      .select(col("l_id"), col("r_id"),
+        cosine6(col("lv"), col("lnrm"), col("rv"), col("rnrm")).as("cos"))
+      .filter(col("cos") >= minCos)
+    val w = Window.partitionBy(col("l_id"))
+      .orderBy(col("cos").desc, col("r_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /**
    * Johnson-Lindenstrauss RANDOM PROJECTION d → k: replaces each
    * embedding with its dot products against `outDim` md5-seeded
    * hyperplanes (the [[planeWeight]] family [[lshBucket]] signs — here

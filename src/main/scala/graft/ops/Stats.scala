@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
  */
 object Stats {
 
+  /** NULL-SAFE broadcast equi-join on named keys (the
+    * budgetSelectScored lesson: groupBy keeps a null-key segment on
+    * both sides, so a null-unsafe join would silently drop exactly
+    * those rows). EqualNullSafe is still an equi-key: the join stays
+    * hash/broadcast. The right side's key columns are dropped. */
+  private[ops] def nullSafeJoin(left: DataFrame, right: DataFrame,
+      onKeys: Seq[String]): DataFrame = {
+    val renamed = onKeys.foldLeft(right)((d, k) =>
+      d.withColumnRenamed(k, s"__r_$k"))
+    val cond = onKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    left.join(broadcast(renamed), cond)
+      .drop(onKeys.map(k => s"__r_$k"): _*)
+  }
+
   /**
    * Exact percentiles per group: one output column per requested p,
    * named `p<percent>` (p50, p95, …), rounded to 6 dp.
@@ -507,19 +521,6 @@ object Stats {
     // broadcast frame). max == min (or a single distinct score) → bucket 0.
     val rng = perScore.groupBy(keyCols: _*)
       .agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
-    // NULL-SAFE key equality (the budgetSelectScored lesson: groupBy
-    // keeps a null-key segment on both sides, so a null-unsafe join
-    // would silently drop exactly those rows); keys empty → the 1-row
-    // global range cross-joins in. EqualNullSafe is still an equi-key:
-    // the join stays hash/broadcast.
-    def nullSafeJoin(left: DataFrame, right: DataFrame,
-        onKeys: Seq[String]): DataFrame = {
-      val renamed = onKeys.foldLeft(right)((d, k) =>
-        d.withColumnRenamed(k, s"__r_$k"))
-      val cond = onKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
-      left.join(broadcast(renamed), cond)
-        .drop(onKeys.map(k => s"__r_$k"): _*)
-    }
     val bucketed = (if (keys.isEmpty) perScore.crossJoin(broadcast(rng))
       else nullSafeJoin(perScore, rng, keys))
       .withColumn("__b",
@@ -559,6 +560,66 @@ object Stats {
         col("__u2").cast("double") /
           (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
         .otherwise(lit(null)), 6).as("auc")): _*)
+  }
+
+  /**
+   * Empirical-CDF (rank) NORMALIZATION — the quantile-transform
+   * feature map: every distinct value of a column gets its mid-rank
+   * CDF position, cdf(v) = (count(< v) + ½·count(= v)) / n ∈ (0, 1),
+   * per group. The standard monotone normalization that makes a
+   * heavy-tailed feature uniformly distributed (quantile features for
+   * GBMs, calibration preprocessing, cross-source score alignment);
+   * join the output back on (keys, value) to stamp rows. Mid-rank
+   * handles ties deterministically, and the doubled numerator
+   * 2·below + eq is an exact integer — one double division, 6-dp,
+   * engine-replayable.
+   *
+   * Scale shape = [[aucRoc]]'s bucket decomposition (rank statistics
+   * with NO global row sort): rows collapse map-side to the distinct-
+   * (keys, value) frame, values bucket into `buckets` equal-width bins
+   * off the per-group broadcast range, cumulative counts fold over the
+   * bounded (keys × buckets) frame, and the within-bucket running sum
+   * windows partitioned by (keys, bucket). Group totals broadcast
+   * back null-safely (a null key is its own group).
+   */
+  def cdfNormalize(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val keyCols = keys.map(col)
+    val perVal = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(keyCols :+ col(valueCol).cast("double").as("__v"): _*)
+      .groupBy(keyCols :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val rng = perVal.groupBy(keyCols: _*)
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+        sum(col("__c")).as("__n"))
+    val bucketed = (if (keys.isEmpty) perVal.crossJoin(broadcast(rng))
+      else nullSafeJoin(perVal, rng, keys))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(buckets - 1L), greatest(lit(0L),
+            floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo")) *
+              lit(buckets))))))
+      .drop("__lo", "__hi")
+    val wBucket = Window.partitionBy(keyCols: _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(keyCols :+ col("__b"): _*)
+      .agg(sum(col("__c")).as("__bc"))
+      .withColumn("__belowBucket",
+        coalesce(sum(col("__bc")).over(wBucket), lit(0L)))
+      .drop("__bc")
+    val wIn = Window.partitionBy(keyCols :+ col("__b"): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    nullSafeJoin(bucketed, offsets, keys :+ "__b")
+      .withColumn("__below",
+        col("__belowBucket") + coalesce(sum(col("__c")).over(wIn), lit(0L)))
+      .select(keyCols ++ Seq(
+        col("__v").as(valueCol),
+        col("__c").as("n_eq"),
+        round((lit(2L) * col("__below") + col("__c")).cast("double") /
+          (lit(2.0) * col("__n").cast("double")), 6).as("cdf")): _*)
   }
 
   /**

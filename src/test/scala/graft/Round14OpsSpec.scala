@@ -145,6 +145,101 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(graft.ops.Similarity.embedCovariance(empty, "embedding").count() == 0L)
   }
 
+  // ---- cdfNormalize ----
+
+  test("cdfNormalize: mid-rank positions on a hand frame, ties shared") {
+    // group g: values 1,2,2,4 -> cdf(1)=0.125, cdf(2)=(1+1)/4=0.5, cdf(4)=0.875
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 4.0)).toDF("k", "v")
+    val out = Stats.cdfNormalize(df, Seq("k"), "v")
+      .collect().map(r => r.getDouble(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1.0) == ((1L, 0.125)))
+    assert(out(2.0) == ((2L, 0.5)))
+    assert(out(4.0) == ((1L, 0.875)))
+  }
+
+  test("cdfNormalize: bucket-count invariance and null-key group survival") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0),
+      (None: Option[String], 5.0), (None, 7.0)).toDF("k", "v")
+    val b1 = Stats.cdfNormalize(df, Seq("k"), "v", buckets = 1)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getDouble(1), r.getDouble(3))).toSet
+    val b256 = Stats.cdfNormalize(df, Seq("k"), "v", buckets = 256)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getDouble(1), r.getDouble(3))).toSet
+    assert(b1 == b256)
+    assert(b1.exists(_._1 == null)) // the null-key group survived the joins
+    assert(b1.count(_._1 == null) == 2)
+  }
+
+  test("cdfNormalize: matches the window-rank naive form on real data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ours = Stats.cdfNormalize(li, Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+    val naive = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(
+        w.orderBy(col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(w))
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        round((lit(2L) * col("below") + col("c")).cast("double") /
+          (lit(2.0) * col("n").cast("double")), 6).as("cdf"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(ours == naive)
+  }
+
+  // ---- annJoin ----
+
+  test("annJoin: identical vector across tables pairs at cosine 1, top-k and "
+      + "threshold enforced") {
+    import graft.ops.Similarity
+    val mk = (id: Long, v: Seq[Float]) => (id, v)
+    // left 1 == right 11 (same bucket, cos 1); right 12 is its negation
+    // (opposite bucket -> never a candidate even though |cos| = 1)
+    val base = Seq.fill(64)(0.1f)
+    val left = Similarity.prepared(
+      Seq(mk(1L, base)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val right = Similarity.prepared(
+      Seq(mk(11L, base), mk(12L, base.map(-_))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val out = Similarity.annJoin(left, right, planes = 8, dim = 64,
+      minCos = 0.5, k = 3).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 11L &&
+      out(0).getDouble(2) == 1.0 && out(0).getInt(3) == 1)
+  }
+
+  test("annJoin: every emitted pair shares a bucket, verifies the threshold, "
+      + "and ranks correctly") {
+    import graft.ops.Similarity
+    val all = Similarity.prepared(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding")
+    val l = all.filter(col("vec_id") % 2 === 0)
+    val r = all.filter(col("vec_id") % 2 === 1)
+    val out = Similarity.annJoin(l, r, planes = 6, dim = 64,
+      minCos = 0.1, k = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) >= 0.1))
+    // per left id: ranks are 1..m, scores non-increasing, <= k rows
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      })
+    }
+    // bucket agreement: recompute signatures and check each pair collides
+    val sig = all.select(col("vec_id"),
+      Similarity.lshBucket(col("v"), 6, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach(r => assert(sig(r.getLong(0)) == sig(r.getLong(1))))
+  }
+
   // ---- randomProject ----
 
   test("randomProject: signs agree with the SRP signature plane-for-plane") {
