@@ -2434,7 +2434,22 @@ object SparkEntry {
         all.filter(col("vec_id") % 2 === 0),
         all.filter(col("vec_id") % 2 === 1),
         planes = 8, dim = 64, minCos = 0.1, k = 3)
-    })
+    }),
+
+    "q_bootstrap_ci" -> ((s, dir) =>
+      // distribution-free CI of the mean event value: 32 deterministic
+      // Poisson(1) resamples in ONE aggregate pass, md5-replayable
+      Stats.bootstrapMeanCI(t(s, dir, "events"), "event_id", "value")),
+
+    "q_ab_lift_by" -> ((s, dir) =>
+      // heterogeneous treatment effects: the abLift readout per user
+      // segment (= the user's FIRST event type, the acquisition proxy)
+      Events.abLiftBy(t(s, dir, "events"), "event_type")),
+
+    "q_cohort_ltv" -> ((s, dir) =>
+      // LTV curves: cumulative purchase revenue per user by acquisition
+      // cohort (first active day) and age, exact integral micros
+      Events.cohortLtv(t(s, dir, "events"), "purchase", maxAgeDays = 28))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -5792,6 +5807,86 @@ object SparkEntry {
          |SELECT l_id, r_id, cos, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY l_id
          |    ORDER BY cos DESC, r_id ASC) AS rn FROM flt)
-         |WHERE rn <= 3""".stripMargin
+         |WHERE rn <= 3""".stripMargin,
+
+    "q_bootstrap_ci" -> {
+      // Poisson(1) CDF ladder shared with Stats.bootstrapMeanCI
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+        0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+      def weight(r: Int): String = {
+        val u = s"((${hexToLong(s"md5(id || '_${r / 4}')", 1 + 8 * (r % 4), 8)})::DOUBLE + 0.5) / 4294967296.0"
+        cdf.zipWithIndex.foldRight("8::BIGINT") { case ((t, k), rest) =>
+          s"CASE WHEN $u < $t THEN ${k}::BIGINT ELSE $rest END"
+        }
+      }
+      val sums = (0 until 32).map { r =>
+        s"sum(${weight(r)})::BIGINT AS w_$r, " +
+          s"sum((${weight(r)})::HUGEINT * vmic) AS wx_$r"
+      }.mkString(",\n  ")
+      val means = (0 until 32).map { r =>
+        s"CASE WHEN w_$r > 0 THEN wx_$r::DOUBLE / w_$r::DOUBLE / 1e6 END"
+      }.mkString(", ")
+      s"""WITH v AS (SELECT event_id::VARCHAR AS id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vmic
+         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         |w AS (SELECT count(*)::BIGINT AS n, sum(vmic)::HUGEINT AS sx,
+         |  $sums
+         |  FROM v),
+         |m AS (SELECT n, sx, list_sort([$means]) AS ms FROM w)
+         |SELECT n,
+         |  round(CASE WHEN n > 0 THEN sx::DOUBLE / n::DOUBLE / 1e6 END, 6) AS mean,
+         |  round(ms[2], 6) AS ci_lo, round(ms[31], 6) AS ci_hi
+         |FROM m""".stripMargin
+    },
+
+    "q_ab_lift_by" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(ts) AS tsu,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+         |fe AS (SELECT user_id, event_type AS segment, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY tsu, event_id) AS rn FROM e),
+         |seg AS (SELECT user_id, segment FROM fe WHERE rn = 1),
+         |us AS (SELECT user_id, sum(vmic) AS sm,
+         |    (${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2 AS arm
+         |  FROM e GROUP BY user_id),
+         |u AS (SELECT us.*, seg.segment FROM us JOIN seg USING (user_id)),
+         |w AS (SELECT segment,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN arm = 0 THEN sm ELSE 0 END)::HUGEINT AS s1_c,
+         |    sum(CASE WHEN arm = 0 THEN sm::HUGEINT * sm ELSE 0 END) AS s2_c,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         |    sum(CASE WHEN arm = 1 THEN sm ELSE 0 END)::HUGEINT AS s1_t,
+         |    sum(CASE WHEN arm = 1 THEN sm::HUGEINT * sm ELSE 0 END) AS s2_t
+         |  FROM u GROUP BY segment)
+         |SELECT segment, n_c, n_t,
+         |  round(CASE WHEN n_c > 0 THEN s1_c::DOUBLE / n_c / 1e6 END, 6) AS mean_c,
+         |  round(CASE WHEN n_t > 0 THEN s1_t::DOUBLE / n_t / 1e6 END, 6) AS mean_t,
+         |  round(CASE WHEN n_c > 0 AND n_t > 0
+         |    THEN s1_t::DOUBLE / n_t / 1e6 - s1_c::DOUBLE / n_c / 1e6 END, 6) AS lift,
+         |  round(CASE WHEN n_c > 1 AND n_t > 1 THEN
+         |    (s1_t::DOUBLE / n_t / 1e6 - s1_c::DOUBLE / n_c / 1e6)
+         |    / sqrt((n_t * s2_t - s1_t * s1_t)::DOUBLE
+         |        / (n_t::DOUBLE * (n_t - 1)::DOUBLE) / 1e12 / n_t
+         |      + (n_c * s2_c - s1_c * s1_c)::DOUBLE
+         |        / (n_c::DOUBLE * (n_c - 1)::DOUBLE) / 1e12 / n_c) END, 6) AS z
+         |FROM w""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    event_type, CAST(round(value * 1000000) AS BIGINT) AS vmic
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |cs AS (SELECT cohort_day, count(*)::BIGINT AS n_users FROM f GROUP BY 1),
+        |r AS (SELECT f.cohort_day, (e.day - f.cohort_day)::INT AS age,
+        |    sum(vmic)::BIGINT AS rev
+        |  FROM e JOIN f USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.day - f.cohort_day <= 28
+        |  GROUP BY 1, 2),
+        |c AS (SELECT cohort_day, age, sum(rev) OVER (PARTITION BY cohort_day
+        |    ORDER BY age ROWS UNBOUNDED PRECEDING) AS cum FROM r)
+        |SELECT c.cohort_day, c.age, cs.n_users,
+        |  round(c.cum::DOUBLE / 1e6 / cs.n_users::DOUBLE, 6) AS ltv_per_user
+        |FROM c JOIN cs USING (cohort_day)""".stripMargin
   )
 }

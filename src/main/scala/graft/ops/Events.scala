@@ -1115,6 +1115,44 @@ object Events {
       .withColumn("arm",
         (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 2).cast("int"))
+    armReadout(byUser)
+  }
+
+  /**
+   * SEGMENTED experiment readout — [[abLift]] per user segment (the
+   * heterogeneous-treatment-effect view: "the feature wins overall,
+   * but does it win for every acquisition channel?"). The segment is
+   * a USER attribute derived deterministically from their events: the
+   * `segmentCol` value of the user's FIRST event ((ts, event_id)
+   * ascending — the acquisition-channel convention). Everything else
+   * is [[abLift]] verbatim, one row per segment: same exact integral
+   * moments (n·S2 − S1² formed before any double), same md5 coin,
+   * same Welch z, just grouped by (segment) instead of folded to one
+   * row. ONE user-keyed aggregate carries both the metric sum and the
+   * min_by segment pick; the segment frame is |segments| rows.
+   * Segment arity is bounded by contract (it's a readout table).
+   */
+  def abLiftBy(events: DataFrame, segmentCol: String): DataFrame = {
+    val byUser = EventTime.normalizeTs(events)
+      .select(col("user_id"), col(segmentCol).as("__seg"),
+        expr("ts div 1000L").as("__tsu"), col("event_id"),
+        round(col("value") * 1000000).cast("long").as("__vmic"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("__vmic")).as("sm"),
+        min_by(col("__seg"), struct(col("__tsu"), col("event_id")))
+          .as("segment"))
+      .withColumn("arm",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+    armReadout(byUser, Seq("segment"))
+  }
+
+  /** The arm-moment fold shared by [[abLift]] (global) and
+    * [[abLiftBy]] (per segment): exact integral moments, one Welch z
+    * per group. `byUser` must carry (sm: long, arm: int) plus the
+    * grouping columns. */
+  private def armReadout(byUser: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
     def armAgg(a: Int, name: String) = Seq(
       sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n_$name"),
       sum(when(col("arm") === a, col("sm")).otherwise(0L))
@@ -1123,7 +1161,8 @@ object Events {
         col("sm").cast("decimal(38,0)") * col("sm")).otherwise(lit(0)))
         .as(s"s2_$name"))
     val aggs = armAgg(0, "c") ++ armAgg(1, "t")
-    val wide = byUser.agg(aggs.head, aggs.tail: _*)
+    val keyCols = keys.map(col)
+    val wide = byUser.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
     def mean(s: String) = col(s"s1_$s").cast("double") / col(s"n_$s") / 1e6
     // sample variance in VALUE units: (n·S2 − S1²) exact, then one
     // double conversion, ÷ n(n−1) ÷ 1e12
@@ -1133,7 +1172,7 @@ object Events {
         (col(s"n_$s").cast("double") * (col(s"n_$s") - 1L).cast("double")) / 1e12
     val ok = col("n_c") > 1L && col("n_t") > 1L
     val both = col("n_c") > 0L && col("n_t") > 0L
-    wide.select(
+    wide.select(keyCols ++ Seq(
       col("n_c"), col("n_t"),
       round(when(col("n_c") > 0L, mean("c")).otherwise(lit(null)), 6)
         .as("mean_c"),
@@ -1143,7 +1182,7 @@ object Events {
         .as("lift"),
       round(when(ok, (mean("t") - mean("c")) /
         sqrt(variance("t") / col("n_t") + variance("c") / col("n_c")))
-        .otherwise(lit(null)), 6).as("z"))
+        .otherwise(lit(null)), 6).as("z")): _*)
   }
 
   /**
@@ -1633,5 +1672,52 @@ object Events {
       col("k").as("n_days"),
       round(when(col("k") >= minDays && dx > 0.0 && dy > 0.0,
         num / (sqrt(dx) * sqrt(dy))).otherwise(lit(null)), 6).as("corr"))
+  }
+
+  /**
+   * COHORT LTV CURVES — cumulative revenue per user by acquisition
+   * cohort and age: "how much has the average day-X user spent by day
+   * X+age?", the payback/LTV readout growth teams live on. Cohort =
+   * the user's first active day (ANY event type — acquisition, not
+   * first purchase); revenue = the µs-exact value sum of
+   * `revenueType` events within `maxAgeDays` of it; each (cohort,
+   * age) row reports the cohort's size and its cumulative revenue
+   * per user through that age.
+   *
+   * Scale shape: one user-keyed first-day aggregate, one user-keyed
+   * equi-join stamping each revenue event's cohort (both sides hash
+   * on user_id — co-partitioned sort-merge at 100 TB), then
+   * everything else on the compact (cohort, age) frame: the
+   * cumulative window partitions by cohort over ≤ maxAgeDays rows,
+   * and cohort sizes broadcast back (a calendar-bounded frame).
+   * Revenue sums are exact integral micros; one double division per
+   * output row. Only OBSERVED (cohort, age) pairs emit — an age with
+   * no revenue adds nothing to the cumulative sum, so the curve is
+   * exact across gaps (read it as a step function).
+   */
+  def cohortLtv(events: DataFrame, revenueType: String,
+      maxAgeDays: Int = 28): DataFrame = {
+    require(maxAgeDays >= 0, s"maxAgeDays must be >= 0, got $maxAgeDays")
+    val e = EventTime.normalizeTs(events)
+      .select(col("user_id"), expr("ts div 86400000000000L").as("day"),
+        col("event_type"),
+        round(col("value") * 1000000).cast("long").as("__vmic"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val cohortSizes = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = e.filter(col("event_type") === revenueType)
+      .join(firstDay, "user_id")
+      .withColumn("age", (col("day") - col("cohort_day")).cast("int"))
+      .filter(col("age") <= maxAgeDays)
+      .groupBy(col("cohort_day"), col("age"))
+      .agg(sum(col("__vmic")).as("__rev"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .join(broadcast(cohortSizes), "cohort_day")
+      .select(col("cohort_day"), col("age"), col("n_users"),
+        round(col("__cum").cast("double") / 1e6 /
+          col("n_users").cast("double"), 6).as("ltv_per_user"))
   }
 }

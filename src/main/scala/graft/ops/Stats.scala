@@ -623,6 +623,74 @@ object Stats {
   }
 
   /**
+   * Deterministic POISSON-BOOTSTRAP confidence interval for a mean —
+   * the distribution-free "how sure are we of this number" readout
+   * (skewed revenue-per-user style metrics violate every normality
+   * assumption a t-interval needs; the bootstrap doesn't care). Each
+   * of `reps` resamples weights every row by an independent
+   * Poisson(1) draw — the classic one-pass approximation of
+   * resampling-with-replacement at scale (Chamandy et al., Google
+   * 2012): no row ever needs to see another row, so the whole
+   * procedure is ONE map-side-combinable aggregate.
+   *
+   * Replayability discipline: the "randomness" is md5(id, chunk) —
+   * each 32-hex md5 yields four independent 8-hex uniforms, so 32
+   * reps cost 8 md5 evaluations per row — inverted to a Poisson(1)
+   * count by a fixed CDF-threshold CASE ladder (P(K ≤ k) thresholds
+   * embedded as double literals, capped at 8 where the CDF passes
+   * 1 − 10⁻⁶). Any engine replays every weight exactly. Weighted sums
+   * are exact integral micros in decimal(38,0); each rep mean is one
+   * double division; the interval is the [lo]/[hi] order statistics
+   * of the `reps` sorted rep means (percentile bootstrap — with the
+   * default 32 reps, the 2nd smallest/largest ≈ a 94% CI). Output:
+   * one row (n, mean, ci_lo, ci_hi). Rows with null id or value are
+   * excluded by contract; empty input → NULLs.
+   */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 4 && reps % 4 == 0 && reps <= 64,
+      s"reps must be a multiple of 4 in [4, 64], got $reps")
+    // Poisson(1) CDF thresholds: P(K <= k) for k = 0..7; u beyond the
+    // last -> 8 (P ~ 1e-6)
+    val cdf = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+    val clean = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        round(col(valueCol) * 1000000).cast("long").as("__vmic"))
+    // rep r reads hex chunk (r % 4) of md5(id || '_' || (r / 4))
+    def weight(r: Int): Column = {
+      val u = (conv(substring(md5(concat(col("__id"), lit(s"_${r / 4}"))),
+        1 + 8 * (r % 4), 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+      cdf.zipWithIndex.foldRight(lit(8L): Column) { case ((t, k), rest) =>
+        when(u < t, lit(k.toLong)).otherwise(rest)
+      }
+    }
+    val aggs = Seq(count(lit(1)).as("__n"),
+      sum(col("__vmic")).cast("decimal(38,0)").as("__sx")) ++
+      (0 until reps).flatMap { r =>
+        Seq(sum(weight(r)).as(s"__w_$r"),
+          sum(weight(r).cast("decimal(38,0)") * col("__vmic")).as(s"__wx_$r"))
+      }
+    val wide = clean.agg(aggs.head, aggs.tail: _*)
+    val repMeans = array((0 until reps).map { r =>
+      when(col(s"__w_$r") > 0L,
+        col(s"__wx_$r").cast("double") / col(s"__w_$r").cast("double") / 1e6)
+        .otherwise(lit(null))
+    }: _*)
+    wide
+      .withColumn("__ms", sort_array(repMeans))
+      .select(
+        col("__n").as("n"),
+        round(when(col("__n") > 0L,
+          col("__sx").cast("double") / col("__n").cast("double") / 1e6)
+          .otherwise(lit(null)), 6).as("mean"),
+        round(element_at(col("__ms"), 2), 6).as("ci_lo"),
+        round(element_at(col("__ms"), reps - 1), 6).as("ci_hi"))
+  }
+
+  /**
    * POPULATION STABILITY INDEX — the model-monitoring drift number:
    * how far the current distribution of a score/feature has moved
    * from its baseline, PSI = Σ_bins (p_cur − p_base)·ln(p_cur/p_base).

@@ -190,7 +190,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row global-prior broadcast (the LOO smoothing target)
       "q_target_encode",
       // 1-row session-count broadcast (the lift denominator)
-      "q_session_cooccur")
+      "q_session_cooccur",
+      // 1-row score-range broadcast (the equal-width bucket edges)
+      "q_auc",
+      // 1-row baseline-range broadcast (frozen bin edges) + the
+      // bins-row densify frame derived from it
+      "q_psi")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

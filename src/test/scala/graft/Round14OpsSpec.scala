@@ -145,6 +145,86 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(graft.ops.Similarity.embedCovariance(empty, "embedding").count() == 0L)
   }
 
+  // ---- bootstrapMeanCI ----
+
+  test("bootstrapMeanCI: interval brackets the true mean and tightens with n") {
+    val small = (1 to 40).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
+    val big = (1 to 4000).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
+    val rs = Stats.bootstrapMeanCI(small, "id", "v").collect()(0)
+    val rb = Stats.bootstrapMeanCI(big, "id", "v").collect()(0)
+    assert(rs.getLong(0) == 40L && rb.getLong(0) == 4000L)
+    // both intervals bracket their sample mean
+    assert(rs.getDouble(2) <= rs.getDouble(1) && rs.getDouble(1) <= rs.getDouble(3))
+    assert(rb.getDouble(2) <= rb.getDouble(1) && rb.getDouble(1) <= rb.getDouble(3))
+    // 100x the data -> a much tighter interval
+    assert((rb.getDouble(3) - rb.getDouble(2)) <
+      (rs.getDouble(3) - rs.getDouble(2)) / 3)
+  }
+
+  test("bootstrapMeanCI: deterministic across partitionings; constant data "
+      + "collapses to a point") {
+    val df = (1 to 300).map(i => (i.toLong, math.sin(i).abs)).toDF("id", "v")
+    val a = Stats.bootstrapMeanCI(df, "id", "v").collect()(0)
+    val b = Stats.bootstrapMeanCI(df.repartition(13), "id", "v").collect()(0)
+    assert(a == b)
+    val const = (1 to 100).map(i => (i.toLong, 2.5)).toDF("id", "v")
+    val rc = Stats.bootstrapMeanCI(const, "id", "v").collect()(0)
+    assert(rc.getDouble(1) == 2.5 && rc.getDouble(2) == 2.5 && rc.getDouble(3) == 2.5)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val re = Stats.bootstrapMeanCI(empty, "id", "v").collect()(0)
+    assert(re.getLong(0) == 0L && re.isNullAt(1) && re.isNullAt(2) && re.isNullAt(3))
+  }
+
+  // ---- abLiftBy ----
+
+  test("abLiftBy: segment rows partition the abLift population exactly") {
+    val by = Events.abLiftBy(events, "event_type").collect()
+    val glob = Events.abLift(events).collect()(0)
+    assert(by.map(_.getLong(1)).sum == glob.getLong(0)) // n_c
+    assert(by.map(_.getLong(2)).sum == glob.getLong(1)) // n_t
+    // every user appears in exactly one segment (first event is unique)
+    assert(by.map(r => r.getLong(1) + r.getLong(2)).sum ==
+      events.select("user_id").distinct().count())
+  }
+
+  test("abLiftBy: a single-segment frame reproduces abLift verbatim") {
+    val one = graft.ops.EventTime.normalizeTs(events)
+      .withColumn("seg", lit("all"))
+    val by = Events.abLiftBy(one, "seg").collect()
+    assert(by.length == 1)
+    val glob = Events.abLift(events).collect()(0)
+    assert(by(0).toSeq.drop(1) == glob.toSeq)
+  }
+
+  // ---- cohortLtv ----
+
+  test("cohortLtv: hand frame — cohorts, ages and cumulative revenue exact") {
+    // user 1 first active day 0 (click), buys 2.0 on day 0 and 3.0 on day 2
+    // user 2 first active day 2, buys 5.0 on day 2 (age 0)
+    val df = Seq(
+      (1L, 0L * DAY, "click", 0.0), (1L, 0L * DAY, "purchase", 2.0),
+      (1L, 2L * DAY, "purchase", 3.0),
+      (2L, 2L * DAY, "purchase", 5.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Events.cohortLtv(df, "purchase", maxAgeDays = 28)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0L, 0)) == ((1L, 2.0)))   // cohort day0: 1 user, 2.0 by age 0
+    assert(out((0L, 2)) == ((1L, 5.0)))   // cumulative 2+3 by age 2
+    assert(out((2L, 0)) == ((1L, 5.0)))   // cohort day2: its own curve
+    assert(out.size == 3)
+  }
+
+  test("cohortLtv: age window excludes revenue beyond maxAgeDays") {
+    val df = Seq(
+      (1L, 0L * DAY, "purchase", 1.0),
+      (1L, 40L * DAY, "purchase", 100.0)) // beyond the 28-day window
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Events.cohortLtv(df, "purchase", maxAgeDays = 28).collect()
+    assert(out.length == 1)
+    assert(out(0).getInt(1) == 0 && out(0).getDouble(3) == 1.0)
+  }
+
   // ---- cdfNormalize ----
 
   test("cdfNormalize: mid-rank positions on a hand frame, ties shared") {
