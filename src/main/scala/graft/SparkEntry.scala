@@ -2449,7 +2449,32 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, dir) =>
       // LTV curves: cumulative purchase revenue per user by acquisition
       // cohort (first active day) and age, exact integral micros
-      Events.cohortLtv(t(s, dir, "events"), "purchase", maxAgeDays = 28))
+      Events.cohortLtv(t(s, dir, "events"), "purchase", maxAgeDays = 28)),
+
+    "q_readability" -> ((s, dir) =>
+      // grade-level curation signal: FK readability from exact token /
+      // sentence-run / vowel-run counts, NULL (never a throw) on
+      // wordless docs
+      TextOps.readability(docs(s, dir), "doc_id", "text")),
+
+    "q_url_dedup" -> ((s, dir) => {
+      // crawl dedup: case/port/fragment/tracking-param/slash variants of
+      // the same page collapse to one canonical form (derived from real
+      // columns so the oracle canonicalizes the identical strings)
+      val d = docs(s, dir).withColumn("url",
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".example.org"),
+          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/"), col("lang"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .otherwise(when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
+              .otherwise(lit(""))),
+          when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))))
+      TextOps.urlDedup(d, "doc_id", "url")
+    })
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -5887,6 +5912,56 @@ object SparkEntry {
         |    ORDER BY age ROWS UNBOUNDED PRECEDING) AS cum FROM r)
         |SELECT c.cohort_day, c.age, cs.n_users,
         |  round(c.cum::DOUBLE / 1e6 / cs.n_users::DOUBLE, 6) AS ltv_per_user
-        |FROM c JOIN cs USING (cohort_day)""".stripMargin
+        |FROM c JOIN cs USING (cohort_day)""".stripMargin,
+
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    len(regexp_extract_all(text, '[.!?]+')) AS sr,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vr
+        |  FROM documents)
+        |SELECT doc_id, w::INT AS n_words,
+        |  (CASE WHEN w > 0 THEN greatest(sr, 1) ELSE 0 END)::INT AS n_sentences,
+        |  (CASE WHEN w > 0 THEN greatest(vr, w) ELSE 0 END)::INT AS n_syllables,
+        |  round(CASE WHEN w > 0 THEN
+        |    0.39 * (w::DOUBLE / greatest(sr, 1)::DOUBLE)
+        |    + 11.8 * (greatest(vr, w)::DOUBLE / w::DOUBLE) - 15.59 END, 6)
+        |    AS fk_grade
+        |FROM t""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+        |    || '.example.org'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        |    || '/' || lang
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+        |    regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+        |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+        |      '/+$', '') AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM d),
+        |c AS (SELECT doc_id,
+        |    scheme || '://' || host
+        |    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |        OR (scheme = 'https' AND port = '443') THEN ''
+        |        ELSE ':' || port END)
+        |    || path
+        |    || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      q -> NOT regexp_matches(q, '^(utm_[^=]*|ref|fbclid|gclid)='))),
+        |      '&') AS kq FROM p))
+        |SELECT canonical_url, count(*)::BIGINT AS n_dups,
+        |  min(doc_id) AS rep_id
+        |FROM c GROUP BY 1""".stripMargin
   )
 }

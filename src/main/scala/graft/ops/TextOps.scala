@@ -1221,4 +1221,83 @@ object TextOps {
       part("^[a-z]+://[^/?#]*(/[^?#]*)", "path"),
       part("\\?([^#]*)", "query"))
   }
+
+  /**
+   * Canonical URL form — the crawl-dedup prerequisite: the same page
+   * arrives as `HTTPS://Site.org:443/a/?utm_source=x#frag` and
+   * `https://site.org/a` and byte-level dedup sees two documents.
+   * Normalization (each step deterministic, mirrored in the oracle):
+   * (1) scheme and host lowercase; (2) default ports dropped (http:80,
+   * https:443); (3) the fragment dropped; (4) tracking parameters
+   * dropped (utm_*, ref, fbclid, gclid) and the survivors SORTED
+   * (param order is transport noise); (5) trailing path slashes
+   * dropped. Pure column expression — regexp_extract parsing (no
+   * backreference replacement, whose syntax differs across engines)
+   * plus short-array HOFs (interpreted, but over ≤ a few dozen params
+   * per URL — never row-count state).
+   */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z]+)://", 1))
+    val host = lower(regexp_extract(url, "^[a-zA-Z]+://([^/:?#]+)", 1))
+    val port = regexp_extract(url, "^[a-zA-Z]+://[^/:?#]+:([0-9]+)", 1)
+    val path = regexp_replace(
+      regexp_extract(url, "^[a-zA-Z]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptQuery = array_join(sort_array(filter(split(query, "&"),
+      p => !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)="))), "&")
+    val portPart = when(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    concat(scheme, lit("://"), host, portPart, path,
+      when(keptQuery === "", lit("")).otherwise(concat(lit("?"), keptQuery)))
+  }
+
+  /**
+   * URL-level dedup over [[canonicalUrl]]: one row per canonical form
+   * with its duplicate count and representative (min id) — the crawl
+   * frontier's "have I fetched this page already" reduction. One
+   * map-side-combinable aggregate; the canonicalization runs inside
+   * the scan stage. Null URLs are excluded by contract.
+   */
+  def urlDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      urlCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(col(urlCol).isNotNull)
+      .select(col(idCol).as("id"), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("id")).as("rep_id"))
+
+  /**
+   * READABILITY metrics — the Flesch-Kincaid-family quality signal
+   * (a training-corpus curation axis orthogonal to [[qualityScore]]'s
+   * junk detection: grade level says "how hard is this text", not
+   * "is it text at all"). Counts are corpus-scale heuristics, exact
+   * and engine-replayable: words = [[tokens]] arity, sentences =
+   * `[.!?]+` runs (min 1 once any word exists), syllables = vowel
+   * runs `[aeiouy]+` floored at one per word (the classic
+   * approximation). FK grade = 0.39·(words/sentences) +
+   * 11.8·(syllables/words) − 15.59, fixed operation order, 6-dp.
+   * Wordless documents → NULL grade (never an ANSI divide — the
+   * DegenerateDocs lesson).
+   */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = size(tokens(col(textCol)))
+    val sentencesRaw = size(call_function("regexp_extract_all",
+      col(textCol), lit("[.!?]+"), lit(0)))
+    val vowelRuns = size(call_function("regexp_extract_all",
+      lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+    df.select(col(idCol), words.as("n_words"),
+        when(words > 0, greatest(sentencesRaw, lit(1))).otherwise(lit(0))
+          .as("n_sentences"),
+        when(words > 0, greatest(vowelRuns, words)).otherwise(lit(0))
+          .as("n_syllables"))
+      .withColumn("fk_grade",
+        round(when(col("n_words") > 0,
+          lit(0.39) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")) - lit(15.59))
+          .otherwise(lit(null)), 6))
+  }
 }

@@ -77,6 +77,12 @@ object ScaleStress {
       // r14: one pass of k(k+3)/2 exact sums, one result row
       "corr_matrix" -> (li => graft.ops.Stats.corrMatrix(li,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+      // r14: distinct-value collapse + bucket-partitioned rank windows
+      "cdf" -> (li => graft.ops.Stats.cdfNormalize(li,
+        Seq("l_returnflag"), "l_extendedprice")),
+      // r14: 32 resample sums in one aggregate (8 md5/row)
+      "bootstrap_ci" -> (li => graft.ops.Stats.bootstrapMeanCI(li,
+        "l_orderkey", "l_extendedprice")),
       // r14: one range exchange + zipWithIndex (6M rows at 10×)
       "assign_ids" -> (li => graft.ops.Scale.assignIds(
         li.select(col("l_orderkey"), col("l_linenumber")),
@@ -200,6 +206,10 @@ object ScaleStress {
       // r14: day-frame collapse + RANGE sufficient-stat windows
       "rolling_corr" -> (e => graft.ops.Events.rollingCorr(
         e, "click", "purchase", windowDays = 28, minDays = 7)),
+      // r14: one user agg (metric + first-event min_by) + segment fold
+      "ab_lift_by" -> (e => graft.ops.Events.abLiftBy(e, "event_type")),
+      // r14: user first-day agg + user equi-join + (cohort, age) frame
+      "cohort_ltv" -> (e => graft.ops.Events.cohortLtv(e, "purchase", 28)),
       "sessionize" -> (e => graft.ops.Events.sessionize(e)),
       "asof_join" -> (e => {
         val c = e.filter(col("event_type") === "click")
@@ -288,7 +298,15 @@ object ScaleStress {
         e, "embedding")),
       // r14: per-row projection kernel, no shuffle
       "project" -> (e => graft.ops.Similarity.randomProject(
-        e, "embedding", dim = 64, outDim = 16)))
+        e, "embedding", dim = 64, outDim = 16)),
+      // r14: SRP-bucket equi-join, even ids query the odd half
+      "ann_join" -> (e => {
+        val all = graft.ops.Similarity.prepared(e, "vec_id", "embedding")
+        graft.ops.Similarity.annJoin(
+          all.filter(col("vec_id") % 2 === 0),
+          all.filter(col("vec_id") % 2 === 1),
+          planes = 8, dim = 64, minCos = 0.1, k = 3)
+      }))
 
     // warmup
     noop(li1.groupBy(col("l_returnflag")).count())

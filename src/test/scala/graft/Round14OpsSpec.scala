@@ -145,6 +145,59 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(graft.ops.Similarity.embedCovariance(empty, "embedding").count() == 0L)
   }
 
+  // ---- canonicalUrl / urlDedup ----
+
+  test("canonicalUrl: every transport variant of a page collapses to one form") {
+    import graft.ops.TextOps
+    val variants = Seq(
+      "HTTPS://Site.Org:443/a/b/?utm_source=x&z=1&a=2#frag",
+      "https://site.org/a/b?a=2&z=1",
+      "https://SITE.org/a/b///?z=1&a=2&fbclid=abc",
+      "https://site.org:443/a/b?ref=tw&a=2&z=1")
+    val out = variants.toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("https://site.org/a/b?a=2&z=1"))
+    // a genuinely different page does NOT collapse
+    val other = Seq("https://site.org/a/b?a=3&z=1", "http://site.org:8080/a/b")
+      .toDF("url").select(TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(other == Set("https://site.org/a/b?a=3&z=1",
+      "http://site.org:8080/a/b"))
+  }
+
+  test("urlDedup: counts and min-id representative per canonical form") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (3L, "https://x.org/p"), (1L, "HTTPS://X.ORG/p/"),
+      (2L, "https://x.org/p?utm_source=a"), (9L, "https://y.org/q"))
+      .toDF("id", "url")
+    val out = TextOps.urlDedup(df, "id", "url")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("https://x.org/p") == ((3L, 1L)))
+    assert(out("https://y.org/q") == ((1L, 9L)))
+  }
+
+  // ---- readability ----
+
+  test("readability: hand counts and the FK formula, wordless docs NULL") {
+    import graft.ops.TextOps
+    // "See Spot run. See Spot jump!" -> 6 words, 2 sentences; vowel runs:
+    // see(2: ee... 'see'->'ee' 1 run) count: see=1, spot=1, run=1, see=1,
+    // spot=1, jump=1 -> 6 runs -> syllables = max(6, 6) = 6
+    val df = Seq((1L, "See Spot run. See Spot jump!"), (2L, "!!! ???"))
+      .toDF("doc_id", "text")
+    val out = TextOps.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 6 && r1.getInt(2) == 2 && r1.getInt(3) == 6)
+    val expected = math.rint((0.39 * 3.0 + 11.8 * 1.0 - 15.59) * 1e6) / 1e6
+    assert(r1.getDouble(4) == expected)
+    val r2 = out(2L)
+    assert(r2.getInt(1) == 0 && r2.getInt(2) == 0 && r2.getInt(3) == 0 &&
+      r2.isNullAt(4)) // no ANSI divide on the wordless doc
+  }
+
   // ---- bootstrapMeanCI ----
 
   test("bootstrapMeanCI: interval brackets the true mean and tightens with n") {
