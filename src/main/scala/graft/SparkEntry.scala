@@ -2474,6 +2474,18 @@ object SparkEntry {
               .otherwise(lit(""))),
           when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))))
       TextOps.urlDedup(d, "doc_id", "url")
+    }),
+
+    "q_bootstrap_lift" -> ((s, dir) => {
+      // assumption-free experiment interval: resample USERS (the md5
+      // arms' units) and read the lift CI off the sorted rep lifts
+      val byUser = t(s, dir, "events").groupBy(col("user_id"))
+        .agg((sum(round(col("value") * 1000000).cast("long"))
+          .cast("double") / 1e6).as("metric"))
+        .withColumn("arm",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+      Stats.bootstrapLiftCI(byUser, "user_id", "arm", "metric")
     })
   )
 
@@ -5962,6 +5974,47 @@ object SparkEntry {
         |      '&') AS kq FROM p))
         |SELECT canonical_url, count(*)::BIGINT AS n_dups,
         |  min(doc_id) AS rep_id
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_bootstrap_lift" -> {
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+        0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+      def weight(r: Int): String = {
+        val u = s"((${hexToLong(s"md5(id || '_${r / 4}')", 1 + 8 * (r % 4), 8)})::DOUBLE + 0.5) / 4294967296.0"
+        cdf.zipWithIndex.foldRight("8::BIGINT") { case ((t, k), rest) =>
+          s"CASE WHEN $u < $t THEN ${k}::BIGINT ELSE $rest END"
+        }
+      }
+      val sums = (0 until 32).map { r =>
+        s"""sum(CASE WHEN arm = 0 THEN ${weight(r)} ELSE 0 END)::BIGINT AS wc_$r,
+           |  sum(CASE WHEN arm = 0 THEN (${weight(r)})::HUGEINT * vmic ELSE 0 END) AS wxc_$r,
+           |  sum(CASE WHEN arm = 1 THEN ${weight(r)} ELSE 0 END)::BIGINT AS wt_$r,
+           |  sum(CASE WHEN arm = 1 THEN (${weight(r)})::HUGEINT * vmic ELSE 0 END) AS wxt_$r""".stripMargin
+      }.mkString(",\n  ")
+      val lifts = (0 until 32).map { r =>
+        s"""CASE WHEN wc_$r > 0 AND wt_$r > 0
+           |  THEN wxt_$r::DOUBLE / wt_$r::DOUBLE / 1e6
+           |     - wxc_$r::DOUBLE / wc_$r::DOUBLE / 1e6 END""".stripMargin
+      }.mkString(", ")
+      s"""WITH u AS (SELECT user_id::VARCHAR AS id,
+         |    sum(CAST(round(value * 1000000) AS BIGINT)) AS vmic,
+         |    ((${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2)::INT AS arm
+         |  FROM events GROUP BY user_id),
+         |w AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+         |    sum(CASE WHEN arm = 0 THEN vmic ELSE 0 END)::HUGEINT AS sc,
+         |    sum(CASE WHEN arm = 1 THEN vmic ELSE 0 END)::HUGEINT AS st,
+         |  $sums
+         |  FROM u),
+         |m AS (SELECT nc, nt, sc, st, list_sort([$lifts]) AS ls FROM w)
+         |SELECT nc AS n_c, nt AS n_t,
+         |  round(CASE WHEN nc > 0 AND nt > 0
+         |    THEN st::DOUBLE / nt::DOUBLE / 1e6 - sc::DOUBLE / nc::DOUBLE / 1e6
+         |    END, 6) AS lift,
+         |  round(ls[2], 6) AS ci_lo, round(ls[31], 6) AS ci_hi
+         |FROM m""".stripMargin
+    }
   )
 }

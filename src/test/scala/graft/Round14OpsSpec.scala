@@ -228,6 +228,23 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(re.getLong(0) == 0L && re.isNullAt(1) && re.isNullAt(2) && re.isNullAt(3))
   }
 
+  test("bootstrapLiftCI: brackets the true lift, zero-width on constant arms") {
+    // arm 1 pays exactly 1.0 more than arm 0 -> lift 1.0, CI collapses
+    val const = (1 to 200).map(i => (i.toLong, i % 2, 2.0 + (i % 2)))
+      .toDF("id", "arm", "v")
+    val rc = Stats.bootstrapLiftCI(const, "id", "arm", "v").collect()(0)
+    assert(rc.getLong(0) == 100L && rc.getLong(1) == 100L)
+    assert(rc.getDouble(2) == 1.0 &&
+      rc.getDouble(3) == 1.0 && rc.getDouble(4) == 1.0)
+    // noisy arms: interval brackets the sample lift
+    val noisy = (1 to 500).map(i =>
+      (i.toLong, i % 2, math.sin(i) + (i % 2) * 0.5)).toDF("id", "arm", "v")
+    val rn = Stats.bootstrapLiftCI(noisy, "id", "arm", "v").collect()(0)
+    assert(rn.getDouble(3) <= rn.getDouble(2) &&
+      rn.getDouble(2) <= rn.getDouble(4))
+    assert(rn.getDouble(4) - rn.getDouble(3) > 0.0)
+  }
+
   // ---- abLiftBy ----
 
   test("abLiftBy: segment rows partition the abLift population exactly") {
