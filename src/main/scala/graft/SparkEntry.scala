@@ -2486,7 +2486,14 @@ object SparkEntry {
           (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
             .cast("long") % 2).cast("int"))
       Stats.bootstrapLiftCI(byUser, "user_id", "arm", "metric")
-    })
+    }),
+
+    "q_psi_multi" -> ((s, dir) =>
+      // drift dashboard: PSI of all four lineitem numerics vs the
+      // pre-1996 baseline from ONE scan (staged bins, 80 count sums)
+      Stats.psiMulti(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"), bins = 10))
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -6015,6 +6022,44 @@ object SparkEntry {
          |    END, 6) AS lift,
          |  round(ls[2], 6) AS ci_lo, round(ls[31], 6) AS ci_hi
          |FROM m""".stripMargin
+    },
+
+    "q_psi_multi" -> {
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      feats.map { c =>
+        s"""SELECT '$c' AS feature, bin, n_base, n_cur,
+           |  round((n_base::DOUBLE + 0.5) / (tb::DOUBLE + 5.0), 6) AS p_base,
+           |  round((n_cur::DOUBLE + 0.5) / (tc::DOUBLE + 5.0), 6) AS p_cur,
+           |  psi
+           |FROM (
+           |  WITH v AS (SELECT $c::DOUBLE AS val,
+           |      (l_shipdate < TIMESTAMP '1996-01-01') AS b
+           |    FROM lineitem WHERE $c IS NOT NULL AND NOT isnan($c::DOUBLE)),
+           |  r AS (SELECT min(val) AS lo, max(val) AS hi FROM v WHERE b),
+           |  binned AS (SELECT CASE WHEN r.hi = r.lo THEN 0
+           |      ELSE least(9, greatest(0, floor((val - r.lo) / (r.hi - r.lo) * 10)))::BIGINT
+           |      END AS bin, b
+           |    FROM v CROSS JOIN r),
+           |  cnt AS (SELECT bin,
+           |      sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n_base,
+           |      sum(CASE WHEN NOT b THEN 1 ELSE 0 END)::BIGINT AS n_cur
+           |    FROM binned GROUP BY bin),
+           |  dense AS (SELECT gs.bin, coalesce(cnt.n_base, 0)::BIGINT AS n_base,
+           |      coalesce(cnt.n_cur, 0)::BIGINT AS n_cur
+           |    FROM (SELECT unnest(range(0, 10))::BIGINT AS bin) gs
+           |    LEFT JOIN cnt USING (bin)),
+           |  t AS (SELECT sum(n_base)::BIGINT AS tb, sum(n_cur)::BIGINT AS tc
+           |    FROM dense),
+           |  f AS (SELECT round(list_reduce(list(
+           |        ((n_cur::DOUBLE + 0.5) / (t.tc::DOUBLE + 5.0)
+           |         - (n_base::DOUBLE + 0.5) / (t.tb::DOUBLE + 5.0))
+           |        * ln(((n_cur::DOUBLE + 0.5) / (t.tc::DOUBLE + 5.0))
+           |             / ((n_base::DOUBLE + 0.5) / (t.tb::DOUBLE + 5.0)))
+           |        ORDER BY bin), (a, b) -> a + b), 6) AS psi
+           |    FROM dense CROSS JOIN t)
+           |  SELECT dense.bin, dense.n_base, dense.n_cur, t.tb, t.tc, f.psi
+           |  FROM dense CROSS JOIN t CROSS JOIN f)""".stripMargin
+      }.mkString("\nUNION ALL\n")
     }
   )
 }

@@ -846,6 +846,80 @@ object Stats {
   }
 
   /**
+   * MULTI-FEATURE PSI in ONE pass — the model-monitoring dashboard
+   * shape: every feature column's [[psi]] against the same baseline
+   * predicate, from a single scan. Per-feature bin columns are STAGED
+   * as one projection (the bootstrap staging lesson: k·bins
+   * conditional sums re-evaluating the bin arithmetic would cost
+   * bins× per row), the k·bins·2 counts fold in one map-side
+   * aggregate, and each feature's PSI is a fixed left-to-right sum
+   * over its bins (deterministic double order, mirrored in the
+   * oracle). Output: one row per (feature, bin) with that feature's
+   * total PSI repeated per row (the [[benford]] shape). Per-feature
+   * nulls/NaNs are excluded from that feature only. Bin edges freeze
+   * at each feature's own baseline min/max; same Laplace smoothing
+   * and clamping as [[psi]] (single-feature results are identical —
+   * spec-pinned).
+   */
+  def psiMulti(df: DataFrame, cols: Seq[String], baseline: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(cols.nonEmpty, "need at least one feature column")
+    val clean = df.select(cols.map(c => col(c).cast("double").as(c)) :+
+      baseline.cast("boolean").as("__base"): _*)
+    val rngAggs = cols.flatMap(c => Seq(
+      min(when(col("__base"), col(c))).as(s"__lo_$c"),
+      max(when(col("__base"), col(c))).as(s"__hi_$c")))
+    val rng = clean.agg(rngAggs.head, rngAggs.tail: _*)
+    // staged bin projection: each feature's bin arithmetic runs once
+    // per row; a null/NaN value yields a null bin (excluded below)
+    val binned = clean.crossJoin(broadcast(rng)).select(
+      Seq(col("__base")) ++ cols.map { c =>
+        when(col(c).isNull || isnan(col(c)), lit(null)).otherwise(
+          when(col(s"__hi_$c") === col(s"__lo_$c"), lit(0L)).otherwise(
+            least(lit(bins - 1L), greatest(lit(0L),
+              floor((col(c) - col(s"__lo_$c")) /
+                (col(s"__hi_$c") - col(s"__lo_$c")) * lit(bins))))))
+          .as(s"__bin_$c")
+      }: _*)
+    val sums = cols.flatMap { c =>
+      (0 until bins).flatMap { b =>
+        Seq(
+          sum(when(col(s"__bin_$c") === b && col("__base"), 1L)
+            .otherwise(0L)).as(s"__nb_${c}_$b"),
+          sum(when(col(s"__bin_$c") === b && !col("__base"), 1L)
+            .otherwise(0L)).as(s"__nc_${c}_$b"))
+      }
+    }
+    val wide = binned.agg(sums.head, sums.tail: _*)
+    def tot(pre: String, c: String): Column =
+      (0 until bins).map(b => col(s"__${pre}_${c}_$b")).reduce(_ + _)
+    val smooth = lit(bins / 2.0)
+    val rows = cols.map { c =>
+      val tb = tot("nb", c)
+      val tc = tot("nc", c)
+      def pb(b: Int) = (col(s"__nb_${c}_$b").cast("double") + lit(0.5)) /
+        (tb.cast("double") + smooth)
+      def pc(b: Int) = (col(s"__nc_${c}_$b").cast("double") + lit(0.5)) /
+        (tc.cast("double") + smooth)
+      // fixed left-to-right bin-order fold, the benford discipline
+      val psiC = round((0 until bins)
+        .map(b => (pc(b) - pb(b)) * log(pc(b) / pb(b)))
+        .reduce(_ + _), 6)
+      array((0 until bins).map(b => struct(
+        lit(c).as("feature"), lit(b.toLong).as("bin"),
+        col(s"__nb_${c}_$b").as("n_base"), col(s"__nc_${c}_$b").as("n_cur"),
+        round(pb(b), 6).as("p_base"), round(pc(b), 6).as("p_cur"),
+        psiC.as("psi"))): _*)
+    }
+    wide.select(explode(flatten(array(rows: _*))).as("r"))
+      .select(col("r.feature").as("feature"), col("r.bin").as("bin"),
+        col("r.n_base").as("n_base"), col("r.n_cur").as("n_cur"),
+        col("r.p_base").as("p_base"), col("r.p_cur").as("p_cur"),
+        col("r.psi").as("psi"))
+  }
+
+  /**
    * χ² TEST OF INDEPENDENCE between two categoricals + Cramér's V —
    * "does the split of B actually differ across A, beyond what its
    * margins predict?": χ² = Σ_cells (n_ab − e_ab)²/e_ab with e_ab =

@@ -457,6 +457,31 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).sorted.toSeq == (0L to 9L))
   }
 
+  test("psiMulti: single-feature slice is identical to psi()") {
+    val df = (1 to 200).map(i => (i.toDouble, (i * 3 % 17).toDouble, i % 2 == 0))
+      .toDF("a", "b", "base")
+    val multi = Stats.psiMulti(df, Seq("a", "b"), col("base"), bins = 10)
+      .filter(col("feature") === "a")
+      .select("bin", "n_base", "n_cur", "p_base", "p_cur", "psi")
+      .collect().map(_.toSeq).toSet
+    val single = Stats.psi(df, "a", col("base"), bins = 10)
+      .collect().map(_.toSeq).toSet
+    assert(multi == single)
+  }
+
+  test("psiMulti: a null in one feature does not leak into another's counts") {
+    val df = Seq((1.0, Some(5.0), true), (2.0, None, true), (3.0, Some(6.0), false))
+      .toDF("a", "b", "base")
+    val out = Stats.psiMulti(df, Seq("a", "b"), col("base"), bins = 2)
+      .collect()
+    val aTotal = out.filter(_.getString(0) == "a")
+      .map(r => r.getLong(2) + r.getLong(3)).sum
+    val bTotal = out.filter(_.getString(0) == "b")
+      .map(r => r.getLong(2) + r.getLong(3)).sum
+    assert(aTotal == 3L) // all three a-values counted
+    assert(bTotal == 2L) // the null b row excluded from b only
+  }
+
   // ---- chi2Independence ----
 
   test("chi2Independence: perfectly independent margins give chi2 = 0") {
