@@ -93,6 +93,26 @@ case class UserDayFeatures(
 case class SessionJourney(
     user_id: Long, start_us: Long, path: String, n_events: Long)
 
+/** One scored unit with its binary label
+  * ([[TypedPipeline.evaluateRanking]]). */
+case class ScoredLabel(score: Double, label: Int)
+
+/** The ranking-quality readout: class sizes + Mann-Whitney AUC. */
+case class AucResult(n_pos: Long, n_neg: Long, auc: Option[Double])
+
+/** A crawled (id, url) row ([[TypedPipeline.deduplicateUrls]]). */
+case class CrawledUrl(id: Long, url: String)
+
+/** One canonical page: its duplicate count and min-id representative. */
+case class CanonicalUrl(canonical_url: String, n_dups: Long, rep_id: Long)
+
+/** A unit metric row for resampling ([[TypedPipeline.estimateMeanCI]]). */
+case class UnitMetric(id: Long, value: Double)
+
+/** A bootstrap mean interval (None fields ≡ empty input). */
+case class MeanCI(n: Long, mean: Option[Double],
+    ci_lo: Option[Double], ci_hi: Option[Double])
+
 /**
  * Typed `Dataset[T]` facade over the document pipeline — the API shape
  * for callers who want case-class rows and compile-time column safety.
@@ -233,5 +253,31 @@ object TypedPipeline {
       maxSteps: Int = 5): Dataset[SessionJourney] = {
     import events.sparkSession.implicits._
     Events.sessionPaths(events.toDF(), maxSteps).as[SessionJourney]
+  }
+
+  /** Ranking quality of a scored binary label (r14): one
+    * [[ScoredLabel]] per unit in, one exact Mann-Whitney AUC out
+    * ([[graft.ops.Stats.aucRoc]] — bucket-decomposed rank sums, no
+    * global sort). `auc` is None when a class is absent. */
+  def evaluateRanking(rows: Dataset[ScoredLabel]): Dataset[AucResult] = {
+    import rows.sparkSession.implicits._
+    graft.ops.Stats.aucRoc(rows.toDF(), "score", "label").as[AucResult]
+  }
+
+  /** Crawl-level URL dedup (r14): canonicalize transport variants and
+    * keep one representative per page
+    * ([[graft.ops.TextOps.canonicalUrl]]/[[graft.ops.TextOps.urlDedup]]). */
+  def deduplicateUrls(rows: Dataset[CrawledUrl]): Dataset[CanonicalUrl] = {
+    import rows.sparkSession.implicits._
+    TextOps.urlDedup(rows.toDF(), "id", "url").as[CanonicalUrl]
+  }
+
+  /** Distribution-free mean CI (r14): deterministic Poisson bootstrap
+    * over unit rows ([[graft.ops.Stats.bootstrapMeanCI]]); None fields
+    * on empty input. */
+  def estimateMeanCI(rows: Dataset[UnitMetric],
+      reps: Int = 32): Dataset[MeanCI] = {
+    import rows.sparkSession.implicits._
+    graft.ops.Stats.bootstrapMeanCI(rows.toDF(), "id", "value", reps).as[MeanCI]
   }
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.api.{Doc, DimVersion, Fact, IdPair, Outcome, TypedPipeline}
+import graft.api.{AucResult, CanonicalUrl, CrawledUrl, Doc, DimVersion, Fact,
+  IdPair, MeanCI, Outcome, ScoredLabel, TypedPipeline, UnitMetric}
 
 class TypedPipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -145,5 +146,18 @@ class TypedPipelineSpec extends AnyFunSuite {
     assert(js(base / 1000L).path == "view>click"
       && js(base / 1000L).n_events == 2L)
     assert(js(base / 1000L + 8L * 86400000000L).path == "purchase")
+  }
+
+  test("typed r14 facade: ranking eval, URL dedup and mean CI round-trip") {
+    val auc = TypedPipeline.evaluateRanking(
+      Seq(ScoredLabel(0.9, 1), ScoredLabel(0.1, 0)).toDS()).collect()(0)
+    assert(auc == AucResult(1L, 1L, Some(1.0)))
+    val urls = TypedPipeline.deduplicateUrls(Seq(
+      CrawledUrl(2L, "HTTPS://X.org/p/"),
+      CrawledUrl(1L, "https://x.org/p?utm_source=a")).toDS()).collect()
+    assert(urls.toSeq == Seq(CanonicalUrl("https://x.org/p", 2L, 1L)))
+    val ci = TypedPipeline.estimateMeanCI(
+      (1 to 50).map(i => UnitMetric(i.toLong, 3.0)).toDS()).collect()(0)
+    assert(ci == MeanCI(50L, Some(3.0), Some(3.0), Some(3.0)))
   }
 }
