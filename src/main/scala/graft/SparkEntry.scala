@@ -2493,7 +2493,25 @@ object SparkEntry {
       // pre-1996 baseline from ONE scan (staged bins, 80 count sums)
       Stats.psiMulti(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        col("l_shipdate") < lit("1996-01-01").cast("timestamp"), bins = 10))
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"), bins = 10)),
+
+    "q_survival" -> ((s, dir) => {
+      // time-to-first-purchase under right censoring: users who never
+      // purchased are censored at the corpus's last observed day —
+      // exactly the information each row carries, no optimistic drop
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000L").as("day"),
+          col("event_type"))
+      val maxDay = e.agg(max(col("day")).as("__maxd"))
+      val byUser = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("__first"),
+          min(when(col("event_type") === "purchase", col("day"))).as("__fp"))
+      val durations = byUser.crossJoin(broadcast(maxDay)).select(
+        when(col("__fp").isNotNull, col("__fp") - col("__first"))
+          .otherwise(col("__maxd") - col("__first")).as("duration"),
+        when(col("__fp").isNotNull, lit(1)).otherwise(lit(0)).as("event"))
+      Stats.kaplanMeier(durations, "duration", "event")
+    })
   )
 
   // quantile-sketch grid shared by the query and its oracle (w must be
@@ -6060,6 +6078,37 @@ object SparkEntry {
            |  SELECT dense.bin, dense.n_base, dense.n_cur, t.tb, t.tc, f.psi
            |  FROM dense CROSS JOIN t CROSS JOIN f)""".stripMargin
       }.mkString("\nUNION ALL\n")
-    }
+    },
+
+    "q_survival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    event_type FROM events),
+        |mx AS (SELECT max(day) AS maxd FROM e),
+        |u AS (SELECT user_id, min(day) AS fd,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS fp
+        |  FROM e GROUP BY 1),
+        |dur AS (SELECT
+        |    CASE WHEN fp IS NOT NULL THEN fp - fd ELSE mx.maxd - fd END AS t,
+        |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u CROSS JOIN mx),
+        |pt AS (SELECT t,
+        |    sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM dur GROUP BY t),
+        |tot AS (SELECT sum(d + c)::BIGINT AS n FROM pt),
+        |r AS (SELECT pt.t, pt.d, pt.c,
+        |    (tot.n - coalesce(sum(pt.d + pt.c) OVER (ORDER BY pt.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS n_at_risk
+        |  FROM pt CROSS JOIN tot)
+        |SELECT t, n_at_risk, d, c,
+        |  CASE WHEN max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER thr = 1 THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN d < n_at_risk
+        |      THEN ln(1.0 - d::DOUBLE / n_at_risk::DOUBLE) ELSE 0.0 END)
+        |      OVER thr), 6) END AS survival
+        |FROM r
+        |WINDOW thr AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

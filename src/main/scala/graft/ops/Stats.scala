@@ -920,6 +920,62 @@ object Stats {
   }
 
   /**
+   * KAPLAN-MEIER survival curve — time-to-event analytics under RIGHT
+   * CENSORING (the estimator conversion/churn/retention questions
+   * actually need: "how long until a user converts" can't be averaged
+   * when most users haven't converted YET — dropping them biases the
+   * answer optimistic, counting them as never-converting biases it
+   * pessimistic; KM uses exactly the information each row carries).
+   * Input: one row per subject with (duration, event: 1 = the event
+   * happened at `duration`, 0 = observation CENSORED there). Output:
+   * one row per distinct duration t with the at-risk count n_t, event
+   * count d_t, censored count c_t, and Ŝ(t) = Π_{t' ≤ t} (1 − d/n) —
+   * the probability of surviving past t.
+   *
+   * Scale shape: subjects collapse map-side to the distinct-duration
+   * frame; at-risk counts and the survival product are windows over
+   * that compact frame (duration arity-bounded — day-grained durations
+   * make it calendar-sized, the stickiness contract). The product is
+   * computed as exp(Σ ln(1 − d/n)) with the running Σ a sequential
+   * window fold in duration order — both engines add the IDENTICAL
+   * doubles in the identical order, so Ŝ replays bit-for-bit.
+   * EXTINCTION is handled explicitly: d = n (everyone still at risk
+   * experiences the event) would need ln(0), which one engine throws
+   * on and the other nulls — instead the term is excluded and a
+   * carried flag pins Ŝ = 0 exactly from that duration on. Null
+   * durations/flags excluded by contract.
+   */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val perT = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("int").as("__e"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("__e") === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col("__e") === 0, 1L).otherwise(0L)).as("c"))
+    // the ONLY unpartitioned windows run over the distinct-duration
+    // frame, never subjects
+    val wBefore = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wThrough = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = perT.agg(sum(col("d") + col("c")).as("__n"))
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("__n") - coalesce(sum(col("d") + col("c")).over(wBefore), lit(0L)))
+      .withColumn("__extinct",
+        max(when(col("d") === col("n_at_risk"), 1).otherwise(0)).over(wThrough))
+      .withColumn("survival",
+        when(col("__extinct") === 1, lit(0.0)).otherwise(
+          round(exp(sum(when(col("d") < col("n_at_risk"),
+            log(lit(1.0) - col("d").cast("double") /
+              col("n_at_risk").cast("double"))).otherwise(lit(0.0)))
+            .over(wThrough)), 6)))
+      .select(col("t"), col("n_at_risk"), col("d"), col("c"), col("survival"))
+  }
+
+  /**
    * χ² TEST OF INDEPENDENCE between two categoricals + Cramér's V —
    * "does the split of B actually differ across A, beyond what its
    * margins predict?": χ² = Σ_cells (n_ab − e_ab)²/e_ab with e_ab =

@@ -482,6 +482,31 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(bTotal == 2L) // the null b row excluded from b only
   }
 
+  // ---- kaplanMeier ----
+
+  test("kaplanMeier: hand curve with censoring and exact extinction") {
+    // t=1 event (n=3 -> S=2/3), t=2 censored (S unchanged),
+    // t=3 event with n=1 -> extinction, S=0 EXACTLY
+    val df = Seq((1L, 1), (2L, 0), (3L, 1)).toDF("t", "e")
+    val out = Stats.kaplanMeier(df, "t", "e")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((3L, 1L, 0L, 0.666667)))
+    assert(out(2L) == ((2L, 0L, 1L, 0.666667)))
+    assert(out(3L) == ((1L, 1L, 0L, 0.0)))
+  }
+
+  test("kaplanMeier: without censoring the curve is one minus the ECDF") {
+    val durs = Seq(1L, 1L, 2L, 5L, 5L, 5L, 9L, 12L)
+    val df = durs.map(t => (t, 1)).toDF("t", "e")
+    val out = Stats.kaplanMeier(df, "t", "e")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    durs.distinct.foreach { t =>
+      val frac = durs.count(_ > t).toDouble / durs.size
+      assert(math.abs(out(t) - frac) < 1e-6, s"t=$t: ${out(t)} vs $frac")
+    }
+  }
+
   // ---- chi2Independence ----
 
   test("chi2Independence: perfectly independent margins give chi2 = 0") {
