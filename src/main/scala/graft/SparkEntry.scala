@@ -2495,24 +2495,43 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         col("l_shipdate") < lit("1996-01-01").cast("timestamp"), bins = 10)),
 
-    "q_survival" -> ((s, dir) => {
+    "q_survival" -> ((s, dir) =>
       // time-to-first-purchase under right censoring: users who never
       // purchased are censored at the corpus's last observed day —
       // exactly the information each row carries, no optimistic drop
-      val e = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 86400000000000L").as("day"),
-          col("event_type"))
-      val maxDay = e.agg(max(col("day")).as("__maxd"))
-      val byUser = e.groupBy(col("user_id"))
-        .agg(min(col("day")).as("__first"),
-          min(when(col("event_type") === "purchase", col("day"))).as("__fp"))
-      val durations = byUser.crossJoin(broadcast(maxDay)).select(
-        when(col("__fp").isNotNull, col("__fp") - col("__first"))
-          .otherwise(col("__maxd") - col("__first")).as("duration"),
-        when(col("__fp").isNotNull, lit(1)).otherwise(lit(0)).as("event"))
-      Stats.kaplanMeier(durations, "duration", "event")
-    })
+      Stats.kaplanMeier(survivalFrame(s, dir), "duration", "event")),
+
+    "q_survival_by" -> ((s, dir) =>
+      // per-arm survival curves: the experiment view of time-to-convert
+      // (all windows additionally partitioned by the md5 arm)
+      Stats.kaplanMeier(survivalFrame(s, dir), "duration", "event",
+        keys = Seq("arm"))),
+
+    "q_logrank" -> ((s, dir) =>
+      // did treatment CHANGE the conversion-latency curve? The censored
+      // two-group comparison conversion RATES can't answer
+      Stats.logRank(survivalFrame(s, dir), "duration", "event", "arm"))
   )
+
+  /** Time-to-first-purchase frame shared by the survival-family gates:
+    * one row per user with (duration days, event 1/censored 0, md5 arm);
+    * never-purchasers censor at the corpus's last observed day. */
+  private def survivalFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000L").as("day"),
+        col("event_type"))
+    val maxDay = e.agg(max(col("day")).as("__maxd"))
+    val byUser = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("__first"),
+        min(when(col("event_type") === "purchase", col("day"))).as("__fp"))
+    byUser.crossJoin(broadcast(maxDay)).select(
+      col("user_id"),
+      when(col("__fp").isNotNull, col("__fp") - col("__first"))
+        .otherwise(col("__maxd") - col("__first")).as("duration"),
+      when(col("__fp").isNotNull, lit(1)).otherwise(lit(0)).as("event"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2).cast("int").as("arm"))
+  }
 
   // quantile-sketch grid shared by the query and its oracle (w must be
   // the IDENTICAL double literal on both sides)
@@ -6109,6 +6128,82 @@ object SparkEntry {
         |      OVER thr), 6) END AS survival
         |FROM r
         |WINDOW thr AS (ORDER BY t
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_survival_by" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    event_type FROM events),
+         |mx AS (SELECT max(day) AS maxd FROM e),
+         |u AS (SELECT user_id, min(day) AS fd,
+         |    min(CASE WHEN event_type = 'purchase' THEN day END) AS fp
+         |  FROM e GROUP BY 1),
+         |dur AS (SELECT
+         |    ((${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2)::INT AS arm,
+         |    CASE WHEN fp IS NOT NULL THEN fp - fd ELSE mx.maxd - fd END AS t,
+         |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM u CROSS JOIN mx),
+         |pt AS (SELECT arm, t,
+         |    sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END)::BIGINT AS d,
+         |    sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END)::BIGINT AS c
+         |  FROM dur GROUP BY arm, t),
+         |r AS (SELECT arm, t, d, c,
+         |    (sum(d + c) OVER (PARTITION BY arm)
+         |     - coalesce(sum(d + c) OVER (PARTITION BY arm ORDER BY t
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+         |      AS n_at_risk
+         |  FROM pt)
+         |SELECT arm, t, n_at_risk, d, c,
+         |  CASE WHEN max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+         |      OVER thr = 1 THEN 0.0
+         |    ELSE round(exp(sum(CASE WHEN d < n_at_risk
+         |      THEN ln(1.0 - d::DOUBLE / n_at_risk::DOUBLE) ELSE 0.0 END)
+         |      OVER thr), 6) END AS survival
+         |FROM r
+         |WINDOW thr AS (PARTITION BY arm ORDER BY t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_logrank" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    event_type FROM events),
+         |mx AS (SELECT max(day) AS maxd FROM e),
+         |u AS (SELECT user_id, min(day) AS fd,
+         |    min(CASE WHEN event_type = 'purchase' THEN day END) AS fp
+         |  FROM e GROUP BY 1),
+         |dur AS (SELECT
+         |    ((${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2)::INT AS g,
+         |    CASE WHEN fp IS NOT NULL THEN fp - fd ELSE mx.maxd - fd END AS t,
+         |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM u CROSS JOIN mx),
+         |pt AS (SELECT t,
+         |    sum(CASE WHEN g = 1 AND ev = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+         |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS a1,
+         |    sum(CASE WHEN g = 0 AND ev = 1 THEN 1 ELSE 0 END)::BIGINT AS d0,
+         |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS a0
+         |  FROM dur GROUP BY t),
+         |r AS (SELECT t, d1, d0,
+         |    (sum(a1) OVER () - coalesce(sum(a1) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n1,
+         |    (sum(a0) OVER () - coalesce(sum(a0) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n0
+         |  FROM pt),
+         |f AS (SELECT * FROM r WHERE d1 + d0 > 0),
+         |w AS (SELECT sum(d1)::BIGINT AS o1,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (d1 + d0)::DOUBLE * n1::DOUBLE / (n1 + n0)::DOUBLE
+         |      ORDER BY t)), (a, b) -> a + b) AS e1,
+         |    list_reduce(list_prepend(0.0, list(
+         |      CASE WHEN n1 + n0 > 1 THEN
+         |        (d1 + d0)::DOUBLE * (n1::DOUBLE / (n1 + n0)::DOUBLE)
+         |        * (1.0 - n1::DOUBLE / (n1 + n0)::DOUBLE)
+         |        * ((n1 + n0 - d1 - d0)::DOUBLE / (n1 + n0 - 1)::DOUBLE)
+         |      ELSE 0.0 END ORDER BY t)), (a, b) -> a + b) AS v
+         |  FROM f)
+         |SELECT coalesce(o1, 0) AS observed_1, round(e1, 6) AS expected_1,
+         |  round(CASE WHEN v > 0 THEN (o1::DOUBLE - e1) * (o1::DOUBLE - e1) / v
+         |    END, 6) AS chi2,
+         |  coalesce(round(CASE WHEN v > 0
+         |      THEN (o1::DOUBLE - e1) * (o1::DOUBLE - e1) / v END, 6) > 3.841,
+         |    false) AS significant
+         |FROM w""".stripMargin
   )
 }

@@ -946,24 +946,27 @@ object Stats {
    * durations/flags excluded by contract.
    */
   def kaplanMeier(df: DataFrame, durationCol: String,
-      eventCol: String): DataFrame = {
+      eventCol: String, keys: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
     val perT = df
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
-      .select(col(durationCol).cast("long").as("t"),
-        col(eventCol).cast("int").as("__e"))
-      .groupBy(col("t"))
+      .select(keyCols :+ col(durationCol).cast("long").as("t") :+
+        col(eventCol).cast("int").as("__e"): _*)
+      .groupBy(keyCols :+ col("t"): _*)
       .agg(sum(when(col("__e") === 1, 1L).otherwise(0L)).as("d"),
         sum(when(col("__e") === 0, 1L).otherwise(0L)).as("c"))
-    // the ONLY unpartitioned windows run over the distinct-duration
-    // frame, never subjects
-    val wBefore = Window.orderBy(col("t").asc)
+    // every window runs over the distinct-(keys, duration) frame,
+    // never subjects; `keys` (optional) yields one curve per segment
+    // with all windows partitioned by it
+    val wBefore = Window.partitionBy(keyCols: _*).orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wThrough = Window.orderBy(col("t").asc)
+    val wThrough = Window.partitionBy(keyCols: _*).orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val total = perT.agg(sum(col("d") + col("c")).as("__n"))
-    perT.crossJoin(broadcast(total))
+    val wAll = Window.partitionBy(keyCols: _*)
+    perT
       .withColumn("n_at_risk",
-        col("__n") - coalesce(sum(col("d") + col("c")).over(wBefore), lit(0L)))
+        sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wBefore), lit(0L)))
       .withColumn("__extinct",
         max(when(col("d") === col("n_at_risk"), 1).otherwise(0)).over(wThrough))
       .withColumn("survival",
@@ -972,7 +975,82 @@ object Stats {
             log(lit(1.0) - col("d").cast("double") /
               col("n_at_risk").cast("double"))).otherwise(lit(0.0)))
             .over(wThrough)), 6)))
-      .select(col("t"), col("n_at_risk"), col("d"), col("c"), col("survival"))
+      .select(keyCols ++ Seq(col("t"), col("n_at_risk"), col("d"), col("c"),
+        col("survival")): _*)
+  }
+
+  /**
+   * LOG-RANK TEST — "did the treatment CHANGE the time-to-event
+   * curve?": the standard two-group comparison of censored survival
+   * data (the [[kaplanMeier]] companion, and the statistic an
+   * experiment with a conversion-latency metric actually needs —
+   * comparing conversion RATES throws away when conversions happen).
+   * At each distinct event time, group 1's observed events d₁ compare
+   * against the hypergeometric expectation e₁ = d·n₁/n with variance
+   * v = d·(n₁/n)·(1 − n₁/n)·(n − d)/(n − 1); χ² = (Σ(d₁ − e₁))²/Σv on
+   * 1 dof (flag at 3.841, α = .05). `groupCol` must be 0/1.
+   *
+   * Scale shape: subjects collapse map-side to the distinct-duration
+   * frame with per-group counts; at-risk counts are windows over that
+   * compact frame, and the two double sums fold in duration order
+   * (Benford discipline — identical term order on both engines; O₁
+   * itself is an exact integer). n = 1 times contribute v = 0
+   * (guarded, never an ANSI divide).
+   */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String): DataFrame = {
+    val perT = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("int").as("__e"),
+        col(groupCol).cast("int").as("__g"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("__g") === 1 && col("__e") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("__g") === 1, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("__g") === 0 && col("__e") === 1, 1L).otherwise(0L)).as("d0"),
+        sum(when(col("__g") === 0, 1L).otherwise(0L)).as("a0"))
+    val wBefore = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val risks = perT
+      .withColumn("n1",
+        sum(col("a1")).over(wAll) -
+          coalesce(sum(col("a1")).over(wBefore), lit(0L)))
+      .withColumn("n0",
+        sum(col("a0")).over(wAll) -
+          coalesce(sum(col("a0")).over(wBefore), lit(0L)))
+      .filter(col("d1") + col("d0") > 0L)
+    // duration-ordered left folds on ONE row (Benford discipline)
+    val folded = risks
+      .agg(
+        sort_array(collect_list(struct(col("t"), col("d1"), col("d0"),
+          col("n1"), col("n0")))).as("ts"),
+        sum(col("d1")).as("o1"))
+      .withColumn("e1", expr(
+        """aggregate(transform(ts, x ->
+          |  CAST(x.d1 + x.d0 AS DOUBLE) * CAST(x.n1 AS DOUBLE)
+          |  / CAST(x.n1 + x.n0 AS DOUBLE)),
+          |0D, (a, x) -> a + x)""".stripMargin))
+      .withColumn("v", expr(
+        """aggregate(transform(ts, x ->
+          |  CASE WHEN x.n1 + x.n0 > 1 THEN
+          |    CAST(x.d1 + x.d0 AS DOUBLE)
+          |    * (CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+          |    * (1.0D - CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+          |    * (CAST(x.n1 + x.n0 - x.d1 - x.d0 AS DOUBLE)
+          |       / CAST(x.n1 + x.n0 - 1 AS DOUBLE))
+          |  ELSE 0.0D END),
+          |0D, (a, x) -> a + x)""".stripMargin))
+    folded.select(
+      coalesce(col("o1"), lit(0L)).as("observed_1"),
+      round(col("e1"), 6).as("expected_1"),
+      round(when(col("v") > 0.0,
+        (col("o1").cast("double") - col("e1")) *
+          (col("o1").cast("double") - col("e1")) / col("v"))
+        .otherwise(lit(null)), 6).as("chi2"))
+      .withColumn("significant", coalesce(col("chi2") > 3.841, lit(false)))
   }
 
   /**

@@ -496,6 +496,32 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, 0L, 0.0)))
   }
 
+  test("kaplanMeier: keyed curves equal the per-slice global computation") {
+    val df = Seq((0, 1L, 1), (0, 2L, 0), (0, 3L, 1),
+      (1, 1L, 0), (1, 4L, 1)).toDF("g", "t", "e")
+    val byKey = Stats.kaplanMeier(df, "t", "e", keys = Seq("g"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.toSeq.drop(1)).toMap
+    Seq(0, 1).foreach { g =>
+      val solo = Stats.kaplanMeier(df.filter(col("g") === g), "t", "e")
+        .collect().map(r => (g, r.getLong(0)) -> r.toSeq).toMap
+      solo.foreach { case (k, v) => assert(byKey(k) == v, s"key $k") }
+    }
+  }
+
+  test("logRank: identical groups score zero; separated groups flag") {
+    // identical curves -> o1 == e1 exactly -> chi2 0
+    val same = (1 to 50).flatMap(i =>
+      Seq((0, (i % 5 + 1).toLong, i % 3 min 1), (1, (i % 5 + 1).toLong, i % 3 min 1)))
+      .toDF("g", "t", "e")
+    val rs = Stats.logRank(same, "t", "e", "g").collect()(0)
+    assert(rs.getDouble(2) == 0.0 && !rs.getBoolean(3))
+    // group 1 converts on day 1, group 0 never (censored day 30)
+    val split = ((1 to 30).map(i => (1, 1L, 1)) ++
+      (1 to 30).map(i => (0, 30L, 0))).toDF("g", "t", "e")
+    val rx = Stats.logRank(split, "t", "e", "g").collect()(0)
+    assert(rx.getLong(0) == 30L && rx.getBoolean(3))
+  }
+
   test("kaplanMeier: without censoring the curve is one minus the ECDF") {
     val durs = Seq(1L, 1L, 2L, 5L, 5L, 5L, 9L, 12L)
     val df = durs.map(t => (t, 1)).toDF("t", "e")
