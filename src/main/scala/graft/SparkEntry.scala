@@ -2510,7 +2510,16 @@ object SparkEntry {
     "q_logrank" -> ((s, dir) =>
       // did treatment CHANGE the conversion-latency curve? The censored
       // two-group comparison conversion RATES can't answer
-      Stats.logRank(survivalFrame(s, dir), "duration", "event", "arm"))
+      Stats.logRank(survivalFrame(s, dir), "duration", "event", "arm")),
+
+    "q_trend_robust" -> ((s, dir) =>
+      // outlier-proof daily-volume trend: the median pairwise slope of
+      // click counts (one launch-spike day cannot move it, OLS tips)
+      Stats.theilSen(
+        t(s, dir, "events").filter(col("event_type") === "click")
+          .groupBy(expr("ts div 86400000000000L").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "day", "n"))
   )
 
   /** Time-to-first-purchase frame shared by the survival-family gates:
@@ -6204,6 +6213,34 @@ object SparkEntry {
          |  coalesce(round(CASE WHEN v > 0
          |      THEN (o1::DOUBLE - e1) * (o1::DOUBLE - e1) / v END, 6) > 3.841,
          |    false) AS significant
-         |FROM w""".stripMargin
+         |FROM w""".stripMargin,
+
+    "q_trend_robust" ->
+      """WITH d AS (SELECT (epoch_us(ts) // 86400000000)::DOUBLE AS x,
+        |    count(*)::DOUBLE AS y
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT (b.y - a.y) / (b.x - a.x) AS s
+        |  FROM d a JOIN d b ON a.x < b.x),
+        |rk AS (SELECT s, row_number() OVER (ORDER BY s ASC) - 1 AS rn,
+        |    count(*) OVER () AS n FROM p),
+        |ms AS (SELECT round(
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN s END)
+        |    + ((n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5))
+        |      * (max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5) THEN s END)
+        |         - max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN s END)),
+        |    6) AS slope FROM rk GROUP BY n),
+        |res AS (SELECT d.y - ms.slope * d.x AS r, ms.slope
+        |  FROM d CROSS JOIN ms),
+        |rk2 AS (SELECT r, slope, row_number() OVER (ORDER BY r ASC) - 1 AS rn,
+        |    count(*) OVER () AS n FROM res),
+        |mi AS (SELECT any_value(slope) AS slope, round(
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN r END)
+        |    + ((n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5))
+        |      * (max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5) THEN r END)
+        |         - max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN r END)),
+        |    6) AS intercept FROM rk2 GROUP BY n)
+        |SELECT (SELECT count(*) FROM d)::BIGINT AS n_points,
+        |  mi.slope, mi.intercept
+        |FROM mi""".stripMargin
   )
 }

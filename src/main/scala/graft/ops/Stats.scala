@@ -980,6 +980,45 @@ object Stats {
   }
 
   /**
+   * THEIL-SEN ROBUST TREND — the slope a KPI dashboard should trust:
+   * the MEDIAN of all pairwise slopes (and the median-residual
+   * intercept), which one outlier day cannot move (OLS tips over on
+   * exactly the anomalies a daily series contains — launch spikes,
+   * outages, backfills). Input contract: ONE ROW PER X (a compact
+   * aggregated frame — a day/week series, never raw rows): the
+   * pairwise-slope frame is |x|²/2, bounded by the calendar² when x
+   * is a day number (435 pairs for a month, 66 k for a year) — the
+   * self-join is a bounded-broadcast nested loop by design, and at
+   * 100 TB the INPUT aggregation (rows → days) is where the data
+   * dies, not here. Medians via [[percentileExact]]'s rank-straddle
+   * interpolation (engine-identical); the intercept uses the 6-dp
+   * ROUNDED slope so both engines subtract the same number.
+   * Fewer than 2 distinct x → EMPTY output (no pair exists to vote),
+   * never a throw.
+   */
+  def theilSen(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val a = pts.select(col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = pts.select(col("__x").as("__xb"), col("__y").as("__yb"))
+    val slopes = a.join(broadcast(b), col("__xa") < col("__xb"))
+      .select(((col("__yb") - col("__ya")) /
+        (col("__xb") - col("__xa"))).as("__slope"))
+    val medSlope = percentileExact(slopes, Nil, "__slope",
+      Seq("slope" -> 0.5))
+    val resid = pts.crossJoin(broadcast(medSlope))
+      .select(col("slope"),
+        (col("__y") - col("slope") * col("__x")).as("__r"))
+    val medIntercept = percentileExact(resid.select(col("__r")), Nil, "__r",
+      Seq("intercept" -> 0.5))
+    val n = pts.agg(count(lit(1)).as("n_points"))
+    n.crossJoin(broadcast(medSlope)).crossJoin(broadcast(medIntercept))
+      .select(col("n_points"), col("slope"), col("intercept"))
+  }
+
+  /**
    * LOG-RANK TEST — "did the treatment CHANGE the time-to-event
    * curve?": the standard two-group comparison of censored survival
    * data (the [[kaplanMeier]] companion, and the statistic an

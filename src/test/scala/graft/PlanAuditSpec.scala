@@ -195,7 +195,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_auc",
       // 1-row baseline-range broadcast (frozen bin edges) + the
       // bins-row densify frame derived from it
-      "q_psi")
+      "q_psi",
+      // 1-row per-feature baseline-range broadcast (frozen bin edges)
+      "q_psi_multi",
+      // 1-row corpus-max-day broadcast (the censoring horizon of the
+      // shared survivalFrame builder)
+      "q_survival", "q_survival_by", "q_logrank",
+      // calendar-bounded day-frame self-join (pairwise slopes) + 1-row
+      // median broadcasts — bounded by design, see Stats.theilSen
+      "q_trend_robust")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

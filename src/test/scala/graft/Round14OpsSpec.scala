@@ -482,6 +482,23 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(bTotal == 2L) // the null b row excluded from b only
   }
 
+  // ---- theilSen ----
+
+  test("theilSen: one wild outlier cannot move the robust trend") {
+    // y = 2x + 3 on days 0..10, except day 5 reports 1000 (an outage
+    // backfill); the median pairwise slope stays 2, intercept 3
+    val pts = (0 to 10).map(x => (x.toDouble,
+      if (x == 5) 1000.0 else 2.0 * x + 3.0)).toDF("x", "y")
+    val r = Stats.theilSen(pts, "x", "y").collect()(0)
+    assert(r.getLong(0) == 11L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 3.0)
+  }
+
+  test("theilSen: fewer than two points yields an empty result") {
+    val one = Seq((1.0, 5.0)).toDF("x", "y")
+    assert(Stats.theilSen(one, "x", "y").count() == 0L)
+  }
+
   // ---- kaplanMeier ----
 
   test("kaplanMeier: hand curve with censoring and exact extinction") {
