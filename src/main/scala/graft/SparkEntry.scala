@@ -2519,7 +2519,27 @@ object SparkEntry {
         t(s, dir, "events").filter(col("event_type") === "click")
           .groupBy(expr("ts div 86400000000000L").as("day"))
           .agg(count(lit(1)).as("n")),
-        "day", "n"))
+        "day", "n")),
+
+    "q_bh_adjust" -> ((s, dir) =>
+      // multiple-testing gate over a segment-readout table: BH step-up
+      // adjusted p-values (deterministic md5 pseudo-p's per segment so
+      // both engines rank the identical numbers)
+      Stats.bhAdjust(
+        docs(s, dir)
+          .select(concat(col("lang"), lit(":"), col("source")).as("tid"))
+          .distinct()
+          .withColumn("p",
+            conv(substring(md5(col("tid")), 1, 8), 16, 10).cast("double") /
+              lit(4294967296.0)),
+        "tid", "p", alpha = 0.2)),
+
+    "q_anomaly_bands" -> ((s, dir) =>
+      // robust daily volume anomalies: median +- 3*MAD of the trailing
+      // 14 observed days (today excluded), spikes inside the window
+      // cannot mask the next one
+      Events.anomalyBands(t(s, dir, "events"), k = 3.0,
+        windowDays = 14, minDays = 7))
   )
 
   /** Time-to-first-purchase frame shared by the survival-family gates:
@@ -6241,6 +6261,53 @@ object SparkEntry {
         |    6) AS intercept FROM rk2 GROUP BY n)
         |SELECT (SELECT count(*) FROM d)::BIGINT AS n_points,
         |  mi.slope, mi.intercept
-        |FROM mi""".stripMargin
+        |FROM mi""".stripMargin,
+
+    "q_bh_adjust" ->
+      s"""WITH t AS (SELECT DISTINCT lang || ':' || source AS test_id
+         |  FROM documents),
+         |pv AS (SELECT test_id,
+         |    (${hexToLong("md5(test_id)", 1, 8)})::DOUBLE / 4294967296.0 AS p
+         |  FROM t),
+         |r AS (SELECT test_id, p,
+         |    row_number() OVER (ORDER BY p ASC, test_id ASC) AS rank,
+         |    count(*) OVER () AS m FROM pv),
+         |a AS (SELECT test_id, p, rank,
+         |    round(least(1.0, min(m::DOUBLE * p / rank::DOUBLE)
+         |      OVER (ORDER BY p DESC, test_id DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_adj
+         |  FROM r)
+         |SELECT test_id, round(p, 6) AS p, rank::INT AS rank, p_adj,
+         |  p_adj <= 0.2 AS reject
+         |FROM a""".stripMargin,
+
+    "q_anomaly_bands" -> {
+      val interp = (arr: String) =>
+        s"""$arr[(floor((len($arr) - 1)::DOUBLE * 0.5))::INT + 1]
+           |      + ((len($arr) - 1)::DOUBLE * 0.5
+           |         - floor((len($arr) - 1)::DOUBLE * 0.5))
+           |      * ($arr[(ceil((len($arr) - 1)::DOUBLE * 0.5))::INT + 1]
+           |         - $arr[(floor((len($arr) - 1)::DOUBLE * 0.5))::INT + 1])""".stripMargin
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+         |h AS (SELECT event_type, day, n,
+         |    list_sort(coalesce(list(n) OVER (PARTITION BY event_type
+         |      ORDER BY day RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING),
+         |      []::DOUBLE[])) AS hist
+         |  FROM d),
+         |m AS (SELECT *, len(hist)::INT AS n_hist,
+         |    CASE WHEN len(hist) > 0 THEN ${interp("hist")} END AS med
+         |  FROM h),
+         |m2 AS (SELECT *,
+         |    list_sort(list_transform(hist, x -> abs(x - med))) AS dh FROM m),
+         |m3 AS (SELECT *,
+         |    CASE WHEN len(dh) > 0 THEN ${interp("dh")} END AS mad FROM m2)
+         |SELECT event_type, day, n::BIGINT AS n, n_hist,
+         |  round(CASE WHEN n_hist >= 7 THEN med END, 6) AS expected,
+         |  round(CASE WHEN n_hist >= 7 THEN mad END, 6) AS mad,
+         |  coalesce(n_hist >= 7 AND abs(n - med) > 3.0 * mad, false)
+         |    AS anomaly
+         |FROM m3""".stripMargin
+    }
   )
 }

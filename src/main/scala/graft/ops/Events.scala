@@ -1675,6 +1675,67 @@ object Events {
   }
 
   /**
+   * ROBUST DAILY ANOMALY BANDS — per event type and day, is today's
+   * volume outside median ± k·MAD of the TRAILING window (current day
+   * excluded — today must not vote on its own expectation)? The
+   * robust complement of [[levelShift]]'s mean-window detector: a
+   * previous spike inside the window inflates a mean/σ band and masks
+   * the next one; the median/MAD band shrugs it off.
+   *
+   * Scale shape: events collapse map-side to the compact (type, day)
+   * frame; the trailing history is a RANGE window over integral day
+   * numbers (calendar-correct across gaps), and the median/MAD of the
+   * ≤ `windowDays` collected counts are fixed straddle-interpolation
+   * folds over the SORTED window array (both engines sort, index and
+   * interpolate the identical doubles — order-free). Days with fewer
+   * than `minDays` of history emit NULL expectation and never flag.
+   * A zero-MAD (constant) history gives a zero-width band: ANY
+   * deviation flags — documented, deterministic, no ANSI divide
+   * anywhere.
+   */
+  def anomalyBands(events: DataFrame, k: Double = 3.0,
+      windowDays: Int = 14, minDays: Int = 7): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(windowDays >= minDays && minDays >= 2,
+      s"need windowDays >= minDays >= 2, got $windowDays/$minDays")
+    val days = EventTime.normalizeTs(events)
+      .select(col("event_type"), expr("ts div 86400000000000L").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-windowDays.toLong, -1L)
+    // straddle-interpolated median of a SORTED array column — the
+    // percentileExact formula applied to a bounded in-memory window
+    def medOf(sorted: Column): Column = {
+      val t = (size(sorted) - 1).cast("double") * lit(0.5)
+      val lo = element_at(sorted, (floor(t) + 1).cast("int"))
+      val hi = element_at(sorted, (ceil(t) + 1).cast("int"))
+      lo + (t - floor(t)) * (hi - lo)
+    }
+    val withHist = days
+      .withColumn("__hist", sort_array(collect_list(col("n")).over(w)))
+      .withColumn("n_hist", size(col("__hist")))
+    // CASE-guarded: an empty history must not index the array at all
+    // (element_at(0) throws under ANSI); CaseWhen evaluates lazily
+    val withMed = withHist.withColumn("__med",
+      when(col("n_hist") > 0, medOf(col("__hist"))).otherwise(lit(null)))
+    val mad = medOf(sort_array(transform(col("__hist"),
+      x => abs(x - col("__med")))))
+    withMed
+      .withColumn("__mad",
+        when(col("n_hist") > 0, mad).otherwise(lit(null)))
+      .select(col("event_type"), col("day"), col("n").cast("long").as("n"),
+        col("n_hist"),
+        round(when(col("n_hist") >= minDays, col("__med"))
+          .otherwise(lit(null)), 6).as("expected"),
+        round(when(col("n_hist") >= minDays, col("__mad"))
+          .otherwise(lit(null)), 6).as("mad"),
+        coalesce(col("n_hist") >= minDays &&
+          abs(col("n") - col("__med")) > lit(k) * col("__mad"),
+          lit(false)).as("anomaly"))
+  }
+
+  /**
    * COHORT LTV CURVES — cumulative revenue per user by acquisition
    * cohort and age: "how much has the average day-X user spent by day
    * X+age?", the payback/LTV readout growth teams live on. Cohort =

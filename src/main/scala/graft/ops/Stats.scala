@@ -980,6 +980,42 @@ object Stats {
   }
 
   /**
+   * BENJAMINI-HOCHBERG FDR correction — the multiple-testing gate for
+   * a FLEET of readouts (one [[graft.ops.Events.abLiftBy]] segment
+   * table = dozens of tests; at α = .05, one in twenty "wins" by
+   * chance alone): step-up adjusted p-values p̃(i) = min_{j ≥ i}
+   * (m·p(j)/j) over the ascending-p ranks, rejecting p̃ ≤ α controls
+   * the false-discovery rate. Input: one row per test (id, p); output
+   * adds the rank, the monotone adjusted p (capped at 1), and the
+   * reject flag.
+   *
+   * Scale shape: the test frame is readout-sized by contract (it's a
+   * dashboard table, not row data) — ranks and the REVERSE running
+   * min are two windows over it, all arithmetic fixed-order doubles
+   * at 6 dp. Ties on p rank deterministically by id. Null p-values
+   * are excluded by contract.
+   */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val clean = df.filter(col(pCol).isNotNull)
+      .select(col(idCol).as("test_id"), col(pCol).cast("double").as("p"))
+    val wRank = Window.orderBy(col("p").asc, col("test_id").asc)
+    val wRevMin = Window.orderBy(col("p").desc, col("test_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    clean
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("p_adj", round(least(lit(1.0),
+        min(col("__m").cast("double") * col("p") /
+          col("rank").cast("double")).over(wRevMin)), 6))
+      .withColumn("reject", col("p_adj") <= alpha)
+      .select(col("test_id"), round(col("p"), 6).as("p"), col("rank"),
+        col("p_adj"), col("reject"))
+  }
+
+  /**
    * THEIL-SEN ROBUST TREND — the slope a KPI dashboard should trust:
    * the MEDIAN of all pairwise slopes (and the median-residual
    * intercept), which one outlier day cannot move (OLS tips over on

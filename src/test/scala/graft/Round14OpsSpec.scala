@@ -482,6 +482,65 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(bTotal == 2L) // the null b row excluded from b only
   }
 
+  // ---- anomalyBands ----
+
+  test("anomalyBands: a spike flags; warmup days never do; a spike in the "
+      + "window cannot mask the next one") {
+    // 10 steady days of 5 events, then a 50-event spike on day 10,
+    // then 5 again, then ANOTHER spike on day 12
+    def mk(day: Long, cnt: Int) =
+      (0 until cnt).map(i => (day * DAY + i, "a"))
+    val evs = ((0L to 9L).flatMap(d => mk(d, 5)) ++ mk(10L, 50) ++
+      mk(11L, 5) ++ mk(12L, 40)).toDF("ts", "event_type")
+    val out = Events.anomalyBands(evs, k = 3.0, windowDays = 14, minDays = 7)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // warmup: first days lack history -> no expectation, no flag
+    assert(out(0L).isNullAt(4) && !out(0L).getBoolean(6))
+    assert(out(6L).isNullAt(4) && !out(6L).getBoolean(6))
+    // steady day: expectation 5, no flag
+    assert(out(9L).getDouble(4) == 5.0 && !out(9L).getBoolean(6))
+    // the spike flags
+    assert(out(10L).getBoolean(6))
+    // day 12: the day-10 spike sits INSIDE the window, but the MEDIAN
+    // band still centers at 5 — the second spike flags too (a mean/sigma
+    // band would have been inflated by the first spike)
+    assert(out(12L).getDouble(4) == 5.0 && out(12L).getBoolean(6))
+  }
+
+  test("anomalyBands: the RANGE frame forgets history beyond windowDays") {
+    // activity on days 0..7, silence, then day 40: no history in range
+    val evs = ((0L to 7L).flatMap(d => Seq((d * DAY, "a"), (d * DAY + 1, "a"))) ++
+      Seq((40L * DAY, "a"))).toDF("ts", "event_type")
+    val out = Events.anomalyBands(evs, 3.0, 14, 7)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(40L).getInt(3) == 0 && out(40L).isNullAt(4) &&
+      !out(40L).getBoolean(6))
+  }
+
+  // ---- bhAdjust ----
+
+  test("bhAdjust: the reverse-min envelope fixes non-monotone raw values") {
+    // sorted p (.01, .03, .04): raw m*p/i = (.03, .045, .04) — the naive
+    // per-rank value is NON-monotone; BH takes the reverse running min
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03)).toDF("id", "p")
+    val out = Stats.bhAdjust(df, "id", "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(out("a") == ((1, 0.03)))
+    assert(out("c") == ((2, 0.04))) // min(.045, .04), not .045
+    assert(out("b") == ((3, 0.04)))
+  }
+
+  test("bhAdjust: boundary chain rejects everything at exactly alpha") {
+    val df = (1 to 5).map(i => (s"t$i", i * 0.01)).toDF("id", "p")
+    val out = Stats.bhAdjust(df, "id", "p", alpha = 0.05).collect()
+    assert(out.forall(_.getDouble(3) == 0.05))
+    assert(out.forall(_.getBoolean(4)))
+    // adjusted p caps at 1.0
+    val big = Seq(("x", 0.99), ("y", 0.995)).toDF("id", "p")
+    assert(Stats.bhAdjust(big, "id", "p").collect()
+      .forall(r => r.getDouble(3) <= 1.0 && !r.getBoolean(4)))
+  }
+
   // ---- theilSen ----
 
   test("theilSen: one wild outlier cannot move the robust trend") {
