@@ -208,6 +208,23 @@ object ScaleStress {
         e, "click", "purchase", windowDays = 28, minDays = 7)),
       // r14: one user agg (metric + first-event min_by) + segment fold
       "ab_lift_by" -> (e => graft.ops.Events.abLiftBy(e, "event_type")),
+      // r14: user collapse -> duration frame -> ordered ln-sum windows
+      "survival" -> (e => {
+        val d = graft.ops.EventTime.normalizeTs(e)
+          .select(col("user_id"), expr("ts div 86400000000000L").as("day"),
+            col("event_type"))
+        val mx = d.agg(max(col("day")).as("mx"))
+        val u = d.groupBy(col("user_id")).agg(min(col("day")).as("fd"),
+          min(when(col("event_type") === "purchase", col("day"))).as("fp"))
+        graft.ops.Stats.kaplanMeier(
+          u.crossJoin(broadcast(mx)).select(
+            when(col("fp").isNotNull, col("fp") - col("fd"))
+              .otherwise(col("mx") - col("fd")).as("duration"),
+            when(col("fp").isNotNull, lit(1)).otherwise(lit(0)).as("event")),
+          "duration", "event")
+      }),
+      // r14: (type, day) collapse + bounded array windows
+      "anomaly_bands" -> (e => graft.ops.Events.anomalyBands(e, 3.0, 14, 7)),
       // r14: user first-day agg + user equi-join + (cohort, age) frame
       "cohort_ltv" -> (e => graft.ops.Events.cohortLtv(e, "purchase", 28)),
       "sessionize" -> (e => graft.ops.Events.sessionize(e)),
