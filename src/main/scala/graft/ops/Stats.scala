@@ -895,28 +895,38 @@ object Stats {
     def tot(pre: String, c: String): Column =
       (0 until bins).map(b => col(s"__${pre}_${c}_$b")).reduce(_ + _)
     val smooth = lit(bins / 2.0)
+    // EXPLODE SHALLOW STRUCTS FIRST, compute on the k·bins-row frame:
+    // embedding the per-feature PSI fold into every struct of the
+    // one-row assembly generated a single enormous codegen class
+    // (measured ~14 s of Janino compilation per fresh plan — the
+    // bootstrap staging lesson at the codegen level). Each struct here
+    // carries only plain count columns + the feature totals; the
+    // smoothing/term arithmetic runs per exploded row, and the PSI is
+    // a bin-ORDERED running window sum over each feature's ≤`bins`
+    // rows (terms are ≥ 0, so the ordered fold matches the oracle's
+    // left fold exactly).
     val rows = cols.map { c =>
-      val tb = tot("nb", c)
-      val tc = tot("nc", c)
-      def pb(b: Int) = (col(s"__nb_${c}_$b").cast("double") + lit(0.5)) /
-        (tb.cast("double") + smooth)
-      def pc(b: Int) = (col(s"__nc_${c}_$b").cast("double") + lit(0.5)) /
-        (tc.cast("double") + smooth)
-      // fixed left-to-right bin-order fold, the benford discipline
-      val psiC = round((0 until bins)
-        .map(b => (pc(b) - pb(b)) * log(pc(b) / pb(b)))
-        .reduce(_ + _), 6)
       array((0 until bins).map(b => struct(
         lit(c).as("feature"), lit(b.toLong).as("bin"),
         col(s"__nb_${c}_$b").as("n_base"), col(s"__nc_${c}_$b").as("n_cur"),
-        round(pb(b), 6).as("p_base"), round(pc(b), 6).as("p_cur"),
-        psiC.as("psi"))): _*)
+        tot("nb", c).as("tb"), tot("nc", c).as("tc"))): _*)
     }
-    wide.select(explode(flatten(array(rows: _*))).as("r"))
+    val long = wide.select(explode(flatten(array(rows: _*))).as("r"))
       .select(col("r.feature").as("feature"), col("r.bin").as("bin"),
         col("r.n_base").as("n_base"), col("r.n_cur").as("n_cur"),
-        col("r.p_base").as("p_base"), col("r.p_cur").as("p_cur"),
-        col("r.psi").as("psi"))
+        ((col("r.n_base").cast("double") + lit(0.5)) /
+          (col("r.tb").cast("double") + smooth)).as("__pb"),
+        ((col("r.n_cur").cast("double") + lit(0.5)) /
+          (col("r.tc").cast("double") + smooth)).as("__pc"))
+    val wPsi = Window.partitionBy(col("feature")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    long
+      .withColumn("psi", round(sum(
+        (col("__pc") - col("__pb")) * log(col("__pc") / col("__pb")))
+        .over(wPsi), 6))
+      .select(col("feature"), col("bin"), col("n_base"), col("n_cur"),
+        round(col("__pb"), 6).as("p_base"), round(col("__pc"), 6).as("p_cur"),
+        col("psi"))
   }
 
   /**
