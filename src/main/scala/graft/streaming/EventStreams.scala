@@ -160,6 +160,37 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("text_hash")
 
   /**
+   * Streaming CRAWL-FRONTIER dedup — the [[ingestDedupStream]] shape
+   * on CANONICAL URLS ([[graft.ops.TextOps.canonicalUrl]]): an
+   * arriving URL survives iff its canonical form (a) misses the
+   * STATIC already-fetched index (stream-static LEFT ANTI join —
+   * stateless, the index re-read per micro-batch, broadcast when
+   * small) and (b) was not already seen in the stream within the
+   * watermark horizon (`dropDuplicatesWithinWatermark` on the
+   * canonical form — keyed state bounded by the horizon). Transport
+   * variants of the same page (case, default ports, fragments,
+   * tracking params, param order, trailing slashes) collapse BEFORE
+   * either check, so the frontier never fetches a page twice for
+   * noise reasons; only the canonical string enters the join and the
+   * state store. The nightly index-merge job resets the horizon —
+   * the [[ingestDedupStream]] operating contract verbatim.
+   * Columns: input columns + `canonical_url`.
+   */
+  def crawlFrontierStream(
+      urls: DataFrame, urlCol: String, eventTimeCol: String,
+      fetchedIndex: DataFrame, indexUrlCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    urls
+      .withColumn("canonical_url",
+        graft.ops.TextOps.canonicalUrl(col(urlCol)))
+      .join(broadcast(fetchedIndex
+          .select(graft.ops.TextOps.canonicalUrl(col(indexUrlCol))
+            .as("__idx_url"))),
+        col("canonical_url") === col("__idx_url"), "left_anti")
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
+  /**
    * Streaming twin of [[graft.ops.Dedup.neardupIncremental]]: each
    * arriving doc is MinHash-banded and probed against the STATIC
    * historical [[graft.ops.Dedup.bandKeyIndex]] via a stream-static

@@ -108,6 +108,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crawlFrontierStream: canonical variants collapse against index and stream") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // history fetched x.org/p — under a DIFFERENT transport variant
+    val idx = Seq("HTTPS://X.ORG:443/p/").toDF("u")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.crawlFrontierStream(
+      in.toDF().toDF("req_id", "url", "event_time"), "url", "event_time",
+      idx, "u", "30 minutes")
+      .writeStream.format("memory").queryName("frontier_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "https://x.org/p?utm_source=a", ts(0)), // canonical = fetched -> dies
+        (2L, "https://y.org/q", ts(1)),              // fresh -> survives
+        (3L, "https://Y.ORG/q#frag", ts(2)))         // variant of 2 -> dies in-stream
+      q.processAllAvailable()
+      in.addData((4L, "https://y.org/q?a=1", ts(3))) // genuinely new query -> survives
+      q.processAllAvailable()
+      val out = s.sql("SELECT req_id, canonical_url FROM frontier_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet == Set(2L, 4L))
+      assert(out(2L) == "https://y.org/q")
+      // batch-twin: urlDedup's representatives on the same (non-indexed)
+      // arrivals pick the same canonical survivors
+      val batch = graft.ops.TextOps.urlDedup(
+        Seq((2L, "https://y.org/q"), (3L, "https://Y.ORG/q#frag"),
+          (4L, "https://y.org/q?a=1")).toDF("id", "url"), "id", "url")
+        .collect().map(_.getString(0)).toSet
+      assert(batch == out.values.toSet)
+    } finally q.stop()
+  }
+
   test("neardupStream: stream-static band probe equals batch neardupIncremental") {
     implicit val s = spark
     import s.implicits._
