@@ -172,6 +172,49 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(out == Map(11L -> 2L, 15L -> 4L))
   }
 
+  test("crawlFrontierStream: canonical-dedup state survives kill-and-restart") {
+    val s = spark
+    import s.implicits._
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val idx = Seq("https://fetched.org/x").toDF("u")
+    // page A (canonical https://view.org/p) is seen before the stop;
+    // a TRANSPORT VARIANT of A arrives only after the restart — it can
+    // only be dropped if A's canonical key round-tripped the checkpoint
+    val b1 = Seq(
+      (1L, "https://view.org/p", ts(0)),
+      (2L, "HTTPS://click.org/p/?utm_source=x", ts(1)))
+    val b2 = Seq((3L, "HTTPS://VIEW.ORG:443/p/#frag", ts(2)))
+    val flushRow = (99L, "https://flush.org/z", ts(600))
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-frontier").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    b1.toDF("req_id", "url", "event_time").coalesce(1).write.parquet(inDir)
+    def startQuery() = {
+      val stream = s.readStream
+        .schema(b1.toDF("req_id", "url", "event_time").schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      EventStreams.crawlFrontierStream(stream, "url", "event_time",
+        idx, "u", "2 hours")
+        .select($"req_id", $"canonical_url")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toDF("req_id", "url", "event_time").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Seq(flushRow).toDF("req_id", "url", "event_time").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = s.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 99L)) // 3 died on checkpointed state
+    assert(out(1L) == "https://view.org/p")
+    assert(out(2L) == "https://click.org/p")
+  }
+
   test("labelWindowStream: pending facts and buffered outcomes survive kill-and-restart") {
     val s = spark
     import s.implicits._
