@@ -2539,7 +2539,13 @@ object SparkEntry {
       // 14 observed days (today excluded), spikes inside the window
       // cannot mask the next one
       Events.anomalyBands(t(s, dir, "events"), k = 3.0,
-        windowDays = 14, minDays = 7))
+        windowDays = 14, minDays = 7)),
+
+    "q_bootstrap_ci_by" -> ((s, dir) =>
+      // per-segment mean intervals: the same one-pass Poisson bootstrap
+      // grouped by event type
+      Stats.bootstrapMeanCI(t(s, dir, "events"), "event_id", "value",
+        reps = 32, keys = Seq("event_type")))
   )
 
   /** Time-to-first-purchase frame shared by the survival-family gates:
@@ -5945,6 +5951,37 @@ object SparkEntry {
          |  FROM v),
          |m AS (SELECT n, sx, list_sort([$means]) AS ms FROM w)
          |SELECT n,
+         |  round(CASE WHEN n > 0 THEN sx::DOUBLE / n::DOUBLE / 1e6 END, 6) AS mean,
+         |  round(ms[2], 6) AS ci_lo, round(ms[31], 6) AS ci_hi
+         |FROM m""".stripMargin
+    },
+
+    "q_bootstrap_ci_by" -> {
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+        0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+      def weight(r: Int): String = {
+        val u = s"((${hexToLong(s"md5(id || '_${r / 4}')", 1 + 8 * (r % 4), 8)})::DOUBLE + 0.5) / 4294967296.0"
+        cdf.zipWithIndex.foldRight("8::BIGINT") { case ((t, k), rest) =>
+          s"CASE WHEN $u < $t THEN ${k}::BIGINT ELSE $rest END"
+        }
+      }
+      val sums = (0 until 32).map { r =>
+        s"sum(${weight(r)})::BIGINT AS w_$r, " +
+          s"sum((${weight(r)})::HUGEINT * vmic) AS wx_$r"
+      }.mkString(",\n  ")
+      val means = (0 until 32).map { r =>
+        s"CASE WHEN w_$r > 0 THEN wx_$r::DOUBLE / w_$r::DOUBLE / 1e6 END"
+      }.mkString(", ")
+      s"""WITH v AS (SELECT event_type, event_id::VARCHAR AS id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vmic
+         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         |w AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(vmic)::HUGEINT AS sx,
+         |  $sums
+         |  FROM v GROUP BY event_type),
+         |m AS (SELECT event_type, n, sx, list_sort([$means]) AS ms FROM w)
+         |SELECT event_type, n,
          |  round(CASE WHEN n > 0 THEN sx::DOUBLE / n::DOUBLE / 1e6 END, 6) AS mean,
          |  round(ms[2], 6) AS ci_lo, round(ms[31], 6) AS ci_hi
          |FROM m""".stripMargin

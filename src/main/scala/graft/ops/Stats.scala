@@ -643,13 +643,18 @@ object Stats {
    * double division; the interval is the [lo]/[hi] order statistics
    * of the `reps` sorted rep means (percentile bootstrap — with the
    * default 32 reps, the 2nd smallest/largest ≈ a 94% CI). Output:
-   * one row (n, mean, ci_lo, ci_hi). Rows with null id or value are
-   * excluded by contract; empty input → NULLs.
+   * one row (n, mean, ci_lo, ci_hi) — or one PER KEY TUPLE when
+   * `keys` is given (per-segment intervals: the identical one-pass
+   * aggregate GROUPED instead of folded; each segment resamples its
+   * own rows with the same md5 weights, so a unit draws consistently
+   * wherever it lands). Rows with null id or value are excluded by
+   * contract; empty input → NULLs (global) / no rows (keyed).
    */
   def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
-      reps: Int = 32): DataFrame = {
+      reps: Int = 32, keys: Seq[String] = Nil): DataFrame = {
     require(reps >= 4 && reps % 4 == 0 && reps <= 64,
       s"reps must be a multiple of 4 in [4, 64], got $reps")
+    val keyCols = keys.map(col)
     // Poisson(1) CDF thresholds: P(K <= k) for k = 0..7; u beyond the
     // last -> 8 (P ~ 1e-6)
     val cdf = Array(0.36787944117144233, 0.7357588823428847,
@@ -657,14 +662,14 @@ object Stats {
       0.9994058151824183, 0.999916758850712, 0.9999897508033253)
     val clean = df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(idCol).cast("string").as("__id"),
-        round(col(valueCol) * 1000000).cast("long").as("__vmic"))
+      .select(keyCols :+ col(idCol).cast("string").as("__id") :+
+        round(col(valueCol) * 1000000).cast("long").as("__vmic"): _*)
     // Weights are STAGED as their own projections so each md5 (4 reps
     // share one) and each CDF ladder is evaluated ONCE per row —
     // inlining them into the 2·reps aggregate expressions re-evaluates
     // every md5 8× (measured 45 s → ~4 s at sf0.1). CollapseProject
     // keeps the stages separate because md5 is not a cheap expression.
-    val withHash = clean.select(Seq(col("__vmic")) ++
+    val withHash = clean.select(keyCols ++ Seq(col("__vmic")) ++
       (0 until reps / 4).map(g =>
         md5(concat(col("__id"), lit(s"_$g"))).as(s"__h_$g")): _*)
     // rep r reads hex chunk (r % 4) of md5(id || '_' || (r / 4))
@@ -675,7 +680,7 @@ object Stats {
         when(u < t, lit(k.toLong)).otherwise(rest)
       }
     }
-    val withW = withHash.select(Seq(col("__vmic")) ++
+    val withW = withHash.select(keyCols ++ Seq(col("__vmic")) ++
       (0 until reps).map(r => weight(r).as(s"__wv_$r")): _*)
     val aggs = Seq(count(lit(1)).as("__n"),
       sum(col("__vmic")).cast("decimal(38,0)").as("__sx")) ++
@@ -684,7 +689,7 @@ object Stats {
           sum(col(s"__wv_$r").cast("decimal(38,0)") * col("__vmic"))
             .as(s"__wx_$r"))
       }
-    val wide = withW.agg(aggs.head, aggs.tail: _*)
+    val wide = withW.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
     val repMeans = array((0 until reps).map { r =>
       when(col(s"__w_$r") > 0L,
         col(s"__wx_$r").cast("double") / col(s"__w_$r").cast("double") / 1e6)
@@ -692,13 +697,13 @@ object Stats {
     }: _*)
     wide
       .withColumn("__ms", sort_array(repMeans))
-      .select(
+      .select(keyCols ++ Seq(
         col("__n").as("n"),
         round(when(col("__n") > 0L,
           col("__sx").cast("double") / col("__n").cast("double") / 1e6)
           .otherwise(lit(null)), 6).as("mean"),
         round(element_at(col("__ms"), 2), 6).as("ci_lo"),
-        round(element_at(col("__ms"), reps - 1), 6).as("ci_hi"))
+        round(element_at(col("__ms"), reps - 1), 6).as("ci_hi")): _*)
   }
 
   /**

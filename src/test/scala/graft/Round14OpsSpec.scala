@@ -228,6 +228,18 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(re.getLong(0) == 0L && re.isNullAt(1) && re.isNullAt(2) && re.isNullAt(3))
   }
 
+  test("bootstrapMeanCI: keyed segments equal the per-slice global computation") {
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", math.sin(i).abs)).toDF("id", "g", "v")
+    val byKey = Stats.bootstrapMeanCI(df, "id", "v", keys = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    Seq("a", "b").foreach { g =>
+      val solo = Stats.bootstrapMeanCI(df.filter(col("g") === g), "id", "v")
+        .collect()(0).toSeq
+      assert(byKey(g) == solo, s"segment $g")
+    }
+  }
+
   test("bootstrapLiftCI: brackets the true lift, zero-width on constant arms") {
     // arm 1 pays exactly 1.0 more than arm 0 -> lift 1.0, CI collapses
     val const = (1 to 200).map(i => (i.toLong, i % 2, 2.0 + (i % 2)))
