@@ -2545,7 +2545,16 @@ object SparkEntry {
       // per-segment mean intervals: the same one-pass Poisson bootstrap
       // grouped by event type
       Stats.bootstrapMeanCI(t(s, dir, "events"), "event_id", "value",
-        reps = 32, keys = Seq("event_type")))
+        reps = 32, keys = Seq("event_type"))),
+
+    "q_split_quality" -> ((s, dir) =>
+      // feature-selection readout: how much does day-of-week reduce the
+      // purchase label's Gini impurity? gain = base - weighted split
+      Stats.splitQuality(
+        t(s, dir, "events")
+          .withColumn("dow", expr("(ts div 86400000000000L + 4) % 7"))
+          .withColumn("label", (col("event_type") === "purchase").cast("int")),
+        "dow", "label"))
   )
 
   /** Time-to-first-purchase frame shared by the survival-family gates:
@@ -5986,6 +5995,34 @@ object SparkEntry {
          |  round(ms[2], 6) AS ci_lo, round(ms[31], 6) AS ci_hi
          |FROM m""".stripMargin
     },
+
+    "q_split_quality" ->
+      """WITH e AS (SELECT
+        |    (((epoch_us(ts) // 86400000000) + 4) % 7)::VARCHAR AS value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |c AS (SELECT value, count(*)::BIGINT AS n,
+        |    sum(y)::BIGINT AS n_pos FROM e GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS N, sum(n_pos)::BIGINT AS P FROM c),
+        |f AS (SELECT
+        |    round(1.0 - (t.P::DOUBLE / t.N::DOUBLE) * (t.P::DOUBLE / t.N::DOUBLE)
+        |      - (1.0 - t.P::DOUBLE / t.N::DOUBLE)
+        |        * (1.0 - t.P::DOUBLE / t.N::DOUBLE), 6) AS base_gini,
+        |    round(list_reduce(list_prepend(0.0, list(
+        |      (c.n::DOUBLE / t.N::DOUBLE)
+        |      * (1.0 - (c.n_pos::DOUBLE / c.n::DOUBLE)
+        |                * (c.n_pos::DOUBLE / c.n::DOUBLE)
+        |         - (1.0 - c.n_pos::DOUBLE / c.n::DOUBLE)
+        |           * (1.0 - c.n_pos::DOUBLE / c.n::DOUBLE))
+        |      ORDER BY c.value)), (a, b) -> a + b), 6) AS weighted_gini
+        |  FROM c CROSS JOIN t GROUP BY t.N, t.P)
+        |SELECT c.value, c.n, c.n_pos,
+        |  round(1.0 - (c.n_pos::DOUBLE / c.n::DOUBLE) * (c.n_pos::DOUBLE / c.n::DOUBLE)
+        |    - (1.0 - c.n_pos::DOUBLE / c.n::DOUBLE)
+        |      * (1.0 - c.n_pos::DOUBLE / c.n::DOUBLE), 6) AS gini,
+        |  f.base_gini, f.weighted_gini,
+        |  round(f.base_gini - f.weighted_gini, 6) AS gain
+        |FROM c CROSS JOIN f""".stripMargin,
 
     "q_ab_lift_by" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,

@@ -995,6 +995,63 @@ object Stats {
   }
 
   /**
+   * GINI SPLIT QUALITY — the decision-tree split score as a feature-
+   * selection readout: how much does knowing a categorical feature
+   * reduce the label's Gini impurity? Per feature value v: p₁(v) and
+   * gini(v) = 1 − p₁² − p₀²; the split's weighted impurity
+   * Σ (n_v/N)·gini(v) compares against the UNSPLIT base impurity, and
+   * `gain` = base − weighted is the number to rank features by (0 =
+   * the feature tells you nothing; base = it determines the label).
+   *
+   * One map-side (feature) aggregate over the rows (the contingency
+   * discipline of [[chi2Independence]]: bounded-arity categorical by
+   * contract); totals and the weighted fold happen on the |values|
+   * frame in value order (Benford discipline — both engines add the
+   * identical doubles in the identical order). Counts exact integers;
+   * every division fixed-order, 6 dp. `labelCol` must be
+   * 0/1-coercible; null features group as their own value, null
+   * labels are excluded by contract.
+   */
+  def splitQuality(df: DataFrame, featureCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(featureCol).cast("string").as("value"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y") === 1, 1L).otherwise(0L)).as("n_pos"))
+    def giniOf(pos: Column, tot: Column): Column = {
+      val p = pos.cast("double") / tot.cast("double")
+      lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    }
+    // ONE row carrying the value-ordered cells: the weighted fold and
+    // the base impurity are deterministic left folds over it
+    val folded = cells
+      .agg(sort_array(collect_list(struct(col("value"), col("n"),
+        col("n_pos")))).as("vs"))
+      .withColumn("N", expr("aggregate(transform(vs, x -> x.n), 0L, (a, x) -> a + x)"))
+      .withColumn("P", expr("aggregate(transform(vs, x -> x.n_pos), 0L, (a, x) -> a + x)"))
+      .withColumn("base_gini", round(giniOf(col("P"), col("N")), 6))
+      .withColumn("weighted_gini", round(expr(
+        """aggregate(transform(vs, x ->
+          |  (CAST(x.n AS DOUBLE) / CAST(N AS DOUBLE))
+          |  * (1.0D - (CAST(x.n_pos AS DOUBLE) / CAST(x.n AS DOUBLE))
+          |            * (CAST(x.n_pos AS DOUBLE) / CAST(x.n AS DOUBLE))
+          |     - (1.0D - CAST(x.n_pos AS DOUBLE) / CAST(x.n AS DOUBLE))
+          |       * (1.0D - CAST(x.n_pos AS DOUBLE) / CAST(x.n AS DOUBLE)))),
+          |0D, (a, x) -> a + x)""".stripMargin), 6))
+      .withColumn("gain", round(col("base_gini") - col("weighted_gini"), 6))
+    folded
+      .select(col("base_gini"), col("weighted_gini"), col("gain"),
+        explode(col("vs")).as("x"))
+      .select(col("x.value").as("value"), col("x.n").as("n"),
+        col("x.n_pos").as("n_pos"),
+        round(giniOf(col("x.n_pos"), col("x.n")), 6).as("gini"),
+        col("base_gini"), col("weighted_gini"), col("gain"))
+  }
+
+  /**
    * BENJAMINI-HOCHBERG FDR correction — the multiple-testing gate for
    * a FLEET of readouts (one [[graft.ops.Events.abLiftBy]] segment
    * table = dozens of tests; at α = .05, one in twenty "wins" by

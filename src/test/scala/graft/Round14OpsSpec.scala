@@ -494,6 +494,35 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(bTotal == 2L) // the null b row excluded from b only
   }
 
+  // ---- splitQuality ----
+
+  test("splitQuality: a determining feature gains the full base impurity, "
+      + "a useless one gains zero") {
+    // feature == label: every value is pure -> weighted 0, gain = base
+    val pure = (1 to 40).map(i => (if (i % 2 == 0) "a" else "b", i % 2))
+      .toDF("f", "y")
+    val rp = Stats.splitQuality(pure, "f", "y").collect()(0)
+    assert(rp.getDouble(5) == 0.0)                     // weighted
+    assert(rp.getDouble(6) == rp.getDouble(4))         // gain == base
+    assert(rp.getDouble(4) == 0.5)                     // 50/50 label
+    // feature independent of label: every value has the base mix
+    val none = (1 to 40).map(i => (if (i % 4 < 2) "a" else "b", i % 2))
+      .toDF("f", "y")
+    val rn = Stats.splitQuality(none, "f", "y").collect()(0)
+    assert(rn.getDouble(5) == rn.getDouble(4) && rn.getDouble(6) == 0.0)
+  }
+
+  test("splitQuality: per-value rows carry exact counts and impurities") {
+    // value a: 3 pos / 1 neg (gini 1 - .75^2 - .25^2 = .375); b: pure
+    val df = (Seq.fill(3)(("a", 1)) ++ Seq(("a", 0)) ++ Seq.fill(4)(("b", 0)))
+      .toDF("f", "y")
+    val out = Stats.splitQuality(df, "f", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") == ((4L, 3L, 0.375)))
+    assert(out("b") == ((4L, 0L, 0.0)))
+  }
+
   // ---- anomalyBands ----
 
   test("anomalyBands: a spike flags; warmup days never do; a spike in the "
