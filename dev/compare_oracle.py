@@ -61,6 +61,18 @@ def main():
             print(f"FAIL {name}: spark dump error: {e}")
             n_fail += 1
             continue
+        # the driver lexsorts result rows with pandas, which CRASHES on
+        # array/list cells (unhashable numpy.ndarray — the q_project r12
+        # lesson). Hard-fail any array-typed output column locally so the
+        # gate-shape bug never reaches the driver.
+        listy = {c: t for c, t in list(otypes.items()) + list(stypes.items())
+                 if "list" in t.lower() or t.lower().startswith("array")}
+        if listy:
+            print(f"FAIL {name}: array/list-typed output column(s) {listy} — "
+                  f"the driver's pandas sort cannot handle arrays; "
+                  f"stringify (array_to_string) or posexplode the column")
+            n_fail += 1
+            continue
         oc, ocn = canon(orows, ocols)
         sc, scn = canon(srows, scols)
         if ocn != scn:

@@ -2414,9 +2414,15 @@ object SparkEntry {
 
     "q_project" -> ((s, dir) =>
       // JL reduction 64 -> 16 before ANN: per-row md5-seeded projection
-      // kernel inside the scan stage — no shuffle, engine-replayable
-      Similarity.randomProject(t(s, dir, "embeddings"), "embedding",
-        dim = 64, outDim = 16)),
+      // kernel inside the scan stage — no shuffle, engine-replayable.
+      // Gate shape: posexploded to (vec_id, label, p, value) rows — the
+      // driver's pandas oracle cannot lexsort array cells (the round-9
+      // q_inverted_index rule), so the vector never leaves as an array.
+      Similarity.randomProject(
+          t(s, dir, "embeddings").filter(col("embedding").isNotNull),
+          "embedding", dim = 64, outDim = 16)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("proj")).as(Seq("p", "value")))),
 
     "q_cdf" -> ((s, dir) =>
       // quantile-transform feature map: mid-rank empirical CDF of price
@@ -5772,7 +5778,7 @@ object SparkEntry {
         |f AS (SELECT round(list_reduce(list(
         |      (j.n::DOUBLE * j.n::DOUBLE)
         |      / (j.na::DOUBLE * j.nb::DOUBLE / tt.n::DOUBLE)
-        |      ORDER BY j.a, j.b), (x, y) -> x + y)
+        |      ORDER BY j.a NULLS FIRST, j.b NULLS FIRST), (x, y) -> x + y)
         |    - any_value(tt.n)::DOUBLE, 6) AS chi2
         |  FROM j CROSS JOIN tt)
         |SELECT tt.n AS n_rows, tt.ka AS n_a, tt.kb AS n_b,
@@ -5887,18 +5893,14 @@ object SparkEntry {
         |    / (1000.0 * 1000.0), 6) + 0.0 AS cov
         |FROM s""".stripMargin,
 
-    "q_project" -> {
-      val elems = (0 until 16).map { p =>
-        s"""round(list_reduce(list_transform(range(1, 65),
-           |      d -> v[d] * ${planeWeightSql(p.toString, "d - 1")}),
-           |    (a, b) -> a + b), 6) + 0.0""".stripMargin
-      }.mkString(",\n  ")
+    "q_project" ->
       s"""WITH m AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings)
-         |SELECT vec_id, label, [
-         |  $elems
-         |] AS proj FROM m""".stripMargin
-    },
+         |  FROM embeddings WHERE embedding IS NOT NULL)
+         |SELECT vec_id, label, p::INT AS p,
+         |  round(list_reduce(list_transform(range(1, 65),
+         |      d -> v[d] * ${planeWeightSql("p", "d - 1")}),
+         |    (a, b) -> a + b), 6) + 0.0 AS value
+         |FROM m, unnest(range(0, 16)) AS t(p)""".stripMargin,
 
     "q_cdf" ->
       """WITH g AS (SELECT l_returnflag, l_extendedprice AS v,
@@ -6014,7 +6016,7 @@ object SparkEntry {
         |                * (c.n_pos::DOUBLE / c.n::DOUBLE)
         |         - (1.0 - c.n_pos::DOUBLE / c.n::DOUBLE)
         |           * (1.0 - c.n_pos::DOUBLE / c.n::DOUBLE))
-        |      ORDER BY c.value)), (a, b) -> a + b), 6) AS weighted_gini
+        |      ORDER BY c.value NULLS FIRST)), (a, b) -> a + b), 6) AS weighted_gini
         |  FROM c CROSS JOIN t GROUP BY t.N, t.P)
         |SELECT c.value, c.n, c.n_pos,
         |  round(1.0 - (c.n_pos::DOUBLE / c.n::DOUBLE) * (c.n_pos::DOUBLE / c.n::DOUBLE)
@@ -6148,13 +6150,17 @@ object SparkEntry {
          |    sum(CAST(round(value * 1000000) AS BIGINT)) AS vmic,
          |    ((${hexToLong("md5(user_id::VARCHAR)", 1, 8)}) % 2)::INT AS arm
          |  FROM events GROUP BY user_id),
+         |-- mirror the engine's bootstrapLiftCI contract EXACTLY: users
+         |-- with a NULL id or all-NULL metric are excluded from n_c/n_t
+         |-- and from every rep's weight denominator
+         |uc AS (SELECT * FROM u WHERE id IS NOT NULL AND vmic IS NOT NULL),
          |w AS (SELECT
          |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
          |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
          |    sum(CASE WHEN arm = 0 THEN vmic ELSE 0 END)::HUGEINT AS sc,
          |    sum(CASE WHEN arm = 1 THEN vmic ELSE 0 END)::HUGEINT AS st,
          |  $sums
-         |  FROM u),
+         |  FROM uc),
          |m AS (SELECT nc, nt, sc, st, list_sort([$lifts]) AS ls FROM w)
          |SELECT nc AS n_c, nt AS n_t,
          |  round(CASE WHEN nc > 0 AND nt > 0

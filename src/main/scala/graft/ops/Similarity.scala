@@ -517,15 +517,19 @@ object Similarity {
       outDim: Int, outCol: String = "proj"): DataFrame = {
     require(outDim >= 1 && outDim <= dim,
       s"outDim must be in [1, dim], got $outDim (dim $dim)")
+    require(outCol != vecCol,
+      s"outCol must differ from vecCol ('$vecCol'): the input vector is dropped")
+    val tmp = s"__rp_${vecCol}_$outCol"
+    require(!df.columns.contains(tmp), s"temp column '$tmp' already exists")
     val raw = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.RandomProjection(
         org.apache.spark.sql.graft.ColumnBridge.expression(
           col(vecCol).cast("array<double>")), outDim, dim))
-    df.withColumn("__rp", raw)
+    df.withColumn(tmp, raw)
       .withColumn(outCol,
         array((0 until outDim).map(p =>
-          round(element_at(col("__rp"), p + 1), 6) + lit(0.0)): _*))
-      .drop("__rp", vecCol)
+          round(element_at(col(tmp), p + 1), 6) + lit(0.0)): _*))
+      .drop(tmp, vecCol)
   }
 
   def embedCovariance(df: DataFrame, vecCol: String,

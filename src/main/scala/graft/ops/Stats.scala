@@ -635,10 +635,13 @@ object Stats {
    *
    * Replayability discipline: the "randomness" is md5(id, chunk) —
    * each 32-hex md5 yields four independent 8-hex uniforms, so 32
-   * reps cost 8 md5 evaluations per row — inverted to a Poisson(1)
-   * count by a fixed CDF-threshold CASE ladder (P(K ≤ k) thresholds
-   * embedded as double literals, capped at 8 where the CDF passes
-   * 1 − 10⁻⁶). Any engine replays every weight exactly. Weighted sums
+   * reps cost 8 md5 digests per row — inverted to a Poisson(1)
+   * count by a fixed CDF-threshold ladder (P(K ≤ k) thresholds
+   * as double literals, capped at 8 where the CDF passes 1 − 10⁻⁶),
+   * all fused into ONE [[graft.functions.PoissonWeights]] kernel call
+   * per row (bit-identical to the SQL conv/substring/CASE form, which
+   * every oracle still replays). Any engine replays every weight
+   * exactly. Weighted sums
    * are exact integral micros in decimal(38,0); each rep mean is one
    * double division; the interval is the [lo]/[hi] order statistics
    * of the `reps` sorted rep means (percentile bootstrap — with the
@@ -655,38 +658,29 @@ object Stats {
     require(reps >= 4 && reps % 4 == 0 && reps <= 64,
       s"reps must be a multiple of 4 in [4, 64], got $reps")
     val keyCols = keys.map(col)
-    // Poisson(1) CDF thresholds: P(K <= k) for k = 0..7; u beyond the
-    // last -> 8 (P ~ 1e-6)
-    val cdf = Array(0.36787944117144233, 0.7357588823428847,
-      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
-      0.9994058151824183, 0.999916758850712, 0.9999897508033253)
     val clean = df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(keyCols :+ col(idCol).cast("string").as("__id") :+
         round(col(valueCol) * 1000000).cast("long").as("__vmic"): _*)
-    // Weights are STAGED as their own projections so each md5 (4 reps
-    // share one) and each CDF ladder is evaluated ONCE per row —
-    // inlining them into the 2·reps aggregate expressions re-evaluates
-    // every md5 8× (measured 45 s → ~4 s at sf0.1). CollapseProject
-    // keeps the stages separate because md5 is not a cheap expression.
-    val withHash = clean.select(keyCols ++ Seq(col("__vmic")) ++
-      (0 until reps / 4).map(g =>
-        md5(concat(col("__id"), lit(s"_$g"))).as(s"__h_$g")): _*)
-    // rep r reads hex chunk (r % 4) of md5(id || '_' || (r / 4))
-    def weight(r: Int): Column = {
-      val u = (conv(substring(col(s"__h_${r / 4}"), 1 + 8 * (r % 4), 8),
-        16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
-      cdf.zipWithIndex.foldRight(lit(8L): Column) { case ((t, k), rest) =>
-        when(u < t, lit(k.toLong)).otherwise(rest)
-      }
-    }
-    val withW = withHash.select(keyCols ++ Seq(col("__vmic")) ++
-      (0 until reps).map(r => weight(r).as(s"__wv_$r")): _*)
+    // ALL reps weights come from ONE fused kernel call per row
+    // ([[graft.functions.PoissonWeights]] — bit-identical to the
+    // conv/substring/CASE ladder it replaced, so oracles don't move),
+    // staged as its own projection column: the array is not cheap, so
+    // CollapseProject never duplicates it into the 2·reps aggregate
+    // expressions (the r11 lesson: inlined md5s re-evaluated 8×,
+    // measured 45 s → ~4 s at sf0.1; the fused kernel also removes
+    // ~100 generated-Java expressions of Janino compile time).
+    val withW = clean.select(keyCols ++ Seq(col("__vmic"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.PoissonWeights(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__id")),
+          reps)).as("__w")): _*)
+    def weight(r: Int): Column = element_at(col("__w"), r + 1)
     val aggs = Seq(count(lit(1)).as("__n"),
       sum(col("__vmic")).cast("decimal(38,0)").as("__sx")) ++
       (0 until reps).flatMap { r =>
-        Seq(sum(col(s"__wv_$r")).as(s"__w_$r"),
-          sum(col(s"__wv_$r").cast("decimal(38,0)") * col("__vmic"))
+        Seq(sum(weight(r)).as(s"__w_$r"),
+          sum(weight(r).cast("decimal(38,0)") * col("__vmic"))
             .as(s"__wx_$r"))
       }
     val wide = withW.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
@@ -726,29 +720,20 @@ object Stats {
       valueCol: String, reps: Int = 32): DataFrame = {
     require(reps >= 4 && reps % 4 == 0 && reps <= 64,
       s"reps must be a multiple of 4 in [4, 64], got $reps")
-    val cdf = Array(0.36787944117144233, 0.7357588823428847,
-      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
-      0.9994058151824183, 0.999916758850712, 0.9999897508033253)
     val clean = df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull &&
         col(armCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(armCol).cast("int").as("__arm"),
         round(col(valueCol) * 1000000).cast("long").as("__vmic"))
-    // staged weight projections — the [[bootstrapMeanCI]] once-per-row
-    // discipline (inlined weights re-evaluate every md5 per aggregate)
-    val withHash = clean.select(Seq(col("__arm"), col("__vmic")) ++
-      (0 until reps / 4).map(g =>
-        md5(concat(col("__id"), lit(s"_$g"))).as(s"__h_$g")): _*)
-    def weight(r: Int): Column = {
-      val u = (conv(substring(col(s"__h_${r / 4}"), 1 + 8 * (r % 4), 8),
-        16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
-      cdf.zipWithIndex.foldRight(lit(8L): Column) { case ((t, k), rest) =>
-        when(u < t, lit(k.toLong)).otherwise(rest)
-      }
-    }
-    val withW = withHash.select(Seq(col("__arm"), col("__vmic")) ++
-      (0 until reps).map(r => weight(r).as(s"__wv_$r")): _*)
+    // fused-kernel weights staged once per row — the [[bootstrapMeanCI]]
+    // discipline (bit-identical to the replaced md5 ladder)
+    val withW = clean.select(col("__arm"), col("__vmic"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.PoissonWeights(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__id")),
+          reps)).as("__w"))
+    def weight(r: Int): Column = element_at(col("__w"), r + 1)
     def armed(a: Int, c: Column): Column = when(col("__arm") === a, c).otherwise(lit(0L))
     val aggs =
       Seq(sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("__nc"),
@@ -756,11 +741,11 @@ object Stats {
         sum(armed(0, col("__vmic"))).cast("decimal(38,0)").as("__sc"),
         sum(armed(1, col("__vmic"))).cast("decimal(38,0)").as("__st")) ++
       (0 until reps).flatMap { r =>
-        Seq(sum(armed(0, col(s"__wv_$r"))).as(s"__wc_$r"),
-          sum(armed(0, col(s"__wv_$r").cast("decimal(38,0)") * col("__vmic")))
+        Seq(sum(armed(0, weight(r))).as(s"__wc_$r"),
+          sum(armed(0, weight(r).cast("decimal(38,0)") * col("__vmic")))
             .as(s"__wxc_$r"),
-          sum(armed(1, col(s"__wv_$r"))).as(s"__wt_$r"),
-          sum(armed(1, col(s"__wv_$r").cast("decimal(38,0)") * col("__vmic")))
+          sum(armed(1, weight(r))).as(s"__wt_$r"),
+          sum(armed(1, weight(r).cast("decimal(38,0)") * col("__vmic")))
             .as(s"__wxt_$r"))
       }
     val wide = withW.agg(aggs.head, aggs.tail: _*)
@@ -809,7 +794,9 @@ object Stats {
         baseline.cast("boolean").as("__base"))
     val rng = clean.filter(col("__base"))
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
-    val counts = clean.crossJoin(rng)
+    // broadcast the 1-row range so the row-scan side never feeds a
+    // CartesianProduct (the psiMulti/aucRocScored pattern)
+    val counts = clean.crossJoin(broadcast(rng))
       .withColumn("bin",
         when(col("__hi") === col("__lo"), lit(0L)).otherwise(
           least(lit(bins - 1L), greatest(lit(0L),
@@ -1009,8 +996,10 @@ object Stats {
    * frame in value order (Benford discipline — both engines add the
    * identical doubles in the identical order). Counts exact integers;
    * every division fixed-order, 6 dp. `labelCol` must be
-   * 0/1-coercible; null features group as their own value, null
-   * labels are excluded by contract.
+   * 0/1-coercible; null features group as their own value (fold order
+   * puts the NULL class FIRST — oracles must ORDER BY ... NULLS
+   * FIRST, the [[chi2Independence]] rule), null labels are excluded
+   * by contract.
    */
   def splitQuality(df: DataFrame, featureCol: String,
       labelCol: String): DataFrame = {
@@ -1215,7 +1204,10 @@ object Stats {
    * are never densified: expanding (n−e)²/e = n²/e − 2n + e and using
    * Σ_all e = Σ_all n = N collapses the statistic to
    * χ² = Σ_observed n²/e − N, so the fold touches observed cells only.
-   * Null categories group as their own class (SQL GROUP BY semantics).
+   * Null categories group as their own class (SQL GROUP BY semantics);
+   * Spark's sort_array puts NULL struct fields FIRST, so any oracle
+   * replaying the fold must ORDER BY ... NULLS FIRST or the 6-dp sum
+   * can diverge on a rounding boundary when a NULL class exists.
    */
   def chi2Independence(df: DataFrame, colA: String, colB: String): DataFrame = {
     val cells = df.groupBy(col(colA).cast("string").as("__a"),

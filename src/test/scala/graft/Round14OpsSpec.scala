@@ -441,6 +441,15 @@ class Round14OpsSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
   }
 
+  test("randomProject: rejects outCol == vecCol (input is dropped)") {
+    val df = Seq((1L, Seq.fill(64)(0.25f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.randomProject(df, "embedding", 64, 8,
+        outCol = "embedding")
+    }
+    assert(e.getMessage.contains("outCol must differ"))
+  }
+
   // ---- psi ----
 
   test("psi: identical base and current distributions score ~0") {

