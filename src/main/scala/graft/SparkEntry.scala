@@ -449,6 +449,25 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), TextOps.langIdText(col("text")).as("lang_pred"))),
 
+    "q_langid_cjk" -> ((s, dir) => {
+      // multilingual twin of q_langid: deterministically splice CJK
+      // sentences onto a slice of docs so all three script arms (kana →
+      // ja, hangul → ko, Han-only → zh) AND the Latin stopword fallback
+      // are exercised; token counts switch to the char-as-token CJK
+      // estimate so budget math downstream stays sane
+      val mixed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(lit("日本語のテキストです "), col("text")))
+          .when(col("doc_id") % 20 === 1,
+            concat(lit("한국어 텍스트 "), col("text")))
+          .when(col("doc_id") % 20 === 2,
+            concat(lit("中文文本内容 "), col("text")))
+          .otherwise(col("text")).as("text"))
+      mixed.select(col("doc_id"),
+        TextOps.langIdCjk(col("text")).as("lang_pred"),
+        TextOps.tokenCountCjk(col("text")).as("n_tok"))
+    }),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
 
@@ -3175,6 +3194,48 @@ object SparkEntry {
          |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
          |  WHEN s_de > 0 THEN 'de'
          |  ELSE 'und' END AS lang_pred
+         |FROM s_t""".stripMargin
+    },
+
+    "q_langid_cjk" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+      // the \x{...} char classes are the SAME pattern text the Spark
+      // side compiles (Java regex and RE2 both accept them)
+      val kana = """[\x{3040}-\x{309F}\x{30A0}-\x{30FF}]"""
+      val hangul = """[\x{1100}-\x{11FF}\x{3130}-\x{318F}\x{AC00}-\x{D7AF}]"""
+      val han = """[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}]"""
+      val cjk = """[\x{1100}-\x{11FF}\x{3040}-\x{309F}\x{30A0}-\x{30FF}""" +
+        """\x{3130}-\x{318F}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}""" +
+        """\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]"""
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 20 = 0 THEN '日本語のテキストです ' || text
+         |         WHEN doc_id % 20 = 1 THEN '한국어 텍스트 ' || text
+         |         WHEN doc_id % 20 = 2 THEN '中文文本内容 ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id, text,
+         |    length(text) - length(regexp_replace(text, '$kana', '', 'g')) AS n_kana,
+         |    length(text) - length(regexp_replace(text, '$hangul', '', 'g')) AS n_hangul,
+         |    length(text) - length(regexp_replace(text, '$han', '', 'g')) AS n_han,
+         |    length(text) - length(regexp_replace(text, '$cjk', '', 'g')) AS n_cjk,
+         |    $ToksSql AS toks
+         |  FROM m),
+         |s_t AS (SELECT doc_id, n_kana, n_hangul, n_han, n_cjk, text,
+         |  ${hits(TextOps.EN_STOP)} AS s_en, ${hits(TextOps.ES_STOP)} AS s_es,
+         |  ${hits(TextOps.FR_STOP)} AS s_fr, ${hits(TextOps.DE_STOP)} AS s_de
+         |  FROM c)
+         |SELECT doc_id, CASE
+         |  WHEN n_kana > 0 THEN 'ja'
+         |  WHEN n_hangul > 0 THEN 'ko'
+         |  WHEN n_han > 0 THEN 'zh'
+         |  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+         |  WHEN s_de > 0 THEN 'de'
+         |  ELSE 'und' END AS lang_pred,
+         |  n_cjk + len(string_split_regex(trim(
+         |    regexp_replace(text, '$cjk', ' ', 'g')), '\\s+')) AS n_tok
          |FROM s_t""".stripMargin
     },
 

@@ -149,6 +149,58 @@ object TextOps {
       .when(de > 0, lit("de"))
       .otherwise(lit("und"))
 
+  /** CJK script regex char classes, written with `\x{...}` escapes so
+    * the IDENTICAL pattern text runs under Java regex (Spark) and RE2
+    * (DuckDB oracles). BMP-only on purpose: Han = unified ideographs +
+    * extension A + compatibility; Kana = hiragana + katakana; Hangul =
+    * syllables + jamo + compatibility jamo. */
+  val HanClass = "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}]"
+  val KanaClass = "[\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]"
+  val HangulClass = "[\\x{1100}-\\x{11FF}\\x{3130}-\\x{318F}\\x{AC00}-\\x{D7AF}]"
+  val CjkClass = "[\\x{1100}-\\x{11FF}\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}" +
+    "\\x{3130}-\\x{318F}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" +
+    "\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}]"
+
+  /** Code points of `text` inside regex char class `cls` — the
+    * engine-replayable length-difference form (both length and
+    * regexp_replace are codegen'd; counts are code points in Spark and
+    * DuckDB alike for BMP classes). */
+  def charClassCount(text: Column, cls: String): Column =
+    length(text) - length(regexp_replace(text, cls, ""))
+
+  /**
+   * CJK-aware language ID — the multilingual-crawl fix for [[langId]]:
+   * European-stopword voting classifies every CJK document `und` (and
+   * whitespace tokenization gives it garbage token counts), which
+   * poisons quality scores, budget selection and fertility reports
+   * downstream. Script detection runs FIRST, on code-point ranges:
+   * any kana → `ja` (Japanese text mixes Han with hiragana/katakana;
+   * kana is the unambiguous marker), else any hangul → `ko`, else any
+   * Han → `zh` (unified ideographs with no kana/hangul), else the
+   * [[langIdText]] stopword vote (en/es/fr/de/und). Pure per-row
+   * codegen'd scan-stage work — no shuffle, no state, replayed by any
+   * engine with the same char classes.
+   */
+  def langIdCjk(text: Column): Column =
+    when(charClassCount(text, KanaClass) > 0, lit("ja"))
+      .when(charClassCount(text, HangulClass) > 0, lit("ko"))
+      .when(charClassCount(text, HanClass) > 0, lit("zh"))
+      .otherwise(langIdText(text))
+
+  /**
+   * CJK-aware token count: CJK scripts don't use whitespace, so
+   * [[tokenCountWs]] sees a whole CJK sentence as ONE token and every
+   * budget/fertility number built on it is garbage. Standard practical
+   * estimate: each CJK code point counts as one token (the
+   * character-as-token convention of CJK tokenizers), plus the
+   * whitespace token count of the text with CJK blanked to spaces.
+   * Exactly replayable: cjk_chars + tokenCountWs(regexp_replace(text,
+   * CjkClass, ' ')) — all codegen'd builtins, one scan-stage map.
+   */
+  def tokenCountCjk(text: Column): Column =
+    charClassCount(text, CjkClass) +
+      tokenCountWs(regexp_replace(text, CjkClass, " "))
+
   /**
    * Heuristic quality score in [0,1] from length, stopword ratio and
    * punctuation ratio. Rational arithmetic only (no exp/ln) so every

@@ -63,6 +63,50 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(math.abs(mean - 1.0) < 0.05, s"mean weight $mean far from 1")
   }
 
+  // ---- CJK-aware language ID + token counting ----
+
+  test("langIdCjk: script arms pinned on hand texts, Latin falls back to voting") {
+    import graft.ops.TextOps
+    val cases = Seq(
+      ("こんにちは世界", "ja"), // hiragana (+Han) -> ja
+      ("カタカナ", "ja"), // katakana alone -> ja
+      ("日本語のテキスト", "ja"), // Han + kana -> ja (kana wins)
+      ("안녕하세요", "ko"), // hangul -> ko
+      ("你好世界", "zh"), // Han only -> zh
+      ("中文 hello the and of to a in", "zh"), // Han beats the en vote
+      ("the cat sat on the mat and it was good", "en"),
+      ("el perro y la casa de los gatos", "es"),
+      ("12345 67890", "und"), // no script, no stopword -> und
+      ("", "und"))
+    val out = cases.map(_._1).toDF("text")
+      .select(col("text"), TextOps.langIdCjk(col("text")).as("lang"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (t, want) =>
+      assert(out(t) == want, s"'$t': got ${out(t)}, want $want") }
+  }
+
+  test("tokenCountCjk: char-as-token for CJK + ws tokens for the rest") {
+    import graft.ops.TextOps
+    val cases = Seq(
+      ("你好世界", 4), // 4 Han chars, no Latin tokens... blanked -> empty split = 1? pinned below
+      ("hello 世界 world", 2 + 2), // 2 cjk chars + "hello","world"
+      ("こんにちは", 5),
+      ("plain english text", 3))
+    val out = cases.map(_._1).toDF("text")
+      .select(col("text"), TextOps.tokenCountCjk(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // "你好世界" blanked = "    " -> trim = "" -> split('') = [""] -> 1
+    // phantom ws token; the estimate is cjk + ws(remainder) BY CONTRACT
+    // (same empty-string edge tokenCountWs itself has — q_token_count
+    // ships it), so pin the contract value, not the wish
+    assert(out("你好世界") == 5, s"got ${out("你好世界")}")
+    assert(out("hello 世界 world") == 4, s"got ${out("hello 世界 world")}")
+    assert(out("こんにちは") == 6, s"got ${out("こんにちは")}")
+    assert(out("plain english text") == 3)
+    // the headline property: a CJK sentence is NOT one token anymore
+    assert(out("你好世界") > 1 && out("こんにちは") > 1)
+  }
+
   test("bootstrapMeanCI on the kernel: interval brackets the mean, n exact") {
     val df = (1 to 400).map(i => (s"u$i", (i % 7).toDouble)).toDF("id", "v")
     val out = Stats.bootstrapMeanCI(df, "id", "v").collect()(0)
