@@ -203,6 +203,119 @@ object Multimodal {
         }
       }
     }
+
+    /**
+     * A REAL audio codec through the same seam, JDK-only:
+     * `javax.sound.sampled.AudioSystem` parses WAV/AIFF/AU containers
+     * with the PCM readers shipped in every JRE — the second-modality
+     * existence proof that [[MediaCodec]] carries real bytes (the
+     * audio analog of [[ImageIo]]). Decoded dims map audio-naturally:
+     * width = PCM frame count (duration; clamped to Int.MaxValue),
+     * height = channel count. Content identity stays md5(payload) —
+     * byte identity is decode-independent, so downstream exact-dup
+     * joins behave the same whichever codec produced the features.
+     * Non-audio payloads throw (garbage never becomes silent zeros).
+     */
+    object WavAudio extends MediaCodec {
+      def open(): Session = new Session {
+        private val md = MessageDigest.getInstance("MD5")
+
+        private def stream(payload: Array[Byte]) =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"payload is not decodable audio (n_bytes=${payload.length})", e)
+          }
+
+        def decode(mediaType: String, payload: Array[Byte]): Decoded = {
+          val ais = stream(payload)
+          try {
+            val fmt = ais.getFormat
+            md.reset()
+            val hex = md.digest(payload).map("%02x".format(_)).mkString
+            Decoded(
+              math.min(ais.getFrameLength, Int.MaxValue.toLong).toInt,
+              fmt.getChannels, hex)
+          } finally ais.close()
+        }
+
+        /** REAL perceptual hash for audio: 64-block energy signature —
+          * mean |amplitude| of the channel-mixed PCM samples over 64
+          * contiguous time blocks, thresholded at the global mean
+          * energy, MSB-first into four 16-bit bands. Threshold-vs-mean
+          * is amplitude-scale-invariant, so the SAME waveform encoded
+          * at different bit depths (8-bit unsigned vs 16-bit signed —
+          * different byte streams, different md5) collides at Hamming
+          * ~0, which byte-identity dedup can never see. */
+        override def pHashBands(
+            mediaType: String, payload: Array[Byte]): Array[Int] = {
+          val ais = stream(payload)
+          try {
+            val fmt = ais.getFormat
+            val enc = fmt.getEncoding
+            require(enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+              s"pHash needs PCM audio, got $enc")
+            val bytesPerSample = fmt.getSampleSizeInBits / 8
+            require(bytesPerSample == 1 || bytesPerSample == 2,
+              s"pHash supports 8/16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+            val channels = fmt.getChannels
+            val frameSize = fmt.getFrameSize
+            val pcm = ais.readAllBytes()
+            val nFrames = pcm.length / frameSize
+            if (nFrames == 0) return Array(0, 0, 0, 0)
+            // mean |sample| per frame across channels, integer-exact
+            // (scaled ×channels to stay integral)
+            val energy = new Array[Long](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var c = 0
+              var acc = 0L
+              while (c < channels) {
+                val o = f * frameSize + c * bytesPerSample
+                val s =
+                  if (bytesPerSample == 1) {
+                    if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                      (pcm(o) & 0xff) - 128
+                    else pcm(o).toInt
+                  } else {
+                    val (lo, hi) =
+                      if (fmt.isBigEndian) (pcm(o + 1), pcm(o)) else (pcm(o), pcm(o + 1))
+                    (hi.toInt << 8) | (lo & 0xff)
+                  }
+                acc += math.abs(s.toLong)
+                c += 1
+              }
+              energy(f) = acc
+              f += 1
+            }
+            // 64 contiguous time blocks (integer edges — the ImageIo
+            // 8×8 grid rule), block mean energy vs global mean
+            val sums = new Array[Long](64)
+            val counts = new Array[Long](64)
+            f = 0
+            while (f < nFrames) {
+              val b = math.min(63, f * 64 / nFrames)
+              sums(b) += energy(f)
+              counts(b) += 1
+              f += 1
+            }
+            val avgs = Array.tabulate(64)(i =>
+              if (counts(i) == 0) 0L else sums(i) / counts(i))
+            val mean = avgs.sum / 64
+            val bands = new Array[Int](4)
+            var i = 0
+            while (i < 64) {
+              if (avgs(i) >= mean) bands(i / 16) |= 1 << (15 - i % 16)
+              i += 1
+            }
+            bands
+          } finally ais.close()
+        }
+      }
+    }
   }
 
   /**

@@ -185,4 +185,93 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.perceptualDedup(media, Multimodal.MediaCodec.Stub)
       .count() == 0L)
   }
+
+  /** Encode interleaved samples in [-1, 1] as a real WAV byte stream via
+    * javax.sound — 8-bit PCM_UNSIGNED or 16-bit PCM_SIGNED (LE). */
+  private def wavBytes(samples: Array[Double], bits: Int,
+      channels: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val enc = if (bits == 8) AudioFormat.Encoding.PCM_UNSIGNED
+      else AudioFormat.Encoding.PCM_SIGNED
+    val fmt = new AudioFormat(enc, 8000f, bits, channels,
+      channels * bits / 8, 8000f, false)
+    val bytes = new Array[Byte](samples.length * bits / 8)
+    var i = 0
+    while (i < samples.length) {
+      if (bits == 8) {
+        bytes(i) = (math.round(samples(i) * 127).toInt + 128).toByte
+      } else {
+        val v = math.round(samples(i) * 32767).toInt
+        bytes(2 * i) = (v & 0xff).toByte
+        bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt,
+      (samples.length / channels).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavAudio codec decodes REAL wav bytes through the seam") {
+    implicit val s = spark
+    // varied frame counts / channels / bit depths, across partitions
+    val records = (1L to 9L).map { id =>
+      val frames = 64 + (id % 4).toInt * 100
+      val channels = 1 + (id % 2).toInt
+      val bits = if (id % 3 == 0) 8 else 16
+      val samples = Array.tabulate(frames * channels)(i =>
+        math.sin(2 * math.Pi * (id + 1) * i / 64.0) * 0.8)
+      (MediaRecord(id, "audio/wav", wavBytes(samples, bits, channels)),
+        frames, channels)
+    }
+    val media = spark.createDataset(records.map(_._1)).repartition(3)
+    val out = Multimodal.extractFeatures(media, Multimodal.MediaCodec.WavAudio)
+    assert(out.schema == Multimodal.extractFeatures(media).schema)
+    val feats = out.collect().map(f => f.doc_id -> f).toMap
+    records.foreach { case (r, frames, channels) =>
+      val f = feats(r.doc_id)
+      assert(f.width == frames && f.height == channels,
+        s"doc ${r.doc_id}: decoded ${f.width}x${f.height}, wrote ${frames}ch$channels")
+      assert(f.content_hash == java.security.MessageDigest.getInstance("MD5")
+        .digest(r.payload).map("%02x".format(_)).mkString)
+    }
+    // garbage is rejected, never silently zero-dimensioned
+    val bad = spark.createDataset(Seq(MediaRecord(99L, "audio/wav",
+      "definitely not audio".getBytes("UTF-8"))))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad, Multimodal.MediaCodec.WavAudio).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("WavAudio perceptual hash: same waveform across bit depths pairs at Hamming 0") {
+    implicit val s = spark
+    val frames = 64 * 8
+    // waveform A: silent first half, loud square second half; A' = one
+    // leading block flipped loud (Hamming 1); B = A reversed (inverse
+    // bands — never a candidate)
+    def wave(blocks: Int => Boolean): Array[Double] =
+      Array.tabulate(frames)(i =>
+        if (blocks(i * 64 / frames)) { if (i % 2 == 0) 0.9 else -0.9 } else 0.0)
+    val a = wave(b => b >= 32)
+    val a1 = wave(b => b >= 32 || b == 0)
+    val rev = wave(b => b < 32)
+    val recs = Seq(
+      MediaRecord(1L, "audio/wav", wavBytes(a, 16, 1)),
+      MediaRecord(2L, "audio/wav", wavBytes(a, 8, 1)), // same wave, other depth
+      MediaRecord(3L, "audio/wav", wavBytes(a1, 16, 1)),
+      MediaRecord(4L, "audio/wav", wavBytes(rev, 16, 1)))
+    // byte identities all differ — exact-dup joins see nothing
+    assert(recs.map(r => java.security.MessageDigest.getInstance("MD5")
+      .digest(r.payload).toSeq).distinct.size == 4)
+    val media = spark.createDataset(recs).repartition(2)
+    val pairs = Multimodal.perceptualDedup(
+        media, Multimodal.MediaCodec.WavAudio, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      pairs.toString)
+  }
 }
