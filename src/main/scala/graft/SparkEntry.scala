@@ -659,6 +659,13 @@ object SparkEntry {
       Similarity.annIvf(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
         col("vec_id") < 10)),
 
+    "q_ann_ivf_refit" -> ((s, dir) =>
+      // the scale fix for q_ann_ivf's frozen label quantizer: k
+      // deterministic seeds + one VectorMean Lloyd refit, so cells grow
+      // with the corpus instead of staying pinned at the label arity
+      Similarity.annIvfRefit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, col("vec_id") < 10)),
+
     // ── events ──────────────────────────────────────────────────────────
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
@@ -3620,6 +3627,50 @@ object SparkEntry {
          |  FROM nl c JOIN assign_t a ON c.label = a.cell AND c.vec_id <> a.q_id)
          |SELECT q_id, cell, neighbor_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn = 1""".stripMargin,
+
+    "q_ann_ivf_refit" ->
+      s"""$EmbCte,
+         |seeds AS (SELECT (row_number() OVER (
+         |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell,
+         |    v AS sv, nrm AS snrm
+         |  FROM (SELECT vec_id, v, nrm FROM n
+         |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)),
+         |sc AS (SELECT n.vec_id, s.cell,
+         |    round(${dotSql("n.v", "s.sv")} / (n.nrm * s.snrm), 6) AS ccos
+         |  FROM n CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |e AS (SELECT a.cell, idx, avg(v[idx]) AS cx
+         |  FROM n JOIN asg a ON n.vec_id = a.vec_id,
+         |    unnest(range(1, len(v) + 1)) AS t(idx)
+         |  GROUP BY a.cell, idx),
+         |cent AS (SELECT cell AS c_cell,
+         |    list_transform(list(CAST(round(cx * 1000000) AS BIGINT)
+         |      ORDER BY idx), x -> x / 1000000.0) AS cv
+         |  FROM e GROUP BY cell),
+         |cvn AS (SELECT c_cell, cv,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x*x)),
+         |      (a, x) -> a + x)) AS cnrm
+         |  FROM cent),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+         |qc AS (SELECT q_id, qv, qnrm, c_cell AS qcell FROM (
+         |    SELECT q.q_id, q.qv, q.qnrm, cvn.c_cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${dotSql("q.qv", "cvn.cv")} / (q.qnrm * cvn.cnrm), 6) DESC,
+         |          cvn.c_cell ASC) AS rn
+         |    FROM q CROSS JOIN cvn)
+         |  WHERE rn = 1),
+         |scored AS (SELECT qc.q_id, a.cell, n.vec_id AS neighbor_id,
+         |    round(${dotSql("n.v", "qc.qv")} / (n.nrm * qc.qnrm), 6) AS cos
+         |  FROM n JOIN asg a ON n.vec_id = a.vec_id
+         |  JOIN qc ON a.cell = qc.qcell AND n.vec_id <> qc.q_id)
+         |SELECT q_id, cell, neighbor_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
 

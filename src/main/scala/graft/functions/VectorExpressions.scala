@@ -553,3 +553,183 @@ case class RandomProjection(child: Expression, planes: Int, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): RandomProjection =
     copy(child = newChild)
 }
+
+/**
+ * Argmax-cosine seed assignment in ONE kernel call per row — the IVF
+ * quantizer's hot loop. The naive declarative form joins the corpus
+ * with the k-row seed frame (N·k joined rows, each carrying BOTH
+ * 64-double vectors through the join and into a grouped argmax — the
+ * measured 500 s wall at the ×100 probe); this kernel receives the
+ * WHOLE seed matrix once per row from a broadcast 1-row frame and runs
+ * the k·dim multiply-adds in a tight loop, so only (vec_id, cell) ever
+ * leaves the scan stage.
+ *
+ * BIT-IDENTICAL contract with the joined form it replaces (and the
+ * DuckDB oracle's CROSS JOIN + row_number replay): per seed p, cos =
+ * round(dot(v, seed_p) / (nrm · snrm_p), 6) with the ascending-index
+ * left-fold dot ([[DotProduct]] order) and Spark's HALF_UP double
+ * round (NaN/±Inf pass through unrounded, compared Double.compare-wise
+ * — NaN greatest, Spark's sort order); winner = max cos, ties → the
+ * SMALLEST position. Returns the 0-based position into the seed
+ * arrays; callers map position → cell id (dense seeds: position IS the
+ * cell). Children: (v array<double>, nrm double, seedVecs
+ * array<array<double>>, seedNorms array<double>). Null/empty seed
+ * array or null vector → null. A dim mismatch throws.
+ */
+case class NearestSeed(
+    vec: Expression, nrm: Expression, seedVecs: Expression,
+    seedNorms: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def first: Expression = vec
+  override def second: Expression = nrm
+  override def third: Expression = seedVecs
+  override def fourth: Expression = seedNorms
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_seed"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, nrm.dataType, seedVecs.dataType, seedNorms.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType,
+            ArrayType(ArrayType(DoubleType, _), _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double, array<array<double>>, " +
+          s"array<double>), got $other")
+    }
+
+  /** Spark Round(_, 6) on a double: BigDecimal HALF_UP for finite
+    * values, pass-through for NaN/±Inf. */
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  // The seed matrix arrives from a 1-row broadcast, so every row of a
+  // task reads the SAME underlying bytes: unpack them to a flat
+  // primitive matrix ONCE and reuse (without this, the hot loop walks
+  // k nested getDouble accessors per row — measured 69 s for 200k
+  // rows × 447 seeds at the ×100 probe vs pure multiply-adds after).
+  // UnsafeRow.getArray allocates a FRESH UnsafeArrayData wrapper per
+  // call, so the cache keys on the wrapper's (baseObject, baseOffset)
+  // — the broadcast buffer identity — not the wrapper reference; any
+  // other ArrayData falls back to reference identity. A different
+  // seed matrix (different row / plan) re-unpacks correctly either
+  // way. Expression instances are per-task after deserialization, so
+  // the mutable cache is single-threaded.
+  @transient private var cachedBase: AnyRef = _
+  @transient private var cachedOff: Long = _
+  @transient private var cachedFlat: Array[Double] = _
+  @transient private var cachedNorms: Array[Double] = _
+  @transient private var cachedDim: Int = _
+  @transient private var cachedK: Int = _
+
+  private def cacheKey(a: ArrayData): (AnyRef, Long) = a match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      (u.getBaseObject, u.getBaseOffset)
+    case other => (other.asInstanceOf[AnyRef], -1L)
+  }
+
+  private def unpack(seeds: ArrayData, norms0: ArrayData): Unit = {
+    val k = seeds.numElements()
+    require(norms0.numElements() == k,
+      s"$prettyName: seedNorms length ${norms0.numElements()} != seedVecs length $k")
+    val dim = if (k == 0) 0 else seeds.getArray(0).numElements()
+    val flat = new Array[Double](k * dim)
+    var p = 0
+    while (p < k) {
+      val sv = seeds.getArray(p)
+      require(sv.numElements() == dim,
+        s"$prettyName: ragged seed matrix (${sv.numElements()} vs $dim)")
+      var d = 0
+      while (d < dim) {
+        flat(p * dim + d) = sv.getDouble(d)
+        d += 1
+      }
+      p += 1
+    }
+    val (b, o) = cacheKey(seeds)
+    cachedBase = b
+    cachedOff = o
+    cachedFlat = flat
+    cachedNorms = norms0.toDoubleArray()
+    cachedDim = dim
+    cachedK = k
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v0 = vec.eval(input)
+    val n0 = nrm.eval(input)
+    val s0 = seedVecs.eval(input)
+    val sn0 = seedNorms.eval(input)
+    if (v0 == null || n0 == null || s0 == null || sn0 == null) return null
+    val v = v0.asInstanceOf[ArrayData].toDoubleArray()
+    val n = n0.asInstanceOf[Double]
+    val seeds = s0.asInstanceOf[ArrayData]
+    val (kb, ko) = cacheKey(seeds)
+    if (!(kb eq cachedBase) || ko != cachedOff) {
+      unpack(seeds, sn0.asInstanceOf[ArrayData])
+    }
+    val k = cachedK
+    if (k == 0) return null
+    require(v.length == cachedDim,
+      s"$prettyName: vector length mismatch (${v.length} vs seed $cachedDim)")
+    val flat = cachedFlat
+    val norms = cachedNorms
+    val dim = cachedDim
+    // pass 1: RAW cosines (one scratch buffer, reused across rows) and
+    // the raw max under Double.compare (NaN greatest — Spark's order)
+    if (scratch == null || scratch.length < k) scratch = new Array[Double](k)
+    var rawMax = 0.0
+    var any = false
+    var p = 0
+    while (p < k) {
+      var acc = 0.0
+      val base = p * dim
+      var d = 0
+      while (d < dim) {
+        acc += v(d) * flat(base + d)
+        d += 1
+      }
+      val cos = acc / (n * norms(p))
+      scratch(p) = cos
+      if (!any || java.lang.Double.compare(cos, rawMax) > 0) {
+        rawMax = cos
+        any = true
+      }
+      p += 1
+    }
+    // pass 2: ROUNDING (the contract compares 6-dp values) is monotone,
+    // so only raw cosines within one rounding bucket of the raw max can
+    // share its rounded value — round just those few instead of paying
+    // a BigDecimal per (row, seed). Ties -> smallest position.
+    val floor = if (java.lang.Double.isNaN(rawMax) ||
+      java.lang.Double.isInfinite(rawMax)) rawMax else rawMax - 2e-6
+    var best = -1
+    var bestCos = 0.0
+    p = 0
+    while (p < k) {
+      if (java.lang.Double.compare(scratch(p), floor) >= 0) {
+        val cos = round6(scratch(p))
+        if (best < 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+          best = p
+          bestCos = cos
+        }
+      }
+      p += 1
+    }
+    best
+  }
+
+  @transient private var scratch: Array[Double] = _
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): NearestSeed =
+    copy(vec = f, nrm = s, seedVecs = t, seedNorms = q)
+}

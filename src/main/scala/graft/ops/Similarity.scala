@@ -43,6 +43,17 @@ object Similarity {
   def cosine6(a: Column, aNorm: Column, b: Column, bNorm: Column): Column =
     round(dot(a, b) / (aNorm * bNorm), 6)
 
+  /** One-kernel argmax-cosine seed assignment — see
+    * [[graft.functions.NearestSeed]]. */
+  def nearestSeed(v: Column, nrm: Column, seedVecs: Column,
+      seedNorms: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NearestSeed(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        org.apache.spark.sql.graft.ColumnBridge.expression(nrm),
+        org.apache.spark.sql.graft.ColumnBridge.expression(seedVecs),
+        org.apache.spark.sql.graft.ColumnBridge.expression(seedNorms)))
+
   /** corpus projected to (id, v: array<double>, nrm). Narrow. */
   def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = toDouble(col(vecCol))
@@ -362,6 +373,127 @@ object Similarity {
         col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
         cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
       .withColumn("rn", row_number().over(searchW)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /**
+   * Data-driven IVF coarse quantizer: k deterministic seeds (the k
+   * vectors with smallest (md5(id), id) — an order-statistics draw any
+   * engine replays), every vector assigned to its nearest seed by
+   * rounded cosine, then ONE [[graft.functions.VectorMean]] refit pass
+   * per cell (one Lloyd iteration). This is the scale fix for
+   * [[annIvf]]'s frozen label quantizer: `k` grows with the corpus
+   * (√N is the classic choice), so per-cell population stays ~N/k
+   * bounded instead of bending quadratic at decade growth.
+   *
+   * Scale shape: the k seeds fold into ONE broadcast row (a seed
+   * MATRIX), and each vector's argmax-cosine assignment is ONE
+   * [[graft.functions.NearestSeed]] kernel call — k·dim multiply-adds
+   * in a tight loop, only (vec_id, cell) leaving the scan stage. The
+   * naive k-row-join + grouped-argmax form drags both 64-double
+   * vectors through N·k joined rows (measured 526 s at the ×100 probe
+   * vs ~seconds for the kernel). The refit is one VectorMean aggregate
+   * over an id-equi-join — the only full-payload shuffle.
+   *
+   * Returns (vec_id, cell) assignments plus the refit micro-unit
+   * centroids — [[annIvfRefit]] composes them into the search.
+   */
+  def refitQuantizer(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = emb
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", l2norm(col("v")))
+    // deterministic seed draw: k smallest (md5(id), id) — TakeOrdered
+    // ships exactly k rows; the k-row window that numbers them is free
+    val seedW = Window.orderBy(col("h").asc, col("vec_id").asc)
+    val seeds = base
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(k)
+      .withColumn("cell", row_number().over(seedW) - 1)
+      .select(col("cell"), col("v").as("sv"), col("nrm").as("snrm"))
+    // seed MATRIX as one broadcast row (cell order = array position —
+    // seeds are dense 0..k-1 so the kernel's position IS the cell)
+    val seedRow = seeds
+      .agg(sort_array(collect_list(struct(col("cell"), col("sv"),
+        col("snrm")))).as("s"))
+      .select(expr("transform(s, x -> x.sv)").as("svs"),
+        expr("transform(s, x -> x.snrm)").as("snrms"))
+    val assigned = base.crossJoin(broadcast(seedRow))
+      .select(col("vec_id"), nearestSeed(col("v"), col("nrm"),
+        col("svs"), col("snrms")).as("cell"))
+    // one-pass refit: element-wise mean per cell, micro-scaled
+    // (bit-identical across engines — the [[centroids]] discipline)
+    val refit = base.join(assigned, "vec_id")
+      .groupBy(col("cell"))
+      .agg(graft.functions.GraftFunctions.vector_mean(col("v")).as("mean"))
+      .select(col("cell"),
+        transform(col("mean"), x => round(x * 1000000).cast("long"))
+          .as("centroid_scaled"))
+    (assigned, refit)
+  }
+
+  /**
+   * IVF ANN over the REFIT quantizer — [[annIvf]]'s search shape with
+   * [[refitQuantizer]]'s data-driven cells instead of the frozen label
+   * cells: queries route to their nearest refit centroid and search
+   * only that cell's inverted list (the seed-assignment lists). Same
+   * output shape (q_id, cell, neighbor_id, cos), integer cells.
+   * Centroid and assignment frames broadcast; the corpus payload
+   * shuffles once (the quantizer's id-join), then the search rides
+   * broadcasts — at ×100 corpus growth, k grows with N and per-query
+   * candidate work stays ~N/k (measured vs the fixed quantizer's
+   * quadratic bend: see PLANS.md Scale100Probe).
+   */
+  def annIvfRefit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryFilter: Column): DataFrame = {
+    val base = emb
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", l2norm(col("v")))
+    val (assigned, refit) = refitQuantizer(emb, idCol, vecCol, k)
+    annIvfSearch(base.join(assigned, "vec_id"), refit, queryFilter)
+  }
+
+  /**
+   * Search-only IVF path over a PREBUILT index — the amortized shape a
+   * real deployment runs: [[refitQuantizer]] builds (vec_id, cell)
+   * lists + centroids ONCE (the N·k one-time cost, written bucketed by
+   * cell like [[graft.sources.Tables.writeBucketed]]); every query
+   * batch afterwards pays only routing (|Q|·k kernel evals against the
+   * broadcast centroid matrix) + its cell slices (~N/k rows per
+   * query). `index` = (vec_id, v, nrm, cell); `refit` =
+   * (cell, centroid_scaled).
+   */
+  def annIvfSearch(index: DataFrame, refit: DataFrame,
+      queryFilter: Column): DataFrame = {
+    val cents = refit.select(col("cell").as("c_cell"),
+        transform(col("centroid_scaled"), x => x / 1000000.0).as("cv"))
+      .withColumn("cnrm", l2norm(col("cv")))
+    val q = index.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // query routing through the same one-kernel argmax: centroid matrix
+    // as ONE broadcast row; position → cell id via the parallel cells
+    // array (refit cells can be sparse — empty cells emit no centroid)
+    val centRow = cents
+      .agg(sort_array(collect_list(struct(col("c_cell"), col("cv"),
+        col("cnrm")))).as("s"))
+      .select(expr("transform(s, x -> x.c_cell)").as("cells"),
+        expr("transform(s, x -> x.cv)").as("cvs"),
+        expr("transform(s, x -> x.cnrm)").as("cnrms"))
+    val qCell = q.crossJoin(broadcast(centRow))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        element_at(col("cells"),
+          nearestSeed(col("qv"), col("qnrm"), col("cvs"), col("cnrms")) + 1)
+          .as("qcell"))
+    val searchW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    index.join(broadcast(qCell),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
+      .withColumn("rn", row_number().over(searchW)).filter(col("rn") === 1)
+      .drop("rn")
   }
 
   /**

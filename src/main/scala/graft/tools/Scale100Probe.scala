@@ -138,6 +138,34 @@ object Scale100Probe {
       // fixed-quantizer datapoint; ann_lsh below is the scale path.
       "ann_ivf" -> (e => graft.ops.Similarity.annIvf(
         e, "vec_id", "embedding", "label", col("vec_id") % 10000000000L < 10)),
+      // the refit path, build+search in one shot: k grows as √N, so the
+      // ONE-TIME build is N·k ≈ N^1.5 kernel work (embarrassingly
+      // parallel, no payload blowup) and per-cell population stays ~N/k
+      "ann_ivf_refit" -> (e => {
+        val k = math.max(8, math.sqrt(e.count().toDouble).toInt)
+        graft.ops.Similarity.annIvfRefit(e, "vec_id", "embedding", k,
+          col("vec_id") % 10000000000L < 10)
+      }),
+      // the AMORTIZED number a deployment sees: search over a PREBUILT
+      // index (assignments + centroids materialized once, like a
+      // bucketed table) — per batch only |Q|·k routing + ~N/k per query
+      "ann_ivf_refit_search" -> (e => {
+        val k = math.max(8, math.sqrt(e.count().toDouble).toInt)
+        val n = e.count()
+        val (assigned, refit) =
+          graft.ops.Similarity.refitQuantizer(e, "vec_id", "embedding", k)
+        val base = e.select(col("vec_id"),
+            graft.ops.Similarity.toDouble(col("embedding")).as("v"))
+          .filter(col("v").isNotNull && size(col("v")) > 0)
+          .withColumn("nrm", graft.ops.Similarity.l2norm(col("v")))
+        val idx = ProbeSupport.materialize(e.sparkSession,
+          s"/tmp/graft_scale100/ivfindex_$n.parquet",
+          base.join(assigned, "vec_id"))
+        val cents = ProbeSupport.materialize(e.sparkSession,
+          s"/tmp/graft_scale100/ivfcents_$n.parquet", refit)
+        graft.ops.Similarity.annIvfSearch(idx, cents,
+          col("vec_id") % 10000000000L < 10)
+      }),
       // LSH bucketing: 2^16 cells regardless of corpus size — per-query
       // candidate slice stays |corpus|/65536, so ×N corpus + ×N queries
       // is ~N·occupancy work, the bucket-scaled ANN contract holding

@@ -107,6 +107,58 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out("你好世界") > 1 && out("こんにちは") > 1)
   }
 
+  // ---- annIvfRefit ----
+
+  test("refitQuantizer: cells partition the corpus; centroids are cell means") {
+    import graft.ops.Similarity
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f)), (5L, Array(-1.0f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val (assigned, refit) = Similarity.refitQuantizer(e, "vec_id", "embedding", 3)
+    val asg = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg.size == 6) // every vector assigned exactly once
+    assert(asg.values.toSet.size <= 3)
+    // near-parallel vectors land in the same cell
+    assert(asg(0L) == asg(1L))
+    assert(asg(2L) == asg(3L))
+    assert(asg(4L) == asg(5L))
+    // centroid of each cell = micro-scaled element-wise mean of members
+    val cents = refit.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val byCell = asg.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val vecs = Map(0L -> Seq(1.0, 0.0), 1L -> Seq(1.0, 0.1),
+      2L -> Seq(0.0, 1.0), 3L -> Seq(0.1, 1.0),
+      4L -> Seq(-1.0, 0.0), 5L -> Seq(-1.0, -0.1))
+    byCell.foreach { case (cell, ids) =>
+      val want = (0 until 2).map(d =>
+        math.round(ids.map(i => vecs(i)(d)).sum / ids.size * 1e6))
+      assert(cents(cell) == want, s"cell $cell: ${cents(cell)} vs $want")
+    }
+  }
+
+  test("annIvfRefit: neighbor is the best of the query's cell; recall >= label-IVF") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qf = col("vec_id") < 10
+    val refit = Similarity.annIvfRefit(emb, "vec_id", "embedding", 8, qf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fixed = Similarity.annIvf(emb, "vec_id", "embedding", "label", qf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute-force truth (gate-scale corpus)
+    val pre = Similarity.prepared(emb, "vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(pre, pre.filter(qf), 1)
+      .collect().map(r => r.getLong(r.fieldIndex("q_id")) ->
+        r.getLong(r.fieldIndex("neighbor_id"))).toMap
+    assert(refit.nonEmpty && refit.keySet == fixed.keySet)
+    val refitHits = refit.count { case (q, n) => truth.get(q).contains(n) }
+    val fixedHits = fixed.count { case (q, n) => truth.get(q).contains(n) }
+    // the refit quantizer must not cost recall vs the frozen one
+    assert(refitHits >= fixedHits,
+      s"refit recall $refitHits < fixed $fixedHits of ${truth.size}")
+  }
+
   test("bootstrapMeanCI on the kernel: interval brackets the mean, n exact") {
     val df = (1 to 400).map(i => (s"u$i", (i % 7).toDouble)).toDF("id", "v")
     val out = Stats.bootstrapMeanCI(df, "id", "v").collect()(0)
