@@ -26,7 +26,24 @@ object Bench {
     // offset range in exactly one sweep, auditable from the artifact.
     val runs = Array.fill(named.size, sweeps)(-1.0)
     val offs = Array.fill(named.size, sweeps)(0.0)
+    // CONTENTION SENTINEL: a fixed trivial in-memory aggregate (no I/O,
+    // no SF dependence, ~constant work) interleaved throughout every
+    // sweep. On a quiet machine its time is flat; a noisy-neighbor
+    // window shows up as outlier sentinel samples at the SAME wall
+    // offsets that poisoned the adjacent query runs — so a contaminated
+    // artifact is self-evident from the artifact, no forensic
+    // run-offset reading needed (the r10/r12 adjudication cost).
+    val sentSecs = scala.collection.mutable.ArrayBuffer[Double]()
+    val sentOffs = scala.collection.mutable.ArrayBuffer[Double]()
+    def sentinel(): Unit = {
+      val t0 = System.nanoTime()
+      sentOffs += (t0 - benchT0) / 1e9
+      spark.range(2000000L).selectExpr("sum(id)").collect()
+      sentSecs += (System.nanoTime() - t0) / 1e9
+    }
+    val sentEvery = math.max(1, named.size / 10) // ~10 samples per sweep
     for (s <- 0 until sweeps; ((name, fn), qi) <- named.zipWithIndex) {
+      if (qi % sentEvery == 0) sentinel()
       val t0 = System.nanoTime()
       offs(qi)(s) = (t0 - benchT0) / 1e9
       // noop sink: forces every output column to be computed — count()
@@ -89,6 +106,14 @@ object Bench {
     val spreads = sorted.collect { case (_, v, s) if v >= 0 => s }.sorted
     val p90 = if (spreads.isEmpty) 0.0
       else spreads(((spreads.size - 1) * 9) / 10)
+    // sentinel verdict: max/median of the trivial-query samples. The
+    // first sample pays the sentinel's own one-time codegen — drop it.
+    // ratio ≤ 3 on a quiet box; a contention window sends it 10×+.
+    val sent = sentSecs.drop(1).toArray.sorted
+    val sentMed = if (sent.isEmpty) 0.0 else sent(sent.length / 2)
+    val sentMax = if (sent.isEmpty) 0.0 else sent.last
+    val sentRatio = if (sentMed > 0) sentMax / sentMed else 0.0
+    val contention = if (sent.length >= 5 && sentRatio > 3.0) "suspect" else "clean"
     val fullJson = {
       // failed queries are OMITTED from the map (they are enumerated in
       // failed[]): a -1 sentinel inside the map silently skews any
@@ -104,7 +129,10 @@ object Bench {
         val os = offs(qi).map(o => f2(o)).mkString("[", ",", "]")
         s""""$k":{"sec":${f3(v)},"spread":${f2(s)},"runs":$rs,"off":$os}"""
       }.mkString(",")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":$sweeps,"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},"sf":"$sfName","queries":{$entries},"failed":$failed}"""
+      val sentRuns = sentSecs.zip(sentOffs).map { case (sec, off) =>
+        s"[${f2(off)},${f3(sec)}]" }.mkString("[", ",", "]")
+      val sentinelJson = s""""sentinel":{"n":${sent.length},"med":${f3(sentMed)},"max":${f3(sentMax)},"ratio":${f2(sentRatio)},"samples":$sentRuns},"contention":"$contention""""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":$sweeps,"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},$sentinelJson,"sf":"$sfName","queries":{$entries},"failed":$failed}"""
     }
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
@@ -114,7 +142,7 @@ object Bench {
       val top = sorted.filter(_._2 >= 0).sortBy(-_._2).take(topN)
         .map { case (k, v, _) => s""""$k":${f2(v)}""" }.mkString(",")
       val qvField = if (omitQv) "" else s""""q_order":"lex","qk_md5":"$qkMd5","q_unit":"cs","qv":"$qv","""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":$sweeps,"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},"queries":{$top},"queries_named_topn":$topN,${qvField}"queries_omitted":0,"failed":$failed,"full":"$fullPath","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":$sweeps,"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},"sentinel_ratio":${f2(sentRatio)},"contention":"$contention","queries":{$top},"queries_named_topn":$topN,${qvField}"queries_omitted":0,"failed":$failed,"full":"$fullPath","sf":"$sfName"}"""
     }
     // 2000-char driver window minus the sbt suffix and newline margin
     val budget = 1800

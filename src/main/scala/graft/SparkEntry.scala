@@ -468,6 +468,19 @@ object SparkEntry {
         TextOps.tokenCountCjk(col("text")).as("n_tok"))
     }),
 
+    "q_boilerplate" -> ((s, dir) => {
+      // CCNet-style boilerplate-line removal: deterministic nav headers
+      // (on ~half of each source's docs, frac >= 0.4) and per-source
+      // copyright footers (every doc) are spliced in so the threshold
+      // arm, the universal arm, and unique body lines are all exercised
+      val m = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+            lit("NAV HOME ABOUT CONTACT\n")).otherwise(lit("")),
+          col("text"), lit("\ncopyright "), col("source")).as("text"))
+      TextOps.boilerplate(m, "doc_id", "text", "source", minDocFrac = 0.4)
+    }),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
 
@@ -3203,6 +3216,38 @@ object SparkEntry {
          |  ELSE 'und' END AS lang_pred
          |FROM s_t""".stripMargin
     },
+
+    "q_boilerplate" ->
+      """WITH m AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'NAV HOME ABOUT CONTACT' || chr(10)
+        |         ELSE '' END || text || chr(10) || 'copyright ' || source AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, source,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lines
+        |  FROM m),
+        |lh AS (SELECT DISTINCT doc_id, source, lhash FROM d,
+        |    unnest(list_transform(lines, l -> md5(l))) AS t(lhash)),
+        |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        |  FROM m GROUP BY source),
+        |bf AS (SELECT source, lhash, count(DISTINCT doc_id) AS n_with
+        |  FROM lh GROUP BY source, lhash),
+        |b AS (SELECT bf.source, bf.lhash FROM bf JOIN sd USING (source)
+        |  WHERE n_with >= 2
+        |    AND n_with::DOUBLE / n_docs::DOUBLE >= 0.4),
+        |bs AS (SELECT source, list(lhash) AS bh FROM b GROUP BY source),
+        |j AS (SELECT d.doc_id, d.source, d.lines,
+        |    coalesce(bs.bh, []) AS bh,
+        |    list_filter(d.lines,
+        |      l -> NOT list_contains(coalesce(bs.bh, []), md5(l))) AS kept
+        |  FROM d LEFT JOIN bs ON d.source = bs.source)
+        |SELECT doc_id, source, len(lines) AS n_lines,
+        |  (len(lines) - len(kept)) AS n_boiler,
+        |  round(CASE WHEN len(lines) > 0
+        |    THEN (len(lines) - len(kept))::DOUBLE / len(lines)::DOUBLE
+        |    ELSE 0.0 END, 6) AS boiler_ratio,
+        |  md5(array_to_string(kept, chr(10))) AS clean_hash
+        |FROM j""".stripMargin,
 
     "q_langid_cjk" -> {
       def hits(words: Seq[String]) =

@@ -202,6 +202,65 @@ object TextOps {
       tokenCountWs(regexp_replace(text, CjkClass, " "))
 
   /**
+   * CCNet-style BOILERPLATE-LINE removal — the crawl-cleaning step
+   * exact/near dedup can't do: nav menus, cookie banners and copyright
+   * footers repeat across most pages of a SITE while every page's body
+   * is unique, so document-level dedup keeps them all and they flood
+   * the training mix. A trimmed non-empty line is boilerplate within
+   * its source when ≥ 2 docs contain it AND it appears in ≥
+   * `minDocFrac` of the source's docs. Output per doc: line counts,
+   * the boilerplate ratio (a quality signal in its own right) and the
+   * md5 of the CLEANED text (kept lines joined by newline, original
+   * order) — the identity downstream dedup/token accounting runs on.
+   *
+   * Scale shape: the frequency pass explodes (source, doc_id,
+   * line-md5) DISTINCT — 16-byte hashes shuffle, text never moves; the
+   * per-source boilerplate SET is small by construction (only lines
+   * crossing the frac threshold) and joins back per source (AQE
+   * broadcasts it), where a per-row HOF filters each doc's lines in
+   * place — no shuffle ever carries line text. Per-source doc counts
+   * are one combinable aggregate.
+   */
+  def boilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      minDocFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      s"minDocFrac must be in (0, 1], got $minDocFrac")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "").as("lines"))
+    val lineHashes = base
+      .select(col("doc_id"), col("source"),
+        explode(transform(col("lines"), l => md5(l))).as("lh"))
+      .distinct()
+    val srcDocs = docs.groupBy(col(sourceCol).as("source"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val boiler = lineHashes
+      .groupBy(col("source"), col("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_with"))
+      .join(srcDocs, "source")
+      .filter(col("n_with") >= 2 &&
+        col("n_with").cast("double") / col("n_docs").cast("double")
+          >= minDocFrac)
+    val bset = boiler.groupBy(col("source"))
+      .agg(sort_array(collect_set(col("lh"))).as("bh"))
+    base.join(bset, Seq("source"), "left")
+      .withColumn("bh",
+        coalesce(col("bh"), array().cast("array<string>")))
+      .withColumn("kept",
+        filter(col("lines"), l => !array_contains(col("bh"), md5(l))))
+      .select(col("doc_id"), col("source"),
+        size(col("lines")).as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).as("n_boiler"),
+        round(when(size(col("lines")) > 0,
+          (size(col("lines")) - size(col("kept"))).cast("double") /
+            size(col("lines")).cast("double")).otherwise(lit(0.0)), 6)
+          .as("boiler_ratio"),
+        md5(concat_ws("\n", col("kept"))).as("clean_hash"))
+  }
+
+  /**
    * Heuristic quality score in [0,1] from length, stopword ratio and
    * punctuation ratio. Rational arithmetic only (no exp/ln) so every
    * engine computes the identical IEEE-754 double. Inputs come from the

@@ -107,6 +107,46 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out("你好世界") > 1 && out("こんにちは") > 1)
   }
 
+  // ---- boilerplate ----
+
+  test("boilerplate: per-source frequent lines stripped, bodies kept, no cross-source leak") {
+    import graft.ops.TextOps
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      // source a: footer on all 3 (frac 1), header on 2/3 (frac .67),
+      // bodies unique
+      (1L, "a", "HEADER\nbody one\nfooter"),
+      (2L, "a", "HEADER\nbody two\nfooter"),
+      (3L, "a", "body three\nfooter"),
+      // source b: ONE doc shares source-a's footer text — different
+      // source, must NOT be stripped here
+      (4L, "b", "body four\nfooter"),
+      (5L, "b", "body five"),
+      // all-boiler doc in source c (both docs identical) + empty doc
+      (6L, "c", "same\nsame"),
+      (7L, "c", "same"),
+      (8L, "c", ""))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.boilerplate(docs, "doc_id", "text", "source", 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(4), r.getString(5)))).toMap
+    // source a: HEADER (2/3) and footer (3/3) are boiler
+    assert(out(1L) == ((3, 2, 0.666667, md5hex("body one"))))
+    assert(out(2L) == ((3, 2, 0.666667, md5hex("body two"))))
+    assert(out(3L) == ((2, 1, 0.5, md5hex("body three"))))
+    // source b: footer appears in 1/2 docs -> frac .5 but n_with=1 < 2
+    // -> NOT boiler; nothing stripped
+    assert(out(4L) == ((2, 0, 0.0, md5hex("body four\nfooter"))))
+    assert(out(5L) == ((1, 0, 0.0, md5hex("body five"))))
+    // source c: 'same' in 2/3 docs (frac .67) -> boiler; doc 6 keeps
+    // NOTHING (clean hash of empty string); empty doc 8 is 0/0 -> 0.0
+    assert(out(6L) == ((2, 2, 1.0, md5hex(""))))
+    assert(out(7L) == ((1, 1, 1.0, md5hex(""))))
+    assert(out(8L) == ((0, 0, 0.0, md5hex(""))))
+  }
+
   // ---- annIvfRefit ----
 
   test("refitQuantizer: cells partition the corpus; centroids are cell means") {
