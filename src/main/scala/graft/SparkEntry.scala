@@ -679,6 +679,23 @@ object SparkEntry {
       Similarity.annIvfRefit(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, col("vec_id") < 10)),
 
+    "q_ann_ivf_probe2" -> ((s, dir) =>
+      // the IVF recall lever: probe the top-2 cells per query (a query
+      // near a cell boundary finds its true neighbor in cell #2)
+      Similarity.annIvfRefit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, col("vec_id") < 10, nprobe = 2)),
+
+    "q_semantic_decontam" -> ((s, dir) => {
+      // embedding-space benchmark decontamination: even-id vectors are
+      // the corpus, odd-id the benchmark; survivors have no benchmark
+      // vector at cosine >= 0.4 among the SRP-banded candidates
+      val pre = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.semanticDecontaminate(
+        pre.filter(col("vec_id") % 2 === 0),
+        pre.filter(col("vec_id") % 2 === 1),
+        threshold = 0.4, planes = SrpPlanes, bandBits = SrpBandBits, dim = 64)
+    }),
+
     // ── events ──────────────────────────────────────────────────────────
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
@@ -2676,6 +2693,54 @@ object SparkEntry {
       |  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
       |  FROM c)""".stripMargin
 
+  /** DuckDB twin of [[graft.ops.Similarity.annIvfRefit]]: deterministic
+    * md5-order seed draw, CROSS JOIN + row_number argmax assignment,
+    * per-cell avg refit (micro-rounded), top-`nprobe` routing, top-1
+    * in-probed-cells search. */
+  private def ivfRefitOracleSql(nprobe: Int): String =
+    s"""$EmbCte,
+       |seeds AS (SELECT (row_number() OVER (
+       |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell,
+       |    v AS sv, nrm AS snrm
+       |  FROM (SELECT vec_id, v, nrm FROM n
+       |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)),
+       |sc AS (SELECT n.vec_id, s.cell,
+       |    round(${dotSql("n.v", "s.sv")} / (n.nrm * s.snrm), 6) AS ccos
+       |  FROM n CROSS JOIN seeds s),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cell ASC) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |e AS (SELECT a.cell, idx, avg(v[idx]) AS cx
+       |  FROM n JOIN asg a ON n.vec_id = a.vec_id,
+       |    unnest(range(1, len(v) + 1)) AS t(idx)
+       |  GROUP BY a.cell, idx),
+       |cent AS (SELECT cell AS c_cell,
+       |    list_transform(list(CAST(round(cx * 1000000) AS BIGINT)
+       |      ORDER BY idx), x -> x / 1000000.0) AS cv
+       |  FROM e GROUP BY cell),
+       |cvn AS (SELECT c_cell, cv,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x*x)),
+       |      (a, x) -> a + x)) AS cnrm
+       |  FROM cent),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+       |qc AS (SELECT q_id, qv, qnrm, c_cell AS qcell FROM (
+       |    SELECT q.q_id, q.qv, q.qnrm, cvn.c_cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(${dotSql("q.qv", "cvn.cv")} / (q.qnrm * cvn.cnrm), 6) DESC,
+       |          cvn.c_cell ASC) AS rn
+       |    FROM q CROSS JOIN cvn)
+       |  WHERE rn <= $nprobe),
+       |scored AS (SELECT qc.q_id, a.cell, n.vec_id AS neighbor_id,
+       |    round(${dotSql("n.v", "qc.qv")} / (n.nrm * qc.qnrm), 6) AS cos
+       |  FROM n JOIN asg a ON n.vec_id = a.vec_id
+       |  JOIN qc ON a.cell = qc.qcell AND n.vec_id <> qc.q_id)
+       |SELECT q_id, cell, neighbor_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn = 1""".stripMargin
+
   /** left-fold dot of duckdb list exprs `a`·`b` (same order as zip_with fold). */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
@@ -3675,49 +3740,28 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
 
-    "q_ann_ivf_refit" ->
+    "q_ann_ivf_refit" -> ivfRefitOracleSql(nprobe = 1),
+
+    "q_ann_ivf_probe2" -> ivfRefitOracleSql(nprobe = 2),
+
+    "q_semantic_decontam" ->
       s"""$EmbCte,
-         |seeds AS (SELECT (row_number() OVER (
-         |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell,
-         |    v AS sv, nrm AS snrm
-         |  FROM (SELECT vec_id, v, nrm FROM n
-         |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)),
-         |sc AS (SELECT n.vec_id, s.cell,
-         |    round(${dotSql("n.v", "s.sv")} / (n.nrm * s.snrm), 6) AS ccos
-         |  FROM n CROSS JOIN seeds s),
-         |asg AS (SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cell ASC) AS rn FROM sc)
-         |  WHERE rn = 1),
-         |e AS (SELECT a.cell, idx, avg(v[idx]) AS cx
-         |  FROM n JOIN asg a ON n.vec_id = a.vec_id,
-         |    unnest(range(1, len(v) + 1)) AS t(idx)
-         |  GROUP BY a.cell, idx),
-         |cent AS (SELECT cell AS c_cell,
-         |    list_transform(list(CAST(round(cx * 1000000) AS BIGINT)
-         |      ORDER BY idx), x -> x / 1000000.0) AS cv
-         |  FROM e GROUP BY cell),
-         |cvn AS (SELECT c_cell, cv,
-         |    sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x*x)),
-         |      (a, x) -> a + x)) AS cnrm
-         |  FROM cent),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
-         |qc AS (SELECT q_id, qv, qnrm, c_cell AS qcell FROM (
-         |    SELECT q.q_id, q.qv, q.qnrm, cvn.c_cell,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY round(${dotSql("q.qv", "cvn.cv")} / (q.qnrm * cvn.cnrm), 6) DESC,
-         |          cvn.c_cell ASC) AS rn
-         |    FROM q CROSS JOIN cvn)
-         |  WHERE rn = 1),
-         |scored AS (SELECT qc.q_id, a.cell, n.vec_id AS neighbor_id,
-         |    round(${dotSql("n.v", "qc.qv")} / (n.nrm * qc.qnrm), 6) AS cos
-         |  FROM n JOIN asg a ON n.vec_id = a.vec_id
-         |  JOIN qc ON a.cell = qc.qcell AND n.vec_id <> qc.q_id)
-         |SELECT q_id, cell, neighbor_id, cos FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY cos DESC, neighbor_id ASC) AS rn
-         |  FROM scored)
-         |WHERE rn = 1""".stripMargin,
+         |sg AS (SELECT vec_id, array_to_string(list_transform(range(0, $SrpPlanes), p ->
+         |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+         |      d -> v[d] * ${planeWeightSql("p", "d - 1")})), (acc, x) -> acc + x) >= 0
+         |    THEN '1' ELSE '0' END), '') AS sig
+         |  FROM n),
+         |bd AS (SELECT vec_id,
+         |    b::VARCHAR || ':' || substring(sig, b * $SrpBandBits + 1, $SrpBandBits) AS band_key
+         |  FROM sg, unnest(range(0, ${SrpPlanes / SrpBandBits})) AS t(b)),
+         |cand AS (SELECT DISTINCT ce.vec_id AS c_id, be.vec_id AS b_id
+         |  FROM bd ce JOIN bd be ON ce.band_key = be.band_key
+         |  WHERE ce.vec_id % 2 = 0 AND be.vec_id % 2 = 1),
+         |drops AS (SELECT DISTINCT c.c_id
+         |  FROM cand c JOIN n x ON c.c_id = x.vec_id JOIN n y ON c.b_id = y.vec_id
+         |  WHERE round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.4)
+         |SELECT vec_id FROM n
+         |WHERE vec_id % 2 = 0 AND vec_id NOT IN (SELECT c_id FROM drops)""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),

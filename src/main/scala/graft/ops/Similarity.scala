@@ -446,13 +446,13 @@ object Similarity {
    * quadratic bend: see PLANS.md Scale100Probe).
    */
   def annIvfRefit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      queryFilter: Column): DataFrame = {
+      queryFilter: Column, nprobe: Int = 1): DataFrame = {
     val base = emb
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
       .withColumn("nrm", l2norm(col("v")))
     val (assigned, refit) = refitQuantizer(emb, idCol, vecCol, k)
-    annIvfSearch(base.join(assigned, "vec_id"), refit, queryFilter)
+    annIvfSearch(base.join(assigned, "vec_id"), refit, queryFilter, nprobe)
   }
 
   /**
@@ -463,29 +463,47 @@ object Similarity {
    * batch afterwards pays only routing (|Q|·k kernel evals against the
    * broadcast centroid matrix) + its cell slices (~N/k rows per
    * query). `index` = (vec_id, v, nrm, cell); `refit` =
-   * (cell, centroid_scaled).
+   * (cell, centroid_scaled). `nprobe` > 1 probes the top-n cells per
+   * query — the standard IVF recall lever (a query near a cell
+   * boundary finds its true neighbor in cell #2); per-query work
+   * scales linearly, nprobe·N/k.
    */
   def annIvfSearch(index: DataFrame, refit: DataFrame,
-      queryFilter: Column): DataFrame = {
+      queryFilter: Column, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = refit.select(col("cell").as("c_cell"),
         transform(col("centroid_scaled"), x => x / 1000000.0).as("cv"))
       .withColumn("cnrm", l2norm(col("cv")))
     val q = index.filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // query routing through the same one-kernel argmax: centroid matrix
-    // as ONE broadcast row; position → cell id via the parallel cells
-    // array (refit cells can be sparse — empty cells emit no centroid)
-    val centRow = cents
-      .agg(sort_array(collect_list(struct(col("c_cell"), col("cv"),
-        col("cnrm")))).as("s"))
-      .select(expr("transform(s, x -> x.c_cell)").as("cells"),
-        expr("transform(s, x -> x.cv)").as("cvs"),
-        expr("transform(s, x -> x.cnrm)").as("cnrms"))
-    val qCell = q.crossJoin(broadcast(centRow))
-      .select(col("q_id"), col("qv"), col("qnrm"),
-        element_at(col("cells"),
-          nearestSeed(col("qv"), col("qnrm"), col("cvs"), col("cnrms")) + 1)
-          .as("qcell"))
+    // query routing through the one-kernel argmax: centroid matrix as
+    // ONE broadcast row; position → cell id via the parallel cells
+    // array (refit cells can be sparse — empty cells emit no centroid).
+    // nprobe > 1 routes via a top-n window over the Q·|cells| broadcast
+    // join instead (same rounded cosine + smallest-cell tie-break; the
+    // query set is the small side by contract).
+    val qCell = if (nprobe == 1) {
+      val centRow = cents
+        .agg(sort_array(collect_list(struct(col("c_cell"), col("cv"),
+          col("cnrm")))).as("s"))
+        .select(expr("transform(s, x -> x.c_cell)").as("cells"),
+          expr("transform(s, x -> x.cv)").as("cvs"),
+          expr("transform(s, x -> x.cnrm)").as("cnrms"))
+      q.crossJoin(broadcast(centRow))
+        .select(col("q_id"), col("qv"), col("qnrm"),
+          element_at(col("cells"),
+            nearestSeed(col("qv"), col("qnrm"), col("cvs"), col("cnrms")) + 1)
+            .as("qcell"))
+    } else {
+      val routeW = Window.partitionBy(col("q_id"))
+        .orderBy(col("ccos").desc, col("c_cell").asc)
+      q.join(broadcast(cents))
+        .select(col("q_id"), col("qv"), col("qnrm"), col("c_cell"),
+          cosine6(col("qv"), col("qnrm"), col("cv"), col("cnrm")).as("ccos"))
+        .withColumn("rn", row_number().over(routeW))
+        .filter(col("rn") <= nprobe)
+        .select(col("q_id"), col("qv"), col("qnrm"), col("c_cell").as("qcell"))
+    }
     val searchW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     index.join(broadcast(qCell),
@@ -518,6 +536,51 @@ object Similarity {
       planes: Int, bandBits: Int, dim: Int): DataFrame = {
     val drops = nearDupPairsLsh(corpus, threshold, planes, bandBits, dim)
       .select(col("id2").as("vec_id")).distinct()
+    corpus.select(col("vec_id")).join(drops, Seq("vec_id"), "left_anti")
+  }
+
+  /**
+   * SEMANTIC benchmark decontamination — the embedding-space twin of
+   * [[graft.ops.Dedup]]'s n-gram contamination joins: paraphrased or
+   * lightly-reworded eval questions share no 13-gram with the corpus
+   * copy, but their embeddings still land at high cosine, and a model
+   * "wins" the benchmark it memorized. Survivors = corpus ids with NO
+   * benchmark vector at cosine ≥ `threshold`. Candidates are the
+   * CROSS-TABLE SRP band join (a corpus row pairs with a benchmark row
+   * only when some signature band agrees — never a corpus⋈benchmark
+   * product), verified with exact cosine on candidates only, dropped
+   * by one anti-join. The benchmark side is eval-set-sized (tiny next
+   * to a 100 TB corpus), so its banded frame broadcasts; corpus
+   * payloads shuffle only for the candidate verify's id-join. Banding
+   * recall is the documented trade ([[srpCandidatePairs]]' contract):
+   * all-band disagreement can miss a pair — at decontamination
+   * thresholds (≥ 0.8–0.9) per-band collision for true matches is
+   * high and the audit shape of `q_ann_recall` applies unchanged.
+   * Both inputs are [[prepared]] frames (vec_id, v, nrm).
+   */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, planes: Int, bandBits: Int, dim: Int): DataFrame = {
+    require(planes % bandBits == 0,
+      s"planes $planes not a multiple of bandBits $bandBits")
+    val bands = planes / bandBits
+    def banded(df: DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs),
+          lshBucket(col("v"), planes, dim).as("sig"))
+        .select(col(idAs), explode(array((0 until bands).map { i =>
+          concat(lit(s"$i:"), substring(col("sig"), i * bandBits + 1, bandBits))
+        }: _*)).as("band_key"))
+    val cands = banded(corpus, "c_id")
+      .join(banded(benchmark, "b_id"), "band_key")
+      .select(col("c_id"), col("b_id")).distinct()
+    val cv = corpus.select(col("vec_id").as("c_id"),
+      col("v").as("cvv"), col("nrm").as("cn"))
+    val bv = benchmark.select(col("vec_id").as("b_id"),
+      col("v").as("bvv"), col("nrm").as("bn"))
+    val drops = cands.join(cv, Seq("c_id")).join(bv, Seq("b_id"))
+      .select(col("c_id"),
+        cosine6(col("cvv"), col("cn"), col("bvv"), col("bn")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("c_id").as("vec_id")).distinct()
     corpus.select(col("vec_id")).join(drops, Seq("vec_id"), "left_anti")
   }
 

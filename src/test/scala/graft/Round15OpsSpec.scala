@@ -199,6 +199,69 @@ class Round15OpsSpec extends AnyFunSuite {
       s"refit recall $refitHits < fixed $fixedHits of ${truth.size}")
   }
 
+  test("annIvfSearch nprobe=2: per-query best cosine never worse than nprobe=1") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qf = col("vec_id") < 15
+    def best(nprobe: Int): Map[Long, Double] =
+      Similarity.annIvfRefit(emb, "vec_id", "embedding", 8, qf, nprobe)
+        .collect().map(r => r.getLong(0) ->
+          r.getDouble(r.fieldIndex("cos"))).toMap
+    val one = best(1)
+    val two = best(2)
+    assert(one.nonEmpty && two.keySet == one.keySet)
+    // probing a second cell can only improve (or tie) the best neighbor
+    one.foreach { case (q, c1) =>
+      assert(two(q) >= c1, s"query $q: nprobe=2 cos ${two(q)} < nprobe=1 $c1")
+    }
+    assert(two.exists { case (q, c2) => c2 > one(q) } ||
+      two == one) // improvement is data-dependent; equality is legal
+  }
+
+  test("semanticDecontaminate: near-benchmark corpus vectors dropped, rest survive") {
+    import graft.ops.Similarity
+    // corpus 0/2/4: 0 ≈ benchmark 1 (same direction), 2 orthogonal,
+    // 4 anti-parallel (cos -1, never ≥ threshold)
+    def vec(axis: Int, eps: Double = 0.0): Array[Float] =
+      Array.tabulate(64)(i =>
+        (if (i == axis) 1.0 else if (i == (axis + 1) % 64) eps else 0.0).toFloat)
+    val emb = Seq(
+      (0L, vec(0, 0.05)), (2L, vec(7)), (4L, vec(0).map(-_)),
+      (1L, vec(0)), (3L, vec(21)))
+      .toDF("vec_id", "embedding")
+    val pre = Similarity.prepared(emb, "vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(
+      pre.filter(col("vec_id") % 2 === 0), pre.filter(col("vec_id") % 2 === 1),
+      threshold = 0.9, planes = 64, bandBits = 4, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(!out.contains(0L), "near-benchmark vector must be dropped")
+    assert(out.contains(2L) && out.contains(4L), s"survivors wrong: $out")
+  }
+
+  test("semanticDecontaminate on real embeddings: survivors + drops partition the corpus") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pre = Similarity.prepared(emb, "vec_id", "embedding")
+    val corpus = pre.filter(col("vec_id") % 2 === 0)
+    val out = Similarity.semanticDecontaminate(
+      corpus, pre.filter(col("vec_id") % 2 === 1), 0.4, 64, 4, 64)
+      .collect().map(_.getLong(0)).toSet
+    val all = corpus.collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(all) && out.nonEmpty)
+    // every survivor really has no BANDED candidate at cos >= 0.4:
+    // dropped ids must each have an all-pairs witness (banding only
+    // ever UNDER-drops, never over-drops)
+    val bench = pre.filter(col("vec_id") % 2 === 1)
+    val truth = corpus.as("c").crossJoin(bench.as("b"))
+      .select(col("c.vec_id").as("c_id"),
+        Similarity.cosine6(col("c.v"), col("c.nrm"), col("b.v"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("c_id")).distinct().collect().map(_.getLong(0)).toSet
+    val dropped = all -- out
+    assert(dropped.subsetOf(truth),
+      s"over-dropped ids without an all-pairs witness: ${dropped -- truth}")
+  }
+
   test("bootstrapMeanCI on the kernel: interval brackets the mean, n exact") {
     val df = (1 to 400).map(i => (s"u$i", (i % 7).toDouble)).toDF("id", "v")
     val out = Stats.bootstrapMeanCI(df, "id", "v").collect()(0)
