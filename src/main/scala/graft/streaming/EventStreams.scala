@@ -878,4 +878,67 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start_us"), col("hist"))
     ksProjection(hist.crossJoin(baseline), threshold)
   }
+
+  /**
+   * Robust per-type traffic baseline for [[anomalyBandsStream]]:
+   * median and MAD of per-window event counts over a HISTORICAL batch
+   * — the [[graft.ops.Events.anomalyBands]] statistics frozen for
+   * online scoring (the deployed-model convention, exactly like
+   * [[baselineHistogram]]'s frozen bins). `windowLen` must match the
+   * stream's. The per-type count list is calendar-bounded (one entry
+   * per window in the history), so the collect_list state is bounded
+   * by the history length, never by event volume.
+   */
+  def anomalyBaseline(history: DataFrame,
+      windowLen: String = "5 minutes"): DataFrame = {
+    val counts = withEventTime(history)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    def medOf(sorted: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val t = (size(sorted) - 1).cast("double") * lit(0.5)
+      val lo = element_at(sorted, (floor(t) + 1).cast("int"))
+      val hi = element_at(sorted, (ceil(t) + 1).cast("int"))
+      lo + (t - floor(t)) * (hi - lo)
+    }
+    counts.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("n"))).as("__hist"))
+      .withColumn("__med", medOf(col("__hist")))
+      .select(col("event_type"),
+        round(col("__med"), 6).as("expected"),
+        round(medOf(sort_array(transform(col("__hist"),
+          x => abs(x - col("__med"))))), 6).as("mad"),
+        size(col("__hist")).as("n_hist"))
+  }
+
+  /**
+   * STREAMING traffic-anomaly bands — the online twin of
+   * [[graft.ops.Events.anomalyBands]]: per event-time window and
+   * event type, the live count scores against the frozen robust
+   * baseline (median ± k·MAD from [[anomalyBaseline]]); windows
+   * outside the band flag `anomaly` as they close. State = the open
+   * windows' per-type counts only (sum-merged across micro-batches,
+   * watermark-evicted — never history-sized); the baseline is a
+   * static per-type frame, so the join is stream-static (broadcast at
+   * type arity). A type never seen in the history scores NULL
+   * expected/mad and anomaly=false — unknown traffic is a coverage
+   * gap, not an alarm (same rule as the batch op's minDays guard).
+   */
+  def anomalyBandsStream(events: DataFrame, baseline: DataFrame,
+      k: Double = 3.0, windowLen: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val counts = withEventTime(events)
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+    counts
+      .join(baseline.select(col("event_type"), col("expected"), col("mad")),
+        Seq("event_type"), "left")
+      .select(col("window_start_us"), col("event_type"), col("n"),
+        col("expected"), col("mad"),
+        coalesce(abs(col("n").cast("double") - col("expected")) >
+          lit(k) * col("mad"), lit(false)).as("anomaly"))
+  }
 }

@@ -206,12 +206,19 @@ class PlanAuditSpec extends AnyFunSuite {
       // calendar-bounded day-frame self-join (pairwise slopes) + 1-row
       // median broadcasts — bounded by design, see Stats.theilSen
       "q_trend_robust")
+    // plan-size budget: a pathological expression tree (the psiMulti
+    // lesson — 14 s of Janino per plan before its explode/window fix)
+    // shows up as a plan STRING far beyond anything the gate produces
+    // today (current max 37 kB, median 3 kB) — 150 kB = 4× headroom
+    val maxPlanChars = 150000
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
       val badBnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
-      if (cart || badBnlj)
-        Some(s"$name: cartesian=$cart unexpectedBnlj=$badBnlj")
+      val tooWide = plan.length > maxPlanChars
+      if (cart || badBnlj || tooWide)
+        Some(s"$name: cartesian=$cart unexpectedBnlj=$badBnlj " +
+          s"planChars=${plan.length}")
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

@@ -765,6 +765,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomalyBandsStream: windowed counts score against the frozen median/MAD bands") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // history: type "m" counts [8, 10, 10, 12, 14] across five 5-min
+    // windows -> median 10, MAD 2, band 10 +/- 3*2 = [4, 16]
+    val histCounts = Seq(8, 10, 10, 12, 14)
+    val history = histCounts.zipWithIndex.flatMap { case (c, w) =>
+      (1 to c).map(i => StreamEvent((w * 100 + i).toLong,
+        Base + w.toLong * 5L * MinNs, i.toLong, "m", 1.0))
+    }
+    val baseline = EventStreams.anomalyBaseline(history.toDF())
+    val b = baseline.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(b("m") == ((10.0, 2.0, 5)), b.toString)
+
+    // stream: window 1 has 12 "m" (inside band), window 2 has 40
+    // (alarm); window 1 also carries an unknown type "z" (no baseline
+    // -> anomaly=false, NULL band)
+    val evs =
+      (1 to 12).map(i => StreamEvent(1000L + i, Base + MinNs, i.toLong, "m", 1.0)) ++
+      (1 to 3).map(i => StreamEvent(2000L + i, Base + MinNs, i.toLong, "z", 1.0)) ++
+      (1 to 40).map(i => StreamEvent(3000L + i, Base + 6L * MinNs, i.toLong, "m", 1.0))
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.anomalyBandsStream(in.toDF(), baseline, k = 3.0)
+      .writeStream.format("memory").queryName("bands_out")
+      .outputMode("update").start()
+    try {
+      val (a2, b2) = evs.splitAt(30) // split mid-window across batches
+      in.addData(a2); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      // update mode: max n per (window, type) is the final state
+      val streamed = s.sql(
+          "SELECT window_start_us, event_type, n, anomaly FROM bands_out")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3))))
+        .groupBy(_._1).map { case (k2, vs) => k2 -> vs.map(_._2).maxBy(_._1) }
+      // batch twin: same counts joined against the same baseline
+      val batch = EventStreams.withEventTime(evs.toDF())
+        .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("ws"), col("event_type"), col("n"))
+        .join(baseline.select(col("event_type"), col("expected"), col("mad")),
+          Seq("event_type"), "left")
+        .select(col("ws"), col("event_type"), col("n"),
+          coalesce(abs(col("n").cast("double") - col("expected")) >
+            lit(3.0) * col("mad"), lit(false)).as("anomaly"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3))))
+        .toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      val byKey = streamed.map { case ((_, t), (n, an)) => (t, n) -> an }
+      assert(byKey(("m", 12L)) == false, streamed.toString)
+      assert(byKey(("m", 40L)) == true, streamed.toString)
+      assert(byKey(("z", 3L)) == false, streamed.toString)
+    } finally q.stop()
+  }
+
   test("labelWindowStream: delayed labels equal batch labelWindow, exactly once per fact") {
     implicit val s = spark
     import s.implicits._
