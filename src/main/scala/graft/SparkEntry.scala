@@ -481,6 +481,19 @@ object SparkEntry {
       TextOps.boilerplate(m, "doc_id", "text", "source", minDocFrac = 0.4)
     }),
 
+    "q_gopher_quality" -> ((s, dir) => {
+      // the Gopher filter battery: a deterministic slice of docs gets a
+      // bullet/symbol-heavy tail spliced in so the symbol, bullet and
+      // word-count arms all fire alongside clean passes
+      val m = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\n- alpha bullet\n* beta bullet\n" +
+              "##############################... ... ...")).otherwise(lit("")))
+          .as("text"))
+      TextOps.gopherQualityFlags(m, "doc_id", "text")
+    }),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
 
@@ -3279,6 +3292,64 @@ object SparkEntry {
          |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
          |  WHEN s_de > 0 THEN 'de'
          |  ELSE 'und' END AS lang_pred
+         |FROM s_t""".stripMargin
+    },
+
+    "q_gopher_quality" -> {
+      val stops = TextOps.EN_STOP.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 7 = 0
+         |      THEN chr(10) || '- alpha bullet' || chr(10) || '* beta bullet'
+         |        || chr(10) || '##############################... ... ...'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |      l -> trim(l)), l -> l <> '') AS lines
+         |  FROM m),
+         |s_t AS (SELECT doc_id,
+         |    len(words) AS n_words,
+         |    round(CASE WHEN len(words) > 0
+         |      THEN list_reduce(list_prepend(0::BIGINT,
+         |          list_transform(words, w -> length(w)::BIGINT)),
+         |        (a, b) -> a + b)::DOUBLE / len(words)::DOUBLE
+         |      ELSE 0.0 END, 6) AS mean_word_len,
+         |    round(CASE WHEN len(words) > 0
+         |      THEN ((length(text) - length(replace(text, '#', '')))
+         |        + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+         |        / len(words)::DOUBLE
+         |      ELSE 0.0 END, 6) AS symbol_ratio,
+         |    round(CASE WHEN len(lines) > 0
+         |      THEN len(list_filter(lines, l -> starts_with(l, '-')
+         |          OR starts_with(l, '*') OR starts_with(l, '•')))::DOUBLE
+         |        / len(lines)::DOUBLE
+         |      ELSE 0.0 END, 6) AS bullet_ratio,
+         |    round(CASE WHEN len(lines) > 0
+         |      THEN len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+         |        / len(lines)::DOUBLE
+         |      ELSE 0.0 END, 6) AS ellipsis_ratio,
+         |    round(CASE WHEN len(words) > 0
+         |      THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+         |        / len(words)::DOUBLE
+         |      ELSE 0.0 END, 6) AS alpha_ratio,
+         |    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+         |      $stops)) AS n_stopwords
+         |  FROM d)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_ratio, n_stopwords,
+         |  (n_words >= 20 AND n_words <= 100000) AS pass_words,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+         |  (symbol_ratio <= 0.1) AS pass_symbols,
+         |  (bullet_ratio <= 0.9) AS pass_bullets,
+         |  (ellipsis_ratio <= 0.3) AS pass_ellipsis,
+         |  (alpha_ratio >= 0.8) AS pass_alpha,
+         |  (n_stopwords >= 2) AS pass_stopwords,
+         |  (n_words >= 20 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+         |    AND n_stopwords >= 2) AS keep
          |FROM s_t""".stripMargin
     },
 

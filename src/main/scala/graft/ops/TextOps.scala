@@ -202,6 +202,73 @@ object TextOps {
       tokenCountWs(regexp_replace(text, CjkClass, " "))
 
   /**
+   * GOPHER QUALITY-RULE battery (Rae et al. 2021, Appendix A) — the
+   * standard per-document filter set run BEFORE dedup on a raw crawl;
+   * [[qualityScore]] ranks, these rules GATE. Per doc: word count in
+   * [minWords, maxWords], mean word length in [3, 10], symbol-to-word
+   * ratio ('#' chars + '...' occurrences per word) ≤ 0.1, ≤ 90% of
+   * non-empty lines starting with a bullet (-, *, •), ≤ 30% ending in
+   * '...', ≥ 80% of words containing an alphabetic char, and ≥ 2
+   * distinct English stopwords present. Words are whitespace tokens of
+   * the raw text (case preserved — mean length counts real characters);
+   * each rule emits its metric AND its pass flag so the readout doubles
+   * as a why-was-this-dropped audit; `keep` = all rules pass. Pure
+   * per-row codegen'd string work in the scan stage — no shuffle, no
+   * state, every metric 6-dp rounded and engine-replayable.
+   */
+  def gopherQualityFlags(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 20,
+      maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got $minWords/$maxWords")
+    val base = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), "\\s+"), w => w =!= "").as("words"),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "").as("lines"),
+      col(textCol).as("__t"))
+    val nWords = size(col("words"))
+    val nLines = size(col("lines"))
+    def ratio(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0)), 6)
+    val meanLen = round(when(nWords > 0,
+      aggregate(col("words"), lit(0L), (a, w) => a + length(w))
+        .cast("double") / nWords.cast("double")).otherwise(lit(0.0)), 6)
+    val symbols = (length(col("__t")) -
+      length(expr("replace(__t, '#', '')"))) +
+      (length(col("__t")) - length(expr("replace(__t, '...', '')"))) / 3
+    val bulletLines = size(filter(col("lines"), l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+    val ellipsisLines = size(filter(col("lines"), l => l.endsWith("...")))
+    val alphaWords = size(filter(col("words"),
+      w => w.rlike("[a-zA-Z]")))
+    val nStop = size(array_intersect(
+      array_distinct(transform(col("words"), w => lower(w))),
+      array(EN_STOP.map(lit): _*)))
+    base.select(col("doc_id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        ratio(symbols, nWords).as("symbol_ratio"),
+        ratio(bulletLines, nLines).as("bullet_ratio"),
+        ratio(ellipsisLines, nLines).as("ellipsis_ratio"),
+        ratio(alphaWords, nWords).as("alpha_ratio"),
+        nStop.as("n_stopwords"))
+      .select(col("*"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("pass_words"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          .as("pass_mean_len"),
+        (col("symbol_ratio") <= 0.1).as("pass_symbols"),
+        (col("bullet_ratio") <= 0.9).as("pass_bullets"),
+        (col("ellipsis_ratio") <= 0.3).as("pass_ellipsis"),
+        (col("alpha_ratio") >= 0.8).as("pass_alpha"),
+        (col("n_stopwords") >= 2).as("pass_stopwords"))
+      .withColumn("keep",
+        col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
+          col("pass_bullets") && col("pass_ellipsis") && col("pass_alpha") &&
+          col("pass_stopwords"))
+  }
+
+  /**
    * CCNet-style BOILERPLATE-LINE removal — the crawl-cleaning step
    * exact/near dedup can't do: nav menus, cookie banners and copyright
    * footers repeat across most pages of a SITE while every page's body

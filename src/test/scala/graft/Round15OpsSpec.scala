@@ -147,6 +147,38 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(8L) == ((0, 0, 0.0, md5hex(""))))
   }
 
+  test("gopherQualityFlags: each rule fires on its designed offender") {
+    import graft.ops.TextOps
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away into the green woods beyond the hill") // 22 words
+    val docs = Seq(
+      (1L, good),
+      (2L, "the cat and dog sat"), // 5 words -> pass_words false
+      (3L, good + " ##### ##### ##### ##### ##### #####"), // symbols
+      (4L, ("a b c " * 10).trim + " the and of it is"), // mean len < 3
+      (5L, "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n" +
+        "- nine\n- ten\nthe only normal line is this one and it has the " +
+        "needed words in it for sure really truly"), // 10/11 bullets > 0.9
+      (6L, good.split(" ").map(w => w + "...").mkString("\n")), // ellipsis lines
+      (7L, (1 to 25).map(_.toString).mkString(" ") + " the and"), // alpha < .8
+      (8L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce " +
+        "trece catorce quince dieciseis diecisiete dieciocho diecinueve " +
+        "veinte veintiuno veintidos")) // no english stopwords
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherQualityFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    assert(flag(1L, "keep"), out(1L).toString)
+    assert(!flag(2L, "pass_words") && !flag(2L, "keep"))
+    assert(!flag(3L, "pass_symbols") && !flag(3L, "keep"))
+    assert(!flag(4L, "pass_mean_len") && !flag(4L, "keep"))
+    assert(!flag(5L, "pass_bullets") && !flag(5L, "keep"))
+    assert(!flag(6L, "pass_ellipsis") && !flag(6L, "keep"))
+    assert(!flag(7L, "pass_alpha") && !flag(7L, "keep"))
+    assert(!flag(8L, "pass_stopwords") && !flag(8L, "keep"))
+  }
+
   // ---- annIvfRefit ----
 
   test("refitQuantizer: cells partition the corpus; centroids are cell means") {
