@@ -980,6 +980,19 @@ object SparkEntry {
       Dedup.clusterRepresentatives(clusters, quality, "quality")
     }),
 
+    "q_cluster_rep_priority" -> ((s, dir) => {
+      // the FineWeb convention: inside each near-dup cluster keep the
+      // copy from the most-TRUSTED source (deterministic per-source
+      // trust tier), ties -> smallest doc_id — same representative op,
+      // trust as the score instead of quality
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
+        Dedup.candidatePairs(d, "doc_id", "text", MinhashK, MinhashBands))
+      val trust = d.select(col("doc_id"),
+        (-expr("cast(substring(source, 4) as int) % 3")).as("trust"))
+      Dedup.clusterRepresentatives(clusters, trust, "trust")
+    }),
+
     "q_topk_agg" -> ((s, dir) =>
       // bounded top-k AGGREGATE: O(k) state per group, map-side combine —
       // never the window sort of every group member the oracle runs
@@ -4199,6 +4212,19 @@ object SparkEntry {
          |    count(*) OVER (PARTITION BY cluster_id) AS n_members
          |  FROM j)
          |SELECT cluster_id, doc_id AS rep_id, quality AS rep_quality, n_members
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_cluster_rep_priority" ->
+      s"""$ClustersCte,
+         |tr AS (SELECT doc_id,
+         |    -(CAST(substring(source, 4) AS INT) % 3) AS trust FROM documents),
+         |j AS (SELECT c.cluster_id, c.doc_id, tr.trust
+         |  FROM clusters_t c JOIN tr USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, trust,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY trust DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS rep_id, trust AS rep_trust, n_members
          |FROM r WHERE rn = 1""".stripMargin,
 
     "q_topk_agg" ->
