@@ -494,6 +494,33 @@ object SparkEntry {
       TextOps.gopherQualityFlags(m, "doc_id", "text")
     }),
 
+    "q_filter_report" -> ((s, dir) => {
+      // the corpus-ops dashboard over the Gopher gate: per source, how
+      // many docs each rule rejects and the overall keep rate — the
+      // readout that tells an operator WHICH crawl source is rotting
+      val d = docs(s, dir)
+      val m = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\n- alpha bullet\n* beta bullet\n" +
+              "##############################... ... ...")).otherwise(lit("")))
+          .as("text"))
+      val flags = TextOps.gopherQualityFlags(m, "doc_id", "text")
+      def fails(c: String) = sum(when(!col(c), 1L).otherwise(0L))
+      flags.join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          fails("pass_words").as("fail_words"),
+          fails("pass_mean_len").as("fail_mean_len"),
+          fails("pass_symbols").as("fail_symbols"),
+          fails("pass_bullets").as("fail_bullets"),
+          fails("pass_ellipsis").as("fail_ellipsis"),
+          fails("pass_alpha").as("fail_alpha"),
+          fails("pass_stopwords").as("fail_stopwords"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("keep_rate"))
+    }),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
 
@@ -2719,6 +2746,68 @@ object SparkEntry {
       |  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
       |  FROM c)""".stripMargin
 
+  /** DuckDB twin of [[graft.ops.TextOps.gopherQualityFlags]] over the
+    * q_gopher_quality splice — per-doc metrics + pass flags + keep;
+    * shared by q_gopher_quality (verbatim) and q_filter_report
+    * (aggregated per source). */
+  private lazy val GopherFlagsSql: String = {
+    val stops = TextOps.EN_STOP.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 7 = 0
+         |      THEN chr(10) || '- alpha bullet' || chr(10) || '* beta bullet'
+         |        || chr(10) || '##############################... ... ...'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |      l -> trim(l)), l -> l <> '') AS lines
+         |  FROM m),
+         |s_t AS (SELECT doc_id,
+         |    len(words) AS n_words,
+         |    round(CASE WHEN len(words) > 0
+         |      THEN list_reduce(list_prepend(0::BIGINT,
+         |          list_transform(words, w -> length(w)::BIGINT)),
+         |        (a, b) -> a + b)::DOUBLE / len(words)::DOUBLE
+         |      ELSE 0.0 END, 6) AS mean_word_len,
+         |    round(CASE WHEN len(words) > 0
+         |      THEN ((length(text) - length(replace(text, '#', '')))
+         |        + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+         |        / len(words)::DOUBLE
+         |      ELSE 0.0 END, 6) AS symbol_ratio,
+         |    round(CASE WHEN len(lines) > 0
+         |      THEN len(list_filter(lines, l -> starts_with(l, '-')
+         |          OR starts_with(l, '*') OR starts_with(l, '•')))::DOUBLE
+         |        / len(lines)::DOUBLE
+         |      ELSE 0.0 END, 6) AS bullet_ratio,
+         |    round(CASE WHEN len(lines) > 0
+         |      THEN len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+         |        / len(lines)::DOUBLE
+         |      ELSE 0.0 END, 6) AS ellipsis_ratio,
+         |    round(CASE WHEN len(words) > 0
+         |      THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+         |        / len(words)::DOUBLE
+         |      ELSE 0.0 END, 6) AS alpha_ratio,
+         |    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+         |      $stops)) AS n_stopwords
+         |  FROM d)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_ratio, n_stopwords,
+         |  (n_words >= 20 AND n_words <= 100000) AS pass_words,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+         |  (symbol_ratio <= 0.1) AS pass_symbols,
+         |  (bullet_ratio <= 0.9) AS pass_bullets,
+         |  (ellipsis_ratio <= 0.3) AS pass_ellipsis,
+         |  (alpha_ratio >= 0.8) AS pass_alpha,
+         |  (n_stopwords >= 2) AS pass_stopwords,
+         |  (n_words >= 20 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+         |    AND n_stopwords >= 2) AS keep
+         |FROM s_t""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.ops.Similarity.annIvfRefit]]: deterministic
     * md5-order seed draw, CROSS JOIN + row_number argmax assignment,
     * per-cell avg refit (micro-rounded), top-`nprobe` routing, top-1
@@ -3308,63 +3397,23 @@ object SparkEntry {
          |FROM s_t""".stripMargin
     },
 
-    "q_gopher_quality" -> {
-      val stops = TextOps.EN_STOP.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH m AS (SELECT doc_id,
-         |    text || CASE WHEN doc_id % 7 = 0
-         |      THEN chr(10) || '- alpha bullet' || chr(10) || '* beta bullet'
-         |        || chr(10) || '##############################... ... ...'
-         |      ELSE '' END AS text
-         |  FROM documents),
-         |d AS (SELECT doc_id, text,
-         |    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words,
-         |    list_filter(list_transform(string_split(text, chr(10)),
-         |      l -> trim(l)), l -> l <> '') AS lines
-         |  FROM m),
-         |s_t AS (SELECT doc_id,
-         |    len(words) AS n_words,
-         |    round(CASE WHEN len(words) > 0
-         |      THEN list_reduce(list_prepend(0::BIGINT,
-         |          list_transform(words, w -> length(w)::BIGINT)),
-         |        (a, b) -> a + b)::DOUBLE / len(words)::DOUBLE
-         |      ELSE 0.0 END, 6) AS mean_word_len,
-         |    round(CASE WHEN len(words) > 0
-         |      THEN ((length(text) - length(replace(text, '#', '')))
-         |        + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
-         |        / len(words)::DOUBLE
-         |      ELSE 0.0 END, 6) AS symbol_ratio,
-         |    round(CASE WHEN len(lines) > 0
-         |      THEN len(list_filter(lines, l -> starts_with(l, '-')
-         |          OR starts_with(l, '*') OR starts_with(l, '•')))::DOUBLE
-         |        / len(lines)::DOUBLE
-         |      ELSE 0.0 END, 6) AS bullet_ratio,
-         |    round(CASE WHEN len(lines) > 0
-         |      THEN len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
-         |        / len(lines)::DOUBLE
-         |      ELSE 0.0 END, 6) AS ellipsis_ratio,
-         |    round(CASE WHEN len(words) > 0
-         |      THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
-         |        / len(words)::DOUBLE
-         |      ELSE 0.0 END, 6) AS alpha_ratio,
-         |    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
-         |      $stops)) AS n_stopwords
-         |  FROM d)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
-         |  ellipsis_ratio, alpha_ratio, n_stopwords,
-         |  (n_words >= 20 AND n_words <= 100000) AS pass_words,
-         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
-         |  (symbol_ratio <= 0.1) AS pass_symbols,
-         |  (bullet_ratio <= 0.9) AS pass_bullets,
-         |  (ellipsis_ratio <= 0.3) AS pass_ellipsis,
-         |  (alpha_ratio >= 0.8) AS pass_alpha,
-         |  (n_stopwords >= 2) AS pass_stopwords,
-         |  (n_words >= 20 AND n_words <= 100000
-         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
-         |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
-         |    AND n_stopwords >= 2) AS keep
-         |FROM s_t""".stripMargin
-    },
+    "q_gopher_quality" -> GopherFlagsSql,
+
+    // NOTE: the flags SQL is concatenated OUTSIDE the stripMargin —
+    // interpolating it into a margin-stripped string mangles its
+    // continuation lines that begin with '||'
+    "q_filter_report" -> (s"WITH g AS ($GopherFlagsSql)\n" +
+      """SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN NOT pass_words THEN 1 ELSE 0 END)::BIGINT AS fail_words,
+         |  sum(CASE WHEN NOT pass_mean_len THEN 1 ELSE 0 END)::BIGINT AS fail_mean_len,
+         |  sum(CASE WHEN NOT pass_symbols THEN 1 ELSE 0 END)::BIGINT AS fail_symbols,
+         |  sum(CASE WHEN NOT pass_bullets THEN 1 ELSE 0 END)::BIGINT AS fail_bullets,
+         |  sum(CASE WHEN NOT pass_ellipsis THEN 1 ELSE 0 END)::BIGINT AS fail_ellipsis,
+         |  sum(CASE WHEN NOT pass_alpha THEN 1 ELSE 0 END)::BIGINT AS fail_alpha,
+         |  sum(CASE WHEN NOT pass_stopwords THEN 1 ELSE 0 END)::BIGINT AS fail_stopwords,
+         |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS keep_rate
+         |FROM g JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin),
 
     "q_boilerplate" ->
       """WITH m AS (SELECT doc_id, source,

@@ -247,6 +247,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("WavAudio decodes AIFF too: same waveform cross-CONTAINER pairs at Hamming 0") {
+    implicit val s = spark
+    import javax.sound.sampled._
+    // the same 16-bit waveform written as WAV (little-endian) and AIFF
+    // (big-endian): different containers, different byte order, same
+    // samples — the audio analog of the PNG/BMP aHash collision, and
+    // the big-endian decode arm's proof
+    val frames = 64 * 4
+    val samples = Array.tabulate(frames)(i =>
+      if (i * 64 / frames >= 32) { if (i % 2 == 0) 0.9 else -0.9 } else 0.0)
+    def encode(aiff: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1,
+        2, 8000f, aiff)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (x, i) =>
+        val v = math.round(x * 32767).toInt
+        if (aiff) { bytes(2 * i) = ((v >> 8) & 0xff).toByte; bytes(2 * i + 1) = (v & 0xff).toByte }
+        else { bytes(2 * i) = (v & 0xff).toByte; bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte }
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais,
+        if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val recs = Seq(
+      MediaRecord(1L, "audio/wav", encode(aiff = false)),
+      MediaRecord(2L, "audio/aiff", encode(aiff = true)))
+    assert(!java.util.Arrays.equals(recs(0).payload, recs(1).payload))
+    val media = spark.createDataset(recs)
+    // both decode through the same seam with identical frame counts
+    val feats = Multimodal.extractFeatures(media, Multimodal.MediaCodec.WavAudio)
+      .collect().map(f => f.doc_id -> ((f.width, f.height))).toMap
+    assert(feats(1L) == ((frames, 1)) && feats(2L) == ((frames, 1)), feats.toString)
+    val pairs = Multimodal.perceptualDedup(
+        media, Multimodal.MediaCodec.WavAudio, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0L), pairs.toString)
+  }
+
   test("WavAudio perceptual hash: same waveform across bit depths pairs at Hamming 0") {
     implicit val s = spark
     val frames = 64 * 8
