@@ -2814,20 +2814,22 @@ object SparkEntry {
     * in-probed-cells search. */
   private def ivfRefitOracleSql(nprobe: Int): String =
     s"""$EmbCte,
+       |nn AS (SELECT vec_id, v, nrm FROM n
+       |  WHERE v IS NOT NULL AND len(v) > 0),
        |seeds AS (SELECT (row_number() OVER (
        |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell,
        |    v AS sv, nrm AS snrm
-       |  FROM (SELECT vec_id, v, nrm FROM n
+       |  FROM (SELECT vec_id, v, nrm FROM nn
        |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)),
-       |sc AS (SELECT n.vec_id, s.cell,
-       |    round(${dotSql("n.v", "s.sv")} / (n.nrm * s.snrm), 6) AS ccos
-       |  FROM n CROSS JOIN seeds s),
+       |sc AS (SELECT nn.vec_id, s.cell,
+       |    round(${dotSql("nn.v", "s.sv")} / (nn.nrm * s.snrm), 6) AS ccos
+       |  FROM nn CROSS JOIN seeds s),
        |asg AS (SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY ccos DESC, cell ASC) AS rn FROM sc)
        |  WHERE rn = 1),
        |e AS (SELECT a.cell, idx, avg(v[idx]) AS cx
-       |  FROM n JOIN asg a ON n.vec_id = a.vec_id,
+       |  FROM nn JOIN asg a ON nn.vec_id = a.vec_id,
        |    unnest(range(1, len(v) + 1)) AS t(idx)
        |  GROUP BY a.cell, idx),
        |cent AS (SELECT cell AS c_cell,
@@ -2838,7 +2840,7 @@ object SparkEntry {
        |    sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x*x)),
        |      (a, x) -> a + x)) AS cnrm
        |  FROM cent),
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < 10),
        |qc AS (SELECT q_id, qv, qnrm, c_cell AS qcell FROM (
        |    SELECT q.q_id, q.qv, q.qnrm, cvn.c_cell,
        |      row_number() OVER (PARTITION BY q.q_id
@@ -2846,10 +2848,10 @@ object SparkEntry {
        |          cvn.c_cell ASC) AS rn
        |    FROM q CROSS JOIN cvn)
        |  WHERE rn <= $nprobe),
-       |scored AS (SELECT qc.q_id, a.cell, n.vec_id AS neighbor_id,
-       |    round(${dotSql("n.v", "qc.qv")} / (n.nrm * qc.qnrm), 6) AS cos
-       |  FROM n JOIN asg a ON n.vec_id = a.vec_id
-       |  JOIN qc ON a.cell = qc.qcell AND n.vec_id <> qc.q_id)
+       |scored AS (SELECT qc.q_id, a.cell, nn.vec_id AS neighbor_id,
+       |    round(${dotSql("nn.v", "qc.qv")} / (nn.nrm * qc.qnrm), 6) AS cos
+       |  FROM nn JOIN asg a ON nn.vec_id = a.vec_id
+       |  JOIN qc ON a.cell = qc.qcell AND nn.vec_id <> qc.q_id)
        |SELECT q_id, cell, neighbor_id, cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, neighbor_id ASC) AS rn

@@ -618,12 +618,19 @@ case class NearestSeed(
   // UnsafeRow.getArray allocates a FRESH UnsafeArrayData wrapper per
   // call, so the cache keys on the wrapper's (baseObject, baseOffset)
   // — the broadcast buffer identity — not the wrapper reference; any
-  // other ArrayData falls back to reference identity. A different
-  // seed matrix (different row / plan) re-unpacks correctly either
-  // way. Expression instances are per-task after deserialization, so
-  // the mutable cache is single-threaded.
+  // other ArrayData falls back to reference identity. Buffer identity
+  // alone is NOT sufficient: a per-row-computed seed column flowing
+  // through an UnsafeProjection reuses one BufferHolder array at the
+  // same offset with DIFFERENT bytes per row — so a cache hit is
+  // additionally verified against the stored size-in-bytes and two
+  // sampled corner words of the matrix (cheap: O(1) accessor reads vs
+  // the O(k·dim) unpack). A different seed matrix re-unpacks correctly
+  // either way. Expression instances are per-task after
+  // deserialization, so the mutable cache is single-threaded.
   @transient private var cachedBase: AnyRef = _
   @transient private var cachedOff: Long = _
+  @transient private var cachedSize: Long = _
+  @transient private var cachedSum: Long = _
   @transient private var cachedFlat: Array[Double] = _
   @transient private var cachedNorms: Array[Double] = _
   @transient private var cachedDim: Int = _
@@ -633,6 +640,59 @@ case class NearestSeed(
     case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
       (u.getBaseObject, u.getBaseOffset)
     case other => (other.asInstanceOf[AnyRef], -1L)
+  }
+
+  private def cacheSize(a: ArrayData): Long = a match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      u.getSizeInBytes.toLong
+    case _ => -1L
+  }
+
+  /** FNV-1a-style fold over EVERY word of the Unsafe buffer. A
+    * single-word rewrite always changes the fold (each step is a
+    * bijection of the running state), so a same-size same-buffer
+    * rewrite anywhere in the matrix forces a re-unpack. Cost is one
+    * linear raw-long scan per row — the same memory traffic as the
+    * scoring pass itself and zero allocation, so the cache's actual
+    * win (no per-element UnsafeArrayData wrapper churn) is preserved.
+    * Non-Unsafe ArrayData is keyed by reference identity already, so 0
+    * is fine there. */
+  private def fullChecksum(a: ArrayData): Long = a match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      val base = u.getBaseObject
+      val off = u.getBaseOffset
+      val size = u.getSizeInBytes
+      var acc = -3750763034362895579L // FNV-1a 64 offset basis
+      var p = 0L
+      while (p + 8 <= size) {
+        acc = (acc ^
+          org.apache.spark.unsafe.Platform.getLong(base, off + p)) *
+          1099511628211L
+        p += 8
+      }
+      while (p < size) {
+        acc = (acc ^
+          org.apache.spark.unsafe.Platform.getByte(base, off + p)) *
+          1099511628211L
+        p += 1
+      }
+      acc
+    case _ => 0L
+  }
+
+  /** Content check for a buffer-identity cache hit: same k/dim and the
+    * first and last matrix elements bit-match what was unpacked. */
+  private def cacheContentMatches(seeds: ArrayData): Boolean = {
+    if (seeds.numElements() != cachedK) return false
+    if (cachedK == 0) return true
+    val first = seeds.getArray(0)
+    if (first.numElements() != cachedDim) return false
+    if (cachedDim == 0) return true
+    java.lang.Double.doubleToRawLongBits(first.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(cachedFlat(0)) &&
+    java.lang.Double.doubleToRawLongBits(
+        seeds.getArray(cachedK - 1).getDouble(cachedDim - 1)) ==
+      java.lang.Double.doubleToRawLongBits(cachedFlat(cachedK * cachedDim - 1))
   }
 
   private def unpack(seeds: ArrayData, norms0: ArrayData): Unit = {
@@ -656,6 +716,8 @@ case class NearestSeed(
     val (b, o) = cacheKey(seeds)
     cachedBase = b
     cachedOff = o
+    cachedSize = cacheSize(seeds)
+    cachedSum = fullChecksum(seeds)
     cachedFlat = flat
     cachedNorms = norms0.toDoubleArray()
     cachedDim = dim
@@ -672,7 +734,10 @@ case class NearestSeed(
     val n = n0.asInstanceOf[Double]
     val seeds = s0.asInstanceOf[ArrayData]
     val (kb, ko) = cacheKey(seeds)
-    if (!(kb eq cachedBase) || ko != cachedOff) {
+    if (!(kb eq cachedBase) || ko != cachedOff ||
+        cacheSize(seeds) != cachedSize ||
+        fullChecksum(seeds) != cachedSum ||
+        !cacheContentMatches(seeds)) {
       unpack(seeds, sn0.asInstanceOf[ArrayData])
     }
     val k = cachedK

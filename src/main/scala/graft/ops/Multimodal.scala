@@ -233,10 +233,24 @@ object Multimodal {
           val ais = stream(payload)
           try {
             val fmt = ais.getFormat
+            // getFrameLength is -1 for containers that don't declare a
+            // frame count (e.g. streamed AU); a silent -1 width would
+            // violate the garbage-never-silently-decodes contract, so
+            // derive the count from the actual PCM byte stream instead.
+            val declared = ais.getFrameLength
+            val frames =
+              if (declared >= 0L) declared
+              else {
+                val fs = fmt.getFrameSize
+                require(fs > 0,
+                  s"audio container declares no frame count and frame size $fs " +
+                    "is unusable to derive one")
+                ais.readAllBytes().length.toLong / fs
+              }
             md.reset()
             val hex = md.digest(payload).map("%02x".format(_)).mkString
             Decoded(
-              math.min(ais.getFrameLength, Int.MaxValue.toLong).toInt,
+              math.min(frames, Int.MaxValue.toLong).toInt,
               fmt.getChannels, hex)
           } finally ais.close()
         }
