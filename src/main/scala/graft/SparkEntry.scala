@@ -539,6 +539,32 @@ object SparkEntry {
         md5(TextOps.redact(col("text"))).as("redacted_hash"),
         (length(col("text")) - length(TextOps.redact(col("text")))).as("len_delta"))),
 
+    "q_extract_html" -> ((s, dir) => {
+      // HTML→text extraction gate: wrap each doc's text in a
+      // deterministic page template (head/style/nav/script/footer
+      // chrome, entities, CDATA, a table) and recover the content.
+      // Both engines synthesize the SAME html string, so the hash
+      // compare exercises the full extraction pipeline end to end.
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><!-- preview & <meta> --><head><title>T"), id,
+        lit("</title><style type=\"text/css\">body { color: #000; }" +
+          "</style></head><body>" +
+          "<nav><ul><li>Home</li><li>Docs</li></ul></nav>" +
+          "<script type=\"text/javascript\">var x = 1 < 2 && y > 0;" +
+          "</script><h1>Doc "), id,
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"tail\">Tail &amp; entities &lt;b&gt; " +
+          "&quot;q&quot; &#39;s&#39;&nbsp;end</div>" +
+          "<![CDATA[ raw <payload> ]]><table><tr><td>r"), id,
+        lit("</td><td>c2</td></tr></table>" +
+          "<footer>(c) example</footer></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), length(html).as("n_html"),
+          TextOps.extractHtmlText(html).as("extracted"))
+        .withColumn("n_text", length(col("extracted")))
+    }),
+
     "q_bigram_lm" -> ((s, dir) => {
       // bigram-LM estimation: P(w2|w1) = c(w1 w2) / c(w1); top-20 bigrams.
       // Bigrams via the fused TokenShingles(n=2) kernel; both count
@@ -2858,6 +2884,36 @@ object SparkEntry {
        |  FROM scored)
        |WHERE rn = 1""".stripMargin
 
+  /** DuckDB replay of [[graft.ops.TextOps.extractHtmlText]]: the same
+    * ordered step list from [[graft.ops.TextOps.Html]], each a
+    * global-flag regexp_replace (RE2 — no backreferences, hence one
+    * literal pattern per container tag) or a plain replace for the
+    * entity decode (`&amp;` last). */
+  private def extractHtmlSql(e0: String): String = {
+    def rr(e: String, pat: String, repl: String) =
+      s"regexp_replace($e, '$pat', $repl, 'g')"
+    var e = rr(e0, "(?s)<!--.*?-->", "''")
+    e = rr(e, "(?s)<!\\[CDATA\\[.*?\\]\\]>", "''")
+    graft.ops.TextOps.Html.containerTags.foreach { t =>
+      e = rr(e, s"(?si)<$t\\b.*?</$t\\s*>", "''")
+    }
+    e = rr(e, graft.ops.TextOps.Html.blockTagPattern, "chr(10)")
+    e = rr(e, "<[^>]+>", "''")
+    graft.ops.TextOps.Html.entities.foreach { case (k, v) =>
+      val repl = v match {
+        case "'" => "chr(39)"
+        case "\"" => "chr(34)"
+        case other => s"'$other'"
+      }
+      e = s"replace($e, '$k', $repl)"
+    }
+    e = rr(e, "[ \\t\\r]+", "' '")
+    e = rr(e, " ?\\n ?", "chr(10)")
+    e = rr(e, "\\n+", "chr(10)")
+    e = rr(e, "^[ \\n]+", "''")
+    rr(e, "[ \\n]+$", "''")
+  }
+
   /** left-fold dot of duckdb list exprs `a`·`b` (same order as zip_with fold). */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
@@ -3533,6 +3589,19 @@ object SparkEntry {
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^\s]+', '<URL>', 'g')) AS len_delta
         |FROM documents""".stripMargin,
+
+    "q_extract_html" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><!-- preview & <meta> --><head><title>T' || doc_id::VARCHAR
+         |  || '</title><style type="text/css">body { color: #000; }</style></head><body><nav><ul><li>Home</li><li>Docs</li></ul></nav><script type="text/javascript">var x = 1 < 2 && y > 0;</script><h1>Doc ' || doc_id::VARCHAR
+         |  || '</h1><p>' || text
+         |  || '</p><div class="tail">Tail &amp; entities &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div><![CDATA[ raw <payload> ]]><table><tr><td>r' || doc_id::VARCHAR
+         |  || '</td><td>c2</td></tr></table><footer>(c) example</footer></body></html>' AS html
+         |  FROM documents),
+         |x AS (SELECT doc_id, length(html) AS n_html,
+         |  ${extractHtmlSql("html")} AS extracted FROM h)
+         |SELECT doc_id, n_html, extracted, length(extracted) AS n_text
+         |FROM x""".stripMargin,
 
     "q_bigram_lm" ->
       s"""WITH toks_t AS (SELECT $ToksSql AS toks FROM documents),

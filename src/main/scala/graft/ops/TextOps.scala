@@ -327,6 +327,71 @@ object TextOps {
         md5(concat_ws("\n", col("kept"))).as("clean_hash"))
   }
 
+  /** The shared HTML→text extraction pipeline spec: one ordered list of
+    * (pattern, replacement) steps interpreted identically by Spark's
+    * Java-regex `regexp_replace` and the DuckDB RE2 oracle replay.
+    * Constraints that keep the two engines bit-identical: NO
+    * backreferences (RE2 has none — each container tag gets its own
+    * literal pattern), inline `(?si)` flags only, and the trailing-`$`
+    * anchor is only ever applied AFTER whitespace normalization so
+    * Java's before-final-terminator `$` nuance can't diverge. */
+  object Html {
+    /** Non-content containers removed WITH their contents — the
+      * main-content heuristic: chrome (nav/footer/aside) and
+      * machine-payload (script/style/head) never reach the corpus. */
+    val containerTags: Seq[String] =
+      Seq("script", "style", "head", "nav", "footer", "aside")
+    /** Block-level tags that become line breaks so downstream
+      * line-oriented ops ([[boilerplate]], Gopher line rules) see the
+      * page's visual structure. */
+    val blockTagPattern: String =
+      "(?i)</?(br|p|div|li|td|tr|h1|h2|h3|h4|h5|h6|ul|ol|table|" +
+        "blockquote|section|article)\\b[^>]*>"
+    /** Fixed entity set, decoded AFTER tag stripping; `&amp;` is
+      * decoded LAST so `&amp;lt;` becomes the text `&lt;`, never a
+      * double-decoded `<` that the stripper would then eat. */
+    val entities: Seq[(String, String)] = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+  }
+
+  /**
+   * HTML→TEXT extraction — the FIRST stage of a crawl pipeline, before
+   * any of [[boilerplate]]/[[gopherQualityFlags]]/[[langId]] applies:
+   * strip comments and CDATA, remove script/style/head/nav/footer/
+   * aside WITH their contents (the main-content heuristic), turn
+   * block-level tags into line breaks, drop remaining tags, decode the
+   * fixed entity set, and normalize whitespace (horizontal runs → one
+   * space, trimmed lines, no blank lines, trimmed ends).
+   *
+   * Contracts (spec-pinned): malformed trailing tags without `>`
+   * survive as text (nothing is silently swallowed); CDATA payloads
+   * are removed entirely (machine payload, like script); unknown
+   * inline tags (`<b>`, `<span>`) vanish without a break; entity
+   * decode happens after stripping, `&amp;` last.
+   *
+   * Scale shape: pure per-row codegen'd string work in the scan stage —
+   * no shuffle, no state; at 100 TB it parallelizes with the file
+   * splits like every other row-local text kernel here.
+   */
+  def extractHtmlText(html: Column): Column = {
+    var e = regexp_replace(html, "(?s)<!--.*?-->", "")
+    e = regexp_replace(e, "(?s)<!\\[CDATA\\[.*?\\]\\]>", "")
+    Html.containerTags.foreach { t =>
+      e = regexp_replace(e, s"(?si)<$t\\b.*?</$t\\s*>", "")
+    }
+    e = regexp_replace(e, Html.blockTagPattern, "\n")
+    e = regexp_replace(e, "<[^>]+>", "")
+    Html.entities.foreach { case (k, v) =>
+      e = replace(e, lit(k), lit(v))
+    }
+    e = regexp_replace(e, "[ \\t\\r]+", " ")
+    e = regexp_replace(e, " ?\\n ?", "\n")
+    e = regexp_replace(e, "\\n+", "\n")
+    e = regexp_replace(e, "^[ \\n]+", "")
+    regexp_replace(e, "[ \\n]+$", "")
+  }
+
   /**
    * Heuristic quality score in [0,1] from length, stopword ratio and
    * punctuation ratio. Rational arithmetic only (no exp/ln) so every

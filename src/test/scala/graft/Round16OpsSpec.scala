@@ -66,6 +66,92 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(expr.eval(r) == 1 && expr.eval(r) == 1)
   }
 
+  // ---- extractHtmlText: the crawl pipeline's first stage ----
+
+  private def extract(htmls: String*): Seq[String] = {
+    val df = htmls.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "html")
+    df.select(col("id"),
+        graft.ops.TextOps.extractHtmlText(col("html")).as("t"))
+      .orderBy("id").collect().map(r => r.getString(1)).toSeq
+  }
+
+  test("extractHtmlText: full page -> main content with line structure") {
+    val html = "<html><!-- c with <tags> & stuff --><head><title>T</title>" +
+      "<style type=\"text/css\">body { color: red; }</style></head><body>" +
+      "<nav><ul><li>Home</li><li>About</li></ul></nav>" +
+      "<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script>" +
+      "<h1>Doc 1</h1><p>Hello   world, <b>bold</b> and <i>italic</i>.</p>" +
+      "<div>Tail &amp; more &lt;b&gt; &quot;q&quot; &#39;s&#39; and&nbsp;end</div>" +
+      "<![CDATA[ raw <cdata> payload ]]>" +
+      "<table><tr><td>cell1</td><td>cell2</td></tr></table>" +
+      "<footer>copyright 2026</footer></body></html>"
+    assert(extract(html) == Seq(
+      "Doc 1\nHello world, bold and italic.\n" +
+        "Tail & more <b> \"q\" 's' and end\ncell1\ncell2"))
+  }
+
+  test("extractHtmlText contracts: malformed tags, unclosed containers, entity order, case") {
+    val out = extract(
+      // malformed trailing tag without '>' survives as text
+      "<p>keep this</p><div class=\"x",
+      // unclosed script: the open tag strips as a plain tag, its body
+      // SURVIVES (nothing silently swallowed without a closing tag)
+      "<script>var y = 1;<p>after</p>",
+      // &amp;lt; decodes to the TEXT &lt;, never a stripped <
+      "<p>&amp;lt;not-a-tag&amp;gt;</p>",
+      // case-insensitive containers
+      "<SCRIPT>gone();</SCRIPT><P>Kept</P><STYLE>x{}</STYLE>",
+      // nested tables keep cell text, one line per block boundary
+      "<table><tr><td>a<table><tr><td>b</td></tr></table></td></tr></table>",
+      // whitespace-only and empty
+      "   ", "")
+    assert(out == Seq(
+      "keep this\n<div class=\"x",
+      "var y = 1;\nafter",
+      "&lt;not-a-tag&gt;",
+      "Kept",
+      "a\nb",
+      "", ""))
+  }
+
+  test("extractHtmlText: null html -> null") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("<p>x</p>")))
+      .toDF("id", "html")
+    val rows = df.select(col("id"),
+        graft.ops.TextOps.extractHtmlText(col("html")).as("t"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getString(1) == "x")
+  }
+
+  test("extractHtmlText -> cleanCorpus composition: same content under different chrome dedups") {
+    // two pages with IDENTICAL article text but different site chrome:
+    // raw exact-dedup keeps both (different bytes); extraction first
+    // collapses them to one survivor. A third page is unique content.
+    val article = "The quick brown fox jumps over the lazy dog. " * 5
+    val p1 = s"<html><head><title>site-a</title></head><body>" +
+      s"<nav><li>A</li></nav><p>$article</p><footer>a.com</footer></body></html>"
+    val p2 = s"<html><head><title>site-b</title></head><body>" +
+      s"<nav><li>B</li><li>Contact</li></nav><p>$article</p>" +
+      s"<footer>b.org (c)</footer></body></html>"
+    val p3 = s"<html><body><p>Entirely different content here, long " +
+      s"enough to pass the quality bar of the corpus cleaner stage " +
+      s"with many common words the and of to in is it for on.</p></body></html>"
+    val raw = Seq((1L, p1), (2L, p2), (3L, p3)).toDF("doc_id", "text")
+    // raw bytes: all three distinct -> exact dedup keeps 3
+    val rawClean = graft.ops.Dedup.cleanCorpus(raw, "doc_id", "text",
+      qualityMin = 0.0, jaccardMax = 1.1)
+    assert(rawClean.count() == 3)
+    // extracted text: p1/p2 identical -> 2 survivors, min doc_id wins
+    val extracted = raw.select(col("doc_id"),
+      graft.ops.TextOps.extractHtmlText(col("text")).as("text"))
+    val clean = graft.ops.Dedup.cleanCorpus(extracted, "doc_id", "text",
+      qualityMin = 0.0, jaccardMax = 1.1)
+    val kept = clean.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L),
+      s"expected chrome-stripped dedup to keep docs 1 and 3, got ${kept.toSeq}")
+  }
+
   // ---- WavAudio: container with no declared frame count ----
 
   test("WavAudio derives the frame count when the container declares none (AU unknown size)") {
