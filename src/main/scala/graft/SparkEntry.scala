@@ -735,15 +735,19 @@ object SparkEntry {
             .as("centroid"))),
 
     "q_ann_ivf" -> ((s, dir) =>
-      Similarity.annIvf(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
-        col("vec_id") < 10)),
+      // the explicitly-named frozen-label COMPAT path (annIvf's
+      // deprecated shim delegates here; shim identity is spec-pinned)
+      Similarity.annIvfFrozenLabels(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 10)),
 
     "q_ann_ivf_refit" -> ((s, dir) =>
       // the scale fix for q_ann_ivf's frozen label quantizer: k
       // deterministic seeds + one VectorMean Lloyd refit, so cells grow
-      // with the corpus instead of staying pinned at the label arity
+      // with the corpus instead of staying pinned at the label arity.
+      // nprobe pinned at 1 — this gate isolates the single-cell search
+      // shape; q_ann_ivf_probe2 covers the (default) multi-probe lever
       Similarity.annIvfRefit(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, col("vec_id") < 10)),
+        k = 8, col("vec_id") < 10, nprobe = 1)),
 
     "q_ann_ivf_probe2" -> ((s, dir) =>
       // the IVF recall lever: probe the top-2 cells per query (a query

@@ -330,24 +330,28 @@ object Similarity {
           .as("centroid_scaled"))
 
   /**
-   * IVF-style ANN: assign each query to its nearest centroid cell
-   * (cosine, deterministic micro-unit centroids), then search ONLY that
-   * cell. The 100 TB shape: the tiny centroid table broadcasts twice;
-   * the corpus never shuffles (cell filter rides the broadcast join) —
-   * and with the corpus bucketed by cell
+   * COMPAT variant — IVF ANN over a FROZEN label quantizer: assign each
+   * query to its nearest centroid cell (cosine, deterministic
+   * micro-unit centroids), then search ONLY that cell. The name says
+   * the contract: `labelCol` PINS the cell count at the label arity,
+   * and a pinned quantizer does not scale with the corpus.
+   *
+   * The 100 TB shape: the tiny centroid table broadcasts twice; the
+   * corpus never shuffles (cell filter rides the broadcast join) — and
+   * with the corpus bucketed by cell
    * ([[graft.sources.Tables.writeBucketed]]) even the scan prunes.
    *
    * SCALE CONTRACT (measured, Scale100Probe): per-query work is one
-   * cell's slice, |corpus| / |cells| — and `labelCol` PINS the cell
-   * count at the label arity. Growing corpus and query set ×N under a
-   * fixed quantizer is ~N² candidate work by construction (measured:
-   * 38× wall at ×100/×100, decade 22.5× — the fixed-quantizer bend).
-   * At scale, the quantizer must refine with the corpus: use a
-   * finer-grained cell key, or the hash-quantized [[annLsh]] (cells ∝
-   * 2^planes, measured 6.7× wall for the same ×100/×100 growth) /
-   * [[annInt8TopK]] paths.
+   * cell's slice, |corpus| / |cells|. Growing corpus and query set ×N
+   * under this fixed quantizer is ~N² candidate work by construction
+   * (measured: 38× wall at ×100/×100, decade 22.5× — the
+   * fixed-quantizer bend). THE FRONT DOOR for new code is
+   * [[buildIvfIndex]] + [[annIvfSearch]] (refit quantizer, k grows
+   * with the corpus, measured decade 2.5× with 1.68 s amortized search
+   * at ×100); use this variant only when the cells MUST be existing
+   * labels (e.g. routing by a fixed taxonomy).
    */
-  def annIvf(
+  def annIvfFrozenLabels(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
       queryFilter: Column): DataFrame = {
     val c = emb
@@ -374,6 +378,18 @@ object Similarity {
         cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
       .withColumn("rn", row_number().over(searchW)).filter(col("rn") === 1).drop("rn")
   }
+
+  /** Deprecated shim — `annIvf` was the obvious name while it carried
+    * the frozen-label quantizer, so the obvious name led straight to
+    * the documented ~N² scale bend. New code: [[buildIvfIndex]] +
+    * [[annIvfSearch]] (or [[annIvfRefit]] for one-shot build+search).
+    * Row-identical to [[annIvfFrozenLabels]] (spec-pinned). */
+  @deprecated("use buildIvfIndex + annIvfSearch (refit quantizer); " +
+    "annIvfFrozenLabels keeps this frozen-label behavior", "r16")
+  def annIvf(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryFilter: Column): DataFrame =
+    annIvfFrozenLabels(emb, idCol, vecCol, labelCol, queryFilter)
 
   /**
    * Data-driven IVF coarse quantizer: k deterministic seeds (the k
@@ -434,42 +450,61 @@ object Similarity {
   }
 
   /**
-   * IVF ANN over the REFIT quantizer — [[annIvf]]'s search shape with
-   * [[refitQuantizer]]'s data-driven cells instead of the frozen label
-   * cells: queries route to their nearest refit centroid and search
-   * only that cell's inverted list (the seed-assignment lists). Same
-   * output shape (q_id, cell, neighbor_id, cos), integer cells.
-   * Centroid and assignment frames broadcast; the corpus payload
-   * shuffles once (the quantizer's id-join), then the search rides
-   * broadcasts — at ×100 corpus growth, k grows with N and per-query
-   * candidate work stays ~N/k (measured vs the fixed quantizer's
-   * quadratic bend: see PLANS.md Scale100Probe).
+   * Build the IVF index ONCE — the front-door's build half:
+   * [[refitQuantizer]]'s data-driven cells materialized as the
+   * searchable `(vec_id, v, nrm, cell)` index plus the
+   * `(cell, centroid_scaled)` routing table [[annIvfSearch]] consumes.
+   * In a real deployment, persist the index bucketed by cell
+   * ([[graft.sources.Tables.writeBucketed]]) and reuse it across query
+   * batches: the N·k quantizer pass is a one-time cost (measured:
+   * prebuilt-index search 1.68 s amortized at the ×100 probe, decade
+   * 2.5×, vs the frozen quantizer's 30.6×). Pick k ~ √N so per-cell
+   * population stays ~N/k.
    */
-  def annIvfRefit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      queryFilter: Column, nprobe: Int = 1): DataFrame = {
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): (DataFrame, DataFrame) = {
     val base = emb
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
       .withColumn("nrm", l2norm(col("v")))
     val (assigned, refit) = refitQuantizer(emb, idCol, vecCol, k)
-    annIvfSearch(base.join(assigned, "vec_id"), refit, queryFilter, nprobe)
+    (base.join(assigned, "vec_id"), refit)
   }
 
   /**
-   * Search-only IVF path over a PREBUILT index — the amortized shape a
-   * real deployment runs: [[refitQuantizer]] builds (vec_id, cell)
-   * lists + centroids ONCE (the N·k one-time cost, written bucketed by
-   * cell like [[graft.sources.Tables.writeBucketed]]); every query
-   * batch afterwards pays only routing (|Q|·k kernel evals against the
-   * broadcast centroid matrix) + its cell slices (~N/k rows per
-   * query). `index` = (vec_id, v, nrm, cell); `refit` =
-   * (cell, centroid_scaled). `nprobe` > 1 probes the top-n cells per
-   * query — the standard IVF recall lever (a query near a cell
-   * boundary finds its true neighbor in cell #2); per-query work
-   * scales linearly, nprobe·N/k.
+   * One-shot build+search convenience over the refit quantizer —
+   * [[buildIvfIndex]] then [[annIvfSearch]] in one call. Same output
+   * shape as the frozen-label compat path (q_id, cell, neighbor_id,
+   * cos), integer cells. Centroid and assignment frames broadcast; the
+   * corpus payload shuffles once (the quantizer's id-join), then the
+   * search rides broadcasts — at ×100 corpus growth, k grows with N
+   * and per-query candidate work stays ~N/k (measured vs the fixed
+   * quantizer's quadratic bend: see PLANS.md Scale100Probe). For
+   * repeated query batches, build the index once with
+   * [[buildIvfIndex]] and call [[annIvfSearch]] directly.
+   */
+  def annIvfRefit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryFilter: Column, nprobe: Int = 2): DataFrame = {
+    val (index, refit) = buildIvfIndex(emb, idCol, vecCol, k)
+    annIvfSearch(index, refit, queryFilter, nprobe)
+  }
+
+  /**
+   * THE IVF FRONT DOOR — search over a PREBUILT index, the amortized
+   * shape a real deployment runs: [[buildIvfIndex]] builds (vec_id,
+   * cell) lists + centroids ONCE (the N·k one-time cost, written
+   * bucketed by cell like [[graft.sources.Tables.writeBucketed]]);
+   * every query batch afterwards pays only routing (|Q|·k kernel evals
+   * against the broadcast centroid matrix) + its cell slices (~N/k
+   * rows per query). `index` = (vec_id, v, nrm, cell); `refit` =
+   * (cell, centroid_scaled). `nprobe` probes the top-n cells per query
+   * — the standard IVF recall lever (a query near a cell boundary
+   * finds its true neighbor in cell #2); per-query work scales
+   * linearly, nprobe·N/k. Default nprobe=2: boundary queries dominate
+   * the recall loss at nprobe=1 and the second probe is cheap.
    */
   def annIvfSearch(index: DataFrame, refit: DataFrame,
-      queryFilter: Column, nprobe: Int = 1): DataFrame = {
+      queryFilter: Column, nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = refit.select(col("cell").as("c_cell"),
         transform(col("centroid_scaled"), x => x / 1000000.0).as("cv"))

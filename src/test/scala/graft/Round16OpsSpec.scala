@@ -152,6 +152,39 @@ class Round16OpsSpec extends AnyFunSuite {
       s"expected chrome-stripped dedup to keep docs 1 and 3, got ${kept.toSeq}")
   }
 
+  // ---- IVF front door: annIvfSearch over a prebuilt index ----
+
+  test("annIvf deprecation shim is row-identical to annIvfFrozenLabels") {
+    import graft.ops.Similarity
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d)), s"l${i % 3}")
+    }.toDF("vec_id", "embedding", "label")
+    val qf = col("vec_id") < 5
+    val a = Similarity.annIvf(emb, "vec_id", "embedding", "label", qf)
+      .orderBy("q_id").collect().map(_.toSeq)
+    val b = Similarity.annIvfFrozenLabels(emb, "vec_id", "embedding", "label", qf)
+      .orderBy("q_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("buildIvfIndex + annIvfSearch (the front door) == one-shot annIvfRefit; default nprobe is 2") {
+    import graft.ops.Similarity
+    val emb = (0L until 80L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 1.3 + d * 0.5)))
+    }.toDF("vec_id", "embedding")
+    val qf = col("vec_id") < 6
+    val (index, refit) = Similarity.buildIvfIndex(emb, "vec_id", "embedding", k = 8)
+    val front = Similarity.annIvfSearch(index, refit, qf)
+      .orderBy("q_id").collect().map(_.toSeq)
+    val oneShot = Similarity.annIvfRefit(emb, "vec_id", "embedding", 8, qf)
+      .orderBy("q_id").collect().map(_.toSeq)
+    val probe2 = Similarity.annIvfSearch(index, refit, qf, nprobe = 2)
+      .orderBy("q_id").collect().map(_.toSeq)
+    assert(front.toSeq == oneShot.toSeq)
+    assert(front.toSeq == probe2.toSeq,
+      "default nprobe must be 2 (the recall-default front door)")
+  }
+
   // ---- WavAudio: container with no declared frame count ----
 
   test("WavAudio derives the frame count when the container declares none (AU unknown size)") {
