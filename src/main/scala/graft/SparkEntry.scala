@@ -530,6 +530,24 @@ object SparkEntry {
         TextOps.tokenCountWs(col("text")).as("n_ws"),
         TextOps.tokenCountBpe(col("text")).as("n_bpe"))),
 
+    "q_bpe_encode" -> ((s, dir) => {
+      // REAL merges-table BPE encoding (vs q_token_count's regex
+      // ESTIMATE): per doc the true token count under the pinned gate
+      // vocabulary, the fertility vs word count, and the first 10
+      // tokens as a flattened sample — the numbers budget/fertility/
+      // packing math should run on
+      val d = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokensNative(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_words"),
+          TextOps.bpeEncode(col("toks"), TextOps.BpeGateMerges).as("enc"))
+      d.select(col("doc_id"), col("n_words"),
+        size(col("enc")).as("n_bpe_real"),
+        round(when(col("n_words") > 0,
+          size(col("enc")).cast("double") / col("n_words").cast("double")), 6)
+          .as("fertility"),
+        concat_ws(" ", slice(col("enc"), 1, 10)).as("sample"))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
@@ -3576,6 +3594,50 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
+
+    "q_bpe_encode" -> {
+      // ascending-rank replay of the pinned merges table: per rank, two
+      // LTR non-overlapping replace passes over the |-delimited symbol
+      // string (== graft.functions.BpeEncode's min-rank loop for any
+      // well-formed table). Encode DISTINCT words once, join back.
+      val mv = graft.ops.TextOps.BpeGateMerges.zipWithIndex
+        .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
+      val m = graft.ops.TextOps.BpeGateMerges.size
+      s"""WITH RECURSIVE mg(rank, x, y) AS (VALUES $mv),
+         |toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |wt AS (SELECT doc_id, toks[i] AS word, i AS ord
+         |  FROM toks_t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |w AS (SELECT DISTINCT word FROM wt),
+         |enc AS (
+         |  SELECT word,
+         |    '|' || array_to_string(list_transform(
+         |      range(1, len(word) + 1), i -> word[i]), '|') || '|' AS s,
+         |    0 AS r
+         |  FROM w
+         |  UNION ALL
+         |  SELECT enc.word,
+         |    replace(replace(enc.s,
+         |      '|' || mg.x || '|' || mg.y || '|', '|' || mg.x || mg.y || '|'),
+         |      '|' || mg.x || '|' || mg.y || '|', '|' || mg.x || mg.y || '|'),
+         |    enc.r + 1
+         |  FROM enc JOIN mg ON mg.rank = enc.r),
+         |fin AS (SELECT word,
+         |    list_filter(string_split(s, '|'), t -> t <> '') AS wtoks
+         |  FROM enc WHERE r = $m),
+         |agg AS (SELECT doc_id,
+         |    sum(len(wtoks)) AS n_bpe_real,
+         |    string_agg(array_to_string(wtoks, ' '), ' ' ORDER BY ord) AS all_toks
+         |  FROM wt JOIN fin USING (word) GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks) AS n_words,
+         |  coalesce(a.n_bpe_real, 0)::INT AS n_bpe_real,
+         |  round(CASE WHEN len(t.toks) > 0
+         |    THEN coalesce(a.n_bpe_real, 0)::DOUBLE / len(t.toks)::DOUBLE
+         |    END, 6) AS fertility,
+         |  coalesce(array_to_string(
+         |    list_slice(string_split(a.all_toks, ' '), 1, 10), ' '), '')
+         |    AS sample
+         |FROM toks_t t LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
 
     "q_fingerprint" ->
       """WITH n_t AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm FROM documents)

@@ -418,3 +418,124 @@ object TextStats {
     s
   }
 }
+
+/**
+ * Real-vocabulary BPE encoder over an `array<string>` of word tokens:
+ * each word is split to characters and the merges table is applied
+ * until no listed pair remains; the output is the flattened token
+ * array across words (order preserved, null elements skipped).
+ *
+ * MERGE SEMANTICS (the engine-replayable contract): the applicable
+ * pair with the SMALLEST rank merges first; one application merges
+ * all of the pair's occurrences via TWO left-to-right non-overlapping
+ * literal string-replace passes over the `|`-delimited symbol string
+ * (pass one consumes the shared boundary of back-to-back occurrences;
+ * pass two catches what that skipped — two passes provably reach the
+ * per-rank fixpoint). For any WELL-FORMED table — each rule's parts
+ * are single characters or outputs of EARLIER rules, which every
+ * trained merges table satisfies — this equals applying ranks in
+ * ascending order, which is exactly what the DuckDB oracle replays
+ * with a recursive CTE of paired `replace` calls. Inside odd
+ * self-pair runs (`aaaaa` under `(a,a)`) the two-pass scan places the
+ * leftover `a` after the first merged pair — token COUNTS match the
+ * canonical greedy encoder everywhere, placement is spec-pinned.
+ *
+ * The merges table ships inside the expression (task-serialized, like
+ * a broadcast literal): collect a trained table with
+ * `mergesDf.collect()` first. Per-task word→encoding cache (corpus
+ * word frequency is Zipfian, so the hit rate is high); cost is
+ * O(applied-merges · word-length) hash lookups per MISS, independent
+ * of the table size — a 50k-entry vocabulary costs the same lookups
+ * as a 20-entry one. CodegenFallback: the loop dominates; the
+ * surrounding plan keeps its codegen spans.
+ */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression with CodegenFallback {
+
+  require(merges.nonEmpty, "merges table must not be empty")
+  require(merges.forall { case (x, y) =>
+    x.nonEmpty && y.nonEmpty && !x.contains("|") && !y.contains("|")
+  }, "merge parts must be non-empty and must not contain '|'")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bpe_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((x, y), i) =>
+      // duplicate rules: the first (lowest rank) wins, like every
+      // trained table (a pair is only ever created once)
+      m.putIfAbsent(x + "|" + y, Integer.valueOf(i))
+    }
+    m
+  }
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+  @transient private lazy val cache =
+    new java.util.HashMap[String, Array[String]]()
+
+  private def encodeWord(w: String): Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    // code-point split (DuckDB's w[i] indexes characters, not UTF-16)
+    var syms: Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + "|" + syms(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (x, y) = mergeArr(best)
+        val pat = "|" + x + "|" + y + "|"
+        val rep = "|" + x + y + "|"
+        var s = syms.mkString("|", "|", "|")
+        s = s.replace(pat, rep)
+        s = s.replace(pat, rep)
+        syms = s.split('|').filter(_.nonEmpty)
+        done = syms.length < 2
+      }
+    }
+    if (cache.size > 100000) cache.clear()
+    cache.put(w, syms)
+    syms
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i).toString
+        if (w.nonEmpty) {
+          val syms = encodeWord(w)
+          var j = 0
+          while (j < syms.length) {
+            out += org.apache.spark.unsafe.types.UTF8String.fromString(syms(j))
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}

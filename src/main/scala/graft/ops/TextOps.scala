@@ -759,6 +759,36 @@ object TextOps {
   }
 
   /**
+   * Real-vocabulary BPE encoding of a token array: every word is
+   * character-split and the ordered `merges` table is applied until no
+   * listed pair remains; returns the flattened BPE token array across
+   * words. The merges ship inside the expression (task-serialized,
+   * like a broadcast literal) — collect a trained table with
+   * `.collect()` first; cost per cache-miss word is
+   * O(applied-merges · word-length) hash probes, INDEPENDENT of the
+   * table size, with a per-task word→encoding cache riding the
+   * Zipfian word distribution. Exact merge semantics (incl. the
+   * engine-replayable two-pass-per-rank contract) on
+   * [[graft.functions.BpeEncode]]. Train a table with
+   * [[bpeMergeCandidates]] or bring any well-formed external one.
+   * Pure per-row scan-stage work — no shuffle.
+   */
+  def bpeEncode(toks: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), merges))
+
+  /** The fixed well-formed merges table the `q_bpe_encode` gate pins on
+    * both engines (each rule's parts are characters or outputs of
+    * EARLIER rules — the property that makes ascending-rank replay
+    * equal to min-rank-first encoding). */
+  val BpeGateMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "s", "o" -> "r",
+    "s" -> "t", "a" -> "r", "o" -> "u", "l" -> "e", "an" -> "d",
+    "in" -> "g", "er" -> "s", "c" -> "h", "q" -> "u", "a" -> "l")
+
+  /**
    * BM25 ranking of documents against a bag of query terms — the
    * retrieval scorer used for contamination auditing and targeted
    * corpus slicing. Okapi BM25 with the Lucene idf:

@@ -152,6 +152,88 @@ class Round16OpsSpec extends AnyFunSuite {
       s"expected chrome-stripped dedup to keep docs 1 and 3, got ${kept.toSeq}")
   }
 
+  // ---- bpeEncode: real merges-table tokenizer ----
+
+  private def bpe(merges: Seq[(String, String)], words: String*): Seq[String] = {
+    val df = Seq((1L, words.toArray)).toDF("id", "toks")
+    df.select(graft.ops.TextOps.bpeEncode(col("toks"), merges).as("enc"))
+      .collect().head.getSeq[String](0).toSeq
+  }
+
+  test("bpeEncode: hand-pinned encodings under the gate merges table") {
+    val m = graft.ops.TextOps.BpeGateMerges
+    assert(bpe(m, "the") == Seq("the"))
+    assert(bpe(m, "thing") == Seq("th", "ing"))
+    assert(bpe(m, "questions") == Seq("qu", "es", "t", "i", "on", "s"))
+    assert(bpe(m, "matters") == Seq("m", "at", "t", "ers"))
+    assert(bpe(m, "answering") == Seq("an", "s", "w", "er", "ing"))
+    assert(bpe(m, "q7") == Seq("q", "7"))
+    // multiple words flatten in order
+    assert(bpe(m, "the", "thing") == Seq("the", "th", "ing"))
+  }
+
+  test("bpeEncode contract: two-pass self-merge placement, non-firing table, null handling") {
+    // odd self-run: count matches canonical greedy (ceil(n/2)); the
+    // leftover lands after the FIRST merged pair (two-pass contract)
+    assert(bpe(Seq("a" -> "a"), "aaaaa") == Seq("aa", "a", "aa"))
+    assert(bpe(Seq("a" -> "a"), "aaaa") == Seq("aa", "aa"))
+    // a table that never fires -> pure character split
+    assert(bpe(Seq("z" -> "z"), "hello") == Seq("h", "e", "l", "l", "o"))
+    // null toks -> null; null/empty elements skipped
+    val df = Seq((1L, null: Array[String]), (2L, Array("ab", null, "")))
+      .toDF("id", "toks")
+    val rows = df.select(col("id"),
+        graft.ops.TextOps.bpeEncode(col("toks"), Seq("a" -> "b")).as("enc"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getSeq[String](1) == Seq("ab"))
+  }
+
+  test("bpeEncode == naive ascending-rank reference on random words (well-formed table)") {
+    val m = graft.ops.TextOps.BpeGateMerges
+    def naive(w: String): Seq[String] = {
+      var s = w.toCharArray.map(_.toString).mkString("|", "|", "|")
+      m.foreach { case (x, y) =>
+        val pat = s"|$x|$y|"; val rep = s"|$x$y|"
+        s = s.replace(pat, rep); s = s.replace(pat, rep)
+      }
+      s.split('|').filter(_.nonEmpty).toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    val alpha = "aeinorstuthlqcgdxz"
+    val words = (0 until 300).map(_ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    words.foreach { w =>
+      assert(bpe(m, w) == naive(w), s"kernel != ascending-rank replay on '$w'")
+    }
+  }
+
+  test("bpeEncode with a TRAINED table: counts sit between words and chars; estimate parity") {
+    val texts = Seq(
+      "the things that matter most are the answers we question",
+      "another thing the matter hinges on is that other answer",
+      "the thing about the answer is that it matters a lot")
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // train: top-20 char-pair candidates -> a (char,char) merges table
+    val trained = graft.ops.TextOps.bpeMergeCandidates(corpus, "text", 20)
+      .collect().map(r => { val p = r.getString(0)
+        (p.substring(0, 1), p.substring(1)) }).toSeq
+    val enc = corpus.select(col("doc_id"),
+      graft.ops.TextOps.tokensNative(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_words"),
+        aggregate(transform(col("toks"), w => length(w)), lit(0),
+          (a, x) => a + x).as("n_chars"),
+        size(graft.ops.TextOps.bpeEncode(col("toks"), trained)).as("n_real"))
+      .collect()
+    enc.foreach { r =>
+      val (w, c, real) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(real >= w && real <= c,
+        s"real token count $real must sit in [n_words=$w, n_chars=$c]")
+      assert(real < c, "a trained table must fire at least once per doc here")
+    }
+  }
+
   // ---- IVF front door: annIvfSearch over a prebuilt index ----
 
   test("annIvf deprecation shim is row-identical to annIvfFrozenLabels") {
