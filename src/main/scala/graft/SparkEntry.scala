@@ -43,6 +43,9 @@ object SparkEntry {
   private val MinhashBands = 4
   private val LshPlanes = 16
   private val EmbDim = 64
+  // PQ gate sizing: m=8 subspaces (32x vs float32), 32 codewords each
+  private val PqM = 8
+  private val PqK = 32
   // SRP banding for near-dup candidate pairs: 64 planes cut into 16
   // four-bit bands (recall 0.93 vs the all-pairs truth at cos ≥ 0.4 on
   // the test corpus — audited in SimilaritySpec)
@@ -727,6 +730,27 @@ object SparkEntry {
       // the bucket-width calibration read before trusting ANN at scale
       Similarity.annRecallAudit(emb(s, dir), col("vec_id") < 10,
         LshPlanes, EmbDim, k = 5)),
+
+    "q_pq_codes" -> ((s, dir) => {
+      // product-quantization encoding: every vector compressed to m=8
+      // one-byte codes (32x vs float32) against per-subspace codebooks
+      // trained on the unit-normalized corpus
+      val corpus = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val unit = corpus.filter(col("nrm") > 0)
+        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      val (codes, _) = Similarity.quantizePq(unit, "vec_id", "v",
+        EmbDim, PqM, PqK)
+      codes.select(col("vec_id"),
+        concat_ws("|", (0 until PqM).map(i => col(s"code_$i")): _*).as("codes"))
+    }),
+
+    "q_ann_pq" -> ((s, dir) =>
+      // recall@5 audit of the PQ asymmetric-distance scan vs exact brute
+      // force — the m/k codebook-sizing read (the measured ladder on
+      // this near-uniform random corpus: m4k8/64x -> 0.04,
+      // m8k32/32x -> 0.16, m8k64/32x -> 0.32, m16k128/16x -> 0.60)
+      Similarity.annPqRecallAudit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 10, EmbDim, PqM, PqK, topK = 5)),
 
     "q_ann_int8" -> ((s, dir) =>
       // ANN over the quantized corpus: scale-free integer cosine
@@ -2936,6 +2960,53 @@ object SparkEntry {
     rr(e, "[ \\n]+$", "''")
   }
 
+  /** DuckDB replay of [[graft.ops.Similarity.quantizePq]] over the
+    * unit-normalized embeddings: CTE chain through `enc` (vec_id, s,
+    * code) and `cb` (s, c_cell, cw). The augmented dot replays the
+    * argmax-dot == argmin-L2 trick: dot(x_sub, c_sub) + (−(c·c)/2)
+    * appended in the SAME left-fold position as the kernel's
+    * concatenated arrays. */
+  private def pqChainSql: String = {
+    val sub = EmbDim / PqM
+    def dotAug(x: String, c: String) =
+      s"(${dotSql(x, c)} + (-(${dotSql(c, c)}) / 2.0))"
+    s"""$EmbCte,
+       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v
+       |  FROM n WHERE nrm > 0),
+       |sub_t AS (SELECT vec_id, s,
+       |    list_slice(v, s*$sub + 1, s*$sub + $sub) AS sv
+       |  FROM u, unnest(range(0, $PqM)) AS t(s)),
+       |seeds AS (SELECT (row_number() OVER (
+       |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell, v
+       |  FROM (SELECT vec_id, v FROM u
+       |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqK)),
+       |ssub AS (SELECT cell, s,
+       |    list_slice(v, s*$sub + 1, s*$sub + $sub) AS sv
+       |  FROM seeds, unnest(range(0, $PqM)) AS t(s)),
+       |asg AS (SELECT vec_id, s, cell FROM (
+       |    SELECT sub_t.vec_id, sub_t.s, ssub.cell,
+       |      row_number() OVER (PARTITION BY sub_t.vec_id, sub_t.s
+       |        ORDER BY round(${dotAug("sub_t.sv", "ssub.sv")}, 6) DESC,
+       |          ssub.cell ASC) AS rn
+       |    FROM sub_t JOIN ssub ON sub_t.s = ssub.s)
+       |  WHERE rn = 1),
+       |cbe AS (SELECT a.s, a.cell, idx, avg(sv[idx]) AS cx
+       |  FROM sub_t JOIN asg a ON sub_t.vec_id = a.vec_id AND sub_t.s = a.s,
+       |    unnest(range(1, len(sv) + 1)) AS t(idx)
+       |  GROUP BY a.s, a.cell, idx),
+       |cb AS (SELECT s, cell AS c_cell,
+       |    list_transform(list(CAST(round(cx * 1000000) AS BIGINT)
+       |      ORDER BY idx), x -> x / 1000000.0) AS cw
+       |  FROM cbe GROUP BY s, cell),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT sub_t.vec_id, sub_t.s, cb.c_cell AS code,
+       |      row_number() OVER (PARTITION BY sub_t.vec_id, sub_t.s
+       |        ORDER BY round(${dotAug("sub_t.sv", "cb.cw")}, 6) DESC,
+       |          cb.c_cell ASC) AS rn
+       |    FROM sub_t JOIN cb ON sub_t.s = cb.s)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** left-fold dot of duckdb list exprs `a`·`b` (same order as zip_with fold). */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
@@ -3944,6 +4015,46 @@ object SparkEntry {
          |    / count(*)::DOUBLE, 6) AS recall
          |FROM ex LEFT JOIN cand
          |  ON ex.q_id = cand.q_id AND ex.neighbor_id = cand.neighbor_id
+         |GROUP BY ex.q_id""".stripMargin,
+
+    "q_pq_codes" ->
+      s"""$pqChainSql
+         |SELECT vec_id, array_to_string(list(code ORDER BY s), '|') AS codes
+         |FROM enc GROUP BY vec_id""".stripMargin,
+
+    "q_ann_pq" ->
+      s"""$pqChainSql,
+         |q AS (SELECT vec_id AS q_id, v AS qv,
+         |    sqrt(${dotSql("v", "v")}) AS qnrm
+         |  FROM u WHERE vec_id < 10),
+         |parts AS (SELECT q.q_id, e.vec_id AS neighbor_id, e.s, q.qnrm,
+         |    ${dotSql(s"list_slice(q.qv, e.s*${EmbDim / PqM} + 1, e.s*${EmbDim / PqM} + ${EmbDim / PqM})", "cb.cw")} AS part,
+         |    ${dotSql("cb.cw", "cb.cw")} AS cwsq
+         |  FROM q JOIN enc e ON e.vec_id <> q.q_id
+         |  JOIN cb ON cb.s = e.s AND cb.c_cell = e.code),
+         |sc AS (SELECT q_id, neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list(part ORDER BY s)),
+         |        (a, b) -> a + b)
+         |      / (min(qnrm) * sqrt(list_reduce(list_prepend(0.0,
+         |        list(cwsq ORDER BY s)), (a, b) -> a + b))), 6) AS score_pq
+         |  FROM parts GROUP BY q_id, neighbor_id),
+         |pq5 AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_pq DESC, neighbor_id ASC) AS rn FROM sc)
+         |  WHERE rn <= 5),
+         |ex AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |        round(${dotSql("qq.v", "c.v")} / (qq.nrm * c.nrm), 6) DESC,
+         |        c.vec_id ASC) AS rn
+         |    FROM n qq JOIN n c ON c.vec_id <> qq.vec_id WHERE qq.vec_id < 10)
+         |  WHERE rn <= 5)
+         |SELECT ex.q_id, count(*) AS k,
+         |  sum(CASE WHEN pq5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |  round(sum(CASE WHEN pq5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS recall
+         |FROM ex LEFT JOIN pq5
+         |  ON ex.q_id = pq5.q_id AND ex.neighbor_id = pq5.neighbor_id
          |GROUP BY ex.q_id""".stripMargin,
 
     "q_ann_int8" ->

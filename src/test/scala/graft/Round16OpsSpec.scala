@@ -267,6 +267,90 @@ class Round16OpsSpec extends AnyFunSuite {
       "default nprobe must be 2 (the recall-default front door)")
   }
 
+  // ---- product quantization ----
+
+  private def pqEmb(n: Int) = {
+    // 3 well-separated direction clusters + per-vector jitter, dim 8
+    (0L until n.toLong).map { i =>
+      val base = (i % 3).toInt
+      val v = Array.tabulate(8) { d =>
+        (if (d / 3 == base) 1.0 else 0.05) * (1.0 + 0.01 * (i % 7)) *
+          (if (d % 2 == 0) 1.0 else 0.8)
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("quantizePq: codes are valid codebook cells; codebooks cover every (s, cell)") {
+    import graft.ops.Similarity
+    val (codes, books) = Similarity.quantizePq(pqEmb(90), "vec_id", "embedding",
+      dim = 8, m = 4, k = 4)
+    val bk = books.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(bk.forall { case (s, c) => s >= 0 && s < 4 && c >= 0 && c < 4 })
+    val cd = codes.collect()
+    assert(cd.length == 90)
+    cd.foreach { r =>
+      (0 until 4).foreach { s =>
+        val code = r.getInt(1 + s)
+        assert(bk.contains((s, code)),
+          s"code ($s, $code) must reference an existing codebook cell")
+      }
+    }
+    // codeword dims = d/m
+    books.collect().foreach(r => assert(r.getSeq[Long](2).length == 2))
+    // deterministic: a second build is byte-identical
+    val (codes2, _) = Similarity.quantizePq(pqEmb(90), "vec_id", "embedding", 8, 4, 4)
+    assert(codes.orderBy("vec_id").collect().map(_.toSeq).toSeq ==
+      codes2.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("annPq: clustered data routes to same-cluster neighbors; recall audit beats chance") {
+    import graft.ops.Similarity
+    val emb = pqEmb(90)
+    val audit = Similarity.annPqRecallAudit(emb, "vec_id", "embedding",
+      col("vec_id") < 6, dim = 8, m = 4, kCodes = 4, topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(audit.size == 6)
+    val mean = audit.values.sum / audit.size
+    assert(mean >= 0.6, s"PQ recall@5 on separable clusters should be high, got $mean")
+  }
+
+  test("PQ compression is 16x+ vs float32 and recall is comparable to int8 at gate scale") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    // these embeddings are near-uniform random vectors — the WORST case
+    // for any quantizer (top-5 and rank-50 differ by ~0.02 cosine), so
+    // the pins are the measured m/k recall ladder, not absolute quality
+    def recallAt(m: Int, k: Int): Double =
+      Similarity.annPqRecallAudit(emb, "vec_id", "embedding",
+        col("vec_id") < 5, dim, m, kCodes = k, topK = 5)
+        .agg(avg("recall")).collect().head.getDouble(0)
+    val gate = recallAt(8, 32)   // the gate sizing: 32x compression
+    val fine = recallAt(16, 128) // 16x compression, finest ladder rung
+    // compression (m one-byte codes vs d float32 bytes; codebooks are
+    // shared and amortize to ~0 per vector): gate 32x, fine 16x
+    assert((dim * 4).toDouble / 8 >= 16.0)
+    assert((dim * 4).toDouble / 16 >= 16.0)
+    // int8 recall@5 against the same exact truth (4x, near-exact)
+    val corpus = Similarity.prepared(emb, "vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 5), 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val i8 = Similarity.annInt8TopK(emb, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val i8Recall = exact.join(i8.withColumn("hit", lit(1L)),
+        Seq("q_id", "neighbor_id"), "left_outer")
+      .agg(avg(coalesce(col("hit"), lit(0L)))).collect().head.getDouble(0)
+    // the trade is monotone and PQ never beats the near-exact int8 scan;
+    // chance recall@5 over this corpus is ~0.01, the gate sizing must
+    // clear it by an order of magnitude
+    assert(gate >= 0.15 && gate <= i8Recall + 1e-9,
+      s"gate-sizing pq=$gate int8=$i8Recall")
+    assert(fine >= gate - 1e-9,
+      s"finer codebooks must not lose recall: 16x=$fine vs 32x=$gate")
+    info(f"recall@5: pq32x=$gate%.3f pq16x=$fine%.3f int8(4x)=$i8Recall%.3f")
+  }
+
   // ---- WavAudio: container with no declared frame count ----
 
   test("WavAudio derives the frame count when the container declares none (AU unknown size)") {
