@@ -471,6 +471,23 @@ object SparkEntry {
         TextOps.tokenCountCjk(col("text")).as("n_tok"))
     }),
 
+    "q_langid_spans" -> ((s, dir) => {
+      // per-paragraph language segmentation: splice deterministic
+      // multilingual paragraphs so single-span docs, multi-span
+      // code-switched docs, AND consecutive-same-lang collapse are all
+      // exercised (the ja splice is TWO lines -> one 2-line span)
+      val m = docs(s, dir).select(col("doc_id"), concat(
+        when(col("doc_id") % 10 === 0,
+          lit("日本語のテキストです\nこれは二行目の日本語\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 10 === 1,
+          lit("\n한국어 텍스트 단락")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          lit("\nle texte est ici avec le la et les mots du jour"))
+          .otherwise(lit(""))).as("text"))
+      TextOps.langIdSpans(m, "doc_id", "text")
+    }),
+
     "q_boilerplate" -> ((s, dir) => {
       // CCNet-style boilerplate-line removal: deterministic nav headers
       // (on ~half of each source's docs, frac >= 0.4) and per-source
@@ -3638,6 +3655,61 @@ object SparkEntry {
          |  n_cjk + len(string_split_regex(trim(
          |    regexp_replace(text, '$cjk', ' ', 'g')), '\\s+')) AS n_tok
          |FROM s_t""".stripMargin
+    },
+
+    "q_langid_spans" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+      val kana = """[\x{3040}-\x{309F}\x{30A0}-\x{30FF}]"""
+      val hangul = """[\x{1100}-\x{11FF}\x{3130}-\x{318F}\x{AC00}-\x{D7AF}]"""
+      val han = """[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}]"""
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN '日本語のテキストです' || chr(10)
+         |      || 'これは二行目の日本語' || chr(10) ELSE '' END
+         |    || text
+         |    || CASE WHEN doc_id % 10 = 1 THEN chr(10) || '한국어 텍스트 단락'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 2 THEN chr(10)
+         |      || 'le texte est ici avec le la et les mots du jour'
+         |       ELSE '' END AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, list_filter(list_transform(
+         |    string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+         |  FROM m),
+         |l AS (SELECT doc_id, (i - 1)::INT AS pos, lines[i] AS line
+         |  FROM d, unnest(range(1, len(lines) + 1)) AS t(i)),
+         |c AS (SELECT doc_id, pos, line,
+         |    length(line) - length(regexp_replace(line, '$kana', '', 'g')) AS n_kana,
+         |    length(line) - length(regexp_replace(line, '$hangul', '', 'g')) AS n_hangul,
+         |    length(line) - length(regexp_replace(line, '$han', '', 'g')) AS n_han,
+         |    regexp_extract_all(lower(line), '[a-z0-9]+') AS toks
+         |  FROM l),
+         |s_t AS (SELECT doc_id, pos, line, n_kana, n_hangul, n_han,
+         |  ${hits(TextOps.EN_STOP)} AS s_en, ${hits(TextOps.ES_STOP)} AS s_es,
+         |  ${hits(TextOps.FR_STOP)} AS s_fr, ${hits(TextOps.DE_STOP)} AS s_de
+         |  FROM c),
+         |lg AS (SELECT doc_id, pos, line, CASE
+         |    WHEN n_kana > 0 THEN 'ja'
+         |    WHEN n_hangul > 0 THEN 'ko'
+         |    WHEN n_han > 0 THEN 'zh'
+         |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |    WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+         |    WHEN s_de > 0 THEN 'de'
+         |    ELSE 'und' END AS lang
+         |  FROM s_t),
+         |isl AS (SELECT doc_id, pos, line, lang,
+         |    pos - row_number() OVER (PARTITION BY doc_id, lang
+         |      ORDER BY pos ASC) AS island
+         |  FROM lg),
+         |sp AS (SELECT doc_id, lang, island, min(pos) AS start_line,
+         |    count(*) AS n_lines, sum(length(line))::BIGINT AS n_chars
+         |  FROM isl GROUP BY doc_id, lang, island)
+         |SELECT doc_id,
+         |  (row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY start_line ASC))::INT AS span_idx,
+         |  lang, n_lines, n_chars, start_line
+         |FROM sp""".stripMargin
     },
 
     "q_quality" ->

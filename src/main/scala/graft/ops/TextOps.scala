@@ -188,6 +188,46 @@ object TextOps {
       .otherwise(langIdText(text))
 
   /**
+   * Per-paragraph LANGUAGE SEGMENTATION — the code-switched-crawl fix
+   * for doc-level [[langIdCjk]]: a multilingual page (the common
+   * mixed-crawl case) collapses to ONE doc-level label, so the minority
+   * language's text is mislabeled for routing/budget math. Split each
+   * doc into trimmed non-empty LINES (the [[boilerplate]] discipline),
+   * label each line with [[langIdCjk]], and collapse CONSECUTIVE
+   * same-language lines into spans (gaps-and-islands). Output one row
+   * per span: (doc_id, span_idx, lang, n_lines, n_chars, start_line)
+   * — span_idx 1-based in document order, start_line the 0-based index
+   * among the doc's non-empty lines.
+   *
+   * Scale shape: a narrow per-row line explode (text splits in the
+   * scan stage), then two windows partitioned by doc_id — per-doc
+   * work, one doc_id-keyed exchange; nothing global.
+   */
+  def langIdSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => l =!= "")))
+      .withColumnRenamed("col", "line")
+    val langed = lines.select(col("doc_id"), col("pos"), col("line"),
+      langIdCjk(col("line")).as("lang"))
+    val islW = Window.partitionBy(col("doc_id"), col("lang"))
+      .orderBy(col("pos").asc)
+    val spans = langed
+      .withColumn("island", col("pos") - row_number().over(islW))
+      .groupBy(col("doc_id"), col("lang"), col("island"))
+      .agg(min(col("pos")).as("start_line"),
+        count(lit(1)).as("n_lines"),
+        sum(length(col("line"))).as("n_chars"))
+    val idxW = Window.partitionBy(col("doc_id")).orderBy(col("start_line").asc)
+    spans.withColumn("span_idx", row_number().over(idxW))
+      .select(col("doc_id"), col("span_idx"), col("lang"),
+        col("n_lines"), col("n_chars"), col("start_line"))
+  }
+
+  /**
    * CJK-aware token count: CJK scripts don't use whitespace, so
    * [[tokenCountWs]] sees a whole CJK sentence as ONE token and every
    * budget/fertility number built on it is garbage. Standard practical

@@ -267,6 +267,46 @@ class Round16OpsSpec extends AnyFunSuite {
       "default nprobe must be 2 (the recall-default front door)")
   }
 
+  // ---- langIdSpans: per-paragraph language segmentation ----
+
+  test("langIdSpans: code-switched doc segments per paragraph; consecutive same-lang collapses") {
+    val doc =
+      "the cat sat on the mat with the dog and it was good\n" +  // en
+      "\n" +                                                     // blank: dropped
+      "le chat est sur le tapis avec le chien du jour\n" +       // fr
+      "el gato y el perro en la casa con los amigos\n" +         // es
+      "日本語のテキストです\n" +                                   // ja
+      "これも日本語の行です\n" +                                   // ja (collapses)
+      "한국어 텍스트 단락\n" +                                     // ko
+      "the end is here with the final words of it all"           // en again
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+    val spans = graft.ops.TextOps.langIdSpans(df, "doc_id", "text")
+      .orderBy("span_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3), r.getInt(5)))
+    assert(spans.toSeq == Seq(
+      (1, "en", 1L, 0), (2, "fr", 1L, 1), (3, "es", 1L, 2),
+      (4, "ja", 2L, 3), (5, "ko", 1L, 5), (6, "en", 1L, 6)),
+      s"got ${spans.toSeq}")
+    // doc-level langIdCjk collapses this whole page to 'ja' (CJK arms
+    // win before voting) — exactly the mislabeling spans fix
+    val docLevel = df.select(graft.ops.TextOps.langIdCjk(col("text")))
+      .collect().head.getString(0)
+    assert(docLevel == "ja")
+  }
+
+  test("langIdSpans: single-language doc is one span; und lines segment too; empty text -> no rows") {
+    val df = Seq(
+      (1L, "the cat and the dog\nwith all of it\nand more of the same"),
+      (2L, "zzz qqq xxx\nthe real text is here with the words"),
+      (3L, "   \n  \n"), (4L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.langIdSpans(df, "doc_id", "text")
+      .orderBy("doc_id", "span_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "en", 3L),       // one collapsed en span
+      (2L, 1, "und", 1L), (2L, 2, "en", 1L)))
+  }
+
   // ---- product quantization ----
 
   private def pqEmb(n: Int) = {
