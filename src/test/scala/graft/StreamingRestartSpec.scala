@@ -253,6 +253,88 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(out.count(_._1 == 6L) == 1)
   }
 
+  test("phashStream: open-window dup state survives kill-and-restart") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    import graft.ops.{MediaRecord, Multimodal}
+    val p1 = "the same leading frame bytes".getBytes("UTF-8")
+    val p2 = "completely different payload".getBytes("UTF-8")
+    val staticSigs = Multimodal.perceptualSignatures(
+      s.createDataset(Seq(
+        MediaRecord(1L, "image/stub", p1), MediaRecord(2L, "image/stub", p2))))
+      .toDF().localCheckpoint(true)
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // doc 100 (dup of static #1) arrives with its 10-min window OPEN
+    // when the query stops; doc 102 (dup of static #2, SAME window),
+    // novel doc 101 and the watermark flush land only after the restart
+    val b1 = Seq((100L, "image/stub", p1, ts(0)))
+    val b2 = Seq(
+      (102L, "image/stub", p2, ts(2)),
+      (101L, "image/stub", "novel bytes never seen".getBytes("UTF-8"), ts(3)))
+    val flushRow = (999L, "image/stub", p1, ts(600))
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-phash").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def toDf(rows: Seq[(Long, String, Array[Byte], java.sql.Timestamp)]) =
+      rows.toDF("doc_id", "media_type", "payload", "event_time")
+    toDf(b1).coalesce(1).write.parquet(inDir)
+    def startQuery() = {
+      val stream = s.readStream.schema(toDf(b1).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      EventStreams.phashStream(stream, staticSigs)
+        .select($"doc_id", $"dup_of", $"hamming")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    toDf(b2).coalesce(1).write.mode("append").parquet(inDir)
+    toDf(Seq(flushRow)).coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = s.read.parquet(outDir)
+      .filter($"doc_id" =!= 999L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 100's flagged row lived ONLY in the open-window state across
+    // the restart; a lost store drops it (or emits it twice — the map
+    // build would keep one, so also pin the row count)
+    assert(out == Map(100L -> ((1L, 0L)), 102L -> ((2L, 0L))), out.toString)
+    assert(s.read.parquet(outDir).filter($"doc_id" === 100L).count() == 1L)
+  }
+
+  test("anomalyBandsStream: open-window counts survive kill-and-restart") {
+    val s = spark
+    import s.implicits._
+    // history: type "m" counts [8, 10, 10, 12, 14] -> median 10, MAD 2,
+    // band [4, 16] at k=3
+    val history = Seq(8, 10, 10, 12, 14).zipWithIndex.flatMap { case (c, w) =>
+      (1 to c).map(i => StreamEvent((w * 100 + i).toLong,
+        Base + w.toLong * 5L * MinNs, i.toLong, "m", 1.0))
+    }
+    val baseline = EventStreams.anomalyBaseline(history.toDF())
+      .localCheckpoint(true)
+    // window 1 gets 12 "m" events SPLIT across the restart (7 before,
+    // 5 after): a lost window count reads 5 (or emits twice); window 2
+    // gets 40 (alarm), fully post-restart
+    val w1 = (1 to 12).map(i =>
+      StreamEvent(1000L + i, Base + MinNs, i.toLong, "m", 1.0))
+    val w2 = (1 to 40).map(i =>
+      StreamEvent(3000L + i, Base + 31L * MinNs, i.toLong, "m", 1.0))
+    val b1 = w1.take(7)
+    val b2 = w1.drop(7) ++ w2
+    val push = StreamEvent(9999L, Base + 1000L * MinNs, 999L, "m", 1.0)
+    val out = runWithRestart("bands", b1, b2, push)(
+        EventStreams.anomalyBandsStream(_, baseline, k = 3.0))
+      .filter($"window_start_us" < (Base / 1000L + 900L * 60000000L))
+      .select("window_start_us", "event_type", "n", "anomaly")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.length == 2, s"expected exactly 2 closed windows, got ${out.toSeq}")
+    val byN = out.map(r => r._3 -> r._4).toMap
+    assert(byN == Map(12L -> false, 40L -> true), out.toSeq.toString)
+  }
+
   test("attributionStream: pending conversion and touch buffer survive kill-and-restart") {
     val s = spark
     import s.implicits._
