@@ -577,6 +577,23 @@ object SparkEntry {
         md5(TextOps.redact(col("text"))).as("redacted_hash"),
         (length(col("text")) - length(TextOps.redact(col("text")))).as("len_delta"))),
 
+    "q_normalize_text" -> ((s, dir) => {
+      // Unicode normalization + mojibake detection gate: a deterministic
+      // slice of docs gets the junk splice (zero-width chars, curly
+      // quotes, em dash, ellipsis, UTF-8-as-Latin1 artifacts, NBSP, a
+      // control char) so every normalization step and the mojibake
+      // counter fire; the rest pass through unchanged
+      val m = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" " + NormJunk))
+            .otherwise(lit(""))).as("text"))
+      m.select(col("doc_id"),
+        md5(TextOps.normalizeUnicode(col("text"))).as("norm_hash"),
+        (length(col("text")) - length(TextOps.normalizeUnicode(col("text"))))
+          .as("len_delta"),
+        TextOps.mojibakeScore(col("text")).as("mojibake_hits"))
+    }),
+
     "q_extract_html" -> ((s, dir) => {
       // HTML→text extraction gate: wrap each doc's text in a
       // deterministic page template (head/style/nav/script/footer
@@ -2947,6 +2964,27 @@ object SparkEntry {
        |  FROM scored)
        |WHERE rn = 1""".stripMargin
 
+  /** The deterministic junk splice the q_normalize_text gate appends to
+    * every ninth doc: zero-width space, curly quotes, em dash,
+    * ellipsis, 'Ã©'/'â€™' mojibake, 'Â'+NBSP, and a BEL control char.
+    * One Scala constant feeds BOTH engines so the bytes are identical. */
+  private val NormJunk =
+    "​smart “quotes” — dash… " +
+      "cafÃ© aâ€™b tailÂ end"
+
+  /** DuckDB replay of [[graft.ops.TextOps.normalizeUnicode]]: the same
+    * ordered step list, each a global regexp_replace; replacements via
+    * chr() where a literal would hit DuckDB's no-escape strings. */
+  private def normalizeSql(e0: String): String =
+    graft.ops.TextOps.UnicodeNormSteps.foldLeft(e0) { case (e, (pat, repl)) =>
+      val r = repl match {
+        case "\n" => "chr(10)"
+        case "'" => "chr(39)"
+        case other => s"'$other'"
+      }
+      s"regexp_replace($e, '$pat', $r, 'g')"
+    }
+
   /** DuckDB replay of [[graft.ops.TextOps.extractHtmlText]]: the same
     * ordered step list from [[graft.ops.TextOps.Html]], each a
     * global-flag regexp_replace (RE2 — no backreferences, hence one
@@ -3798,6 +3836,18 @@ object SparkEntry {
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^\s]+', '<URL>', 'g')) AS len_delta
         |FROM documents""".stripMargin,
+
+    "q_normalize_text" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 9 = 0 THEN ' ' || '$NormJunk'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |n_t AS (SELECT doc_id, text, ${normalizeSql("text")} AS norm FROM m)
+         |SELECT doc_id, md5(norm) AS norm_hash,
+         |  length(text) - length(norm) AS len_delta,
+         |  len(regexp_extract_all(text,
+         |    '${graft.ops.TextOps.MojibakePattern}'))::INT AS mojibake_hits
+         |FROM n_t""".stripMargin,
 
     "q_extract_html" ->
       s"""WITH h AS (SELECT doc_id,

@@ -798,6 +798,59 @@ object TextOps {
       .agg(round(-sum(col("term")) / 1000000.0, 6).as("entropy"))
   }
 
+  /** The shared Unicode-normalization step list (pattern →
+    * replacement), interpreted identically by Java regex and RE2:
+    * line-ending fold, zero-width/soft-hyphen strip, Unicode-space
+    * fold, typographic quote/dash/ellipsis fold, control-char strip
+    * (tab and newline survive). Order matters and is part of the
+    * contract: \r\n folds FIRST (so the control strip can't orphan a
+    * \n), the ellipsis expands before nothing else cares. */
+  val UnicodeNormSteps: Seq[(String, String)] = Seq(
+    "\\r\\n?" -> "\n",
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]" -> "",
+    "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]" -> " ",
+    "[\\x{2018}\\x{2019}\\x{201A}]" -> "'",
+    "[\\x{201C}\\x{201D}\\x{201E}]" -> "\"",
+    "[\\x{2013}\\x{2014}]" -> "-",
+    "\\x{2026}" -> "...",
+    "[\\x{0000}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}]" -> "")
+
+  /**
+   * Unicode text normalization — the C4/CCNet-style cleanup that runs
+   * BEFORE any hashing or tokenization: folds line endings, strips
+   * zero-width characters and soft hyphens (invisible bytes that make
+   * visually identical texts hash differently — an exact-dedup
+   * poisoner), folds the Unicode space zoo to ASCII space, folds
+   * typographic quotes/dashes/ellipsis to their ASCII forms, and
+   * strips remaining control characters (tab and newline survive).
+   * Pure per-row codegen'd regex chain in the scan stage — no shuffle;
+   * the step list ([[UnicodeNormSteps]]) is shared verbatim with the
+   * DuckDB oracle replay.
+   */
+  def normalizeUnicode(text: Column): Column =
+    UnicodeNormSteps.foldLeft(text) { case (e, (pat, repl)) =>
+      regexp_replace(e, pat, repl)
+    }
+
+  /** Mojibake detector pattern: the classic UTF-8-read-as-Latin1/cp1252
+    * artifacts — 'Ã' followed by a Latin-1 tail byte (Ã© Ã¨ Ã¼ …),
+    * the 'â€¦'-family punctuation wrecks, and 'Â' before NBSP.
+    * Shared verbatim with the oracle. */
+  val MojibakePattern: String =
+    "(Ã[\\x{0080}-\\x{00FF}]|â€|Â\\x{00A0})"
+
+  /**
+   * Mojibake score — how many UTF-8-decoded-as-Latin1 artifacts a
+   * document carries (the ftfy class of crawl damage: 'Ã©' for 'é',
+   * 'â€™' for a right quote). A nonzero count flags a document whose
+   * BYTES need re-decoding, which no amount of downstream
+   * normalization fixes — the right pipeline response is re-decode or
+   * drop, so this is a filter signal, not a fixer. Codegen'd
+   * regexp_count, no shuffle.
+   */
+  def mojibakeScore(text: Column): Column =
+    regexp_count(text, lit(MojibakePattern))
+
   /**
    * Real-vocabulary BPE encoding of a token array: every word is
    * character-split and the ordered `merges` table is applied until no

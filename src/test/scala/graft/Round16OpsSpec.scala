@@ -267,6 +267,40 @@ class Round16OpsSpec extends AnyFunSuite {
       "default nprobe must be 2 (the recall-default front door)")
   }
 
+  // ---- normalizeUnicode + mojibakeScore ----
+
+  test("normalizeUnicode: every step fires; clean ASCII text is untouched") {
+    import graft.ops.TextOps
+    val dirty = "a​b­c “q” ‘s’ – — " +
+      "x… nb sp wide　space ctldel crlf\r\nlone\rend"
+    val out = Seq((1L, dirty), (2L, "plain ascii text\twith tab\nand newline"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.normalizeUnicode(col("text")).as("t"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "abc \"q\" 's' - - x... nb sp wide space ctldel crlf\nlone\nend")
+    assert(out(1) == "plain ascii text\twith tab\nand newline")
+    // the dedup-poisoner case: zero-width-infested twin hashes EQUAL
+    // after normalization
+    val a = "same visible text"
+    val b = "same​ visible﻿ text­"
+    val eq = Seq((a, b)).toDF("a", "b")
+      .select((md5(TextOps.normalizeUnicode(col("a"))) ===
+        md5(TextOps.normalizeUnicode(col("b")))).as("eq"))
+      .collect().head.getBoolean(0)
+    assert(eq)
+  }
+
+  test("mojibakeScore: UTF-8-as-Latin1 artifacts count; clean text scores 0") {
+    import graft.ops.TextOps
+    val rows = Seq(
+      (1L, "cafÃ© and aâ€™b and tailÂ end"),
+      (2L, "perfectly clean text with café and “quotes”"),
+      (3L, "")).toDF("id", "text")
+      .select(col("id"), TextOps.mojibakeScore(col("text")).as("hits"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows == Map(1L -> 3, 2L -> 0, 3L -> 0), rows.toString)
+  }
+
   // ---- langIdSpans: per-paragraph language segmentation ----
 
   test("langIdSpans: code-switched doc segments per paragraph; consecutive same-lang collapses") {
