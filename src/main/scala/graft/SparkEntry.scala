@@ -778,6 +778,14 @@ object SparkEntry {
         concat_ws("|", (0 until PqM).map(i => col(s"code_$i")): _*).as("codes"))
     }),
 
+    "q_ann_ivf_pq" -> ((s, dir) =>
+      // the COMPOSED billion-vector serving shape (IVFADC): route each
+      // query to its top-2 refit cells, ADC-score only those cells'
+      // PQ codes — candidate count (IVF) and width (PQ) both cut
+      Similarity.annIvfPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+        EmbDim, PqM, PqK, kCells = 8, col("vec_id") < 10, nprobe = 2,
+        topK = 3)),
+
     "q_ann_pq" -> ((s, dir) =>
       // recall@5 audit of the PQ asymmetric-distance scan vs exact brute
       // force — the m/k codebook-sizing read (the measured ladder on
@@ -4143,6 +4151,57 @@ object SparkEntry {
       s"""$pqChainSql
          |SELECT vec_id, array_to_string(list(code ORDER BY s), '|') AS codes
          |FROM enc GROUP BY vec_id""".stripMargin,
+
+    "q_ann_ivf_pq" ->
+      s"""$pqChainSql,
+         |un AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM u),
+         |iseed AS (SELECT (row_number() OVER (
+         |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell,
+         |    v AS sv, nrm AS snrm
+         |  FROM (SELECT vec_id, v, nrm FROM un
+         |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)),
+         |iasg AS (SELECT vec_id, cell FROM (
+         |    SELECT un.vec_id, iseed.cell,
+         |      row_number() OVER (PARTITION BY un.vec_id
+         |        ORDER BY round(${dotSql("un.v", "iseed.sv")} / (un.nrm * iseed.snrm), 6) DESC,
+         |          iseed.cell ASC) AS rn
+         |    FROM un CROSS JOIN iseed) WHERE rn = 1),
+         |ie AS (SELECT a.cell, idx, avg(v[idx]) AS cx
+         |  FROM un JOIN iasg a ON un.vec_id = a.vec_id,
+         |    unnest(range(1, len(v) + 1)) AS t(idx)
+         |  GROUP BY a.cell, idx),
+         |icvn AS (SELECT cell AS c_cell, cv,
+         |    sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
+         |  SELECT cell, list_transform(list(CAST(round(cx * 1000000) AS BIGINT)
+         |      ORDER BY idx), x -> x / 1000000.0) AS cv
+         |  FROM ie GROUP BY cell)),
+         |q2 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+         |  FROM un WHERE vec_id < 10),
+         |qc AS (SELECT q_id, qv, qnrm, c_cell AS qcell FROM (
+         |    SELECT q2.q_id, q2.qv, q2.qnrm, icvn.c_cell,
+         |      row_number() OVER (PARTITION BY q2.q_id
+         |        ORDER BY round(${dotSql("q2.qv", "icvn.cv")} / (q2.qnrm * icvn.cnrm), 6) DESC,
+         |          icvn.c_cell ASC) AS rn
+         |    FROM q2 CROSS JOIN icvn)
+         |  WHERE rn <= 2),
+         |parts2 AS (SELECT qc.q_id, e.vec_id AS neighbor_id, e.s, qc.qnrm,
+         |    ${dotSql(s"list_slice(qc.qv, e.s*${EmbDim / PqM} + 1, e.s*${EmbDim / PqM} + ${EmbDim / PqM})", "cb.cw")} AS part,
+         |    ${dotSql("cb.cw", "cb.cw")} AS cwsq
+         |  FROM qc JOIN iasg a ON a.cell = qc.qcell
+         |  JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id <> qc.q_id
+         |  JOIN cb ON cb.s = e.s AND cb.c_cell = e.code),
+         |sc2 AS (SELECT q_id, neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list(part ORDER BY s)),
+         |        (a, b) -> a + b)
+         |      / (min(qnrm) * sqrt(list_reduce(list_prepend(0.0,
+         |        list(cwsq ORDER BY s)), (a, b) -> a + b))), 6) AS score_pq
+         |  FROM parts2 GROUP BY q_id, neighbor_id)
+         |SELECT q_id, neighbor_id, score_pq, rn FROM (
+         |  SELECT q_id, neighbor_id, score_pq,
+         |    (row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_pq DESC, neighbor_id ASC))::INT AS rn
+         |  FROM sc2)
+         |WHERE rn <= 3""".stripMargin,
 
     "q_ann_pq" ->
       s"""$pqChainSql,

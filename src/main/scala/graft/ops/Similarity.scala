@@ -688,19 +688,34 @@ object Similarity {
    */
   def annIvfSearch(index: DataFrame, refit: DataFrame,
       queryFilter: Column, nprobe: Int = 2): DataFrame = {
+    val q = index.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val qCell = routeQueries(q, refit, nprobe)
+    val searchW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    index.join(broadcast(qCell),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
+      .withColumn("rn", row_number().over(searchW)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Query → probed-cell routing over the refit centroids: (q_id, qv,
+    * qnrm) → one row per (query, probed cell), top-`nprobe` cells by
+    * rounded centroid cosine. nprobe=1 routes through the one-kernel
+    * argmax (centroid matrix as ONE broadcast row; position → cell id
+    * via the parallel cells array — refit cells can be sparse); n > 1
+    * routes via a top-n window over the Q·|cells| broadcast join (same
+    * rounded cosine + smallest-cell tie-break; the query set is the
+    * small side by contract). */
+  private def routeQueries(q: DataFrame, refit: DataFrame,
+      nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = refit.select(col("cell").as("c_cell"),
         transform(col("centroid_scaled"), x => x / 1000000.0).as("cv"))
       .withColumn("cnrm", l2norm(col("cv")))
-    val q = index.filter(queryFilter)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // query routing through the one-kernel argmax: centroid matrix as
-    // ONE broadcast row; position → cell id via the parallel cells
-    // array (refit cells can be sparse — empty cells emit no centroid).
-    // nprobe > 1 routes via a top-n window over the Q·|cells| broadcast
-    // join instead (same rounded cosine + smallest-cell tie-break; the
-    // query set is the small side by contract).
-    val qCell = if (nprobe == 1) {
+    if (nprobe == 1) {
       val centRow = cents
         .agg(sort_array(collect_list(struct(col("c_cell"), col("cv"),
           col("cnrm")))).as("s"))
@@ -722,14 +737,61 @@ object Similarity {
         .filter(col("rn") <= nprobe)
         .select(col("q_id"), col("qv"), col("qnrm"), col("c_cell").as("qcell"))
     }
-    val searchW = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    index.join(broadcast(qCell),
+  }
+
+  /**
+   * THE COMPOSED 100 TB ANN PATH — IVF cells × PQ codes: queries route
+   * to their top-`nprobe` refit cells ([[buildIvfIndex]]) and
+   * ADC-score ONLY those cells' members, reading m code bytes per
+   * candidate instead of d floats ([[annPq]]'s scan). Per query:
+   * |Q|·kCells routing + nprobe·N/kCells candidates × m table lookups
+   * — both the candidate COUNT (IVF) and the candidate WIDTH (PQ)
+   * shrink, which is the standard billion-vector serving shape (IVFADC,
+   * Jégou et al.). Everything runs on the UNIT-normalized corpus
+   * (cosine retrieval) and the ADC score normalizes by |q|·|x̃| like
+   * [[annPq]]. Output: top-`topK` per query by (score desc, id asc).
+   * Probing ALL cells reproduces the full-scan [[annPq]] ranking
+   * exactly (spec-pinned); smaller nprobe trades recall for the N/kCells
+   * candidate cut — audit with [[annPqRecallAudit]]'s shape.
+   */
+  def annIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kCodes: Int, kCells: Int,
+      queryFilter: Column, nprobe: Int = 2, topK: Int = 1): DataFrame = {
+    val corpus = prepared(emb, idCol, vecCol)
+    val unit = corpus.filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+    val (index, refit) = buildIvfIndex(unit, "vec_id", "v", kCells)
+    val (codes, codebooks) = quantizePq(unit, "vec_id", "v", dim, m, kCodes)
+    val q = index.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val routed = routeQueries(q, refit, nprobe)
+    val sub = dim / m
+    def subv(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
+    val cbRow = codebooks
+      .agg(sort_array(collect_list(struct(col("s"), col("cell"),
+        col("cw_scaled")))).as("cb"))
+      .select((0 until m).flatMap { s =>
+        val mine = filter(col("cb"), x => x.getField("s") === s)
+        Seq(
+          transform(mine, x => x.getField("cell")).as(s"cells_$s"),
+          transform(mine, x =>
+            transform(x.getField("cw_scaled"), e => e / 1000000.0))
+            .as(s"cws_$s"))
+      }: _*)
+    def cw(s: Int): Column =
+      element_at(col(s"cws_$s"),
+        array_position(col(s"cells_$s"), col(s"code_$s")).cast("int"))
+    val num = (0 until m).map(s => dot(subv(col("qv"), s), cw(s))).reduce(_ + _)
+    val recNrm = sqrt((0 until m).map(s => dot(cw(s), cw(s))).reduce(_ + _))
+    val withCell = codes.join(index.select(col("vec_id"), col("cell")), "vec_id")
+    val scored = withCell.crossJoin(broadcast(cbRow))
+      .join(broadcast(routed),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
-        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
-      .withColumn("rn", row_number().over(searchW)).filter(col("rn") === 1)
-      .drop("rn")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(num / (col("qnrm") * recNrm), 6).as("score_pq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_pq").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
   }
 
   /**

@@ -425,6 +425,41 @@ class Round16OpsSpec extends AnyFunSuite {
     info(f"recall@5: pq32x=$gate%.3f pq16x=$fine%.3f int8(4x)=$i8Recall%.3f")
   }
 
+  // ---- annIvfPq: the composed IVFADC path ----
+
+  test("annIvfPq probing ALL cells == the full-scan annPq ranking; nprobe cuts candidates") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qf = col("vec_id") < 5
+    val (dim, m, kc, cells) = (64, 8, 16, 4)
+    // full-scan twin on the same unit-normalized corpus
+    val corpus = Similarity.prepared(emb, "vec_id", "embedding")
+    val unit = corpus.filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+    val (codes, books) = Similarity.quantizePq(unit, "vec_id", "v", dim, m, kc)
+    val full = Similarity.annPq(codes, books,
+        unit.filter(qf).select(col("vec_id"), col("v")), dim, m, 3)
+      .select("q_id", "neighbor_id", "score_pq", "rn")
+      .collect().map(_.toSeq).toSet
+    // probing every cell = no candidate is ever routed away
+    val allCells = Similarity.annIvfPq(emb, "vec_id", "embedding",
+        dim, m, kc, cells, qf, nprobe = cells, topK = 3)
+      .select("q_id", "neighbor_id", "score_pq", "rn")
+      .collect().map(_.toSeq).toSet
+    assert(allCells == full,
+      s"all-cells IVFADC must equal the full ADC scan\n$allCells\nvs\n$full")
+    // nprobe=1: per query the top-1 neighbor comes from ONE cell's
+    // members only — a (possibly empty or lower-scoring) subset ranking
+    val one = Similarity.annIvfPq(emb, "vec_id", "embedding",
+        dim, m, kc, cells, qf, nprobe = 1, topK = 3)
+      .groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullCounts = full.groupBy(_.head).view.mapValues(_.size).toMap
+    one.foreach { case (q, n) =>
+      assert(n <= fullCounts(q), "nprobe=1 can never ADD candidates")
+    }
+  }
+
   // ---- WavAudio: container with no declared frame count ----
 
   test("WavAudio derives the frame count when the container declares none (AU unknown size)") {
