@@ -73,10 +73,18 @@ object Sf1Soak {
       "winnow_pairs_capped" -> (d =>
         Dedup.winnowPairsCapped(d, "doc_id", "text", maxBucket = 64)),
       "dedup_spans" -> (d => Dedup.dedupSpans(d, "doc_id", "text", 8)))
+    // embed cases return the DISTINCT cluster ids so the out column
+    // doubles as the recall readout (coarser bands find fewer pairs ->
+    // more singleton clusters)
     val embCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "embed_clusters" -> (e => Dedup.embedClustersCollapsed(
         graft.ops.Similarity.prepared(e, "vec_id", "embedding"),
-        0.4, 64, 4, 64)))
+        0.4, 64, 4, 64).select(col("cluster_id")).distinct()),
+      // the scale lever: 2^bandBits band values must grow with the
+      // corpus like IVF's k — 8-bit bands cut per-bucket occupancy 16x
+      "embed_clusters_b8" -> (e => Dedup.embedClustersCollapsed(
+        graft.ops.Similarity.prepared(e, "vec_id", "embedding"),
+        0.4, 64, 8, 64).select(col("cluster_id")).distinct()))
 
     ProbeSupport.noop(docs1.groupBy(col("source")).count()) // warmup
     val walls = scala.collection.mutable.Map[(String, Int), Double]()
