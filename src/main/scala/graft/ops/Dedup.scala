@@ -644,6 +644,19 @@ object Dedup {
    *
    * Input is a [[Similarity.prepared]] corpus; output (vec_id,
    * cluster_id) for every input row.
+   *
+   * SCALE CONTRACT (measured, Sf1Soak r16 — the DISTINCT-corpus
+   * decade): `bandBits` is the bucket-occupancy lever, exactly like
+   * IVF's k. 2^bandBits band values must grow with the corpus:
+   * bandBits=4 (16 values) on a 20k unstructured corpus measured
+   * 36.5× wall at ×10 rows (per-band occupancy n/16 ⇒ ~n² candidate
+   * pairs); bandBits=8 reads 10.3× (262 s → 26 s at ×10). The
+   * `threshold` couples in: on unstructured high-dim data a LOW
+   * threshold (the 0.4 demo setting) admits ~0.07% of ALL random
+   * pairs, which percolates the cluster graph into one giant
+   * component at ~10⁴ vectors regardless of banding — clustering at
+   * scale needs dedup-realistic thresholds (≥ 0.9, where per-band
+   * collision probability collapses) AND band bits sized to n.
    */
   def embedClustersCollapsed(corpus: DataFrame, threshold: Double,
       planes: Int, bandBits: Int, dim: Int): DataFrame = {
