@@ -173,6 +173,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_ams_f2", "q_ann_int8", "q_ann_ivf", "q_ann_recall",
       // bounded k-row seed/centroid broadcasts (the IVF build + route)
       "q_ann_ivf_refit", "q_ann_ivf_probe2",
+      // 1-row seed-matrix / codebook-row broadcasts (PQ build + encode)
+      // plus the bounded query-set broadcast on the ADC scans
+      "q_pq_codes", "q_ann_pq", "q_ann_ivf_pq",
       "q_bloom_fp_audit", "q_bm25", "q_cms_join_size", "q_cosine_topk",
       // bounded query-set broadcast, same shape as q_cosine_topk
       "q_hard_negatives", "q_margin_mine",
