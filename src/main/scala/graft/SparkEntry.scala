@@ -778,6 +778,13 @@ object SparkEntry {
         concat_ws("|", (0 until PqM).map(i => col(s"code_$i")): _*).as("codes"))
     }),
 
+    "q_kmeans" -> ((s, dir) =>
+      // spherical k-means, 2 full Lloyd iterations past the seed draw —
+      // the topic-bucketing / cluster-balanced-mixing primitive
+      // (refitQuantizer is exactly one iteration of this loop)
+      Similarity.sphericalKmeans(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2)._1),
+
     "q_ann_ivf_pq" -> ((s, dir) =>
       // the COMPOSED billion-vector serving shape (IVFADC): route each
       // query to its top-2 refit cells, ADC-score only those cells'
@@ -4151,6 +4158,43 @@ object SparkEntry {
       s"""$pqChainSql
          |SELECT vec_id, array_to_string(list(code ORDER BY s), '|') AS codes
          |FROM enc GROUP BY vec_id""".stripMargin,
+
+    "q_kmeans" -> {
+      // unrolled 2-iteration Lloyd replay: seeds (micro-scaled) -> asg ->
+      // refit c1 -> asg -> refit c2 -> FINAL assignment. Each refit
+      // micro-rounds, so every iteration is engine-exact.
+      def asgSql(centCte: String): String =
+        s"""SELECT vec_id, cell FROM (
+           |    SELECT nn.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY nn.vec_id
+           |        ORDER BY round(${dotSql("nn.v", "c.cv")} / (nn.nrm * c.cnrm), 6) DESC,
+           |          c.cell ASC) AS rn
+           |    FROM nn CROSS JOIN $centCte c) WHERE rn = 1""".stripMargin
+      def refitSql(asgCte: String): String =
+        s"""SELECT cell, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
+           |  SELECT a.cell, list_transform(list(CAST(round(cx * 1000000) AS BIGINT)
+           |      ORDER BY idx), x -> x / 1000000.0) AS cv FROM (
+           |    SELECT a.cell, idx, avg(v[idx]) AS cx
+           |    FROM nn JOIN $asgCte a ON nn.vec_id = a.vec_id,
+           |      unnest(range(1, len(v) + 1)) AS t(idx)
+           |    GROUP BY a.cell, idx) a(cell, idx, cx)
+           |  GROUP BY cell)""".stripMargin
+      s"""$EmbCte,
+         |nn AS (SELECT vec_id, v,
+         |    sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM n WHERE v IS NOT NULL AND len(v) > 0),
+         |c0 AS (SELECT (row_number() OVER (
+         |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell,
+         |    list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT) / 1000000.0) AS cv
+         |  FROM (SELECT vec_id, v FROM nn
+         |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)),
+         |c0n AS (SELECT cell, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM c0),
+         |a1 AS (${asgSql("c0n")}),
+         |c1 AS (${refitSql("a1")}),
+         |a2 AS (${asgSql("c1")}),
+         |c2 AS (${refitSql("a2")})
+         |${asgSql("c2")}""".stripMargin
+    },
 
     "q_ann_ivf_pq" ->
       s"""$pqChainSql,

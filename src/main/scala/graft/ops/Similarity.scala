@@ -740,6 +740,74 @@ object Similarity {
   }
 
   /**
+   * SPHERICAL K-MEANS — the multi-iteration Lloyd loop behind topic
+   * bucketing, cluster-balanced data mixing and curriculum grouping
+   * ([[refitQuantizer]] is exactly one iteration of this): k
+   * deterministic md5-order seeds, then `iters` rounds of
+   * (cosine-assign every vector via ONE [[graft.functions.NearestSeed]]
+   * kernel call against the broadcast centroid matrix → one
+   * [[graft.functions.VectorMean]] refit per cell), then a final
+   * assignment against the converged centroids. Cosine assignment +
+   * mean centroids is the standard embedding-space (spherical)
+   * variant; centroids are micro-scaled integers after EVERY refit so
+   * each iteration — and therefore the whole trajectory — is
+   * bit-reproducible on any engine.
+   *
+   * Scale shape per iteration: one broadcast (k·dim doubles), one
+   * narrow scan with k·dim multiply-adds per row, ONE exchange
+   * carrying O(k·dim) combined state (VectorMean map-side partials) —
+   * iters × that, with the k-row centroid frame locally checkpointed
+   * between rounds so lineage stays flat. Cells that lose every member
+   * die (standard Lloyd); ties go to the smallest cell.
+   *
+   * Returns (assignments (vec_id, cell), centroids (cell,
+   * centroid_scaled)).
+   */
+  def sphericalKmeans(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val base = emb
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", l2norm(col("v")))
+    val seedW = Window.orderBy(col("h").asc, col("vec_id").asc)
+    val micro = (c: Column) =>
+      transform(c, x => round(x * 1000000).cast("long"))
+    var cents: DataFrame = base
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(k)
+      .withColumn("cell", row_number().over(seedW) - 1)
+      .select(col("cell"), micro(col("v")).as("centroid_scaled"))
+    def assign(c: DataFrame): DataFrame = {
+      val cRow = c
+        .select(col("cell"),
+          transform(col("centroid_scaled"), x => x / 1000000.0).as("cv"))
+        .withColumn("cnrm", l2norm(col("cv")))
+        .agg(sort_array(collect_list(struct(col("cell"), col("cv"),
+          col("cnrm")))).as("s"))
+        .select(expr("transform(s, x -> x.cell)").as("cells"),
+          expr("transform(s, x -> x.cv)").as("cvs"),
+          expr("transform(s, x -> x.cnrm)").as("cnrms"))
+      base.crossJoin(broadcast(cRow))
+        .select(col("vec_id"), col("v"),
+          element_at(col("cells"),
+            nearestSeed(col("v"), col("nrm"), col("cvs"), col("cnrms")) + 1)
+            .as("cell"))
+    }
+    var i = 0
+    while (i < iters) {
+      cents = assign(cents)
+        .groupBy(col("cell"))
+        .agg(graft.functions.GraftFunctions.vector_mean(col("v")).as("mean"))
+        .select(col("cell"), micro(col("mean")).as("centroid_scaled"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    (assign(cents).select(col("vec_id"), col("cell")), cents)
+  }
+
+  /**
    * THE COMPOSED 100 TB ANN PATH — IVF cells × PQ codes: queries route
    * to their top-`nprobe` refit cells ([[buildIvfIndex]]) and
    * ADC-score ONLY those cells' members, reading m code bytes per

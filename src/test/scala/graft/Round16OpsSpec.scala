@@ -425,6 +425,73 @@ class Round16OpsSpec extends AnyFunSuite {
     info(f"recall@5: pq32x=$gate%.3f pq16x=$fine%.3f int8(4x)=$i8Recall%.3f")
   }
 
+  // ---- sphericalKmeans ----
+
+  test("sphericalKmeans: separable clusters recovered pure; centroids are member means") {
+    import graft.ops.Similarity
+    // 3 tight direction clusters of 30 (ground truth = vec_id / 30;
+    // the md5-order k=4 seed draw spans all three: ids 27,63,60,59 ->
+    // clusters 0,2,2,1), per-element jitter so within-cluster cosine
+    // is high but NOT a tie
+    def truth(i: Long): Int = (i / 30L).toInt
+    val emb = (0L until 90L).map { i =>
+      (i, Array.tabulate(9)(d =>
+        (if (d / 3 == truth(i)) 1.0 else 0.03) +
+          0.02 * (((i * 13 + d * 7) % 10) / 10.0)))
+    }.toDF("vec_id", "embedding")
+    val (asg, cents) = Similarity.sphericalKmeans(emb, "vec_id", "embedding",
+      k = 4, iters = 3)
+    val rows = asg.collect().map(r => r.getLong(0) -> r.getInt(1))
+    // PURITY: no cell mixes ground-truth clusters
+    rows.groupBy(_._2).foreach { case (cell, ms) =>
+      assert(ms.map(m => truth(m._1)).distinct.length == 1,
+        s"cell $cell mixes clusters: ${ms.toSeq}")
+    }
+    // and no ground-truth cluster is scattered beyond the seed count
+    // it received (0 and 1 got one seed each -> exactly one cell)
+    val cellsOf = rows.groupBy(m => truth(m._1))
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(cellsOf(0).size == 1 && cellsOf(1).size == 1, cellsOf.toString)
+    // centroid of EVERY cell == micro-rounded element mean of members
+    val cmap = cents.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val vecs = emb.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    rows.groupBy(_._2).foreach { case (cell, ms) =>
+      val vs = ms.map(m => vecs(m._1))
+      val mean = (0 until 9).map(d =>
+        math.round(vs.map(_(d)).sum / vs.size * 1000000))
+      assert(cmap(cell) == mean, s"cell $cell centroid mismatch")
+    }
+  }
+
+  test("sphericalKmeans: extra iterations never hurt the objective; degenerate arms") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def objective(iters: Int): Double = {
+      val (asg, cents) = Similarity.sphericalKmeans(emb, "vec_id", "embedding",
+        k = 8, iters = iters)
+      val c = cents.select(col("cell"),
+          transform(col("centroid_scaled"), x => x / 1000000.0).as("cv"))
+        .withColumn("cnrm", Similarity.l2norm(col("cv")))
+      Similarity.prepared(emb, "vec_id", "embedding")
+        .join(asg, "vec_id").join(c, "cell")
+        .select(Similarity.cosine6(col("v"), col("nrm"), col("cv"), col("cnrm"))
+          .as("cos"))
+        .agg(avg("cos")).collect().head.getDouble(0)
+    }
+    val (o1, o3) = (objective(1), objective(3))
+    assert(o3 >= o1 - 1e-4, s"iters=3 objective $o3 < iters=1 $o1")
+    // k > n: every vector its own cell, all cells distinct
+    val tiny = (0L until 3L).map(i =>
+      (i, Array.tabulate(4)(d => if (d == i) 1.0 else 0.0))).toDF("vec_id", "embedding")
+    val (ta, _) = Similarity.sphericalKmeans(tiny, "vec_id", "embedding", 8, 2)
+    assert(ta.collect().map(_.getInt(1)).distinct.length == 3)
+    // all-identical vectors: ties -> everyone in ONE cell
+    val same = (0L until 6L).map(i => (i, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val (sa, sc) = Similarity.sphericalKmeans(same, "vec_id", "embedding", 4, 2)
+    assert(sa.collect().map(_.getInt(1)).distinct.length == 1)
+    assert(sc.count() == 1L)
+  }
+
   // ---- annIvfPq: the composed IVFADC path ----
 
   test("annIvfPq probing ALL cells == the full-scan annPq ranking; nprobe cuts candidates") {
