@@ -577,6 +577,25 @@ object SparkEntry {
         md5(TextOps.redact(col("text"))).as("redacted_hash"),
         (length(col("text")) - length(TextOps.redact(col("text")))).as("len_delta"))),
 
+    "q_redact_pii" -> ((s, dir) => {
+      // extended PII scrub: a deterministic slice gets phone (both
+      // forms), grouped card, IPv4 AND a bare digit run that must
+      // survive (ids are not PII) spliced in; all arms fire
+      val m = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit(" call 555-867-5309 or +1 (415) 555-2671 now, card" +
+              " 4111 1111 1111 1111, host 10.0.255.254, id 1234567890 stays"))
+            .otherwise(lit(""))).as("text"))
+      m.select(col("doc_id"),
+        md5(TextOps.redactPii(col("text"))).as("redacted_hash"),
+        (length(col("text")) - length(TextOps.redactPii(col("text"))))
+          .as("len_delta"),
+        regexp_count(col("text"), lit(TextOps.PiiPatterns(0)._1)).as("n_cc"),
+        regexp_count(col("text"), lit(TextOps.PiiPatterns(1)._1)).as("n_phone"),
+        regexp_count(col("text"), lit(TextOps.PiiPatterns(2)._1)).as("n_ip"))
+    }),
+
     "q_normalize_text" -> ((s, dir) => {
       // Unicode normalization + mojibake detection gate: a deterministic
       // slice of docs gets the junk splice (zero-width chars, curly
@@ -3851,6 +3870,29 @@ object SparkEntry {
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^\s]+', '<URL>', 'g')) AS len_delta
         |FROM documents""".stripMargin,
+
+    "q_redact_pii" -> {
+      val redactSql = {
+        var e = "regexp_replace(regexp_replace(text, " +
+          "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+          "'https?://[^\\s]+', '<URL>', 'g')"
+        graft.ops.TextOps.PiiPatterns.foreach { case (pat, repl) =>
+          e = s"regexp_replace($e, '$pat', '$repl', 'g')"
+        }
+        e
+      }
+      def cnt(i: Int) =
+        s"len(regexp_extract_all(text, '${graft.ops.TextOps.PiiPatterns(i)._1}'))::INT"
+      s"""WITH m AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 11 = 0
+         |      THEN ' call 555-867-5309 or +1 (415) 555-2671 now, card 4111 1111 1111 1111, host 10.0.255.254, id 1234567890 stays'
+         |      ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id, md5($redactSql) AS redacted_hash,
+         |  length(text) - length($redactSql) AS len_delta,
+         |  ${cnt(0)} AS n_cc, ${cnt(1)} AS n_phone, ${cnt(2)} AS n_ip
+         |FROM m""".stripMargin
+    },
 
     "q_normalize_text" ->
       s"""WITH m AS (SELECT doc_id,

@@ -1039,6 +1039,33 @@ object TextOps {
       regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
       "https?://[^\\s]+", "<URL>")
 
+  /** The extended PII pattern set, applied AFTER [[redact]]'s
+    * email/URL masking and in this order (card before phone — a
+    * grouped 16-digit card would otherwise partially match as a
+    * phone; URL before IP is [[redact]]'s job so IP-in-URL is already
+    * masked). Grouped/separated forms only — bare digit runs are ids
+    * and part numbers far more often than PII, so they stay. Shared
+    * verbatim with the oracle (RE2-safe: no lookarounds, no
+    * backreferences). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "\\b[0-9]{4}([- ][0-9]{4}){3}\\b" -> "<CC>",
+    "(\\+[0-9]{1,3}[-. ])?(\\([0-9]{3}\\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b" -> "<PHONE>",
+    "\\b(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\\b" -> "<IP>")
+
+  /**
+   * Extended PII-style redaction: [[redact]]'s email/URL masks plus
+   * grouped credit-card numbers, separated phone numbers (optional
+   * country code, (NNN) or NNN- forms) and dotted IPv4 addresses —
+   * the pre-training scrub pass beyond contact handles. Pattern-shape
+   * only (no Luhn, no carrier validation): the pipeline goal is
+   * lowering leakage risk, and a false <CC> on a 4×4-grouped serial
+   * costs nothing. Pure per-row codegen'd regex chain, no shuffle.
+   */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(redact(text)) { case (e, (pat, repl)) =>
+      regexp_replace(e, pat, repl)
+    }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

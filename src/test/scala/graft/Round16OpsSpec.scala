@@ -301,6 +301,24 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 3, 2L -> 0, 3L -> 0), rows.toString)
   }
 
+  // ---- redactPii ----
+
+  test("redactPii: every pattern fires exactly once; non-PII digit runs survive") {
+    import graft.ops.TextOps
+    val t = "mail a@b.co see https://x.io/p call 555-867-5309 " +
+      "or +1 (415) 555-2671 card 4111 1111 1111 1111 host 10.0.255.254 " +
+      "id 1234567890 stays, version 1.2.3.4 is an IP-shape too"
+    val out = Seq(Tuple1(t)).toDF("text")
+      .select(TextOps.redactPii(col("text"))).collect().head.getString(0)
+    assert(out == "mail <EMAIL> see <URL> call <PHONE> or <PHONE> " +
+      "card <CC> host <IP> id 1234567890 stays, version <IP> is an IP-shape too",
+      out)
+    // 999 octets are not IPv4; ungrouped 16 digits are not a card
+    val neg = Seq(Tuple1("999.999.999.999 and 4111111111111111")).toDF("text")
+      .select(TextOps.redactPii(col("text"))).collect().head.getString(0)
+    assert(neg == "999.999.999.999 and 4111111111111111", neg)
+  }
+
   // ---- langIdSpans: per-paragraph language segmentation ----
 
   test("langIdSpans: code-switched doc segments per paragraph; consecutive same-lang collapses") {
