@@ -568,6 +568,26 @@ object SparkEntry {
         concat_ws(" ", slice(col("enc"), 1, 10)).as("sample"))
     }),
 
+    "q_bpe_budget_audit" -> ((s, dir) => {
+      // real-vs-estimate token accounting per source under the pinned
+      // gate vocabulary: the correction factor that tells budget math
+      // how far the regex ESTIMATE drifts — per source, because the
+      // drift is vocabulary-dependent and sources differ
+      val d = docs(s, dir)
+        .select(col("source"),
+          TextOps.tokensNative(col("text")).as("toks"),
+          TextOps.tokenCountBpe(col("text")).cast("long").as("nt_est"))
+        .select(col("source"), col("nt_est"),
+          size(TextOps.bpeEncode(col("toks"), TextOps.BpeGateMerges))
+            .cast("long").as("nt_real"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt_real")).as("tokens_real"),
+          sum(col("nt_est")).as("tokens_est"))
+        .withColumn("est_ratio", round(when(col("tokens_est") > 0,
+          col("tokens_real").cast("double") / col("tokens_est").cast("double")), 6))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
@@ -2998,6 +3018,43 @@ object SparkEntry {
        |  FROM scored)
        |WHERE rn = 1""".stripMargin
 
+  /** Shared BPE oracle chain: ascending-rank replay of the pinned
+    * merges table — per rank, two LTR non-overlapping replace passes
+    * over the |-delimited symbol string (== graft.functions.BpeEncode's
+    * min-rank loop for any well-formed table). Encodes DISTINCT words
+    * once via a recursive CTE, joins back; ends with `agg` (doc_id →
+    * n_bpe_real, all_toks) and keeps `toks_t` visible. */
+  private def bpeChainSql: String = {
+    val mv = graft.ops.TextOps.BpeGateMerges.zipWithIndex
+      .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
+    val m = graft.ops.TextOps.BpeGateMerges.size
+    s"""WITH RECURSIVE mg(rank, x, y) AS (VALUES $mv),
+       |toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |wt AS (SELECT doc_id, toks[i] AS word, i AS ord
+       |  FROM toks_t, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |w AS (SELECT DISTINCT word FROM wt),
+       |enc AS (
+       |  SELECT word,
+       |    '|' || array_to_string(list_transform(
+       |      range(1, len(word) + 1), i -> word[i]), '|') || '|' AS s,
+       |    0 AS r
+       |  FROM w
+       |  UNION ALL
+       |  SELECT enc.word,
+       |    replace(replace(enc.s,
+       |      '|' || mg.x || '|' || mg.y || '|', '|' || mg.x || mg.y || '|'),
+       |      '|' || mg.x || '|' || mg.y || '|', '|' || mg.x || mg.y || '|'),
+       |    enc.r + 1
+       |  FROM enc JOIN mg ON mg.rank = enc.r),
+       |fin AS (SELECT word,
+       |    list_filter(string_split(s, '|'), t -> t <> '') AS wtoks
+       |  FROM enc WHERE r = $m),
+       |agg AS (SELECT doc_id,
+       |    sum(len(wtoks)) AS n_bpe_real,
+       |    string_agg(array_to_string(wtoks, ' '), ' ' ORDER BY ord) AS all_toks
+       |  FROM wt JOIN fin USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
   /** The deterministic junk splice the q_normalize_text gate appends to
     * every ninth doc: zero-width space, curly quotes, em dash,
     * ellipsis, 'Ã©'/'â€™' mojibake, 'Â'+NBSP, and a BEL control char.
@@ -3810,39 +3867,8 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
 
-    "q_bpe_encode" -> {
-      // ascending-rank replay of the pinned merges table: per rank, two
-      // LTR non-overlapping replace passes over the |-delimited symbol
-      // string (== graft.functions.BpeEncode's min-rank loop for any
-      // well-formed table). Encode DISTINCT words once, join back.
-      val mv = graft.ops.TextOps.BpeGateMerges.zipWithIndex
-        .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
-      val m = graft.ops.TextOps.BpeGateMerges.size
-      s"""WITH RECURSIVE mg(rank, x, y) AS (VALUES $mv),
-         |toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |wt AS (SELECT doc_id, toks[i] AS word, i AS ord
-         |  FROM toks_t, unnest(range(1, len(toks) + 1)) AS u(i)),
-         |w AS (SELECT DISTINCT word FROM wt),
-         |enc AS (
-         |  SELECT word,
-         |    '|' || array_to_string(list_transform(
-         |      range(1, len(word) + 1), i -> word[i]), '|') || '|' AS s,
-         |    0 AS r
-         |  FROM w
-         |  UNION ALL
-         |  SELECT enc.word,
-         |    replace(replace(enc.s,
-         |      '|' || mg.x || '|' || mg.y || '|', '|' || mg.x || mg.y || '|'),
-         |      '|' || mg.x || '|' || mg.y || '|', '|' || mg.x || mg.y || '|'),
-         |    enc.r + 1
-         |  FROM enc JOIN mg ON mg.rank = enc.r),
-         |fin AS (SELECT word,
-         |    list_filter(string_split(s, '|'), t -> t <> '') AS wtoks
-         |  FROM enc WHERE r = $m),
-         |agg AS (SELECT doc_id,
-         |    sum(len(wtoks)) AS n_bpe_real,
-         |    string_agg(array_to_string(wtoks, ' '), ' ' ORDER BY ord) AS all_toks
-         |  FROM wt JOIN fin USING (word) GROUP BY doc_id)
+    "q_bpe_encode" ->
+      s"""$bpeChainSql
          |SELECT t.doc_id, len(t.toks) AS n_words,
          |  coalesce(a.n_bpe_real, 0)::INT AS n_bpe_real,
          |  round(CASE WHEN len(t.toks) > 0
@@ -3851,8 +3877,21 @@ object SparkEntry {
          |  coalesce(array_to_string(
          |    list_slice(string_split(a.all_toks, ' '), 1, 10), ' '), '')
          |    AS sample
-         |FROM toks_t t LEFT JOIN agg a USING (doc_id)""".stripMargin
-    },
+         |FROM toks_t t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_bpe_budget_audit" ->
+      s"""$bpeChainSql,
+         |est AS (SELECT doc_id, source,
+         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS nt_est
+         |  FROM documents)
+         |SELECT e.source, count(*)::BIGINT AS n_docs,
+         |  sum(coalesce(a.n_bpe_real, 0))::BIGINT AS tokens_real,
+         |  sum(e.nt_est)::BIGINT AS tokens_est,
+         |  round(CASE WHEN sum(e.nt_est) > 0
+         |    THEN sum(coalesce(a.n_bpe_real, 0))::DOUBLE / sum(e.nt_est)::DOUBLE
+         |    END, 6) AS est_ratio
+         |FROM est e LEFT JOIN agg a USING (doc_id)
+         |GROUP BY e.source""".stripMargin,
 
     "q_fingerprint" ->
       """WITH n_t AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm FROM documents)
