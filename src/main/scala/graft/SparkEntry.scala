@@ -597,6 +597,22 @@ object SparkEntry {
         md5(TextOps.redact(col("text"))).as("redacted_hash"),
         (length(col("text")) - length(TextOps.redact(col("text")))).as("len_delta"))),
 
+    "q_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking: a shared ~190-char passage is
+      // appended to one doc slice and PREPENDED to another (shifted!)
+      // so cross-doc shared chunks exist despite the offset — the case
+      // fixed-stride chunking structurally misses
+      val passage = "the shared press release body repeats verbatim " +
+        "across mirror sites with minor chrome and navigation " +
+        "differences around it while the core paragraph stays byte " +
+        "identical after whitespace normalization"
+      val m = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" " + passage)))
+          .when(col("doc_id") % 17 === 1, concat(lit(passage + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.cdcChunks(m, "doc_id", "text")
+    }),
+
     "q_redact_pii" -> ((s, dir) => {
       // extended PII scrub: a deterministic slice gets phone (both
       // forms), grouped card, IPv4 AND a bare digit run that must
@@ -3909,6 +3925,49 @@ object SparkEntry {
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^\s]+', '<URL>', 'g')) AS len_delta
         |FROM documents""".stripMargin,
+
+    "q_cdc_chunks" -> {
+      val passage = "the shared press release body repeats verbatim " +
+        "across mirror sites with minor chrome and navigation " +
+        "differences around it while the core paragraph stays byte " +
+        "identical after whitespace normalization"
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' $passage'
+         |         WHEN doc_id % 17 = 1 THEN '$passage ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+         |  FROM m),
+         |hit AS (SELECT doc_id, i FROM (
+         |    SELECT doc_id, i, md5(substr(nrm, (i - 15)::INT, 16)) AS h
+         |    FROM b, unnest(range(16, len(nrm) + 1)) AS t(i))
+         |  WHERE ${hexToLong("h", 1, 8)} % 64 = 0),
+         |bnd AS (SELECT b.doc_id, b.nrm,
+         |    list_concat(list_concat([0::BIGINT],
+         |      coalesce(list(hit.i ORDER BY hit.i)
+         |        FILTER (WHERE hit.i IS NOT NULL), [])),
+         |      [len(b.nrm)::BIGINT]) AS bounds
+         |  FROM b LEFT JOIN hit USING (doc_id) GROUP BY b.doc_id, b.nrm),
+         |e AS (SELECT doc_id, list_transform(
+         |    list_filter(list_transform(range(1, len(bounds)), j ->
+         |      substr(nrm, (bounds[j] + 1)::INT,
+         |        (bounds[j + 1] - bounds[j])::INT)), c -> c <> ''),
+         |    c -> md5(c)) AS chs
+         |  FROM bnd),
+         |p AS (SELECT DISTINCT doc_id, ch FROM (
+         |    SELECT doc_id, unnest(chs) AS ch FROM e)),
+         |dc AS (SELECT ch, count(*) AS nd FROM p GROUP BY ch),
+         |sh AS (SELECT doc_id, count(*) AS n_shared
+         |  FROM p JOIN dc USING (ch) WHERE nd >= 2 GROUP BY doc_id)
+         |SELECT e.doc_id, len(chs)::INT AS n_chunks,
+         |  len(list_distinct(chs))::INT AS n_distinct,
+         |  coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+         |  round(CASE WHEN len(list_distinct(chs)) > 0
+         |    THEN coalesce(sh.n_shared, 0)::DOUBLE
+         |      / len(list_distinct(chs))::DOUBLE END, 6) AS shared_frac
+         |FROM e LEFT JOIN sh USING (doc_id)""".stripMargin
+    },
 
     "q_redact_pii" -> {
       val redactSql = {

@@ -852,6 +852,68 @@ object TextOps {
     regexp_count(text, lit(MojibakePattern))
 
   /**
+   * CONTENT-DEFINED CHUNKING (Rabin-style) + cross-document
+   * shared-chunk detection — the shifted-content dedup primitive:
+   * insert one sentence at the top of a copied page and every
+   * fixed-stride chunk shifts (chunkStride finds nothing), but
+   * content-defined boundaries re-synchronize right after the edit,
+   * so the copied tail still dedups. A position i of the
+   * whitespace-normalized text is a boundary when the hash of the
+   * `window` chars ending at i satisfies hash % 2^maskBits == 0 —
+   * mean chunk length ≈ 2^maskBits chars, geometric tails (the
+   * min/max clamping of FastCDC is a caller-side refinement; pure
+   * mask-hit boundaries keep the op stateless and engine-exact).
+   *
+   * Output per doc: n_chunks (instances), n_distinct (distinct chunk
+   * hashes), n_shared (distinct hashes appearing in ≥ 2 docs),
+   * shared_frac. Scale shape: boundary detection is per-row scan-stage
+   * work (O(len) md5s through the same hex arithmetic the oracle
+   * replays — at real scale swap in a doGenCode rolling-hash kernel,
+   * the [[graft.functions.Fingerprint]] family's path); chunk TEXT
+   * never shuffles — only (doc_id, 16-byte chunk-md5) pairs exchange
+   * for the doc-count pass and join back (the [[boilerplate]] shape).
+   */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 16,
+      maskBits: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(window >= 2 && window <= 256, s"window must be in [2,256], got $window")
+    require(maskBits >= 1 && maskBits <= 20,
+      s"maskBits must be in [1,20], got $maskBits")
+    val m = 1L << maskBits
+    val base = docs.select(col(idCol).as("doc_id"),
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("nrm"))
+    val cand = filter(
+      when(length(col("nrm")) >= window,
+        sequence(lit(window), length(col("nrm")))).otherwise(
+        array().cast("array<int>")),
+      i => conv(substring(md5(col("nrm").substr(i - window + 1, lit(window))),
+        1, 8), 16, 10).cast("long") % m === 0)
+    val withBounds = base.withColumn("bounds",
+      concat(array(lit(0)), cand, array(length(col("nrm")))))
+    val chunks = filter(
+      transform(sequence(lit(1), size(col("bounds")) - 1), j =>
+        col("nrm").substr(element_at(col("bounds"), j) + 1,
+          element_at(col("bounds"), j + 1) - element_at(col("bounds"), j))),
+      c => c =!= "")
+    val withChunks = withBounds.select(col("doc_id"),
+      transform(chunks, c => md5(c)).as("chs"))
+    val pairs = withChunks
+      .select(col("doc_id"), explode(col("chs")).as("ch")).distinct()
+    val docCounts = pairs.groupBy(col("ch")).agg(count(lit(1)).as("nd"))
+    val shared = pairs.join(docCounts, "ch").filter(col("nd") >= 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    withChunks
+      .select(col("doc_id"), size(col("chs")).as("n_chunks"),
+        size(array_distinct(col("chs"))).as("n_distinct"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_distinct"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(when(col("n_distinct") > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_distinct").cast("double")), 6).as("shared_frac"))
+  }
+
+  /**
    * Real-vocabulary BPE encoding of a token array: every word is
    * character-split and the ordered `merges` table is applied until no
    * listed pair remains; returns the flattened BPE token array across

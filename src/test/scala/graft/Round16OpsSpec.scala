@@ -301,6 +301,36 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 3, 2L -> 0, 3L -> 0), rows.toString)
   }
 
+  // ---- cdcChunks ----
+
+  test("cdcChunks: boundaries re-sync after a prefix edit so the copied body still dedups") {
+    import graft.ops.TextOps
+    val body = (1 to 12).map(i =>
+      s"paragraph $i of the original article carries enough distinct " +
+      s"prose that the rolling mask finds several boundaries inside it")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      // the fixed-stride killer: ONE inserted sentence shifts every
+      // byte offset of the copy
+      (2L, "breaking update inserted by the mirror site editor. " + body),
+      (3L, "entirely unrelated content with nothing in common here"),
+      (4L, ""), (5L, "short")).toDF("doc_id", "text")
+    val out = TextOps.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // both copies share chunks DESPITE the offset shift
+    assert(out(1L)._3 >= 2 && out(2L)._3 >= 2,
+      s"re-synced chunks must be shared: $out")
+    // unrelated doc shares nothing
+    assert(out(3L)._3 == 0, out.toString)
+    // degenerate arms: empty -> 0 chunks; shorter than window -> 1 chunk
+    assert(out(4L)._1 == 0 && out(5L)._1 == 1, out.toString)
+    // and the shared fraction is high for the true copy pair
+    val fullShared = out(1L)._3.toDouble / out(1L)._2
+    assert(fullShared >= 0.5, s"copy should share most chunks: $out")
+  }
+
   // ---- redactPii ----
 
   test("redactPii: every pattern fires exactly once; non-PII digit runs survive") {
