@@ -331,6 +331,38 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(fullShared >= 0.5, s"copy should share most chunks: $out")
   }
 
+  test("CdcChunkHashes kernel == the declarative md5-per-position form (incl unicode)") {
+    val w = 16
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 60).map { i =>
+      val n = rnd.nextInt(400)
+      (0 until n).map(_ => "abcdef é日本 xyz 0189 "(rnd.nextInt(20))).mkString
+    } ++ Seq("", "short", "a" * 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "nrm")
+    val kernel = df.select(col("id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.CdcChunkHashes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("nrm")), w, 6)).as("chs"))
+    // the naive declarative reference (what the DuckDB oracle replays)
+    val cand = filter(
+      when(length(col("nrm")) >= w, sequence(lit(w), length(col("nrm"))))
+        .otherwise(array().cast("array<int>")),
+      i => conv(substring(md5(col("nrm").substr(i - w + 1, lit(w))), 1, 8),
+        16, 10).cast("long") % 64 === 0)
+    val bounds = concat(array(lit(0)), cand, array(length(col("nrm"))))
+    val naive = df.withColumn("bounds", bounds)
+      .select(col("id"), transform(
+        filter(transform(sequence(lit(1), size(col("bounds")) - 1), j =>
+          col("nrm").substr(element_at(col("bounds"), j) + 1,
+            element_at(col("bounds"), j + 1) - element_at(col("bounds"), j))),
+          c => c =!= ""), c => md5(c)).as("chs"))
+    val k = kernel.orderBy("id").collect().map(_.getSeq[String](1).toSeq)
+    val n = naive.orderBy("id").collect().map(_.getSeq[String](1).toSeq)
+    k.zip(n).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"text $i: kernel $a != naive $b")
+    }
+  }
+
   // ---- redactPii ----
 
   test("redactPii: every pattern fires exactly once; non-PII digit runs survive") {
