@@ -176,6 +176,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row seed-matrix / codebook-row broadcasts (PQ build + encode)
       // plus the bounded query-set broadcast on the ADC scans
       "q_pq_codes", "q_ann_pq", "q_ann_ivf_pq",
+      // 1-row centroid-matrix broadcast per Lloyd iteration
+      "q_kmeans",
       "q_bloom_fp_audit", "q_bm25", "q_cms_join_size", "q_cosine_topk",
       // bounded query-set broadcast, same shape as q_cosine_topk
       "q_hard_negatives", "q_margin_mine",
