@@ -501,6 +501,19 @@ object SparkEntry {
       TextOps.boilerplate(m, "doc_id", "text", "source", minDocFrac = 0.4)
     }),
 
+    "q_boilerplate_clean" -> ((s, dir) => {
+      // the text-EMITTING boilerplate twin: same splice, same boiler
+      // sets, but the output is the cleaned text itself — what the
+      // pipeline feeds downstream (md5(clean_text) == q_boilerplate's
+      // clean_hash by construction, spec-pinned)
+      val m = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+            lit("NAV HOME ABOUT CONTACT\n")).otherwise(lit("")),
+          col("text"), lit("\ncopyright "), col("source")).as("text"))
+      TextOps.boilerplateClean(m, "doc_id", "text", "source", minDocFrac = 0.4)
+    }),
+
     "q_gopher_quality" -> ((s, dir) => {
       // the Gopher filter battery: a deterministic slice of docs gets a
       // bullet/symbol-heavy tail spliced in so the symbol, bullet and
@@ -2884,6 +2897,34 @@ object SparkEntry {
   private def hexToLong(m: String, off: Int, n: Int) =
     s"list_sum(list_transform(range(1, ${n + 1}), i -> ${hexv(s"$m[i + ${off - 1}]")}::BIGINT * (1::BIGINT << (4*($n - i)))))"
 
+  /** Shared CTE chain of the boilerplate oracles: the deterministic
+    * nav/footer splice, per-source boiler-line sets, and the kept-line
+    * frame `j` — two finals read it (stats vs emitted text). */
+  private val BoilerplateChainSql =
+    """WITH m AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'NAV HOME ABOUT CONTACT' || chr(10)
+        |         ELSE '' END || text || chr(10) || 'copyright ' || source AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, source,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lines
+        |  FROM m),
+        |lh AS (SELECT DISTINCT doc_id, source, lhash FROM d,
+        |    unnest(list_transform(lines, l -> md5(l))) AS t(lhash)),
+        |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        |  FROM m GROUP BY source),
+        |bf AS (SELECT source, lhash, count(DISTINCT doc_id) AS n_with
+        |  FROM lh GROUP BY source, lhash),
+        |b AS (SELECT bf.source, bf.lhash FROM bf JOIN sd USING (source)
+        |  WHERE n_with >= 2
+        |    AND n_with::DOUBLE / n_docs::DOUBLE >= 0.4),
+        |bs AS (SELECT source, list(lhash) AS bh FROM b GROUP BY source),
+        |j AS (SELECT d.doc_id, d.source, d.lines,
+        |    coalesce(bs.bh, []) AS bh,
+        |    list_filter(d.lines,
+        |      l -> NOT list_contains(coalesce(bs.bh, []), md5(l))) AS kept
+        |  FROM d LEFT JOIN bs ON d.source = bs.source)""".stripMargin
+
   private val ToksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private val ShinglesSql =
     """CASE WHEN len(toks) >= 3
@@ -3729,29 +3770,7 @@ object SparkEntry {
          |GROUP BY d.source""".stripMargin),
 
     "q_boilerplate" ->
-      """WITH m AS (SELECT doc_id, source,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'NAV HOME ABOUT CONTACT' || chr(10)
-        |         ELSE '' END || text || chr(10) || 'copyright ' || source AS text
-        |  FROM documents),
-        |d AS (SELECT doc_id, source,
-        |    list_filter(list_transform(string_split(text, chr(10)),
-        |      l -> trim(l)), l -> l <> '') AS lines
-        |  FROM m),
-        |lh AS (SELECT DISTINCT doc_id, source, lhash FROM d,
-        |    unnest(list_transform(lines, l -> md5(l))) AS t(lhash)),
-        |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
-        |  FROM m GROUP BY source),
-        |bf AS (SELECT source, lhash, count(DISTINCT doc_id) AS n_with
-        |  FROM lh GROUP BY source, lhash),
-        |b AS (SELECT bf.source, bf.lhash FROM bf JOIN sd USING (source)
-        |  WHERE n_with >= 2
-        |    AND n_with::DOUBLE / n_docs::DOUBLE >= 0.4),
-        |bs AS (SELECT source, list(lhash) AS bh FROM b GROUP BY source),
-        |j AS (SELECT d.doc_id, d.source, d.lines,
-        |    coalesce(bs.bh, []) AS bh,
-        |    list_filter(d.lines,
-        |      l -> NOT list_contains(coalesce(bs.bh, []), md5(l))) AS kept
-        |  FROM d LEFT JOIN bs ON d.source = bs.source)
+      s"""$BoilerplateChainSql
         |SELECT doc_id, source, len(lines) AS n_lines,
         |  (len(lines) - len(kept)) AS n_boiler,
         |  round(CASE WHEN len(lines) > 0
@@ -3759,6 +3778,12 @@ object SparkEntry {
         |    ELSE 0.0 END, 6) AS boiler_ratio,
         |  md5(array_to_string(kept, chr(10))) AS clean_hash
         |FROM j""".stripMargin,
+
+    "q_boilerplate_clean" ->
+      s"""$BoilerplateChainSql
+         |SELECT doc_id, source,
+         |  array_to_string(kept, chr(10)) AS clean_text
+         |FROM j""".stripMargin,
 
     "q_langid_cjk" -> {
       def hits(words: Seq[String]) =

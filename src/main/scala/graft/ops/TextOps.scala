@@ -330,6 +330,41 @@ object TextOps {
    */
   def boilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, sourceCol: String,
+      minDocFrac: Double): org.apache.spark.sql.DataFrame =
+    boilerplateKept(docs, idCol, textCol, sourceCol, minDocFrac)
+      .select(col("doc_id"), col("source"),
+        size(col("lines")).as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).as("n_boiler"),
+        round(when(size(col("lines")) > 0,
+          (size(col("lines")) - size(col("kept"))).cast("double") /
+            size(col("lines")).cast("double")).otherwise(lit(0.0)), 6)
+          .as("boiler_ratio"),
+        md5(concat_ws("\n", col("kept"))).as("clean_hash"))
+
+  /**
+   * The TEXT-emitting twin of [[boilerplate]] — the variant a pipeline
+   * actually consumes: per doc, the CLEANED text (kept lines joined by
+   * newline, original order). md5(clean_text) == boilerplate's
+   * clean_hash BY CONSTRUCTION (same shared frame; spec-pinned), so
+   * downstream dedup/token accounting over the emitted text agrees
+   * with the stats readout. Same scale shape: line text moves only
+   * inside its own row; the hash exchange and the per-source boiler
+   * set are shared with the stats form.
+   */
+  def boilerplateClean(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      minDocFrac: Double): org.apache.spark.sql.DataFrame =
+    boilerplateKept(docs, idCol, textCol, sourceCol, minDocFrac)
+      .select(col("doc_id"), col("source"),
+        concat_ws("\n", col("kept")).as("clean_text"))
+
+  /** Shared frame of [[boilerplate]]/[[boilerplateClean]]: (doc_id,
+    * source, lines, kept) with the per-source boilerplate line set
+    * already applied. A trimmed non-empty line is boilerplate within
+    * its source when ≥ 2 docs contain it AND it covers ≥ `minDocFrac`
+    * of the source's docs. */
+  private def boilerplateKept(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
       minDocFrac: Double): org.apache.spark.sql.DataFrame = {
     require(minDocFrac > 0.0 && minDocFrac <= 1.0,
       s"minDocFrac must be in (0, 1], got $minDocFrac")
@@ -357,14 +392,6 @@ object TextOps {
         coalesce(col("bh"), array().cast("array<string>")))
       .withColumn("kept",
         filter(col("lines"), l => !array_contains(col("bh"), md5(l))))
-      .select(col("doc_id"), col("source"),
-        size(col("lines")).as("n_lines"),
-        (size(col("lines")) - size(col("kept"))).as("n_boiler"),
-        round(when(size(col("lines")) > 0,
-          (size(col("lines")) - size(col("kept"))).cast("double") /
-            size(col("lines")).cast("double")).otherwise(lit(0.0)), 6)
-          .as("boiler_ratio"),
-        md5(concat_ws("\n", col("kept"))).as("clean_hash"))
   }
 
   /** The shared HTML→text extraction pipeline spec: one ordered list of

@@ -267,6 +267,31 @@ class Round16OpsSpec extends AnyFunSuite {
       "default nprobe must be 2 (the recall-default front door)")
   }
 
+  // ---- boilerplateClean ----
+
+  test("boilerplateClean: md5(clean_text) == boilerplate's clean_hash; text is the kept lines") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "s", "NAV\nbody one\ncopyright s"),
+      (2L, "s", "NAV\nbody two\ncopyright s"),
+      (3L, "s", "body three only\ncopyright s"),
+      (4L, "t", "NAV\nother source keeps its nav\nend")).toDF("doc_id", "source", "text")
+    val stats = TextOps.boilerplate(docs, "doc_id", "text", "source", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val clean = TextOps.boilerplateClean(docs, "doc_id", "text", "source", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val hash = Seq((1L, clean(1L)), (2L, clean(2L)), (3L, clean(3L)), (4L, clean(4L)))
+      .toDF("id", "t").select(col("id"), md5(col("t"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 4L).foreach(i => assert(hash(i) == stats(i),
+      s"doc $i: md5(clean_text) must equal clean_hash"))
+    // and the actual text: source s drops NAV (2/3 docs) and copyright
+    // (3/3); doc 4's NAV survives — its source has only one doc
+    assert(clean(1L) == "body one")
+    assert(clean(3L) == "body three only")
+    assert(clean(4L) == "NAV\nother source keeps its nav\nend")
+  }
+
   // ---- normalizeUnicode + mojibakeScore ----
 
   test("normalizeUnicode: every step fires; clean ASCII text is untouched") {
