@@ -8,6 +8,40 @@ object Bench {
     // per-query numbers reflect steady-state throughput
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // PRE-FLIGHT QUIET GATE (r17, closing the r14 verdict loop): the
+    // sweep-level quarantine logs contamination but the burned sweeps
+    // still cost wall-clock — on the r14 driver box ALL 5 sweeps ran
+    // under contention and the artifact stayed "suspect". So before the
+    // first sweep, run the SAME sentinel alone in a short sampling loop
+    // and only start measuring once the box is quiet: 5 samples (first
+    // discarded — it pays the sentinel's codegen), quiet = max/median
+    // ≤ 3 within the batch. If not quiet, sleep 30 s and retry, up to 8
+    // tries (~4–5 min); on exhaustion proceed anyway (the quarantine
+    // still guards the artifact) and record the failure in the output.
+    def sentOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentOnce() // codegen warmup for the sentinel shape
+    val preflightMax = 8
+    var preflightTries = 0
+    var preflightRatio = Double.MaxValue
+    while (preflightTries < preflightMax && preflightRatio > 3.0) {
+      if (preflightTries > 0) Thread.sleep(30000L)
+      val s = Vector.fill(5)(sentOnce()).sorted
+      preflightRatio = if (s(2) > 0) s.last / s(2) else 0.0
+      preflightTries += 1
+      System.err.println(
+        f"[bench] preflight try $preflightTries: sentinel med=${s(2)}%.3fs " +
+          f"max=${s.last}%.3fs ratio=$preflightRatio%.2f " +
+          (if (preflightRatio <= 3.0) "(quiet - starting sweeps)"
+           else "(noisy - waiting 30s)"))
+    }
+    val preflightQuiet = preflightRatio <= 3.0
+    if (!preflightQuiet) System.err.println(
+      s"[bench] preflight exhausted $preflightMax tries without a quiet " +
+        "window - proceeding; per-sweep quarantine still applies")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     // INTERLEAVED full sweeps, not 3 consecutive runs per query: a
     // transient contention window on the shared runner (the r10/r11
@@ -184,10 +218,17 @@ object Bench {
       val ratios = (0 until executed).map(si => f2(sweepRatio(si)))
         .mkString("[", ",", "]")
       val sentinelJson =
-        s""""sentinel":{"n":${sentAll.length},"med":${f3(sentMed)},"ratio":${f2(sentRatio)},"sweep_ratios":$ratios,"samples":$sentRuns},"contention":"$contention","sweeps_executed":$executed,"sweeps_used":$usedJson,"sweeps_quarantined":$quarantinedJson"""
+        s""""sentinel":{"n":${sentAll.length},"med":${f3(sentMed)},"ratio":${f2(sentRatio)},"sweep_ratios":$ratios,"samples":$sentRuns},"preflight":{"tries":$preflightTries,"ratio":${f2(preflightRatio)},"quiet":$preflightQuiet},"contention":"$contention","sweeps_executed":$executed,"sweeps_used":$usedJson,"sweeps_quarantined":$quarantinedJson"""
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":${used.size},"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},$sentinelJson,"sf":"$sfName","queries":{$entries},"failed":$failed}"""
     }
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // default full-map path is the DRIVER-run file, NOT the committed
+    // clean snapshot: two rounds running, the driver's (contention-prone)
+    // per-round run clobbered HEAD's quiet-window BENCH_FULL.json. The
+    // round-close snapshot run sets SPARK_GRAFT_BENCH_FULL=BENCH_FULL.json
+    // explicitly; anything else (the driver included) lands in the
+    // gitignored BENCH_FULL_DRIVER.json.
+    val fullPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL_DRIVER.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full-map write failed: $e") }
     System.err.println("[bench-full] " + fullJson)
@@ -195,7 +236,7 @@ object Bench {
       val top = sorted.filter(_._2 >= 0).sortBy(-_._2).take(topN)
         .map { case (k, v, _) => s""""$k":${f2(v)}""" }.mkString(",")
       val qvField = if (omitQv) "" else s""""q_order":"lex","qk_md5":"$qkMd5","q_unit":"cs","qv":"$qv","""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":${used.size},"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},"sentinel_ratio":${f2(sentRatio)},"contention":"$contention","sweeps_executed":$executed,"sweeps_quarantined":$quarantinedJson,"queries":{$top},"queries_named_topn":$topN,${qvField}"queries_omitted":0,"failed":$failed,"full":"$fullPath","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":${used.size},"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},"sentinel_ratio":${f2(sentRatio)},"preflight_tries":$preflightTries,"contention":"$contention","sweeps_executed":$executed,"sweeps_quarantined":$quarantinedJson,"queries":{$top},"queries_named_topn":$topN,${qvField}"queries_omitted":0,"failed":$failed,"full":"$fullPath","sf":"$sfName"}"""
     }
     // 2000-char driver window minus the sbt suffix and newline margin
     val budget = 1800

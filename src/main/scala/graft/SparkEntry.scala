@@ -3076,11 +3076,16 @@ object SparkEntry {
        |WHERE rn = 1""".stripMargin
 
   /** Shared BPE oracle chain: ascending-rank replay of the pinned
-    * merges table — per rank, two LTR non-overlapping replace passes
-    * over the |-delimited symbol string (== graft.functions.BpeEncode's
-    * min-rank loop for any well-formed table). Encodes DISTINCT words
-    * once via a recursive CTE, joins back; ends with `agg` (doc_id →
-    * n_bpe_real, all_toks) and keeps `toks_t` visible. */
+    * merges table (== graft.functions.BpeEncode's min-rank loop for any
+    * well-formed table). Each symbol is wrapped `|s|` — the string is a
+    * concatenation of wrapped symbols (`|a||a||a|`) — so ONE LTR
+    * non-overlapping replace of `|x||y|` → `|xy|` per rank IS the
+    * canonical leftmost-nonoverlapping merge-all pass: every symbol
+    * carries its own delimiters and back-to-back occurrences share
+    * nothing (the r16 singly-delimited two-pass form under-merged even
+    * self-pair runs ≥ 6). Encodes DISTINCT words once via a recursive
+    * CTE, joins back; ends with `agg` (doc_id → n_bpe_real, all_toks)
+    * and keeps `toks_t` visible. */
   private def bpeChainSql: String = {
     val mv = graft.ops.TextOps.BpeGateMerges.zipWithIndex
       .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
@@ -3093,14 +3098,13 @@ object SparkEntry {
        |enc AS (
        |  SELECT word,
        |    '|' || array_to_string(list_transform(
-       |      range(1, len(word) + 1), i -> word[i]), '|') || '|' AS s,
+       |      range(1, len(word) + 1), i -> word[i]), '||') || '|' AS s,
        |    0 AS r
        |  FROM w
        |  UNION ALL
        |  SELECT enc.word,
-       |    replace(replace(enc.s,
-       |      '|' || mg.x || '|' || mg.y || '|', '|' || mg.x || mg.y || '|'),
-       |      '|' || mg.x || '|' || mg.y || '|', '|' || mg.x || mg.y || '|'),
+       |    replace(enc.s,
+       |      '|' || mg.x || '||' || mg.y || '|', '|' || mg.x || mg.y || '|'),
        |    enc.r + 1
        |  FROM enc JOIN mg ON mg.rank = enc.r),
        |fin AS (SELECT word,
@@ -3147,7 +3151,9 @@ object SparkEntry {
       e = rr(e, s"(?si)<$t\\b.*?</$t\\s*>", "''")
     }
     e = rr(e, graft.ops.TextOps.Html.blockTagPattern, "chr(10)")
-    e = rr(e, "<[^>]+>", "''")
+    // tag-shaped spans only (r17): bare '<'/'>' prose survives
+    e = rr(e, "</?[a-zA-Z][^>]*>", "''")
+    e = rr(e, "<![^>]*>", "''")
     graft.ops.TextOps.Html.entities.foreach { case (k, v) =>
       val repl = v match {
         case "'" => "chr(39)"

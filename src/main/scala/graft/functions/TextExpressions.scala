@@ -427,18 +427,24 @@ object TextStats {
  *
  * MERGE SEMANTICS (the engine-replayable contract): the applicable
  * pair with the SMALLEST rank merges first; one application merges
- * all of the pair's occurrences via TWO left-to-right non-overlapping
- * literal string-replace passes over the `|`-delimited symbol string
- * (pass one consumes the shared boundary of back-to-back occurrences;
- * pass two catches what that skipped — two passes provably reach the
- * per-rank fixpoint). For any WELL-FORMED table — each rule's parts
- * are single characters or outputs of EARLIER rules, which every
- * trained merges table satisfies — this equals applying ranks in
- * ascending order, which is exactly what the DuckDB oracle replays
- * with a recursive CTE of paired `replace` calls. Inside odd
- * self-pair runs (`aaaaa` under `(a,a)`) the two-pass scan places the
- * leftover `a` after the first merged pair — token COUNTS match the
- * canonical greedy encoder everywhere, placement is spec-pinned.
+ * ALL leftmost-nonoverlapping occurrences of that pair in ONE scan
+ * over the symbol ARRAY — exactly the canonical greedy BPE step
+ * (Sennrich et al. 2016), so token counts AND placement match the
+ * canonical encoder everywhere, including self-pair runs (`aaaaaa`
+ * under `(a,a)` → 3 tokens, leftover of an odd run at the run's END).
+ * The r16 draft used two string-replace passes over a `|`-delimited
+ * string, which under-merged even self-pair runs ≥ 6 (4 tokens for
+ * `aaaaaa`) because back-to-back occurrences share a boundary
+ * delimiter; the array scan has no shared state to lose. For any
+ * WELL-FORMED table — each rule's parts are single characters or
+ * outputs of EARLIER rules, which every trained merges table
+ * satisfies — the min-rank loop equals applying ranks in ascending
+ * order, which is what the DuckDB oracle replays with a recursive
+ * CTE: each symbol is wrapped `|s|` (string = concatenation of
+ * wrapped symbols, e.g. `|a||a||a|`), and ONE left-to-right
+ * non-overlapping `replace('|x||y|' → '|xy|')` per rank IS the
+ * canonical merge-all pass — each symbol carries its own
+ * delimiters, so back-to-back matches share nothing.
  *
  * The merges table ships inside the expression (task-serialized, like
  * a broadcast literal): collect a trained table with
@@ -497,13 +503,24 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       }
       if (best == Int.MaxValue) done = true
       else {
+        // canonical merge-all: ONE leftmost-nonoverlapping scan over the
+        // symbol array (a matched pair consumes both symbols; the scan
+        // resumes after them, so self-pair runs merge ⌊k/2⌋ times with
+        // any odd leftover at the run's end)
         val (x, y) = mergeArr(best)
-        val pat = "|" + x + "|" + y + "|"
-        val rep = "|" + x + y + "|"
-        var s = syms.mkString("|", "|", "|")
-        s = s.replace(pat, rep)
-        s = s.replace(pat, rep)
-        syms = s.split('|').filter(_.nonEmpty)
+        val merged = x + y
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == x && syms(j + 1) == y) {
+            out += merged
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        syms = out.toArray
         done = syms.length < 2
       }
     }

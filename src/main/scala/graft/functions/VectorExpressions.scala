@@ -733,11 +733,20 @@ case class NearestSeed(
     val v = v0.asInstanceOf[ArrayData].toDoubleArray()
     val n = n0.asInstanceOf[Double]
     val seeds = s0.asInstanceOf[ArrayData]
+    // guard order (r17, closing the r14 ADVICE finding): the O(1)
+    // checks — buffer identity, size, k/dim shape, two corner samples —
+    // run first, so a changed matrix re-unpacks without paying a wasted
+    // O(k·dim) checksum scan; the full FNV fold runs ONLY when every
+    // cheap guard passed, as the final confirm (it subsumes the corner
+    // samples, which exist to fail fast, not to re-verify after it).
+    // On a true hit the fold still runs — that is the contract the r13
+    // regression spec pinned (same-size same-corner middle rewrites
+    // through a reused BufferHolder MUST force a re-unpack).
     val (kb, ko) = cacheKey(seeds)
-    if (!(kb eq cachedBase) || ko != cachedOff ||
-        cacheSize(seeds) != cachedSize ||
-        fullChecksum(seeds) != cachedSum ||
-        !cacheContentMatches(seeds)) {
+    if (!((kb eq cachedBase) && ko == cachedOff &&
+        cacheSize(seeds) == cachedSize &&
+        cacheContentMatches(seeds) &&
+        fullChecksum(seeds) == cachedSum)) {
       unpack(seeds, sn0.asInstanceOf[ArrayData])
     }
     val k = cachedK

@@ -421,9 +421,16 @@ object Similarity {
             transform(x.getField("cw_scaled"), e => e / 1000000.0))
             .as(s"cws_$s"))
       }: _*)
+    // zero-norm guards (r17, closing the r14 ADVICE finding): a
+    // zero-norm query or an all-zero reconstruction has no cosine — the
+    // old plan let the null score drop SILENTLY out of the top-k. Both
+    // sides now filter explicitly (the same nrm > 0 contract the
+    // unit-corpus path applies), so exclusion is a stated rule, not a
+    // null artifact.
     val q = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
+      .filter(col("qnrm") > 0)
     def cw(s: Int): Column =
       element_at(col(s"cws_$s"),
         array_position(col(s"cells_$s"), col(s"code_$s")).cast("int"))
@@ -431,8 +438,10 @@ object Similarity {
     val recNrm = sqrt((0 until m).map(s => dot(cw(s), cw(s))).reduce(_ + _))
     val scored = codes.crossJoin(broadcast(cbRow))
       .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("__recnrm", recNrm)
+      .filter(col("__recnrm") > 0)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(num / (col("qnrm") * recNrm), 6).as("score_pq"))
+        round(num / (col("qnrm") * col("__recnrm")), 6).as("score_pq"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_pq").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -852,11 +861,17 @@ object Similarity {
     val num = (0 until m).map(s => dot(subv(col("qv"), s), cw(s))).reduce(_ + _)
     val recNrm = sqrt((0 until m).map(s => dot(cw(s), cw(s))).reduce(_ + _))
     val withCell = codes.join(index.select(col("vec_id"), col("cell")), "vec_id")
+    // same zero-norm guard as [[annPq]] (queries here are unit-corpus
+    // members so qnrm > 0 holds by construction, but the explicit
+    // filter keeps the rule stated rather than incidental)
     val scored = withCell.crossJoin(broadcast(cbRow))
       .join(broadcast(routed),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .filter(col("qnrm") > 0)
+      .withColumn("__recnrm", recNrm)
+      .filter(col("__recnrm") > 0)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(num / (col("qnrm") * recNrm), 6).as("score_pq"))
+        round(num / (col("qnrm") * col("__recnrm")), 6).as("score_pq"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_pq").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)

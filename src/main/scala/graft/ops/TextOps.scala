@@ -432,10 +432,15 @@ object TextOps {
    * space, trimmed lines, no blank lines, trimmed ends).
    *
    * Contracts (spec-pinned): malformed trailing tags without `>`
-   * survive as text (nothing is silently swallowed); CDATA payloads
-   * are removed entirely (machine payload, like script); unknown
-   * inline tags (`<b>`, `<span>`) vanish without a break; entity
-   * decode happens after stripping, `&amp;` last.
+   * survive as text, and so do bare `<`/`>` comparison spans in prose
+   * (`a < b and c > d`) — the generic stripper matches only
+   * TAG-SHAPED spans (`</?letter…>` and `<!…>` declarations), not any
+   * `<…>` (r17, closing the r14 ADVICE finding: the old `<[^>]+>`
+   * swallowed ` b and c ` from the example above), so nothing
+   * non-markup is silently swallowed; CDATA payloads are removed
+   * entirely (machine payload, like script); unknown inline tags
+   * (`<b>`, `<span>`) vanish without a break; entity decode happens
+   * after stripping, `&amp;` last.
    *
    * Scale shape: pure per-row codegen'd string work in the scan stage —
    * no shuffle, no state; at 100 TB it parallelizes with the file
@@ -448,7 +453,8 @@ object TextOps {
       e = regexp_replace(e, s"(?si)<$t\\b.*?</$t\\s*>", "")
     }
     e = regexp_replace(e, Html.blockTagPattern, "\n")
-    e = regexp_replace(e, "<[^>]+>", "")
+    e = regexp_replace(e, "</?[a-zA-Z][^>]*>", "")
+    e = regexp_replace(e, "<![^>]*>", "")
     Html.entities.foreach { case (k, v) =>
       e = replace(e, lit(k), lit(v))
     }

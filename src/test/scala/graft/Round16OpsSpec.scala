@@ -104,6 +104,11 @@ class Round16OpsSpec extends AnyFunSuite {
       "<SCRIPT>gone();</SCRIPT><P>Kept</P><STYLE>x{}</STYLE>",
       // nested tables keep cell text, one line per block boundary
       "<table><tr><td>a<table><tr><td>b</td></tr></table></td></tr></table>",
+      // bare '<'/'>' comparison prose is NOT tag-shaped and survives
+      // whole (r17: the old '<[^>]+>' stripper swallowed ' b and c ')
+      "<p>a < b and c > d</p>",
+      // declarations ARE tag-shaped and strip
+      "<!DOCTYPE html><p>doc</p>",
       // whitespace-only and empty
       "   ", "")
     assert(out == Seq(
@@ -112,6 +117,8 @@ class Round16OpsSpec extends AnyFunSuite {
       "&lt;not-a-tag&gt;",
       "Kept",
       "a\nb",
+      "a < b and c > d",
+      "doc",
       "", ""))
   }
 
@@ -172,11 +179,16 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(bpe(m, "the", "thing") == Seq("the", "th", "ing"))
   }
 
-  test("bpeEncode contract: two-pass self-merge placement, non-firing table, null handling") {
-    // odd self-run: count matches canonical greedy (ceil(n/2)); the
-    // leftover lands after the FIRST merged pair (two-pass contract)
-    assert(bpe(Seq("a" -> "a"), "aaaaa") == Seq("aa", "a", "aa"))
+  test("bpeEncode contract: canonical self-merge, non-firing table, null handling") {
+    // self-pair runs follow the CANONICAL greedy scan (r17, closing the
+    // r14 ADVICE finding): leftmost-nonoverlapping merge-all, odd
+    // leftover at the run's END — the r16 two-pass string form gave 4
+    // tokens for 'aaaaaa' vs canonical 3
+    assert(bpe(Seq("a" -> "a"), "aaaaa") == Seq("aa", "aa", "a"))
     assert(bpe(Seq("a" -> "a"), "aaaa") == Seq("aa", "aa"))
+    assert(bpe(Seq("a" -> "a"), "aaaaaa") == Seq("aa", "aa", "aa"))
+    assert(bpe(Seq("a" -> "a", "aa" -> "a"), "aaaaa") ==
+      Seq("aa", "aaa"), "rank-1 (aa,a) fires on the canonical leftover")
     // a table that never fires -> pure character split
     assert(bpe(Seq("z" -> "z"), "hello") == Seq("h", "e", "l", "l", "o"))
     // null toks -> null; null/empty elements skipped
@@ -192,10 +204,11 @@ class Round16OpsSpec extends AnyFunSuite {
   test("bpeEncode == naive ascending-rank reference on random words (well-formed table)") {
     val m = graft.ops.TextOps.BpeGateMerges
     def naive(w: String): Seq[String] = {
-      var s = w.toCharArray.map(_.toString).mkString("|", "|", "|")
+      // the oracle's wrapped-symbol form: each symbol is '|s|', ONE LTR
+      // replace per rank == canonical leftmost-nonoverlapping merge-all
+      var s = w.toCharArray.map(c => s"|$c|").mkString
       m.foreach { case (x, y) =>
-        val pat = s"|$x|$y|"; val rep = s"|$x$y|"
-        s = s.replace(pat, rep); s = s.replace(pat, rep)
+        s = s.replace(s"|$x||$y|", s"|$x$y|")
       }
       s.split('|').filter(_.nonEmpty).toSeq
     }
