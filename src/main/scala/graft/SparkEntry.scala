@@ -752,6 +752,13 @@ object SparkEntry {
       // uncollapsed form measured 32× wall on a 10×-duplicated corpus)
       Dedup.embedClustersCollapsed(emb(s, dir), 0.4, SrpPlanes, SrpBandBits, EmbDim)),
 
+    "q_embed_clusters_auto" -> ((s, dir) =>
+      // the n-aware DEFAULT front door (r17): band arity from
+      // bandBitsFor(count) — 500 vecs at sf0.01 → 8-bit bands — so the
+      // default survives a scale-up instead of bending quadratic; the
+      // oracle recomputes the same arity from its own count(*)
+      Dedup.embedClustersAuto(emb(s, dir), 0.4, EmbDim)),
+
     "q_session_window" -> ((s, dir) =>
       // native session_window aggregation — the merge-in-aggregate
       // session plan (no per-user full sort)
@@ -879,6 +886,10 @@ object SparkEntry {
       // embedding-space near-dup removal, greedy keep-smallest-id,
       // over SRP-banded candidate pairs (no all-pairs join)
       Similarity.semanticDedup(emb(s, dir), 0.4, SrpPlanes, SrpBandBits, EmbDim)),
+
+    "q_semantic_dedup_auto" -> ((s, dir) =>
+      // n-aware band arity (bandBitsFor) — the scale-safe default
+      Similarity.semanticDedupAuto(emb(s, dir), 0.4, EmbDim)),
 
     "q_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -3268,6 +3279,33 @@ object SparkEntry {
        |    round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos
        |  FROM cand c JOIN n x ON c.id1 = x.vec_id JOIN n y ON c.id2 = y.vec_id)""".stripMargin
 
+  /** [[SrpPairsCte]] with the band arity COMPUTED FROM count(*) — the
+    * DuckDB replay of [[graft.ops.Similarity.bandBitsFor]]: ceil(log2 n)
+    * via the binary-string length of n-1 (float log2 could round a
+    * power-of-two edge), raw = clamp(4, ceil(lg/2), 16), rounded up to
+    * the next divisor of 64 in {4, 8, 16}. Ends in the same `pairs`
+    * CTE as the fixed-arity form. */
+  private val SrpPairsAutoCte =
+    s"""$EmbCte,
+       |bb AS (SELECT CASE WHEN raw <= 4 THEN 4 WHEN raw <= 8 THEN 8
+       |    ELSE 16 END AS b
+       |  FROM (SELECT greatest(4, least(16,
+       |      (length(bin(greatest(n, 2) - 1)) + 1) // 2)) AS raw
+       |    FROM (SELECT count(*) AS n FROM n))),
+       |sg AS (SELECT vec_id, array_to_string(list_transform(range(0, $SrpPlanes), p ->
+       |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+       |      d -> v[d] * ${planeWeightSql("p", "d - 1")})), (acc, x) -> acc + x) >= 0
+       |    THEN '1' ELSE '0' END), '') AS sig
+       |  FROM n),
+       |bd AS (SELECT vec_id,
+       |    t.b0::VARCHAR || ':' || substring(sig, t.b0 * bb.b + 1, bb.b) AS band_key
+       |  FROM sg, bb, unnest(range(0, $SrpPlanes // bb.b)) AS t(b0)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT c.id1, c.id2,
+       |    round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos
+       |  FROM cand c JOIN n x ON c.id1 = x.vec_id JOIN n y ON c.id2 = y.vec_id)""".stripMargin
+
   /** Connected components of the MinHash pair graph by recursive
     * reachability — ends in `clusters_t(doc_id, cluster_id)`. Must agree
     * with [[graft.ops.Dedup.connectedComponents]]'s min-label fixpoint. */
@@ -4156,6 +4194,17 @@ object SparkEntry {
          |cl AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
          |SELECT vec_id, cluster_id FROM cl""".stripMargin,
 
+    "q_embed_clusters_auto" ->
+      s"""${SrpPairsAutoCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ee AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs WHERE cos >= 0.4
+         |  UNION ALL SELECT id2, id1 FROM pairs WHERE cos >= 0.4),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT reach.node, ee.dst FROM reach JOIN ee ON reach.r = ee.src),
+         |cl AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT vec_id, cluster_id FROM cl""".stripMargin,
+
     "q_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
         |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
@@ -4471,6 +4520,11 @@ object SparkEntry {
 
     "q_semantic_dedup" ->
       s"""$SrpPairsCte,
+         |drops AS (SELECT DISTINCT id2 AS vec_id FROM pairs WHERE cos >= 0.4)
+         |SELECT vec_id FROM n WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+
+    "q_semantic_dedup_auto" ->
+      s"""$SrpPairsAutoCte,
          |drops AS (SELECT DISTINCT id2 AS vec_id FROM pairs WHERE cos >= 0.4)
          |SELECT vec_id FROM n WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
 

@@ -672,6 +672,26 @@ object Dedup {
   }
 
   /**
+   * [[embedClustersCollapsed]] with the band arity SIZED TO THE CORPUS
+   * ([[Similarity.bandBitsFor]]) — the default front door, closing the
+   * SCALE CONTRACT above: the caller no longer has to know that
+   * 2^bandBits must track n (the r16 soak's 36.5× vs 10.3× decade).
+   * Sizing costs ONE narrow count of the corpus ids (an upper bound on
+   * the post-collapse representative count — erring toward MORE
+   * buckets, the safe direction); everything downstream is the
+   * explicit-arity operator unchanged, so `embedClustersAuto(c, t, d)`
+   * ≡ `embedClustersCollapsed(c, t, planes, bandBitsFor(n), d)`
+   * (spec-pinned). The `threshold` half of the contract still holds:
+   * clustering at scale needs dedup-realistic thresholds (≥ 0.9) —
+   * banding arity cannot fix percolation at bulk thresholds.
+   */
+  def embedClustersAuto(corpus: DataFrame, threshold: Double, dim: Int,
+      planes: Int = 64): DataFrame = {
+    val b = Similarity.bandBitsFor(corpus.count(), planes)
+    embedClustersCollapsed(corpus, threshold, planes, b, dim)
+  }
+
+  /**
    * Pick ONE representative document per near-dup cluster — the step
    * after [[connectedComponents]] in a corpus-prep job: of each cluster
    * keep the highest-scoring member (ties → smallest doc id).

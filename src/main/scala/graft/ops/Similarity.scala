@@ -190,6 +190,38 @@ object Similarity {
    * (64/4 here ⇒ measured 0.93 on the test corpus — see SimilaritySpec's
    * recall audit vs the all-pairs truth).
    */
+  /**
+   * n-AWARE SRP BAND ARITY — the bucket-occupancy lever sized to the
+   * corpus, so the near-dup/clustering family's DEFAULT survives a
+   * scale-up instead of bending quadratic (the r16 sf1 soak measured
+   * bandBits=4 at 36.5× wall for ×10 distinct vectors — per-band
+   * occupancy n/16 ⇒ ~n²/16 candidate pairs — vs 10.3× at b=8).
+   *
+   * Rule (spec-pinned): `raw = clamp(4, ⌈⌈log₂ n⌉ / 2⌉, 16)`, rounded
+   * UP to the smallest divisor of `planes` ≥ raw (the band cut must
+   * tile the signature). 2^bandBits band values then grow with n
+   * exactly like IVF's kCells: n=500 → 8, n=20k → 8, n=1M → 16,
+   * n=10⁹ → 16 (the 16-bit cap = 65k buckets per band; beyond that
+   * occupancy grows linearly again, the documented ceiling — raise
+   * `planes` and the cap together for a trillion-row corpus). Keeping
+   * `planes` fixed means a larger corpus gets FEWER, finer bands:
+   * recall per band-count at a fixed threshold is the standard
+   * (1-acos(c)/π)^bandBits trade the [[srpCandidatePairs]] scaladoc
+   * derives — at dedup-realistic thresholds (≥ 0.9) 8 bands of 8 bits
+   * still read ~0.94 recall, while sub-bulk thresholds on isotropic
+   * data were never sublinear-discriminable at ANY arity.
+   */
+  def bandBitsFor(n: Long, planes: Int = 64): Int = {
+    require(planes >= 4, s"planes must be >= 4, got $planes")
+    // ceil(log2 n) via the bit trick; n <= 1 has nothing to pair
+    val lg = if (n <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val raw = math.max(4, math.min(16, (lg + 1) / 2))
+    (raw to math.min(16, planes)).find(planes % _ == 0).getOrElse(
+      (4 to math.min(16, planes)).filter(planes % _ == 0).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"planes=$planes has no band arity in [4,16]")))
+  }
+
   def srpCandidatePairs(corpus: DataFrame, planes: Int, bandBits: Int, dim: Int): DataFrame = {
     require(planes % bandBits == 0, s"planes $planes not a multiple of bandBits $bandBits")
     val bands = planes / bandBits
@@ -900,6 +932,37 @@ object Similarity {
     val drops = nearDupPairsLsh(corpus, threshold, planes, bandBits, dim)
       .select(col("id2").as("vec_id")).distinct()
     corpus.select(col("vec_id")).join(drops, Seq("vec_id"), "left_anti")
+  }
+
+  /**
+   * [[semanticDedup]] with the band arity SIZED TO THE CORPUS
+   * ([[bandBitsFor]]) — the front door a near-dup-at-scale user should
+   * reach for: the fixed-arity form keeps per-band bucket occupancy
+   * n/2^bandBits, which bends quadratic the moment n outgrows the
+   * arity it was tuned at (the r16 soak's 36.5× decade). Sizing costs
+   * ONE narrow count of the id column — the same class of
+   * runtime-stats decision AQE makes, a metadata-cheap columnar scan
+   * at 100 TB, paid once per job, and the only eager action in the
+   * family (documented here, asserted by the PlanAudit allowance).
+   * `threshold` contract: dedup-realistic values (≥ 0.9) are where
+   * banded candidate generation is sublinear; thresholds inside the
+   * isotropic bulk (≤ ~0.5) are not discriminable by ANY sublinear
+   * scheme and fall back to near-all-pairs density ([[nearDupPairsLsh]]
+   * cost model).
+   */
+  def semanticDedupAuto(corpus: DataFrame, threshold: Double, dim: Int,
+      planes: Int = 64): DataFrame = {
+    val b = bandBitsFor(corpus.count(), planes)
+    semanticDedup(corpus, threshold, planes, b, dim)
+  }
+
+  /** [[semanticDecontaminate]] with [[bandBitsFor]]-sized band arity —
+    * sized to the CORPUS side (the benchmark side is eval-set-sized by
+    * contract and never dominates bucket occupancy). */
+  def semanticDecontaminateAuto(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, dim: Int, planes: Int = 64): DataFrame = {
+    val b = bandBitsFor(corpus.count(), planes)
+    semanticDecontaminate(corpus, benchmark, threshold, planes, b, dim)
   }
 
   /**

@@ -84,7 +84,13 @@ object Sf1Soak {
       // corpus like IVF's k — 8-bit bands cut per-bucket occupancy 16x
       "embed_clusters_b8" -> (e => Dedup.embedClustersCollapsed(
         graft.ops.Similarity.prepared(e, "vec_id", "embedding"),
-        0.4, 64, 8, 64).select(col("cluster_id")).distinct()))
+        0.4, 64, 8, 64).select(col("cluster_id")).distinct()),
+      // the r17 DEFAULT front door: bandBitsFor(n) picks 8 at both 2k
+      // and 20k, so the decade must read ~the b8 number WITHOUT the
+      // caller touching any knob (the r14 verdict's done-criterion)
+      "embed_clusters_auto" -> (e => Dedup.embedClustersAuto(
+        graft.ops.Similarity.prepared(e, "vec_id", "embedding"),
+        0.4, 64).select(col("cluster_id")).distinct()))
 
     ProbeSupport.noop(docs1.groupBy(col("source")).count()) // warmup
     val walls = scala.collection.mutable.Map[(String, Int), Double]()
