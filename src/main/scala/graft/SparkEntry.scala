@@ -3186,19 +3186,26 @@ object SparkEntry {
     * argmax-dot == argmin-L2 trick: dot(x_sub, c_sub) + (−(c·c)/2)
     * appended in the SAME left-fold position as the kernel's
     * concatenated arrays. */
-  private def pqChainSql: String = {
-    val sub = EmbDim / PqM
-    def dotAug(x: String, c: String) =
-      s"(${dotSql(x, c)} + (-(${dotSql(c, c)}) / 2.0))"
+  private def pqChainSql: String =
     s"""$EmbCte,
        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v
        |  FROM n WHERE nrm > 0),
-       |sub_t AS (SELECT vec_id, s,
+       |${pqChainOverSql("u")}""".stripMargin
+
+  /** The PQ train/encode chain (sub_t → seeds → ssub → asg → cbe → cb
+    * → enc) over any prior CTE `src`(vec_id, v) — shared by the raw
+    * chain ([[pqChainSql]], src = the unit corpus) and the residual
+    * IVFADC oracle (src = the per-cell residuals). */
+  private def pqChainOverSql(src: String): String = {
+    val sub = EmbDim / PqM
+    def dotAug(x: String, c: String) =
+      s"(${dotSql(x, c)} + (-(${dotSql(c, c)}) / 2.0))"
+    s"""sub_t AS (SELECT vec_id, s,
        |    list_slice(v, s*$sub + 1, s*$sub + $sub) AS sv
-       |  FROM u, unnest(range(0, $PqM)) AS t(s)),
+       |  FROM $src, unnest(range(0, $PqM)) AS t(s)),
        |seeds AS (SELECT (row_number() OVER (
        |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell, v
-       |  FROM (SELECT vec_id, v FROM u
+       |  FROM (SELECT vec_id, v FROM $src
        |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqK)),
        |ssub AS (SELECT cell, s,
        |    list_slice(v, s*$sub + 1, s*$sub + $sub) AS sv
@@ -4416,8 +4423,14 @@ object SparkEntry {
          |${asgSql("c2")}""".stripMargin
     },
 
+    // residual IVFADC (r17, Jégou et al. TPAMI 2011 §IV): the IVF part
+    // (iseed → iasg → ie → icvn) runs FIRST, PQ trains/encodes the
+    // per-cell residuals res = v − c(cell), and scoring reconstructs
+    // rec = c_sub + r̃_sub per subspace before the ADC fold
     "q_ann_ivf_pq" ->
-      s"""$pqChainSql,
+      s"""$EmbCte,
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v
+         |  FROM n WHERE nrm > 0),
          |un AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM u),
          |iseed AS (SELECT (row_number() OVER (
          |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell,
@@ -4439,6 +4452,17 @@ object SparkEntry {
          |  SELECT cell, list_transform(list(CAST(round(cx * 1000000) AS BIGINT)
          |      ORDER BY idx), x -> x / 1000000.0) AS cv
          |  FROM ie GROUP BY cell)),
+         |res AS (SELECT un.vec_id,
+         |    list_transform(range(1, len(un.v) + 1), i -> un.v[i] - nc.cv[i]) AS v
+         |  FROM un JOIN iasg a ON un.vec_id = a.vec_id
+         |  JOIN icvn nc ON nc.c_cell = a.cell),
+         |${pqChainOverSql("res")},
+         |recs AS (SELECT e.vec_id, e.s,
+         |    list_transform(range(1, ${EmbDim / PqM} + 1),
+         |      j -> nc.cv[e.s * ${EmbDim / PqM} + j] + cb.cw[j]) AS rec
+         |  FROM enc e JOIN iasg a ON e.vec_id = a.vec_id
+         |  JOIN cb ON cb.s = e.s AND cb.c_cell = e.code
+         |  JOIN icvn nc ON nc.c_cell = a.cell),
          |q2 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
          |  FROM un WHERE vec_id < 10),
          |qc AS (SELECT q_id, qv, qnrm, c_cell AS qcell FROM (
@@ -4448,12 +4472,11 @@ object SparkEntry {
          |          icvn.c_cell ASC) AS rn
          |    FROM q2 CROSS JOIN icvn)
          |  WHERE rn <= 2),
-         |parts2 AS (SELECT qc.q_id, e.vec_id AS neighbor_id, e.s, qc.qnrm,
-         |    ${dotSql(s"list_slice(qc.qv, e.s*${EmbDim / PqM} + 1, e.s*${EmbDim / PqM} + ${EmbDim / PqM})", "cb.cw")} AS part,
-         |    ${dotSql("cb.cw", "cb.cw")} AS cwsq
+         |parts2 AS (SELECT qc.q_id, r.vec_id AS neighbor_id, r.s, qc.qnrm,
+         |    ${dotSql(s"list_slice(qc.qv, r.s*${EmbDim / PqM} + 1, r.s*${EmbDim / PqM} + ${EmbDim / PqM})", "r.rec")} AS part,
+         |    ${dotSql("r.rec", "r.rec")} AS cwsq
          |  FROM qc JOIN iasg a ON a.cell = qc.qcell
-         |  JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id <> qc.q_id
-         |  JOIN cb ON cb.s = e.s AND cb.c_cell = e.code),
+         |  JOIN recs r ON r.vec_id = a.vec_id AND r.vec_id <> qc.q_id),
          |sc2 AS (SELECT q_id, neighbor_id,
          |    round(list_reduce(list_prepend(0.0, list(part ORDER BY s)),
          |        (a, b) -> a + b)

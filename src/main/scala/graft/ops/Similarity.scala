@@ -849,28 +849,74 @@ object Similarity {
   }
 
   /**
-   * THE COMPOSED 100 TB ANN PATH — IVF cells × PQ codes: queries route
-   * to their top-`nprobe` refit cells ([[buildIvfIndex]]) and
-   * ADC-score ONLY those cells' members, reading m code bytes per
-   * candidate instead of d floats ([[annPq]]'s scan). Per query:
-   * |Q|·kCells routing + nprobe·N/kCells candidates × m table lookups
-   * — both the candidate COUNT (IVF) and the candidate WIDTH (PQ)
-   * shrink, which is the standard billion-vector serving shape (IVFADC,
-   * Jégou et al.). Everything runs on the UNIT-normalized corpus
-   * (cosine retrieval) and the ADC score normalizes by |q|·|x̃| like
-   * [[annPq]]. Output: top-`topK` per query by (score desc, id asc).
-   * Probing ALL cells reproduces the full-scan [[annPq]] ranking
-   * exactly (spec-pinned); smaller nprobe trades recall for the N/kCells
-   * candidate cut — audit with [[annPqRecallAudit]]'s shape.
+   * THE COMPOSED 100 TB ANN PATH — IVF cells × PQ codes with RESIDUAL
+   * encoding: queries route to their top-`nprobe` refit cells
+   * ([[buildIvfIndex]]) and ADC-score ONLY those cells' members,
+   * reading m code bytes per candidate instead of d floats
+   * ([[annPq]]'s scan). Per query: |Q|·kCells routing +
+   * nprobe·N/kCells candidates × m table lookups — both the candidate
+   * COUNT (IVF) and the candidate WIDTH (PQ) shrink, which is the
+   * standard billion-vector serving shape (IVFADC, Jégou et al.
+   * TPAMI 2011 §IV).
+   *
+   * RESIDUAL encoding (r17, the paper's actual formulation): PQ
+   * quantizes r = x − c(cell), NOT the raw vector — residuals
+   * concentrate near the origin with far less variance than the
+   * vectors themselves, so the same codebook budget spends its
+   * precision on the part the coarse quantizer didn't already
+   * explain. Reconstruction is x̃ = c(cell) + r̃; the ADC score is
+   * q·x̃ / (|q|·|x̃|), a cosine ranking like every exact scan here.
+   * Measured on the worst-case near-uniform gate embeddings, the
+   * recall@5 ladder moves from raw-PQ's 0.16 (m8k32, 32×) / 0.60
+   * (m16k128, 16×) to strictly higher residual points (spec-pinned in
+   * Round17OpsSpec). Cost delta vs raw: one broadcast join of the
+   * kCells-row centroid frame at encode time and again at scoring —
+   * both fold-to-broadcast sides, nothing new shuffles.
+   *
+   * Everything runs on the UNIT-normalized corpus (cosine retrieval).
+   * Output: top-`topK` per query by (score desc, id asc). Probing ALL
+   * cells reproduces a full residual-ADC scan exactly (spec-pinned
+   * against an independently reconstructed-scored reference);
+   * [[annIvfPqRaw]] keeps the r16 raw-vector form as the spec
+   * baseline, whose all-cells probe equals the [[annPq]] full scan.
    */
   def annIvfPq(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, kCodes: Int, kCells: Int,
-      queryFilter: Column, nprobe: Int = 2, topK: Int = 1): DataFrame = {
+      queryFilter: Column, nprobe: Int = 2, topK: Int = 1): DataFrame =
+    annIvfPqImpl(emb, idCol, vecCol, dim, m, kCodes, kCells, queryFilter,
+      nprobe, topK, residual = true)
+
+  /** The r16 raw-vector IVFADC (PQ over the unit vectors themselves,
+    * not cell residuals) — kept as the spec baseline: probing all
+    * cells equals the full-scan [[annPq]] ranking exactly, and the
+    * residual path's recall ladder is pinned strictly above this
+    * one's. Not the deployment default; [[annIvfPq]] is. */
+  def annIvfPqRaw(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kCodes: Int, kCells: Int,
+      queryFilter: Column, nprobe: Int = 2, topK: Int = 1): DataFrame =
+    annIvfPqImpl(emb, idCol, vecCol, dim, m, kCodes, kCells, queryFilter,
+      nprobe, topK, residual = false)
+
+  private def annIvfPqImpl(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kCodes: Int, kCells: Int,
+      queryFilter: Column, nprobe: Int, topK: Int,
+      residual: Boolean): DataFrame = {
     val corpus = prepared(emb, idCol, vecCol)
     val unit = corpus.filter(col("nrm") > 0)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
     val (index, refit) = buildIvfIndex(unit, "vec_id", "v", kCells)
-    val (codes, codebooks) = quantizePq(unit, "vec_id", "v", dim, m, kCodes)
+    // cell centroids as plain double vectors (micro-descale): kCells
+    // rows, broadcast wherever joined
+    val cents = refit.select(col("cell"),
+      transform(col("centroid_scaled"), x => x / 1000000.0).as("cvec"))
+    val pqInput =
+      if (residual)
+        index.select(col("vec_id"), col("v"), col("cell"))
+          .join(broadcast(cents), "cell")
+          .select(col("vec_id"),
+            zip_with(col("v"), col("cvec"), (a, b) => a - b).as("v"))
+      else unit
+    val (codes, codebooks) = quantizePq(pqInput, "vec_id", "v", dim, m, kCodes)
     val q = index.filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val routed = routeQueries(q, refit, nprobe)
@@ -890,9 +936,16 @@ object Similarity {
     def cw(s: Int): Column =
       element_at(col(s"cws_$s"),
         array_position(col(s"cells_$s"), col(s"code_$s")).cast("int"))
-    val num = (0 until m).map(s => dot(subv(col("qv"), s), cw(s))).reduce(_ + _)
-    val recNrm = sqrt((0 until m).map(s => dot(cw(s), cw(s))).reduce(_ + _))
-    val withCell = codes.join(index.select(col("vec_id"), col("cell")), "vec_id")
+    // reconstructed subvector: c_sub + r̃_sub for residual codes, the
+    // codeword itself for raw codes
+    def rec(s: Int): Column =
+      if (residual) zip_with(subv(col("cvec"), s), cw(s), (a, b) => a + b)
+      else cw(s)
+    val num = (0 until m).map(s => dot(subv(col("qv"), s), rec(s))).reduce(_ + _)
+    val recNrm = sqrt((0 until m).map(s => dot(rec(s), rec(s))).reduce(_ + _))
+    val withCell0 = codes.join(index.select(col("vec_id"), col("cell")), "vec_id")
+    val withCell =
+      if (residual) withCell0.join(broadcast(cents), "cell") else withCell0
     // same zero-norm guard as [[annPq]] (queries here are unit-corpus
     // members so qnrm > 0 holds by construction, but the explicit
     // filter keeps the rule stated rather than incidental)

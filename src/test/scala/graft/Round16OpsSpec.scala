@@ -627,7 +627,9 @@ class Round16OpsSpec extends AnyFunSuite {
       .select("q_id", "neighbor_id", "score_pq", "rn")
       .collect().map(_.toSeq).toSet
     // probing every cell = no candidate is ever routed away
-    val allCells = Similarity.annIvfPq(emb, "vec_id", "embedding",
+    // (r17: the RAW baseline form — the residual default reconstructs
+    // c + r̃ and has its own full-scan twin in Round17OpsSpec)
+    val allCells = Similarity.annIvfPqRaw(emb, "vec_id", "embedding",
         dim, m, kc, cells, qf, nprobe = cells, topK = 3)
       .select("q_id", "neighbor_id", "score_pq", "rn")
       .collect().map(_.toSeq).toSet
@@ -635,7 +637,7 @@ class Round16OpsSpec extends AnyFunSuite {
       s"all-cells IVFADC must equal the full ADC scan\n$allCells\nvs\n$full")
     // nprobe=1: per query the top-1 neighbor comes from ONE cell's
     // members only — a (possibly empty or lower-scoring) subset ranking
-    val one = Similarity.annIvfPq(emb, "vec_id", "embedding",
+    val one = Similarity.annIvfPqRaw(emb, "vec_id", "embedding",
         dim, m, kc, cells, qf, nprobe = 1, topK = 3)
       .groupBy("q_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -77,6 +77,92 @@ class Round17OpsSpec extends AnyFunSuite {
       "benchmark members are their own cosine-1 matches and must drop")
   }
 
+  // ---- residual IVFADC (Jégou et al. TPAMI 2011 §IV) ----
+
+  test("residual annIvfPq probing ALL cells == independent reconstruction-scored reference") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (dim, m, kc, cells, sub) = (64, 8, 16, 4, 8)
+    val qf = col("vec_id") < 5
+    // engine under test
+    val got = Similarity.annIvfPq(emb, "vec_id", "embedding",
+        dim, m, kc, cells, qf, nprobe = cells, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    // independent reference: reuse the oracle-proven BUILD artifacts
+    // (index cells, centroids, residual codes/codebooks) but score by
+    // EXPLICIT reconstruction on the driver — a second implementation
+    // of routing-free residual ADC
+    val corpus = Similarity.prepared(emb, "vec_id", "embedding")
+    val unit = corpus.filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+    val (index, refit) = Similarity.buildIvfIndex(unit, "vec_id", "v", cells)
+    val cellOf = index.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = refit.collect().map(r => r.getInt(0) ->
+      r.getSeq[Long](1).map(_ / 1000000.0).toArray).toMap
+    val resid = index.join(
+        broadcast(refit.select(col("cell"),
+          transform(col("centroid_scaled"), x => x / 1000000.0).as("cvec"))),
+        "cell")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("v"))
+    val (codesDf, booksDf) = Similarity.quantizePq(resid, "vec_id", "v", dim, m, kc)
+    val books = booksDf.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+      r.getSeq[Long](2).map(_ / 1000000.0).toArray).toMap
+    val codes = codesDf.collect().map(r =>
+      r.getLong(0) -> (0 until m).map(s => r.getInt(1 + s)).toArray).toMap
+    val qrows = index.filter(qf).select("vec_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dotF(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j) * b(j); j += 1 }; acc
+    }
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = qrows.flatMap { case (qid, qv, qnrm) =>
+      val scored = codes.keys.filter(_ != qid).toSeq.map { nid =>
+        val cvec = cents(cellOf(nid))
+        var num = 0.0; var sq = 0.0
+        for (s <- 0 until m) {
+          val rec = Array.tabulate(sub)(j =>
+            cvec(s * sub + j) + books((s, codes(nid)(s)))(j))
+          num += dotF(qv.slice(s * sub, s * sub + sub), rec)
+          sq += dotF(rec, rec)
+        }
+        (nid, round6(num / (qnrm * math.sqrt(sq))))
+      }
+      scored.sortBy { case (nid, sc) => (-sc, nid) }.take(3).zipWithIndex
+        .map { case ((nid, sc), i) => (qid, nid, sc, i + 1) }
+    }.toSet
+    assert(got == want,
+      s"all-cells residual IVFADC != reconstruction reference\n$got\nvs\n$want")
+  }
+
+  test("residual recall ladder clears the r16 raw pins (0.16@32x, 0.60@16x) and stays monotone") {
+    // deterministic (md5-seeded draws, fixed corpus): measured residual
+    // recall@5 on the worst-case near-uniform gate embeddings is
+    // ~0.29 @ m8k32 (32x) and ~0.71 @ m16k128 (16x) vs the r16
+    // raw-encoding pins 0.16 / 0.60 — the Jégou residual lift
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qf = col("vec_id") < 50
+    val corpus = Similarity.prepared(emb, "vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, corpus.filter(qf), 5)
+      .select(col("q_id"), col("neighbor_id"))
+    def recallAt(m: Int, k: Int): Double =
+      exact.join(
+          Similarity.annIvfPq(emb, "vec_id", "embedding", 64, m, k, 8,
+              qf, nprobe = 8, topK = 5)
+            .select(col("q_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L)),
+          Seq("q_id", "neighbor_id"), "left_outer")
+        .agg(avg(coalesce(col("hit"), lit(0L)))).collect().head.getDouble(0)
+    val r32 = recallAt(8, 32)
+    val r16 = recallAt(16, 128)
+    assert(r32 > 0.16, s"residual @32x must beat the raw pin 0.16, got $r32")
+    assert(r16 > 0.60, s"residual @16x must beat the raw pin 0.60, got $r16")
+    assert(r16 > r32, s"ladder must stay monotone: $r32 -> $r16")
+  }
+
   test("auto arity actually cuts candidate volume on a larger corpus") {
     // 5000 vectors: fixed b=4 -> 16 buckets/band -> ~n^2/16 candidates;
     // auto (b=8) -> 256 buckets/band. The ratio is the scale argument
