@@ -516,17 +516,26 @@ object TextOps {
    * under any partitioning (an unordered double sum near a 6-dp rounding
    * boundary could flip vs the oracle; same rule as q_tpch_q1's
    * integer-cents money sums).
+   *
+   * The corpus token total rides as a 1-row aggregate through
+   * `crossJoin(broadcast(…))` (the [[bm25]] pattern) — NOT a driver-side
+   * `count()`: the r16 form forced a full tokenize pass at PLAN
+   * construction whose result was recomputed anyway for the join — an
+   * extra corpus scan plus a driver sync per call at 100 TB. Nothing
+   * here executes until the returned frame is consumed (spec-pinned
+   * with a job-counting listener).
    */
   def unigramLogProb(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = toks.count().toDouble
+    val totalRow = toks.agg(count(lit(1)).cast("double").as("__total"))
     toks
       .join(vocab, "token")
+      .crossJoin(broadcast(totalRow))
       .groupBy(col("doc_id"))
       .agg(round(
-        sum(round(log(col("cnt") / total) * 1000000).cast("long")) / 1000000.0
+        sum(round(log(col("cnt") / col("__total")) * 1000000).cast("long")) / 1000000.0
           / count(lit(1)), 6).as("logprob"))
   }
 
@@ -560,7 +569,11 @@ object TextOps {
    * highest-scoring terms per doc. Two aggregations (both map-side
    * combinable) + one join; the corpus is read once. No broadcast hint —
    * the df table is vocabulary-sized (unbounded at 100 TB); AQE picks
-   * broadcast at runtime when it IS small.
+   * broadcast at runtime when it IS small. N rides as a 1-row
+   * count-distinct aggregate through `crossJoin(broadcast(…))` (the
+   * [[bm25]] pattern) — the r16 driver-side `distinct().count()` was an
+   * extra corpus scan plus a driver sync at plan-construction time;
+   * nothing here executes until the frame is consumed (spec-pinned).
    */
   def tfIdfTopTerms(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
@@ -569,11 +582,13 @@ object TextOps {
     val toks = docs.select(
       col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    val nDocsRow = docs.agg(
+      count_distinct(col(idCol)).cast("double").as("__ndocs"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(df, "token")
-      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(nDocsRow))
+      .withColumn("tfidf", round(col("tf") * log(col("__ndocs") / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)

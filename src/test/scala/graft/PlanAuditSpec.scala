@@ -188,6 +188,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_temperature_mix", "q_tpch_q11", "q_tpch_q22",
       // 1-row corpus-token-total broadcast (the share denominator)
       "q_token_budget_report",
+      // r17: the former plan-construction-time counts now ride as
+      // 1-row aggregate broadcasts (corpus token total / N docs)
+      "q_unigram_logprob", "q_tfidf",
       // 1-row corpus-total broadcasts; q_length_ks also broadcasts the
       // ≤(maxBucket+1)-row length grid
       "q_source_kl", "q_length_ks", "q_dsir_weights",

@@ -77,6 +77,45 @@ class Round17OpsSpec extends AnyFunSuite {
       "benchmark members are their own cosine-1 matches and must drop")
   }
 
+  // ---- plan construction is lazy: no eager driver-side actions ----
+
+  test("unigramLogProb / tfIdfTopTerms fire ZERO jobs until the frame is consumed") {
+    // the r16 forms ran toks.count() / distinct().count() at PLAN
+    // construction — an extra corpus scan plus a driver sync per call.
+    // A job-counting listener proves the rebuilt forms are fully lazy.
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lp = graft.ops.TextOps.unigramLogProb(docs, "doc_id", "text")
+      val ti = graft.ops.TextOps.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      // listener events post asynchronously; an eager count() would be a
+      // BLOCKING runJob during construction, so a short drain suffices
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"plan construction must not run jobs, saw ${jobs.get()}")
+      // and the results are still right (7 tokens total; ln(3/7) for
+      // alpha etc., micro-rounded before the per-doc mean)
+      val lpm = lp.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      def mlog(c: Long) = math.round(math.log(c / 7.0) * 1e6)
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(lpm(1L) == r6((2 * mlog(3) + mlog(2)) / 1e6 / 3))
+      assert(lpm(2L) == r6((mlog(2) + mlog(1)) / 1e6 / 2))
+      val tim = ti.collect().map(r =>
+        (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+      // doc 3: delta (df=1) outscores alpha (df=2)
+      assert(tim((3L, 1)) == "delta" && tim((3L, 2)) == "alpha")
+      assert(jobs.get() > 0, "consuming the frames must run jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   // ---- residual IVFADC (Jégou et al. TPAMI 2011 §IV) ----
 
   test("residual annIvfPq probing ALL cells == independent reconstruction-scored reference") {
