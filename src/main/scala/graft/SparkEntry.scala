@@ -436,6 +436,47 @@ object SparkEntry {
       Dedup.cleanCorpus(docs(s, dir), "doc_id", "text",
         qualityMin = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
 
+    "q_crawl_clean" -> ((s, dir) => {
+      // THE COMPOSED CRAWL FRONT DOOR end to end: each doc's text is
+      // wrapped in a deterministic page template (comment, head/style/
+      // nav chrome stripped as containers; h1/p/div/table block
+      // structure; entities; a per-source "site notice" line and
+      // universal tail/cell lines that per-source boilerplate removal
+      // must catch) and the body is spliced so every later stage has
+      // real work: CJK prefixes (%20 slices) that language routing
+      // must drop, the PII splice (%11) that redaction must mask
+      // BEFORE the dedup hash, and the mojibake junk (%9) that
+      // normalization must repair. Both engines synthesize the SAME
+      // html string, then replay the whole chain.
+      val d = docs(s, dir)
+      val id = col("doc_id").cast("string")
+      val body = concat(
+        when(col("doc_id") % 20 === 0, lit("日本語のテキストです "))
+          .when(col("doc_id") % 20 === 1, lit("한국어 텍스트 "))
+          .when(col("doc_id") % 20 === 2, lit("中文文本内容 "))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 11 === 0,
+          lit(" call 555-867-5309 or +1 (415) 555-2671 now, card" +
+            " 4111 1111 1111 1111, host 10.0.255.254, id 1234567890 stays"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" " + NormJunk)).otherwise(lit("")))
+      val html = concat(
+        lit("<html><!-- crawl & chrome --><head><title>T"), id,
+        lit("</title><style>body { color: #000; }</style></head><body>" +
+          "<nav><ul><li>Home</li><li>Docs</li></ul></nav><h1>Doc "), id,
+        lit("</h1><p>"), body,
+        lit("</p><div>site notice "), col("source"),
+        lit("</div><div class=\"tail\">Tail &amp; entities &lt;b&gt;" +
+          " &quot;q&quot;&nbsp;end</div><table><tr><td>r"), id,
+        lit("</td><td>c2</td></tr></table>" +
+          "<footer>(c) example</footer></body></html>"))
+      Dedup.crawlClean(
+        d.select(col("doc_id"), col("source"), html.as("html")),
+        "doc_id", "html", "source", keepLangs = Seq("en"),
+        boilerFrac = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)
+    }),
+
     "q_simhash" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextOps.tokensNative(col("text")).as("toks"))
@@ -2911,30 +2952,37 @@ object SparkEntry {
   /** Shared CTE chain of the boilerplate oracles: the deterministic
     * nav/footer splice, per-source boiler-line sets, and the kept-line
     * frame `j` — two finals read it (stats vs emitted text). */
+  /** DuckDB replay of [[graft.ops.TextOps.boilerplateClean]]'s shared
+    * frame over ANY prior CTE `src`(doc_id, source, text): emits CTEs
+    * `bp_d` (trimmed non-empty lines) … `bp_j` (doc_id, source, lines,
+    * kept). Parameterized (r17) so the composed crawl-prep oracle
+    * replays the SAME chain the standalone boilerplate gates pin. */
+  private def boilerplateCtesSql(src: String, minDocFrac: Double = 0.4): String =
+    s"""bp_d AS (SELECT doc_id, source,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lines
+        |  FROM $src),
+        |bp_lh AS (SELECT DISTINCT doc_id, source, lhash FROM bp_d,
+        |    unnest(list_transform(lines, l -> md5(l))) AS t(lhash)),
+        |bp_sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        |  FROM $src GROUP BY source),
+        |bp_bf AS (SELECT source, lhash, count(DISTINCT doc_id) AS n_with
+        |  FROM bp_lh GROUP BY source, lhash),
+        |bp_b AS (SELECT bp_bf.source, bp_bf.lhash FROM bp_bf JOIN bp_sd USING (source)
+        |  WHERE n_with >= 2
+        |    AND n_with::DOUBLE / n_docs::DOUBLE >= $minDocFrac),
+        |bp_bs AS (SELECT source, list(lhash) AS bh FROM bp_b GROUP BY source),
+        |bp_j AS (SELECT d.doc_id, d.source, d.lines,
+        |    list_filter(d.lines,
+        |      l -> NOT list_contains(coalesce(bs.bh, []), md5(l))) AS kept
+        |  FROM bp_d d LEFT JOIN bp_bs bs ON d.source = bs.source)""".stripMargin
+
   private val BoilerplateChainSql =
     """WITH m AS (SELECT doc_id, source,
         |    CASE WHEN doc_id % 2 = 0 THEN 'NAV HOME ABOUT CONTACT' || chr(10)
         |         ELSE '' END || text || chr(10) || 'copyright ' || source AS text
         |  FROM documents),
-        |d AS (SELECT doc_id, source,
-        |    list_filter(list_transform(string_split(text, chr(10)),
-        |      l -> trim(l)), l -> l <> '') AS lines
-        |  FROM m),
-        |lh AS (SELECT DISTINCT doc_id, source, lhash FROM d,
-        |    unnest(list_transform(lines, l -> md5(l))) AS t(lhash)),
-        |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
-        |  FROM m GROUP BY source),
-        |bf AS (SELECT source, lhash, count(DISTINCT doc_id) AS n_with
-        |  FROM lh GROUP BY source, lhash),
-        |b AS (SELECT bf.source, bf.lhash FROM bf JOIN sd USING (source)
-        |  WHERE n_with >= 2
-        |    AND n_with::DOUBLE / n_docs::DOUBLE >= 0.4),
-        |bs AS (SELECT source, list(lhash) AS bh FROM b GROUP BY source),
-        |j AS (SELECT d.doc_id, d.source, d.lines,
-        |    coalesce(bs.bh, []) AS bh,
-        |    list_filter(d.lines,
-        |      l -> NOT list_contains(coalesce(bs.bh, []), md5(l))) AS kept
-        |  FROM d LEFT JOIN bs ON d.source = bs.source)""".stripMargin
+        |""".stripMargin + boilerplateCtesSql("m")
 
   private val ToksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private val ShinglesSql =
@@ -2978,20 +3026,19 @@ object SparkEntry {
     * q_gopher_quality splice — per-doc metrics + pass flags + keep;
     * shared by q_gopher_quality (verbatim) and q_filter_report
     * (aggregated per source). */
-  private lazy val GopherFlagsSql: String = {
+  /** The Gopher battery over ANY prior CTE `src`(doc_id, text):
+    * parameterized (r17) CTE chain `gf_d` → `gf_s` → `gf_flags`
+    * (doc_id, metrics, pass flags, keep) — shared by the standalone
+    * [[GopherFlagsSql]] gate and the composed crawl-prep oracle so the
+    * rule formulas can never drift between the two. */
+  private def gopherCtesSql(src: String): String = {
     val stops = TextOps.EN_STOP.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH m AS (SELECT doc_id,
-         |    text || CASE WHEN doc_id % 7 = 0
-         |      THEN chr(10) || '- alpha bullet' || chr(10) || '* beta bullet'
-         |        || chr(10) || '##############################... ... ...'
-         |      ELSE '' END AS text
-         |  FROM documents),
-         |d AS (SELECT doc_id, text,
+    s"""gf_d AS (SELECT doc_id, text,
          |    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words,
          |    list_filter(list_transform(string_split(text, chr(10)),
          |      l -> trim(l)), l -> l <> '') AS lines
-         |  FROM m),
-         |s_t AS (SELECT doc_id,
+         |  FROM $src),
+         |gf_s AS (SELECT doc_id,
          |    len(words) AS n_words,
          |    round(CASE WHEN len(words) > 0
          |      THEN list_reduce(list_prepend(0::BIGINT,
@@ -3018,8 +3065,8 @@ object SparkEntry {
          |      ELSE 0.0 END, 6) AS alpha_ratio,
          |    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
          |      $stops)) AS n_stopwords
-         |  FROM d)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  FROM gf_d),
+         |gf_flags AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
          |  ellipsis_ratio, alpha_ratio, n_stopwords,
          |  (n_words >= 20 AND n_words <= 100000) AS pass_words,
          |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
@@ -3033,7 +3080,71 @@ object SparkEntry {
          |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
          |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
          |    AND n_stopwords >= 2) AS keep
-         |FROM s_t""".stripMargin
+         |  FROM gf_s)""".stripMargin
+  }
+
+  private lazy val GopherFlagsSql: String =
+    s"""WITH m AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 7 = 0
+         |      THEN chr(10) || '- alpha bullet' || chr(10) || '* beta bullet'
+         |        || chr(10) || '##############################... ... ...'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |""".stripMargin + gopherCtesSql("m") + "\nSELECT * FROM gf_flags"
+
+  // the \x{...} char classes are the SAME pattern text the Spark side
+  // compiles (Java regex and RE2 both accept them)
+  private val KanaSql = """[\x{3040}-\x{309F}\x{30A0}-\x{30FF}]"""
+  private val HangulSql = """[\x{1100}-\x{11FF}\x{3130}-\x{318F}\x{AC00}-\x{D7AF}]"""
+  private val HanSql = """[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}]"""
+  private val CjkSql = """[\x{1100}-\x{11FF}\x{3040}-\x{309F}\x{30A0}-\x{30FF}""" +
+    """\x{3130}-\x{318F}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}""" +
+    """\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]"""
+
+  /** DuckDB replay of [[graft.ops.TextOps.langIdCjk]] over ANY prior
+    * CTE `src`(doc_id, text): parameterized (r17) chain `lg_c` (script
+    * char counts + tokens) → `lg_s` (+ stopword votes) → `lg`
+    * (doc_id, lang) — shared by the standalone q_langid_cjk gate and
+    * the composed crawl-prep oracle. `lg_s` keeps text and the counts
+    * so consumers can derive the CJK-aware token count. */
+  private def langCjkCtesSql(src: String): String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    s"""lg_c AS (SELECT doc_id, text,
+       |    length(text) - length(regexp_replace(text, '$KanaSql', '', 'g')) AS n_kana,
+       |    length(text) - length(regexp_replace(text, '$HangulSql', '', 'g')) AS n_hangul,
+       |    length(text) - length(regexp_replace(text, '$HanSql', '', 'g')) AS n_han,
+       |    length(text) - length(regexp_replace(text, '$CjkSql', '', 'g')) AS n_cjk,
+       |    $ToksSql AS toks
+       |  FROM $src),
+       |lg_s AS (SELECT doc_id, text, n_kana, n_hangul, n_han, n_cjk,
+       |  ${hits(TextOps.EN_STOP)} AS s_en, ${hits(TextOps.ES_STOP)} AS s_es,
+       |  ${hits(TextOps.FR_STOP)} AS s_fr, ${hits(TextOps.DE_STOP)} AS s_de
+       |  FROM lg_c),
+       |lg AS (SELECT doc_id, CASE
+       |  WHEN n_kana > 0 THEN 'ja'
+       |  WHEN n_hangul > 0 THEN 'ko'
+       |  WHEN n_han > 0 THEN 'zh'
+       |  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+       |  WHEN s_de > 0 THEN 'de'
+       |  ELSE 'und' END AS lang
+       |  FROM lg_s)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.TextOps.redactPii]] over a `text`
+    * expression: [[graft.ops.TextOps.redact]]'s email/URL masks, then
+    * the [[graft.ops.TextOps.PiiPatterns]] fold in declared order —
+    * shared by q_redact_pii and the composed crawl-prep oracle. */
+  private def piiRedactSql(e0: String): String = {
+    var e = s"regexp_replace(regexp_replace($e0, " +
+      "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+      "'https?://[^\\s]+', '<URL>', 'g')"
+    graft.ops.TextOps.PiiPatterns.foreach { case (pat, repl) =>
+      e = s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    e
   }
 
   /** DuckDB twin of [[graft.ops.Similarity.annIvfRefit]]: deterministic
@@ -3767,6 +3878,58 @@ object SparkEntry {
          |SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
     },
 
+    // the composed crawl front door: the SAME page synthesis as the
+    // Spark gate, then the full extract → normalize → boilerplate →
+    // langId-route → Gopher-gate → PII → exact+near dedup chain, each
+    // stage the parameterized twin of its standalone gate's oracle.
+    // Assembled by CONCATENATION (not interpolation inside stripMargin:
+    // the gopher fragment has '||' continuation lines the outer margin
+    // strip would mangle — the q_filter_report note).
+    "q_crawl_clean" -> (
+      s"""WITH pages AS (SELECT doc_id, source,
+         |  '<html><!-- crawl & chrome --><head><title>T' || doc_id::VARCHAR
+         |  || '</title><style>body { color: #000; }</style></head><body><nav><ul><li>Home</li><li>Docs</li></ul></nav><h1>Doc ' || doc_id::VARCHAR
+         |  || '</h1><p>'
+         |  || CASE WHEN doc_id % 20 = 0 THEN '日本語のテキストです '
+         |       WHEN doc_id % 20 = 1 THEN '한국어 텍스트 '
+         |       WHEN doc_id % 20 = 2 THEN '中文文本内容 ' ELSE '' END
+         |  || text
+         |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 or +1 (415) 555-2671 now, card 4111 1111 1111 1111, host 10.0.255.254, id 1234567890 stays' ELSE '' END
+         |  || CASE WHEN doc_id % 9 = 0 THEN ' ' || '$NormJunk' ELSE '' END
+         |  || '</p><div>site notice ' || source
+         |  || '</div><div class="tail">Tail &amp; entities &lt;b&gt; &quot;q&quot;&nbsp;end</div><table><tr><td>r' || doc_id::VARCHAR
+         |  || '</td><td>c2</td></tr></table><footer>(c) example</footer></body></html>' AS html
+         |  FROM documents),
+         |x AS (SELECT doc_id, source, ${extractHtmlSql("html")} AS t0 FROM pages),
+         |nrm AS (SELECT doc_id, source, ${normalizeSql("t0")} AS text FROM x),
+         |""".stripMargin +
+      boilerplateCtesSql("nrm") + ",\n" +
+      """bt AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM bp_j),
+        |""".stripMargin +
+      langCjkCtesSql("bt") + ",\n" +
+      """keepl AS (SELECT lg.doc_id, lg.lang, bt.text FROM lg JOIN bt USING (doc_id)
+        |  WHERE lg.lang IN ('en')),
+        |""".stripMargin +
+      gopherCtesSql("keepl") + ",\n" +
+      s"""gated AS (SELECT k.doc_id, k.lang, k.text FROM keepl k
+         |  JOIN gf_flags f USING (doc_id) WHERE f.keep),
+         |pii AS (SELECT doc_id, lang, ${piiRedactSql("text")} AS text FROM gated),
+         |ew AS (SELECT min(doc_id) AS doc_id FROM pii GROUP BY md5(text)),
+         |surv AS (SELECT p.doc_id, p.lang, p.text FROM pii p JOIN ew ON p.doc_id = ew.doc_id),
+         |tk AS (SELECT doc_id, $ToksSql AS toks FROM surv),
+         |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+         |sig_t AS (SELECT doc_id, $SigSql AS sig FROM sh_t),
+         |bands_t AS (SELECT doc_id, unnest($BandsSql) AS band_key FROM sig_t),
+         |pairs_t AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands_t a JOIN bands_t b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t),
+         |drops AS (SELECT DISTINCT p.id2 AS doc_id
+         |  FROM pairs_t p JOIN dsh a ON p.id1 = a.doc_id JOIN dsh b ON p.id2 = b.doc_id
+         |  WHERE round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
+         |    (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) >= 0.8)
+         |SELECT doc_id, lang, text FROM surv
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin),
+
     "q_simhash" ->
       s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |h_t AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes FROM toks_t)
@@ -3828,54 +3991,26 @@ object SparkEntry {
         |    THEN (len(lines) - len(kept))::DOUBLE / len(lines)::DOUBLE
         |    ELSE 0.0 END, 6) AS boiler_ratio,
         |  md5(array_to_string(kept, chr(10))) AS clean_hash
-        |FROM j""".stripMargin,
+        |FROM bp_j""".stripMargin,
 
     "q_boilerplate_clean" ->
       s"""$BoilerplateChainSql
          |SELECT doc_id, source,
          |  array_to_string(kept, chr(10)) AS clean_text
-         |FROM j""".stripMargin,
+         |FROM bp_j""".stripMargin,
 
     "q_langid_cjk" -> {
-      def hits(words: Seq[String]) =
-        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
-      // the \x{...} char classes are the SAME pattern text the Spark
-      // side compiles (Java regex and RE2 both accept them)
-      val kana = """[\x{3040}-\x{309F}\x{30A0}-\x{30FF}]"""
-      val hangul = """[\x{1100}-\x{11FF}\x{3130}-\x{318F}\x{AC00}-\x{D7AF}]"""
-      val han = """[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}]"""
-      val cjk = """[\x{1100}-\x{11FF}\x{3040}-\x{309F}\x{30A0}-\x{30FF}""" +
-        """\x{3130}-\x{318F}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}""" +
-        """\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]"""
       s"""WITH m AS (SELECT doc_id,
          |    CASE WHEN doc_id % 20 = 0 THEN '日本語のテキストです ' || text
          |         WHEN doc_id % 20 = 1 THEN '한국어 텍스트 ' || text
          |         WHEN doc_id % 20 = 2 THEN '中文文本内容 ' || text
          |         ELSE text END AS text
          |  FROM documents),
-         |c AS (SELECT doc_id, text,
-         |    length(text) - length(regexp_replace(text, '$kana', '', 'g')) AS n_kana,
-         |    length(text) - length(regexp_replace(text, '$hangul', '', 'g')) AS n_hangul,
-         |    length(text) - length(regexp_replace(text, '$han', '', 'g')) AS n_han,
-         |    length(text) - length(regexp_replace(text, '$cjk', '', 'g')) AS n_cjk,
-         |    $ToksSql AS toks
-         |  FROM m),
-         |s_t AS (SELECT doc_id, n_kana, n_hangul, n_han, n_cjk, text,
-         |  ${hits(TextOps.EN_STOP)} AS s_en, ${hits(TextOps.ES_STOP)} AS s_es,
-         |  ${hits(TextOps.FR_STOP)} AS s_fr, ${hits(TextOps.DE_STOP)} AS s_de
-         |  FROM c)
-         |SELECT doc_id, CASE
-         |  WHEN n_kana > 0 THEN 'ja'
-         |  WHEN n_hangul > 0 THEN 'ko'
-         |  WHEN n_han > 0 THEN 'zh'
-         |  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-         |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
-         |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
-         |  WHEN s_de > 0 THEN 'de'
-         |  ELSE 'und' END AS lang_pred,
-         |  n_cjk + len(string_split_regex(trim(
-         |    regexp_replace(text, '$cjk', ' ', 'g')), '\\s+')) AS n_tok
-         |FROM s_t""".stripMargin
+         |${langCjkCtesSql("m")}
+         |SELECT lg.doc_id, lg.lang AS lang_pred,
+         |  s.n_cjk + len(string_split_regex(trim(
+         |    regexp_replace(s.text, '$CjkSql', ' ', 'g')), '\\s+')) AS n_tok
+         |FROM lg JOIN lg_s s USING (doc_id)""".stripMargin
     },
 
     "q_langid_spans" -> {
@@ -4046,15 +4181,7 @@ object SparkEntry {
     },
 
     "q_redact_pii" -> {
-      val redactSql = {
-        var e = "regexp_replace(regexp_replace(text, " +
-          "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
-          "'https?://[^\\s]+', '<URL>', 'g')"
-        graft.ops.TextOps.PiiPatterns.foreach { case (pat, repl) =>
-          e = s"regexp_replace($e, '$pat', '$repl', 'g')"
-        }
-        e
-      }
+      val redactSql = piiRedactSql("text")
       def cnt(i: Int) =
         s"len(regexp_extract_all(text, '${graft.ops.TextOps.PiiPatterns(i)._1}'))::INT"
       s"""WITH m AS (SELECT doc_id,

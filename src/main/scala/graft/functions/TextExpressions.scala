@@ -450,10 +450,15 @@ object TextStats {
  * a broadcast literal): collect a trained table with
  * `mergesDf.collect()` first. Per-task word→encoding cache (corpus
  * word frequency is Zipfian, so the hit rate is high); cost is
- * O(applied-merges · word-length) hash lookups per MISS, independent
- * of the table size — a 50k-entry vocabulary costs the same lookups
- * as a 20-entry one. CodegenFallback: the loop dominates; the
- * surrounding plan keeps its codegen spans.
+ * O(applied-merges · word-length) hash lookups per MISS — the lookup
+ * COUNT is independent of the table size. Measured at production
+ * vocabulary ([[graft.tools.BpeVocabProbe]], 200k rows of 8 distinct
+ * 16-char words each, cache-defeating): 23.4 µs/row at 50k rules vs
+ * 11.8 µs/row under the 4.7k-rule subset that provably encodes the
+ * same corpus IDENTICALLY — the residual ~2× is rank-map CACHE
+ * residency (L2 vs LLC), not algorithm; the 20-rule floor reads
+ * 7.5 µs/row. CodegenFallback: the loop dominates; the surrounding
+ * plan keeps its codegen spans.
  */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   extends UnaryExpression with CodegenFallback {

@@ -459,6 +459,78 @@ object Dedup {
   }
 
   /**
+   * THE COMPOSED CRAWL-PREP FRONT DOOR — raw HTML pages in, training
+   * corpus out, as ONE declarative DAG. [[cleanCorpus]] is the
+   * plain-text capstone; this is its crawl-side twin, chaining what
+   * previously existed only as eight separate operators:
+   *
+   *   [[TextOps.extractHtmlText]] → [[TextOps.normalizeUnicode]]
+   *   → [[TextOps.boilerplateClean]] (per source)
+   *   → [[TextOps.langIdCjk]] routing (keep only `keepLangs`)
+   *   → [[TextOps.gopherQualityFlags]] gate (all rules must pass)
+   *   → [[TextOps.redactPii]]
+   *   → exact dedup (md5 keep-min-id)
+   *   → MinHash/LSH near-dup removal (verified Jaccard ≥ `jaccardMax`
+   *     drops id2 — the [[cleanCorpus]] one-pass convention)
+   *
+   * Returns survivors as (doc_id, lang, text): the cleaned, redacted,
+   * deduplicated text a tokenizer actually consumes, with the
+   * routing label budget math groups by. The composition order is the
+   * standard crawl recipe (FineWeb / CCNet): markup and chrome must go
+   * BEFORE language/quality gating (chrome tokens poison both), PII
+   * before dedup (so the masked form is the dedup identity), dedup
+   * last (cheapest corpus is the smallest one, but near-dup hashes
+   * must see final text).
+   *
+   * Scale shape: extraction, normalization, langId, Gopher and PII are
+   * pure per-row scan-stage regex/string kernels — they fuse into the
+   * stages that feed the real exchanges. Boilerplate's line-frequency
+   * pass moves 16-byte line hashes only (never line text). TWO staging
+   * `repartition(doc_id)` exchanges (the [[cleanCorpus]] discipline)
+   * make each multiply-consumed frame a ReusedExchange read: `routed`
+   * feeds the Gopher gate and its own semi-join; the redacted frame
+   * feeds the exact-dup hash, the survivor join and the shingle
+   * pipeline — without them the whole upstream regex chain re-runs per
+   * consumer. The dedup tail is [[cleanCorpus]]'s: a 16-byte hash
+   * aggregate for exact, one banded-signature exchange + candidate-only
+   * Jaccard verify for near. No driver-side action, no shuffle ever
+   * carries raw page HTML.
+   */
+  def crawlClean(pages: DataFrame, idCol: String, htmlCol: String,
+      sourceCol: String, keepLangs: Seq[String],
+      boilerFrac: Double = 0.4, jaccardMax: Double = 0.8,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must be non-empty")
+    val extracted = pages.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      TextOps.normalizeUnicode(TextOps.extractHtmlText(col(htmlCol)))
+        .as("text"))
+    val routed = TextOps
+      .boilerplateClean(extracted, "doc_id", "text", "source", boilerFrac)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        TextOps.langIdCjk(col("clean_text")).as("lang"))
+      .filter(col("lang").isin(keepLangs: _*))
+      .repartition(col("doc_id"))
+    val gateKeep = TextOps.gopherQualityFlags(routed, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val pii = routed.join(gateKeep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        TextOps.redactPii(col("text")).as("text"))
+      .repartition(col("doc_id"))
+    val exactWinners = pii
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivors = pii.join(exactWinners, Seq("doc_id"), "left_semi")
+    val sh = shingleSets(survivors, "doc_id", "text")
+    val near = jaccardVerifyFromShingles(sh, candidatePairsFromShingles(sh, k, bands))
+      .filter(col("jaccard") >= jaccardMax)
+    survivors
+      .join(near.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("text"))
+  }
+
+  /**
    * Cross-corpus contamination check (benchmark decontamination): count
    * shared n-grams between every (train, eval) document pair that
    * collides at all. Both sides explode to (ngram-hash, id) and

@@ -742,6 +742,42 @@ object Similarity {
       .drop("rn")
   }
 
+  /**
+   * Deployment search over an ON-DISK IVF index
+   * ([[graft.sources.Tables.writeIvfIndex]]'s layout): read the
+   * postings and centroid tables back, route the query batch, make the
+   * probed-cell set a LITERAL filter, search only those cells. The
+   * routing collect ships nprobe·|Q| cell ids to the driver — the
+   * bounded query-batch contract (the same boundedness
+   * [[bruteForceTopK]] broadcasts on), and the price of PLANNING-time
+   * partition pruning: with the probed cells literal, the postings
+   * scan lists only those directories (`selectedPartitions` == probed
+   * cells — TablesSpec asserts), where the join-shaped form relies on
+   * runtime DPP firing. NOTE this op routes (runs two small jobs) when
+   * CALLED, by design — it is the amortized online-serving shape, not
+   * a lazy pipeline stage; [[annIvfSearch]] is the in-pipeline form.
+   * At 100 TB: build once ([[buildIvfIndex]] + writeIvfIndex), then
+   * every batch reads ~nprobe/k of the postings bytes.
+   */
+  def annIvfSearchOnDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryFilter: Column, nprobe: Int = 2): DataFrame = {
+    val (index, refit) = graft.sources.Tables.readIvfIndex(spark, path)
+    val q = index.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val qCell = routeQueries(q, refit, nprobe)
+    val probed = qCell.select(col("qcell")).distinct().collect().map(_.get(0))
+    val pruned = index.filter(col("cell").isin(probed.toSeq: _*))
+    val searchW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pruned.join(broadcast(qCell),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        cosine6(col("v"), col("nrm"), col("qv"), col("qnrm")).as("cos"))
+      .withColumn("rn", row_number().over(searchW)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Query → probed-cell routing over the refit centroids: (q_id, qv,
     * qnrm) → one row per (query, probed cell), top-`nprobe` cells by
     * rounded centroid cosine. nprobe=1 routes through the one-kernel

@@ -960,8 +960,11 @@ object TextOps {
    * words. The merges ship inside the expression (task-serialized,
    * like a broadcast literal) — collect a trained table with
    * `.collect()` first; cost per cache-miss word is
-   * O(applied-merges · word-length) hash probes, INDEPENDENT of the
-   * table size, with a per-task word→encoding cache riding the
+   * O(applied-merges · word-length) hash probes — probe COUNT
+   * independent of the table size (measured at 50k rules:
+   * [[graft.tools.BpeVocabProbe]]; the only table-size effect is rank-
+   * map cache residency, ~2× from 4.7k→50k rules at identical
+   * output) — with a per-task word→encoding cache riding the
    * Zipfian word distribution. Exact merge semantics (incl. the
    * engine-replayable two-pass-per-rank contract) on
    * [[graft.functions.BpeEncode]]. Train a table with
@@ -982,6 +985,40 @@ object TextOps {
     "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "s", "o" -> "r",
     "s" -> "t", "a" -> "r", "o" -> "u", "l" -> "e", "an" -> "d",
     "in" -> "g", "er" -> "s", "c" -> "h", "q" -> "u", "a" -> "l")
+
+  /**
+   * Deterministic WELL-FORMED merges table at production vocabulary
+   * size — the r14 verdict's "prove BPE at a real vocab" fixture. The
+   * synthetic test corpus has only 31 distinct words, so a 50k-entry
+   * table cannot be TRAINED from it; this generator SHIPS one with the
+   * exact structural property a trained table has (each rule's parts
+   * are single characters or outputs of EARLIER rules — the
+   * well-formedness that makes ascending-rank replay equal
+   * min-rank-first encoding):
+   *
+   *   ranks 0..1295: every (c1, c2) char pair over [a-z0-9], in
+   *     lexicographic order (the full bigram closure — like a trained
+   *     table's early ranks, where frequent char pairs merge first);
+   *   ranks 1296...: (t1, t2) pairs of those 2-char tokens → 4-char
+   *     tokens, lexicographic, truncated at `n`.
+   *
+   * Every rank's parts exist before it fires, every prefix of the
+   * table is itself well-formed, and the pair universe (1296 + 1296²)
+   * covers any real vocabulary size. Used by the table-size
+   * independence probe ([[graft.tools.BpeVocabProbe]]) and the ≥10k
+   * rule spec; [[graft.functions.BpeEncode]]'s per-word cost contract
+   * (O(applied·len) hash probes, independent of table size) is
+   * measured against it.
+   */
+  def syntheticMerges(n: Int): Seq[(String, String)] = {
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    require(n >= 1 && n <= chars.size * chars.size * (1 + chars.size * chars.size),
+      s"n out of the two-level pair universe: $n")
+    val level1 = for (a <- chars; b <- chars) yield (a, b)
+    val pairs2 = level1.map { case (a, b) => a + b }
+    val level2 = for (x <- pairs2.iterator; y <- pairs2) yield (x, y)
+    (level1.iterator ++ level2).take(n).toSeq
+  }
 
   /**
    * BM25 ranking of documents against a bag of query terms — the

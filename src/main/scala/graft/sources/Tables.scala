@@ -105,4 +105,54 @@ object Tables {
       .sortWithinPartitions(col("__z"))
       .write.format("parquet").mode(SaveMode.Overwrite).save(destPath)
   }
+
+  /**
+   * Persist an IVF ANN index ([[graft.ops.Similarity.buildIvfIndex]]'s
+   * output) as its DEPLOYMENT shape: the (vec_id, v, nrm) postings
+   * Hive-partitioned by `cell` under `path/postings`, the k-row
+   * centroid routing table under `path/centroids`. The N·k quantizer
+   * pass is paid ONCE at write time; every later query batch routes
+   * against the tiny centroid table and reads ONLY its probed cell
+   * directories — planning-time partition pruning
+   * ([[graft.ops.Similarity.annIvfSearchOnDisk]] makes the probed-cell
+   * filter literal, TablesSpec asserts `selectedPartitions` == probed
+   * cells). At 100 TB an nprobe=2 batch over √N cells reads ~2/√N of
+   * the postings bytes instead of the whole corpus.
+   */
+  def writeIvfIndex(index: DataFrame, refit: DataFrame, path: String): Unit = {
+    writePartitioned(index, s"$path/postings", Seq("cell"))
+    refit.coalesce(1).write.format("parquet")
+      .mode(SaveMode.Overwrite).save(s"$path/centroids")
+  }
+
+  /** Read back a [[writeIvfIndex]] store: (postings, centroids). The
+    * partition column `cell` is recovered from the directory layout at
+    * its original integer type. */
+  def readIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/centroids"))
+
+  /**
+   * Persist a PQ index ([[graft.ops.Similarity.quantizePq]]'s output):
+   * the (vec_id, code_0..code_{m-1}) codes under `path/codes`, the
+   * m·k-row codebooks under `path/codebooks`. The codes table IS the
+   * compression win made durable — m small ints per vector instead of
+   * d floats (16–64×), so the table an ADC scan
+   * ([[graft.ops.Similarity.annPq]]) reads from disk is 16–64× fewer
+   * bytes than the raw vector table; the codebooks fold to one
+   * broadcast row at search time. Train/encode is paid once at write
+   * time (the gate queries' per-query build price is the demo shape,
+   * not this one).
+   */
+  def writePqIndex(codes: DataFrame, codebooks: DataFrame, path: String): Unit = {
+    codes.write.format("parquet").mode(SaveMode.Overwrite).save(s"$path/codes")
+    codebooks.coalesce(1).write.format("parquet")
+      .mode(SaveMode.Overwrite).save(s"$path/codebooks")
+  }
+
+  /** Read back a [[writePqIndex]] store: (codes, codebooks) — feed
+    * them straight to [[graft.ops.Similarity.annPq]]. */
+  def readPqIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebooks"))
 }

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round17OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
-  import graft.ops.{Dedup, Similarity}
+  import graft.ops.{Dedup, Similarity, TextOps}
 
   // ---- bandBitsFor: the sizing rule, pinned ----
 
@@ -213,5 +213,121 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(Similarity.bandBitsFor(5000L) == 8)
     assert(auto < fixed / 4,
       s"8-bit bands must prune >= 4x vs 4-bit at n=5000 (got $auto vs $fixed)")
+  }
+
+  // ---- the composed crawl front door (r14 verdict task #3) ----
+
+  test("crawlClean composition: same body under different chrome survives ONCE; " +
+      "PII masked; non-kept langs routed; junk gated; chrome gone") {
+    // a ~27-word English body that passes every Gopher rule
+    val bodyShared = "the market report and the annual summary of performance " +
+      "gives the board a clear view of progress across all regions during " +
+      "the last quarter of the year"
+    def uniq(tag: String) = s"the $tag team publishes a detailed and " +
+      s"careful analysis of $tag metrics that covers planning quality " +
+      s"delivery staffing budget and customer feedback for the $tag region"
+    // two sites: same shared body, DIFFERENT per-site chrome lines
+    def pageA(body: String) = "<html><head><title>site a</title></head><body>" +
+      "<div>alpha site menu</div><p>" + body +
+      "</p><div>alpha footer line</div></body></html>"
+    def pageB(body: String) = "<html><head><title>site b</title></head><body>" +
+      "<div>beta cookie banner</div><p>" + body +
+      "</p><div>beta legal notice</div></body></html>"
+    val pages = Seq(
+      (1L, "a", pageA(bodyShared)),
+      (2L, "a", pageA(uniq("polar") + " mail me at bob@example.com today")),
+      (3L, "a", pageA(uniq("coral"))),
+      (4L, "a", pageA(uniq("ember"))),
+      (11L, "b", pageB(bodyShared)), // mirror of doc 1 under other chrome
+      (12L, "b", pageB("日本語のテキストです これはテストです")), // routed: ja
+      (13L, "b", pageB("tiny doc")), // gated: < 20 words
+      (14L, "b", pageB(uniq("quartz"))),
+      (15L, "b", pageB(uniq("willow")))
+    ).toDF("doc_id", "source", "html")
+    val out = Dedup.crawlClean(pages, "doc_id", "html", "source",
+      keepLangs = Seq("en")).collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // exactly one of the mirrored pair survives, the smaller id
+    assert(byId.contains(1L) && !byId.contains(11L),
+      s"mirror pages must dedup to the min id, got ${byId.keySet}")
+    // routing and gating
+    assert(!byId.contains(12L), "ja page must be routed out")
+    assert(!byId.contains(13L), "sub-20-word page must fail the Gopher gate")
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L, 14L, 15L))
+    assert(out.forall(_.getString(1) == "en"))
+    // PII masked before the dedup identity
+    assert(byId(2L)._2.contains("<EMAIL>") && !byId(2L)._2.contains("bob@"),
+      "email must be masked in the surviving text")
+    // chrome is gone from every survivor (containers stripped, per-site
+    // boilerplate lines removed), body retained
+    val texts = out.map(_.getString(2))
+    Seq("site menu", "cookie banner", "footer line", "legal notice",
+        "site a", "site b").foreach { chrome =>
+      assert(texts.forall(!_.contains(chrome)), s"chrome '$chrome' leaked")
+    }
+    assert(byId(1L)._2 == bodyShared, "survivor text == extracted body")
+  }
+
+  // ---- BPE at production vocabulary size (r14 verdict task #4) ----
+
+  test("syntheticMerges(12k) is well-formed; BpeEncode matches an independent " +
+      "greedy reference; a same-output subset table proves size independence") {
+    val table = TextOps.syntheticMerges(12000)
+    assert(table.size == 12000)
+    // well-formedness: each rule's parts are single chars or outputs of
+    // EARLIER rules (the property every trained table has)
+    val derivable = scala.collection.mutable.Set[String]()
+    (('a' to 'z') ++ ('0' to '9')).foreach(c => derivable += c.toString)
+    table.foreach { case (x, y) =>
+      assert(derivable.contains(x) && derivable.contains(y),
+        s"rule ($x,$y) uses an underivable part")
+      derivable += (x + y)
+    }
+    // independent reference: canonical greedy — min-rank applicable pair,
+    // leftmost-nonoverlapping merge-all per application
+    val rank = table.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    def ref(w: String): Vector[String] = {
+      var s = w.map(_.toString).toVector
+      var go = s.length >= 2
+      while (go) {
+        val best = (0 until s.length - 1)
+          .flatMap(i => rank.get((s(i), s(i + 1)))).minOption
+        best match {
+          case None => go = false
+          case Some(r) =>
+            val (x, y) = table(r)
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == x && s(j + 1) == y) {
+                out += (x + y); j += 2
+              } else { out += s(j); j += 1 }
+            }
+            s = out.result()
+            go = s.length >= 2
+        }
+      }
+      s
+    }
+    val words = Seq("aaaaaa", "abcdabcd", "a1b2c3d4", "zzz9", "qqqq",
+      "thequickbrownfox", "0123456789abcdef", "x")
+    val got = Seq(Tuple1(words)).toDF("toks")
+      .select(TextOps.bpeEncode(col("toks"), table).as("enc"))
+      .collect()(0).getSeq[String](0)
+    assert(got == words.flatMap(ref),
+      "kernel must equal the reference greedy encoder under the 12k table")
+    // table-size independence, the SEMANTIC half: dropping rules that
+    // cannot apply (non-hex parts) preserves relative order and every
+    // applicable rule, so hex words encode IDENTICALLY under a table
+    // 5x+ smaller — the wall-clock half is BpeVocabProbe's measurement
+    val hexTable = table.filter { case (x, y) =>
+      (x + y).forall(c => "0123456789abcdef".contains(c)) }
+    assert(hexTable.size * 5 < table.size)
+    val hexWords = Seq("0123456789abcdef", "a1b2c3d4", "ffeeddccbbaa0099")
+    def enc(t: Seq[(String, String)]) = Seq(Tuple1(hexWords)).toDF("toks")
+      .select(TextOps.bpeEncode(col("toks"), t).as("enc"))
+      .collect()(0).getSeq[String](0)
+    assert(enc(table) == enc(hexTable),
+      "hex-subset table must encode hex words identically to the full table")
   }
 }

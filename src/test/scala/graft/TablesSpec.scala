@@ -113,6 +113,84 @@ class TablesSpec extends AnyFunSuite {
     assert(pruned.count() < 64)
   }
 
+  test("writeIvfIndex: on-disk search prunes the postings scan to the probed cells " +
+      "and matches the in-memory search row for row") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 400)
+      .map(i => (i.toLong, Array.fill(16)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (index, refit) = Similarity.buildIvfIndex(emb, "vec_id", "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString + "/idx"
+    Tables.writeIvfIndex(index, refit, dir)
+    // 2 queries x nprobe=2 -> at most 4 probed cells of the 8
+    val qf = col("vec_id") < 2
+    val disk = Similarity.annIvfSearchOnDisk(spark, dir, qf, nprobe = 2)
+    val mem = Similarity.annIvfSearch(index, refit, qf, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val diskRows = rows(disk)
+    assert(diskRows == rows(mem) && diskRows.nonEmpty,
+      "on-disk search must equal the in-memory search")
+    // pruning is PLANNING-time literal: among the postings scans (the
+    // ones carrying the vector column), the candidate-side scan lists
+    // at most the 4 probed cell directories; the query-side scan lists
+    // all 8 (it is filter-pushed on vec_id, not cell-pruned). The
+    // executed plan is AQE-wrapped — unwrap stages to reach the scans.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scans = fileScans(disk.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("v"))
+      .map(_.selectedPartitions.partitionCount)
+    assert(scans.nonEmpty && scans.min <= 4,
+      s"candidate postings scan must prune to <= 4 probed cells, got $scans")
+    assert(scans.max == 8, s"sanity: the full index has 8 cell dirs, got $scans")
+  }
+
+  test("writePqIndex: the on-disk codes table is a fraction of the vector bytes; " +
+      "ADC search from disk == in-memory") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 2000)
+      .map(i => (i.toLong, Array.fill(32)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    // quantize the unit corpus (the cosine-retrieval convention the
+    // gate queries pin)
+    val unit = Similarity.prepared(emb, "vec_id", "embedding")
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("v"), x => x / col("nrm")).as("v"))
+    val (codes, codebooks) = Similarity.quantizePq(unit, "vec_id", "v", 32, 4, 16)
+    val base = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    Tables.writePqIndex(codes, codebooks, s"$base/idx")
+    emb.write.parquet(s"$base/vectors")
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(p))
+    }
+    val (cb, vb) = (dirBytes(s"$base/idx/codes"), dirBytes(s"$base/vectors"))
+    assert(cb * 3 < vb,
+      s"codes must be a small fraction of the vector bytes (codes=$cb vectors=$vb)")
+    // query-batch ADC search straight off the read-back store
+    val (codesD, cbD) = Tables.readPqIndex(spark, s"$base/idx")
+    val queries = unit.filter(col("vec_id") < 3)
+    def rows(c: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Similarity.annPq(c, b, queries, 32, 4, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(codesD, cbD) == rows(codes, codebooks),
+      "disk-read codes/codebooks must search identically")
+  }
+
   test("compact: many small files collapse to the target-size count, data intact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
