@@ -58,6 +58,42 @@ object SparkEntry {
   private val BloomHashes = 3
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+
+  /** The synthesized crawl the q_crawl_clean / q_crawl_funnel gates
+    * run on: each doc's text wrapped in a deterministic page template
+    * (comment, head/style/nav chrome stripped as containers; h1/p/div/
+    * table block structure; entities; a per-source "site notice" line
+    * and universal tail/cell lines that per-source boilerplate removal
+    * must catch), with body splices so every stage has real work: CJK
+    * prefixes (%20 slices) that language routing must drop, the PII
+    * splice (%11) that redaction must mask BEFORE the dedup hash, the
+    * mojibake junk (%9) that normalization must repair. The DuckDB
+    * side synthesizes the SAME html string (CrawlChainSql). */
+  private def crawlPages(s: SparkSession, dir: String) = {
+    val id = col("doc_id").cast("string")
+    val body = concat(
+      when(col("doc_id") % 20 === 0, lit("日本語のテキストです "))
+        .when(col("doc_id") % 20 === 1, lit("한국어 텍스트 "))
+        .when(col("doc_id") % 20 === 2, lit("中文文本内容 "))
+        .otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 11 === 0,
+        lit(" call 555-867-5309 or +1 (415) 555-2671 now, card" +
+          " 4111 1111 1111 1111, host 10.0.255.254, id 1234567890 stays"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit(" " + NormJunk)).otherwise(lit("")))
+    val html = concat(
+      lit("<html><!-- crawl & chrome --><head><title>T"), id,
+      lit("</title><style>body { color: #000; }</style></head><body>" +
+        "<nav><ul><li>Home</li><li>Docs</li></ul></nav><h1>Doc "), id,
+      lit("</h1><p>"), body,
+      lit("</p><div>site notice "), col("source"),
+      lit("</div><div class=\"tail\">Tail &amp; entities &lt;b&gt;" +
+        " &quot;q&quot;&nbsp;end</div><table><tr><td>r"), id,
+      lit("</td><td>c2</td></tr></table>" +
+        "<footer>(c) example</footer></body></html>"))
+    docs(s, dir).select(col("doc_id"), col("source"), html.as("html"))
+  }
   private def emb(s: SparkSession, dir: String) =
     Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
 
@@ -436,46 +472,22 @@ object SparkEntry {
       Dedup.cleanCorpus(docs(s, dir), "doc_id", "text",
         qualityMin = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
 
-    "q_crawl_clean" -> ((s, dir) => {
-      // THE COMPOSED CRAWL FRONT DOOR end to end: each doc's text is
-      // wrapped in a deterministic page template (comment, head/style/
-      // nav chrome stripped as containers; h1/p/div/table block
-      // structure; entities; a per-source "site notice" line and
-      // universal tail/cell lines that per-source boilerplate removal
-      // must catch) and the body is spliced so every later stage has
-      // real work: CJK prefixes (%20 slices) that language routing
-      // must drop, the PII splice (%11) that redaction must mask
-      // BEFORE the dedup hash, and the mojibake junk (%9) that
-      // normalization must repair. Both engines synthesize the SAME
-      // html string, then replay the whole chain.
-      val d = docs(s, dir)
-      val id = col("doc_id").cast("string")
-      val body = concat(
-        when(col("doc_id") % 20 === 0, lit("日本語のテキストです "))
-          .when(col("doc_id") % 20 === 1, lit("한국어 텍스트 "))
-          .when(col("doc_id") % 20 === 2, lit("中文文本内容 "))
-          .otherwise(lit("")),
-        col("text"),
-        when(col("doc_id") % 11 === 0,
-          lit(" call 555-867-5309 or +1 (415) 555-2671 now, card" +
-            " 4111 1111 1111 1111, host 10.0.255.254, id 1234567890 stays"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 9 === 0, lit(" " + NormJunk)).otherwise(lit("")))
-      val html = concat(
-        lit("<html><!-- crawl & chrome --><head><title>T"), id,
-        lit("</title><style>body { color: #000; }</style></head><body>" +
-          "<nav><ul><li>Home</li><li>Docs</li></ul></nav><h1>Doc "), id,
-        lit("</h1><p>"), body,
-        lit("</p><div>site notice "), col("source"),
-        lit("</div><div class=\"tail\">Tail &amp; entities &lt;b&gt;" +
-          " &quot;q&quot;&nbsp;end</div><table><tr><td>r"), id,
-        lit("</td><td>c2</td></tr></table>" +
-          "<footer>(c) example</footer></body></html>"))
-      Dedup.crawlClean(
-        d.select(col("doc_id"), col("source"), html.as("html")),
+    "q_crawl_clean" -> ((s, dir) =>
+      // THE COMPOSED CRAWL FRONT DOOR end to end over the synthesized
+      // crawl (see crawlPages: deterministic page template + CJK/PII/
+      // mojibake body splices so every stage has real work). Both
+      // engines synthesize the SAME html string, then replay the whole
+      // chain.
+      Dedup.crawlClean(crawlPages(s, dir),
         "doc_id", "html", "source", keepLangs = Seq("en"),
-        boilerFrac = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)
-    }),
+        boilerFrac = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
+
+    "q_crawl_funnel" -> ((s, dir) =>
+      // the whole-chain observability twin: per source, how many pages
+      // survive each successive gate of the crawl chain
+      Dedup.crawlFunnel(crawlPages(s, dir),
+        "doc_id", "html", "source", keepLangs = Seq("en"),
+        boilerFrac = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
 
     "q_simhash" -> ((s, dir) =>
       docs(s, dir)
@@ -1911,6 +1923,47 @@ object SparkEntry {
             sum(rev).cast("double"), 6).as("mkt_share"))
     }),
 
+    "q_tpch_q4" -> ((s, dir) => {
+      // TPC-H Q4 shape (order-priority checking): the correlated EXISTS
+      // becomes a LEFT-SEMI join whose non-equi lateness predicate
+      // (ship > order date + 60 days — this data has no commit/receipt
+      // dates, so lateness is ship-lag) rides the orderkey equi-join;
+      // the semi join cuts each order to one row BEFORE the map-side
+      // combinable count, and the order-window filter is pushed to the
+      // orders scan
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      o.join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 shape (large-volume customers): the HAVING subquery
+      // is a pre-aggregated key set — quantities sum per order FIRST
+      // (integral longs, map-side combinable; facts never join wide),
+      // and only the qualifying orderkeys join back to orders and
+      // customer. Top-100 by (totalprice desc, orderdate, orderkey) —
+      // unique orderkey makes the LIMIT boundary deterministic.
+      val big = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     "q_tpch_q12" -> ((s, dir) =>
       // TPC-H Q12 shape (priority-class line counts per line status for
       // one ship year): the fact slice is pushed to the scan, the orders
@@ -2236,6 +2289,14 @@ object SparkEntry {
       // BPE merge-candidate scoring: frequency-weighted adjacent char
       // pairs over the vocabulary, deterministic top-20
       TextOps.bpeMergeCandidates(docs(s, dir), "text", k = 20)),
+
+    "q_bpe_train" -> ((s, dir) =>
+      // FULL BPE training, 8 rounds end to end: per round re-encode
+      // the vocabulary under the merges so far, adopt the most
+      // frequent adjacent symbol pair (cnt desc, x, y). The oracle
+      // unrolls the same 8 rounds as chained CTEs (the q_kmeans
+      // unrolled-iterations discipline).
+      TextOps.bpeTrain(docs(s, dir), "text", nMerges = 8)),
 
     "q_ngram_novelty" -> ((s, dir) =>
       // per-doc novelty: fraction of distinct 3-grams with corpus df = 1;
@@ -3147,6 +3208,61 @@ object SparkEntry {
     e
   }
 
+  /** The composed crawl-chain oracle (shared by q_crawl_clean and
+    * q_crawl_funnel): the SAME page synthesis as the Spark gate
+    * ([[crawlPages]]), then extract → normalize → boilerplate →
+    * langId-route → Gopher-gate → PII → exact dedup → near-dup drop,
+    * each stage the parameterized twin of its standalone gate's
+    * fragment. Ends at CTE `fin` (the survivors); consumers append
+    * their own final SELECT. Assembled by CONCATENATION (not
+    * interpolation inside stripMargin: the gopher fragment has '||'
+    * continuation lines the outer margin strip would mangle — the
+    * q_filter_report note). */
+  private lazy val CrawlChainSql: String =
+    s"""WITH pages AS (SELECT doc_id, source,
+       |  '<html><!-- crawl & chrome --><head><title>T' || doc_id::VARCHAR
+       |  || '</title><style>body { color: #000; }</style></head><body><nav><ul><li>Home</li><li>Docs</li></ul></nav><h1>Doc ' || doc_id::VARCHAR
+       |  || '</h1><p>'
+       |  || CASE WHEN doc_id % 20 = 0 THEN '日本語のテキストです '
+       |       WHEN doc_id % 20 = 1 THEN '한국어 텍스트 '
+       |       WHEN doc_id % 20 = 2 THEN '中文文本内容 ' ELSE '' END
+       |  || text
+       |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 or +1 (415) 555-2671 now, card 4111 1111 1111 1111, host 10.0.255.254, id 1234567890 stays' ELSE '' END
+       |  || CASE WHEN doc_id % 9 = 0 THEN ' ' || '$NormJunk' ELSE '' END
+       |  || '</p><div>site notice ' || source
+       |  || '</div><div class="tail">Tail &amp; entities &lt;b&gt; &quot;q&quot;&nbsp;end</div><table><tr><td>r' || doc_id::VARCHAR
+       |  || '</td><td>c2</td></tr></table><footer>(c) example</footer></body></html>' AS html
+       |  FROM documents),
+       |x AS (SELECT doc_id, source, ${extractHtmlSql("html")} AS t0 FROM pages),
+       |nrm AS (SELECT doc_id, source, ${normalizeSql("t0")} AS text FROM x),
+       |""".stripMargin +
+    boilerplateCtesSql("nrm") + ",\n" +
+    """bt AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM bp_j),
+      |""".stripMargin +
+    langCjkCtesSql("bt") + ",\n" +
+    """keepl AS (SELECT lg.doc_id, lg.lang, bt.text FROM lg JOIN bt USING (doc_id)
+      |  WHERE lg.lang IN ('en')),
+      |""".stripMargin +
+    gopherCtesSql("keepl") + ",\n" +
+    s"""gated AS (SELECT k.doc_id, k.lang, k.text FROM keepl k
+       |  JOIN gf_flags f USING (doc_id) WHERE f.keep),
+       |pii AS (SELECT doc_id, lang, ${piiRedactSql("text")} AS text FROM gated),
+       |ew AS (SELECT min(doc_id) AS doc_id FROM pii GROUP BY md5(text)),
+       |surv AS (SELECT p.doc_id, p.lang, p.text FROM pii p JOIN ew ON p.doc_id = ew.doc_id),
+       |tk AS (SELECT doc_id, $ToksSql AS toks FROM surv),
+       |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+       |sig_t AS (SELECT doc_id, $SigSql AS sig FROM sh_t),
+       |bands_t AS (SELECT doc_id, unnest($BandsSql) AS band_key FROM sig_t),
+       |pairs_t AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands_t a JOIN bands_t b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t),
+       |drops AS (SELECT DISTINCT p.id2 AS doc_id
+       |  FROM pairs_t p JOIN dsh a ON p.id1 = a.doc_id JOIN dsh b ON p.id2 = b.doc_id
+       |  WHERE round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
+       |    (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) >= 0.8),
+       |fin AS (SELECT doc_id, lang, text FROM surv
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))""".stripMargin
+
   /** DuckDB twin of [[graft.ops.Similarity.annIvfRefit]]: deterministic
     * md5-order seed draw, CROSS JOIN + row_number argmax assignment,
     * per-cell avg refit (micro-rounded), top-`nprobe` routing, top-1
@@ -3880,55 +3996,26 @@ object SparkEntry {
 
     // the composed crawl front door: the SAME page synthesis as the
     // Spark gate, then the full extract → normalize → boilerplate →
-    // langId-route → Gopher-gate → PII → exact+near dedup chain, each
-    // stage the parameterized twin of its standalone gate's oracle.
-    // Assembled by CONCATENATION (not interpolation inside stripMargin:
-    // the gopher fragment has '||' continuation lines the outer margin
-    // strip would mangle — the q_filter_report note).
-    "q_crawl_clean" -> (
-      s"""WITH pages AS (SELECT doc_id, source,
-         |  '<html><!-- crawl & chrome --><head><title>T' || doc_id::VARCHAR
-         |  || '</title><style>body { color: #000; }</style></head><body><nav><ul><li>Home</li><li>Docs</li></ul></nav><h1>Doc ' || doc_id::VARCHAR
-         |  || '</h1><p>'
-         |  || CASE WHEN doc_id % 20 = 0 THEN '日本語のテキストです '
-         |       WHEN doc_id % 20 = 1 THEN '한국어 텍스트 '
-         |       WHEN doc_id % 20 = 2 THEN '中文文本内容 ' ELSE '' END
-         |  || text
-         |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 or +1 (415) 555-2671 now, card 4111 1111 1111 1111, host 10.0.255.254, id 1234567890 stays' ELSE '' END
-         |  || CASE WHEN doc_id % 9 = 0 THEN ' ' || '$NormJunk' ELSE '' END
-         |  || '</p><div>site notice ' || source
-         |  || '</div><div class="tail">Tail &amp; entities &lt;b&gt; &quot;q&quot;&nbsp;end</div><table><tr><td>r' || doc_id::VARCHAR
-         |  || '</td><td>c2</td></tr></table><footer>(c) example</footer></body></html>' AS html
-         |  FROM documents),
-         |x AS (SELECT doc_id, source, ${extractHtmlSql("html")} AS t0 FROM pages),
-         |nrm AS (SELECT doc_id, source, ${normalizeSql("t0")} AS text FROM x),
-         |""".stripMargin +
-      boilerplateCtesSql("nrm") + ",\n" +
-      """bt AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM bp_j),
-        |""".stripMargin +
-      langCjkCtesSql("bt") + ",\n" +
-      """keepl AS (SELECT lg.doc_id, lg.lang, bt.text FROM lg JOIN bt USING (doc_id)
-        |  WHERE lg.lang IN ('en')),
-        |""".stripMargin +
-      gopherCtesSql("keepl") + ",\n" +
-      s"""gated AS (SELECT k.doc_id, k.lang, k.text FROM keepl k
-         |  JOIN gf_flags f USING (doc_id) WHERE f.keep),
-         |pii AS (SELECT doc_id, lang, ${piiRedactSql("text")} AS text FROM gated),
-         |ew AS (SELECT min(doc_id) AS doc_id FROM pii GROUP BY md5(text)),
-         |surv AS (SELECT p.doc_id, p.lang, p.text FROM pii p JOIN ew ON p.doc_id = ew.doc_id),
-         |tk AS (SELECT doc_id, $ToksSql AS toks FROM surv),
-         |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
-         |sig_t AS (SELECT doc_id, $SigSql AS sig FROM sh_t),
-         |bands_t AS (SELECT doc_id, unnest($BandsSql) AS band_key FROM sig_t),
-         |pairs_t AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands_t a JOIN bands_t b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh_t),
-         |drops AS (SELECT DISTINCT p.id2 AS doc_id
-         |  FROM pairs_t p JOIN dsh a ON p.id1 = a.doc_id JOIN dsh b ON p.id2 = b.doc_id
-         |  WHERE round(len(list_intersect(a.dsh, b.dsh))::DOUBLE /
-         |    (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)))::DOUBLE, 6) >= 0.8)
-         |SELECT doc_id, lang, text FROM surv
-         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin),
+    // langId-route → Gopher-gate → PII → exact+near dedup chain
+    // (CrawlChainSql, shared with q_crawl_funnel).
+    "q_crawl_clean" ->
+      (CrawlChainSql + "\nSELECT doc_id, lang, text FROM fin"),
+
+    // the whole-chain observability twin: per source, pages surviving
+    // each successive gate (keepl = language-routed, gated = Gopher
+    // pass, surv = exact-dup winners, fin = near-dup winners)
+    "q_crawl_funnel" -> (CrawlChainSql + "\n" +
+      """SELECT p.source, count(*)::BIGINT AS n_pages,
+        |  count(k.doc_id)::BIGINT AS n_routed,
+        |  count(g.doc_id)::BIGINT AS n_gated,
+        |  count(e.doc_id)::BIGINT AS n_exact,
+        |  count(f.doc_id)::BIGINT AS n_survivors
+        |FROM pages p
+        |LEFT JOIN keepl k ON p.doc_id = k.doc_id
+        |LEFT JOIN gated g ON p.doc_id = g.doc_id
+        |LEFT JOIN surv e ON p.doc_id = e.doc_id
+        |LEFT JOIN fin f ON p.doc_id = f.doc_id
+        |GROUP BY p.source""".stripMargin),
 
     "q_simhash" ->
       s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
@@ -5799,6 +5886,27 @@ object SparkEntry {
         |WHERE p_type = 'STANDARD' AND n2.n_regionkey = 0
         |GROUP BY 1""".stripMargin,
 
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
     "q_tpch_q12" ->
       """SELECT l_linestatus,
         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -6631,6 +6739,37 @@ object SparkEntry {
          |    i -> substring(w, i::INTEGER, 2))) AS pair, f FROM wc),
          |pc AS (SELECT pair, sum(f)::BIGINT AS cnt FROM p GROUP BY pair)
          |SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // full BPE training replay, 8 rounds unrolled: round r encodes the
+    // vocabulary by ascending-rank wrapped-symbol replaces of the
+    // previous rounds' picks (scalar 1-row CTEs cross-joined in), then
+    // picks the heaviest adjacent symbol pair. Ascending replay ==
+    // the kernel's min-rank greedy because trained tables are
+    // well-formed by construction (each pick's parts are current
+    // symbols). DuckDB lists are 1-based like the bpeChainSql replay.
+    "q_bpe_train" -> {
+      val n = 8
+      val rounds = (1 to n).map { r =>
+        val joins = (1 until r).map(i => s" CROSS JOIN m_$i").mkString
+        var enc = "'|' || array_to_string(list_transform(" +
+          "range(1, length(w) + 1), i -> w[i]), '||') || '|'"
+        (1 until r).foreach { i =>
+          enc = s"replace($enc, '|' || m_$i.x || '||' || m_$i.y || '|', " +
+            s"'|' || m_$i.x || m_$i.y || '|')"
+        }
+        s"""enc_$r AS (SELECT f, list_filter(string_split($enc, '|'), t -> t <> '') AS syms
+           |  FROM wc$joins),
+           |p_$r AS (SELECT syms[i] AS x, syms[i + 1] AS y, sum(f)::BIGINT AS cnt
+           |  FROM enc_$r, unnest(range(1, len(syms))) AS u(i)
+           |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+           |m_$r AS (SELECT x, y, cnt FROM p_$r ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)""".stripMargin
+      }
+      s"""WITH w0 AS (SELECT unnest($ToksSql) AS w FROM documents),
+         |wc AS (SELECT w, count(*)::BIGINT AS f FROM w0 GROUP BY w),
+         |${rounds.mkString(",\n")}
+         |${(1 to n).map(r =>
+           s"SELECT $r AS merge_rank, x, y, cnt FROM m_$r").mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     "q_ngram_novelty" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -499,8 +499,60 @@ object Dedup {
   def crawlClean(pages: DataFrame, idCol: String, htmlCol: String,
       sourceCol: String, keepLangs: Seq[String],
       boilerFrac: Double = 0.4, jaccardMax: Double = 0.8,
+      k: Int = 8, bands: Int = 4): DataFrame =
+    crawlStages(pages, idCol, htmlCol, sourceCol, keepLangs, boilerFrac,
+      jaccardMax, k, bands).survivors
+      .select(col("doc_id"), col("lang"), col("text"))
+
+  /**
+   * Per-source FUNNEL over [[crawlClean]]'s stages — the operator
+   * dashboard that tells you WHICH stage eats WHICH crawl source (the
+   * whole-chain twin of the Gopher-only `q_filter_report`): one row
+   * per source with the count surviving each successive gate —
+   * n_pages → n_routed (language kept) → n_gated (Gopher pass) →
+   * n_exact (exact-dup winner) → n_survivors (near-dup winner).
+   * Counts are non-null-marker counts over four doc_id left joins
+   * that all reuse the chain's staged exchanges; output is
+   * |sources| rows.
+   */
+  def crawlFunnel(pages: DataFrame, idCol: String, htmlCol: String,
+      sourceCol: String, keepLangs: Seq[String],
+      boilerFrac: Double = 0.4, jaccardMax: Double = 0.8,
       k: Int = 8, bands: Int = 4): DataFrame = {
+    val st = crawlStages(pages, idCol, htmlCol, sourceCol, keepLangs,
+      boilerFrac, jaccardMax, k, bands)
+    def mark(df: DataFrame, name: String) =
+      df.select(col("doc_id")).withColumn(name, lit(1))
+    pages.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(mark(st.routed, "__r"), Seq("doc_id"), "left")
+      .join(mark(st.gated, "__g"), Seq("doc_id"), "left")
+      .join(mark(st.exactKept, "__e"), Seq("doc_id"), "left")
+      .join(mark(st.survivors, "__s"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pages"),
+        count(col("__r")).as("n_routed"),
+        count(col("__g")).as("n_gated"),
+        count(col("__e")).as("n_exact"),
+        count(col("__s")).as("n_survivors"))
+  }
+
+  /** The crawl chain's intermediate frames, shared by [[crawlClean]]
+    * (survivors) and [[crawlFunnel]] (per-stage counts). */
+  private case class CrawlStages(routed: DataFrame, gated: DataFrame,
+      exactKept: DataFrame, survivors: DataFrame)
+
+  private def crawlStages(pages: DataFrame, idCol: String, htmlCol: String,
+      sourceCol: String, keepLangs: Seq[String], boilerFrac: Double,
+      jaccardMax: Double, k: Int, bands: Int): CrawlStages = {
     require(keepLangs.nonEmpty, "keepLangs must be non-empty")
+    // NOT staged behind an exchange: boilerplateClean's line-hash pass
+    // and its join-back both re-run the extract+normalize regex chain
+    // (2 passes), but a measured staging attempt (repartition(doc_id)
+    // here) read 4× SLOWER at sf0.1 — the exchange serializes the full
+    // page text and breaks AQE's broadcast of the per-source boiler
+    // set, costing far more than the second regex pass saves. The two
+    // post-boilerplate frames (routed / the redacted pii frame) stay
+    // staged — their consumers fan out three ways each.
     val extracted = pages.select(col(idCol).as("doc_id"),
       col(sourceCol).as("source"),
       TextOps.normalizeUnicode(TextOps.extractHtmlText(col(htmlCol)))
@@ -521,13 +573,13 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val survivors = pii.join(exactWinners, Seq("doc_id"), "left_semi")
-    val sh = shingleSets(survivors, "doc_id", "text")
+    val exactKept = pii.join(exactWinners, Seq("doc_id"), "left_semi")
+    val sh = shingleSets(exactKept, "doc_id", "text")
     val near = jaccardVerifyFromShingles(sh, candidatePairsFromShingles(sh, k, bands))
       .filter(col("jaccard") >= jaccardMax)
-    survivors
+    val survivors = exactKept
       .join(near.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("text"))
+    CrawlStages(routed, pii, exactKept, survivors)
   }
 
   /**

@@ -999,6 +999,117 @@ object Similarity {
   }
 
   /**
+   * Build the residual-IVFADC index ONCE — the deployment build half
+   * of [[annIvfPq]] (which trains per call, the gate's demo shape):
+   * unit-normalize, refit-quantize into kCells ([[buildIvfIndex]]),
+   * PQ-encode the per-cell residuals x − c(cell). Returns
+   * (codes, refit, codebooks): codes = (vec_id, code_0..m-1, cell) —
+   * the frame [[graft.sources.Tables.writeIvfPqIndex]] partitions by
+   * cell; refit = (cell, centroid_scaled) integer-exact longs;
+   * codebooks = (s, cell, cw_scaled). All three parquet-safe
+   * (integer-scaled), so the store round-trips bit-exactly.
+   * [[annIvfPqSearch]] is the per-batch half; Round17OpsSpec pins
+   * build∘search row-identical to the one-shot [[annIvfPq]].
+   */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kCodes: Int, kCells: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val corpus = prepared(emb, idCol, vecCol)
+    val unit = corpus.filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+    val (index, refit) = buildIvfIndex(unit, "vec_id", "v", kCells)
+    val cents = refit.select(col("cell"),
+      transform(col("centroid_scaled"), x => x / 1000000.0).as("cvec"))
+    val pqInput = index.select(col("vec_id"), col("v"), col("cell"))
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("v"))
+    val (codes, codebooks) = quantizePq(pqInput, "vec_id", "v", dim, m, kCodes)
+    (codes.join(index.select(col("vec_id"), col("cell")), "vec_id"),
+      refit, codebooks)
+  }
+
+  /**
+   * Query-batch search over a PREBUILT residual-IVFADC index
+   * ([[buildIvfPqIndex]] / [[graft.sources.Tables.readIvfPqIndex]]):
+   * route the (vec_id, v)-shaped UNIT query batch to its top-nprobe
+   * cells, ADC-score only those cells' codes against the
+   * reconstruction c(cell) + r̃, top-topK per query. The codebook and
+   * centroid frames fold to broadcasts; candidates are
+   * nprobe·N/kCells rows of m ints each — the amortized serving
+   * shape, paying neither the N·k quantizer pass nor the PQ training
+   * the one-shot [[annIvfPq]] repeats per call.
+   */
+  def annIvfPqSearch(codes: DataFrame, refit: DataFrame,
+      codebooks: DataFrame, queries: DataFrame, dim: Int, m: Int,
+      nprobe: Int = 2, topK: Int = 1): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must be a multiple of m ($m)")
+    val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+      .filter(col("qnrm") > 0)
+    val routed = routeQueries(q, refit, nprobe)
+    val cents = refit.select(col("cell"),
+      transform(col("centroid_scaled"), x => x / 1000000.0).as("cvec"))
+    val sub = dim / m
+    def subv(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
+    val cbRow = codebooks
+      .agg(sort_array(collect_list(struct(col("s"), col("cell"),
+        col("cw_scaled")))).as("cb"))
+      .select((0 until m).flatMap { s =>
+        val mine = filter(col("cb"), x => x.getField("s") === s)
+        Seq(
+          transform(mine, x => x.getField("cell")).as(s"cells_$s"),
+          transform(mine, x =>
+            transform(x.getField("cw_scaled"), e => e / 1000000.0))
+            .as(s"cws_$s"))
+      }: _*)
+    def cw(s: Int): Column =
+      element_at(col(s"cws_$s"),
+        array_position(col(s"cells_$s"), col(s"code_$s")).cast("int"))
+    def rec(s: Int): Column =
+      zip_with(subv(col("cvec"), s), cw(s), (a, b) => a + b)
+    val num = (0 until m).map(s => dot(subv(col("qv"), s), rec(s))).reduce(_ + _)
+    val recNrm = sqrt((0 until m).map(s => dot(rec(s), rec(s))).reduce(_ + _))
+    val scored = codes.join(broadcast(cents), "cell")
+      .crossJoin(broadcast(cbRow))
+      .join(broadcast(routed),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("__recnrm", recNrm)
+      .filter(col("__recnrm") > 0)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(num / (col("qnrm") * col("__recnrm")), 6).as("score_pq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_pq").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+  }
+
+  /**
+   * Deployment search over an ON-DISK residual-IVFADC index
+   * ([[graft.sources.Tables.writeIvfPqIndex]]'s layout): the
+   * [[annIvfSearchOnDisk]] recipe over codes — route the bounded
+   * query batch, collect its probed cell ids (nprobe·|Q| ints), make
+   * the cell set a LITERAL filter so the codes scan lists only those
+   * directories at PLANNING time, then ADC-score. Reads
+   * ~nprobe/kCells of a codes table that is itself 16–64× smaller
+   * than the vectors — both levers of the 100 TB serving shape
+   * applied to the BYTES READ. Routes (runs small jobs) when called,
+   * by design — the online-serving contract.
+   */
+  def annIvfPqSearchOnDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, dim: Int, m: Int,
+      nprobe: Int = 2, topK: Int = 1): DataFrame = {
+    val (codes, refit, codebooks) =
+      graft.sources.Tables.readIvfPqIndex(spark, path)
+    val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+      .filter(col("qnrm") > 0)
+    val probed = routeQueries(q, refit, nprobe)
+      .select(col("qcell")).distinct().collect().map(_.get(0))
+    annIvfPqSearch(codes.filter(col("cell").isin(probed.toSeq: _*)),
+      refit, codebooks, queries, dim, m, nprobe, topK)
+  }
+
+  /**
    * Semantic (embedding-space) dedup: survivors = all ids minus every
    * id2 of a near-duplicate pair (id1 < id2, cos >= threshold) — the
    * embedding-side twin of [[graft.ops.Dedup.cleanCorpus]]'s text-side

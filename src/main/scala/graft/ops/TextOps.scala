@@ -800,6 +800,70 @@ object TextOps {
   }
 
   /**
+   * FULL BPE TRAINING — the missing third of the tokenizer story
+   * (train → [[bpeEncode]] → fertility/budget audits), iterating
+   * [[bpeMergeCandidates]]' per-round statistic to an actual merges
+   * table: per round, re-encode the vocabulary under the merges so
+   * far, count adjacent SYMBOL pairs weighted by word frequency, and
+   * adopt the most frequent pair (ties → lexicographic (x, y) — the
+   * deterministic pin both engines replay). Stops early when no word
+   * has two symbols left. Returns (merge_rank, x, y, cnt) — feed
+   * `.collect().map(r => (r.getString(1), r.getString(2)))` to
+   * [[bpeEncode]]. Tables produced here are WELL-FORMED by
+   * construction (every pair's parts are current symbols = chars or
+   * earlier outputs), which is exactly what makes the oracle's
+   * ascending-rank replay equal the kernel's min-rank greedy.
+   *
+   * Scale shape: the corpus collapses ONCE to its (word, freq)
+   * vocabulary (the only corpus-wide pass — classic BPE trains on the
+   * dict, not the text) and that frame is localCheckpoint'd; each of
+   * the `nMerges` rounds is then one combinable aggregation over
+   * |vocab| rows plus a 1-row TakeOrdered collect. The training loop
+   * is inherently sequential (round r needs round r−1's pick), so
+   * this op RUNS nMerges+1 small jobs when called — the
+   * [[sphericalKmeans]] iterative-training contract, not a lazy
+   * pipeline stage. Unlike dict-collecting trainers, the vocabulary
+   * itself never ships to the driver — only one (x, y, cnt) row per
+   * round does.
+   */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1 && nMerges <= 65536,
+      s"nMerges must be in [1, 65536], got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(tokensNative(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    var merges = Vector.empty[(String, String, Long)]
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val syms =
+        if (merges.isEmpty)
+          expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+        else bpeEncode(array(col("w")), merges.map(m => (m._1, m._2)))
+      val best = vocab
+        .select(syms.as("syms"), col("f"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS x, element_at(syms, i + 1) AS y))"))
+          .as("p"), col("f"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else merges :+= ((best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2)))
+    }
+    merges.zipWithIndex
+      .map { case ((x, y, c), i) => (i + 1, x, y, c) }
+      .toDF("merge_rank", "x", "y", "cnt")
+  }
+
+  /**
    * Gopher-style repetition metrics — the standard "degenerate document"
    * quality filters: the fraction of duplicated tokens / 2-grams /
    * 3-grams in a document. A high duplicate fraction flags boilerplate,

@@ -155,4 +155,34 @@ object Tables {
   def readPqIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/codebooks"))
+
+  /**
+   * Persist a residual-IVFADC index
+   * ([[graft.ops.Similarity.buildIvfPqIndex]]'s output) — BOTH 100 TB
+   * levers made durable: codes Hive-partitioned by `cell` under
+   * `path/codes` (an nprobe-cell query batch lists only those
+   * directories) AND each row m code bytes instead of d floats
+   * (16–64× fewer bytes per row scanned); the k-row centroid routing
+   * table and m·k-row codebooks ride alongside as single small
+   * files. All three frames are integer-scaled → the store
+   * round-trips bit-exactly
+   * ([[graft.ops.Similarity.annIvfPqSearchOnDisk]] == the in-memory
+   * search, spec-pinned).
+   */
+  def writeIvfPqIndex(codes: DataFrame, refit: DataFrame,
+      codebooks: DataFrame, path: String): Unit = {
+    writePartitioned(codes, s"$path/codes", Seq("cell"))
+    refit.coalesce(1).write.format("parquet")
+      .mode(SaveMode.Overwrite).save(s"$path/centroids")
+    codebooks.coalesce(1).write.format("parquet")
+      .mode(SaveMode.Overwrite).save(s"$path/codebooks")
+  }
+
+  /** Read back a [[writeIvfPqIndex]] store: (codes, centroids,
+    * codebooks). */
+  def readIvfPqIndex(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"))
 }

@@ -61,6 +61,19 @@ object AnnDiskProbe {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // residual IVFADC: build+persist once, amortized pruned ADC search
+    val (rcodes, rrefit, rbooks) =
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", 64, 8, 32, kCells)
+    timed("ivfpq build+write")(
+      Tables.writeIvfPqIndex(rcodes, rrefit, rbooks, s"$out/ivfpq"))
+    for (i <- 1 to 3) {
+      timed(s"ivfpq disk search (run $i)") {
+        Similarity.annIvfPqSearchOnDisk(spark, s"$out/ivfpq",
+          unit.filter(col("vec_id") % 100 === i), 64, 8, nprobe = 2, topK = 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // storage ratio: PQ codes vs the raw vector column on disk
     def dirBytes(p: String): Long = {
       def walk(f: java.io.File): Long =

@@ -217,13 +217,25 @@ class PlanAuditSpec extends AnyFunSuite {
     // plan-size budget: a pathological expression tree (the psiMulti
     // lesson — 14 s of Janino per plan before its explode/window fix)
     // shows up as a plan STRING far beyond anything the gate produces
-    // today (current max 37 kB, median 3 kB) — 150 kB = 4× headroom
+    // today (typical max 37 kB, median 3 kB) — 150 kB = 4× headroom.
     val maxPlanChars = 150000
+    // COMPOSED front doors get a measured wider budget: they inline
+    // entire regex STEP LISTS (extract+normalize ≈ 50 regexp_replace
+    // calls with long literal patterns) once per consumer, and the
+    // funnel's four mark joins repeat the chain's subtree prints —
+    // STRING size is structural there, not an expression explosion.
+    // Measured r17 (PerfProbe, sf0.1): first−second = 0.3–6.8 s of
+    // planning+Janino vs the psiMulti pathology's 14 s for ONE stage.
+    // Budgets sit ~30% above the r17 sizes so real growth still trips.
+    val widePlanAllowed = Map(
+      "q_ann_ivf_pq" -> 250000, // residual IVFADC: centroid joins ×2
+      "q_crawl_clean" -> 550000, // 8-stage chain, measured 413 kB
+      "q_crawl_funnel" -> 750000) // chain + 4 mark joins, measured 562 kB
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
       val badBnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
-      val tooWide = plan.length > maxPlanChars
+      val tooWide = plan.length > widePlanAllowed.getOrElse(name, maxPlanChars)
       if (cart || badBnlj || tooWide)
         Some(s"$name: cartesian=$cart unexpectedBnlj=$badBnlj " +
           s"planChars=${plan.length}")

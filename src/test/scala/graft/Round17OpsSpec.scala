@@ -268,6 +268,28 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(byId(1L)._2 == bodyShared, "survivor text == extracted body")
   }
 
+  // ---- prebuilt residual-IVFADC halves == the one-shot front door ----
+
+  test("buildIvfPqIndex + annIvfPqSearch is row-identical to the one-shot annIvfPq") {
+    val emb = testEmb(300)
+    val (codes, refit, codebooks) =
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", 16, 4, 8, 4)
+    val unit = Similarity.prepared(emb, "vec_id", "embedding")
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+    val split = Similarity.annIvfPqSearch(codes, refit, codebooks,
+        unit.filter(col("vec_id") < 5), 16, 4, nprobe = 2, topK = 3)
+      .select(col("q_id"), col("neighbor_id"), col("score_pq"))
+    val oneShot = Similarity.annIvfPq(emb, "vec_id", "embedding", 16, 4, 8, 4,
+        col("vec_id") < 5, nprobe = 2, topK = 3)
+      .select(col("q_id"), col("neighbor_id"), col("score_pq"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val s = rows(split)
+    assert(s == rows(oneShot) && s.nonEmpty,
+      "prebuilt-index search must reproduce the one-shot IVFADC exactly")
+  }
+
   // ---- BPE at production vocabulary size (r14 verdict task #4) ----
 
   test("syntheticMerges(12k) is well-formed; BpeEncode matches an independent " +
@@ -329,5 +351,59 @@ class Round17OpsSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(enc(table) == enc(hexTable),
       "hex-subset table must encode hex words identically to the full table")
+  }
+
+  test("bpeTrain matches an independent driver-side reference trainer and " +
+      "produces a well-formed table the kernel round-trips") {
+    val docsDf = Seq(
+      "the theme of the thesis is the theory",
+      "other theories gather there and then",
+      "the weather rather bothers the fathers",
+      "breathe the heathen leather tether").toDF("text")
+    val got = TextOps.bpeTrain(docsDf, "text", nMerges = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // independent reference: classic dict-based trainer over the same
+    // word counts with the same (cnt desc, x, y) tie-break
+    val words = docsDf.collect().flatMap(_.getString(0).split("\\s+"))
+      .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var enc: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val want = (1 to 10).flatMap { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- enc; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + words(w)
+      if (counts.isEmpty) None
+      else {
+        val ((x, y), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        // canonical leftmost-nonoverlapping merge-all on every word
+        enc = enc.map { case (w, syms) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == x && syms(j + 1) == y) {
+              out += (x + y); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          w -> out.result()
+        }
+        Some((r, x, y, c))
+      }
+    }
+    assert(got.toSeq == want,
+      s"trainer must match the reference dict trainer\n got=${got.toSeq}\nwant=$want")
+    // well-formed: parts are chars or earlier outputs; kernel accepts it
+    val derivable = scala.collection.mutable.Set[String]()
+    got.foreach { case (_, x, y, _) =>
+      assert((x.length == 1 || derivable.contains(x)) &&
+        (y.length == 1 || derivable.contains(y)),
+        s"($x,$y) not derivable at its rank")
+      derivable += (x + y)
+    }
+    val rules = got.map(m => (m._2, m._3)).toSeq
+    val rt = Seq(Tuple1(Seq("thether"))).toDF("toks")
+      .select(TextOps.bpeEncode(col("toks"), rules)).collect()(0).getSeq[String](0)
+    assert(rt.mkString == "thether", "round-trip: tokens concatenate to the word")
   }
 }

@@ -191,6 +191,48 @@ class TablesSpec extends AnyFunSuite {
       "disk-read codes/codebooks must search identically")
   }
 
+  test("writeIvfPqIndex: on-disk residual-IVFADC search prunes the codes scan " +
+      "to the probed cells and matches in-memory") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(17)
+    val emb = (0 until 600)
+      .map(i => (i.toLong, Array.fill(16)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (codes, refit, codebooks) =
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", 16, 4, 8, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString + "/idx"
+    Tables.writeIvfPqIndex(codes, refit, codebooks, dir)
+    val unit = Similarity.prepared(emb, "vec_id", "embedding")
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("v"), x => x / col("nrm")).as("v"))
+    val queries = unit.filter(col("vec_id") < 2) // <= 4 probed cells of 8
+    val disk = Similarity.annIvfPqSearchOnDisk(spark, dir, queries, 16, 4,
+      nprobe = 2, topK = 3)
+    val mem = Similarity.annIvfPqSearch(codes, refit, codebooks, queries, 16, 4,
+      nprobe = 2, topK = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = rows(disk)
+    assert(d == rows(mem) && d.nonEmpty,
+      "on-disk IVFADC search must equal the in-memory search")
+    // the codes scan (the one carrying code_0) lists only probed dirs
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scans = fileScans(disk.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("code_0"))
+      .map(_.selectedPartitions.partitionCount)
+    assert(scans.nonEmpty && scans.min <= 4,
+      s"codes scan must prune to <= 4 probed cell dirs, got $scans")
+  }
+
   test("compact: many small files collapse to the target-size count, data intact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
