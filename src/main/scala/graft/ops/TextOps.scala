@@ -261,37 +261,16 @@ object TextOps {
       maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
     require(minWords >= 1 && maxWords >= minWords,
       s"need 1 <= minWords <= maxWords, got $minWords/$maxWords")
-    val base = docs.select(col(idCol).as("doc_id"),
-      filter(split(col(textCol), "\\s+"), w => w =!= "").as("words"),
-      filter(transform(split(col(textCol), "\n"), l => trim(l)),
-        l => l =!= "").as("lines"),
-      col(textCol).as("__t"))
-    val nWords = size(col("words"))
-    val nLines = size(col("lines"))
-    def ratio(num: Column, den: Column): Column =
-      round(when(den > 0, num.cast("double") / den.cast("double"))
-        .otherwise(lit(0.0)), 6)
-    val meanLen = round(when(nWords > 0,
-      aggregate(col("words"), lit(0L), (a, w) => a + length(w))
-        .cast("double") / nWords.cast("double")).otherwise(lit(0.0)), 6)
-    val symbols = (length(col("__t")) -
-      length(expr("replace(__t, '#', '')"))) +
-      (length(col("__t")) - length(expr("replace(__t, '...', '')"))) / 3
-    val bulletLines = size(filter(col("lines"), l =>
-      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
-    val ellipsisLines = size(filter(col("lines"), l => l.endsWith("...")))
-    val alphaWords = size(filter(col("words"),
-      w => w.rlike("[a-zA-Z]")))
-    val nStop = size(array_intersect(
-      array_distinct(transform(col("words"), w => lower(w))),
-      array(EN_STOP.map(lit): _*)))
-    base.select(col("doc_id"), nWords.as("n_words"),
-        meanLen.as("mean_word_len"),
-        ratio(symbols, nWords).as("symbol_ratio"),
-        ratio(bulletLines, nLines).as("bullet_ratio"),
-        ratio(ellipsisLines, nLines).as("ellipsis_ratio"),
-        ratio(alphaWords, nWords).as("alpha_ratio"),
-        nStop.as("n_stopwords"))
+    val m = gopherMetricsStruct(col(textCol))
+    docs.select(col(idCol).as("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m.n_words").as("n_words"),
+        col("__m.mean_word_len").as("mean_word_len"),
+        col("__m.symbol_ratio").as("symbol_ratio"),
+        col("__m.bullet_ratio").as("bullet_ratio"),
+        col("__m.ellipsis_ratio").as("ellipsis_ratio"),
+        col("__m.alpha_ratio").as("alpha_ratio"),
+        col("__m.n_stopwords").as("n_stopwords"))
       .select(col("*"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
           .as("pass_words"),
@@ -306,6 +285,61 @@ object TextOps {
         col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
           col("pass_bullets") && col("pass_ellipsis") && col("pass_alpha") &&
           col("pass_stopwords"))
+  }
+
+  /** The per-row Gopher metric struct shared by [[gopherQualityFlags]]
+    * (frame form) and [[gopherKeep]] (column form, usable on a
+    * streaming frame) — one source of truth for the rule arithmetic.
+    * Fields: n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    * ellipsis_ratio, alpha_ratio, n_stopwords (all 6-dp-rounded where
+    * fractional, identical to the r15 frame op's staged-column form). */
+  private def gopherMetricsStruct(text: Column): Column = {
+    val words = filter(split(text, "\\s+"), w => w =!= "")
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    val nWords = size(words)
+    val nLines = size(lines)
+    def ratio(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0)), 6)
+    val meanLen = round(when(nWords > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w))
+        .cast("double") / nWords.cast("double")).otherwise(lit(0.0)), 6)
+    val symbols = (length(text) -
+      length(call_function("replace", text, lit("#"), lit("")))) +
+      (length(text) -
+        length(call_function("replace", text, lit("..."), lit("")))) / 3
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val nStop = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      array(EN_STOP.map(lit): _*)))
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      ratio(symbols, nWords).as("symbol_ratio"),
+      ratio(bulletLines, nLines).as("bullet_ratio"),
+      ratio(ellipsisLines, nLines).as("ellipsis_ratio"),
+      ratio(alphaWords, nWords).as("alpha_ratio"),
+      nStop.as("n_stopwords"))
+  }
+
+  /** COLUMN form of the full Gopher gate — all seven rules pass —
+    * for per-row filtering where the frame op's doc_id join is
+    * unavailable (streaming micro-batches:
+    * [[graft.streaming.EventStreams.crawlIngestStream]]). Same
+    * arithmetic as [[gopherQualityFlags]] via the shared metric
+    * struct (equality spec-pinned). */
+  def gopherKeep(text: Column, minWords: Int = 20,
+      maxWords: Int = 100000): Column = {
+    val m = gopherMetricsStruct(text)
+    m.getField("n_words") >= minWords && m.getField("n_words") <= maxWords &&
+      m.getField("mean_word_len") >= 3.0 && m.getField("mean_word_len") <= 10.0 &&
+      m.getField("symbol_ratio") <= 0.1 &&
+      m.getField("bullet_ratio") <= 0.9 &&
+      m.getField("ellipsis_ratio") <= 0.3 &&
+      m.getField("alpha_ratio") >= 0.8 &&
+      m.getField("n_stopwords") >= 2
   }
 
   /**
@@ -358,36 +392,79 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         concat_ws("\n", col("kept")).as("clean_text"))
 
-  /** Shared frame of [[boilerplate]]/[[boilerplateClean]]: (doc_id,
-    * source, lines, kept) with the per-source boilerplate line set
-    * already applied. A trimmed non-empty line is boilerplate within
-    * its source when ≥ 2 docs contain it AND it covers ≥ `minDocFrac`
-    * of the source's docs. */
-  private def boilerplateKept(docs: org.apache.spark.sql.DataFrame,
+  /**
+   * The TRAINABLE half of boilerplate removal: per-source boilerplate
+   * line-hash sets — (source, bh: array of md5 line hashes). A trimmed
+   * non-empty line is boilerplate within its source when ≥ 2 docs
+   * contain it AND it covers ≥ `minDocFrac` of the source's docs.
+   * Built from the existing corpus and persisted, this is the STATIC
+   * side input [[graft.streaming.EventStreams.crawlIngestStream]]
+   * applies to arriving pages (the CCNet operating mode: frequency
+   * stats come from the corpus, new data is filtered against them).
+   * Only 16-byte hashes aggregate; line text never shuffles.
+   */
+  def boilerplateSets(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, sourceCol: String,
       minDocFrac: Double): org.apache.spark.sql.DataFrame = {
     require(minDocFrac > 0.0 && minDocFrac <= 1.0,
       s"minDocFrac must be in (0, 1], got $minDocFrac")
-    val base = docs.select(col(idCol).as("doc_id"),
-      col(sourceCol).as("source"),
-      filter(transform(split(col(textCol), "\n"), l => trim(l)),
-        l => l =!= "").as("lines"))
-    val lineHashes = base
-      .select(col("doc_id"), col("source"),
-        explode(transform(col("lines"), l => md5(l))).as("lh"))
+    val lineHashes = docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        explode(transform(
+          filter(transform(split(col(textCol), "\n"), l => trim(l)),
+            l => l =!= ""), l => md5(l))).as("lh"))
       .distinct()
     val srcDocs = docs.groupBy(col(sourceCol).as("source"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
-    val boiler = lineHashes
+    lineHashes
       .groupBy(col("source"), col("lh"))
       .agg(countDistinct(col("doc_id")).as("n_with"))
       .join(srcDocs, "source")
       .filter(col("n_with") >= 2 &&
         col("n_with").cast("double") / col("n_docs").cast("double")
           >= minDocFrac)
-    val bset = boiler.groupBy(col("source"))
+      .groupBy(col("source"))
       .agg(sort_array(collect_set(col("lh"))).as("bh"))
-    base.join(bset, Seq("source"), "left")
+  }
+
+  /**
+   * The APPLY half: filter each doc's lines against a prebuilt
+   * per-source boiler set ([[boilerplateSets]] output — possibly read
+   * from disk, possibly built on a different corpus slice). Keeps
+   * EVERY input column and appends `clean_text` (kept lines joined by
+   * newline) — stateless per-row work after one left join on the
+   * source column (the set side is small by construction — only
+   * threshold-crossing lines — so it broadcasts), which makes it
+   * legal on a STREAMING frame (stream-static join).
+   */
+  def boilerplateApply(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, sourceCol: String,
+      bsets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .join(broadcast(bsets.select(col("source").as("__bp_src"),
+        col("bh").as("__bh"))),
+        col(sourceCol) === col("__bp_src"), "left")
+      .withColumn("__bh",
+        coalesce(col("__bh"), array().cast("array<string>")))
+      .withColumn("clean_text", concat_ws("\n",
+        filter(
+          filter(transform(split(col(textCol), "\n"), l => trim(l)),
+            l => l =!= ""),
+          l => !array_contains(col("__bh"), md5(l)))))
+      .drop("__bp_src", "__bh")
+
+  /** Shared frame of [[boilerplate]]/[[boilerplateClean]]: (doc_id,
+    * source, lines, kept) with the per-source boilerplate line set
+    * built from THIS corpus ([[boilerplateSets]]) and applied. */
+  private def boilerplateKept(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
+      minDocFrac: Double): org.apache.spark.sql.DataFrame = {
+    val bset = boilerplateSets(docs, idCol, textCol, sourceCol, minDocFrac)
+    docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => l =!= "").as("lines"))
+      .join(bset, Seq("source"), "left")
       .withColumn("bh",
         coalesce(col("bh"), array().cast("array<string>")))
       .withColumn("kept",

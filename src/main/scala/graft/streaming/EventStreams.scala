@@ -191,6 +191,58 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("canonical_url")
 
   /**
+   * Streaming twin of [[graft.ops.Dedup.crawlClean]] — ingest-time
+   * crawl prep for a PAGE STREAM, every stage either per-row
+   * stateless or stream-static:
+   *
+   *   extractHtmlText → normalizeUnicode (per-row regex kernels)
+   *   → [[graft.ops.TextOps.boilerplateApply]] against a STATIC
+   *     per-source boiler set ([[graft.ops.TextOps.boilerplateSets]]
+   *     trained on the existing corpus — the CCNet operating mode:
+   *     frequency statistics come from history, arriving pages are
+   *     filtered against them; the nightly batch refresh re-trains)
+   *   → [[graft.ops.TextOps.langIdCjk]] routing (keep `keepLangs`)
+   *   → [[graft.ops.TextOps.gopherKeep]] (the COLUMN form of the
+   *     Gopher battery — per-row, no doc_id join)
+   *   → [[graft.ops.TextOps.redactPii]]
+   *   → exact dedup, the [[ingestDedupStream]] contract: left-anti
+   *     vs the STATIC corpus hash index, then
+   *     dropDuplicatesWithinWatermark on the redacted-text hash
+   *     (state bounded by the horizon).
+   *
+   * Near-dup REMOVAL is deliberately not in-stream: flagging is
+   * [[neardupStream]]'s job and removal belongs to the nightly batch
+   * [[graft.ops.Dedup.crawlClean]] consolidation — the
+   * ingest/consolidate split every continuous 100 TB/day pipeline
+   * runs. Output columns: doc_id, source, event_time, lang, text
+   * (cleaned + redacted), text_hash.
+   */
+  def crawlIngestStream(pages: DataFrame, idCol: String, htmlCol: String,
+      sourceCol: String, eventTimeCol: String, keepLangs: Seq[String],
+      boilerSets: DataFrame, corpusIndex: DataFrame, indexHashCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must be non-empty")
+    val T = graft.ops.TextOps
+    val extracted = pages.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"), col(eventTimeCol).as("event_time"),
+      T.normalizeUnicode(T.extractHtmlText(col(htmlCol))).as("__raw"))
+    val routed = T.boilerplateApply(extracted, "__raw", "source", boilerSets)
+      .select(col("doc_id"), col("source"), col("event_time"),
+        col("clean_text").as("text"),
+        T.langIdCjk(col("clean_text")).as("lang"))
+      .filter(col("lang").isin(keepLangs: _*))
+    routed
+      .filter(T.gopherKeep(col("text")))
+      .select(col("doc_id"), col("source"), col("event_time"), col("lang"),
+        T.redactPii(col("text")).as("text"))
+      .withColumn("text_hash", md5(col("text")))
+      .join(broadcast(corpusIndex.select(col(indexHashCol).as("__idx_hash"))),
+        col("text_hash") === col("__idx_hash"), "left_anti")
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+  }
+
+  /**
    * Streaming twin of [[graft.ops.Dedup.neardupIncremental]]: each
    * arriving doc is MinHash-banded and probed against the STATIC
    * historical [[graft.ops.Dedup.bandKeyIndex]] via a stream-static

@@ -215,6 +215,64 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(out(2L) == "https://click.org/p")
   }
 
+  test("crawlIngestStream: content-hash dedup state survives kill-and-restart") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextOps
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def page(body: String) = "<html><body><div>menu bar</div><p>" + body +
+      "</p><div>legal note</div></body></html>"
+    val body1 = "the quick brown fox jumps over the lazy dog and then the " +
+      "fox naps across a warm afternoon of calm and quiet rest"
+    val body2 = "a steady stream of new pages arrives and the cleaner keeps " +
+      "the corpus fresh by checking every gate before it admits the text"
+    val flushBody = "the closing flush page arrives long after the rest and " +
+      "simply moves the watermark forward with a calm and ordinary body text"
+    val hist = Seq(
+      (100L, "a", "menu bar\nold unique body one\nlegal note"),
+      (101L, "a", "menu bar\nold unique body two\nlegal note"))
+      .toDF("doc_id", "source", "text")
+    val bsets = TextOps.boilerplateSets(hist, "doc_id", "text", "source", 0.4)
+    val idx = Seq("nothing known").toDF("t")
+      .select(org.apache.spark.sql.functions.md5($"t").as("fp"))
+    // page 1 is ingested before the stop; its EXACT DUPLICATE (different
+    // id, inside the watermark horizon) arrives only after the restart —
+    // it can only be dropped if the content-hash state round-tripped the
+    // checkpoint
+    val b1 = Seq((1L, "a", page(body1), ts(0)))
+    val b2 = Seq((2L, "a", page(body1), ts(5)), (3L, "a", page(body2), ts(6)))
+    val flushRow = (99L, "a", page(flushBody), ts(600))
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-crawl").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    b1.toDF("doc_id", "source", "html", "event_time").coalesce(1).write.parquet(inDir)
+    def startQuery() = {
+      val stream = s.readStream
+        .schema(b1.toDF("doc_id", "source", "html", "event_time").schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      EventStreams.crawlIngestStream(stream, "doc_id", "html", "source",
+        "event_time", Seq("en"), bsets, idx, "fp", "2 hours")
+        .select($"doc_id", $"text")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toDF("doc_id", "source", "html", "event_time").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Seq(flushRow).toDF("doc_id", "source", "html", "event_time").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = s.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 3L, 99L),
+      s"2 must die on checkpointed hash state, got ${out.keySet}")
+    assert(out(1L) == body1 && out(3L) == body2,
+      "chrome must be stripped by the static boiler sets on both sides of the restart")
+  }
+
   test("labelWindowStream: pending facts and buffered outcomes survive kill-and-restart") {
     val s = spark
     import s.implicits._

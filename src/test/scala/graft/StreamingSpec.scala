@@ -108,6 +108,87 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crawlIngestStream: chrome stripped via static boiler sets, langs routed, " +
+      "Gopher gated, PII masked, index + in-stream dedup") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ops.TextOps
+    val t0 = new java.sql.Timestamp(1704067200L * 1000L)
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def page(body: String) = "<html><head><title>t</title></head><body>" +
+      "<div>site menu line</div><p>" + body +
+      "</p><div>footer legal line</div></body></html>"
+    val bodyGood = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox naps across a warm afternoon of calm and quiet rest"
+    val bodyNew = "a steady stream of new pages arrives and the cleaner " +
+      "keeps the corpus fresh by checking every gate before it admits the text"
+    val knownBody = "every member of the committee saw the report and the " +
+      "board agreed that the plan was ready for another review cycle today"
+    // boiler sets trained on a HISTORICAL batch through the real API —
+    // the chrome lines repeat across both docs (frac 1.0 >= 0.4)
+    val hist = Seq(
+      (100L, "a", "site menu line\nold unique body one\nfooter legal line"),
+      (101L, "a", "site menu line\nold unique body two\nfooter legal line"))
+      .toDF("doc_id", "source", "text")
+    val bsets = TextOps.boilerplateSets(hist, "doc_id", "text", "source", 0.4)
+    // the corpus index already holds knownBody's (clean, redacted) hash
+    val idx = Seq(knownBody).toDF("t")
+      .select(org.apache.spark.sql.functions.md5($"t").as("fp"))
+    val in = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val q = EventStreams.crawlIngestStream(
+      in.toDF().toDF("doc_id", "source", "html", "event_time"),
+      "doc_id", "html", "source", "event_time", Seq("en"), bsets, idx, "fp",
+      "30 minutes")
+      .writeStream.format("memory").queryName("crawl_ingest_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "a", page(bodyGood + " mail bob@x.com now"), ts(0)),
+        (2L, "a", page("日本語のテキストです これはテスト"), ts(1)), // routed: ja
+        (3L, "a", page("tiny doc"), ts(2)), // Gopher: < 20 words
+        (4L, "a", page(knownBody), ts(3))) // index kill
+      q.processAllAvailable()
+      in.addData(
+        (5L, "a", page(bodyGood + " mail bob@x.com now"), ts(4)), // in-stream dup of 1
+        (6L, "a", page(bodyNew), ts(5)))
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id, lang, text FROM crawl_ingest_out")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(out.keySet == Set(1L, 6L),
+        s"survivors must be 1 and 6, got ${out.keySet}")
+      assert(out.values.forall(_._1 == "en"))
+      // chrome gone, PII masked, body intact — the same text the batch
+      // chain would emit
+      assert(out(1L)._2 == bodyGood + " mail <EMAIL> now")
+      assert(out(6L)._2 == bodyNew)
+    } finally q.stop()
+  }
+
+  test("gopherKeep column form == gopherQualityFlags frame keep, row for row") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextOps
+    // the q_gopher_quality splice shapes: clean pass, bullet/symbol
+    // tail, short text, no stopwords
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and then the fox " +
+        "naps across a warm afternoon of calm and quiet rest",
+      "short one",
+      "xxxx yyyy zzzz qqqq wwww",
+      "the list doc\n- alpha bullet\n* beta bullet\n" +
+        "##############################... ... ...")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val frame = TextOps.gopherQualityFlags(df, "doc_id", "text")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val col_ = df.select($"doc_id", TextOps.gopherKeep($"text").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(frame == col_, s"frame=$frame col=$col_")
+    assert(frame.values.toSeq.count(identity) == 1, "only the long doc passes")
+  }
+
   test("crawlFrontierStream: canonical variants collapse against index and stream") {
     implicit val s = spark
     import s.implicits._
