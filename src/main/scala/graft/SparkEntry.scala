@@ -482,6 +482,22 @@ object SparkEntry {
         "doc_id", "html", "source", keepLangs = Seq("en"),
         boilerFrac = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
 
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      // corpus-wide repeated-paragraph removal: two shared passages are
+      // spliced across overlapping doc slices (%6 / %10) so cross-doc
+      // repeats, within-corpus exact-dup bodies, and unique lines all
+      // exercise the first-occurrence-wins rule
+      val shareA = "this press release paragraph repeats verbatim across " +
+        "many mirror pages of the corpus"
+      val shareB = "standard licence text distributed with every bundled " +
+        "release of the archive"
+      val m = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit("\n" + shareA)).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0, lit("\n" + shareB)).otherwise(lit("")))
+        .as("text"))
+      Dedup.dedupParagraphs(m, "doc_id", "text")
+    }),
+
     "q_crawl_funnel" -> ((s, dir) =>
       // the whole-chain observability twin: per source, how many pages
       // survive each successive gate of the crawl chain
@@ -4016,6 +4032,27 @@ object SparkEntry {
         |LEFT JOIN surv e ON p.doc_id = e.doc_id
         |LEFT JOIN fin f ON p.doc_id = f.doc_id
         |GROUP BY p.source""".stripMargin),
+
+    "q_dedup_paragraphs" ->
+      """WITH m AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'this press release paragraph repeats verbatim across many mirror pages of the corpus' ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'standard licence text distributed with every bundled release of the archive' ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_filter(list_transform(
+        |    string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+        |  FROM m),
+        |l AS (SELECT doc_id, (i - 1)::INT AS pos, md5(lines[i]) AS lh
+        |  FROM d, unnest(range(1, len(lines) + 1)) AS t(i)),
+        |k AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (
+        |      PARTITION BY lh ORDER BY doc_id, pos) AS rn FROM l)
+        |  WHERE rn = 1),
+        |kp AS (SELECT doc_id, list(pos ORDER BY pos) AS kp FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.lines) AS n_paras,
+        |  coalesce(len(kp.kp), 0) AS n_kept,
+        |  array_to_string(list_transform(coalesce(kp.kp, []),
+        |    i -> d.lines[i + 1]), chr(10)) AS text
+        |FROM d LEFT JOIN kp USING (doc_id)""".stripMargin,
 
     "q_simhash" ->
       s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -459,6 +459,51 @@ object Dedup {
   }
 
   /**
+   * Corpus-wide PARAGRAPH dedup (the FineWeb/RefinedWeb repeated-
+   * paragraph removal step): a trimmed non-empty line survives only at
+   * its FIRST occurrence — min (doc_id, position) — across the WHOLE
+   * corpus; every later occurrence is removed from its document's
+   * emitted text. The paragraph-grained member of the span family:
+   * [[dedupSpans]] is n-gram-grained (catches shifted copies),
+   * [[TextOps.boilerplate]] is per-source frequency-THRESHOLDED
+   * (chrome), this one is global and unconditional (press releases,
+   * quoted passages, licence blocks that repeat across sources below
+   * any frequency threshold). Output: (doc_id, n_paras, n_kept, text)
+   * with kept lines in original order.
+   *
+   * Scale shape: lines explode to (doc_id, pos, md5) — 16-byte hashes
+   * plus two ints; the first-occurrence winner is ONE hash aggregate
+   * of min(struct(doc_id, pos)) per line hash (fixed-width,
+   * hash-aggregable — never a text sort); kept POSITIONS come back as
+   * one int-array per doc and the text is filtered IN PLACE by array
+   * index, so line text never shuffles anywhere. One doc_id staging
+   * exchange feeds the explode and the join-back (ReusedExchange).
+   */
+  def dedupParagraphs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => l =!= "").as("lines"))
+      .repartition(col("doc_id"))
+    val lines = base
+      .select(col("doc_id"), posexplode(col("lines")))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("lh"))
+    val winners = lines.groupBy(col("lh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val keptPos = lines.join(winners, "lh")
+      .filter(col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("kp"))
+    base.join(keptPos, Seq("doc_id"), "left")
+      .withColumn("kp", coalesce(col("kp"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("lines")).as("n_paras"),
+        size(col("kp")).as("n_kept"),
+        concat_ws("\n",
+          expr("transform(kp, i -> element_at(lines, i + 1))")).as("text"))
+  }
+
+  /**
    * THE COMPOSED CRAWL-PREP FRONT DOOR — raw HTML pages in, training
    * corpus out, as ONE declarative DAG. [[cleanCorpus]] is the
    * plain-text capstone; this is its crawl-side twin, chaining what

@@ -72,7 +72,18 @@ object Sf1Soak {
       "winnow_pairs" -> (d => Dedup.winnowPairs(d, "doc_id", "text")),
       "winnow_pairs_capped" -> (d =>
         Dedup.winnowPairsCapped(d, "doc_id", "text", maxBucket = 64)),
-      "dedup_spans" -> (d => Dedup.dedupSpans(d, "doc_id", "text", 8)))
+      "dedup_spans" -> (d => Dedup.dedupSpans(d, "doc_id", "text", 8)),
+      // the r17 composed crawl front door at the decade: html synthesis
+      // rides inside the timed query (the extraction stage needs real
+      // markup to chew), chrome shared per source so boilerplate has
+      // threshold-crossing lines at both scales
+      "crawl_clean" -> (d => Dedup.crawlClean(
+        d.select(col("doc_id"), col("source"),
+          concat(lit("<html><head><title>x</title></head><body>" +
+              "<div>site notice "), col("source"),
+            lit("</div><p>"), col("text"),
+            lit("</p><div>shared tail line</div></body></html>")).as("html")),
+        "doc_id", "html", "source", keepLangs = Seq("en"))))
     // embed cases return the DISTINCT cluster ids so the out column
     // doubles as the recall readout (coarser bands find fewer pairs ->
     // more singleton clusters)
