@@ -171,35 +171,9 @@ object Multimodal {
             new java.io.ByteArrayInputStream(payload))
           require(img != null,
             s"payload is not a decodable image (media_type=$mediaType)")
-          val (w, h) = (img.getWidth, img.getHeight)
-          // per-cell integer luma sums over the 8×8 grid (block edges by
-          // integer ratio — exact for any dimensions)
-          val sums = new Array[Long](64)
-          val counts = new Array[Long](64)
-          var y = 0
-          while (y < h) {
-            val cy = math.min(7, y * 8 / h)
-            var x = 0
-            while (x < w) {
-              val cx = math.min(7, x * 8 / w)
-              val rgb = img.getRGB(x, y)
-              val luma = ((rgb >> 16 & 0xff) * 299 +
-                (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-              sums(cy * 8 + cx) += luma
-              counts(cy * 8 + cx) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val avgs = Array.tabulate(64)(i => sums(i) / math.max(1, counts(i)))
-          val mean = avgs.sum / 64
-          val bands = new Array[Int](4)
-          var i = 0
-          while (i < 64) {
-            if (avgs(i) >= mean) bands(i / 16) |= 1 << (15 - i % 16)
-            i += 1
-          }
-          bands
+          // the shared 8×8 average-hash (block edges by integer ratio —
+          // exact for any dimensions); see [[aHashBands]]
+          aHashBands(img)
         }
       }
     }
@@ -328,6 +302,134 @@ object Multimodal {
             bands
           } finally ais.close()
         }
+      }
+    }
+
+    /** 8×8 average-hash over a decoded raster (integer-exact luma block
+      * means vs global mean, row-major MSB-first, four 16-bit bands) —
+      * shared by [[ImageIo]] (whole image) and [[MjpegAvi]] (first
+      * video frame) so the two modalities can never drift. */
+    private[ops] def aHashBands(img: java.awt.image.BufferedImage): Array[Int] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(7, x * 8 / w)
+          val rgb = img.getRGB(x, y)
+          val luma = ((rgb >> 16 & 0xff) * 299 +
+            (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          sums(cy * 8 + cx) += luma
+          counts(cy * 8 + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val avgs = Array.tabulate(64)(i => sums(i) / math.max(1, counts(i)))
+      val mean = avgs.sum / 64
+      val bands = new Array[Int](4)
+      var i = 0
+      while (i < 64) {
+        if (avgs(i) >= mean) bands(i / 16) |= 1 << (15 - i % 16)
+        i += 1
+      }
+      bands
+    }
+
+    /**
+     * A REAL video codec through the same seam, JDK-only — the THIRD
+     * modality existence proof, closing the r13-r14 "video container
+     * arm is a stub" carry-over without any dependency: MJPEG-in-AVI
+     * is the one mainstream video container a bare JRE can genuinely
+     * decode, because the container is plain RIFF chunk structure
+     * (fourcc + little-endian size, word-aligned) and every frame
+     * payload is a JPEG — `javax.imageio`'s shipped reader. The
+     * parser walks RIFF: `avih` (the main AVI header) provides
+     * dwWidth/dwHeight, the `movi` LIST's `##dc`/`##db` chunks are
+     * the frames. decode() = (dwWidth, dwHeight, md5(payload)) and
+     * requires the RIFF/AVI magic AND ≥ 1 video chunk — garbage never
+     * silently decodes. The perceptual hash is the shared 8×8
+     * average-hash ([[aHashBands]]) of the FIRST decodable frame: two
+     * AVIs carrying the same footage re-muxed or re-encoded (different
+     * bytes, different md5) collide at Hamming ~0, which byte-identity
+     * dedup can never see — the video analog of [[WavAudio]]'s
+     * bit-depth-invariant energy signature. H.264/VP9 payloads stay a
+     * dependency decision (no JDK decoder exists); their CONTAINER
+     * would parse here but decode() would fail loudly on the first
+     * frame, by contract.
+     */
+    object MjpegAvi extends MediaCodec {
+      def open(): Session = new Session {
+        javax.imageio.ImageIO.setUseCache(false)
+        private val md = MessageDigest.getInstance("MD5")
+
+        def decode(mediaType: String, payload: Array[Byte]): Decoded = {
+          val avi = parseAvi(payload)
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          Decoded(avi.width, avi.height, hex)
+        }
+
+        override def pHashBands(
+            mediaType: String, payload: Array[Byte]): Array[Int] = {
+          val avi = parseAvi(payload)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(avi.frames.head))
+          require(img != null,
+            "first video chunk is not a decodable JPEG frame " +
+              s"(n_bytes=${avi.frames.head.length}) - non-MJPEG codec?")
+          aHashBands(img)
+        }
+      }
+
+      private[graft] final case class Avi(
+        width: Int, height: Int, frames: Vector[Array[Byte]])
+
+      /** RIFF/AVI walk: fourcc(4) + size(4 LE) + data (+ odd-size pad);
+        * LIST/RIFF chunks carry a subtype then nested chunks. Collects
+        * dwWidth/dwHeight from `avih` and every `##dc`/`##db` video
+        * chunk in document order. */
+      private[graft] def parseAvi(payload: Array[Byte]): Avi = {
+        def u32(o: Int): Long =
+          (payload(o) & 0xffL) | (payload(o + 1) & 0xffL) << 8 |
+            (payload(o + 2) & 0xffL) << 16 | (payload(o + 3) & 0xffL) << 24
+        def fourcc(o: Int): String =
+          new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        require(payload.length >= 12 && fourcc(0) == "RIFF" &&
+          fourcc(8) == "AVI ",
+          s"payload is not a RIFF/AVI container (n_bytes=${payload.length})")
+        var width = -1
+        var height = -1
+        val frames = Vector.newBuilder[Array[Byte]]
+        def walk(start: Int, end: Int): Unit = {
+          var o = start
+          while (o + 8 <= end) {
+            val cc = fourcc(o)
+            val size = u32(o + 4).toInt
+            val dataStart = o + 8
+            val dataEnd = math.min(end, dataStart + size)
+            if (cc == "LIST") {
+              walk(dataStart + 4, dataEnd) // skip the list subtype
+            } else if (cc == "avih" && size >= 40) {
+              width = u32(dataStart + 32).toInt
+              height = u32(dataStart + 36).toInt
+            } else if (cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+                (cc.substring(2) == "dc" || cc.substring(2) == "db") &&
+                size > 0) {
+              frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+            }
+            o = dataStart + size + (size & 1) // chunks are word-aligned
+          }
+        }
+        walk(12, payload.length)
+        val fs = frames.result()
+        require(width > 0 && height > 0,
+          "AVI has no avih main header with positive dimensions")
+        require(fs.nonEmpty, "AVI movi list carries no video chunks")
+        Avi(width, height, fs)
       }
     }
   }

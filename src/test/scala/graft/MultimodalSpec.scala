@@ -315,4 +315,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
       pairs.toString)
   }
+
+  test("MjpegAvi codec decodes a REAL MJPEG AVI; re-muxed footage collides " +
+      "perceptually; garbage fails loudly") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // JDK-encoded JPEG frames: hard left/right halves survive the lossy
+    // round trip with unambiguous 8x8 block means
+    def jpegFrame(whiteRight: Boolean, w: Int = 32, h: Int = 24): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val white = if (whiteRight) x >= w / 2 else x < w / 2
+        img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+      }
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+      cc(fourcc) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(subtype: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(subtype) ++ inner)
+    def avi(frames: Seq[Array[Byte]], junkChunk: Boolean): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      le32(frames.length).copyToArray(avih, 16) // dwTotalFrames
+      le32(32).copyToArray(avih, 32) // dwWidth
+      le32(24).copyToArray(avih, 36) // dwHeight
+      val hdrl = list("hdrl", chunk("avih", avih))
+      val movi = list("movi", frames.map(f => chunk("00dc", f))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+      val junk = if (junkChunk) chunk("JUNK", Array.fill[Byte](7)(42)) else Array.emptyByteArray
+      val body = cc("AVI ") ++ hdrl ++ junk ++ movi
+      cc("RIFF") ++ le32(body.length) ++ body
+    }
+    val f1 = jpegFrame(whiteRight = true)
+    val f2 = jpegFrame(whiteRight = false)
+    val a1 = avi(Seq(f1, f2), junkChunk = false)
+    val a2 = avi(Seq(f1), junkChunk = true) // re-mux: same first frame, new bytes
+    val a3 = avi(Seq(f2), junkChunk = false) // different footage
+    val sess = Multimodal.MediaCodec.MjpegAvi.open()
+    val d = sess.decode("video/avi", a1)
+    assert(d.width == 32 && d.height == 24)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(d.contentHash == md.digest(a1).map("%02x".format(_)).mkString,
+      "content identity stays md5(payload)")
+    // container parse: both frames extracted, each a decodable JPEG
+    val parsed = Multimodal.MediaCodec.MjpegAvi.parseAvi(a1)
+    assert(parsed.frames.length == 2)
+    assert(ImageIO.read(new ByteArrayInputStream(parsed.frames(0))) != null)
+    // perceptual: same first frame under different container bytes
+    // collides exactly; different footage sits far away
+    val (b1, b2, b3) = (sess.pHashBands("video/avi", a1),
+      sess.pHashBands("video/avi", a2), sess.pHashBands("video/avi", a3))
+    assert(b1.sameElements(b2),
+      "re-muxed same footage must collide at Hamming 0 (md5s differ)")
+    val ham = (0 until 4).map(i => Integer.bitCount((b1(i) ^ b3(i)) & 0xffff)).sum
+    assert(ham > 20, s"inverted footage must be far in Hamming, got $ham")
+    // garbage never silently decodes
+    intercept[IllegalArgumentException] {
+      sess.decode("video/avi", Array[Byte](1, 2, 3, 4))
+    }
+    // an H.264-style payload inside a valid container: the CONTAINER
+    // parses but the frame is not a JPEG - pHash fails loudly
+    val bogus = avi(Seq(Array.fill[Byte](64)(7)), junkChunk = false)
+    intercept[IllegalArgumentException] {
+      sess.pHashBands("video/avi", bogus)
+    }
+  }
 }
