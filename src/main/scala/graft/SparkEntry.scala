@@ -94,6 +94,25 @@ object SparkEntry {
         "<footer>(c) example</footer></body></html>"))
     docs(s, dir).select(col("doc_id"), col("source"), html.as("html"))
   }
+
+  /** The synthesized URL frontier the q_url_dedup / q_crawl_schedule
+    * gates share: case/port/fragment/tracking-param/slash variants
+    * derived from real doc columns so both engines canonicalize the
+    * identical strings. Keeps every documents column (q_crawl_schedule
+    * uses n_chars as the fetch priority). */
+  private def synthUrls(s: SparkSession, dir: String) =
+    docs(s, dir).withColumn("url",
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.org"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .otherwise(when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
+            .otherwise(lit(""))),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))))
   private def emb(s: SparkSession, dir: String) =
     Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
 
@@ -2890,24 +2909,17 @@ object SparkEntry {
       // wordless docs
       TextOps.readability(docs(s, dir), "doc_id", "text")),
 
-    "q_url_dedup" -> ((s, dir) => {
+    "q_url_dedup" -> ((s, dir) =>
       // crawl dedup: case/port/fragment/tracking-param/slash variants of
       // the same page collapse to one canonical form (derived from real
       // columns so the oracle canonicalizes the identical strings)
-      val d = docs(s, dir).withColumn("url",
-        concat(
-          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
-          when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
-          lit(".example.org"),
-          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
-          lit("/"), col("lang"),
-          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
-          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
-            .otherwise(when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
-              .otherwise(lit(""))),
-          when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))))
-      TextOps.urlDedup(d, "doc_id", "url")
-    }),
+      TextOps.urlDedup(synthUrls(s, dir), "doc_id", "url")),
+
+    "q_crawl_schedule" -> ((s, dir) =>
+      // per-host politeness waves over the same synthesized frontier:
+      // rank within host = the wave that may fetch the url (at most
+      // one per host per wave), n_queue = the hot-host diagnostic
+      TextOps.crawlSchedule(synthUrls(s, dir), "doc_id", "url", "n_chars")),
 
     "q_bootstrap_lift" -> ((s, dir) => {
       // assumption-free experiment interval: resample USERS (the md5
@@ -3223,6 +3235,43 @@ object SparkEntry {
     }
     e
   }
+
+  /** Shared URL-frontier synthesis + canonicalization (the
+    * q_url_dedup / q_crawl_schedule twin of [[synthUrls]] +
+    * [[graft.ops.TextOps.canonicalUrl]]): emits CTEs `cu_d` (doc_id,
+    * n_chars, url), `cu_p` (parsed parts) and `cu_c` (doc_id,
+    * canonical_url). */
+  private val UrlSynthCanonSql: String =
+    """cu_d AS (SELECT doc_id, n_chars,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+      |    || '.example.org'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || '/' || lang
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |cu_p AS (SELECT doc_id,
+      |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+      |    regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+      |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+      |      '/+$', '') AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query
+      |  FROM cu_d),
+      |cu_c AS (SELECT doc_id,
+      |    scheme || '://' || host
+      |    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |        OR (scheme = 'https' AND port = '443') THEN ''
+      |        ELSE ':' || port END)
+      |    || path
+      |    || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url
+      |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+      |      string_split(query, '&'),
+      |      q -> NOT regexp_matches(q, '^(utm_[^=]*|ref|fbclid|gclid)='))),
+      |      '&') AS kq FROM cu_p))""".stripMargin
 
   /** The composed crawl-chain oracle (shared by q_crawl_clean and
     * q_crawl_funnel): the SAME page synthesis as the Spark gate
@@ -7462,39 +7511,23 @@ object SparkEntry {
         |FROM t""".stripMargin,
 
     "q_url_dedup" ->
-      """WITH d AS (SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
-        |    || '.example.org'
-        |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
-        |    || '/' || lang
-        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
-        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
-        |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END)
-        |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
-        |  FROM documents),
-        |p AS (SELECT doc_id,
-        |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
-        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
-        |    regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
-        |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
-        |      '/+$', '') AS path,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS query
-        |  FROM d),
-        |c AS (SELECT doc_id,
-        |    scheme || '://' || host
-        |    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-        |        OR (scheme = 'https' AND port = '443') THEN ''
-        |        ELSE ':' || port END)
-        |    || path
-        |    || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url
-        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
-        |      string_split(query, '&'),
-        |      q -> NOT regexp_matches(q, '^(utm_[^=]*|ref|fbclid|gclid)='))),
-        |      '&') AS kq FROM p))
+      ("WITH " + UrlSynthCanonSql + """
         |SELECT canonical_url, count(*)::BIGINT AS n_dups,
         |  min(doc_id) AS rep_id
-        |FROM c GROUP BY 1""".stripMargin,
+        |FROM cu_c GROUP BY 1""".stripMargin),
+
+    // per-host politeness waves over the shared synthesized frontier
+    "q_crawl_schedule" ->
+      ("WITH " + UrlSynthCanonSql + """,
+        |h AS (SELECT c.doc_id AS req_id, c.canonical_url,
+        |    d.n_chars AS priority,
+        |    regexp_extract(c.canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host
+        |  FROM cu_c c JOIN cu_d d USING (doc_id))
+        |SELECT req_id, canonical_url, priority, host,
+        |  row_number() OVER (PARTITION BY host
+        |    ORDER BY priority DESC, canonical_url ASC, req_id ASC) AS wave,
+        |  count(*) OVER (PARTITION BY host) AS n_queue
+        |FROM h""".stripMargin),
 
     "q_bootstrap_lift" -> {
       val cdf = Seq(0.36787944117144233, 0.7357588823428847,

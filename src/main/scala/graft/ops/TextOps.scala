@@ -1933,6 +1933,41 @@ object TextOps {
    * map-side-combinable aggregate; the canonicalization runs inside
    * the scan stage. Null URLs are excluded by contract.
    */
+  /**
+   * CRAWL FETCH SCHEDULING — per-domain politeness waves: a frontier
+   * that fetches more than one URL per host per scheduling round
+   * hammers servers, so each host's queue is ordered (priority desc,
+   * canonical url, request id — fully deterministic) and the rank IS
+   * the wave number: wave w contains AT MOST ONE url per host, and a
+   * fetcher that drains waves in order is polite by construction
+   * while staying maximally parallel ACROSS hosts — the Heritrix-style
+   * queue-rotation shape as one window. `n_queue` (the host's queue
+   * depth = its wave ceiling) is the hot-host diagnostic that sizes
+   * the crawl's tail: max(n_queue) rounds are needed to drain.
+   *
+   * Scale shape: canonicalization is per-row regex in the scan stage;
+   * ONE window partitioned by host (the natural key — a hot host's
+   * queue is exactly the thing being serialized, and even a
+   * million-URL host queue is one partition's sort, not a corpus
+   * sort); the depth count rides the same exchange.
+   */
+  def crawlSchedule(urls: org.apache.spark.sql.DataFrame, idCol: String,
+      urlCol: String, priorityCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = urls.select(col(idCol).as("req_id"),
+      canonicalUrl(col(urlCol)).as("canonical_url"),
+      col(priorityCol).as("priority"))
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1))
+    val rankW = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("canonical_url").asc,
+        col("req_id").asc)
+    val cntW = Window.partitionBy(col("host"))
+    canon
+      .withColumn("wave", row_number().over(rankW))
+      .withColumn("n_queue", count(lit(1)).over(cntW))
+  }
+
   def urlDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
       urlCol: String): org.apache.spark.sql.DataFrame =
     df.filter(col(urlCol).isNotNull)

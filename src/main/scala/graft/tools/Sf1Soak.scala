@@ -73,6 +73,10 @@ object Sf1Soak {
       "winnow_pairs_capped" -> (d =>
         Dedup.winnowPairsCapped(d, "doc_id", "text", maxBucket = 64)),
       "dedup_spans" -> (d => Dedup.dedupSpans(d, "doc_id", "text", 8)),
+      // r17 paragraph dedup at the decade: one hash aggregate + an
+      // int-array join-back — expected ~linear
+      "dedup_paragraphs" -> (d =>
+        Dedup.dedupParagraphs(d, "doc_id", "text")),
       // the r17 composed crawl front door at the decade: html synthesis
       // rides inside the timed query (the extraction stage needs real
       // markup to chew), chrome shared per source so boilerplate has
