@@ -2921,6 +2921,32 @@ object SparkEntry {
       // one per host per wave), n_queue = the hot-host diagnostic
       TextOps.crawlSchedule(synthUrls(s, dir), "doc_id", "url", "n_chars")),
 
+    "q_crawl_allow" -> ((s, dir) => {
+      // robots-style allow/deny over the shared frontier: even-numbered
+      // hosts carry a rule ladder — '/' allow, '/e' deny, '/en' allow,
+      // plus a conflicting '/f' pair — so longest-prefix precedence
+      // (/en allowed THROUGH the /e deny), a mid-prefix deny (/es),
+      // the equal-length allow tie-break (/fr), the default-allow
+      // fallback (/de, /zh) and the absent-robots consent arm (odd
+      // hosts, rule_prefix null) all decide real rows. Canonical paths
+      // have trailing slashes stripped, so prefixes are slash-free.
+      val d = docs(s, dir)
+      val hosts = d
+        .select(concat(lower(col("source")), lit(".example.org")).as("host"))
+        .distinct()
+        .filter(regexp_extract(col("host"), "src([0-9]+)", 1)
+          .cast("int") % 2 === 0)
+      val rules = hosts.select(col("host"), explode(array(
+        struct(lit("/").as("prefix"), lit(true).as("allow")),
+        struct(lit("/e").as("prefix"), lit(false).as("allow")),
+        struct(lit("/en").as("prefix"), lit(true).as("allow")),
+        struct(lit("/f").as("prefix"), lit(false).as("allow")),
+        struct(lit("/f").as("prefix"), lit(true).as("allow")))).as("r"))
+        .select(col("host"), col("r.prefix").as("prefix"),
+          col("r.allow").as("allow"))
+      TextOps.crawlAllowFilter(synthUrls(s, dir), "doc_id", "url", rules)
+    }),
+
     "q_bootstrap_lift" -> ((s, dir) => {
       // assumption-free experiment interval: resample USERS (the md5
       // arms' units) and read the lift CI off the sorted rep lifts
@@ -7528,6 +7554,31 @@ object SparkEntry {
         |    ORDER BY priority DESC, canonical_url ASC, req_id ASC) AS wave,
         |  count(*) OVER (PARTITION BY host) AS n_queue
         |FROM h""".stripMargin),
+
+    // robots-style allow/deny: longest matching prefix wins, ties ->
+    // allow, no rule -> allowed
+    "q_crawl_allow" ->
+      ("WITH " + UrlSynthCanonSql + """,
+        |hosts AS (SELECT DISTINCT lower(source) || '.example.org' AS host
+        |  FROM documents
+        |  WHERE regexp_extract(lower(source), 'src([0-9]+)', 1)::INT % 2 = 0),
+        |rules AS (SELECT host, r.prefix, r.allow FROM hosts,
+        |  (VALUES ('/', true), ('/e', false), ('/en', true),
+        |          ('/f', false), ('/f', true)) AS r(prefix, allow)),
+        |f AS (SELECT c.doc_id AS req_id, c.canonical_url,
+        |    regexp_extract(c.canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+        |    coalesce(nullif(regexp_extract(c.canonical_url,
+        |      '^[a-z]+://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path
+        |  FROM cu_c c),
+        |mt AS (SELECT f.req_id, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY f.req_id
+        |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix ASC) AS rn
+        |  FROM f JOIN rules r ON f.host = r.host
+        |    AND starts_with(f.path, r.prefix)),
+        |b AS (SELECT req_id, prefix AS rule_prefix, allow FROM mt WHERE rn = 1)
+        |SELECT f.req_id, f.canonical_url, f.host, f.path,
+        |  coalesce(b.allow, true) AS allowed, b.rule_prefix
+        |FROM f LEFT JOIN b USING (req_id)""".stripMargin),
 
     "q_bootstrap_lift" -> {
       val cdf = Seq(0.36787944117144233, 0.7357588823428847,

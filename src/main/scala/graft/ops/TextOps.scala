@@ -1968,6 +1968,53 @@ object TextOps {
       .withColumn("n_queue", count(lit(1)).over(cntW))
   }
 
+  /**
+   * ROBOTS-STYLE frontier filtering — the allow/deny half of crawl
+   * operations ([[crawlSchedule]] is the politeness half): each URL is
+   * matched against its host's path-prefix rules and the LONGEST
+   * matching prefix wins (the Google robots.txt precedence rule);
+   * equal-length ties go to allow (the standard least-restrictive
+   * tie-break); a URL whose host has no matching rule is allowed
+   * (robots semantics: absence of a rule is consent). `rules` =
+   * (host, prefix, allow) — the parsed robots corpus a fetcher
+   * maintains. Output: (req_id, canonical_url, host, path, allowed,
+   * rule_prefix — null when no rule matched).
+   *
+   * Scale shape: canonicalization and path extraction are per-row
+   * scan-stage regex; the rules side is small by nature (robots files
+   * are KBs per host) and BROADCASTS, so the frontier never shuffles
+   * for the match; the longest-prefix winner is a per-req_id window
+   * over matched rules only (a URL matches at most a handful of its
+   * host's prefixes).
+   */
+  def crawlAllowFilter(urls: org.apache.spark.sql.DataFrame, idCol: String,
+      urlCol: String,
+      rules: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = urls.select(col(idCol).as("req_id"),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1))
+      .withColumn("path", coalesce(
+        nullif(regexp_extract(col("canonical_url"),
+          "^[a-z]+://[^/?#]*(/[^?#]*)", 1), lit("")), lit("/")))
+    val matched = canon
+      .join(broadcast(rules.select(col("host"), col("prefix"), col("allow"))),
+        Seq("host"))
+      .filter(col("path").startsWith(col("prefix")))
+    val w = Window.partitionBy(col("req_id"))
+      .orderBy(length(col("prefix")).desc, col("allow").desc,
+        col("prefix").asc)
+    val best = matched
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("req_id"), col("prefix").as("rule_prefix"),
+        col("allow").as("__allow"))
+    canon.join(best, Seq("req_id"), "left")
+      .select(col("req_id"), col("canonical_url"), col("host"), col("path"),
+        coalesce(col("__allow"), lit(true)).as("allowed"),
+        col("rule_prefix"))
+  }
+
   def urlDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
       urlCol: String): org.apache.spark.sql.DataFrame =
     df.filter(col(urlCol).isNotNull)
