@@ -314,7 +314,18 @@ object GraftFunctions {
       "graft_token_count_bpe" -> (TextOps.tokenCountBpe(_)),
       "graft_fingerprint" -> (TextOps.fingerprint(_)),
       "graft_simhash" -> (c => TextOps.simhash64(TextOps.tokensNative(c))),
-      "graft_shingles" -> (TextOps.tokenShingles(_))
+      "graft_shingles" -> (TextOps.tokenShingles(_)),
+      // the r15-r17 crawl family — a pure-SQL user gets the whole
+      // page-cleaning chain, not just the classic text metrics
+      "graft_extract_html" -> (TextOps.extractHtmlText(_)),
+      "graft_normalize_text" -> (TextOps.normalizeUnicode(_)),
+      "graft_mojibake" -> (TextOps.mojibakeScore(_)),
+      "graft_langid_cjk" -> (TextOps.langIdCjk(_)),
+      "graft_token_count_cjk" -> (TextOps.tokenCountCjk(_)),
+      "graft_redact" -> (TextOps.redact(_)),
+      "graft_redact_pii" -> (TextOps.redactPii(_)),
+      "graft_gopher_keep" -> (TextOps.gopherKeep(_)),
+      "graft_canonical_url" -> (TextOps.canonicalUrl(_))
     )
     fns.foreach { case (name, f) =>
       ColumnBridge.registerFunction(spark, name, unaryCol(name, f))

@@ -114,6 +114,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getInt(6) == 6)
   }
 
+  test("crawl-family SQL registration: each graft_ function equals its Column form") {
+    import graft.ops.TextOps
+    val s = spark
+    import s.implicits._
+    val html = "<html><head><title>x</title></head><body><p>the cafÃ© " +
+      "report &amp; more from bob@x.com at https://x.org/p?utm_source=a" +
+      "</p></body></html>"
+    val df = Seq(html).toDF("t")
+    df.createOrReplaceTempView("crawl_sql_probe")
+    val viaSql = s.sql(
+      """SELECT graft_extract_html(t) AS ex, graft_normalize_text(t) AS nt,
+        |  graft_mojibake(t) AS mj, graft_langid_cjk(t) AS lg,
+        |  graft_token_count_cjk(t) AS tc, graft_redact(t) AS rd,
+        |  graft_redact_pii(t) AS rp, graft_gopher_keep(t) AS gk,
+        |  graft_canonical_url('HTTPS://X.ORG:443/p/?b=2&utm_source=f&a=1#z') AS cu
+        |FROM crawl_sql_probe""".stripMargin).collect().head
+    val viaCol = df.select(
+      TextOps.extractHtmlText($"t"), TextOps.normalizeUnicode($"t"),
+      TextOps.mojibakeScore($"t"), TextOps.langIdCjk($"t"),
+      TextOps.tokenCountCjk($"t"), TextOps.redact($"t"),
+      TextOps.redactPii($"t"), TextOps.gopherKeep($"t"),
+      TextOps.canonicalUrl(org.apache.spark.sql.functions.lit(
+        "HTTPS://X.ORG:443/p/?b=2&utm_source=f&a=1#z"))).collect().head
+    (0 until 9).foreach { i =>
+      assert(viaSql.get(i) == viaCol.get(i), s"field $i differs")
+    }
+    assert(viaSql.getString(8) == "https://x.org/p?a=1&b=2")
+    assert(viaSql.getString(6).contains("<EMAIL>") &&
+      viaSql.getString(6).contains("<URL>"))
+  }
+
   test("stratifiedSample: n per stratum, deterministic across runs") {
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
     val s1 = graft.ops.TextOps.stratifiedSample(df, "s", "id", 5)
