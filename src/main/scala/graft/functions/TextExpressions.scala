@@ -660,3 +660,87 @@ case class CdcChunkHashes(child: Expression, window: Int, maskBits: Int)
   override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
     copy(child = newChild)
 }
+
+/**
+ * GPT-2-style byte-level unit mapping over an `array<string>` of
+ * pre-tokens: each element's UTF-8 BYTES are mapped one-to-one onto
+ * printable unicode chars (Radford et al. 2019's bytes_to_unicode —
+ * the 188 printable latin-1 bytes map to themselves, the other 68
+ * (controls, space, DEL, 0xA0, 0xAD) shift to U+0100+n, so space →
+ * 'Ġ' U+0120, newline → 'Ċ' U+010A). Byte-level BPE then needs no
+ * <unk>: ANY string — emoji, CJK, mojibake — becomes a reversible
+ * sequence over a 256-symbol base alphabet. The inverse table
+ * ([[ByteLevelUnits.decode]]) restores the exact original bytes,
+ * the lossless round-trip the spec pins.
+ *
+ * Pure per-row array map (no state); CodegenFallback like the
+ * sibling text kernels — the byte loop dominates.
+ */
+case class ByteLevelUnits(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_byte_units"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        else {
+          val bytes = arr.getUTF8String(i).getBytes
+          val sb = new java.lang.StringBuilder(bytes.length)
+          var j = 0
+          while (j < bytes.length) {
+            sb.append(ByteLevelUnits.byteToChar(bytes(j) & 0xff))
+            j += 1
+          }
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteLevelUnits =
+    copy(child = newChild)
+}
+
+object ByteLevelUnits {
+  /** bytes_to_unicode (GPT-2 encoder.py, public): printable bytes
+    * ['!','~'], ['¡','¬'], ['®','ÿ'] map to themselves; the remaining
+    * 68 bytes map to U+0100+n in ascending byte order. */
+  val byteToChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar
+      else { val c = (256 + n).toChar; n += 1; c }
+    }.toArray
+  }
+  private val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** Inverse mapping: a concatenation of byte-level units back to the
+    * original string (exact UTF-8 byte round-trip). Driver/spec-side
+    * helper — encoding work stays in the expression. */
+  def decode(units: String): String = {
+    val bytes = units.toCharArray.map { c =>
+      charToByte.getOrElse(c,
+        sys.error(f"'$c' (U+${c.toInt}%04X) is not a byte-level unit"))
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

@@ -410,6 +410,14 @@ object Multimodal {
             val cc = fourcc(o)
             val size = u32(o + 4).toInt
             val dataStart = o + 8
+            // fail-loudly on corrupt size fields: a u32 >= 2^31 turns
+            // negative after .toInt and `dataStart + size + pad` stops
+            // advancing (0xFFFFFFF8 leaves o unchanged; smaller values
+            // walk BACKWARDS) — an infinite loop on crafted payloads.
+            // Sizes must be non-negative and in-bounds for the region.
+            require(size >= 0 && dataStart.toLong + size <= payload.length,
+              f"corrupt AVI chunk '$cc' at offset $o: size field " +
+                f"${u32(o + 4)} exceeds payload (n_bytes=${payload.length})")
             val dataEnd = math.min(end, dataStart + size)
             if (cc == "LIST") {
               walk(dataStart + 4, dataEnd) // skip the list subtype

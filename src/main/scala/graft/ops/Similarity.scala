@@ -1043,11 +1043,22 @@ object Similarity {
   def annIvfPqSearch(codes: DataFrame, refit: DataFrame,
       codebooks: DataFrame, queries: DataFrame, dim: Int, m: Int,
       nprobe: Int = 2, topK: Int = 1): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"dim ($dim) must be a multiple of m ($m)")
     val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
       .filter(col("qnrm") > 0)
-    val routed = routeQueries(q, refit, nprobe)
+    annIvfPqSearchRouted(codes, refit, codebooks,
+      routeQueries(q, refit, nprobe), dim, m, topK)
+  }
+
+  /** [[annIvfPqSearch]] over an ALREADY-ROUTED query frame (the
+    * (q_id, qv, qnrm, qcell) shape [[routeQueries]] emits) — the
+    * shared tail that lets [[annIvfPqSearchOnDisk]] reuse the routing
+    * it computes for planning-time cell pruning instead of running the
+    * route jobs twice per serving call. */
+  private def annIvfPqSearchRouted(codes: DataFrame, refit: DataFrame,
+      codebooks: DataFrame, routed: DataFrame, dim: Int, m: Int,
+      topK: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must be a multiple of m ($m)")
     val cents = refit.select(col("cell"),
       transform(col("centroid_scaled"), x => x / 1000000.0).as("cvec"))
     val sub = dim / m
@@ -1103,10 +1114,14 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
       .filter(col("qnrm") > 0)
-    val probed = routeQueries(q, refit, nprobe)
-      .select(col("qcell")).distinct().collect().map(_.get(0))
-    annIvfPqSearch(codes.filter(col("cell").isin(probed.toSeq: _*)),
-      refit, codebooks, queries, dim, m, nprobe, topK)
+    // route ONCE: the routed frame is both the probed-cell set (a
+    // bounded nprobe·|Q| collect that becomes a LITERAL partition
+    // filter on the codes scan) and the scoring-side query frame —
+    // the r15-advice fix for the doubled routing jobs per serving call.
+    val routed = routeQueries(q, refit, nprobe).localCheckpoint(eager = false)
+    val probed = routed.select(col("qcell")).distinct().collect().map(_.get(0))
+    annIvfPqSearchRouted(codes.filter(col("cell").isin(probed.toSeq: _*)),
+      refit, codebooks, routed, dim, m, topK)
   }
 
   /**

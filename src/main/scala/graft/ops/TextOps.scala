@@ -256,6 +256,20 @@ object TextOps {
    * per-row codegen'd string work in the scan stage — no shuffle, no
    * state, every metric 6-dp rounded and engine-replayable.
    */
+  /** The five non-parameterized Gopher rule bounds (Rae et al. 2021
+    * App. A) — ONE copy consumed by the frame op, the streaming
+    * column op AND the DuckDB oracle fragment
+    * (SparkEntry.gopherCtesSql), so a bound change cannot drift
+    * between the gate and its twins (the r15 advice item: three
+    * hardcoded copies, only minWords/maxWords spec-pinned). */
+  val GopherMeanLenMin = 3.0
+  val GopherMeanLenMax = 10.0
+  val GopherSymbolMax = 0.1
+  val GopherBulletMax = 0.9
+  val GopherEllipsisMax = 0.3
+  val GopherAlphaMin = 0.8
+  val GopherStopwordsMin = 2
+
   def gopherQualityFlags(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minWords: Int = 20,
       maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
@@ -274,13 +288,13 @@ object TextOps {
       .select(col("*"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
           .as("pass_words"),
-        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
-          .as("pass_mean_len"),
-        (col("symbol_ratio") <= 0.1).as("pass_symbols"),
-        (col("bullet_ratio") <= 0.9).as("pass_bullets"),
-        (col("ellipsis_ratio") <= 0.3).as("pass_ellipsis"),
-        (col("alpha_ratio") >= 0.8).as("pass_alpha"),
-        (col("n_stopwords") >= 2).as("pass_stopwords"))
+        (col("mean_word_len") >= GopherMeanLenMin &&
+          col("mean_word_len") <= GopherMeanLenMax).as("pass_mean_len"),
+        (col("symbol_ratio") <= GopherSymbolMax).as("pass_symbols"),
+        (col("bullet_ratio") <= GopherBulletMax).as("pass_bullets"),
+        (col("ellipsis_ratio") <= GopherEllipsisMax).as("pass_ellipsis"),
+        (col("alpha_ratio") >= GopherAlphaMin).as("pass_alpha"),
+        (col("n_stopwords") >= GopherStopwordsMin).as("pass_stopwords"))
       .withColumn("keep",
         col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
           col("pass_bullets") && col("pass_ellipsis") && col("pass_alpha") &&
@@ -334,12 +348,13 @@ object TextOps {
       maxWords: Int = 100000): Column = {
     val m = gopherMetricsStruct(text)
     m.getField("n_words") >= minWords && m.getField("n_words") <= maxWords &&
-      m.getField("mean_word_len") >= 3.0 && m.getField("mean_word_len") <= 10.0 &&
-      m.getField("symbol_ratio") <= 0.1 &&
-      m.getField("bullet_ratio") <= 0.9 &&
-      m.getField("ellipsis_ratio") <= 0.3 &&
-      m.getField("alpha_ratio") >= 0.8 &&
-      m.getField("n_stopwords") >= 2
+      m.getField("mean_word_len") >= GopherMeanLenMin &&
+      m.getField("mean_word_len") <= GopherMeanLenMax &&
+      m.getField("symbol_ratio") <= GopherSymbolMax &&
+      m.getField("bullet_ratio") <= GopherBulletMax &&
+      m.getField("ellipsis_ratio") <= GopherEllipsisMax &&
+      m.getField("alpha_ratio") >= GopherAlphaMin &&
+      m.getField("n_stopwords") >= GopherStopwordsMin
   }
 
   /**
@@ -904,13 +919,39 @@ object TextOps {
    * round does.
    */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame =
+    bpeTrainFromWords(docs.select(
+      explode(tokensNative(col(textCol))).as("w")), nMerges)
+
+  /**
+   * BYTE-LEVEL BPE training (GPT-2 family) — [[bpeTrain]] with the
+   * production pre-processing in front: [[preTokenize]] splits the raw
+   * text with the GPT-2-style regex (contractions, space-prefixed
+   * letter/digit/punct runs, whitespace runs), [[byteLevelUnits]] maps
+   * each pre-token's UTF-8 bytes onto the 256-char base alphabet, and
+   * the merge loop then trains over those unit strings. This is what
+   * makes the trained table comparable to a real tokenizer's: no
+   * <unk>, non-ASCII text decomposes into byte units instead of
+   * diverging at whitespace, and merges never cross a pre-token
+   * boundary (the regex is the boundary, exactly as in production).
+   * Same scale shape as [[bpeTrain]] (one corpus pass to the
+   * (unit-word, freq) dict, then |vocab|-row rounds).
+   */
+  def bpeTrainByteLevel(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int): org.apache.spark.sql.DataFrame =
+    bpeTrainFromWords(docs.select(
+      explode(byteLevelUnits(preTokenize(col(textCol)))).as("w")), nMerges)
+
+  /** Shared merge-training loop over an exploded one-column ("w")
+    * word/pre-token-unit frame — the body of [[bpeTrain]] (whitespace
+    * words) and [[bpeTrainByteLevel]] (byte-level units). */
+  private def bpeTrainFromWords(words: org.apache.spark.sql.DataFrame,
       nMerges: Int): org.apache.spark.sql.DataFrame = {
     require(nMerges >= 1 && nMerges <= 65536,
       s"nMerges must be in [1, 65536], got $nMerges")
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
-    val vocab = docs
-      .select(explode(tokensNative(col(textCol))).as("w"))
+    val vocab = words
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .localCheckpoint()
     var merges = Vector.empty[(String, String, Long)]
@@ -1116,6 +1157,61 @@ object TextOps {
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.BpeEncode(
         org.apache.spark.sql.graft.ColumnBridge.expression(toks), merges))
+
+  /**
+   * GPT-2-STYLE PRE-TOKENIZER regex (Radford et al. 2019's pattern,
+   * public) — the production boundary rule byte-level BPE merges must
+   * not cross: common English contractions, space-prefixed letter
+   * runs, space-prefixed digit runs, space-prefixed punctuation runs,
+   * whitespace runs. Two deliberate, documented deltas from the
+   * original so ONE pattern text runs identically on Java regex AND
+   * RE2 (the DuckDB oracle): (a) the trailing-space lookahead
+   * `\s+(?!\S)` is dropped (RE2 has no lookahead) — multi-space runs
+   * become one whitespace token instead of donating their last space
+   * to the next word; single spaces attach to the following run
+   * exactly as in GPT-2 (alternation order does that, no lookahead
+   * needed); (b) `\s` is spelled as the explicit class [ \t\r\n\f]
+   * (Java's \s adds \x0B, RE2's does not — the literal class removes
+   * the engine skew).
+   */
+  val PreTokenPattern: String = {
+    val ws = "[ \\t\\r\\n\\f]"
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|$ws+"
+  }
+
+  /** Pre-token array of `text` under [[PreTokenPattern]] — a plain
+    * codegen'd regexp_extract_all, engine-replayable verbatim. */
+  def preTokenize(text: Column): Column =
+    call_function("regexp_extract_all", text, lit(PreTokenPattern), lit(0))
+
+  /** GPT-2 byte→unicode unit mapping over a pre-token array
+    * ([[graft.functions.ByteLevelUnits]]): every UTF-8 byte becomes
+    * one printable char (space → 'Ġ'), so BPE runs over a 256-symbol
+    * base alphabet with no <unk> and an exact inverse
+    * ([[graft.functions.ByteLevelUnits.decode]]). */
+  def byteLevelUnits(pretoks: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ByteLevelUnits(
+        org.apache.spark.sql.graft.ColumnBridge.expression(pretoks)))
+
+  /** Byte-level BPE ENCODE: [[preTokenize]] → [[byteLevelUnits]] →
+    * the [[bpeEncode]] min-rank kernel (symbols are now byte units,
+    * merges from [[bpeTrainByteLevel]] or any byte-level table).
+    * Lossless by construction: concatenating the output tokens and
+    * inverting the byte map restores the input string exactly. */
+  def bpeEncodeByteLevel(text: Column, merges: Seq[(String, String)]): Column =
+    bpeEncode(byteLevelUnits(preTokenize(text)), merges)
+
+  /** Fixed well-formed BYTE-LEVEL merges table for the
+    * q_bpe_bytelevel gate (each rule's parts are base units or
+    * outputs of earlier rules — ascending-rank replay equals
+    * min-rank greedy, the [[BpeGateMerges]] property, now with the
+    * GPT-2 space marker 'Ġ' in the alphabet). */
+  val BpeByteGateMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "Ġ" -> "t", "Ġt" -> "h", "th" -> "e", "Ġth" -> "e",
+    "i" -> "n", "e" -> "r", "Ġ" -> "a", "o" -> "n", "a" -> "n",
+    "an" -> "d", "Ġa" -> "n", "Ġan" -> "d", "r" -> "e", "Ġ" -> "o",
+    "Ġo" -> "f", "e" -> "s", "Ġ" -> "s", "in" -> "g", "e" -> "d")
 
   /** The fixed well-formed merges table the `q_bpe_encode` gate pins on
     * both engines (each rule's parts are characters or outputs of

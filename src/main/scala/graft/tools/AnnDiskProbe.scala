@@ -82,10 +82,9 @@ object AnnDiskProbe {
       walk(new java.io.File(p))
     }
     val cb = dirBytes(s"$out/pq/codes")
-    val vb = dirBytes(s"$dir/embeddings.parquet") +
-      dirBytes(new java.io.File(s"$dir/embeddings.parquet").getParent) * 0 // file case
     val vbFile = new java.io.File(s"$dir/embeddings.parquet")
-    val rawBytes = if (vbFile.isFile) vbFile.length else vb
+    val rawBytes =
+      if (vbFile.isFile) vbFile.length else dirBytes(vbFile.getPath)
     println(f"[ann-disk] bytes: pq codes=$cb raw vectors=$rawBytes " +
       f"ratio=${rawBytes.toDouble / cb}%.1fx")
     spark.stop()

@@ -1,0 +1,325 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 work (driver round 16): WARC/WET ingestion (the crawl
+  * chain's missing first mile), plus regression pins for the round's
+  * verdict/advice deliverables. */
+class Round18OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.sources.Warc
+  import graft.ops.TextOps
+  import graft.functions.ByteLevelUnits
+
+  // ---- independent byte-level BPE reference (deliberately naive:
+  // string-level pre-tokenize via java.util.regex, byte map built from
+  // the published bytes_to_unicode recipe, ONE-occurrence-at-a-time
+  // min-rank merging — a different algorithm that must converge to the
+  // kernel's merge-all result for well-formed tables) ----
+
+  private lazy val refByteMap: Map[Int, Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = -1
+    (0 until 256).map { b =>
+      b -> (if (keep(b)) b.toChar else { n += 1; (256 + n).toChar })
+    }.toMap
+  }
+
+  private def refUnits(pretok: String): String =
+    pretok.getBytes("UTF-8").map(b => refByteMap(b & 0xff)).mkString
+
+  private def refPreTokenize(text: String): Vector[String] = {
+    val m = java.util.regex.Pattern.compile(TextOps.PreTokenPattern)
+      .matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  private def refEncodeWord(units: String,
+      merges: Seq[(String, String)]): Vector[String] = {
+    val rank = merges.zipWithIndex.groupBy(_._1).map {
+      case (p, rs) => p -> rs.map(_._2).min
+    }
+    var syms = units.map(_.toString).toVector
+    var changed = true
+    while (changed && syms.size >= 2) {
+      val best = syms.zip(syms.tail).zipWithIndex
+        .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        .sortBy { case (r, i) => (r, i) }.headOption
+      best match {
+        case Some((_, i)) =>
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        case None => changed = false
+      }
+    }
+    syms
+  }
+
+  private def refEncodeText(text: String,
+      merges: Seq[(String, String)]): Vector[String] =
+    refPreTokenize(text).flatMap(pt => refEncodeWord(refUnits(pt), merges))
+
+  test("byte map pins the published bytes_to_unicode values") {
+    val m = ByteLevelUnits.byteToChar
+    assert(m(' '.toInt) == 'Ġ', "space -> U+0120")
+    assert(m('\n'.toInt) == 'Ċ', "newline -> U+010A")
+    assert(m('\t'.toInt) == 'ĉ', "tab -> U+0109")
+    assert(m('A'.toInt) == 'A' && m('~'.toInt) == '~' && m('|'.toInt) == '|')
+    assert(m(0) == 'Ā' && m(127) == 'ġ' && m(173) == 'Ń')
+    assert(m.distinct.length == 256, "the byte map must be a bijection")
+    // é is 0xC3 0xA9 in UTF-8; both bytes are kept latin-1 printables
+    assert(refUnits("é") == "Ã©")
+    assert(ByteLevelUnits.decode("Ã©") == "é")
+  }
+
+  test("byte-level encode round-trips ANY text exactly (decode ∘ concat = id)") {
+    import spark.implicits._
+    val texts = Seq(
+      "Hello, world!  Multi  spaces\tand\nnewlines.",
+      "café déjà-vu — “smart” quotes…",
+      "日本語テキスト mixed with english and 123 digits",
+      "emoji 🌍 and accents àéîõü", "", "   ", "don't can't we'll I'm")
+    val out = texts.toDF("text")
+      .select(TextOps.bpeEncodeByteLevel(org.apache.spark.sql.functions.col("text"),
+        TextOps.BpeByteGateMerges).as("enc"))
+      .collect().map(_.getSeq[String](0))
+    texts.zip(out).foreach { case (t, toks) =>
+      assert(ByteLevelUnits.decode(toks.mkString("")) == t,
+        s"round-trip failed for '$t'")
+    }
+  }
+
+  test("byte-level encode == independent reference on non-ASCII + punctuation") {
+    import spark.implicits._
+    val texts = Seq(
+      "the theatre and the other theory", // exercises Ġth/Ġthe merges
+      "ingredients ended and sanded",     // ing/ed/and merges
+      "naïve café — öffnung, 東京 2024!?", // byte-decomposed non-ASCII
+      "a.b.c... d,e;f!!", "it's don't o'clock")
+    val sparkOut = texts.toDF("text")
+      .select(TextOps.bpeEncodeByteLevel(org.apache.spark.sql.functions.col("text"),
+        TextOps.BpeByteGateMerges).as("enc"))
+      .collect().map(_.getSeq[String](0).toVector)
+    texts.zip(sparkOut).foreach { case (t, got) =>
+      assert(got == refEncodeText(t, TextOps.BpeByteGateMerges),
+        s"kernel vs reference diverged on '$t'")
+    }
+  }
+
+  test("bpeTrainByteLevel == naive reference trainer on a small mixed corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      "the theme of the thesis", "then the weather thawed",
+      "thé et café, naïveté", "the the the thin thing",
+      "breathe with the rhythm")
+    val trained = TextOps.bpeTrainByteLevel(corpus.toDF("text"), "text", 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(m => (m._2, m._3)).toVector
+    // naive trainer: (unit-word, freq) dict; per round count adjacent
+    // pairs weighted by freq via the REFERENCE encoder under the merges
+    // so far; adopt max count, ties lexicographic (x, y)
+    val dict = corpus.flatMap(refPreTokenize).map(refUnits)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var merges = Vector.empty[(String, String)]
+    (0 until 8).foreach { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      dict.foreach { case (w, f) =>
+        val syms = refEncodeWord(w, merges)
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges :+= best
+      }
+    }
+    assert(trained == merges,
+      s"trained table diverged:\n  spark: $trained\n  ref  : $merges")
+  }
+
+  test("byte-level merges never cross a pre-token boundary") {
+    import spark.implicits._
+    // 'e t' occurs constantly ACROSS words; a word-boundary-blind
+    // trainer would adopt ("e", "Ġt")-style merges joining two
+    // pre-tokens' units... which byte-level actually ALLOWS within one
+    // pre-token (' the' = "Ġthe"), so the real invariant is: every
+    // trained merge output is a substring of some single pre-token's
+    // unit string.
+    val corpus = Seq("more the place the image the", "the more the place")
+    val units = corpus.flatMap(refPreTokenize).map(refUnits).toSet
+    val trained = TextOps.bpeTrainByteLevel(corpus.toDF("text"), "text", 6)
+      .collect().map(r => r.getString(1) + r.getString(2))
+    trained.foreach { sym =>
+      assert(units.exists(_.contains(sym)),
+        s"merge output '$sym' crosses a pre-token boundary")
+    }
+  }
+
+  // ---- WARC test-bytes builders (the MjpegAvi discipline: the spec
+  // synthesizes the binary format from the public layout) ----
+
+  private def rec(typ: String, url: String, date: String,
+      body: Array[Byte], extra: Seq[(String, String)] = Nil): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $typ\r\n"
+    if (url.nonEmpty) h ++= s"WARC-Target-URI: $url\r\n"
+    h ++= s"WARC-Date: $date\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:${typ}-${math.abs(url.hashCode)}>\r\n"
+    extra.foreach { case (k, v) => h ++= s"$k: $v\r\n" }
+    h ++= s"Content-Length: ${body.length}\r\n\r\n"
+    h.toString.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(bytes); g.close()
+    bo.toByteArray
+  }
+
+  private def httpResponse(html: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${html.getBytes("UTF-8").length}\r\n\r\n" + html)
+      .getBytes("UTF-8")
+
+  private val wetBody1 =
+    "the quick brown fox jumps over the lazy dog and then runs far away"
+  private val wetBody2 = "a completely different second document body text"
+
+  private def wetBytes: Array[Byte] =
+    rec("warcinfo", "", "2024-05-01T00:00:00Z",
+      "software: graft-spec".getBytes("UTF-8")) ++
+      rec("conversion", "https://a.example.org/p1", "2024-05-01T10:00:00Z",
+        wetBody1.getBytes("UTF-8"),
+        Seq("Content-Type" -> "text/plain")) ++
+      rec("conversion", "https://b.example.org/p2", "2024-05-01T11:30:00Z",
+        wetBody2.getBytes("UTF-8"),
+        Seq("Content-Type" -> "text/plain"))
+
+  test("parseWarc: plain WET framing (warcinfo + 2 conversions)") {
+    val rs = Warc.parseWarc(wetBytes)
+    assert(rs.map(_.recordType) == Vector("warcinfo", "conversion", "conversion"))
+    assert(rs(1).url == "https://a.example.org/p1")
+    assert(new String(rs(1).content, "UTF-8") == wetBody1)
+    assert(new String(rs(2).content, "UTF-8") == wetBody2)
+  }
+
+  test("gunzipAll: multi-member gzip (one member per record, the .warc.gz layout) is consumed COMPLETELY") {
+    val members =
+      gzipMember(rec("conversion", "https://a.example.org/1",
+        "2024-05-01T10:00:00Z", "first".getBytes("UTF-8"))) ++
+        gzipMember(rec("conversion", "https://a.example.org/2",
+          "2024-05-01T10:01:00Z", "second".getBytes("UTF-8"))) ++
+        gzipMember(rec("conversion", "https://a.example.org/3",
+          "2024-05-01T10:02:00Z", "third".getBytes("UTF-8")))
+    val rs = Warc.parseWarc(Warc.gunzipAll(members))
+    assert(rs.size == 3, "a reader that stops at the first gzip member loses the file's tail")
+    assert(rs.map(r => new String(r.content, "UTF-8")) ==
+      Vector("first", "second", "third"))
+    // non-gzip bytes pass through untouched
+    assert(Warc.gunzipAll(wetBytes) sameElements wetBytes)
+  }
+
+  test("parseWarc: truncated record and missing Content-Length fail loudly") {
+    val whole = rec("conversion", "https://a.example.org/1",
+      "2024-05-01T10:00:00Z", "0123456789".getBytes("UTF-8"))
+    val truncated = whole.take(whole.length - 8) // cut into the block
+    val e1 = intercept[IllegalArgumentException](Warc.parseWarc(truncated))
+    assert(e1.getMessage.contains("truncated"))
+    val noLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody"
+      ).getBytes("UTF-8")
+    val e2 = intercept[RuntimeException](Warc.parseWarc(noLen))
+    assert(e2.getMessage.contains("Content-Length"))
+    val notWarc = "HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8")
+    val e3 = intercept[IllegalArgumentException](Warc.parseWarc(notWarc))
+    assert(e3.getMessage.contains("WARC record boundary"))
+  }
+
+  test("httpBody strips the HTTP envelope of response records only") {
+    val html = "<html><body>hello</body></html>"
+    val resp = Warc.WarcRecord("response", "https://a.example.org/", "",
+      "application/http; msgtype=response", "", httpResponse(html))
+    assert(new String(Warc.httpBody(resp), "UTF-8") == html)
+    val conv = resp.copy(recordType = "conversion",
+      content = "plain".getBytes("UTF-8"))
+    assert(new String(Warc.httpBody(conv), "UTF-8") == "plain")
+  }
+
+  test("readWarc end-to-end: gzipped multi-member file through the binaryFile source") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-spec").toFile
+    try {
+      val f = new java.io.File(dir, "seg-00000.warc.gz")
+      val html = "<html><body><p>page one body</p></body></html>"
+      val bytes =
+        gzipMember(rec("warcinfo", "", "2024-05-01T00:00:00Z",
+          "software: graft-spec".getBytes("UTF-8"))) ++
+          gzipMember(rec("response", "https://news.example.org/a",
+            "2024-05-01T10:00:00Z", httpResponse(html))) ++
+          gzipMember(rec("conversion", "https://blog.example.org/b",
+            "2024-05-01T11:00:00Z", wetBody1.getBytes("UTF-8")))
+      java.nio.file.Files.write(f.toPath, bytes)
+      val df = Warc.readWarc(spark, dir.getAbsolutePath).cache()
+      assert(df.count() == 3)
+      val resp = df.filter(col("record_type") === "response").collect()(0)
+      assert(resp.getAs[String]("url") == "https://news.example.org/a")
+      assert(new String(resp.getAs[Array[Byte]]("content"), "UTF-8") == html,
+        "response content must be the HTTP entity body, not the envelope")
+      assert(resp.getAs[java.sql.Timestamp]("fetch_ts") != null)
+      val pages = Warc.pages(df).cache()
+      assert(pages.count() == 2, "warcinfo records are not pages")
+      assert(pages.select("source").collect().map(_.getString(0)).toSet ==
+        Set("news.example.org", "blog.example.org"))
+      // doc_id determinism: a second read assigns identical ids
+      val again = Warc.pages(Warc.readWarc(spark, dir.getAbsolutePath))
+      assert(pages.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        again.select("doc_id").collect().map(_.getLong(0)).toSet)
+      df.unpersist(); pages.unpersist()
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("WARC -> crawlClean composition: the chain runs end-to-end from archive bytes") {
+    import graft.ops.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("warc-chain").toFile
+    try {
+      // 6 English pages from one host: 5 distinct bodies, with body A
+      // appearing twice (an exact-dup pair AFTER extraction) — below the
+      // 40% boilerplate line-frequency threshold (2/6), so the chain's
+      // dedup stage (not boilerplate removal) must catch it. Bodies
+      // clear the Gopher battery (>= 20 words, >= 2 stopwords, mean
+      // word length in [3,10]).
+      def page(i: Int, body: String) =
+        s"<html><head><title>T$i</title></head><body><p>$body</p></body></html>"
+      def body(topic: String) =
+        s"the crawl archive reader feeds the cleaning chain with real " +
+          s"pages about $topic and the quality gate keeps documents that " +
+          s"mention $topic twice so near-dup banding stays far from the " +
+          "jaccard threshold for distinct but same-template prose"
+      val recs = Seq(
+        "a" -> body("rivers"), "b" -> body("mountains"),
+        "c" -> body("rivers"), // exact dup of /a after extraction
+        "d" -> body("forests"), "e" -> body("harvest"),
+        "f" -> body("winter storms")).zipWithIndex.map {
+        case ((p, b), i) =>
+          rec("response", s"https://site.example.org/$p",
+            f"2024-05-01T10:0$i%d:00Z", httpResponse(page(i, b)))
+      }
+      java.nio.file.Files.write(
+        new java.io.File(dir, "seg.warc.gz").toPath,
+        recs.map(gzipMember).reduce(_ ++ _))
+      val pages0 = Warc.pages(Warc.readWarc(spark, dir.getAbsolutePath))
+      val out = Dedup.crawlClean(pages0, "doc_id", "html", "source",
+        keepLangs = Seq("en")).collect()
+      assert(out.length == 5,
+        s"expected 5 survivors (exact dedup folds the /a,/c pair), got ${out.length}")
+      assert(out.map(_.getAs[String]("lang")).toSet == Set("en"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
