@@ -18,6 +18,11 @@ case class MediaFeatures(
   * ([[Multimodal.perceptualSignatures]]). */
 case class MediaSignature(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
+/** One sampled frame's perceptual signature
+  * ([[Multimodal.videoFrameSignatures]]). */
+case class FrameSignature(
+    doc_id: Long, frame_idx: Int, b0: Int, b1: Int, b2: Int, b3: Int)
+
 /**
  * Multimodal (image/audio/video) column plumbing. Media travels as an
  * opaque `binary` column with typed metadata alongside — the schema,
@@ -99,6 +104,16 @@ object Multimodal {
         val h = decode(mediaType, payload).contentHash
         Array.tabulate(4)(i => Integer.parseInt(h.substring(4 * i, 4 * i + 4), 16))
       }
+
+      /** Up to `k` per-frame perceptual signatures, sampled evenly
+        * across the payload's frames (r18 — the trimmed-clip lever:
+        * a FIRST-frame-only video signature misses same-footage clips
+        * whose intro differs). Default: the single whole-payload
+        * signature — images and audio have one "frame"; multi-frame
+        * codecs ([[MjpegAvi]]) override with real frame sampling. */
+      def pHashFrames(mediaType: String, payload: Array[Byte],
+          k: Int): Array[Array[Int]] =
+        Array(pHashBands(mediaType, payload))
       def close(): Unit = ()
     }
     final case class Decoded(width: Int, height: Int, contentHash: String)
@@ -383,6 +398,29 @@ object Multimodal {
               s"(n_bytes=${avi.frames.head.length}) - non-MJPEG codec?")
           aHashBands(img)
         }
+
+        /** Multi-frame signatures (r18): aHash of up to `k` frames at
+          * the evenly-spaced indices ⌊j·n/k⌋ — a clip sharing ANY
+          * sampled frame's footage with another clip pairs in
+          * [[Multimodal.videoPerceptualDedup]], which the
+          * first-frame-only signature structurally cannot do for
+          * trimmed or re-intro'd copies. Each sampled chunk must
+          * decode (the codec's fail-loudly contract). */
+        override def pHashFrames(mediaType: String, payload: Array[Byte],
+            k: Int): Array[Array[Int]] = {
+          require(k >= 1, s"frame sample count must be >= 1, got $k")
+          val avi = parseAvi(payload)
+          val n = avi.frames.length
+          val take = math.min(k, n)
+          (0 until take).map(j => j * n / take).distinct.map { i =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(avi.frames(i)))
+            require(img != null,
+              s"video chunk $i is not a decodable JPEG frame " +
+                s"(n_bytes=${avi.frames(i).length}) - non-MJPEG codec?")
+            aHashBands(img)
+          }.toArray
+        }
       }
 
       private[graft] final case class Avi(
@@ -596,5 +634,81 @@ object Multimodal {
       .withColumn("hamming", ham.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /**
+   * Per-FRAME perceptual signatures (r18): up to `k` frames sampled
+   * evenly per payload through the codec seam
+   * ([[MediaCodec.Session.pHashFrames]] — real frame decode for
+   * [[MediaCodec.MjpegAvi]], the single whole-payload signature for
+   * one-frame modalities). Only (doc_id, frame_idx, 4 ints) per
+   * sampled frame leaves the scan stage; payload bytes never shuffle.
+   */
+  def videoFrameSignatures(media: Dataset[MediaRecord], k: Int,
+      codec: MediaCodec = MediaCodec.Stub)(
+      implicit spark: SparkSession): Dataset[FrameSignature] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val session = codec.open()
+      val out = rows.flatMap { r =>
+        session.pHashFrames(r.media_type, r.payload, k).zipWithIndex.map {
+          case (b, i) => FrameSignature(r.doc_id, i, b(0), b(1), b(2), b(3))
+        }
+      }
+      new Iterator[FrameSignature] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) session.close()
+          h
+        }
+        def next(): FrameSignature = out.next()
+      }
+    }
+  }
+
+  /**
+   * Multi-frame perceptual VIDEO dedup (r18, closing the r15 verdict's
+   * "first frame only" gap): two clips pair when ANY sampled frame of
+   * one is within `maxHamming` of ANY sampled frame of the other — a
+   * trimmed or re-intro'd copy (same footage, different first frame)
+   * still shares interior frames, which the whole-payload signature
+   * of [[perceptualDedup]] structurally misses. Banding and verify
+   * are the [[perceptualDedup]] pigeonhole at FRAME granularity
+   * (recall guarantee: any frame pair within Hamming ≤ 3 agrees on
+   * ≥ 1 whole 16-bit band); output is one row per video pair with
+   * the best (minimum) frame-pair Hamming and the matching frame
+   * indices. Candidate volume scales with k·|videos| banded rows —
+   * k is a small constant (default call sites use 3–8), never the
+   * full frame count.
+   */
+  def videoPerceptualDedup(media: Dataset[MediaRecord], k: Int,
+      codec: MediaCodec = MediaCodec.Stub, maxHamming: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole over 4 bands guarantees recall only to Hamming 3, got $maxHamming")
+    val sigs = videoFrameSignatures(media, k, codec).toDF()
+    val banded = sigs.select(col("doc_id"), col("frame_idx"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_idx", "band_val")))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("a.frame_idx").as("f1"),
+        col("b.doc_id").as("id2"), col("b.frame_idx").as("f2"))
+      .distinct()
+    def s(side: String, id: String, f: String) = sigs.select(
+      col("doc_id").as(id), col("frame_idx").as(f),
+      col("b0").as(s"b0$side"), col("b1").as(s"b1$side"),
+      col("b2").as(s"b2$side"), col("b3").as(s"b3$side"))
+    val ham = (0 to 3).map(i =>
+      bit_count(expr(s"b${i}a ^ b${i}b"))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1"), col("id2"))
+      .orderBy(col("hamming").asc, col("f1").asc, col("f2").asc)
+    cand.join(s("a", "id1", "f1"), Seq("id1", "f1"))
+      .join(s("b", "id2", "f2"), Seq("id2", "f2"))
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id1"), col("id2"), col("f1"), col("f2"), col("hamming"))
   }
 }

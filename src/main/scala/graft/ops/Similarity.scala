@@ -399,26 +399,11 @@ object Similarity {
         transform(col("mean"), x => round(x * 1000000).cast("long"))
           .as("cw_scaled"))
     // encode against the REFIT codewords (cells can be sparse — carry
-    // the cell-id list per subspace and map kernel position -> cell)
-    val cbRow = codebooks
-      .agg(sort_array(collect_list(struct(col("s"), col("cell"),
-        col("cw_scaled")))).as("cb"))
-      .select((0 until m).flatMap { s =>
-        val mine = filter(col("cb"), x => x.getField("s") === s)
-        Seq(
-          transform(mine, x => x.getField("cell")).as(s"cells_$s"),
-          transform(mine, x =>
-            augSeed(transform(x.getField("cw_scaled"), e => e / 1000000.0)))
-            .as(s"cvs_$s"))
-      }: _*)
-    val codes = base.crossJoin(broadcast(cbRow))
-      .select(col("vec_id") +: (0 until m).map { s =>
-        element_at(col(s"cells_$s"),
-          nearestSeed(augQuery(subv(col("v"), s)), lit(1.0),
-            col(s"cvs_$s"), transform(col(s"cvs_$s"), _ => lit(1.0))) + 1)
-          .as(s"code_$s")
-      }: _*)
-    (codes, codebooks)
+    // the cell-id list per subspace and map kernel position -> cell);
+    // the shared [[pqEncodeAgainst]] scan, so incremental appends are
+    // bit-identical to the trainer's own encode pass
+    (pqEncodeAgainst(base.select(col("vec_id"), col("v")), codebooks,
+      dim, m), codebooks)
   }
 
   /**
@@ -996,6 +981,85 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_pq").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+  }
+
+  /**
+   * FROZEN-QUANTIZER assignment — the incremental-maintenance half of
+   * the IVF story (r18, closing the r15 verdict's index-maintenance
+   * gap): route vectors to their argmax-cosine cell of an EXISTING
+   * refit centroid table, EXACTLY the rule [[annIvfSearch]] routes
+   * queries with (cosine desc, cell asc tie) — so an appended vector
+   * lands in precisely the cell every future query probing near it
+   * will scan. Returns the postings shape (vec_id, v, nrm, cell).
+   * Zero-norm vectors are excluded (no cosine direction — the same
+   * contract the search side applies). One broadcast of the k-row
+   * centroid table; the vector batch never shuffles.
+   */
+  def assignWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      refit: DataFrame): DataFrame = {
+    val q = prepared(emb, idCol, vecCol).filter(col("nrm") > 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    routeQueries(q, refit, 1)
+      .select(col("q_id").as("vec_id"), col("qv").as("v"),
+        col("qnrm").as("nrm"), col("qcell").as("cell"))
+  }
+
+  /**
+   * PQ-encode vectors against an EXISTING codebook table (the encode
+   * half of [[quantizePq]], factored out for incremental index
+   * maintenance): each subvector takes the code of its nearest
+   * codeword — the identical broadcast-matrix
+   * [[graft.functions.NearestSeed]] scan the trainer's own encode
+   * pass runs, so appended codes are bit-identical to what a build
+   * over the same codebooks would assign. `base` = (vec_id, v).
+   */
+  private[graft] def pqEncodeAgainst(base: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must be a multiple of m ($m)")
+    val sub = dim / m
+    def subv(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
+    val cbRow = codebooks
+      .agg(sort_array(collect_list(struct(col("s"), col("cell"),
+        col("cw_scaled")))).as("cb"))
+      .select((0 until m).flatMap { s =>
+        val mine = filter(col("cb"), x => x.getField("s") === s)
+        Seq(
+          transform(mine, x => x.getField("cell")).as(s"cells_$s"),
+          transform(mine, x =>
+            augSeed(transform(x.getField("cw_scaled"), e => e / 1000000.0)))
+            .as(s"cvs_$s"))
+      }: _*)
+    base.crossJoin(broadcast(cbRow))
+      .select(col("vec_id") +: (0 until m).map { s =>
+        element_at(col(s"cells_$s"),
+          nearestSeed(augQuery(subv(col("v"), s)), lit(1.0),
+            col(s"cvs_$s"), transform(col(s"cvs_$s"), _ => lit(1.0))) + 1)
+          .as(s"code_$s")
+      }: _*)
+  }
+
+  /**
+   * CELL-POPULATION DRIFT report — the documented RETRAIN trigger for
+   * incrementally maintained IVF/IVFADC stores: per cell, the posting
+   * count vs the balanced expectation (N/k), as a ratio. Frozen
+   * centroids stay optimal only while the data distribution holds;
+   * when appends concentrate (max_ratio ≫ 1 — a hot cell degrades
+   * toward a linear scan for queries routed there) or starve cells,
+   * rebuild with [[buildIvfIndex]] / [[buildIvfPqIndex]]. One count
+   * aggregation over the postings' cell column (partition-pruned
+   * metadata scan on a Hive-layout store).
+   */
+  def ivfCellDrift(postings: DataFrame): DataFrame = {
+    val counts = postings.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_postings"))
+    val tot = counts.agg(sum(col("n_postings")).as("__n"),
+      count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_postings"),
+        round(col("n_postings").cast("double") /
+          (col("__n").cast("double") / col("__k").cast("double")), 6)
+          .as("load_ratio"))
   }
 
   /**

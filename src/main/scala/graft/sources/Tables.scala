@@ -185,4 +185,113 @@ object Tables {
     (spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"))
+
+  // ── incremental maintenance (r18): daily-ingest append / GDPR-style
+  // remove WITHOUT retraining quantizer or codebooks — the
+  // updateBandIndex discipline extended to the IVF/IVFADC stores.
+  // Appends touch ONLY the cell directories the new vectors route to;
+  // removals rewrite ONLY the cell directories that contain removed
+  // ids. The retrain trigger is distribution drift, measured by
+  // [[graft.ops.Similarity.ivfCellDrift]] over the postings/codes —
+  // frozen centroids stay near-optimal while the data distribution
+  // holds, and a hot cell (load_ratio ≫ 1) degrades toward a linear
+  // scan for the queries routed there. ────────────────────────────────
+
+  /**
+   * Append new vectors to a [[writeIvfIndex]] store: route each to its
+   * argmax-cosine cell of the FROZEN centroid table
+   * ([[graft.ops.Similarity.assignWithCentroids]] — the identical rule
+   * query routing uses) and APPEND the new postings files into those
+   * cells' directories. No existing file is touched; the centroid
+   * table is unchanged. Cost: one broadcast route of the batch + one
+   * partitioned write of |batch| rows — independent of index size.
+   */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (_, refit) = readIvfIndex(spark, path)
+    graft.ops.Similarity.assignWithCentroids(newVecs, idCol, vecCol, refit)
+      .write.format("parquet").mode(SaveMode.Append)
+      .partitionBy("cell").save(s"$path/postings")
+  }
+
+  /**
+   * Append new vectors to a [[writeIvfPqIndex]] store: unit-normalize,
+   * route to the FROZEN cells, PQ-encode the cell residuals against
+   * the FROZEN codebooks ([[graft.ops.Similarity.pqEncodeAgainst]] —
+   * the trainer's own encode scan, so appended codes are bit-identical
+   * to a build over the same quantizer), append into the routed cell
+   * directories. Centroids and codebooks are unchanged.
+   */
+  def appendToIvfPqIndex(spark: SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): Unit = {
+    import graft.ops.Similarity
+    val (_, refit, codebooks) = readIvfPqIndex(spark, path)
+    val unit = Similarity.prepared(newVecs, idCol, vecCol)
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("v"),
+          x => x / col("nrm")).as("v"))
+    val routed = Similarity.assignWithCentroids(unit, "vec_id", "v", refit)
+    val cents = refit.select(col("cell"),
+      org.apache.spark.sql.functions.transform(col("centroid_scaled"),
+        x => x / 1000000.0).as("cvec"))
+    val residuals = routed
+      .join(org.apache.spark.sql.functions.broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        org.apache.spark.sql.functions.zip_with(col("v"), col("cvec"),
+          (a, b) => a - b).as("v"))
+    Similarity.pqEncodeAgainst(
+        residuals.select(col("vec_id"), col("v")), codebooks, dim, m)
+      .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
+      .write.format("parquet").mode(SaveMode.Append)
+      .partitionBy("cell").save(s"$path/codes")
+  }
+
+  /** Remove ids from a [[writeIvfIndex]] store's postings — see
+    * [[removeFromCellStore]]. */
+  def removeFromIvfIndex(spark: SparkSession, path: String,
+      ids: DataFrame): Unit =
+    removeFromCellStore(spark, s"$path/postings", ids)
+
+  /** Remove ids from a [[writeIvfPqIndex]] store's codes — see
+    * [[removeFromCellStore]]. */
+  def removeFromIvfPqIndex(spark: SparkSession, path: String,
+      ids: DataFrame): Unit =
+    removeFromCellStore(spark, s"$path/codes", ids)
+
+  /**
+   * Targeted-rewrite removal from a cell-partitioned store: find the
+   * cells containing any removed id (a semi-join that PRUNES to
+   * nothing for cells without hits), rewrite ONLY those cell
+   * directories without the removed rows (dynamic partition
+   * overwrite), and DELETE directories whose every row was removed
+   * (dynamic overwrite cannot express an empty partition — it would
+   * silently leave the stale files). The affected-cell collect is
+   * bounded by the removal batch size (≤ one cell per removed id).
+   * Survivors are localCheckpoint'd before the overwrite — Spark
+   * refuses a same-path read-and-overwrite otherwise.
+   */
+  private def removeFromCellStore(spark: SparkSession, dataPath: String,
+      ids: DataFrame): Unit = {
+    val store = spark.read.parquet(dataPath)
+    val rm = ids.select(col(ids.columns.head).as("vec_id"))
+    val affected = store.join(rm, Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+    val survivors = store
+      .filter(col("cell").isin(affected.toSeq: _*))
+      .join(rm, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val keptCells = survivors.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSet
+    survivors.write.format("parquet").mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").save(dataPath)
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(keptCells).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dataPath/cell=$c"), true)
+    }
+  }
 }

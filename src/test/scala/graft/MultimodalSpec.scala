@@ -387,4 +387,65 @@ class MultimodalSpec extends AnyFunSuite {
       sess.pHashBands("video/avi", bogus)
     }
   }
+
+  test("multi-frame video pHash pairs a TRIMMED clip (dropped first frame) " +
+      "that the first-frame-only signature structurally misses") {
+    implicit val s = spark
+    import java.io.ByteArrayOutputStream
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def jpegPattern(pat: (Int, Int) => Boolean, w: Int = 32, h: Int = 24): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (pat(x, y)) 0xffffff else 0x000000)
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+      cc(fourcc) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(subtype: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(subtype) ++ inner)
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      le32(frames.length).copyToArray(avih, 16)
+      le32(32).copyToArray(avih, 32)
+      le32(24).copyToArray(avih, 36)
+      val hdrl = list("hdrl", chunk("avih", avih))
+      val movi = list("movi", frames.map(f => chunk("00dc", f))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32(body.length) ++ body
+    }
+    val intro = jpegPattern((x, _) => x >= 16)        // right half white
+    val fX = jpegPattern((x, _) => x < 16)            // left half white
+    val fY = jpegPattern((_, y) => y >= 12)           // bottom half white
+    val other = jpegPattern((x, y) => (x >= 16) != (y >= 12)) // diagonal
+    val recs = Seq(
+      MediaRecord(1L, "video/avi", avi(Seq(intro, fX, fY))), // full clip
+      MediaRecord(2L, "video/avi", avi(Seq(fX, fY))),        // trimmed copy
+      MediaRecord(3L, "video/avi", avi(Seq(other))))         // unrelated
+    val media = spark.createDataset(recs).repartition(2)
+    // frame signatures: one row per sampled frame
+    val sigs = Multimodal.videoFrameSignatures(media, 4,
+      Multimodal.MediaCodec.MjpegAvi).collect()
+    assert(sigs.count(_.doc_id == 1L) == 3 && sigs.count(_.doc_id == 2L) == 2
+      && sigs.count(_.doc_id == 3L) == 1)
+    // the multi-frame dedup pairs the trimmed copy via its shared
+    // interior frames; the unrelated clip pairs with nothing
+    val pairs = Multimodal.videoPerceptualDedup(media, 4,
+        Multimodal.MediaCodec.MjpegAvi, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) == 0L, "shared frames re-encoded identically must collide at 0")
+    // the FIRST-FRAME-ONLY signature misses exactly this pair
+    val firstFrameOnly = Multimodal.perceptualDedup(media,
+      Multimodal.MediaCodec.MjpegAvi, maxHamming = 3).collect()
+    assert(firstFrameOnly.isEmpty,
+      "first-frame signatures cannot see a trimmed copy - the r18 gap this closes")
+  }
 }

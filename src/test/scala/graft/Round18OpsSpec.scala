@@ -283,6 +283,181 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- incremental maintenance of persisted ANN indices (r18):
+  // append/remove without retraining quantizer or codebooks ----
+
+  private def embFrame(ids: Range): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // deterministic per-id vectors (id-seeded) so base and appended
+    // frames are reproducible across calls
+    ids.map { i =>
+      val r = new scala.util.Random(i * 7919 + 13)
+      (i.toLong, Array.fill(16)((r.nextDouble() - 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("appendToIvfIndex: on-disk search == in-memory union search; only routed cells touched; removals rewrite only affected cells") {
+    import graft.ops.Similarity
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ivf-maint").toFile
+    val path = new java.io.File(dir, "ivf").getAbsolutePath
+    try {
+      val base = embFrame(0 until 200)
+      val fresh = embFrame(200 until 240)
+      val (index, refit) = Similarity.buildIvfIndex(base, "vec_id", "embedding", 8)
+      Tables.writeIvfIndex(index, refit, path)
+      val beforeCells = new java.io.File(s"$path/postings").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(f => (f.getName,
+          f.listFiles().map(_.getName).toSet)).toMap
+      Tables.appendToIvfIndex(spark, path, fresh, "vec_id", "embedding")
+      // contract 1: search over the appended store == in-memory search
+      // over (base index ∪ frozen-routed new postings)
+      val unionIndex = index.select("vec_id", "v", "nrm", "cell")
+        .union(Similarity.assignWithCentroids(fresh, "vec_id", "embedding", refit))
+      val qf = col("vec_id") % 40 === 3
+      assert(sortedRows(Similarity.annIvfSearchOnDisk(spark, path, qf)) ==
+        sortedRows(Similarity.annIvfSearch(unionIndex, refit, qf)),
+        "appended store must be search-equal to the frozen-quantizer union")
+      // contract 2: append touched ONLY the cells the batch routed to
+      // (no file of any other cell changed)
+      val routedCells = Similarity
+        .assignWithCentroids(fresh, "vec_id", "embedding", refit)
+        .select("cell").distinct().collect().map(r => s"cell=${r.get(0)}").toSet
+      val afterCells = new java.io.File(s"$path/postings").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(f => (f.getName,
+          f.listFiles().map(_.getName).toSet)).toMap
+      beforeCells.foreach { case (cellDir, files) =>
+        if (!routedCells(cellDir))
+          assert(afterCells(cellDir) == files,
+            s"$cellDir was rewritten by an append that did not route to it")
+        else assert(files.subsetOf(afterCells(cellDir)),
+          s"$cellDir lost pre-append files")
+      }
+      // contract 3: removal drops exactly the removed ids and rewrites
+      // only their cells
+      import spark.implicits._
+      val rmIds = Seq(0L, 1L, 2L, 201L).toDF("vec_id")
+      val untouched = afterCells.keySet -- spark.read
+        .parquet(s"$path/postings")
+        .join(rmIds, Seq("vec_id"), "left_semi")
+        .select("cell").distinct().collect()
+        .map(r => s"cell=${r.get(0)}").toSet
+      Tables.removeFromIvfIndex(spark, path, rmIds)
+      val remaining = spark.read.parquet(s"$path/postings")
+      assert(remaining.join(rmIds, Seq("vec_id"), "left_semi").count() == 0)
+      assert(remaining.count() == 240 - 4)
+      val finalCells = new java.io.File(s"$path/postings").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(f => (f.getName,
+          f.listFiles().map(_.getName).toSet)).toMap
+      untouched.foreach { cellDir =>
+        assert(finalCells(cellDir) == afterCells(cellDir),
+          s"$cellDir was rewritten by a removal that did not affect it")
+      }
+      // the post-removal store still serves the equivalent search
+      val unionAfterRm = unionIndex.join(rmIds, Seq("vec_id"), "left_anti")
+      assert(sortedRows(Similarity.annIvfSearchOnDisk(spark, path, qf)) ==
+        sortedRows(Similarity.annIvfSearch(unionAfterRm, refit, qf)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("removeFromCellStore deletes a fully-emptied cell directory (dynamic overwrite cannot)") {
+    import graft.ops.Similarity
+    import graft.sources.Tables
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-empty").toFile
+    val path = new java.io.File(dir, "ivf").getAbsolutePath
+    try {
+      val base = embFrame(0 until 60)
+      val (index, refit) = Similarity.buildIvfIndex(base, "vec_id", "embedding", 4)
+      Tables.writeIvfIndex(index, refit, path)
+      // empty out one whole cell
+      val victim = index.select("cell").groupBy("cell").count()
+        .orderBy(col("count").asc, col("cell").asc).collect()(0).get(0)
+      val victimIds = index.filter(col("cell") === victim)
+        .select("vec_id").as[Long].collect().toSeq
+      Tables.removeFromIvfIndex(spark, path, victimIds.toDF("vec_id"))
+      assert(!new java.io.File(s"$path/postings/cell=$victim").exists(),
+        "an emptied cell directory must be deleted, not left stale")
+      val remaining = spark.read.parquet(s"$path/postings")
+      assert(remaining.count() == 60 - victimIds.size)
+      assert(remaining.filter(col("cell") === victim).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("appendToIvfPqIndex: on-disk IVFADC search == in-memory search over the frozen-quantizer union") {
+    import graft.ops.Similarity
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-maint").toFile
+    val path = new java.io.File(dir, "ivfpq").getAbsolutePath
+    try {
+      val base = embFrame(0 until 200)
+      val fresh = embFrame(200 until 230)
+      val (codes, refit, codebooks) =
+        Similarity.buildIvfPqIndex(base, "vec_id", "embedding", 16, 4, 16, 8)
+      Tables.writeIvfPqIndex(codes, refit, codebooks, path)
+      Tables.appendToIvfPqIndex(spark, path, fresh, "vec_id", "embedding", 16, 4)
+      // in-memory twin: unit-normalize + route + residual-encode the
+      // fresh batch against the SAME frozen centroids/codebooks
+      val unit = Similarity.prepared(fresh, "vec_id", "embedding")
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("v"),
+            x => x / col("nrm")).as("v"))
+      val routed = Similarity.assignWithCentroids(unit, "vec_id", "v", refit)
+      val cents = refit.select(col("cell"),
+        org.apache.spark.sql.functions.transform(col("centroid_scaled"),
+          x => x / 1000000.0).as("cvec"))
+      val residuals = routed.join(broadcast(cents), "cell")
+        .select(col("vec_id"), col("cell"),
+          org.apache.spark.sql.functions.zip_with(col("v"), col("cvec"),
+            (a, b) => a - b).as("v"))
+      val freshCodes = Similarity.pqEncodeAgainst(
+          residuals.select(col("vec_id"), col("v")), codebooks, 16, 4)
+        .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
+      val unionCodes = codes.select(freshCodes.columns.map(col): _*)
+        .union(freshCodes)
+      val queries = Similarity.prepared(embFrame(0 until 230), "vec_id", "embedding")
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("v"),
+            x => x / col("nrm")).as("v"))
+        .filter(col("vec_id") % 50 === 7)
+      assert(sortedRows(Similarity.annIvfPqSearchOnDisk(spark, path, queries,
+          16, 4, nprobe = 2, topK = 3)) ==
+        sortedRows(Similarity.annIvfPqSearch(unionCodes, refit, codebooks,
+          queries, 16, 4, nprobe = 2, topK = 3)),
+        "appended IVFADC store must be search-equal to the frozen union")
+      // an appended vector is FINDABLE: its exact duplicate queries to it
+      val probe = Similarity.prepared(embFrame(205 to 205), "vec_id", "embedding")
+        .filter(col("nrm") > 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          org.apache.spark.sql.functions.transform(col("v"),
+            x => x / col("nrm")).as("v"))
+      val hit = Similarity.annIvfPqSearchOnDisk(spark, path, probe,
+        16, 4, nprobe = 2, topK = 1).collect()
+      assert(hit.length == 1 && hit(0).getAs[Long]("neighbor_id") == 205L,
+        s"duplicate of appended vec 205 must retrieve it, got ${hit.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("WARC -> crawlClean composition: the chain runs end-to-end from archive bytes") {
     import graft.ops.Dedup
     val dir = java.nio.file.Files.createTempDirectory("warc-chain").toFile

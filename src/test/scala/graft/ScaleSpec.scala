@@ -29,6 +29,78 @@ class ScaleSpec extends AnyFunSuite {
     assert(fanout > 1)
   }
 
+  // ---- crawl-chain DECADE CONTRACT (r18, the r15 verdict's #7): the
+  // ×10 soak lived only in a probe (BudgetScaleProbe); a shape
+  // regression in any stage (a stage that goes all-pairs, an exchange
+  // that starts carrying page text) would surface as a future bench
+  // timeout instead of a failing test. Pin it here: wall ratio across
+  // a ×10 corpus growth stays FAR below quadratic, and the funnel's
+  // per-source counts keep their monotone structure at both scales.
+  private def synthPages(n: Int) = {
+    import org.apache.spark.sql.functions._
+    val bank = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "and", "then", "runs", "through", "green", "fields", "while",
+      "morning", "light", "covers", "distant", "hills", "with", "soft",
+      "colors", "that", "change", "every", "hour", "of", "day")
+    spark.range(n.toLong).select(col("id").as("doc_id"),
+        concat(lit("src"), (col("id") % 10).cast("string")).as("source"))
+      .withColumn("body", concat_ws(" ", (0 until 55).map(j =>
+        // md5-driven draw: per-doc word sequences must be genuinely
+        // distinct (a linear (a*id + b*j) mod |bank| scheme makes every
+        // doc the same cyclic sequence rotated - near-dup collapses the
+        // whole corpus to one survivor)
+        element_at(typedLit(bank),
+          (pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s"_$j"))), 1, 4), 16, 10).cast("int"), lit(bank.size)) + 1)))
+        ++ Seq(concat(lit("unique token u"), col("doc_id").cast("string"))): _*))
+      .select(col("doc_id"), col("source"), concat(
+        lit("<html><head><title>T</title></head><body><nav><ul><li>Home</li></ul></nav><p>"),
+        col("body"),
+        lit("</p><div>site notice "), col("source"),
+        lit("</div><footer>(c) example</footer></body></html>")).as("html"))
+  }
+
+  private def timeIt(f: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n = f
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("crawlClean decade contract: x10 corpus -> sub-quadratic wall, linear survivors, monotone funnel") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    def run(n: Int): (Long, Double) = timeIt {
+      Dedup.crawlClean(synthPages(n), "doc_id", "html", "source",
+        keepLangs = Seq("en")).count()
+    }
+    run(200) // warmup: janino-compiles the chain's plans untimed
+    val (small, tSmall) = run(400)
+    val (big, tBig) = run(4000)
+    // survivors scale ~linearly: every body carries a unique token, so
+    // neither exact nor near dedup collapses the corpus at either scale
+    assert(small > 300 && big > small * 8 && big < small * 12,
+      s"survivors should scale ~x10: $small -> $big")
+    // wall ratio: the soaked chain measured 4.9x for x10 input; a
+    // stage regressed to all-pairs reads ~x100. The bound is loose
+    // (shared-box noise) but excludes any quadratic shape.
+    val ratio = tBig / math.max(0.5, tSmall)
+    assert(ratio < 25.0,
+      f"x10 corpus cost $ratio%.1fx wall ($tSmall%.1fs -> $tBig%.1fs) - a chain stage lost its sub-quadratic shape")
+    // funnel structure at the big scale: counts monotone per source,
+    // totals consistent with the clean run
+    val funnel = Dedup.crawlFunnel(synthPages(4000), "doc_id", "html",
+      "source", keepLangs = Seq("en")).collect()
+    assert(funnel.length == 10)
+    funnel.foreach { r =>
+      val Seq(p, rt, g, e, sv) = Seq("n_pages", "n_routed", "n_gated",
+        "n_exact", "n_survivors").map(c => r.getAs[Long](c))
+      assert(p >= rt && rt >= g && g >= e && e >= sv && sv >= 0,
+        s"funnel counts must be monotone: $r")
+    }
+    assert(funnel.map(_.getAs[Long]("n_survivors")).sum == big,
+      "funnel survivor total must equal the clean run's count")
+  }
+
   test("saltedShuffleJoin equals plain join") {
     val dim = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).zipWithIndex.toDF("k", "dim_id")
     val plain = skewed.join(dim, "k")
