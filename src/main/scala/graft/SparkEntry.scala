@@ -1047,6 +1047,15 @@ object SparkEntry {
       Similarity.annIvfRefit(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, col("vec_id") < 10, nprobe = 2)),
 
+    "q_ivf_cell_drift" -> ((s, dir) =>
+      // the RETRAIN TRIGGER readout for incrementally-maintained IVF
+      // stores (r18): per-cell posting count vs the balanced N/k
+      // expectation — when appends concentrate (load_ratio >> 1) the
+      // hot cell degrades toward a linear scan and the codebook is due
+      // a rebuild. Runs over the same 8-cell build as q_ann_ivf_refit.
+      Similarity.ivfCellDrift(Similarity.buildIvfIndex(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 8)._1)),
+
     "q_semantic_decontam" -> ((s, dir) => {
       // embedding-space benchmark decontamination: even-id vectors are
       // the corpus, odd-id the benchmark; survivors have no benchmark
@@ -5029,6 +5038,33 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin,
 
     "q_ann_ivf_refit" -> ivfRefitOracleSql(nprobe = 1),
+
+    // per-cell load vs balanced N/k over the SAME seed-assignment the
+    // refit oracle replays (nn -> seeds -> asg), then one count
+    "q_ivf_cell_drift" ->
+      s"""$EmbCte,
+         |nn AS (SELECT vec_id, v, nrm FROM n
+         |  WHERE v IS NOT NULL AND len(v) > 0),
+         |seeds AS (SELECT (row_number() OVER (
+         |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::INT AS cell,
+         |    v AS sv, nrm AS snrm
+         |  FROM (SELECT vec_id, v, nrm FROM nn
+         |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)),
+         |sc AS (SELECT nn.vec_id, s.cell,
+         |    round(${dotSql("nn.v", "s.sv")} / (nn.nrm * s.snrm), 6) AS ccos
+         |  FROM nn CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |cnt AS (SELECT cell, count(*)::BIGINT AS n_postings
+         |  FROM asg GROUP BY cell),
+         |tot AS (SELECT sum(n_postings)::BIGINT AS n, count(*)::BIGINT AS k
+         |  FROM cnt)
+         |SELECT cell, n_postings,
+         |  round(n_postings::DOUBLE / (tot.n::DOUBLE / tot.k::DOUBLE), 6)
+         |    AS load_ratio
+         |FROM cnt, tot""".stripMargin,
 
     "q_ann_ivf_probe2" -> ivfRefitOracleSql(nprobe = 2),
 
