@@ -703,6 +703,22 @@ object SparkEntry {
           md5(concat_ws(" ", col("enc"))).as("toks_md5"))
     }),
 
+    "q_bpe_token_ids" -> ((s, dir) => {
+      // the training-pipeline HANDOFF shape (r18): byte-level encode
+      // to GPT-2-convention integer ids (0..255 byte units, 256+rank
+      // per merge). Same ASCII-minus-'|' projection as q_bpe_bytelevel
+      // so the oracle can replay; per doc the id count, the exact id
+      // sum (an order-free integer checksum) and the md5 of the
+      // space-joined id stream (order-sensitive)
+      val ascii = regexp_replace(col("text"), "[^ -~]|\\|", "")
+      val ids = TextOps.bpeEncodeToIds(ascii, TextOps.BpeByteGateMerges)
+      docs(s, dir).select(col("doc_id"), ids.as("ids"))
+        .select(col("doc_id"), size(col("ids")).as("n_bpe"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"),
+          md5(concat_ws(" ", transform(col("ids"), x => x.cast("string"))))
+            .as("ids_md5"))
+    }),
+
     "q_bpe_budget_audit" -> ((s, dir) => {
       // real-vs-estimate token accounting per source under the pinned
       // gate vocabulary: the correction factor that tells budget math
@@ -4421,6 +4437,35 @@ object SparkEntry {
          |SELECT t.doc_id, coalesce(a.n_bpe, 0)::INT AS n_bpe,
          |  md5(coalesce(a.all_toks, '')) AS toks_md5
          |FROM toks_t t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // GPT-2-convention ids over the same replay: vocabulary VALUES
+    // (256 byte units in byte order, then 256+rank per merge), tokens
+    // joined back by position
+    "q_bpe_token_ids" -> {
+      val vocab = graft.ops.TextOps
+        .byteLevelVocab(graft.ops.TextOps.BpeByteGateMerges)
+      val vv = vocab.toSeq.sortBy(_._2)
+        .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
+        .mkString(", ")
+      s"""$bpeByteReplaySql,
+         |vv(tok, id) AS (VALUES $vv),
+         |wtok AS (SELECT word, wtoks[i] AS tok, i AS tord
+         |  FROM fin, unnest(range(1, len(wtoks) + 1)) AS u(i)),
+         |wids AS (SELECT word, list(vv.id ORDER BY wtok.tord) AS ids
+         |  FROM wtok JOIN vv ON vv.tok = wtok.tok GROUP BY word),
+         |aggi AS (SELECT doc_id,
+         |    sum(len(ids))::INT AS n_bpe,
+         |    sum(list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(ids, x -> x::BIGINT)), (a, b) -> a + b))::BIGINT
+         |      AS ids_sum,
+         |    string_agg(array_to_string(list_transform(ids,
+         |      x -> x::VARCHAR), ' '), ' ' ORDER BY ord) AS all_ids
+         |  FROM wt JOIN wids USING (word) GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.n_bpe, 0)::INT AS n_bpe,
+         |  coalesce(a.ids_sum, 0)::BIGINT AS ids_sum,
+         |  md5(coalesce(a.all_ids, '')) AS ids_md5
+         |FROM toks_t t LEFT JOIN aggi a USING (doc_id)""".stripMargin
+    },
 
     "q_bpe_budget_audit" ->
       s"""$bpeChainSql,

@@ -1202,6 +1202,37 @@ object TextOps {
   def bpeEncodeByteLevel(text: Column, merges: Seq[(String, String)]): Column =
     bpeEncode(byteLevelUnits(preTokenize(text)), merges)
 
+  /**
+   * GPT-2-convention token-id VOCABULARY for a byte-level merges
+   * table: ids 0..255 are the 256 byte units in byte order, id
+   * 256+rank is merge `rank`'s output — exactly how production BPE
+   * vocabularies are numbered (base alphabet first, then merges in
+   * training order), so ids from two tokenizers sharing a merges
+   * table agree. TOTAL for byte-level encodes by construction: every
+   * emitted token is a base unit or a merge output, so the lookup
+   * can never miss.
+   */
+  def byteLevelVocab(merges: Seq[(String, String)]): Map[String, Int] = {
+    val base = graft.functions.ByteLevelUnits.byteToChar.zipWithIndex
+      .map { case (c, b) => c.toString -> b }
+    val outs = merges.zipWithIndex.map { case ((x, y), i) =>
+      (x + y) -> (256 + i) }
+    val dup = outs.groupBy(_._1).collect { case (t, vs) if vs.size > 1 => t }
+    require(dup.isEmpty, s"merges produce duplicate outputs: $dup")
+    (base ++ outs).toMap
+  }
+
+  /** Byte-level BPE encode straight to integer token IDS —
+    * [[bpeEncodeByteLevel]] mapped through [[byteLevelVocab]] (a
+    * broadcast map literal; the lookup is total, see byteLevelVocab).
+    * This is the training-pipeline handoff shape: sequence packing,
+    * token budgets and shard writers consume ids, not strings. */
+  def bpeEncodeToIds(text: Column, merges: Seq[(String, String)]): Column = {
+    val vocab = byteLevelVocab(merges)
+    transform(bpeEncodeByteLevel(text, merges),
+      t => element_at(typedLit(vocab), t))
+  }
+
   /** Fixed well-formed BYTE-LEVEL merges table for the
     * q_bpe_bytelevel gate (each rule's parts are base units or
     * outputs of earlier rules — ascending-rank replay equals

@@ -139,18 +139,44 @@ object Warc {
    * `fetch_ts` parses the W3C/ISO WARC-Date; mime prefers the
    * identified payload type over the record Content-Type.
    */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    recordsFrom(spark, spark.read.format("binaryFile").load(path))
+
+  /**
+   * STREAMING twin of [[readWarc]] — continuous crawl-archive intake:
+   * watch `path` for newly-landed segment files (the shape a crawler
+   * delivers them in) and parse each exactly once per file via the
+   * file-source's processed-files log; downstream, the frame feeds
+   * [[graft.streaming.EventStreams.crawlIngestStream]] with `fetch_ts`
+   * as the event time. Same parse, same fail-loud framing contract as
+   * the batch reader — one shared [[recordsFrom]] body, so the twins
+   * cannot drift.
+   */
+  def readWarcStream(spark: SparkSession, path: String): DataFrame =
+    recordsFrom(spark, spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(path))
+
+  /** Shared batch/streaming parse body: binaryFile rows → records. */
+  private def recordsFrom(spark: SparkSession, files: DataFrame): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-    val parsed = files.as[(String, Array[Byte])].flatMap { case (p, raw) =>
-      parseWarc(gunzipAll(raw)).map { r =>
-        (p, r.recordType, r.url, r.date,
-          Option(r.contentType).getOrElse(""), r.recordId,
-          httpBody(r))
-      }
-    }.toDF("path", "record_type", "url", "warc_date", "mime", "record_id",
-      "content")
+    val parsed = files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])].flatMap { case (p, raw) =>
+        parseWarc(gunzipAll(raw)).map { r =>
+          (p, r.recordType, r.url, r.date,
+            Option(r.contentType).getOrElse(""), r.recordId,
+            httpBody(r))
+        }
+      }.toDF("path", "record_type", "url", "warc_date", "mime", "record_id",
+        "content")
     parsed
       .withColumn("fetch_ts", to_timestamp(col("warc_date")))
       .withColumn("n_bytes", length(col("content")))
@@ -178,5 +204,6 @@ object Warc {
           lit(Long.MaxValue)).as("doc_id"),
         regexp_extract(col("url"), "^[a-zA-Z]+://([^/:?#]+)", 1)
           .as("source"),
-        col("content").cast("string").as("html"))
+        col("content").cast("string").as("html"),
+        col("fetch_ts"))
 }

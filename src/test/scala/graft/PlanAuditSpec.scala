@@ -213,7 +213,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_survival", "q_survival_by", "q_logrank",
       // calendar-bounded day-frame self-join (pairwise slopes) + 1-row
       // median broadcasts — bounded by design, see Stats.theilSen
-      "q_trend_robust")
+      "q_trend_robust",
+      // 1-row (total, k) broadcast — the load-ratio denominator of the
+      // cell-drift retrain trigger (r18, Similarity.ivfCellDrift)
+      "q_ivf_cell_drift")
     // plan-size budget: a pathological expression tree (the psiMulti
     // lesson — 14 s of Janino per plan before its explode/window fix)
     // shows up as a plan STRING far beyond anything the gate produces

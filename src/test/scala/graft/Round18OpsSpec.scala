@@ -108,6 +108,26 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("byteLevelVocab follows the GPT-2 numbering; encode-to-ids inverts through the vocab") {
+    val v = TextOps.byteLevelVocab(TextOps.BpeByteGateMerges)
+    assert(v.size == 256 + TextOps.BpeByteGateMerges.size)
+    // base ids ARE the byte values; merges number from 256 in rank order
+    assert(v("A") == 65 && v("Ġ") == 32 && v("Ā") == 0 && v("~") == 126)
+    assert(v("th") == 256 && v("ed") == 256 + 19)
+    import spark.implicits._
+    val texts = Seq("the theatre and the other", "it's 2024, naïve!", "")
+    val rows = texts.toDF("text").select(
+      TextOps.bpeEncodeByteLevel(col("text"), TextOps.BpeByteGateMerges)
+        .as("toks"),
+      TextOps.bpeEncodeToIds(col("text"), TextOps.BpeByteGateMerges)
+        .as("ids")).collect()
+    val inv = v.map(_.swap)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1).map(inv) == r.getSeq[String](0),
+        "ids must invert token-for-token through the vocabulary")
+    }
+  }
+
   test("bpeTrainByteLevel == naive reference trainer on a small mixed corpus") {
     import spark.implicits._
     val corpus = Seq(
@@ -455,6 +475,48 @@ class Round18OpsSpec extends AnyFunSuite {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
       }
       rm(dir)
+    }
+  }
+
+  test("readWarcStream: newly-landed segment files parse exactly once per file, equal to the batch reader") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("warc-ckpt").toFile
+    try {
+      def seg(name: String, urls: Seq[String]): Unit =
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+          urls.zipWithIndex.map { case (u, i) =>
+            gzipMember(rec("conversion", u, f"2024-05-01T10:0$i%d:00Z",
+              s"body of $u".getBytes("UTF-8")))
+          }.reduce(_ ++ _))
+      seg("seg-1.warc.gz", Seq("https://a.example.org/1", "https://a.example.org/2"))
+      val q = Warc.readWarcStream(spark, dir.getAbsolutePath)
+        .select("url", "record_type", "n_bytes")
+        .writeStream.format("memory").queryName("warc_stream_out")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("warc_stream_out").count() == 2)
+        // a second segment lands: ONLY its records arrive (file-source
+        // log = exactly-once per file)
+        seg("seg-2.warc.gz", Seq("https://b.example.org/3"))
+        q.processAllAvailable()
+        val rows = spark.table("warc_stream_out").collect()
+        assert(rows.length == 3)
+        assert(rows.map(_.getString(0)).sorted.toSeq == Seq(
+          "https://a.example.org/1", "https://a.example.org/2",
+          "https://b.example.org/3"))
+        // twin equality: the batch reader sees the identical record set
+        val batch = Warc.readWarc(spark, dir.getAbsolutePath)
+          .select("url", "record_type", "n_bytes").collect()
+        assert(batch.map(_.toString).sorted.toSeq ==
+          rows.map(_.toString).sorted.toSeq)
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir); rm(ckpt)
     }
   }
 
