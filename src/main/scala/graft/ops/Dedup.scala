@@ -566,19 +566,26 @@ object Dedup {
       k: Int = 8, bands: Int = 4): DataFrame = {
     val st = crawlStages(pages, idCol, htmlCol, sourceCol, keepLangs,
       boilerFrac, jaccardMax, k, bands)
-    def mark(df: DataFrame, name: String) =
-      df.select(col("doc_id")).withColumn(name, lit(1))
-    pages.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
-      .join(mark(st.routed, "__r"), Seq("doc_id"), "left")
-      .join(mark(st.gated, "__g"), Seq("doc_id"), "left")
-      .join(mark(st.exactKept, "__e"), Seq("doc_id"), "left")
-      .join(mark(st.survivors, "__s"), Seq("doc_id"), "left")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_pages"),
-        count(col("__r")).as("n_routed"),
-        count(col("__g")).as("n_gated"),
-        count(col("__e")).as("n_exact"),
-        count(col("__s")).as("n_survivors"))
+    // per-stage counts as four TINY per-source aggregates over the
+    // chain's staged frames (each stage carries `source` through its
+    // exchange exactly for this), outer-joined on the |sources|-row
+    // axis — NOT four doc_id-wide mark joins back to `pages` (the r17
+    // form: its marks re-derived chain subtrees per join and cost as
+    // much as the chain itself; measured r18, the funnel's exec wall
+    // was ~chain-sized even on a half-size slice).
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    pages.select(col(sourceCol).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_pages"))
+      .join(cnt(st.routed, "n_routed"), Seq("source"), "left")
+      .join(cnt(st.gated, "n_gated"), Seq("source"), "left")
+      .join(cnt(st.exactKept, "n_exact"), Seq("source"), "left")
+      .join(cnt(st.survivors, "n_survivors"), Seq("source"), "left")
+      .select(col("source"), col("n_pages"),
+        coalesce(col("n_routed"), lit(0L)).as("n_routed"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
   }
 
   /** The crawl chain's intermediate frames, shared by [[crawlClean]]
@@ -602,16 +609,20 @@ object Dedup {
       col(sourceCol).as("source"),
       TextOps.normalizeUnicode(TextOps.extractHtmlText(col(htmlCol)))
         .as("text"))
+    // `source` rides every staged frame (one small column on the
+    // exchange): crawlFunnel's per-stage counts are then direct
+    // per-source aggregates on ReusedExchange reads instead of
+    // doc_id-wide mark joins back to the pages frame
     val routed = TextOps
       .boilerplateClean(extracted, "doc_id", "text", "source", boilerFrac)
-      .select(col("doc_id"), col("clean_text").as("text"),
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"),
         TextOps.langIdCjk(col("clean_text")).as("lang"))
       .filter(col("lang").isin(keepLangs: _*))
       .repartition(col("doc_id"))
     val gateKeep = TextOps.gopherQualityFlags(routed, "doc_id", "text")
       .filter(col("keep")).select(col("doc_id"))
     val pii = routed.join(gateKeep, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("source"), col("lang"),
         TextOps.redactPii(col("text")).as("text"))
       .repartition(col("doc_id"))
     val exactWinners = pii

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * WebDataset-style TAR-SHARD export (r18) — the delivery format
+ * multimodal training actually consumes: a corpus becomes N tar files
+ * (`shard-00000.tar` …), each holding its samples as `<key>.<ext>`
+ * members, streamed sequentially by the data loader. Plain POSIX
+ * ustar headers written by hand (JDK-only, no archive dependency),
+ * with mtime pinned to 0 so a shard's bytes are DETERMINISTIC given
+ * its (key, payload) content — re-exports diff clean.
+ *
+ * Scale shape: rows route to their shard with an EXACT integer
+ * partitioner (shard id = partition id — the one place the RDD API is
+ * the right tool: a DataFrame repartition cannot promise one-shard-
+ * one-file), so writing is one shuffle keyed by shard, then each task
+ * streams ITS tar straight to the filesystem — no driver collect, no
+ * per-row file handles, memory bounded by one payload. Pair with
+ * [[graft.ops.TextOps.shardAssign]] (token-balanced LPT assignment)
+ * upstream for shards of near-equal training mass.
+ */
+object TarShards {
+
+  /** One ustar entry: 512-byte header + data + zero padding to the
+    * next 512 boundary. Name must fit the 100-byte ustar name field. */
+  private[graft] def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
+    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nameBytes.length <= 100,
+      s"tar member name exceeds ustar's 100-byte field: '$name'")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+    // numeric fields: octal digits, NUL-terminated (POSIX ustar)
+    put(100, "0000644\u0000")                 // mode
+    put(108, "0000000\u0000")                 // uid
+    put(116, "0000000\u0000")                 // gid
+    put(124, f"${data.length}%011o\u0000")    // size (octal)
+    put(136, "00000000000\u0000")             // mtime 0: deterministic
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces for calc
+    h(156) = '0'                                   // typeflag: regular file
+    put(257, "ustar\u0000")                   // POSIX magic, NUL-terminated
+    put(263, "00")                                 // version
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    put(148, f"$sum%06o\u0000 ")              // 6 octal + NUL + space
+    val pad = (512 - data.length % 512) % 512
+    h ++ data ++ new Array[Byte](pad)
+  }
+
+  /** Spec-side ustar parse: (name, data) members, checksum-verified,
+    * stopping at the end-of-archive zero blocks. Fails loudly on a
+    * corrupt header or truncated member — the codec-seam contract. */
+  private[graft] def parseTar(bytes: Array[Byte]): Vector[(String, Array[Byte])] = {
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    var o = 0
+    while (o + 512 <= bytes.length && bytes(o) != 0) {
+      val h = java.util.Arrays.copyOfRange(bytes, o, o + 512)
+      def str(off: Int, len: Int): String = {
+        var e = off
+        while (e < off + len && h(e) != 0) e += 1
+        new String(h, off, e - off, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val stored = java.lang.Long.parseLong(str(148, 8).trim, 8)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val computed = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+      require(stored == computed,
+        s"tar header checksum mismatch at byte $o ($stored != $computed)")
+      val size = java.lang.Long.parseLong(str(124, 12).trim, 8).toInt
+      require(o + 512 + size <= bytes.length,
+        s"truncated tar member at byte $o (size $size)")
+      out += ((str(0, 100),
+        java.util.Arrays.copyOfRange(bytes, o + 512, o + 512 + size)))
+      o += 512 + size + (512 - size % 512) % 512
+    }
+    out.result()
+  }
+
+  /**
+   * Write `df` as `nShards` tar files under `path`: each row becomes
+   * member `<key>.<ext>` of `shard-%05d.tar` chosen by `shardCol`
+   * (must be an int in [0, nShards)). Within a shard, members are
+   * ordered by key (deterministic bytes under any upstream
+   * partitioning). Existing files under `path` are left alone except
+   * the shard files being written.
+   */
+  def write(df: DataFrame, path: String, keyCol: String,
+      payloadCol: String, shardCol: String, nShards: Int,
+      ext: String = "bin"): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = df.select(
+        col(shardCol).cast("int").as("shard"),
+        col(keyCol).cast("string").as("key"),
+        col(payloadCol).cast("binary").as("payload"))
+      .filter(col("shard").isNotNull && col("key").isNotNull)
+    // exact routing: shard id IS the partition id; sortWithinPartitions
+    // via the RDD sort inside each task keeps shard bytes deterministic
+    val routed = rows.rdd
+      .map(r => (r.getInt(0), (r.getString(1), r.getAs[Array[Byte]]("payload"))))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = nShards
+        def getPartition(key: Any): Int = {
+          val s = key.asInstanceOf[Int]
+          require(s >= 0 && s < nShards,
+            s"shard id $s outside [0, $nShards)")
+          s
+        }
+      })
+    routed.foreachPartition { it =>
+      val entries = it.toVector.sortBy(_._2._1)
+      if (entries.nonEmpty) {
+        val shard = entries.head._1
+        val p = new org.apache.hadoop.fs.Path(
+          path, f"shard-$shard%05d.tar")
+        val fs = p.getFileSystem(conf.value)
+        val outStream = fs.create(p, true)
+        try {
+          entries.foreach { case (_, (key, payload)) =>
+            outStream.write(tarEntry(s"$key.$ext",
+              Option(payload).getOrElse(Array.emptyByteArray)))
+          }
+          outStream.write(new Array[Byte](1024)) // end-of-archive blocks
+        } finally outStream.close()
+      }
+    }
+  }
+}

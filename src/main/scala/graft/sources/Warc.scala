@@ -206,4 +206,66 @@ object Warc {
           .as("source"),
         col("content").cast("string").as("html"),
         col("fetch_ts"))
+
+  /** Build one WARC record's bytes (the write-side of [[parseWarc]] —
+    * shared framing so export and ingest can never drift). */
+  private[graft] def buildRecord(recordType: String, url: String,
+      date: String, contentType: String, body: Array[Byte]): Array[Byte] = {
+    val id = java.util.UUID.nameUUIDFromBytes(
+      (url + "\u0000" + date).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $recordType\r\n"
+    if (url.nonEmpty) h ++= s"WARC-Target-URI: $url\r\n"
+    h ++= s"WARC-Date: $date\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:$id>\r\n"
+    h ++= s"Content-Type: $contentType\r\n"
+    h ++= s"Content-Length: ${body.length}\r\n\r\n"
+    h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body ++
+      "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /**
+   * EXPORT a cleaned text corpus as WET (r18) — the write half of the
+   * archive round-trip: each row becomes a `conversion` record
+   * (text/plain payload), each record its OWN gzip member (the
+   * seekable .warc.gz layout [[gunzipAll]] ingests), `nFiles` segment
+   * files written in parallel (one per task, rows url-sorted within a
+   * segment for per-file determinism; segment ASSIGNMENT follows the
+   * hash repartition). This is how a cleaned/deduplicated corpus is
+   * redistributed in the crawl world; [[readWarc]] over the output
+   * reproduces the rows exactly (spec-pinned round-trip).
+   */
+  def writeWet(df: DataFrame, path: String, urlCol: String,
+      textCol: String, dateCol: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    df.select(col(urlCol).cast("string").as("url"),
+        col(textCol).cast("string").as("text"),
+        date_format(col(dateCol).cast("timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("d"))
+      .filter(col("url").isNotNull && col("text").isNotNull &&
+        col("d").isNotNull)
+      .repartition(nFiles, col("url"))
+      .sortWithinPartitions(col("url"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(path,
+            f"wet-$part%05d.warc.gz")
+          val fs = p.getFileSystem(conf.value)
+          val outStream = fs.create(p, true)
+          try it.foreach { r =>
+            val rec = buildRecord("conversion", r.getString(0),
+              r.getString(2), "text/plain",
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val g = new java.util.zip.GZIPOutputStream(outStream, 1 << 16)
+            g.write(rec)
+            g.finish() // one gzip MEMBER per record; keep the stream open
+          } finally outStream.close()
+        }
+      }
+  }
 }
