@@ -650,6 +650,19 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
 
+    "q_quality_linear" -> ((s, dir) => {
+      // hashed-feature linear classifier SERVING (r18, the
+      // FineWeb-Edu deployment shape): the "trained model" is a
+      // deterministic 512-bucket weight frame both engines synthesize
+      // from md5 (w = uint32(md5('w_b'))/2^32 − 0.5), served through
+      // the real broadcast-join scoring path
+      val weights = s.range(512).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w_"), col("id").cast("string"))),
+          1, 8), 16, 10).cast("double") / lit(4294967296.0) - 0.5).as("w"))
+      TextOps.scoreLinear(docs(s, dir), "doc_id", "text", weights,
+        numBuckets = 512, bias = 0.1)
+    }),
+
     "q_token_count" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -6638,6 +6651,25 @@ object SparkEntry {
          |  ((${hexToLong("md5(token)", 1, 8)}) % 256)::BIGINT AS bucket,
          |  count(*) AS n
          |FROM tk GROUP BY 1, 2""".stripMargin,
+
+    "q_quality_linear" ->
+      s"""WITH wt AS (SELECT b AS bucket,
+         |    (${hexToLong("md5('w_' || b::VARCHAR)", 1, 8)})::DOUBLE
+         |      / 4294967296.0 - 0.5 AS w
+         |  FROM (SELECT unnest(range(0, 512)) AS b)),
+         |tk AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |tb AS (SELECT doc_id,
+         |    ((${hexToLong("md5(token)", 1, 8)}) % 512)::BIGINT AS bucket
+         |  FROM tk),
+         |sums AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |    sum(coalesce(round(w.w * 1000000)::BIGINT, 0))::BIGINT AS lm
+         |  FROM tb LEFT JOIN wt w USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+         |  (coalesce(s.lm, 0) + 100000)::BIGINT AS logit_micro,
+         |  round(1.0 / (1.0 + exp(-(coalesce(s.lm, 0) + 100000)::DOUBLE
+         |    / 1000000.0)), 6) AS score
+         |FROM documents d LEFT JOIN sums s USING (doc_id)""".stripMargin,
 
     "q_bounce_rate" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

@@ -656,6 +656,48 @@ object TextOps {
   }
 
   /**
+   * Hashed-feature LINEAR classifier SERVING (r18) — the
+   * fastText-style quality-classifier deployment shape (the
+   * FineWeb-Edu recipe: train a small classifier offline, score the
+   * WHOLE corpus with it at ingest): score(doc) =
+   * σ(bias + Σ_tokens w[md5-bucket(token) mod D]) with the trained
+   * model arriving as a (bucket, w) FRAME — no vocabulary state, the
+   * [[hashingVectorize]] bucket rule, collisions reproducible. Each
+   * token's weight is micro-rounded to an integer BEFORE the per-doc
+   * sum (order-free under any partitioning — the q_tpch_q1
+   * discipline); the logit is exact, only the final sigmoid rounds.
+   *
+   * Scale shape: one narrow explode, a broadcast-by-AQE join against
+   * the D-row model, one map-side-combinable (doc) sum, and a join
+   * back for token-less docs (score = σ(bias)). Nothing is keyed on
+   * vocabulary size; the corpus text never shuffles. Output:
+   * (doc_id, n_tokens, logit_micro, score).
+   */
+  def scoreLinear(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: org.apache.spark.sql.DataFrame,
+      numBuckets: Int, bias: Double): org.apache.spark.sql.DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val wm = weights.select(col("bucket"),
+      round(col("w") * 1000000).cast("long").as("__wm"))
+    val sums = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("bucket"))
+      .join(wm, Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__wm"), lit(0L))).as("__lm"))
+    docs.select(col(idCol).as("doc_id")).join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("__lm"), lit(0L)) +
+          math.round(bias * 1000000)).as("logit_micro"))
+      .withColumn("score", round(lit(1.0) /
+        (lit(1.0) + exp(-col("logit_micro").cast("double") / 1e6)), 6))
+  }
+
+  /**
    * TF-IDF top terms per document: explode tokens, tf = in-doc count,
    * idf = ln(N / df) from a document-frequency table, keep the `topN`
    * highest-scoring terms per doc. Two aggregations (both map-side

@@ -303,6 +303,39 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreLinear: hashed-feature serving matches a direct computation; token-less docs score sigma(bias)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docsDf = Seq((1L, "alpha beta gamma alpha"), (2L, ""),
+      (3L, "Sparse-UNSEEN tokens 42")).toDF("doc_id", "text")
+    val weights = Seq((0L, 0.5), (1L, -0.25), (2L, 0.125), (3L, -0.0625))
+      .toDF("bucket", "w")
+    val out = TextOps.scoreLinear(docsDf, "doc_id", "text", weights,
+        numBuckets = 4, bias = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // independent reference: same tokenizer rule ([a-z0-9]+ on the
+    // lowercased text), md5-bucket, micro-rounded weight sum
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 4
+    }
+    val wm = Map(0L -> 500000L, 1L -> -250000L, 2L -> 125000L, 3L -> -62500L)
+    def ref(text: String): (Long, Long, Double) = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      val lm = toks.map(t => wm(bucket(t))).sum + 100000L
+      (toks.size.toLong, lm,
+        BigDecimal(1.0 / (1.0 + math.exp(-lm / 1e6)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    Seq(1L -> "alpha beta gamma alpha", 2L -> "",
+      3L -> "Sparse-UNSEEN tokens 42").foreach { case (id, t) =>
+      assert(out(id) == ref(t), s"doc $id")
+    }
+    assert(out(2L)._2 == 100000L, "token-less doc logit = bias")
+  }
+
   test("writeWet -> readWarc round-trip: exported corpus reproduces exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("wet-export").toFile
