@@ -2585,6 +2585,15 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 200")),
         Seq("source", "len_bucket"), "lang", l = 2)),
 
+    "q_t_closeness" -> ((s, dir) =>
+      // third rung of the privacy ladder: per-class total-variation
+      // distance of the language distribution vs the corpus-wide one
+      // (a k-anonymous, l-diverse class with 19/20 rows in one lang
+      // still leaks) — integer-exact numerators, one final division
+      Stats.tCloseness(
+        docs(s, dir).withColumn("len_bucket", expr("n_chars div 200")),
+        Seq("source", "len_bucket"), "lang")),
+
     "q_benford" -> ((s, dir) =>
       // fabricated-numbers audit: first-digit distribution of extended
       // price vs Benford, chi^2 as a digit-ordered left fold
@@ -6839,6 +6848,23 @@ object SparkEntry {
         |    / sum(n)::DOUBLE, 6) AS share_below_l,
         |  min(n_sensitive) AS min_diversity
         |FROM c""".stripMargin,
+
+    "q_t_closeness" ->
+      """WITH cls AS (SELECT source, n_chars // 200 AS len_bucket,
+        |    count(*) AS nc FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT lang AS v, count(*) AS nv FROM documents GROUP BY 1),
+        |cv AS (SELECT source, n_chars // 200 AS len_bucket, lang AS v,
+        |    count(*) AS ncv FROM documents GROUP BY 1, 2, 3),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |grid AS (SELECT c.source, c.len_bucket, c.nc, v.v, v.nv,
+        |    coalesce(cv.ncv, 0) AS ncv
+        |  FROM cls c CROSS JOIN vals v
+        |  LEFT JOIN cv ON cv.source = c.source
+        |    AND cv.len_bucket = c.len_bucket AND cv.v = v.v)
+        |SELECT g.source, g.len_bucket, g.nc::BIGINT AS n,
+        |  round(sum(abs(g.ncv * t.n - g.nv * g.nc))::DOUBLE
+        |    / (2.0 * g.nc::DOUBLE * t.n::DOUBLE), 6) AS t_dist
+        |FROM grid g, tot t GROUP BY g.source, g.len_bucket, g.nc, t.n""".stripMargin,
 
     "q_benford" ->
       """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS m

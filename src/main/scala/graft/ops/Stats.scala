@@ -371,6 +371,50 @@ object Stats {
   }
 
   /**
+   * T-CLOSENESS audit (r18) — the third rung of the privacy-audit
+   * ladder ([[kAnonymity]] → [[lDiversity]] → this): a class can be
+   * k-anonymous AND l-diverse yet still leak because its sensitive
+   * DISTRIBUTION differs sharply from the corpus-wide one (19 of 20
+   * rows sharing one value tells an attacker plenty even with 2
+   * distinct values present). Per quasi-identifier class: the total
+   * variation distance 0.5·Σ_v |p_class(v) − p_global(v)| over the
+   * FULL global sensitive domain (absent values contribute their
+   * global mass). Computed integer-exact as
+   * Σ_v |n_cv·N − n_v·n_c| / (2·n_c·N) — long numerators, one final
+   * division, 6-dp round (exact while N·max class < 2^63, far above
+   * any audit slice). The class×domain densify grid is bounded by
+   * |classes|·|sensitive domain| — audit-scale by contract (a
+   * sensitive column with unbounded cardinality belongs in
+   * [[lDiversity]]'s count form, not a distribution distance).
+   * Output: one row per class (quasi cols, n, t_dist) — classes with
+   * t_dist above the policy threshold are the re-generalization
+   * worklist.
+   */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val qs = quasiCols.map(col)
+    val cv = df.groupBy(qs :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__ncv"))
+    val classes = df.groupBy(qs: _*).agg(count(lit(1)).as("__nc"))
+    val values = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__nv"))
+    val totRow = df.agg(count(lit(1)).as("__n"))
+    val grid = classes.crossJoin(values)
+      .join(cv, quasiCols :+ "__v", "left")
+      .withColumn("__ncv", coalesce(col("__ncv"), lit(0L)))
+      .crossJoin(broadcast(totRow))
+    grid
+      .groupBy(qs :+ col("__nc").as("n") :+ col("__n").as("__nn"): _*)
+      .agg(sum(abs(col("__ncv") * col("__n") - col("__nv") * col("__nc")))
+        .as("__num"))
+      .select(qs :+ col("n") :+
+        round(col("__num").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("__nn").cast("double")), 6)
+          .as("t_dist"): _*)
+  }
+
+  /**
    * BENFORD first-digit audit — the fabricated-numbers smell test:
    * empirical first-significant-digit frequencies of a positive
    * numeric column vs Benford's log10(1 + 1/d) expectation, plus the

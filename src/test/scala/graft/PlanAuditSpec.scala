@@ -216,7 +216,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_trend_robust",
       // 1-row (total, k) broadcast — the load-ratio denominator of the
       // cell-drift retrain trigger (r18, Similarity.ivfCellDrift)
-      "q_ivf_cell_drift")
+      "q_ivf_cell_drift",
+      // class×sensitive-domain densify grid (the q_psi bins pattern) +
+      // 1-row total broadcast — bounded by the sensitive domain by
+      // contract (r18, Stats.tCloseness)
+      "q_t_closeness")
     // plan-size budget: a pathological expression tree (the psiMulti
     // lesson — 14 s of Janino per plan before its explode/window fix)
     // shows up as a plan STRING far beyond anything the gate produces
