@@ -650,6 +650,12 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
 
+    "q_fim_transform" -> ((s, dir) =>
+      // fill-in-middle rewrite of half the corpus (code-LLM infilling
+      // prep): decision + both character split points derive from
+      // md5(doc_id), so the rewrite replays identically anywhere
+      TextOps.fimTransform(docs(s, dir), "doc_id", "text", fimRate = 0.5)),
+
     "q_quality_linear" -> ((s, dir) => {
       // hashed-feature linear classifier SERVING (r18, the
       // FineWeb-Edu deployment shape): the "trained model" is a
@@ -6660,6 +6666,26 @@ object SparkEntry {
          |  ((${hexToLong("md5(token)", 1, 8)}) % 256)::BIGINT AS bucket,
          |  count(*) AS n
          |FROM tk GROUP BY 1, 2""".stripMargin,
+
+    "q_fim_transform" ->
+      s"""WITH b AS (SELECT doc_id, text AS t, length(text) AS n,
+         |    (${hexToLong("md5(doc_id::VARCHAR)", 1, 8)}) AS d1,
+         |    (${hexToLong("md5(doc_id::VARCHAR)", 9, 8)}) AS d2,
+         |    (${hexToLong("md5(doc_id::VARCHAR)", 17, 8)}) AS d3
+         |  FROM documents),
+         |c AS (SELECT doc_id, t,
+         |    ((d1 % 1000000)::DOUBLE / 1000000.0 < 0.5 AND n >= 3) AS ap,
+         |    CASE WHEN n >= 3
+         |      THEN least(d2 % (n - 1) + 1, d3 % (n - 1) + 1)::INT END AS lo,
+         |    CASE WHEN n >= 3
+         |      THEN greatest(d2 % (n - 1) + 1, d3 % (n - 1) + 1)::INT END AS hi
+         |  FROM b)
+         |SELECT doc_id, ap AS fim_applied,
+         |  CASE WHEN ap THEN '<PRE>' || substring(t, 1, lo)
+         |      || '<SUF>' || substring(t, hi + 1)
+         |      || '<MID>' || substring(t, lo + 1, hi - lo)
+         |    ELSE t END AS text
+         |FROM c""".stripMargin,
 
     "q_quality_linear" ->
       s"""WITH wt AS (SELECT b AS bucket,

@@ -698,6 +698,52 @@ object TextOps {
   }
 
   /**
+   * FILL-IN-MIDDLE transform (r18; Bavarian et al. 2022, the code-LLM
+   * data op): deterministically rewrite a fraction `fimRate` of
+   * documents from `prefix middle suffix` to
+   * `<PRE> prefix <SUF> suffix <MID> middle` so the model learns
+   * infilling while the token content stays identical. The transform
+   * decision AND both split points derive from md5(doc_id) — any
+   * engine replays the exact same rewrite, and a re-run of the
+   * pipeline reproduces the corpus byte-for-byte (no RNG state).
+   * Split points are CHARACTER offsets (both engines' length/substr
+   * are code-point-based); degenerate docs (< 3 chars) pass through
+   * untransformed by contract. Pure per-row scan-stage string work.
+   * Output: (doc_id, fim_applied, text).
+   */
+  def fimTransform(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, fimRate: Double,
+      preTok: String = "<PRE>", sufTok: String = "<SUF>",
+      midTok: String = "<MID>"): org.apache.spark.sql.DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0,
+      s"fimRate must be in [0,1], got $fimRate")
+    val n = length(col("__t"))
+    // three independent uint32 draws from one md5(doc_id): apply?,
+    // cut1, cut2 (hex slices 1-8 / 9-16 / 17-24)
+    def draw(off: Int): Column =
+      conv(substring(md5(col("doc_id").cast("string")), off, 8), 16, 10)
+        .cast("long")
+    val applies = (draw(1) % 1000000L).cast("double") / 1e6 < fimRate
+    // two cuts in [1, n-1], ordered; equal cuts give an empty middle —
+    // still a valid FIM example (the paper keeps them). The modulus is
+    // guarded for degenerate docs (n < 3 never transforms, but under
+    // ANSI the dead branch's % 0 would still throw eagerly)
+    val m = when(n >= lit(3), (n - 1).cast("long")).otherwise(lit(2L))
+    val c1 = (draw(9) % m + 1L).cast("int")
+    val c2 = (draw(17) % m + 1L).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val fim = concat(lit(preTok), expr("substring(__t, 1, __lo)"),
+      lit(sufTok), expr("substring(__t, __hi + 1)"),
+      lit(midTok), expr("substring(__t, __lo + 1, __hi - __lo)"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__apply", applies && n >= 3)
+      .withColumn("__lo", lo).withColumn("__hi", hi)
+      .select(col("doc_id"), col("__apply").as("fim_applied"),
+        when(col("__apply"), fim).otherwise(col("__t")).as("text"))
+  }
+
+  /**
    * TF-IDF top terms per document: explode tokens, tf = in-doc count,
    * idf = ln(N / df) from a document-frequency table, keep the `topN`
    * highest-scoring terms per doc. Two aggregations (both map-side

@@ -303,6 +303,35 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fimTransform: sentinel-delimited pieces reassemble the original text exactly; degenerate docs pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docsDf = ((1L to 200L).map(i => (i, s"document $i body with some words αβγ end")) ++
+      Seq((900L, ""), (901L, "ab"), (902L, "x"))).toDF("doc_id", "text")
+    val out = TextOps.fimTransform(docsDf, "doc_id", "text", fimRate = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    val orig = docsDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var applied = 0
+    out.foreach { case (id, (ap, t)) =>
+      if (!ap) assert(t == orig(id), s"untransformed doc $id must pass through")
+      else {
+        applied += 1
+        // <PRE>p<SUF>s<MID>m reassembles to p+m+s == original
+        val m1 = t.indexOf("<SUF>"); val m2 = t.indexOf("<MID>")
+        assert(t.startsWith("<PRE>") && m1 > 0 && m2 > m1, t)
+        val p = t.substring(5, m1)
+        val sfx = t.substring(m1 + 5, m2)
+        val mid = t.substring(m2 + 5)
+        assert(p + mid + sfx == orig(id),
+          s"doc $id pieces must reassemble the original")
+      }
+    }
+    // the md5 draw applies ~fimRate of eligible docs
+    assert(applied > 60 && applied < 140, s"applied=$applied of 200 at rate 0.5")
+    // sub-3-char docs are never transformed
+    Seq(900L, 901L, 902L).foreach(id => assert(!out(id)._1))
+  }
+
   test("scoreLinear: hashed-feature serving matches a direct computation; token-less docs score sigma(bias)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
