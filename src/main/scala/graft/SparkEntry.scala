@@ -2241,6 +2241,16 @@ object SparkEntry {
       // targets, md5-ranked deterministic per-source draw
       TextOps.temperatureMix(docs(s, dir), "source", "doc_id", budget = 200L)),
 
+    "q_epoch_mix" -> ((s, dir) =>
+      // data-constrained epoch allocation (water-filling): budget = 2×
+      // the corpus token mass, small sources repeat up to 4 epochs,
+      // large sources share the leftover ∝ √n — exact decimal
+      // cross-multiplied prefix test, integral floor allocations
+      TextOps.epochMixFrac(
+        docs(s, dir).groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("toks")),
+        "source", "toks", budgetFrac = 2.0, maxRepeat = 4)),
+
     "q_budget_select" -> ((s, dir) =>
       // token-budget data selection: per source, greedily keep the
       // highest-quality docs while the running BPE-token total stays
@@ -6391,6 +6401,40 @@ object SparkEntry {
         |SELECT tg.source, tg.n_docs, tg.weight, tg.target_n,
         |  coalesce(sm.sampled_n, 0)::BIGINT AS sampled_n
         |FROM tg LEFT JOIN sm ON tg.source = sm.source""".stripMargin,
+
+    // water-filling epoch allocation: prefix membership test
+    // cross-multiplied in HUGEINT (Spark: decimal(38,0)), floor
+    // division for the uncapped shares
+    "q_epoch_mix" ->
+      """WITH b0 AS (SELECT source, sum(n_chars)::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+        |bt AS (SELECT floor(sum(n_tokens) * 2.0)::BIGINT AS b FROM b0),
+        |base AS (SELECT source, n_tokens,
+        |    CAST(round(pow(n_tokens::DOUBLE, 0.5) * 1e6) AS BIGINT) AS w,
+        |    n_tokens * 4 AS cap FROM b0),
+        |pre AS (SELECT *,
+        |    row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS rn,
+        |    sum(cap) OVER (ORDER BY n_tokens ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |    coalesce(sum(w) OVER (ORDER BY n_tokens ASC, source ASC
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS wafter
+        |  FROM base),
+        |flags AS (SELECT pre.*,
+        |    (cap::HUGEINT * wafter <= (bt.b - c)::HUGEINT * w) AS f
+        |  FROM pre, bt),
+        |kk AS (SELECT coalesce(max(CASE WHEN f THEN rn END), 0) AS k
+        |  FROM flags),
+        |sums AS (SELECT
+        |    sum(CASE WHEN rn <= kk.k THEN cap ELSE 0 END)::BIGINT AS csum,
+        |    sum(CASE WHEN rn > kk.k THEN w ELSE 0 END)::BIGINT AS wsum
+        |  FROM flags, kk),
+        |alloc AS (SELECT fl.source, fl.n_tokens, fl.rn <= kk.k AS capped,
+        |    (CASE WHEN fl.rn <= kk.k THEN fl.cap::HUGEINT
+        |      ELSE (fl.w::HUGEINT * (bt.b - s.csum)) // s.wsum END) AS a
+        |  FROM flags fl, kk, sums s, bt)
+        |SELECT source, n_tokens, a::BIGINT AS alloc_tokens,
+        |  round(a::DOUBLE / n_tokens::DOUBLE, 6) AS epochs, capped
+        |FROM alloc""".stripMargin,
 
     "q_budget_select" ->
       s"""WITH toks_t AS (SELECT source, doc_id, text, $ToksSql AS toks FROM documents),

@@ -887,6 +887,91 @@ object TextOps {
   }
 
   /**
+   * EPOCH ALLOCATION under a token budget (r18) — the data-constrained
+   * mixing question (Muennighoff et al. 2023): small sources may be
+   * REPEATED up to `maxRepeat` epochs, large ones take the leftover.
+   * Water-filling with temperature weights w_i = round(n_i^α·10⁶):
+   * find the level t where Σ_i min(t·w_i, maxRepeat·n_i) = budget —
+   * sources below the level cap at maxRepeat epochs, the rest share
+   * the remaining budget ∝ w_i. Closed-form and EXACT: sorted by the
+   * cap/weight ratio (monotone in n_i, integer tie-break on source),
+   * the capped set is a prefix, each row's membership test
+   * cap_j·W_{>j} ≤ (B − C_j)·w_j cross-multiplies in decimal(38,0)
+   * (never a float boundary, never a long overflow), and uncapped
+   * allocations are integral floors w_i·(B − C_k) div W_{>k}. The
+   * Σfloor remainder (< #sources tokens) stays unallocated by
+   * contract. Output per source: (source, n_tokens, alloc_tokens,
+   * epochs 6-dp, capped). One count aggregate + #sources-row window
+   * work — nothing scales with the corpus.
+   */
+  def epochMix(perSource: org.apache.spark.sql.DataFrame, srcCol: String,
+      tokensCol: String, budget: Long, maxRepeat: Int,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    epochMixImpl(perSource, srcCol, tokensCol, maxRepeat, alpha,
+      bRow => bRow.withColumn("__b", lit(budget)))
+  }
+
+  /** [[epochMix]] with the budget as a FRACTION of the corpus's total
+    * token mass — the SF-independent front door (the budget row is a
+    * 1-row broadcast computed in-plan; nothing runs at construction
+    * time, the laziness contract). */
+  def epochMixFrac(perSource: org.apache.spark.sql.DataFrame, srcCol: String,
+      tokensCol: String, budgetFrac: Double, maxRepeat: Int,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(budgetFrac >= 0.0, s"budgetFrac must be >= 0, got $budgetFrac")
+    epochMixImpl(perSource, srcCol, tokensCol, maxRepeat, alpha,
+      base => base.crossJoin(broadcast(
+        base.agg(floor(sum(col("n_tokens")) * budgetFrac).cast("long")
+          .as("__b")))))
+  }
+
+  private def epochMixImpl(perSource: org.apache.spark.sql.DataFrame,
+      srcCol: String, tokensCol: String, maxRepeat: Int, alpha: Double,
+      withBudget: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    import org.apache.spark.sql.expressions.Window
+    val base = withBudget(perSource.select(col(srcCol).as("source"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0))
+      .withColumn("w",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) * 1e6)
+          .cast("long"))
+      .withColumn("cap", col("n_tokens") * maxRepeat)
+    // sorted by cap/w = maxRepeat·n^(1−α): ascending n (α < 1) — the
+    // capped set is a prefix of this order
+    val ord = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val pre = base
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__c", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__wafter", coalesce(sum(col("w")).over(
+        ord.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .withColumn("__capped_self", expr(
+        "cast(cap as decimal(38,0)) * __wafter <= " +
+          "cast(__b - __c as decimal(38,0)) * w"))
+    val kRow = pre.agg(max(when(col("__capped_self"), col("__rn"))
+        .otherwise(lit(0))).as("__k"))
+    val capSumRow = pre.crossJoin(broadcast(kRow))
+      .agg(max(col("__k")).as("__k"),
+        sum(when(col("__rn") <= col("__k"), col("cap")).otherwise(0L))
+          .as("__csum"),
+        sum(when(col("__rn") > col("__k"), col("w")).otherwise(0L))
+          .as("__wsum"))
+    pre.crossJoin(broadcast(capSumRow))
+      .withColumn("capped", col("__rn") <= col("__k"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap")).otherwise(
+          expr("(cast(w as decimal(38,0)) * (__b - __csum)) div __wsum")))
+      .select(col("source"), col("n_tokens"),
+        col("alloc_tokens").cast("long").as("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("epochs"),
+        col("capped"))
+  }
+
+  /**
    * Pairwise vocabulary-overlap matrix across corpus strata (the
    * vocabulary-level sibling of [[graft.ops.Dedup.dupMatrix]]): for every
    * (stratum, stratum) pair, both vocabulary sizes, the common-token

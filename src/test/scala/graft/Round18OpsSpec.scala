@@ -332,6 +332,49 @@ class Round18OpsSpec extends AnyFunSuite {
     Seq(900L, 901L, 902L).foreach(id => assert(!out(id)._1))
   }
 
+  test("epochMix: water-filling properties hold — caps honored, level consistent, budget exhausted to flooring") {
+    import spark.implicits._
+    val src = Seq(("a", 100L), ("b", 400L), ("c", 2500L), ("d", 10000L),
+      ("e", 40000L)).toDF("source", "toks")
+    def run(b: Long, maxRep: Int) =
+      TextOps.epochMix(src, "source", "toks", b, maxRep).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+        .toMap
+    def w(n: Long) = math.round(math.sqrt(n.toDouble) * 1e6)
+    val B = 60000L
+    val out = run(B, 4)
+    val capped = out.filter(_._2._4)
+    val unc = out.filter(!_._2._4)
+    assert(capped.nonEmpty && unc.nonEmpty, s"mixed split expected: $out")
+    // capped rows allocate exactly maxRepeat epochs
+    capped.foreach { case (s, (n, a, e, _)) =>
+      assert(a == 4 * n && e == 4.0, s"$s") }
+    val csum = capped.values.map(v => v._2).sum
+    val wsum = unc.keys.map(s => w(out(s)._1)).sum
+    unc.foreach { case (s, (n, a, e, _)) =>
+      // exact floor share of the leftover
+      assert(a == (BigInt(w(n)) * (B - csum) / wsum).toLong, s"$s share")
+      // the water level sits BELOW every uncapped cap
+      assert(a <= 4 * n, s"$s must not exceed its own cap")
+    }
+    // level consistency: every capped source's cap/w ratio is below the
+    // level the uncapped sources settle at
+    capped.keys.foreach { s =>
+      val n = out(s)._1
+      assert(BigInt(4 * n) * wsum <= BigInt(B - csum) * w(n), s"$s level")
+    }
+    // budget exhausted up to the flooring remainder
+    val total = out.values.map(_._2).sum
+    assert(total <= B && total > B - unc.size, s"total=$total")
+    // degenerate corners: budget above all caps -> everything capped;
+    // budget zero -> nothing allocated
+    val all = run(1000000L, 4)
+    assert(all.values.forall(v => v._4 && v._2 == 4 * v._1))
+    val zero = run(0L, 4)
+    assert(zero.values.forall(v => !v._4 && v._2 == 0L))
+  }
+
   test("scoreLinear: hashed-feature serving matches a direct computation; token-less docs score sigma(bias)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
