@@ -2241,6 +2241,21 @@ object SparkEntry {
       // targets, md5-ranked deterministic per-source draw
       TextOps.temperatureMix(docs(s, dir), "source", "doc_id", budget = 200L)),
 
+    "q_ngram_spectrum" -> ((s, dir) => {
+      // occurrence-frequency SPECTRUM of distinct 3-grams (how many
+      // n-grams appear exactly k times, k clamped at 10+): THE
+      // before/after-dedup diagnostic — span dedup moves mass from the
+      // heavy tail into k=1; only 16-byte gram hashes ever shuffle,
+      // two map-side-combinable counts
+      val grams = docs(s, dir)
+        .select(explode(TextOps.tokenShingles(col("text"))).as("g"))
+        .select(md5(col("g")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      grams
+        .select(least(col("occ"), lit(10L)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_grams"))
+    }),
+
     "q_epoch_mix" -> ((s, dir) =>
       // data-constrained epoch allocation (water-filling): budget = 2×
       // the corpus token mass, small sources repeat up to 4 epochs,
@@ -6401,6 +6416,14 @@ object SparkEntry {
         |SELECT tg.source, tg.n_docs, tg.weight, tg.target_n,
         |  coalesce(sm.sampled_n, 0)::BIGINT AS sampled_n
         |FROM tg LEFT JOIN sm ON tg.source = sm.source""".stripMargin,
+
+    "q_ngram_spectrum" ->
+      s"""WITH toks_t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh_t AS (SELECT doc_id, $ShinglesSql AS sh FROM toks_t),
+         |occ AS (SELECT md5(s) AS h, count(*) AS occ
+         |  FROM sh_t, unnest(sh) AS u(s) GROUP BY 1)
+         |SELECT least(occ, 10)::BIGINT AS k, count(*)::BIGINT AS n_grams
+         |FROM occ GROUP BY 1""".stripMargin,
 
     // water-filling epoch allocation: prefix membership test
     // cross-multiplied in HUGEINT (Spark: decimal(38,0)), floor
