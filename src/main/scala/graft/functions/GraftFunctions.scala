@@ -325,7 +325,10 @@ object GraftFunctions {
       "graft_redact" -> (TextOps.redact(_)),
       "graft_redact_pii" -> (TextOps.redactPii(_)),
       "graft_gopher_keep" -> (TextOps.gopherKeep(_)),
-      "graft_canonical_url" -> (TextOps.canonicalUrl(_))
+      "graft_canonical_url" -> (TextOps.canonicalUrl(_)),
+      // the r18 byte-level tokenizer family
+      "graft_pretokenize" -> (TextOps.preTokenize(_)),
+      "graft_byte_units" -> (c => TextOps.byteLevelUnits(TextOps.preTokenize(c)))
     )
     fns.foreach { case (name, f) =>
       ColumnBridge.registerFunction(spark, name, unaryCol(name, f))

@@ -220,7 +220,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // class×sensitive-domain densify grid (the q_psi bins pattern) +
       // 1-row total broadcast — bounded by the sensitive domain by
       // contract (r18, Stats.tCloseness)
-      "q_t_closeness")
+      "q_t_closeness",
+      // three 1-row broadcasts (in-plan budget, water-level index k,
+      // capped/uncapped sums) over the #sources-row frame (r18,
+      // TextOps.epochMix)
+      "q_epoch_mix")
     // plan-size budget: a pathological expression tree (the psiMulti
     // lesson — 14 s of Janino per plan before its explode/window fix)
     // shows up as a plan STRING far beyond anything the gate produces
