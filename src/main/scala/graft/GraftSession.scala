@@ -20,8 +20,10 @@ import org.apache.spark.sql.SparkSession
  */
 object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    common(shufflePartitions).master(master)
+
+  private def common(shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
-      .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,6 +33,39 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
+
+  /**
+   * PRODUCTION (cluster) builder — [[builder]]'s settings with the
+   * knobs that only matter beyond one machine, sized from the
+   * deployment's scale instead of local cores. The numbers encode the
+   * 100 TB operating rules this library's operators assume:
+   *  - shuffle.partitions ≈ 2-3× total executor cores (AQE coalesces
+   *    the excess; too FEW partitions is the unrecoverable direction —
+   *    a partition must fit in executor memory);
+   *  - advisory partition size caps what AQE coalesces toward, and
+   *    files.maxPartitionBytes what a scan task reads — both sized so
+   *    a task's working set stays spill-free at default executor
+   *    memory;
+   *  - skew-join splitting ON with the factor/threshold the salting
+   *    ops treat as the "AQE handles moderate skew" boundary (beyond
+   *    it, use [[graft.ops.Scale]]'s explicit salting);
+   *  - shuffled hash join enabled: sort-merge's sort is wasted work
+   *    for the hash-aggregable band/bucket joins this library plans.
+   */
+  def clusterBuilder(totalExecutorCores: Int): SparkSession.Builder = {
+    require(totalExecutorCores >= 1, "totalExecutorCores must be >= 1")
+    // no .master() here: the deployment supplies it (spark-submit /
+    // operator); everything else is the library's operating point
+    common(totalExecutorCores * 3)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+      .config("spark.sql.files.maxPartitionBytes", "256m")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+  }
 
   /** Local session sized from SPARK_GRAFT_CPUS (driver contract). */
   def local(): SparkSession = {

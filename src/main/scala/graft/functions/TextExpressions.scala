@@ -744,3 +744,38 @@ object ByteLevelUnits {
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 }
+
+/**
+ * Unicode NFKC normalization — the tokenizer-facing compatibility fold
+ * (full-width → ASCII, ligatures ﬁ → fi, circled digits → digits,
+ * half-width kana composed) that the hand-rolled mojibake/quote step
+ * list (TextOps.normalizeUnicode) deliberately does NOT do. Wraps the
+ * JDK's java.text.Normalizer (ICU-equivalent tables, in every JRE).
+ * No DuckDB replay exists (DuckDB ships NFC only), so the op is
+ * spec-graded: known compatibility foldings + idempotence are pinned
+ * in Round18OpsSpec. CodegenFallback: the JDK call dominates.
+ */
+case class NfkcNormalize(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nfkc"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(v.toString,
+        java.text.Normalizer.Form.NFKC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalize =
+    copy(child = newChild)
+}

@@ -1352,6 +1352,16 @@ object TextOps {
     s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|$ws+"
   }
 
+  /** Unicode NFKC normalization ([[graft.functions.NfkcNormalize]]) —
+    * the compatibility fold real tokenizers apply before BPE
+    * (full-width → ASCII, ligatures, circled digits, half-width kana
+    * composed); complements [[normalizeUnicode]]'s mojibake/quote
+    * step list. Spec-graded (DuckDB ships NFC only — no oracle). */
+  def nfkc(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NfkcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Pre-token array of `text` under [[PreTokenPattern]] — a plain
     * codegen'd regexp_extract_all, engine-replayable verbatim. */
   def preTokenize(text: Column): Column =
