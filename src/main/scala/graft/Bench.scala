@@ -297,9 +297,16 @@ object Bench {
           (if (q == Vector(0)) " (sweep 0 = compile sweep, expected)" else ""))
       emitArtifact()
     }
-    if (budgetStopped) System.err.println(
-      f"[bench] wall budget $budgetSec%.0fs reached after ${sweepRuns.size} " +
-        f"sweeps (elapsed $elapsed%.0fs) - stopping with what exists")
+    if (budgetStopped) {
+      System.err.println(
+        f"[bench] wall budget $budgetSec%.0fs reached after ${sweepRuns.size} " +
+          f"sweeps (elapsed $elapsed%.0fs) - stopping with what exists")
+      // the flag only flips when the WHILE condition re-evaluates
+      // nextSweepFits AFTER the last in-loop emit, so the artifact on
+      // stdout would say budget_stopped:false for a budget-stopped run
+      // unless re-emitted here with the final flag value
+      emitArtifact()
+    }
     spark.stop()
   }
 }

@@ -68,7 +68,7 @@ object SparkEntry {
     * prefixes (%20 slices) that language routing must drop, the PII
     * splice (%11) that redaction must mask BEFORE the dedup hash, the
     * mojibake junk (%9) that normalization must repair. The DuckDB
-    * side synthesizes the SAME html string (CrawlChainSql). */
+    * side synthesizes the SAME html string (crawlChainSql). */
   private def crawlPages(s: SparkSession, dir: String) = {
     val id = col("doc_id").cast("string")
     val body = concat(
@@ -496,8 +496,12 @@ object SparkEntry {
       // crawl (see crawlPages: deterministic page template + CJK/PII/
       // mojibake body splices so every stage has real work). Both
       // engines synthesize the SAME html string, then replay the whole
-      // chain.
-      Dedup.crawlClean(crawlPages(s, dir),
+      // chain. Gate runs on the doc_id%2=1 half slice (r19 bench-budget
+      // cut, the r16-verdict ask): the COMPLEMENT of q_crawl_funnel's
+      // %2=0 slice, so the pair still covers every document and every
+      // splice family exactly once between them; full-size chain shape
+      // stays pinned by the ScaleSpec decade contract.
+      Dedup.crawlClean(crawlPages(s, dir).filter(col("doc_id") % 2 === 1),
         "doc_id", "html", "source", keepLangs = Seq("en"),
         boilerFrac = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
 
@@ -699,7 +703,8 @@ object SparkEntry {
       // chr(1)-joined pre-token stream — ONE regex constant
       // (TextOps.PreTokenPattern) feeds both engines verbatim
       docs(s, dir)
-        .select(col("doc_id"), TextOps.preTokenize(col("text")).as("pt"))
+        .select(col("doc_id"), TextOps.preTokenize(
+          concat(col("text"), lit(TextOps.PreTokenProbe))).as("pt"))
         .select(col("doc_id"),
           size(col("pt")).as("n_pretoks"),
           size(filter(col("pt"), t => t.rlike("^[ \\t\\r\\n\\f]+$")))
@@ -715,7 +720,8 @@ object SparkEntry {
       // map is identity-except-space→'Ġ', which is what lets DuckDB
       // replay the identical chain with plain string ops while the
       // Spark side exercises the full ByteLevelUnits kernel.
-      val ascii = regexp_replace(col("text"), "[^ -~]|\\|", "")
+      val ascii = regexp_replace(
+        concat(col("text"), lit(TextOps.PreTokenProbe)), "[^ -~]|\\|", "")
       val enc = TextOps.bpeEncodeByteLevel(ascii, TextOps.BpeByteGateMerges)
       docs(s, dir).select(col("doc_id"), enc.as("enc"))
         .select(col("doc_id"), size(col("enc")).as("n_bpe"),
@@ -729,7 +735,8 @@ object SparkEntry {
       // so the oracle can replay; per doc the id count, the exact id
       // sum (an order-free integer checksum) and the md5 of the
       // space-joined id stream (order-sensitive)
-      val ascii = regexp_replace(col("text"), "[^ -~]|\\|", "")
+      val ascii = regexp_replace(
+        concat(col("text"), lit(TextOps.PreTokenProbe)), "[^ -~]|\\|", "")
       val ids = TextOps.bpeEncodeToIds(ascii, TextOps.BpeByteGateMerges)
       docs(s, dir).select(col("doc_id"), ids.as("ids"))
         .select(col("doc_id"), size(col("ids")).as("n_bpe"),
@@ -3428,15 +3435,14 @@ object SparkEntry {
     * interpolation inside stripMargin: the gopher fragment has '||'
     * continuation lines the outer margin strip would mangle — the
     * q_filter_report note). */
-  private lazy val CrawlChainSql: String = crawlChainSql("TRUE")
-
   /** Parameterized form: `docWhere` filters the documents feeding the
-    * synthesized pages. The funnel gate runs on the doc_id%2=0 half
-    * slice (r18): it re-derives the whole chain q_crawl_clean already
-    * pays for, and at gate scale the two together were 21 s of every
-    * bench sweep — the r15 verdict's wall-budget lever. The full-size
-    * funnel stays covered by crawlClean (same stages) and the ×10
-    * decade soak in ScaleSpec/BudgetScaleProbe. */
+    * synthesized pages. Both crawl gates run on half slices (funnel
+    * %2=0 since r18, clean %2=1 since r19 — complements, so the pair
+    * covers every document once): each re-derives the whole chain, and
+    * at gate scale full-size × 2 was ~20 s of every bench sweep — the
+    * r15/r16 verdicts' wall-budget lever. Full-size chain behavior
+    * stays covered by the ×10 decade soak in ScaleSpec /
+    * BudgetScaleProbe. */
   private def crawlChainSql(docWhere: String): String =
     s"""WITH pages AS (SELECT doc_id, source,
        |  '<html><!-- crawl & chrome --><head><title>T' || doc_id::VARCHAR
@@ -3582,12 +3588,14 @@ object SparkEntry {
     * (doc_id → n_bpe, all_toks), keeps `toks_t` visible. */
   private def bpeByteReplaySql: String = {
     val pat = graft.ops.TextOps.PreTokenPattern.replace("'", "''")
+    val probe = graft.ops.TextOps.PreTokenProbe.replace("'", "''")
     val mv = graft.ops.TextOps.BpeByteGateMerges.zipWithIndex
       .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
     val m = graft.ops.TextOps.BpeByteGateMerges.size
     s"""WITH RECURSIVE mg(rank, x, y) AS (VALUES $mv),
        |toks_t AS (SELECT doc_id, list_transform(
-       |    regexp_extract_all(regexp_replace(text, '[^ -~]|\\|', '', 'g'),
+       |    regexp_extract_all(
+       |      regexp_replace(text || '$probe', '[^ -~]|\\|', '', 'g'),
        |      '$pat', 0), t -> replace(t, ' ', 'Ġ')) AS toks
        |  FROM documents),
        |wt AS (SELECT doc_id, toks[i] AS word, i AS ord
@@ -4257,9 +4265,10 @@ object SparkEntry {
     // the composed crawl front door: the SAME page synthesis as the
     // Spark gate, then the full extract → normalize → boilerplate →
     // langId-route → Gopher-gate → PII → exact+near dedup chain
-    // (CrawlChainSql, shared with q_crawl_funnel).
+    // (crawlChainSql, shared with q_crawl_funnel — complementary half
+    // slices, see the Spark gate comment).
     "q_crawl_clean" ->
-      (CrawlChainSql + "\nSELECT doc_id, lang, text FROM fin"),
+      (crawlChainSql("doc_id % 2 = 1") + "\nSELECT doc_id, lang, text FROM fin"),
 
     // the whole-chain observability twin: per source, pages surviving
     // each successive gate (keepl = language-routed, gated = Gopher
@@ -4476,8 +4485,10 @@ object SparkEntry {
 
     "q_pretokenize" -> {
       val pat = graft.ops.TextOps.PreTokenPattern.replace("'", "''")
+      val probe = graft.ops.TextOps.PreTokenProbe.replace("'", "''")
       s"""WITH p AS (SELECT doc_id,
-         |    regexp_extract_all(text, '$pat', 0) AS pt FROM documents)
+         |    regexp_extract_all(text || '$probe', '$pat', 0) AS pt
+         |  FROM documents)
          |SELECT doc_id, len(pt)::INT AS n_pretoks,
          |  len(list_filter(pt, t ->
          |    regexp_matches(t, '^[ \\t\\r\\n\\f]+$$')))::INT AS n_ws_runs,

@@ -1348,9 +1348,22 @@ object TextOps {
    * the engine skew).
    */
   val PreTokenPattern: String = {
-    val ws = "[ \\t\\r\\n\\f]"
-    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|$ws+"
+    // Interpolate the CHARACTERS, not a bracketed class: RE2 treats a
+    // nested '[' inside a class as a literal and closes at the first
+    // ']', so "[^[ \t\r\n\f]\p{L}\p{N}]" silently drops punctuation
+    // pre-tokens in DuckDB while Java parses it as a class union.
+    val wsChars = " \\t\\r\\n\\f"
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$wsChars\\p{L}\\p{N}]+|[$wsChars]+"
   }
+
+  /** Deterministic punctuated probe the pre-tokenizer gates append to
+    * every document: the synthetic corpus is punctuation-free, so
+    * without it the punctuation alternative of [[PreTokenPattern]]
+    * (and the `'t`-contraction one) would never be exercised by the
+    * cross-engine oracle and the Java-vs-RE2 contract would be
+    * vacuous. ASCII-only and '|'-free so it survives the byte-level
+    * gates' projection. */
+  val PreTokenProbe: String = " Hello, world!! (don't #42); e.g. $3.50?"
 
   /** Unicode NFKC normalization ([[graft.functions.NfkcNormalize]]) —
     * the compatibility fold real tokenizers apply before BPE

@@ -285,13 +285,28 @@ object Tables {
       .localCheckpoint()
     val keptCells = survivors.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSet
-    survivors.write.format("parquet").mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").save(dataPath)
+    // Crash-safety ordering (GDPR-style deletion must not silently
+    // retain rows): delete the fully-emptied cell directories FIRST —
+    // they hold only removed rows (no survivors), so a crash after the
+    // deletes but before the overwrite leaves extra-removed data that a
+    // re-run restores nothing of and the retained-affected cells still
+    // carry their rows for the idempotent re-run. The survivors frame
+    // is already materialized (eager localCheckpoint), so it does not
+    // re-read the deleted files.
     val fs = new org.apache.hadoop.fs.Path(dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.filterNot(keptCells).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dataPath/cell=$c"), true)
     }
+    survivors.write.format("parquet").mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").save(dataPath)
+    // Fail-loud post-condition: no removed id may remain on disk. A
+    // lost-update anywhere above must surface here, not as a silent
+    // gap discovered by the next audit.
+    val remaining = spark.read.parquet(dataPath)
+      .join(rm, Seq("vec_id"), "left_semi").count()
+    require(remaining == 0L,
+      s"removal incomplete: $remaining removed ids remain under $dataPath")
   }
 }

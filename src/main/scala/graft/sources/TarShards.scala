@@ -51,9 +51,10 @@ object TarShards {
     h ++ data ++ new Array[Byte](pad)
   }
 
-  /** Spec-side ustar parse: (name, data) members, checksum-verified,
-    * stopping at the end-of-archive zero blocks. Fails loudly on a
-    * corrupt header or truncated member — the codec-seam contract. */
+  /** ustar parse: (name, data) members, checksum-verified, stopping at
+    * the end-of-archive zero blocks. Fails loudly on a corrupt header
+    * or truncated member — the codec-seam contract. Backs [[read]]
+    * (and the write→system-tar round-trip specs). */
   private[graft] def parseTar(bytes: Array[Byte]): Vector[(String, Array[Byte])] = {
     val out = Vector.newBuilder[(String, Array[Byte])]
     var o = 0
@@ -80,6 +81,37 @@ object TarShards {
   }
 
   /**
+   * INGEST an existing WebDataset-style shard set (r19, the round-trip
+   * consumer side [[write]] was missing): every `*.tar` under `path`
+   * parses into one row per member — (path, key, ext, payload,
+   * n_bytes), key/ext split on the member name's LAST dot (WebDataset
+   * keys may themselves contain dots). Same scale shape as every
+   * archive reader here: the parallel unit is the shard FILE via
+   * `binaryFile` (WebDataset shards are conventionally ≤ ~1 GB, under
+   * binaryFile's 2 GB ceiling), parsing is per-partition, nothing
+   * shuffles until the caller's first exchange. Corrupt headers and
+   * truncated members fail loudly (checksum-verified ustar framing).
+   */
+  def read(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, raw) =>
+        parseTar(raw).map { case (name, data) =>
+          val di = name.lastIndexOf('.')
+          val (key, ext) =
+            if (di > 0) (name.substring(0, di), name.substring(di + 1))
+            else (name, "")
+          (p, key, ext, data)
+        }
+      }
+      .toDF("path", "key", "ext", "payload")
+      .withColumn("n_bytes", length(col("payload")))
+  }
+
+  /**
    * Write `df` as `nShards` tar files under `path`: each row becomes
    * member `<key>.<ext>` of `shard-%05d.tar` chosen by `shardCol`
    * (must be an int in [0, nShards)). Within a shard, members are
@@ -99,35 +131,38 @@ object TarShards {
         col(keyCol).cast("string").as("key"),
         col(payloadCol).cast("binary").as("payload"))
       .filter(col("shard").isNotNull && col("key").isNotNull)
-    // exact routing: shard id IS the partition id; sortWithinPartitions
-    // via the RDD sort inside each task keeps shard bytes deterministic
+    // exact routing: shard id IS the partition id, and the shuffle
+    // SORTS by (shard, key) on the way in (repartitionAndSortWithin-
+    // Partitions) so each task streams entries to the tar file one
+    // payload at a time — peak memory is ONE member's payload, never
+    // the whole shard.
     val routed = rows.rdd
-      .map(r => (r.getInt(0), (r.getString(1), r.getAs[Array[Byte]]("payload"))))
-      .partitionBy(new org.apache.spark.Partitioner {
+      .map(r => ((r.getInt(0), r.getString(1)),
+        r.getAs[Array[Byte]]("payload")))
+      .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
         def numPartitions: Int = nShards
         def getPartition(key: Any): Int = {
-          val s = key.asInstanceOf[Int]
+          val s = key.asInstanceOf[(Int, String)]._1
           require(s >= 0 && s < nShards,
             s"shard id $s outside [0, $nShards)")
           s
         }
       })
     routed.foreachPartition { it =>
-      val entries = it.toVector.sortBy(_._2._1)
-      if (entries.nonEmpty) {
-        val shard = entries.head._1
-        val p = new org.apache.hadoop.fs.Path(
-          path, f"shard-$shard%05d.tar")
-        val fs = p.getFileSystem(conf.value)
-        val outStream = fs.create(p, true)
-        try {
-          entries.foreach { case (_, (key, payload)) =>
-            outStream.write(tarEntry(s"$key.$ext",
-              Option(payload).getOrElse(Array.emptyByteArray)))
+      var outStream: org.apache.hadoop.fs.FSDataOutputStream = null
+      try {
+        it.foreach { case ((shard, key), payload) =>
+          if (outStream == null) {
+            val p = new org.apache.hadoop.fs.Path(
+              path, f"shard-$shard%05d.tar")
+            outStream = p.getFileSystem(conf.value).create(p, true)
           }
+          outStream.write(tarEntry(s"$key.$ext",
+            Option(payload).getOrElse(Array.emptyByteArray)))
+        }
+        if (outStream != null)
           outStream.write(new Array[Byte](1024)) // end-of-archive blocks
-        } finally outStream.close()
-      }
+      } finally if (outStream != null) outStream.close()
     }
   }
 }

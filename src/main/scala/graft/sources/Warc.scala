@@ -42,7 +42,13 @@ object Warc {
       recordId: String, content: Array[Byte])
 
   /** Decompress a (possibly multi-member) gzip byte array; pass
-    * non-gzip bytes through untouched (plain .warc / .wet files). */
+    * non-gzip bytes through untouched (plain .warc / .wet files).
+    * TEST/SMALL-FILE helper only: this materializes the whole
+    * decompressed file, which for a real ~1 GB CommonCrawl segment
+    * (3-5 GB decompressed) would blow the 2 GB JVM array limit — the
+    * production read path goes through [[recordStream]], which parses
+    * records incrementally off the GZIPInputStream and never holds
+    * more than one record's payload. */
   private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 ||
         (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return bytes
@@ -59,63 +65,120 @@ object Warc {
   /** Parse the records of one (decompressed) WARC/WET file. Fails
     * loudly on framing violations: a missing version line, a header
     * block without Content-Length, or a block that runs past the end
-    * of the file (truncation). */
-  private[graft] def parseWarc(bytes: Array[Byte]): Vector[WarcRecord] = {
-    val out = Vector.newBuilder[WarcRecord]
-    var o = 0
-    def lineEnd(from: Int): Int = {
-      var i = from
-      while (i < bytes.length && bytes(i) != '\n') i += 1
-      i
-    }
-    def lineAt(from: Int): (String, Int) = {
-      val e = lineEnd(from)
-      val raw = new String(bytes, from, e - from,
-        java.nio.charset.StandardCharsets.UTF_8)
-      (raw.stripSuffix("\r"), math.min(e + 1, bytes.length))
-    }
-    // skip any trailing CRLF runs between records
-    def skipBlank(from: Int): Int = {
-      var i = from
-      while (i < bytes.length && (bytes(i) == '\r' || bytes(i) == '\n')) i += 1
-      i
-    }
-    o = skipBlank(o)
-    while (o < bytes.length) {
-      val (version, afterV) = lineAt(o)
-      require(version.startsWith("WARC/"),
-        s"not a WARC record boundary at byte $o: got '${version.take(40)}'")
-      var p = afterV
-      val headers = scala.collection.mutable.Map[String, String]()
-      var done = false
-      while (!done) {
-        require(p < bytes.length, s"truncated WARC header block at byte $p")
-        val (l, np) = lineAt(p)
-        p = np
-        if (l.isEmpty) done = true
-        else {
-          val ci = l.indexOf(':')
-          require(ci > 0, s"malformed WARC header line: '${l.take(60)}'")
-          headers(l.substring(0, ci).trim.toLowerCase) =
-            l.substring(ci + 1).trim
-        }
-      }
-      val len = headers.getOrElse("content-length",
-        sys.error(s"WARC record at byte $o has no Content-Length")).toInt
-      require(len >= 0 && p + len <= bytes.length,
-        s"truncated WARC record at byte $o: Content-Length $len exceeds " +
-          s"file (${bytes.length - p} bytes remain)")
-      out += WarcRecord(
-        recordType = headers.getOrElse("warc-type", ""),
-        url = headers.getOrElse("warc-target-uri", ""),
-        date = headers.getOrElse("warc-date", ""),
-        contentType = headers.getOrElse("content-type", ""),
-        recordId = headers.getOrElse("warc-record-id", ""),
-        content = java.util.Arrays.copyOfRange(bytes, p, p + len))
-      o = skipBlank(p + len)
-    }
-    out.result()
+    * of the file (truncation). Materializing wrapper over
+    * [[parseWarcStream]] for tests and small inputs. */
+  private[graft] def parseWarc(bytes: Array[Byte]): Vector[WarcRecord] =
+    parseWarcStream(new java.io.ByteArrayInputStream(bytes)).toVector
+
+  /** All records of one WARC/WET file from its RAW (possibly
+    * gzip-compressed) bytes, decompressed and parsed INCREMENTALLY:
+    * the WARC framing is sequential and Content-Length-delimited, so
+    * records come straight off the GZIPInputStream one at a time and
+    * peak memory is one record's payload — a ~1 GB .warc.gz segment
+    * that decompresses to 3-5 GB (past the 2 GB JVM array limit)
+    * streams through without ever existing as one array. */
+  private[graft] def recordStream(raw: Array[Byte]): Iterator[WarcRecord] = {
+    val base = new java.io.ByteArrayInputStream(raw)
+    val in: java.io.InputStream =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        new java.util.zip.GZIPInputStream(base, 1 << 16)
+      else base
+    parseWarcStream(in)
   }
+
+  /** Streaming WARC parser: one record at a time off `in0`, fail-loud
+    * framing identical to the old whole-array parser (byte offsets in
+    * messages are DECOMPRESSED-stream offsets). */
+  private[graft] def parseWarcStream(
+      in0: java.io.InputStream): Iterator[WarcRecord] =
+    new scala.collection.AbstractIterator[WarcRecord] {
+      private val in = new java.io.BufferedInputStream(in0, 1 << 16)
+      private var pos = 0L
+      private var nextRec: WarcRecord = _
+      private var finished = false
+      private var primed = false
+
+      // One header line as raw bytes (UTF-8 URLs survive), '\n'
+      // consumed, CR stripped by the caller; null at clean EOF.
+      private def readLineBytes(): Array[Byte] = {
+        var c = in.read()
+        if (c < 0) return null
+        val bo = new java.io.ByteArrayOutputStream(96)
+        while (c >= 0 && c != '\n') { bo.write(c); pos += 1; c = in.read() }
+        if (c >= 0) pos += 1
+        bo.toByteArray
+      }
+      private def line(lb: Array[Byte]): String =
+        new String(lb, java.nio.charset.StandardCharsets.UTF_8)
+          .stripSuffix("\r")
+
+      private def advance(): Unit = {
+        primed = true
+        // skip the CRLF CRLF separator runs between records
+        var version: String = null
+        var scanning = true
+        var startPos = pos
+        while (scanning) {
+          startPos = pos
+          val lb = readLineBytes()
+          if (lb == null) { finished = true; scanning = false }
+          else {
+            val l = line(lb)
+            if (l.nonEmpty) { version = l; scanning = false }
+          }
+        }
+        if (finished) { nextRec = null; return }
+        require(version.startsWith("WARC/"),
+          s"not a WARC record boundary at byte $startPos: " +
+            s"got '${version.take(40)}'")
+        val headers = scala.collection.mutable.Map[String, String]()
+        var done = false
+        while (!done) {
+          val lb = readLineBytes()
+          require(lb != null, s"truncated WARC header block at byte $pos")
+          val l = line(lb)
+          if (l.isEmpty) done = true
+          else {
+            val ci = l.indexOf(':')
+            require(ci > 0, s"malformed WARC header line: '${l.take(60)}'")
+            headers(l.substring(0, ci).trim.toLowerCase) =
+              l.substring(ci + 1).trim
+          }
+        }
+        val len = headers.getOrElse("content-length",
+          sys.error(s"WARC record at byte $startPos has no Content-Length"))
+          .toInt
+        require(len >= 0,
+          s"negative Content-Length $len at byte $startPos")
+        val body = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val n = in.read(body, off, len - off)
+          require(n >= 0,
+            s"truncated WARC record at byte $startPos: Content-Length " +
+              s"$len exceeds file ($off bytes remain)")
+          off += n; pos += n
+        }
+        nextRec = WarcRecord(
+          recordType = headers.getOrElse("warc-type", ""),
+          url = headers.getOrElse("warc-target-uri", ""),
+          date = headers.getOrElse("warc-date", ""),
+          contentType = headers.getOrElse("content-type", ""),
+          recordId = headers.getOrElse("warc-record-id", ""),
+          content = body)
+      }
+
+      def hasNext: Boolean = {
+        if (!primed) advance()
+        nextRec != null
+      }
+      def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+        val r = nextRec
+        advance()
+        r
+      }
+    }
 
   /** For `response` records the block is an HTTP message: strip the
     * status line + headers (terminated by a blank line) to the entity
@@ -170,7 +233,7 @@ object Warc {
     import spark.implicits._
     val parsed = files.select(col("path"), col("content"))
       .as[(String, Array[Byte])].flatMap { case (p, raw) =>
-        parseWarc(gunzipAll(raw)).map { r =>
+        recordStream(raw).map { r =>
           (p, r.recordType, r.url, r.date,
             Option(r.contentType).getOrElse(""), r.recordId,
             httpBody(r))
@@ -257,13 +320,23 @@ object Warc {
             f"wet-$part%05d.warc.gz")
           val fs = p.getFileSystem(conf.value)
           val outStream = fs.create(p, true)
+          // close() (not just finish()) each per-record gzip member so
+          // its native Deflater is end()ed immediately — finish() alone
+          // leaves zlib memory to the GC Cleaner, which exhausts native
+          // memory at millions of records per task. The close must not
+          // reach the shared file stream, hence the suppressing shim.
+          val noClose = new java.io.FilterOutputStream(outStream) {
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              out.write(b, off, len)
+            override def close(): Unit = flush()
+          }
           try it.foreach { r =>
             val rec = buildRecord("conversion", r.getString(0),
               r.getString(2), "text/plain",
               r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val g = new java.util.zip.GZIPOutputStream(outStream, 1 << 16)
+            val g = new java.util.zip.GZIPOutputStream(noClose, 1 << 16)
             g.write(rec)
-            g.finish() // one gzip MEMBER per record; keep the stream open
+            g.close() // one gzip MEMBER per record; ends the Deflater
           } finally outStream.close()
         }
       }
