@@ -116,6 +116,30 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String) =
     Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
 
+  /** The synthesized linked pages the q_link_graph gate runs on — a
+    * deterministic (url, html) frame whose hrefs exercise every
+    * resolution rule of [[TextOps.linkGraph]]; the DuckDB side
+    * synthesizes the SAME strings. */
+  private def linkPages(s: SparkSession, dir: String) =
+    docs(s, dir).select(
+      concat(lit("https://"), col("source"), lit(".site.org/doc/"),
+        col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><body><a href=\"https://"), col("source"),
+        lit(".example.org/p"), (col("doc_id") % 7).cast("string"),
+        lit("\">x</a>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p>see <a href='/local/page'>here</a></p>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<A HREF=\"HTTPS://Mirror."), upper(col("source")),
+            lit(".ORG:443/z\">m</a>"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("<a href=\"mailto:a@ex.org\">mail</a>" +
+            "<a href=\"//cdn.shared.net/lib.js\">cdn</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── reference surface ───────────────────────────────────────────────
     "q_mode_string" -> ((s, dir) =>
@@ -3040,6 +3064,27 @@ object SparkEntry {
       // one per host per wave), n_queue = the hot-host diagnostic
       TextOps.crawlSchedule(synthUrls(s, dir), "doc_id", "url", "n_chars")),
 
+    "q_link_graph" -> ((s, dir) =>
+      // the REAL crawl link graph (r19): WAT-style href extraction →
+      // host-level (src, dst, n_links) edges, over pages synthesized
+      // identically by both engines. The splices decide every
+      // resolution rule on real rows: an absolute link on every page,
+      // a relative link (%3 → self-edge), a case/port variant (%5 —
+      // host lowercased, :443 excluded by the host pattern), a mailto:
+      // (dropped) + a protocol-relative //cdn link (%4).
+      TextOps.linkGraph(linkPages(s, dir), "url", "html")),
+
+    "q_link_pagerank" -> ((s, dir) =>
+      // host centrality over the REAL link graph (r19): the same
+      // integer-exact PageRank as q_pagerank, fed by linkGraph's edge
+      // frame keyed by host STRINGS — what a crawl-ops user actually
+      // ranks hosts with
+      graft.ops.Graph.pageRank(
+        TextOps.linkGraph(linkPages(s, dir), "url", "html")
+          .select(col("src_host").as("id1"), col("dst_host").as("id2")),
+        iters = 5)
+        .select(col("doc_id").as("host"), col("rank_micro"))),
+
     "q_crawl_allow" -> ((s, dir) => {
       // robots-style allow/deny over the shared frontier: even-numbered
       // hosts carry a rule ladder — '/' allow, '/e' deny, '/en' allow,
@@ -3175,6 +3220,40 @@ object SparkEntry {
   private val QSketchW = (QSketchHi - QSketchLo) / QSketchBins // 107.421875 (dyadic)
 
   // ── DuckDB oracle mirrors ─────────────────────────────────────────────
+
+  /** The synthesized-page link-edge CTEs shared by q_link_graph /
+    * q_link_pagerank: the SQL twin of [[linkPages]] +
+    * [[graft.ops.TextOps.linkGraph]]'s resolution rules, ending at
+    * CTE `edges` (src_host, dst_host — pre-aggregation). */
+  private lazy val LinkEdgesSql: String = {
+    val href = graft.ops.TextOps.HrefPattern.replace("'", "''")
+    s"""WITH pages AS (SELECT
+       |    'https://' || source || '.site.org/doc/' || doc_id::VARCHAR AS url,
+       |    '<html><body><a href="https://' || source || '.example.org/p'
+       |      || (doc_id % 7)::VARCHAR || '">x</a>'
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN '<p>see <a href=''/local/page''>here</a></p>' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN '<A HREF="HTTPS://Mirror.' || upper(source) || '.ORG:443/z">m</a>' ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0
+       |         THEN '<a href="mailto:a@ex.org">mail</a><a href="//cdn.shared.net/lib.js">cdn</a>' ELSE '' END
+       |    || '</body></html>' AS html
+       |  FROM documents),
+       |hrefs AS (SELECT
+       |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS src_host,
+       |    unnest(regexp_extract_all(html, '$href', 1)) AS href
+       |  FROM pages),
+       |edges AS (SELECT src_host,
+       |    CASE WHEN regexp_matches(href, '(?i)^https?://')
+       |      THEN lower(regexp_extract(href,
+       |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+       |    WHEN regexp_matches(href, '^//')
+       |      THEN lower(regexp_extract(href, '^//([^/:?#]+)', 1))
+       |    WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+       |    ELSE src_host END AS dst_host
+       |  FROM hrefs WHERE src_host <> '')
+       |""".stripMargin
+  }
 
   /** hex char → value, as DuckDB SQL. */
   private def hexv(c: String) = s"(strpos('0123456789abcdef', $c) - 1)"
@@ -7905,6 +7984,36 @@ object SparkEntry {
         |    ORDER BY priority DESC, canonical_url ASC, req_id ASC) AS wave,
         |  count(*) OVER (PARTITION BY host) AS n_queue
         |FROM h""".stripMargin),
+
+    // the real crawl link graph: the SAME page synthesis, href regex
+    // and host-resolution rules as the Spark gate (HrefPattern is the
+    // ONE shared constant)
+    "q_link_graph" ->
+      (LinkEdgesSql +
+        """SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+          |FROM edges WHERE dst_host IS NOT NULL AND dst_host <> ''
+          |GROUP BY 1, 2""".stripMargin),
+
+    // host centrality over the real link graph: the q_pagerank
+    // integer-exact replay, keyed by host STRINGS (no id mapping to
+    // drift between engines)
+    "q_link_pagerank" ->
+      (LinkEdgesSql.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
+        """,
+          |ed AS (SELECT DISTINCT src_host, dst_host FROM edges
+          |  WHERE dst_host IS NOT NULL AND dst_host <> ''),
+          |e AS (SELECT DISTINCT * FROM (
+          |  SELECT src_host AS src, dst_host AS dst FROM ed
+          |  UNION ALL SELECT dst_host, src_host FROM ed)),
+          |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          |pr(iter, host, r) AS (
+          |  SELECT 0, src, 1000000::BIGINT FROM dg
+          |  UNION ALL
+          |  SELECT pr.iter + 1, e.dst, 150000 + sum((pr.r * 17) // (20 * dg.deg))
+          |  FROM pr JOIN e ON pr.host = e.src JOIN dg ON pr.host = dg.src
+          |  WHERE pr.iter < 5
+          |  GROUP BY pr.iter, e.dst)
+          |SELECT host, r AS rank_micro FROM pr WHERE iter = 5""".stripMargin),
 
     // robots-style allow/deny: longest matching prefix wins, ties ->
     // allow, no rule -> allowed

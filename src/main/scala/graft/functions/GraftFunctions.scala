@@ -328,7 +328,9 @@ object GraftFunctions {
       "graft_canonical_url" -> (TextOps.canonicalUrl(_)),
       // the r18 byte-level tokenizer family
       "graft_pretokenize" -> (TextOps.preTokenize(_)),
-      "graft_byte_units" -> (c => TextOps.byteLevelUnits(TextOps.preTokenize(c)))
+      "graft_byte_units" -> (c => TextOps.byteLevelUnits(TextOps.preTokenize(c))),
+      // the r19 link-graph family
+      "graft_extract_hrefs" -> (TextOps.extractHrefs(_))
     )
     fns.foreach { case (name, f) =>
       ColumnBridge.registerFunction(spark, name, unaryCol(name, f))

@@ -2207,6 +2207,58 @@ object TextOps {
         round(col("ksn").cast("double") / col("den").cast("double"), 6).as("ks"))
   }
 
+  /** href-attribute values of an HTML page, in document order — the
+    * WAT-style link-extraction primitive (r19). ONE regex constant
+    * shared verbatim with the DuckDB oracle (no lookahead, no
+    * backreference — runs identically on Java regex and RE2); accepts
+    * either quote style. */
+  val HrefPattern: String = "(?i)href\\s*=\\s*[\"']([^\"']+)[\"']"
+
+  def extractHrefs(html: Column): Column =
+    call_function("regexp_extract_all", html, lit(HrefPattern), lit(1))
+
+  /**
+   * The REAL crawl link graph (r19, r16-verdict task #6): pages
+   * (url, html) → (src_host, dst_host, n_links) host-level edges —
+   * what [[graft.ops.Graph.pageRank]] / kCore actually rank a crawl
+   * with (the WAT sidecar of a WARC capture, computed straight from
+   * [[graft.sources.Warc.readWarc]] response records). Resolution
+   * rules, each the deterministic twin of its oracle fragment:
+   * absolute http(s) links take their own host (lowercased, port
+   * excluded); protocol-relative `//host/...` likewise; other schemes
+   * (mailto:, javascript:, ftp:) are dropped; everything else is a
+   * relative link — a self-edge to the source host. Pages without a
+   * parseable source host are dropped.
+   *
+   * Scale shape: href extraction + host resolution are per-row regex
+   * work fused into the scan; the ONLY exchange is the final
+   * groupBy(src_host, dst_host) — a partial-aggregated (map-side
+   * combined) shuffle of host-pair rows, never the page payloads. At
+   * 100 TB the html never moves: edges leave the scan stage already
+   * reduced to (host, host) pairs.
+   */
+  def linkGraph(pages: org.apache.spark.sql.DataFrame, urlCol: String,
+      htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val srcHost =
+      lower(regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/:?#]+)", 1))
+    val exploded = pages
+      .select(srcHost.as("src_host"),
+        explode(extractHrefs(col(htmlCol))).as("href"))
+      .filter(col("src_host") =!= "")
+    val absHost = lower(
+      regexp_extract(col("href"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    val protoRelHost = lower(regexp_extract(col("href"), "^//([^/:?#]+)", 1))
+    val dst = when(col("href").rlike("(?i)^https?://"), absHost)
+      .when(col("href").rlike("^//"), protoRelHost)
+      .when(col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(null))
+      .otherwise(col("src_host"))
+    exploded
+      .select(col("src_host"), dst.as("dst_host"))
+      .filter(col("dst_host").isNotNull && col("dst_host") =!= "")
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   def urlParts(url: Column): Seq[Column] = {
     def part(re: String, as: String) =
       nullif(regexp_extract(url, re, 1), lit("")).as(as)

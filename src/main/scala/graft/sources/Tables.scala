@@ -309,4 +309,112 @@ object Tables {
     require(remaining == 0L,
       s"removal incomplete: $remaining removed ids remain under $dataPath")
   }
+
+  // ── automated retrain-and-swap (r19, closing the r16 verdict's #7):
+  // ivfCellDrift is the TRIGGER; this is the ACTION — a VERSIONED
+  // IVFADC store (each version a full writeIvfPqIndex layout under
+  // <path>/v<n>) with an atomic manifest pointer, and a maintenance
+  // pass that retrains + re-encodes + commits a new version ONLY when
+  // drift exceeds the threshold. Searches in flight keep reading the
+  // version they resolved; new searches resolve the new pointer — the
+  // swap is one marker-file rename, never an in-place rewrite. ────────
+
+  /** One maintenance pass's outcome: the version now current, whether
+    * this pass retrained, and the drift that decided it. */
+  final case class IvfMaintenance(
+      version: Int, retrained: Boolean, maxLoadRatio: Double)
+
+  private def manifestDir(path: String) = s"$path/_manifests"
+  private val ManifestName = "manifest-([0-9]+)".r
+
+  /** Current committed version of a versioned IVFADC store: the max n
+    * among `_manifests/manifest-<n>` marker files. Each marker is
+    * committed by write-tmp-then-RENAME (rename to a fresh name is
+    * atomic on HDFS and local FS), so a reader never resolves a half
+    * commit; a crash mid-build leaves an orphan v<n> directory that no
+    * marker points to — garbage, not corruption. None = uninitialized. */
+  def currentIvfPqVersion(spark: SparkSession, path: String): Option[Int] = {
+    val md = new org.apache.hadoop.fs.Path(manifestDir(path))
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(md)) return None
+    val vs = fs.listStatus(md).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(n) => n.toInt
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Resolve the current version's store directory — feed it to
+    * [[readIvfPqIndex]] / [[graft.ops.Similarity.annIvfPqSearchOnDisk]]
+    * (the resolved path stays valid for the whole query even if a
+    * maintenance pass swaps the pointer mid-flight). */
+  def currentIvfPqPath(spark: SparkSession, path: String): String =
+    s"$path/v${currentIvfPqVersion(spark, path).getOrElse(
+      sys.error(s"no committed index version under $path"))}"
+
+  /** Write (codes, refit, codebooks) as the NEXT version of the
+    * versioned store and atomically swap the pointer to it. Returns
+    * the committed version number. */
+  def commitIvfPqVersion(spark: SparkSession, codes: DataFrame,
+      refit: DataFrame, codebooks: DataFrame, path: String): Int = {
+    val next = currentIvfPqVersion(spark, path).map(_ + 1).getOrElse(0)
+    writeIvfPqIndex(codes, refit, codebooks, s"$path/v$next")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(path)))
+    val tmp = new org.apache.hadoop.fs.Path(
+      manifestDir(path), s".manifest-$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v$next\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(manifestDir(path), s"manifest-$next")),
+      s"manifest commit rename failed for version $next under $path")
+    next
+  }
+
+  /**
+   * The automated RETRAIN-AND-SWAP pass: measure cell drift on the
+   * CURRENT version's codes ([[graft.ops.Similarity.ivfCellDrift]] —
+   * a count aggregation over the partition column); if max load_ratio
+   * ≤ `driftThreshold`, do NOTHING (the committed store stays
+   * bit-unchanged — spec-pinned); otherwise retrain quantizer +
+   * codebooks from `emb` (the CURRENT full corpus — PQ codes are
+   * lossy, so source vectors are the rebuild input by contract),
+   * re-encode, commit as the next version, swap the pointer, and
+   * prune versions older than `keepVersions` (a grace window for
+   * in-flight readers). Run it from the ingest scheduler after each
+   * append batch; the threshold is the knob ivfCellDrift's report is
+   * denominated in (balanced = 1.0; a hot cell degrades toward a
+   * linear scan for queries routed there).
+   */
+  def maintainIvfPqIndex(spark: SparkSession, path: String, emb: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, kCodes: Int,
+      kCells: Int, driftThreshold: Double,
+      keepVersions: Int = 2): IvfMaintenance = {
+    require(driftThreshold >= 1.0,
+      s"driftThreshold is a load RATIO (balanced = 1.0), got $driftThreshold")
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val cur = currentIvfPqVersion(spark, path).getOrElse(
+      sys.error(s"no committed index version under $path — bootstrap with " +
+        "commitIvfPqVersion(buildIvfPqIndex(...)) first"))
+    val (codes, _, _) = readIvfPqIndex(spark, s"$path/v$cur")
+    val maxRatio = graft.ops.Similarity.ivfCellDrift(codes)
+      .agg(org.apache.spark.sql.functions.max(col("load_ratio")))
+      .collect()(0).getDouble(0)
+    if (maxRatio <= driftThreshold)
+      IvfMaintenance(cur, retrained = false, maxRatio)
+    else {
+      val (c2, r2, b2) = graft.ops.Similarity.buildIvfPqIndex(
+        emb, idCol, vecCol, dim, m, kCodes, kCells)
+      val v = commitIvfPqVersion(spark, c2, r2, b2, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 to v - keepVersions).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$old"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          manifestDir(path), s"manifest-$old"), false)
+      }
+      IvfMaintenance(v, retrained = true, maxRatio)
+    }
+  }
 }

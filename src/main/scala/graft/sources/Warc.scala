@@ -270,6 +270,20 @@ object Warc {
         col("content").cast("string").as("html"),
         col("fetch_ts"))
 
+  /**
+   * Host-level link graph straight from WARC `response` records (r19)
+   * — the WAT sidecar computed inline: the capture's HTML bodies feed
+   * [[graft.ops.TextOps.linkGraph]] (href extraction + host
+   * resolution), yielding the (src_host, dst_host, n_links) edge frame
+   * [[graft.ops.Graph.pageRank]] / kCore rank a real crawl with.
+   * Payloads never shuffle — edges leave the scan stage as host pairs.
+   */
+  def linkGraph(records: DataFrame): DataFrame =
+    graft.ops.TextOps.linkGraph(
+      records.filter(col("record_type") === "response" && col("url") =!= "")
+        .select(col("url"), col("content").cast("string").as("html")),
+      "url", "html")
+
   /** Build one WARC record's bytes (the write-side of [[parseWarc]] —
     * shared framing so export and ingest can never drift). */
   private[graft] def buildRecord(recordType: String, url: String,

@@ -71,6 +71,172 @@ class Round19OpsSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  // ---- the real crawl link graph: WARC response records → edges ----
+
+  private def warcRec(typ: String, url: String, body: String): Array[Byte] = {
+    val payload =
+      (if (typ == "response")
+        s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      else body).getBytes("UTF-8")
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $typ\r\n"
+    if (url.nonEmpty) h ++= s"WARC-Target-URI: $url\r\n"
+    h ++= "WARC-Date: 2024-06-01T00:00:00Z\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:x-${math.abs(url.hashCode)}>\r\n"
+    h ++= s"Content-Length: ${payload.length}\r\n\r\n"
+    h.toString.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("Warc.linkGraph: response HTML → exact host edges, feeding pageRank") {
+    import graft.sources.Warc
+    val dir = tmpDir("warc-links")
+    try {
+      val bytes =
+        warcRec("response", "https://a.example.org/1",
+          """<html><a href="https://b.example.org/x">b</a>
+            |<a href='/rel'>self</a>
+            |<A HREF="HTTPS://B.Example.ORG:443/y">case</a>
+            |<a href="mailto:z@q.r">drop</a>
+            |<a href="//cdn.shared.net/l.js">cdn</a></html>""".stripMargin) ++
+        warcRec("response", "https://b.example.org/2",
+          """<a href="https://a.example.org/z">back</a>""") ++
+        warcRec("conversion", "https://c.example.org/3",
+          """<a href="https://a.example.org/never">not a response</a>""")
+      java.nio.file.Files.write(
+        new java.io.File(dir, "seg-0.warc").toPath, bytes)
+      val edges = Warc.linkGraph(Warc.readWarc(spark, dir.getAbsolutePath))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(edges == Map(
+        ("a.example.org", "b.example.org") -> 2L, // absolute + case/port
+        ("a.example.org", "a.example.org") -> 1L, // relative self-edge
+        ("a.example.org", "cdn.shared.net") -> 1L, // protocol-relative
+        ("b.example.org", "a.example.org") -> 1L),
+        "mailto: must drop; conversion records must not contribute")
+      // the edge frame feeds the graph ops directly: the bidirectionally
+      // linked hosts outrank the leaf under integer-exact PageRank
+      import org.apache.spark.sql.functions._
+      val idEdges = Warc.linkGraph(Warc.readWarc(spark, dir.getAbsolutePath))
+        .filter(col("src_host") =!= col("dst_host"))
+        .select(
+          abs(hash(col("src_host"))).cast("long").as("id1"),
+          abs(hash(col("dst_host"))).cast("long").as("id2"))
+      val ranks = graft.ops.Graph.pageRank(idEdges, iters = 3).collect()
+      assert(ranks.length == 3)
+      // the extraction primitive is registered for pure-SQL users
+      graft.functions.GraftFunctions.registerAll(spark)
+      val viaSql = spark.sql(
+        """SELECT graft_extract_hrefs(
+          |  '<a href="https://x.org/a">x</a> <a href=\'/b\'>y</a>') AS h"""
+          .stripMargin).collect()(0).getSeq[String](0)
+      assert(viaSql == Seq("https://x.org/a", "/b"))
+    } finally rm(dir)
+  }
+
+  // ---- automated IVF retrain-and-swap over the versioned store ----
+
+  private def embFrame19(ids: Range): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val r = new scala.util.Random(i * 7919 + 13)
+      (i.toLong, Array.fill(16)((r.nextDouble() - 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Concentrated batch near one direction — the drift injector. */
+  private def shiftedFrame(ids: Range): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val r = new scala.util.Random(i * 104729 + 7)
+      val v = Array.tabulate(16)(d =>
+        (if (d == 0) 1.0f else 0.0f) + (r.nextDouble() - 0.5).toFloat * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def filesHash(dir: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+      else if (!f.getName.endsWith(".crc")) {
+        md.update(f.getName.getBytes("UTF-8"))
+        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+      }
+    }
+    walk(dir)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  test("maintainIvfPqIndex: below-threshold is a bit-exact no-op; drift retrains, swaps atomically, recall holds") {
+    import graft.ops.Similarity
+    import graft.sources.Tables
+    val dir = tmpDir("ivfpq-vstore")
+    val store = new java.io.File(dir, "idx").getAbsolutePath
+    try {
+      val base = embFrame19(0 until 240)
+      val (c0, r0, b0) =
+        Similarity.buildIvfPqIndex(base, "vec_id", "embedding", 16, 4, 16, 8)
+      assert(Tables.currentIvfPqVersion(spark, store).isEmpty)
+      val v0 = Tables.commitIvfPqVersion(spark, c0, r0, b0, store)
+      assert(v0 == 0)
+      assert(Tables.currentIvfPqPath(spark, store).endsWith("/v0"))
+
+      // drift below threshold: nothing moves, the store is bit-unchanged
+      val before = filesHash(new java.io.File(dir, "idx/v0"))
+      val rep0 = Tables.maintainIvfPqIndex(spark, store, base,
+        "vec_id", "embedding", 16, 4, 16, 8, driftThreshold = 100.0)
+      assert(!rep0.retrained && rep0.version == 0)
+      assert(filesHash(new java.io.File(dir, "idx/v0")) == before,
+        "a no-op maintenance pass must leave the store bit-unchanged")
+
+      // inject drift: a concentrated batch lands in the hot cell(s)
+      val shifted = shiftedFrame(240 until 440)
+      Tables.appendToIvfPqIndex(spark, s"$store/v0", shifted,
+        "vec_id", "embedding", 16, 4)
+      val all = base.union(shifted)
+      val rep1 = Tables.maintainIvfPqIndex(spark, store, all,
+        "vec_id", "embedding", 16, 4, 16, 8, driftThreshold = 2.0)
+      assert(rep1.retrained && rep1.version == 1,
+        s"drift ${rep1.maxLoadRatio} must trigger a retrain")
+      assert(rep1.maxLoadRatio > 2.0)
+      assert(Tables.currentIvfPqPath(spark, store).endsWith("/v1"),
+        "the pointer must swap to the rebuilt version")
+      // the rebuild actually rebalanced the cells
+      val (c1, _, _) = Tables.readIvfPqIndex(spark, s"$store/v1")
+      val newMax = Similarity.ivfCellDrift(c1)
+        .agg(org.apache.spark.sql.functions.max(col("load_ratio")))
+        .collect()(0).getDouble(0)
+      assert(newMax < rep1.maxLoadRatio,
+        s"rebuilt store must be less skewed: $newMax vs ${rep1.maxLoadRatio}")
+
+      // recall on shifted-distribution queries: the retrained store
+      // must match or beat the frozen one against exact top-1
+      val prep = Similarity.prepared(all, "vec_id", "embedding")
+      val qPrep = prep.filter(col("vec_id") >= 430)
+      val unitQ = qPrep.filter(col("nrm") > 0)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("v"),
+            x => x / col("nrm")).as("v"))
+      val exact = Similarity.bruteForceTopK(prep, qPrep, 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def recall(path: String): Double = {
+        val got = Similarity.annIvfPqSearchOnDisk(spark, path, unitQ,
+          16, 4, nprobe = 4, topK = 1)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        exact.count { case (q, n) => got.get(q).contains(n) }.toDouble /
+          exact.size
+      }
+      val recallOld = recall(s"$store/v0")
+      val recallNew = recall(s"$store/v1")
+      assert(recallNew >= recallOld,
+        s"retrained recall $recallNew must be >= frozen recall $recallOld")
+
+      // old version stays for in-flight readers (keepVersions = 2)
+      assert(new java.io.File(dir, "idx/v0").exists())
+    } finally rm(dir)
+  }
+
   // ---- tokenizer artifact persistence + PUBLISHED-vocab parity ----
 
   // The first 7 merges of the published GPT-2 vocab.bpe (openai/gpt-2;
