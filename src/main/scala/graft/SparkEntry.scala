@@ -3085,6 +3085,54 @@ object SparkEntry {
         iters = 5)
         .select(col("doc_id").as("host"), col("rank_micro"))),
 
+    "q_anchor_text" -> ((s, dir) =>
+      // the anchor-text corpus (r19): what link text says about each
+      // TARGET host — same synthesized pages and host-resolution rules
+      // as q_link_graph; 'mail' vanishes with its mailto: target
+      TextOps.anchorTexts(linkPages(s, dir), "url", "html")),
+
+    "q_robots_parse" -> ((s, dir) => {
+      // distributed robots.txt parsing (r19): per host a deterministic
+      // REP body exercising comment stripping, the non-* agent block
+      // (excluded), empty-path no-ops (skipped), unknown keys
+      // (ignored), and an even-host-only extra rule
+      val robots = docs(s, dir)
+        .select(lower(col("source")).as("src")).distinct()
+        .select(concat(col("src"), lit(".example.org")).as("host"),
+          concat(
+            lit("# synthetic robots\nUser-agent: special-bot\n" +
+              "Disallow: /private\nUser-agent: *\n" +
+              "Disallow: /e # keep out\nAllow: /en\n"),
+            when(regexp_extract(col("src"), "src([0-9]+)", 1)
+              .cast("int") % 2 === 0, lit("Disallow: /tmp\n"))
+              .otherwise(lit("")),
+            lit("Disallow:\nCrawl-delay: 10\n")).as("body"))
+      TextOps.parseRobots(robots, "host", "body")
+    }),
+
+    "q_robots_allow" -> ((s, dir) => {
+      // the REAL-INPUT frontier-consent chain (r19): robots.txt TEXT →
+      // parseRobots → crawlAllowFilter over the shared synthesized
+      // frontier. The even-host bodies encode exactly q_crawl_allow's
+      // rule ladder, so the oracle replays the ladder as VALUES — the
+      // gate proves text-parse ∘ filter == the ladder end to end
+      // (longest-prefix, tie-break, default-allow, absent-robots arms
+      // all decided by parsed rules, not synthetic frames)
+      val robots = docs(s, dir)
+        .select(lower(col("source")).as("src")).distinct()
+        .select(concat(col("src"), lit(".example.org")).as("host"),
+          concat(
+            lit("# robots\nUser-agent: special-bot\nDisallow: /secret\n"),
+            when(regexp_extract(col("src"), "src([0-9]+)", 1)
+              .cast("int") % 2 === 0,
+              lit("User-agent: *\nAllow: /\nDisallow: /e # trap\n" +
+                "Allow: /en\nDisallow: /f\nAllow: /f\nDisallow:\n"))
+              .otherwise(lit("")),
+            lit("Crawl-delay: 7\n")).as("body"))
+      TextOps.crawlAllowFilter(synthUrls(s, dir), "doc_id", "url",
+        TextOps.parseRobots(robots, "host", "body"))
+    }),
+
     "q_crawl_allow" -> ((s, dir) => {
       // robots-style allow/deny over the shared frontier: even-numbered
       // hosts carry a rule ladder — '/' allow, '/e' deny, '/en' allow,
@@ -3254,6 +3302,34 @@ object SparkEntry {
        |  FROM hrefs WHERE src_host <> '')
        |""".stripMargin
   }
+
+  /** The robots-ladder frontier-consent replay shared by q_crawl_allow
+    * (synthetic rules frame) and q_robots_allow (rules PARSED from
+    * robots.txt text — the even-host bodies encode this exact ladder,
+    * so one oracle serves both and equality proves the parse). */
+  private lazy val CrawlAllowOracleSql: String =
+    "WITH " + UrlSynthCanonSql + """,
+      |hosts AS (SELECT DISTINCT lower(source) || '.example.org' AS host
+      |  FROM documents
+      |  WHERE TRY_CAST(regexp_extract(lower(source), 'src([0-9]+)', 1)
+      |    AS INT) % 2 = 0),
+      |rules AS (SELECT host, r.prefix, r.allow FROM hosts,
+      |  (VALUES ('/', true), ('/e', false), ('/en', true),
+      |          ('/f', false), ('/f', true)) AS r(prefix, allow)),
+      |f AS (SELECT c.doc_id AS req_id, c.canonical_url,
+      |    regexp_extract(c.canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+      |    coalesce(nullif(regexp_extract(c.canonical_url,
+      |      '^[a-z]+://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path
+      |  FROM cu_c c),
+      |mt AS (SELECT f.req_id, r.prefix, r.allow,
+      |    row_number() OVER (PARTITION BY f.req_id
+      |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix ASC) AS rn
+      |  FROM f JOIN rules r ON f.host = r.host
+      |    AND starts_with(f.path, r.prefix)),
+      |b AS (SELECT req_id, prefix AS rule_prefix, allow FROM mt WHERE rn = 1)
+      |SELECT f.req_id, f.canonical_url, f.host, f.path,
+      |  coalesce(b.allow, true) AS allowed, b.rule_prefix
+      |FROM f LEFT JOIN b USING (req_id)""".stripMargin
 
   /** hex char → value, as DuckDB SQL. */
   private def hexv(c: String) = s"(strpos('0123456789abcdef', $c) - 1)"
@@ -7994,6 +8070,37 @@ object SparkEntry {
           |FROM edges WHERE dst_host IS NOT NULL AND dst_host <> ''
           |GROUP BY 1, 2""".stripMargin),
 
+    // anchor-text corpus over the same synthesized pages: the pair
+    // pattern's two capture groups extracted as parallel lists and
+    // zipped by position (both engines return matches in document
+    // order)
+    "q_anchor_text" -> {
+      val apat = graft.ops.TextOps.AnchorPattern.replace("'", "''")
+      LinkEdgesSql.stripTrailing() +
+        s""",
+           |pr AS (SELECT
+           |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS src_host,
+           |    regexp_extract_all(html, '$apat', 1) AS hs,
+           |    regexp_extract_all(html, '$apat', 2) AS ts
+           |  FROM pages),
+           |apairs AS (SELECT src_host, hs[i] AS href,
+           |    lower(trim(ts[i])) AS anchor
+           |  FROM pr, unnest(range(1, len(hs) + 1)) AS u(i)
+           |  WHERE src_host <> ''),
+           |res AS (SELECT anchor,
+           |    CASE WHEN regexp_matches(href, '(?i)^https?://')
+           |      THEN lower(regexp_extract(href,
+           |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+           |    WHEN regexp_matches(href, '^//')
+           |      THEN lower(regexp_extract(href, '^//([^/:?#]+)', 1))
+           |    WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+           |    ELSE src_host END AS dst_host
+           |  FROM apairs WHERE anchor <> '')
+           |SELECT dst_host, anchor, count(*)::BIGINT AS n
+           |FROM res WHERE dst_host IS NOT NULL AND dst_host <> ''
+           |GROUP BY 1, 2""".stripMargin
+    },
+
     // host centrality over the real link graph: the q_pagerank
     // integer-exact replay, keyed by host STRINGS (no id mapping to
     // drift between engines)
@@ -8017,29 +8124,42 @@ object SparkEntry {
 
     // robots-style allow/deny: longest matching prefix wins, ties ->
     // allow, no rule -> allowed
-    "q_crawl_allow" ->
-      ("WITH " + UrlSynthCanonSql + """,
-        |hosts AS (SELECT DISTINCT lower(source) || '.example.org' AS host
-        |  FROM documents
-        |  WHERE TRY_CAST(regexp_extract(lower(source), 'src([0-9]+)', 1)
-        |    AS INT) % 2 = 0),
-        |rules AS (SELECT host, r.prefix, r.allow FROM hosts,
-        |  (VALUES ('/', true), ('/e', false), ('/en', true),
-        |          ('/f', false), ('/f', true)) AS r(prefix, allow)),
-        |f AS (SELECT c.doc_id AS req_id, c.canonical_url,
-        |    regexp_extract(c.canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
-        |    coalesce(nullif(regexp_extract(c.canonical_url,
-        |      '^[a-z]+://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path
-        |  FROM cu_c c),
-        |mt AS (SELECT f.req_id, r.prefix, r.allow,
-        |    row_number() OVER (PARTITION BY f.req_id
-        |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix ASC) AS rn
-        |  FROM f JOIN rules r ON f.host = r.host
-        |    AND starts_with(f.path, r.prefix)),
-        |b AS (SELECT req_id, prefix AS rule_prefix, allow FROM mt WHERE rn = 1)
-        |SELECT f.req_id, f.canonical_url, f.host, f.path,
-        |  coalesce(b.allow, true) AS allowed, b.rule_prefix
-        |FROM f LEFT JOIN b USING (req_id)""".stripMargin),
+    "q_crawl_allow" -> CrawlAllowOracleSql,
+
+    // the real-input chain: the Spark side PARSES the rule ladder out
+    // of robots.txt text; the oracle replays the ladder as VALUES —
+    // equality proves parse ∘ filter end to end
+    "q_robots_allow" -> CrawlAllowOracleSql,
+
+    // distributed robots.txt parse replay: same line/comment/agent/
+    // empty-path rules as TextOps.parseRobots
+    "q_robots_parse" ->
+      """WITH hosts AS (SELECT DISTINCT lower(source) AS src,
+        |    lower(source) || '.example.org' AS host FROM documents),
+        |b AS (SELECT host,
+        |    '# synthetic robots' || chr(10) || 'User-agent: special-bot'
+        |    || chr(10) || 'Disallow: /private' || chr(10) || 'User-agent: *'
+        |    || chr(10) || 'Disallow: /e # keep out' || chr(10) || 'Allow: /en' || chr(10)
+        |    || CASE WHEN TRY_CAST(regexp_extract(src, 'src([0-9]+)', 1) AS INT) % 2 = 0
+        |         THEN 'Disallow: /tmp' || chr(10) ELSE '' END
+        |    || 'Disallow:' || chr(10) || 'Crawl-delay: 10' || chr(10) AS body
+        |  FROM hosts),
+        |ls AS (SELECT host, string_split(body, chr(10)) AS ls FROM b),
+        |l AS (SELECT host, i AS pos,
+        |    trim(regexp_replace(ls[i], '#.*$', '')) AS l
+        |  FROM ls, unnest(range(1, len(ls) + 1)) AS u(i)),
+        |t AS (SELECT host, pos,
+        |    lower(regexp_extract(l, '(?i)^(user-agent|allow|disallow)[ \t]*:', 1)) AS k,
+        |    trim(regexp_extract(l, '(?i)^(?:user-agent|allow|disallow)[ \t]*:[ \t]*([^ \t]*)', 1)) AS v
+        |  FROM l WHERE regexp_matches(l, '(?i)^(user-agent|allow|disallow)[ \t]*:')),
+        |a AS (SELECT host, pos, k, v,
+        |    last_value(CASE WHEN k = 'user-agent' THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY host ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) AS agent
+        |  FROM t)
+        |SELECT DISTINCT host, v AS prefix, (k = 'allow') AS allow
+        |FROM a WHERE k IN ('allow', 'disallow') AND agent = '*' AND v <> ''"""
+        .stripMargin,
 
     "q_bootstrap_lift" -> {
       val cdf = Seq(0.36787944117144233, 0.7357588823428847,

@@ -2259,6 +2259,95 @@ object TextOps {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** (href, anchor-text) pair pattern — [[HrefPattern]] extended with
+    * the `<a>` element's text content (tag-free spans only; nested
+    * markup inside an anchor yields no pair by contract). Whitespace
+    * spelled as an explicit class (the PreTokenPattern discipline —
+    * Java's \s and RE2's disagree on \x0B). */
+  val AnchorPattern: String =
+    "(?i)<a[ \\t\\r\\n][^>]*href[ \\t\\r\\n]*=[ \\t\\r\\n]*" +
+      "[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
+
+  /**
+   * ANCHOR-TEXT corpus (r19): pages (url, html) → (dst_host, anchor,
+   * n) — what the link text of the web says about each target host
+   * (the anchor-text sidecar of a WAT extraction; search and
+   * link-context training corpora are built from exactly this).
+   * Hrefs resolve with [[linkGraph]]'s rules; anchors are trimmed,
+   * lowercased, and empty ones dropped. Per-row regex work in the
+   * scan; ONE map-side-combined exchange on (dst_host, anchor).
+   */
+  def anchorTexts(pages: org.apache.spark.sql.DataFrame, urlCol: String,
+      htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val srcHost =
+      lower(regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/:?#]+)", 1))
+    val hrefs = call_function(
+      "regexp_extract_all", col(htmlCol), lit(AnchorPattern), lit(1))
+    val anchors = call_function(
+      "regexp_extract_all", col(htmlCol), lit(AnchorPattern), lit(2))
+    val pairs = pages
+      .select(srcHost.as("src_host"),
+        explode(zip_with(hrefs, anchors,
+          (h, t) => struct(h.as("href"), t.as("anchor")))).as("p"))
+      .filter(col("src_host") =!= "")
+      .select(col("src_host"), col("p.href").as("href"),
+        lower(trim(col("p.anchor"))).as("anchor"))
+      .filter(col("anchor") =!= "")
+    val absHost = lower(
+      regexp_extract(col("href"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    val protoRelHost = lower(regexp_extract(col("href"), "^//([^/:?#]+)", 1))
+    val dst = when(col("href").rlike("(?i)^https?://"), absHost)
+      .when(col("href").rlike("^//"), protoRelHost)
+      .when(col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(null))
+      .otherwise(col("src_host"))
+    pairs.select(dst.as("dst_host"), col("anchor"))
+      .filter(col("dst_host").isNotNull && col("dst_host") =!= "")
+      .groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * robots.txt PARSER (r19) — the real-input feeder of
+   * [[crawlAllowFilter]]: per (host, robots-body) row, the
+   * (host, prefix, allow) rule frame of the `*` agent's block(s).
+   * Grammar handled (REP, RFC 9309 subset): `#` comments stripped,
+   * keys case-insensitive, a rule governed by the NEAREST preceding
+   * User-agent line (stacked multi-agent groups are out of scope by
+   * contract — documented, spec-pinned), non-`*` agent blocks
+   * excluded, empty-path rules (RFC: "Disallow:" = allow everything)
+   * skipped as no-ops. DISTRIBUTED parse: posexplode lines in the
+   * scan stage, ONE host-partitioned window (a robots file is tiny by
+   * protocol — the window never sees more than one file's lines).
+   */
+  def parseRobots(robots: org.apache.spark.sql.DataFrame, hostCol: String,
+      bodyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("l"))
+    val tagged = lines
+      .select(col("host"), col("pos"),
+        lower(regexp_extract(col("l"),
+          "(?i)^(user-agent|allow|disallow)[ \\t]*:", 1)).as("k"),
+        trim(regexp_extract(col("l"),
+          "(?i)^(?:user-agent|allow|disallow)[ \\t]*:[ \\t]*([^ \\t]*)", 1))
+          .as("v"))
+      .filter(col("k") =!= "")
+    val w = Window.partitionBy(col("host")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("agent",
+        last(when(col("k") === "user-agent", col("v")), ignoreNulls = true)
+          .over(w))
+      .filter(col("k").isin("allow", "disallow") &&
+        col("agent") === "*" && col("v") =!= "")
+      .select(col("host"), col("v").as("prefix"),
+        (col("k") === "allow").as("allow"))
+      .distinct()
+  }
+
   def urlParts(url: Column): Seq[Column] = {
     def part(re: String, as: String) =
       nullif(regexp_extract(url, re, 1), lit("")).as(as)

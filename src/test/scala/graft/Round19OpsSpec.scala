@@ -134,6 +134,47 @@ class Round19OpsSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  // ---- robots.txt parsing + anchor text ----
+
+  test("parseRobots: agent sections, comments, empty paths, unknown keys") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val body =
+      """# header comment
+        |User-agent: greedy-bot
+        |Disallow: /
+        |User-agent: *
+        |Disallow: /cgi # inline comment
+        |Allow: /cgi/ok
+        |Disallow:
+        |Crawl-delay: 9
+        |User-agent: other-bot
+        |Disallow: /only-other
+        |""".stripMargin
+    val rules = TextOps.parseRobots(
+      Seq(("h.example.org", body)).toDF("host", "body"), "host", "body")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(rules == Set(("/cgi", false), ("/cgi/ok", true)),
+      "only the *-agent block's non-empty rules survive; " +
+        "comments stripped; trailing agent block excluded")
+  }
+
+  test("anchorTexts: pairs zip by position, empty anchors and non-http schemes drop") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val html = """<a href="https://b.org/1">First</a>
+      |<a href='/rel'>  Second  </a>
+      |<a href="mailto:x@y.z">Mail</a>
+      |<a href="https://b.org/2"></a>""".stripMargin
+    val out = TextOps.anchorTexts(
+      Seq(("https://a.org/p", html)).toDF("url", "html"), "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("b.org", "first", 1L),
+      ("a.org", "second", 1L)),
+      "mailto drops with its target; the empty anchor drops; text trims+lowers")
+  }
+
   // ---- automated IVF retrain-and-swap over the versioned store ----
 
   private def embFrame19(ids: Range): org.apache.spark.sql.DataFrame = {
