@@ -2238,12 +2238,24 @@ object TextOps {
    * reduced to (host, host) pairs.
    */
   def linkGraph(pages: org.apache.spark.sql.DataFrame, urlCol: String,
-      htmlCol: String): org.apache.spark.sql.DataFrame = {
+      htmlCol: String): org.apache.spark.sql.DataFrame =
+    linkEdges(pages, urlCol, htmlCol)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** [[linkGraph]]'s per-row half — (src_host, dst_host) edge rows
+    * before aggregation, `carry` columns passed through (the streaming
+    * twin carries its event time). Everything here fuses into the
+    * scan stage; no exchange. */
+  private[graft] def linkEdges(pages: org.apache.spark.sql.DataFrame,
+      urlCol: String, htmlCol: String,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val srcHost =
       lower(regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/:?#]+)", 1))
     val exploded = pages
-      .select(srcHost.as("src_host"),
-        explode(extractHrefs(col(htmlCol))).as("href"))
+      .select(srcHost.as("src_host") +:
+        explode(extractHrefs(col(htmlCol))).as("href") +:
+        carry.map(col): _*)
       .filter(col("src_host") =!= "")
     val absHost = lower(
       regexp_extract(col("href"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
@@ -2253,10 +2265,8 @@ object TextOps {
       .when(col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(null))
       .otherwise(col("src_host"))
     exploded
-      .select(col("src_host"), dst.as("dst_host"))
+      .select(col("src_host") +: dst.as("dst_host") +: carry.map(col): _*)
       .filter(col("dst_host").isNotNull && col("dst_host") =!= "")
-      .groupBy(col("src_host"), col("dst_host"))
-      .agg(count(lit(1)).as("n_links"))
   }
 
   /** (href, anchor-text) pair pattern — [[HrefPattern]] extended with

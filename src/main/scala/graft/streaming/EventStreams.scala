@@ -243,6 +243,29 @@ object EventStreams {
   }
 
   /**
+   * Streaming twin of [[graft.ops.TextOps.linkGraph]] (r19) — the
+   * link-graph DELTA of a live crawl: per event-time window, the
+   * (src_host, dst_host, n_links) host edges of the pages that landed
+   * in it, ready to merge into the batch edge store (the
+   * ingest/consolidate split: a nightly [[graft.ops.TextOps.linkGraph]]
+   * over the full archive is the exhaustive pass). Per-row extraction
+   * and host resolution are [[graft.ops.TextOps.linkEdges]] — the
+   * IDENTICAL column expressions as batch, so the twins cannot drift —
+   * fused into the micro-batch scan; state is the windowed (src, dst)
+   * count aggregation, bounded by the watermark.
+   */
+  def linkGraphStream(pages: DataFrame, urlCol: String, htmlCol: String,
+      eventTimeCol: String, windowLen: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    graft.ops.TextOps.linkEdges(
+        pages.withColumn("event_time", col(eventTimeCol)),
+        urlCol, htmlCol, carry = Seq("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLen),
+        col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /**
    * Streaming twin of [[graft.ops.Dedup.neardupIncremental]]: each
    * arriving doc is MinHash-banded and probed against the STATIC
    * historical [[graft.ops.Dedup.bandKeyIndex]] via a stream-static

@@ -134,6 +134,48 @@ class Round19OpsSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("linkGraphStream: windowed edges equal the batch linkGraph per window") {
+    import graft.ops.TextOps
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val pages = Seq(
+      ("https://a.org/1", """<a href="https://b.org/x">b</a><a href='/r'>s</a>""", ts(1)),
+      ("https://a.org/2", """<a href="https://b.org/y">b</a>""", ts(2)),
+      ("https://b.org/3", """<a href="mailto:z">m</a><a href="//c.net/l">c</a>""", ts(14)))
+    val flush = ("https://z.org/f", """<a href="https://z.org/x">z</a>""", ts(300))
+    val in = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = EventStreams.linkGraphStream(
+      in.toDF().toDF("url", "html", "t"), "url", "html", "t")
+      .writeStream.format("memory").queryName("lg_out")
+      .outputMode("append").start()
+    try {
+      in.addData(pages)
+      q.processAllAvailable()
+      in.addData(flush)
+      q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT window.start, src_host, dst_host, n_links FROM lg_out " +
+          "WHERE src_host <> 'z.org'")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      // batch twin: the SAME linkGraph op run per 10-minute window
+      val perWindow = pages.groupBy(p =>
+        (p._3.getTime / 600000L) * 600000L).toSeq.flatMap { case (w0, ps) =>
+        TextOps.linkGraph(ps.toDF("url", "html", "t"), "url", "html")
+          .collect().map(r => (new java.sql.Timestamp(w0), r.getString(0),
+            r.getString(1), r.getLong(2)))
+      }.toSet
+      assert(streamed == perWindow,
+        s"stream/batch divergence:\n$streamed\nvs\n$perWindow")
+    } finally q.stop()
+  }
+
   // ---- robots.txt parsing + anchor text ----
 
   test("parseRobots: agent sections, comments, empty paths, unknown keys") {
