@@ -3110,6 +3110,29 @@ object SparkEntry {
       TextOps.parseRobots(robots, "host", "body")
     }),
 
+    "q_sitemap_parse" -> ((s, dir) => {
+      // sitemap.xml → canonical frontier seeds (r19): per host a
+      // deterministic urlset whose locs exercise trimming, the
+      // scheme/port/tracking-param/trailing-slash canonical folds, a
+      // duplicate that must collapse (even hosts), and an empty loc
+      // that must drop
+      val sm = docs(s, dir)
+        .select(lower(col("source")).as("src")).distinct()
+        .select(concat(col("src"), lit(".example.org")).as("host"),
+          concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset>" +
+              "<url><loc>https://"), col("src"),
+            lit(".example.org/a</loc><lastmod>2024-01-01</lastmod></url>" +
+              "<url><loc>  HTTPS://"), col("src"),
+            lit(".example.org:443/b/?utm_source=feed&a=1  </loc></url>"),
+            when(regexp_extract(col("src"), "src([0-9]+)", 1)
+              .cast("int") % 2 === 0,
+              concat(lit("<url><loc>https://"), col("src"),
+                lit(".example.org/a</loc></url>"))).otherwise(lit("")),
+            lit("<url><loc></loc></url></urlset>")).as("body"))
+      TextOps.parseSitemap(sm, "host", "body")
+    }),
+
     "q_robots_allow" -> ((s, dir) => {
       // the REAL-INPUT frontier-consent chain (r19): robots.txt TEXT →
       // parseRobots → crawlAllowFilter over the shared synthesized
@@ -8130,6 +8153,47 @@ object SparkEntry {
     // of robots.txt text; the oracle replays the ladder as VALUES —
     // equality proves parse ∘ filter end to end
     "q_robots_allow" -> CrawlAllowOracleSql,
+
+    // sitemap seed replay: loc extraction + the canonicalUrl fold
+    // chain (same steps as UrlSynthCanonSql's cu_p/cu_c, keyed by host)
+    "q_sitemap_parse" -> {
+      val pat = graft.ops.TextOps.SitemapLocPattern.replace("'", "''")
+      s"""WITH hosts AS (SELECT DISTINCT lower(source) AS src,
+         |    lower(source) || '.example.org' AS host FROM documents),
+         |b AS (SELECT host,
+         |    '<?xml version="1.0" encoding="UTF-8"?><urlset><url><loc>https://'
+         |    || src || '.example.org/a</loc><lastmod>2024-01-01</lastmod></url>'
+         |    || '<url><loc>  HTTPS://' || src
+         |    || '.example.org:443/b/?utm_source=feed&a=1  </loc></url>'
+         |    || CASE WHEN TRY_CAST(regexp_extract(src, 'src([0-9]+)', 1) AS INT) % 2 = 0
+         |         THEN '<url><loc>https://' || src || '.example.org/a</loc></url>'
+         |         ELSE '' END
+         |    || '<url><loc></loc></url></urlset>' AS body
+         |  FROM hosts),
+         |locs AS (SELECT host,
+         |    trim(unnest(regexp_extract_all(body, '$pat', 1))) AS url FROM b),
+         |p AS (SELECT host,
+         |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+         |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS uhost,
+         |    regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+         |      '/+$$', '') AS path,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+         |  FROM locs),
+         |c AS (SELECT host,
+         |    scheme || '://' || uhost
+         |    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         |        OR (scheme = 'https' AND port = '443') THEN ''
+         |        ELSE ':' || port END)
+         |    || path
+         |    || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url
+         |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+         |      string_split(query, '&'),
+         |      q -> NOT regexp_matches(q, '^(utm_[^=]*|ref|fbclid|gclid)='))),
+         |      '&') AS kq FROM p))
+         |SELECT DISTINCT host, canonical_url FROM c
+         |WHERE regexp_matches(canonical_url, '^[a-z]+://.')""".stripMargin
+    },
 
     // distributed robots.txt parse replay: same line/comment/agent/
     // empty-path rules as TextOps.parseRobots

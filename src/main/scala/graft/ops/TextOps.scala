@@ -2358,6 +2358,29 @@ object TextOps {
       .distinct()
   }
 
+  /** sitemap.xml `<loc>` pattern — tag-free content, whitespace
+    * trimmed column-side (sitemaps.org protocol). */
+  val SitemapLocPattern: String = "(?i)<loc>([^<]*)</loc>"
+
+  /**
+   * sitemap.xml PARSER (r19) — the third real crawl input after WARC
+   * and robots.txt: per (host, sitemap-body) row, the host's seed URLs
+   * as CANONICAL forms ([[canonicalUrl]] — the frontier's dedup key,
+   * so seeds land pre-canonicalized for [[urlDedup]] /
+   * [[crawlSchedule]]). Empty and scheme-less locs drop; duplicates
+   * fold. Per-row regex extraction in the scan; the distinct is the
+   * only exchange.
+   */
+  def parseSitemap(sitemaps: org.apache.spark.sql.DataFrame,
+      hostCol: String, bodyCol: String): org.apache.spark.sql.DataFrame =
+    sitemaps
+      .select(col(hostCol).as("host"),
+        explode(call_function("regexp_extract_all", col(bodyCol),
+          lit(SitemapLocPattern), lit(1))).as("raw"))
+      .select(col("host"), canonicalUrl(trim(col("raw"))).as("canonical_url"))
+      .filter(col("canonical_url").rlike("^[a-z]+://."))
+      .distinct()
+
   def urlParts(url: Column): Seq[Column] = {
     def part(re: String, as: String) =
       nullif(regexp_extract(url, re, 1), lit("")).as(as)
