@@ -3085,6 +3085,17 @@ object SparkEntry {
         iters = 5)
         .select(col("doc_id").as("host"), col("rank_micro"))),
 
+    "q_link_pagerank_weighted" -> ((s, dir) =>
+      // the real-crawl centrality (r19): DIRECTED, n_links-weighted
+      // PageRank over the link-graph edges — heavy linkers donate
+      // proportionally, mass flows src → dst only
+      graft.ops.Graph.pageRankWeighted(
+        TextOps.linkGraph(linkPages(s, dir), "url", "html")
+          .select(col("src_host").as("src"), col("dst_host").as("dst"),
+            col("n_links").as("w")),
+        iters = 5)
+        .select(col("node").as("host"), col("rank_micro"))),
+
     "q_anchor_text" -> ((s, dir) =>
       // the anchor-text corpus (r19): what link text says about each
       // TARGET host — same synthesized pages and host-resolution rules
@@ -8092,6 +8103,28 @@ object SparkEntry {
         """SELECT src_host, dst_host, count(*)::BIGINT AS n_links
           |FROM edges WHERE dst_host IS NOT NULL AND dst_host <> ''
           |GROUP BY 1, 2""".stripMargin),
+
+    // weighted directed PageRank replay: the aggregated edges carry
+    // n_links weights; contribution floored per edge inside the sum,
+    // exactly as the Spark op
+    "q_link_pagerank_weighted" ->
+      (LinkEdgesSql.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
+        """,
+          |ew AS (SELECT src_host AS src, dst_host AS dst,
+          |    count(*)::BIGINT AS w FROM edges
+          |  WHERE dst_host IS NOT NULL AND dst_host <> ''
+          |  GROUP BY 1, 2),
+          |ow AS (SELECT src, sum(w) AS ow FROM ew GROUP BY src),
+          |pr(iter, node, r) AS (
+          |  SELECT 0, src, 1000000::BIGINT FROM ow
+          |  UNION ALL
+          |  SELECT pr.iter + 1, e.dst,
+          |    150000 + sum((pr.r * 17 * e.w) // (20 * o.ow))
+          |  FROM pr JOIN ew e ON pr.node = e.src JOIN ow o ON pr.node = o.src
+          |  WHERE pr.iter < 5
+          |  GROUP BY pr.iter, e.dst)
+          |SELECT node AS host, r AS rank_micro FROM pr WHERE iter = 5"""
+          .stripMargin),
 
     // anchor-text corpus over the same synthesized pages: the pair
     // pattern's two capture groups extracted as parallel lists and

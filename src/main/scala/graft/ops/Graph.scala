@@ -59,6 +59,40 @@ object Graph {
   }
 
   /**
+   * WEIGHTED DIRECTED PageRank (r19) — the real-crawl form of
+   * [[pageRank]]: edges (src, dst, w) with w > 0 (the link graph's
+   * n_links), mass flowing src → dst only, each edge carrying
+   * w/out_weight(src) of its source's 17/20 share. Integer-exact
+   * under any partitioning like [[pageRank]] (micro-rank longs,
+   * contribution = (r·17·w) div (20·W_src), floored per EDGE before
+   * the sum — the oracle replays the identical recursion). Same
+   * conventions as the unweighted op: seeds = nodes with out-edges,
+   * a node drops from the rank frame the round nobody links to it
+   * (isolated rank is the uninformative constant), same two-shuffle
+   * round and lineage truncation.
+   */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val e = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(eager = true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val withW = e.join(outW, "src").localCheckpoint(eager = true)
+    var rank = outW.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      rank = withW
+        .join(rank, withW("src") === rank("node"))
+        .select(col("dst"), expr("(r * 17L * w) div (20L * ow)").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("c"))).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint(eager = true)
+    }
+    rank.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /**
    * Triangle census of an undirected pair graph: node/edge counts,
    * exact triangle count, wedge (open-triple) count and the global
    * clustering coefficient 3·T / wedges — "how clique-y are the
