@@ -3121,6 +3121,19 @@ object SparkEntry {
       TextOps.parseRobots(robots, "host", "body")
     }),
 
+    "q_nb_train" -> ((s, dir) =>
+      // multinomial Naive Bayes TRAINING (r19): the lang-routing
+      // classifier trained on the corpus itself — Laplace-smoothed
+      // micro-log weights, integer-exact
+      TextOps.trainNaiveBayes(docs(s, dir), "lang", "text")),
+
+    "q_nb_classify" -> ((s, dir) => {
+      // train → classify round trip on the same corpus: per doc the
+      // argmax label under integer micro-log scores (ties → label asc)
+      val model = TextOps.trainNaiveBayes(docs(s, dir), "lang", "text")
+      TextOps.classifyNaiveBayes(docs(s, dir), "doc_id", "text", model)
+    }),
+
     "q_sitemap_parse" -> ((s, dir) => {
       // sitemap.xml → canonical frontier seeds (r19): per host a
       // deterministic urlset whose locs exercise trimming, the
@@ -3364,6 +3377,33 @@ object SparkEntry {
       |SELECT f.req_id, f.canonical_url, f.host, f.path,
       |  coalesce(b.allow, true) AS allowed, b.rule_prefix
       |FROM f LEFT JOIN b USING (req_id)""".stripMargin
+
+  /** Naive Bayes model CTEs (lang-labeled, over documents), ending at
+    * `model`(label, token, kind, w_micro) — the replay of
+    * [[graft.ops.TextOps.trainNaiveBayes]] shared by q_nb_train and
+    * q_nb_classify. */
+  private lazy val NbModelSql: String =
+    s"""WITH nb_dt AS (SELECT lang AS label, unnest($ToksSql) AS token
+       |  FROM documents),
+       |nb_tl AS (SELECT label, token, count(*)::BIGINT AS c
+       |  FROM nb_dt GROUP BY 1, 2),
+       |nb_lt AS (SELECT label, sum(c)::BIGINT AS n_l FROM nb_tl GROUP BY 1),
+       |nb_v AS (SELECT count(DISTINCT token)::BIGINT AS v FROM nb_tl),
+       |nb_nd AS (SELECT lang AS label, count(*)::BIGINT AS nd
+       |  FROM documents GROUP BY 1),
+       |nb_n AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |model AS (
+       |  SELECT label, token, 'tok' AS kind,
+       |    round(ln((c + 1)::DOUBLE / (n_l + v)::DOUBLE) * 1e6)::BIGINT AS w_micro
+       |  FROM nb_tl JOIN nb_lt USING (label) CROSS JOIN nb_v
+       |  UNION ALL
+       |  SELECT label, '' AS token, 'unseen' AS kind,
+       |    round(ln(1.0 / (n_l + v)::DOUBLE) * 1e6)::BIGINT
+       |  FROM nb_lt CROSS JOIN nb_v
+       |  UNION ALL
+       |  SELECT label, '' AS token, 'prior' AS kind,
+       |    round(ln(nd::DOUBLE / n::DOUBLE) * 1e6)::BIGINT
+       |  FROM nb_nd CROSS JOIN nb_n)""".stripMargin
 
   /** hex char → value, as DuckDB SQL. */
   private def hexv(c: String) = s"(strpos('0123456789abcdef', $c) - 1)"
@@ -8186,6 +8226,32 @@ object SparkEntry {
     // of robots.txt text; the oracle replays the ladder as VALUES —
     // equality proves parse ∘ filter end to end
     "q_robots_allow" -> CrawlAllowOracleSql,
+
+    // Naive Bayes training replay: the same two count aggregations +
+    // micro-log rounding
+    "q_nb_train" ->
+      (NbModelSql + "\nSELECT label, token, kind, w_micro FROM model"),
+
+    // classify replay: per (doc, label) the exact integer micro-log
+    // sum with the unseen fallback, argmax with label-asc tie-break
+    "q_nb_classify" ->
+      (NbModelSql + s""",
+        |nb_toks AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+        |nb_pri AS (SELECT label, w_micro AS prior FROM model WHERE kind = 'prior'),
+        |nb_uns AS (SELECT label, w_micro AS w_unseen FROM model WHERE kind = 'unseen'),
+        |nb_tw AS (SELECT label, token, w_micro FROM model WHERE kind = 'tok'),
+        |nb_sc AS (SELECT t.doc_id, p.label,
+        |    sum(coalesce(tw.w_micro, u.w_unseen))::BIGINT AS s
+        |  FROM nb_toks t CROSS JOIN (SELECT label FROM nb_pri) p
+        |  LEFT JOIN nb_tw tw ON tw.label = p.label AND tw.token = t.token
+        |  JOIN nb_uns u ON u.label = p.label
+        |  GROUP BY 1, 2),
+        |nb_fin AS (SELECT doc_id, label, s + prior AS score_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s + prior DESC, label ASC) AS rn
+        |  FROM nb_sc JOIN nb_pri USING (label))
+        |SELECT doc_id, label AS predicted, score_micro
+        |FROM nb_fin WHERE rn = 1""".stripMargin),
 
     // sitemap seed replay: loc extraction + the canonicalUrl fold
     // chain (same steps as UrlSynthCanonSql's cu_p/cu_c, keyed by host)

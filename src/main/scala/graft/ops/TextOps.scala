@@ -2358,6 +2358,89 @@ object TextOps {
       .distinct()
   }
 
+  /**
+   * Multinomial NAIVE BAYES trainer (r19) — the TRAINING half the r18
+   * classifier-serving op was missing: labeled docs → a (label, token,
+   * kind, w_micro) model frame. Laplace-smoothed log-likelihoods in
+   * integer MICRO-LOG units (round(ln·1e6) longs) so classification
+   * sums are exact under any partitioning and order — the scoreLinear
+   * discipline applied to generative training. kinds: 'tok' =
+   * ln((c+1)/(N_label+V)) per seen (label, token); 'unseen' =
+   * ln(1/(N_label+V)) per label (the smoothing mass a token absent
+   * from that label's rows takes); 'prior' = ln(n_label/n). This is
+   * the fastText-style bag-of-tokens classifier a corpus pipeline
+   * trains for quality/language routing — two count aggregations, no
+   * iteration, model rows ≈ vocab × labels.
+   */
+  def trainNaiveBayes(docs: org.apache.spark.sql.DataFrame,
+      labelCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(labelCol).as("label"),
+      explode(tokensNative(col(textCol))).as("token"))
+    val tl = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val lt = tl.groupBy(col("label")).agg(sum(col("c")).as("n_l"))
+    val v = tl.select(col("token")).distinct()
+      .agg(count(lit(1)).as("v")) // 1 row
+    val nd = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val n = docs.agg(count(lit(1)).as("n")) // 1 row
+    def microLog(x: Column): Column = round(log(x) * 1e6).cast("long")
+    val wTok = tl.join(lt, "label").crossJoin(broadcast(v))
+      .select(col("label"), col("token"), lit("tok").as("kind"),
+        microLog((col("c") + 1).cast("double") /
+          (col("n_l") + col("v")).cast("double")).as("w_micro"))
+    val wUnseen = lt.crossJoin(broadcast(v))
+      .select(col("label"), lit("").as("token"), lit("unseen").as("kind"),
+        microLog(lit(1.0) / (col("n_l") + col("v")).cast("double"))
+          .as("w_micro"))
+    val wPrior = nd.crossJoin(broadcast(n))
+      .select(col("label"), lit("").as("token"), lit("prior").as("kind"),
+        microLog(col("nd").cast("double") / col("n").cast("double"))
+          .as("w_micro"))
+    wTok.unionByName(wUnseen).unionByName(wPrior)
+  }
+
+  /**
+   * Classify with a [[trainNaiveBayes]] model: per doc, argmax over
+   * labels of prior + Σ token weights (unseen tokens take the label's
+   * smoothing weight). Integer micro-log sums → exact, order-free;
+   * ties break on label ascending. Scale shape: tokens explode in the
+   * scan, one (label, token) join against the model (broadcast when
+   * the vocab is bounded, shuffle otherwise), one (doc, label) sum,
+   * one doc-partitioned argmax window; the ×|labels| row blow-up is
+   * the documented cost (labels are few by contract).
+   */
+  def classifyNaiveBayes(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val priors = model.filter(col("kind") === "prior")
+      .select(col("label"), col("w_micro").as("__prior"))
+    val unseen = model.filter(col("kind") === "unseen")
+      .select(col("label"), col("w_micro").as("__w_unseen"))
+    val tokW = model.filter(col("kind") === "tok")
+      .select(col("label"), col("token"), col("w_micro"))
+    val dt = docs.select(col(idCol).as("doc_id"),
+      explode(tokensNative(col(textCol))).as("token"))
+    val scored = dt
+      .crossJoin(broadcast(priors.select(col("label"))))
+      .join(tokW, Seq("label", "token"), "left")
+      .join(broadcast(unseen), "label")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("w_micro"), col("__w_unseen")).as("w"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("w")).as("__s"))
+      .join(broadcast(priors), "label")
+      .select(col("doc_id"), col("label"),
+        (col("__s") + col("__prior")).as("score_micro"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("label").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("label").as("predicted"),
+        col("score_micro"))
+  }
+
   /** sitemap.xml `<loc>` pattern — tag-free content, whitespace
     * trimmed column-side (sitemaps.org protocol). */
   val SitemapLocPattern: String = "(?i)<loc>([^<]*)</loc>"

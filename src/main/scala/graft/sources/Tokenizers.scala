@@ -80,6 +80,93 @@ object Tokenizers {
       .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
       .mkString("{", ", ", "}")
 
+  /** Minimal recursive JSON value parser (objects, arrays, strings,
+    * integers, booleans, null) — enough for tokenizer artifacts;
+    * backs [[parseEncoderJson]] and the tokenizer.json reader. */
+  private[graft] def parseJson(s: String): Any = {
+    var i = 0
+    def err(msg: String) =
+      throw new IllegalArgumentException(s"json: $msg at char $i")
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws(); if (i >= s.length || s(i) != c) err(s"expected '$c'"); i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          if (i >= s.length) err("dangling escape")
+          s(i) match {
+            case '"' => sb += '"'; case '\\' => sb += '\\'
+            case '/' => sb += '/'; case 'b' => sb += '\b'
+            case 'f' => sb += '\f'; case 'n' => sb += '\n'
+            case 'r' => sb += '\r'; case 't' => sb += '\t'
+            case 'u' =>
+              if (i + 4 >= s.length) err("short \\u escape")
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case c => err(s"bad escape '\\$c'")
+          }
+        } else sb += s(i)
+        i += 1
+      }
+      expect('"')
+      sb.toString
+    }
+    def value(): Any = {
+      ws()
+      if (i >= s.length) err("unexpected end")
+      s(i) match {
+        case '"' => str()
+        case '{' =>
+          i += 1; ws()
+          val m = scala.collection.mutable.LinkedHashMap[String, Any]()
+          if (i < s.length && s(i) == '}') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              val k = str(); expect(':'); m(k) = value(); ws()
+              if (i < s.length && s(i) == ',') { i += 1; ws() }
+              else { expect('}'); more = false }
+            }
+          }
+          m
+        case '[' =>
+          i += 1; ws()
+          val b = Vector.newBuilder[Any]
+          if (i < s.length && s(i) == ']') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              b += value(); ws()
+              if (i < s.length && s(i) == ',') { i += 1; ws() }
+              else { expect(']'); more = false }
+            }
+          }
+          b.result()
+        case 't' =>
+          if (!s.startsWith("true", i)) err("bad literal"); i += 4; true
+        case 'f' =>
+          if (!s.startsWith("false", i)) err("bad literal"); i += 5; false
+        case 'n' =>
+          if (!s.startsWith("null", i)) err("bad literal"); i += 4; null
+        case _ =>
+          val start = i
+          if (s(i) == '-') i += 1
+          while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+          if (i == start) err("expected value")
+          val t = s.substring(start, i)
+          if (t.exists(c => ".eE".contains(c))) t.toDouble else t.toLong
+      }
+    }
+    val v = value()
+    ws()
+    if (i != s.length) err("trailing content")
+    v
+  }
+
   /** Minimal parser for the flat {"token": int} object encoder.json
     * is — string keys with standard JSON escapes, integer values. */
   private[graft] def parseEncoderJson(s: String): Map[String, Int] = {
@@ -188,6 +275,59 @@ object Tokenizers {
       merges.map { case (x, y) => s"$x $y" }.mkString("\n") + "\n"
     writeFile(spark, s"$path/vocab.bpe", bpe)
     writeFile(spark, s"$path/encoder.json", encoderJson(enc))
+  }
+
+  /**
+   * Persist as a HUGGING FACE `tokenizer.json` (r19 — the other
+   * interchange format; tokenizers' BPE model schema: model.type,
+   * model.vocab as token→id, model.merges as "x y" strings in rank
+   * order). Only the model block is written — pre-tokenizer/normalizer
+   * configuration lives in the loading framework's defaults for
+   * byte-level GPT-2-style tokenizers.
+   */
+  def writeHfTokenizer(spark: SparkSession, path: String,
+      merges: Seq[(String, String)],
+      encoder: Map[String, Int] = null): Unit = {
+    require(merges.nonEmpty, "refusing to write an empty merges table")
+    val enc = Option(encoder).getOrElse(gpt2Encoder(merges))
+    val mergesJson = merges
+      .map { case (x, y) => s""""${jsonEscape(s"$x $y")}"""" }
+      .mkString("[", ", ", "]")
+    val json =
+      s"""{"version": "1.0", "model": {"type": "BPE", """ +
+        s""""vocab": ${encoderJson(enc)}, "merges": $mergesJson}}"""
+    writeFile(spark, s"$path/tokenizer.json", json)
+  }
+
+  /** Load a [[writeHfTokenizer]] (or compatible) `tokenizer.json` back
+    * into (merges, encoder). Fails loudly on a non-BPE model or
+    * malformed structure. */
+  def readHfTokenizer(spark: SparkSession,
+      path: String): (Seq[(String, String)], Map[String, Int]) = {
+    val root = parseJson(readFile(spark, s"$path/tokenizer.json")) match {
+      case m: scala.collection.Map[_, _] =>
+        m.asInstanceOf[scala.collection.Map[String, Any]]
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: top level must be an object")
+    }
+    val model = root.getOrElse("model",
+      throw new IllegalArgumentException("tokenizer.json: no model block"))
+      .asInstanceOf[scala.collection.Map[String, Any]]
+    require(model.get("type").contains("BPE"),
+      s"tokenizer.json: expected model.type BPE, got ${model.get("type")}")
+    val vocab = model("vocab").asInstanceOf[scala.collection.Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Long].toInt }.toMap
+    val merges = model("merges").asInstanceOf[Vector[Any]].map { m =>
+      val parts = m.asInstanceOf[String].split(" ")
+      require(parts.length == 2,
+        s"tokenizer.json: malformed merge '${m.toString.take(60)}'")
+      (parts(0), parts(1))
+    }
+    merges.zipWithIndex.foreach { case ((x, y), r) =>
+      require(vocab.contains(x + y),
+        s"tokenizer.json: vocab is missing merge $r's output '${x + y}'")
+    }
+    (merges, vocab)
   }
 
   /** Load `<path>/vocab.bpe` + `<path>/encoder.json` back into the

@@ -224,7 +224,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // three 1-row broadcasts (in-plan budget, water-level index k,
       // capped/uncapped sums) over the #sources-row frame (r18,
       // TextOps.epochMix)
-      "q_epoch_mix")
+      "q_epoch_mix",
+      // 1-row vocab-size + 1-row doc-count broadcasts (the Laplace
+      // denominators; r19, TextOps.trainNaiveBayes)
+      "q_nb_train",
+      // the same 1-row broadcasts via the inlined model, plus the
+      // #labels-row prior frame crossed into the token stream —
+      // bounded by the label domain by contract (r19,
+      // TextOps.classifyNaiveBayes)
+      "q_nb_classify")
     // plan-size budget: a pathological expression tree (the psiMulti
     // lesson — 14 s of Janino per plan before its explode/window fix)
     // shows up as a plan STRING far beyond anything the gate produces

@@ -402,6 +402,36 @@ class Round19OpsSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("tokenizer artifact: HF tokenizer.json round-trip and cross-format parity") {
+    import graft.ops.TextOps
+    import graft.sources.Tokenizers
+    import spark.implicits._
+    val dir = tmpDir("tok-hf")
+    try {
+      val corpus = Seq("the theatre held the other theory",
+        "don't gather feathers, the heathen said").toDF("text")
+      val merges = Tokenizers.mergesFrom(
+        TextOps.bpeTrainByteLevel(corpus, "text", nMerges = 8))
+      Tokenizers.writeHfTokenizer(spark, dir.getAbsolutePath, merges)
+      val (m2, v2) = Tokenizers.readHfTokenizer(spark, dir.getAbsolutePath)
+      assert(m2 == merges && v2 == Tokenizers.gpt2Encoder(merges))
+      // the two formats carry the identical tokenizer
+      Tokenizers.writeGpt2Tokenizer(spark, dir.getAbsolutePath + "/g", merges)
+      val (mg, vg) =
+        Tokenizers.readGpt2Tokenizer(spark, dir.getAbsolutePath + "/g")
+      assert(m2 == mg && v2 == vg)
+      // a non-BPE model is rejected
+      java.nio.file.Files.write(
+        new java.io.File(dir, "tokenizer.json").toPath,
+        """{"version": "1.0", "model": {"type": "WordPiece"}}"""
+          .getBytes("UTF-8"))
+      new java.io.File(dir, ".tokenizer.json.crc").delete()
+      intercept[IllegalArgumentException] {
+        Tokenizers.readHfTokenizer(spark, dir.getAbsolutePath)
+      }
+    } finally rm(dir)
+  }
+
   test("tokenizer artifact: mismatched pair and malformed files fail loudly") {
     import graft.sources.Tokenizers
     val dir = tmpDir("tok-bad")
