@@ -3121,6 +3121,15 @@ object SparkEntry {
       TextOps.parseRobots(robots, "host", "body")
     }),
 
+    "q_langid_confusion" -> ((s, dir) =>
+      // router-accuracy readout (r19): gold label × heuristic langId
+      // confusion counts — the diagnostic that says how much corpus a
+      // keepLangs route would mis-route
+      docs(s, dir)
+        .groupBy(col("lang").as("lang_true"),
+          TextOps.langIdCjk(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
     "q_nb_train" -> ((s, dir) =>
       // multinomial Naive Bayes TRAINING (r19): the lang-routing
       // classifier trained on the corpus itself — Laplace-smoothed
@@ -8226,6 +8235,15 @@ object SparkEntry {
     // of robots.txt text; the oracle replays the ladder as VALUES —
     // equality proves parse ∘ filter end to end
     "q_robots_allow" -> CrawlAllowOracleSql,
+
+    // gold × predicted language confusion counts (langCjk replay over
+    // the raw documents)
+    "q_langid_confusion" ->
+      s"""WITH ${langCjkCtesSql("documents")}
+         |SELECT d.lang AS lang_true, lg.lang AS lang_pred,
+         |  count(*)::BIGINT AS n
+         |FROM documents d JOIN lg USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     // Naive Bayes training replay: the same two count aggregations +
     // micro-log rounding
