@@ -3111,9 +3111,11 @@ object SparkEntry {
         .select(lower(col("source")).as("src")).distinct()
         .select(concat(col("src"), lit(".example.org")).as("host"),
           concat(
+            // CRLF on the /e rule line: the real-world robots.txt line
+            // ending the CR-strip must handle
             lit("# synthetic robots\nUser-agent: special-bot\n" +
               "Disallow: /private\nUser-agent: *\n" +
-              "Disallow: /e # keep out\nAllow: /en\n"),
+              "Disallow: /e # keep out\r\nAllow: /en\n"),
             when(regexp_extract(col("src"), "src([0-9]+)", 1)
               .cast("int") % 2 === 0, lit("Disallow: /tmp\n"))
               .otherwise(lit("")),
@@ -3156,8 +3158,8 @@ object SparkEntry {
             lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset>" +
               "<url><loc>https://"), col("src"),
             lit(".example.org/a</loc><lastmod>2024-01-01</lastmod></url>" +
-              "<url><loc>  HTTPS://"), col("src"),
-            lit(".example.org:443/b/?utm_source=feed&a=1  </loc></url>"),
+              "<url><loc>\n  HTTPS://"), col("src"),
+            lit(".example.org:443/b/?utm_source=feed&a=1  \n</loc></url>"),
             when(regexp_extract(col("src"), "src([0-9]+)", 1)
               .cast("int") % 2 === 0,
               concat(lit("<url><loc>https://"), col("src"),
@@ -3181,7 +3183,7 @@ object SparkEntry {
             lit("# robots\nUser-agent: special-bot\nDisallow: /secret\n"),
             when(regexp_extract(col("src"), "src([0-9]+)", 1)
               .cast("int") % 2 === 0,
-              lit("User-agent: *\nAllow: /\nDisallow: /e # trap\n" +
+              lit("User-agent: *\nAllow: /\nDisallow: /e # trap\r\n" +
                 "Allow: /en\nDisallow: /f\nAllow: /f\nDisallow:\n"))
               .otherwise(lit("")),
             lit("Crawl-delay: 7\n")).as("body"))
@@ -8280,15 +8282,16 @@ object SparkEntry {
          |b AS (SELECT host,
          |    '<?xml version="1.0" encoding="UTF-8"?><urlset><url><loc>https://'
          |    || src || '.example.org/a</loc><lastmod>2024-01-01</lastmod></url>'
-         |    || '<url><loc>  HTTPS://' || src
-         |    || '.example.org:443/b/?utm_source=feed&a=1  </loc></url>'
+         |    || '<url><loc>' || chr(10) || '  HTTPS://' || src
+         |    || '.example.org:443/b/?utm_source=feed&a=1  ' || chr(10) || '</loc></url>'
          |    || CASE WHEN TRY_CAST(regexp_extract(src, 'src([0-9]+)', 1) AS INT) % 2 = 0
          |         THEN '<url><loc>https://' || src || '.example.org/a</loc></url>'
          |         ELSE '' END
          |    || '<url><loc></loc></url></urlset>' AS body
          |  FROM hosts),
          |locs AS (SELECT host,
-         |    trim(unnest(regexp_extract_all(body, '$pat', 1))) AS url FROM b),
+         |    regexp_replace(unnest(regexp_extract_all(body, '$pat', 1)),
+         |      '^[ \\t\\r\\n]+|[ \\t\\r\\n]+$$', '', 'g') AS url FROM b),
          |p AS (SELECT host,
          |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
          |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS uhost,
@@ -8320,14 +8323,14 @@ object SparkEntry {
         |b AS (SELECT host,
         |    '# synthetic robots' || chr(10) || 'User-agent: special-bot'
         |    || chr(10) || 'Disallow: /private' || chr(10) || 'User-agent: *'
-        |    || chr(10) || 'Disallow: /e # keep out' || chr(10) || 'Allow: /en' || chr(10)
+        |    || chr(10) || 'Disallow: /e # keep out' || chr(13) || chr(10) || 'Allow: /en' || chr(10)
         |    || CASE WHEN TRY_CAST(regexp_extract(src, 'src([0-9]+)', 1) AS INT) % 2 = 0
         |         THEN 'Disallow: /tmp' || chr(10) ELSE '' END
         |    || 'Disallow:' || chr(10) || 'Crawl-delay: 10' || chr(10) AS body
         |  FROM hosts),
         |ls AS (SELECT host, string_split(body, chr(10)) AS ls FROM b),
         |l AS (SELECT host, i AS pos,
-        |    trim(regexp_replace(ls[i], '#.*$', '')) AS l
+        |    trim(regexp_replace(replace(ls[i], chr(13), ''), '#.*$', '')) AS l
         |  FROM ls, unnest(range(1, len(ls) + 1)) AS u(i)),
         |t AS (SELECT host, pos,
         |    lower(regexp_extract(l, '(?i)^(user-agent|allow|disallow)[ \t]*:', 1)) AS k,

@@ -2336,7 +2336,12 @@ object TextOps {
       .select(col(hostCol).as("host"),
         posexplode(split(col(bodyCol), "\n")).as(Seq("pos", "raw")))
       .select(col("host"), col("pos"),
-        trim(regexp_replace(col("raw"), "#.*$", "")).as("l"))
+        // CR stripped FIRST (real robots.txt is CRLF more often than
+        // not; Column trim removes spaces only, so a trailing \r would
+        // otherwise survive into the rule prefix), then comments, then
+        // the space trim
+        trim(regexp_replace(regexp_replace(col("raw"), "\r", ""),
+          "#.*$", "")).as("l"))
     val tagged = lines
       .select(col("host"), col("pos"),
         lower(regexp_extract(col("l"),
@@ -2460,7 +2465,11 @@ object TextOps {
       .select(col(hostCol).as("host"),
         explode(call_function("regexp_extract_all", col(bodyCol),
           lit(SitemapLocPattern), lit(1))).as("raw"))
-      .select(col("host"), canonicalUrl(trim(col("raw"))).as("canonical_url"))
+      // FULL whitespace trim (Column trim strips spaces only — a loc
+      // padded with newlines/tabs, legal XML, would keep them)
+      .select(col("host"), canonicalUrl(
+        regexp_replace(col("raw"), "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+        .as("canonical_url"))
       .filter(col("canonical_url").rlike("^[a-z]+://."))
       .distinct()
 

@@ -199,6 +199,13 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(rules == Set(("/cgi", false), ("/cgi/ok", true)),
       "only the *-agent block's non-empty rules survive; " +
         "comments stripped; trailing agent block excluded")
+    // CRLF line endings (the common real-world robots.txt form): the
+    // CR must not survive into the rule prefix
+    val crlf = TextOps.parseRobots(
+      Seq(("h.example.org", body.replace("\n", "\r\n")))
+        .toDF("host", "body"), "host", "body")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(crlf == rules, "CRLF bodies must parse identically to LF")
   }
 
   test("anchorTexts: pairs zip by position, empty anchors and non-http schemes drop") {
