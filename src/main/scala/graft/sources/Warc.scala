@@ -314,16 +314,55 @@ object Warc {
    * reproduces the rows exactly (spec-pinned round-trip).
    */
   def writeWet(df: DataFrame, path: String, urlCol: String,
-      textCol: String, dateCol: String, nFiles: Int): Unit = {
+      textCol: String, dateCol: String, nFiles: Int): Unit =
+    writeRecordFiles(
+      df.select(col(urlCol).cast("string").as("url"),
+        col(textCol).cast("string").as("payload"),
+        date_format(col(dateCol).cast("timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("d")),
+      path, "wet", "conversion", "text/plain", nFiles)
+
+  /**
+   * EXPORT the per-page LINK METADATA as WAT-style `metadata` records
+   * (r19 — the sidecar format the inline [[linkGraph]] extraction
+   * replaces at read time; exporting it lets downstream consumers skip
+   * the HTML entirely). Each page row becomes one gzip-member
+   * `metadata` record whose JSON payload follows the WAT envelope
+   * shape (Envelope → WARC-Header-Metadata.WARC-Target-URI +
+   * Payload-Metadata.HTML-Metadata.Links[{url}]), built with
+   * `to_json` in the scan stage — links are [[graft.ops.TextOps
+   * .extractHrefs]]' raw hrefs, so WAT export and inline extraction
+   * can never disagree. Same segment layout and round-trip contract
+   * as [[writeWet]] ([[readWarc]] + a JSON parse reproduce the edges).
+   */
+  def writeWat(df: DataFrame, path: String, urlCol: String,
+      htmlCol: String, dateCol: String, nFiles: Int): Unit =
+    writeRecordFiles(
+      df.select(col(urlCol).cast("string").as("url"),
+        to_json(struct(
+          struct(
+            struct(col(urlCol).cast("string").as("WARC-Target-URI"))
+              .as("WARC-Header-Metadata"),
+            struct(struct(
+              graft.ops.TextOps.extractHrefs(col(htmlCol))
+                .as("Links")).as("HTML-Metadata"))
+              .as("Payload-Metadata")).as("Envelope"))).as("payload"),
+        date_format(col(dateCol).cast("timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("d")),
+      path, "wat", "metadata", "application/json", nFiles)
+
+  /** Shared segment-file writer behind [[writeWet]] / [[writeWat]]:
+    * (url, payload, d) rows → `<prefix>-NNNNN.warc.gz` files, one gzip
+    * member per record, url-sorted within a segment. */
+  private def writeRecordFiles(rows: DataFrame, path: String,
+      prefix: String, recordType: String, contentType: String,
+      nFiles: Int): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val spark = df.sparkSession
+    val spark = rows.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    df.select(col(urlCol).cast("string").as("url"),
-        col(textCol).cast("string").as("text"),
-        date_format(col(dateCol).cast("timestamp"),
-          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("d"))
-      .filter(col("url").isNotNull && col("text").isNotNull &&
+    rows
+      .filter(col("url").isNotNull && col("payload").isNotNull &&
         col("d").isNotNull)
       .repartition(nFiles, col("url"))
       .sortWithinPartitions(col("url"))
@@ -331,7 +370,7 @@ object Warc {
         if (it.hasNext) {
           val part = org.apache.spark.TaskContext.getPartitionId()
           val p = new org.apache.hadoop.fs.Path(path,
-            f"wet-$part%05d.warc.gz")
+            f"$prefix-$part%05d.warc.gz")
           val fs = p.getFileSystem(conf.value)
           val outStream = fs.create(p, true)
           // close() (not just finish()) each per-record gzip member so
@@ -345,8 +384,8 @@ object Warc {
             override def close(): Unit = flush()
           }
           try it.foreach { r =>
-            val rec = buildRecord("conversion", r.getString(0),
-              r.getString(2), "text/plain",
+            val rec = buildRecord(recordType, r.getString(0),
+              r.getString(2), contentType,
               r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
             val g = new java.util.zip.GZIPOutputStream(noClose, 1 << 16)
             g.write(rec)

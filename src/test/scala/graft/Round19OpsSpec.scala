@@ -176,6 +176,51 @@ class Round19OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("writeWat: WAT-style metadata records round-trip the link extraction") {
+    import graft.sources.{Warc, Tokenizers}
+    import graft.ops.TextOps
+    import spark.implicits._
+    val dir = tmpDir("wat-export")
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val pages = Seq(
+        ("https://a.org/1",
+          """<a href="https://b.org/x">b</a><a href='/rel'>r</a>""", base),
+        ("https://b.org/2", """<a href="//c.net/y">c</a>""", base),
+        ("https://c.org/3", "no links here", base))
+        .toDF("url", "html", "fetch_ts")
+      Warc.writeWat(pages, dir.getAbsolutePath, "url", "html", "fetch_ts", 1)
+      val back = Warc.readWarc(spark, dir.getAbsolutePath + "/*.warc.gz")
+        .collect()
+      assert(back.length == 3)
+      assert(back.forall(_.getAs[String]("record_type") == "metadata"))
+      val gotLinks = back.map { r =>
+        val env = Tokenizers.parseJson(
+          new String(r.getAs[Array[Byte]]("content"), "UTF-8"))
+          .asInstanceOf[scala.collection.Map[String, Any]]("Envelope")
+          .asInstanceOf[scala.collection.Map[String, Any]]
+        val url = env("WARC-Header-Metadata")
+          .asInstanceOf[scala.collection.Map[String, Any]]("WARC-Target-URI")
+          .asInstanceOf[String]
+        val links = env.get("Payload-Metadata")
+          .map(_.asInstanceOf[scala.collection.Map[String, Any]]("HTML-Metadata")
+            .asInstanceOf[scala.collection.Map[String, Any]]("Links")
+            .asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]))
+          .getOrElse(Vector.empty)
+        url -> links
+      }.toMap
+      // the exported sidecar equals the inline extraction
+      val expected = pages
+        .select(col("url"), TextOps.extractHrefs(col("html")).as("h"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector)
+        .toMap
+      expected.foreach { case (u, hs) =>
+        assert(gotLinks.getOrElse(u, Vector.empty) == hs,
+          s"WAT links for $u must equal inline extractHrefs")
+      }
+    } finally rm(dir)
+  }
+
   // ---- robots.txt parsing + anchor text ----
 
   test("parseRobots: agent sections, comments, empty paths, unknown keys") {
