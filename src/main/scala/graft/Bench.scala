@@ -40,22 +40,46 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     sentOnce() // codegen warmup for the sentinel shape
-    val preflightMax = 8
-    var preflightTries = 0
-    var preflightRatio = Double.MaxValue
-    while (preflightTries < preflightMax && preflightRatio > 3.0 &&
-        elapsed < budgetSec * 0.2) {
-      if (preflightTries > 0) Thread.sleep(30000L)
+    // QUIET GATE threshold (r20): gates demand ratio ≤ 2 — stricter than
+    // the 3.0 quarantine line — because a gate's job is to PREDICT the
+    // next sweep will classify clean, and a box already at 2-3× is one
+    // neighbor away from quarantine. Quarantine keeps 3.0: it judges a
+    // sweep that already ran, where the sentinel shares the window with
+    // the bench's own work.
+    val gateRatio = 2.0
+    def quietProbe(): Double = {
       val s = Vector.fill(5)(sentOnce()).sorted
-      preflightRatio = if (s(2) > 0) s.last / s(2) else 0.0
-      preflightTries += 1
-      System.err.println(
-        f"[bench] preflight try $preflightTries: sentinel med=${s(2)}%.3fs " +
-          f"max=${s.last}%.3fs ratio=$preflightRatio%.2f " +
-          (if (preflightRatio <= 3.0) "(quiet - starting sweeps)"
-           else "(noisy - waiting 30s)"))
+      if (s(2) > 0) s.last / s(2) else 0.0
     }
-    val preflightQuiet = preflightRatio <= 3.0
+    // Wait for a quiet window, sampling every 20s, never past `deadline`
+    // (seconds of elapsed wall). Returns (last observed ratio, #probes).
+    var gateWaitSec = 0.0
+    def waitForQuiet(deadline: Double, tag: String): (Double, Int) = {
+      var tries = 1
+      var ratio = quietProbe()
+      while (ratio > gateRatio && elapsed + 21.0 < deadline) {
+        System.err.println(
+          f"[bench] $tag try $tries: sentinel ratio=$ratio%.2f > " +
+            f"$gateRatio%.1f (elapsed $elapsed%.0fs / deadline " +
+            f"$deadline%.0fs) - waiting 20s")
+        val w0 = elapsed
+        Thread.sleep(20000L)
+        gateWaitSec += elapsed - w0
+        ratio = quietProbe()
+        tries += 1
+      }
+      System.err.println(
+        f"[bench] $tag try $tries: sentinel ratio=$ratio%.2f " +
+          (if (ratio <= gateRatio) "(quiet - starting sweep)"
+           else "(deadline reached - proceeding; quarantine still guards)"))
+      (ratio, tries)
+    }
+    // PRE-FLIGHT QUIET GATE: before the first sweep, spend at most 20% of
+    // the wall budget waiting for a quiet window (no sweep-wall estimate
+    // exists yet to size a longer wait).
+    val (preflightRatio, preflightTries) =
+      waitForQuiet(budgetSec * 0.2, "preflight")
+    val preflightQuiet = preflightRatio <= gateRatio
     if (!preflightQuiet) System.err.println(
       s"[bench] preflight gave up without a quiet window - proceeding; " +
         "per-sweep quarantine still applies")
@@ -253,7 +277,7 @@ object Bench {
         val ratios = (0 until executed).map(si => f2(sweepRatio(si)))
           .mkString("[", ",", "]")
         val sentinelJson =
-          s""""sentinel":{"n":${sentAll.length},"med":${f3(sentMed)},"ratio":${f2(sentRatio)},"sweep_ratios":$ratios,"samples":$sentRuns},"preflight":{"tries":$preflightTries,"ratio":${f2(preflightRatio)},"quiet":$preflightQuiet},"budget":{"sec":${f2(budgetSec)},"elapsed":${f2(elapsed)},"stopped":$budgetStopped},"contention":"$contention","sweeps_executed":$executed,"sweeps_used":$usedJson,"sweeps_quarantined":$quarantinedJson"""
+          s""""sentinel":{"n":${sentAll.length},"med":${f3(sentMed)},"ratio":${f2(sentRatio)},"sweep_ratios":$ratios,"samples":$sentRuns},"preflight":{"tries":$preflightTries,"ratio":${f2(preflightRatio)},"quiet":$preflightQuiet},"budget":{"sec":${f2(budgetSec)},"elapsed":${f2(elapsed)},"gate_wait":${f2(gateWaitSec)},"stopped":$budgetStopped},"contention":"$contention","sweeps_executed":$executed,"sweeps_used":$usedJson,"sweeps_quarantined":$quarantinedJson"""
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"runs":${used.size},"scheme":"interleaved-sweeps","spread_p90":${f2(p90)},$sentinelJson,"sf":"$sfName","queries":{$entries},"failed":$failed}"""
       }
       // default full-map path is the DRIVER-run file, NOT the committed
@@ -289,6 +313,21 @@ object Bench {
     // point still leaves the last complete artifact on stdout.
     while (sweepRuns.size < maxSweeps && cleanMeasured.size < targetClean &&
         nextSweepFits) {
+      // INTER-SWEEP QUIET GATE (r20, the three-rounds-of-suspect-driver-
+      // artifacts fix): a quarantined sweep means the box is storming —
+      // launching the next sweep straight into the same storm just burns
+      // a sweep slot. Once a sweep wall is known, the latest viable start
+      // time for the REMAINING needed sweeps is computable, and every
+      // second before it is free to spend waiting for quiet. (After a
+      // CLEAN sweep the probe passes immediately and costs ~2s.)
+      if (sweepRuns.nonEmpty && !cleanSweeps.contains(sweepRuns.size - 1)) {
+        val sweepsNeeded =
+          math.max(1, targetClean - cleanMeasured.size)
+        val latestStart = budgetSec - sweepWall.max * 1.15 * sweepsNeeded
+        if (elapsed < latestStart)
+          waitForQuiet(latestStart,
+            s"inter-sweep gate (sweep ${sweepRuns.size - 1} quarantined)")
+      }
       runSweep()
       val q = sweepRuns.indices.toVector.diff(cleanSweeps)
       if (q.nonEmpty) System.err.println(

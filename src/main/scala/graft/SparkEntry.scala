@@ -1064,6 +1064,16 @@ object SparkEntry {
       Similarity.annPqRecallAudit(t(s, dir, "embeddings"), "vec_id",
         "embedding", col("vec_id") < 10, EmbDim, PqM, PqK, topK = 5)),
 
+    "q_ann_pq_rerank" -> ((s, dir) =>
+      // the FAISS refine stage on top of the same 32× index: ADC
+      // proposes top-c=20, candidates' full vectors re-rank by exact
+      // cosine — the recall ADC's compression dropped comes back for a
+      // bounded |Q|·c fetch (recall@5 pinned >= the raw-ADC 0.16 and
+      // monotone in c by spec)
+      Similarity.annPqRerankRecallAudit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 10, EmbDim, PqM, PqK, topK = 5,
+        c = 20)),
+
     "q_ann_int8" -> ((s, dir) =>
       // ANN over the quantized corpus: scale-free integer cosine
       Similarity.annInt8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -5315,6 +5325,51 @@ object SparkEntry {
          |    / count(*)::DOUBLE, 6) AS recall
          |FROM ex LEFT JOIN pq5
          |  ON ex.q_id = pq5.q_id AND ex.neighbor_id = pq5.neighbor_id
+         |GROUP BY ex.q_id""".stripMargin,
+
+    "q_ann_pq_rerank" ->
+      s"""$pqChainSql,
+         |q AS (SELECT vec_id AS q_id, v AS qv,
+         |    sqrt(${dotSql("v", "v")}) AS qnrm
+         |  FROM u WHERE vec_id < 10),
+         |parts AS (SELECT q.q_id, e.vec_id AS neighbor_id, e.s, q.qnrm,
+         |    ${dotSql(s"list_slice(q.qv, e.s*${EmbDim / PqM} + 1, e.s*${EmbDim / PqM} + ${EmbDim / PqM})", "cb.cw")} AS part,
+         |    ${dotSql("cb.cw", "cb.cw")} AS cwsq
+         |  FROM q JOIN enc e ON e.vec_id <> q.q_id
+         |  JOIN cb ON cb.s = e.s AND cb.c_cell = e.code),
+         |sc AS (SELECT q_id, neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list(part ORDER BY s)),
+         |        (a, b) -> a + b)
+         |      / (min(qnrm) * sqrt(list_reduce(list_prepend(0.0,
+         |        list(cwsq ORDER BY s)), (a, b) -> a + b))), 6) AS score_pq
+         |  FROM parts GROUP BY q_id, neighbor_id),
+         |cand AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_pq DESC, neighbor_id ASC) AS rn FROM sc)
+         |  WHERE rn <= 20),
+         |rr AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT cand.q_id, cand.neighbor_id,
+         |      row_number() OVER (PARTITION BY cand.q_id ORDER BY
+         |        round(${dotSql("uq.v", "un.v")} /
+         |          (sqrt(${dotSql("uq.v", "uq.v")}) *
+         |           sqrt(${dotSql("un.v", "un.v")})), 6) DESC,
+         |        cand.neighbor_id ASC) AS rn
+         |    FROM cand JOIN u uq ON uq.vec_id = cand.q_id
+         |    JOIN u un ON un.vec_id = cand.neighbor_id)
+         |  WHERE rn <= 5),
+         |ex AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |        round(${dotSql("qq.v", "c.v")} / (qq.nrm * c.nrm), 6) DESC,
+         |        c.vec_id ASC) AS rn
+         |    FROM n qq JOIN n c ON c.vec_id <> qq.vec_id WHERE qq.vec_id < 10)
+         |  WHERE rn <= 5)
+         |SELECT ex.q_id, count(*) AS k,
+         |  sum(CASE WHEN rr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |  round(sum(CASE WHEN rr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS recall
+         |FROM ex LEFT JOIN rr
+         |  ON ex.q_id = rr.q_id AND ex.neighbor_id = rr.neighbor_id
          |GROUP BY ex.q_id""".stripMargin,
 
     "q_ann_int8" ->

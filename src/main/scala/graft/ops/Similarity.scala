@@ -495,6 +495,81 @@ object Similarity {
         round(col("n_hit").cast("double") / col("k").cast("double"), 6).as("recall"))
   }
 
+  /**
+   * ADC RE-RANK refinement (r20, the r17 verdict's #4 — the FAISS
+   * `refine` stage, Jégou et al. TPAMI 2011 §V.C): the last rung of
+   * the PQ serving ladder. [[annPq]]'s normalized ADC proposes the
+   * top-`c` candidates per query (c ≥ topK, typically 2-8× topK);
+   * those candidates' FULL vectors are fetched and re-ranked by EXACT
+   * cosine to the final top-k. The compressed scan keeps its
+   * memory-bandwidth win (m bytes/row over the whole corpus), and the
+   * exactness lost to quantization is bought back for a BOUNDED
+   * candidate fetch: the full-width reads are |Q|·c rows, never N.
+   *
+   * Scale shape: the candidate id set (|Q|·c, contract-bounded like
+   * the query set itself) BROADCASTS against the corpus scan — the
+   * fetch is a broadcast semi-join, no corpus shuffle; rescoring and
+   * the final per-query window act on |Q|·c rows. Measured on the
+   * gate corpus at 32× compression (m8k32): recall@5 0.16 raw ADC →
+   * with c = 4·topK re-rank, most of the exact ranking returns (the
+   * ladder is pinned monotone in c by spec).
+   */
+  def annPqRerank(codes: DataFrame, codebooks: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      dim: Int, m: Int, topK: Int, c: Int): DataFrame = {
+    require(c >= topK, s"candidate count c ($c) must be >= topK ($topK)")
+    val cand = annPq(codes, codebooks, queries, dim, m, c)
+      .select(col("q_id"), col("neighbor_id"))
+    val full = corpus
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      .withColumn("nnrm", l2norm(col("nv")))
+      .filter(col("nnrm") > 0)
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+      .filter(col("qnrm") > 0)
+    val rescored = full
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosine6(col("qv"), col("qnrm"), col("nv"), col("nnrm"))
+          .as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+  }
+
+  /**
+   * Recall@k audit for the RE-RANKED PQ path — [[annPqRecallAudit]]
+   * with the refine stage between the ADC scan and the comparison:
+   * quantize the unit corpus, ADC-propose top-c, exact-cosine re-rank
+   * to top-k, score against the brute-force truth. THE read for
+   * choosing c (the recall/fetch-cost knob) at a fixed compression.
+   */
+  def annPqRerankRecallAudit(emb: DataFrame, idCol: String, vecCol: String,
+      queryFilter: Column, dim: Int, m: Int, kCodes: Int,
+      topK: Int, c: Int): DataFrame = {
+    val corpus = prepared(emb, idCol, vecCol)
+    val exact = bruteForceTopK(corpus, corpus.filter(queryFilter), topK)
+      .select(col("q_id"), col("neighbor_id"))
+    val unit = corpus
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+    val (codes, codebooks) = quantizePq(unit, "vec_id", "v", dim, m, kCodes)
+    val rr = annPqRerank(codes, codebooks, unit,
+      unit.filter(queryFilter).select(col("vec_id"), col("v")),
+      dim, m, topK, c)
+      .select(col("q_id"), col("neighbor_id"))
+    exact
+      .join(rr.withColumn("hit", lit(1L)),
+        Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("k"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight: first 8 hex chars of
     * md5("p_d") as a uint32, mapped to [-0.5, 0.5). Any engine can replay
     * this (md5 + hex arithmetic), so LSH buckets are reproducible. */

@@ -2210,9 +2210,12 @@ object TextOps {
   /** href-attribute values of an HTML page, in document order — the
     * WAT-style link-extraction primitive (r19). ONE regex constant
     * shared verbatim with the DuckDB oracle (no lookahead, no
-    * backreference — runs identically on Java regex and RE2); accepts
+    * backreference, whitespace spelled as an explicit class per the
+    * PreTokenPattern discipline — Java's \s and RE2's disagree on
+    * \x0B — so it runs identically on Java regex and RE2); accepts
     * either quote style. */
-  val HrefPattern: String = "(?i)href\\s*=\\s*[\"']([^\"']+)[\"']"
+  val HrefPattern: String =
+    "(?i)href[ \\t\\r\\n]*=[ \\t\\r\\n]*[\"']([^\"']+)[\"']"
 
   def extractHrefs(html: Column): Column =
     call_function("regexp_extract_all", html, lit(HrefPattern), lit(1))

@@ -84,8 +84,11 @@ object TarShards {
    * INGEST an existing WebDataset-style shard set (r19, the round-trip
    * consumer side [[write]] was missing): every `*.tar` under `path`
    * parses into one row per member — (path, key, ext, payload,
-   * n_bytes), key/ext split on the member name's LAST dot (WebDataset
-   * keys may themselves contain dots). Same scale shape as every
+   * n_bytes), key/ext split on the member name's FIRST dot (the
+   * WebDataset convention: multi-dot extensions like `seg.png` are
+   * standard and must group under the same sample key, so
+   * `sample.seg.png` → key `sample`, ext `seg.png`; WebDataset keys
+   * are dot-free by convention). Same scale shape as every
    * archive reader here: the parallel unit is the shard FILE via
    * `binaryFile` (WebDataset shards are conventionally ≤ ~1 GB, under
    * binaryFile's 2 GB ceiling), parsing is per-partition, nothing
@@ -100,7 +103,7 @@ object TarShards {
       .as[(String, Array[Byte])]
       .flatMap { case (p, raw) =>
         parseTar(raw).map { case (name, data) =>
-          val di = name.lastIndexOf('.')
+          val di = name.indexOf('.')
           val (key, ext) =
             if (di > 0) (name.substring(0, di), name.substring(di + 1))
             else (name, "")
@@ -137,8 +140,17 @@ object TarShards {
     // payload at a time — peak memory is ONE member's payload, never
     // the whole shard.
     val routed = rows.rdd
-      .map(r => ((r.getInt(0), r.getString(1)),
-        r.getAs[Array[Byte]]("payload")))
+      .map { r =>
+        val k = r.getString(1)
+        // WebDataset convention: the sample key is dot-free (the ext,
+        // which MAY be multi-dot like `seg.png`, carries every dot) —
+        // [[read]] splits member names at the FIRST dot, so a dotted
+        // key would not round-trip.
+        require(!k.contains('.'),
+          s"WebDataset member keys must be dot-free (got '$k'); " +
+            "dots belong in ext")
+        ((r.getInt(0), k), r.getAs[Array[Byte]]("payload"))
+      }
       .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
         def numPartitions: Int = nShards
         def getPartition(key: Any): Int = {

@@ -337,8 +337,14 @@ object Tokenizers {
     * pair must not load). */
   def readGpt2Tokenizer(spark: SparkSession,
       path: String): (Seq[(String, String)], Map[String, Int]) = {
+    // Only the '#version' HEADER line is a comment in this format —
+    // '#' is a legitimate merge part (the published GPT-2 vocab.bpe
+    // contains merges like '# #', and writeGpt2Tokenizer emits them),
+    // so filtering every '#'-prefixed line would silently drop merges
+    // and shift all later ranks.
     val lines = readFile(spark, s"$path/vocab.bpe").split("\n", -1)
-      .iterator.filterNot(l => l.startsWith("#") || l.isEmpty).toVector
+      .iterator.filterNot(l => l.startsWith("#version") || l.isEmpty)
+      .toVector
     val merges = lines.map { l =>
       val parts = l.split(" ")
       require(parts.length == 2,
@@ -351,6 +357,15 @@ object Tokenizers {
         s"encoder.json is missing merge $r's output '${x + y}' — " +
           "mismatched artifact pair")
     }
+    // Rank-shift tripwire: in the 256+rank numbering (both supported
+    // conventions) the highest merge-output id pins the merge count —
+    // a dropped or extra vocab.bpe line cannot load silently.
+    val outIds = merges.map { case (x, y) => encoder(x + y) }
+    if (outIds.nonEmpty && outIds.min == 256)
+      require(outIds.max == 255 + merges.length,
+        s"encoder's merge ids run to ${outIds.max} but ${merges.length} " +
+          "merge lines parsed — vocab.bpe/encoder.json pair is " +
+          "inconsistent (dropped or extra merge lines)")
     (merges, encoder)
   }
 }

@@ -180,27 +180,127 @@ object Warc {
       }
     }
 
-  /** For `response` records the block is an HTTP message: strip the
-    * status line + headers (terminated by a blank line) to the entity
-    * body; `conversion`/`resource` blocks pass through whole. */
-  private[graft] def httpBody(record: WarcRecord): Array[Byte] = {
-    if (record.recordType != "response") return record.content
+  /** For `response` records the block is an HTTP message: split at the
+    * blank line into (header block as ISO-8859-1 text — HTTP headers
+    * are octets, RFC 9110 §5.5, and Latin-1 decodes any byte — and the
+    * entity body); `conversion`/`resource` blocks are all body. */
+  private[graft] def httpSplit(record: WarcRecord): (String, Array[Byte]) = {
+    if (record.recordType != "response") return ("", record.content)
     val b = record.content
     var i = 0
     while (i + 3 < b.length &&
         !(b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n'))
       i += 1
-    if (i + 3 < b.length) java.util.Arrays.copyOfRange(b, i + 4, b.length)
-    else b // headerless capture: treat the whole block as the body
+    if (i + 3 < b.length)
+      (new String(b, 0, i, java.nio.charset.StandardCharsets.ISO_8859_1),
+        java.util.Arrays.copyOfRange(b, i + 4, b.length))
+    else ("", b) // headerless capture: treat the whole block as the body
+  }
+
+  /** The entity body alone (legacy name kept for the spec surface). */
+  private[graft] def httpBody(record: WarcRecord): Array[Byte] =
+    httpSplit(record)._2
+
+  // ---- charset-aware payload decode (r20, the r17 verdict's #2) ----
+  // Real CommonCrawl response records carry Content-Type charsets
+  // (ISO-8859-1, Windows-1252, Shift_JIS, …); decoding every payload as
+  // UTF-8 produces replacement-char mojibake on nearly every
+  // non-English segment. Resolution order follows what production WARC
+  // text extractors do:
+  //   1. the HTTP Content-Type header's charset= label;
+  //   2. else an HTML <meta charset> / <meta http-equiv Content-Type>
+  //      label in the first KB of the body;
+  //   3. else strict-validate as UTF-8 (the modern-web default —
+  //      unlabeled UTF-8 is far likelier than unlabeled Latin-1 with
+  //      high bytes that HAPPEN to form valid UTF-8 sequences);
+  //   4. else ISO-8859-1, the historical HTTP default (decodes any
+  //      byte, so the ladder never fails).
+  // WRONG-LABEL REPAIR: a body labeled with a Latin-family single-byte
+  // charset whose bytes nonetheless strictly validate as NON-trivial
+  // UTF-8 is decoded as UTF-8 — mislabeled UTF-8 is endemic in crawls,
+  // and valid multi-byte UTF-8 sequences are a statistically decisive
+  // signal (random Latin-1 high bytes almost never form them).
+
+  /** charset=LABEL extractor — shared by the HTTP-header and meta-tag
+    * probes; quote styles and trailing parameters tolerated. */
+  private val CharsetLabel =
+    java.util.regex.Pattern.compile(
+      "(?i)charset[ \\t]*=[ \\t]*[\"']?([A-Za-z0-9][A-Za-z0-9_.:+-]*)")
+
+  private[graft] def charsetOf(label: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(label))
+    catch { case _: Exception => None }
+
+  /** Does `b` decode as strict UTF-8 (malformed/unmappable = no)? */
+  private[graft] def validUtf8(b: Array[Byte]): Boolean =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(b))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
+  private def labelFrom(s: String): Option[String] = {
+    val m = CharsetLabel.matcher(s)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  private val LatinFamily = Set("iso-8859-1", "iso-8859-15", "us-ascii",
+    "windows-1252", "ascii", "latin1")
+
+  /** Resolve + decode one record's payload to text. Returns
+    * (text, charset actually used, lowercased canonical-ish label). */
+  private[graft] def decodeText(recordType: String, httpHeaders: String,
+      body: Array[Byte]): (String, String) = {
+    def decode(cs: java.nio.charset.Charset): String =
+      // REPLACE, not REPORT: a LABELED charset still meets stray bad
+      // bytes in the wild; the label is authoritative for the rest.
+      cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        .decode(java.nio.ByteBuffer.wrap(body)).toString
+    if (recordType != "response") {
+      // WET conversion / resource / metadata records are UTF-8 by the
+      // format's own convention
+      return (decode(java.nio.charset.StandardCharsets.UTF_8), "utf-8")
+    }
+    val headerLabel = httpHeaders.split("\r?\n").iterator
+      .filter(_.toLowerCase.startsWith("content-type:"))
+      .flatMap(labelFrom).nextOption()
+    val label = headerLabel.orElse {
+      // meta http-equiv / <meta charset> fallback in the first KB —
+      // Latin-1-decode the probe window (any byte decodes; the label
+      // itself is ASCII)
+      val probe = new String(body, 0, math.min(body.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (probe.toLowerCase.contains("<meta")) labelFrom(probe) else None
+    }
+    label.flatMap(charsetOf) match {
+      case Some(cs) =>
+        val name = cs.name().toLowerCase
+        val hasHighBytes = body.exists(b => (b & 0x80) != 0)
+        if (LatinFamily.contains(name) && hasHighBytes && validUtf8(body))
+          (decode(java.nio.charset.StandardCharsets.UTF_8), "utf-8")
+        else (decode(cs), name)
+      case None =>
+        if (validUtf8(body))
+          (decode(java.nio.charset.StandardCharsets.UTF_8), "utf-8")
+        else (decode(java.nio.charset.StandardCharsets.ISO_8859_1),
+          "iso-8859-1")
+    }
   }
 
   /**
    * Read WARC/WET files into (path, record_type, url, fetch_ts, mime,
-   * record_id, n_bytes, content) — content is the PAYLOAD bytes
-   * (HTTP entity body for `response` records, whole block otherwise)
-   * as an opaque binary column, the multimodal-column convention.
-   * `fetch_ts` parses the W3C/ISO WARC-Date; mime prefers the
-   * identified payload type over the record Content-Type.
+   * record_id, n_bytes, content, text, charset) — content is the raw
+   * PAYLOAD bytes (HTTP entity body for `response` records, whole
+   * block otherwise) as an opaque binary column, the
+   * multimodal-column convention; `text` is the CHARSET-AWARE decode
+   * of those bytes (see [[decodeText]] — HTTP Content-Type charset →
+   * meta-tag fallback → strict-UTF-8 validation → ISO-8859-1 HTTP
+   * default, with wrong-label repair) and `charset` the name actually
+   * used. `fetch_ts` parses the W3C/ISO WARC-Date.
    */
   def readWarc(spark: SparkSession, path: String): DataFrame =
     recordsFrom(spark, spark.read.format("binaryFile").load(path))
@@ -234,18 +334,20 @@ object Warc {
     val parsed = files.select(col("path"), col("content"))
       .as[(String, Array[Byte])].flatMap { case (p, raw) =>
         recordStream(raw).map { r =>
+          val (httpHeaders, body) = httpSplit(r)
+          val (text, cs) = decodeText(r.recordType, httpHeaders, body)
           (p, r.recordType, r.url, r.date,
             Option(r.contentType).getOrElse(""), r.recordId,
-            httpBody(r))
+            body, text, cs)
         }
       }.toDF("path", "record_type", "url", "warc_date", "mime", "record_id",
-        "content")
+        "content", "text", "charset")
     parsed
       .withColumn("fetch_ts", to_timestamp(col("warc_date")))
       .withColumn("n_bytes", length(col("content")))
       .select(col("path"), col("record_type"), col("url"), col("fetch_ts"),
         col("warc_date"), col("mime"), col("record_id"), col("n_bytes"),
-        col("content"))
+        col("content"), col("text"), col("charset"))
   }
 
   /**
@@ -267,7 +369,8 @@ object Warc {
           lit(Long.MaxValue)).as("doc_id"),
         regexp_extract(col("url"), "^[a-zA-Z]+://([^/:?#]+)", 1)
           .as("source"),
-        col("content").cast("string").as("html"),
+        // charset-aware decode (decodeText), not a blind UTF-8 cast
+        col("text").as("html"),
         col("fetch_ts"))
 
   /**
@@ -281,7 +384,7 @@ object Warc {
   def linkGraph(records: DataFrame): DataFrame =
     graft.ops.TextOps.linkGraph(
       records.filter(col("record_type") === "response" && col("url") =!= "")
-        .select(col("url"), col("content").cast("string").as("html")),
+        .select(col("url"), col("text").as("html")),
       "url", "html")
 
   /** Build one WARC record's bytes (the write-side of [[parseWarc]] —
@@ -329,7 +432,8 @@ object Warc {
    * the HTML entirely). Each page row becomes one gzip-member
    * `metadata` record whose JSON payload follows the WAT envelope
    * shape (Envelope → WARC-Header-Metadata.WARC-Target-URI +
-   * Payload-Metadata.HTML-Metadata.Links[{url}]), built with
+   * Payload-Metadata.HTML-Metadata.Links as an array of {"url": …}
+   * objects — the shape CommonCrawl WAT consumers expect), built with
    * `to_json` in the scan stage — links are [[graft.ops.TextOps
    * .extractHrefs]]' raw hrefs, so WAT export and inline extraction
    * can never disagree. Same segment layout and round-trip contract
@@ -344,7 +448,8 @@ object Warc {
             struct(col(urlCol).cast("string").as("WARC-Target-URI"))
               .as("WARC-Header-Metadata"),
             struct(struct(
-              graft.ops.TextOps.extractHrefs(col(htmlCol))
+              transform(graft.ops.TextOps.extractHrefs(col(htmlCol)),
+                h => struct(h.as("url")))
                 .as("Links")).as("HTML-Metadata"))
               .as("Payload-Metadata")).as("Envelope"))).as("payload"),
         date_format(col(dateCol).cast("timestamp"),

@@ -24,26 +24,36 @@ class Round19OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = tmpDir("tar-read")
     try {
-      val rows = ((0 until 12).map { i =>
+      val rows = (0 until 12).map { i =>
         (f"sample-$i%04d", s"payload $i content".getBytes("UTF-8"), i % 2)
-      } :+ (("dotted.key-x", "dot payload".getBytes("UTF-8"), 0)))
-        .toDF("key", "payload", "shard")
+      }.toDF("key", "payload", "shard")
+      // multi-dot EXT (WebDataset-standard, e.g. `seg.png`): the read
+      // side splits at the FIRST dot of the member name, so the whole
+      // dotted ext survives under the same sample key
       TarShards.write(rows, dir.getAbsolutePath, "key", "payload", "shard",
-        nShards = 2, ext = "txt")
+        nShards = 2, ext = "seg.txt")
       val back = TarShards.read(spark, dir.getAbsolutePath + "/*.tar")
         .select("key", "ext", "payload", "n_bytes")
         .collect()
-      assert(back.length == 13)
-      assert(back.map(_.getString(1)).toSet == Set("txt"),
-        "ext must come from the LAST dot, so dotted keys survive")
+      assert(back.length == 12)
+      assert(back.map(_.getString(1)).toSet == Set("seg.txt"),
+        "key/ext split at the FIRST dot: multi-dot exts group under " +
+          "the sample key")
       val byKey = back.map(r => r.getString(0) ->
         new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
-      assert(byKey("dotted.key-x") == "dot payload")
       (0 until 12).foreach { i =>
         assert(byKey(f"sample-$i%04d") == s"payload $i content")
       }
       back.foreach(r => assert(r.getInt(3) ==
         r.getAs[Array[Byte]]("payload").length))
+      // a dotted KEY is refused at write time (it could not round-trip)
+      val e = intercept[org.apache.spark.SparkException] {
+        TarShards.write(
+          Seq(("dotted.key", Array[Byte](1), 0)).toDF("key", "payload",
+            "shard"), dir.getAbsolutePath, "key", "payload", "shard", 1)
+      }
+      assert(e.getMessage.contains("dot-free") ||
+        Option(e.getCause).exists(_.getMessage.contains("dot-free")))
     } finally rm(dir)
   }
 
@@ -202,10 +212,14 @@ class Round19OpsSpec extends AnyFunSuite {
         val url = env("WARC-Header-Metadata")
           .asInstanceOf[scala.collection.Map[String, Any]]("WARC-Target-URI")
           .asInstanceOf[String]
+        // Links is an array of {"url": …} OBJECTS — the shape real WAT
+        // consumers (CommonCrawl tooling) expect
         val links = env.get("Payload-Metadata")
           .map(_.asInstanceOf[scala.collection.Map[String, Any]]("HTML-Metadata")
             .asInstanceOf[scala.collection.Map[String, Any]]("Links")
-            .asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]))
+            .asInstanceOf[Vector[Any]]
+            .map(_.asInstanceOf[scala.collection.Map[String, Any]]("url")
+              .asInstanceOf[String]))
           .getOrElse(Vector.empty)
         url -> links
       }.toMap
@@ -481,6 +495,35 @@ class Round19OpsSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         Tokenizers.readHfTokenizer(spark, dir.getAbsolutePath)
       }
+    } finally rm(dir)
+  }
+
+  test("tokenizer artifact: '#'-part merges round-trip; dropped lines trip the rank check") {
+    import graft.sources.Tokenizers
+    val dir = tmpDir("tok-hash")
+    try {
+      // the published GPT-2 vocab.bpe contains merges whose LEFT part
+      // is '#' (e.g. '# #' producing '##') — only the '#version'
+      // header is a comment, so these lines must parse, not be dropped
+      val merges = Seq(("#", "#"), ("##", "#"), ("t", "h"))
+      Tokenizers.writeGpt2Tokenizer(spark, dir.getAbsolutePath, merges)
+      val (m2, e2) = Tokenizers.readGpt2Tokenizer(spark, dir.getAbsolutePath)
+      assert(m2 == merges,
+        "merges with '#' parts must survive the round-trip unshifted")
+      assert(e2("##") == 256 && e2("###") == 257 && e2("th") == 258)
+      // rank-shift tripwire: a merge line silently lost from vocab.bpe
+      // (encoder intact) must fail the load, not shift every later rank
+      val bpePath = new java.io.File(dir, "vocab.bpe").toPath
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(bpePath), "UTF-8").split("\n")
+      assert(lines(2) == "## #")
+      java.nio.file.Files.write(bpePath,
+        (lines.take(2) ++ lines.drop(3)).mkString("\n").getBytes("UTF-8"))
+      new java.io.File(dir, ".vocab.bpe.crc").delete()
+      val e = intercept[IllegalArgumentException] {
+        Tokenizers.readGpt2Tokenizer(spark, dir.getAbsolutePath)
+      }
+      assert(e.getMessage.contains("inconsistent"))
     } finally rm(dir)
   }
 
