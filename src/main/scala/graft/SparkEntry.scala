@@ -95,6 +95,37 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id"), col("source"), html.as("html"))
   }
 
+  /** ONE chain invocation for the crawl capstone pair (r20, the r17
+    * verdict's #3): q_crawl_clean RECOMPUTES the stage frames each time
+    * it runs (sorting before q_crawl_funnel in every sweep, so the
+    * bench measures the chain exactly once per sweep) and persists the
+    * three multiply-consumed frames; q_crawl_funnel consumes the
+    * persisted frames when present — its per-source counts become
+    * aggregates over cache reads — and builds (+caches) standalone on a
+    * miss (subset Verify runs). Values are identical either way (the
+    * chain is deterministic), so the oracle gate is indifferent to the
+    * cache. Both gates now run the FULL synthesized crawl again: the
+    * r18/r19 complementary %2 half-slices existed only to halve the
+    * pair's 2× chain cost, and with one shared chain each gate alone
+    * covers every splice family (%20 CJK arms are even-id-only — a
+    * half-slice never saw ja/zh routing). */
+  private val crawlStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.CrawlStages]()
+  private def crawlStagesShared(s: SparkSession, dir: String,
+      recompute: Boolean): Dedup.CrawlStages = crawlStageCache.synchronized {
+    val cached = crawlStageCache.get(dir)
+    if (cached != null && !recompute) cached
+    else {
+      if (cached != null) cached.unpersistAll()
+      val st = Dedup.crawlStages(crawlPages(s, dir), "doc_id", "html",
+        "source", keepLangs = Seq("en"), boilerFrac = 0.4,
+        jaccardMax = 0.8, k = MinhashK, bands = MinhashBands,
+        persistFrames = true)
+      crawlStageCache.put(dir, st)
+      st
+    }
+  }
+
   /** The synthesized URL frontier the q_url_dedup / q_crawl_schedule
     * gates share: case/port/fragment/tracking-param/slash variants
     * derived from real doc columns so both engines canonicalize the
@@ -520,14 +551,13 @@ object SparkEntry {
       // crawl (see crawlPages: deterministic page template + CJK/PII/
       // mojibake body splices so every stage has real work). Both
       // engines synthesize the SAME html string, then replay the whole
-      // chain. Gate runs on the doc_id%2=1 half slice (r19 bench-budget
-      // cut, the r16-verdict ask): the COMPLEMENT of q_crawl_funnel's
-      // %2=0 slice, so the pair still covers every document and every
-      // splice family exactly once between them; full-size chain shape
-      // stays pinned by the ScaleSpec decade contract.
-      Dedup.crawlClean(crawlPages(s, dir).filter(col("doc_id") % 2 === 1),
-        "doc_id", "html", "source", keepLangs = Seq("en"),
-        boilerFrac = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
+      // chain. FULL-size again since r20: the pair shares ONE chain
+      // invocation (crawlStagesShared — this gate recomputes + persists
+      // the stage frames, the funnel reads them), so full × 1 replaces
+      // the r18/r19 half-slices × 2 and each gate alone covers every
+      // splice family.
+      crawlStagesShared(s, dir, recompute = true).survivors
+        .select(col("doc_id"), col("lang"), col("text"))),
 
     "q_dedup_paragraphs" -> ((s, dir) => {
       // corpus-wide repeated-paragraph removal: two shared passages are
@@ -547,15 +577,13 @@ object SparkEntry {
 
     "q_crawl_funnel" -> ((s, dir) =>
       // the whole-chain observability twin: per source, how many pages
-      // survive each successive gate of the crawl chain. Gate runs on
-      // the doc_id%2=0 HALF SLICE (r18 bench-budget cut — the oracle
-      // applies the same slice): the funnel re-derives the chain
-      // q_crawl_clean already runs full-size, and the pair was 21s of
-      // every bench sweep; full-size funnel behavior is pinned by the
-      // shared crawlStages + the ScaleSpec decade contract.
-      Dedup.crawlFunnel(crawlPages(s, dir).filter(col("doc_id") % 2 === 0),
-        "doc_id", "html", "source", keepLangs = Seq("en"),
-        boilerFrac = 0.4, jaccardMax = 0.8, k = MinhashK, bands = MinhashBands)),
+      // survive each successive gate of the crawl chain. Consumes the
+      // SHARED persisted stage frames q_crawl_clean builds
+      // (crawlStagesShared) — the funnel is then four tiny per-source
+      // aggregates over cache reads, not a second chain derivation;
+      // on a cache miss (subset runs) it builds the chain itself.
+      Dedup.crawlFunnelFromStages(crawlPages(s, dir), "source",
+        crawlStagesShared(s, dir, recompute = false))),
 
     "q_simhash" -> ((s, dir) =>
       docs(s, dir)
@@ -3686,13 +3714,11 @@ object SparkEntry {
     * continuation lines the outer margin strip would mangle — the
     * q_filter_report note). */
   /** Parameterized form: `docWhere` filters the documents feeding the
-    * synthesized pages. Both crawl gates run on half slices (funnel
-    * %2=0 since r18, clean %2=1 since r19 — complements, so the pair
-    * covers every document once): each re-derives the whole chain, and
-    * at gate scale full-size × 2 was ~20 s of every bench sweep — the
-    * r15/r16 verdicts' wall-budget lever. Full-size chain behavior
-    * stays covered by the ×10 decade soak in ScaleSpec /
-    * BudgetScaleProbe. */
+    * synthesized pages. Since r20 both crawl gates run FULL-size
+    * (docWhere = "true"): the Spark side shares ONE chain invocation
+    * between them (crawlStagesShared), so the r18/r19 half-slices —
+    * which existed only to halve a 2× chain cost — are gone and each
+    * gate alone covers every splice family. */
   private def crawlChainSql(docWhere: String): String =
     s"""WITH pages AS (SELECT doc_id, source,
        |  '<html><!-- crawl & chrome --><head><title>T' || doc_id::VARCHAR
@@ -4517,13 +4543,16 @@ object SparkEntry {
     // langId-route → Gopher-gate → PII → exact+near dedup chain
     // (crawlChainSql, shared with q_crawl_funnel — complementary half
     // slices, see the Spark gate comment).
+    // FULL-size again since r20 (both gates share ONE Spark-side chain
+    // invocation via crawlStagesShared, so the oracle replays the full
+    // corpus for each)
     "q_crawl_clean" ->
-      (crawlChainSql("doc_id % 2 = 1") + "\nSELECT doc_id, lang, text FROM fin"),
+      (crawlChainSql("true") + "\nSELECT doc_id, lang, text FROM fin"),
 
     // the whole-chain observability twin: per source, pages surviving
     // each successive gate (keepl = language-routed, gated = Gopher
     // pass, surv = exact-dup winners, fin = near-dup winners)
-    "q_crawl_funnel" -> (crawlChainSql("doc_id % 2 = 0") + "\n" +
+    "q_crawl_funnel" -> (crawlChainSql("true") + "\n" +
       """SELECT p.source, count(*)::BIGINT AS n_pages,
         |  count(k.doc_id)::BIGINT AS n_routed,
         |  count(g.doc_id)::BIGINT AS n_gated,

@@ -563,9 +563,17 @@ object Dedup {
   def crawlFunnel(pages: DataFrame, idCol: String, htmlCol: String,
       sourceCol: String, keepLangs: Seq[String],
       boilerFrac: Double = 0.4, jaccardMax: Double = 0.8,
-      k: Int = 8, bands: Int = 4): DataFrame = {
-    val st = crawlStages(pages, idCol, htmlCol, sourceCol, keepLangs,
-      boilerFrac, jaccardMax, k, bands)
+      k: Int = 8, bands: Int = 4): DataFrame =
+    crawlFunnelFromStages(pages, sourceCol,
+      crawlStages(pages, idCol, htmlCol, sourceCol, keepLangs,
+        boilerFrac, jaccardMax, k, bands))
+
+  /** The funnel readout over an ALREADY-BUILT [[CrawlStages]] (r20 —
+    * the shared-chain path: when the stage frames are persisted, the
+    * counts are tiny per-source aggregates over cache reads and the
+    * funnel costs ~nothing beyond the chain it shares). */
+  private[graft] def crawlFunnelFromStages(pages: DataFrame,
+      sourceCol: String, st: CrawlStages): DataFrame = {
     // per-stage counts as four TINY per-source aggregates over the
     // chain's staged frames (each stage carries `source` through its
     // exchange exactly for this), outer-joined on the |sources|-row
@@ -590,12 +598,20 @@ object Dedup {
 
   /** The crawl chain's intermediate frames, shared by [[crawlClean]]
     * (survivors) and [[crawlFunnel]] (per-stage counts). */
-  private case class CrawlStages(routed: DataFrame, gated: DataFrame,
-      exactKept: DataFrame, survivors: DataFrame)
+  private[graft] case class CrawlStages(routed: DataFrame, gated: DataFrame,
+      exactKept: DataFrame, survivors: DataFrame) {
+    /** Release the frames a persistFrames build registered. */
+    def unpersistAll(): Unit = {
+      routed.unpersist(false); gated.unpersist(false)
+      survivors.unpersist(false)
+      ()
+    }
+  }
 
-  private def crawlStages(pages: DataFrame, idCol: String, htmlCol: String,
-      sourceCol: String, keepLangs: Seq[String], boilerFrac: Double,
-      jaccardMax: Double, k: Int, bands: Int): CrawlStages = {
+  private[graft] def crawlStages(pages: DataFrame, idCol: String,
+      htmlCol: String, sourceCol: String, keepLangs: Seq[String],
+      boilerFrac: Double, jaccardMax: Double, k: Int, bands: Int,
+      persistFrames: Boolean = false): CrawlStages = {
     require(keepLangs.nonEmpty, "keepLangs must be non-empty")
     // NOT staged behind an exchange: boilerplateClean's line-hash pass
     // and its join-back both re-run the extract+normalize regex chain
@@ -613,18 +629,28 @@ object Dedup {
     // exchange): crawlFunnel's per-stage counts are then direct
     // per-source aggregates on ReusedExchange reads instead of
     // doc_id-wide mark joins back to the pages frame
-    val routed = TextOps
+    // persistFrames (r20, the shared-gate path): cache the three
+    // multiply-consumed frames so a SECOND consumer (the funnel
+    // readout) reads blocks instead of re-deriving the chain. The
+    // repartition staging stays — it is what makes each frame a single
+    // subtree for the cache, and the library (non-persisted) path
+    // still gets ReusedExchange from it.
+    def staged(df: DataFrame): DataFrame =
+      if (persistFrames)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val routed = staged(TextOps
       .boilerplateClean(extracted, "doc_id", "text", "source", boilerFrac)
       .select(col("doc_id"), col("source"), col("clean_text").as("text"),
         TextOps.langIdCjk(col("clean_text")).as("lang"))
       .filter(col("lang").isin(keepLangs: _*))
-      .repartition(col("doc_id"))
+      .repartition(col("doc_id")))
     val gateKeep = TextOps.gopherQualityFlags(routed, "doc_id", "text")
       .filter(col("keep")).select(col("doc_id"))
-    val pii = routed.join(gateKeep, Seq("doc_id"), "left_semi")
+    val pii = staged(routed.join(gateKeep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), col("lang"),
         TextOps.redactPii(col("text")).as("text"))
-      .repartition(col("doc_id"))
+      .repartition(col("doc_id")))
     val exactWinners = pii
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
@@ -633,8 +659,8 @@ object Dedup {
     val sh = shingleSets(exactKept, "doc_id", "text")
     val near = jaccardVerifyFromShingles(sh, candidatePairsFromShingles(sh, k, bands))
       .filter(col("jaccard") >= jaccardMax)
-    val survivors = exactKept
-      .join(near.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val survivors = staged(exactKept
+      .join(near.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
     CrawlStages(routed, pii, exactKept, survivors)
   }
 
