@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -151,8 +151,9 @@ object SparkEntry {
     * deterministic (url, html) frame whose hrefs exercise every
     * resolution rule of [[TextOps.linkGraph]]; the DuckDB side
     * synthesizes the SAME strings. */
-  private def linkPages(s: SparkSession, dir: String) =
-    docs(s, dir).select(
+  private def linkPages(s: SparkSession, dir: String,
+      docFilter: Column = lit(true)) =
+    docs(s, dir).filter(docFilter).select(
       concat(lit("https://"), col("source"), lit(".site.org/doc/"),
         col("doc_id").cast("string")).as("url"),
       concat(
@@ -3134,6 +3135,25 @@ object SparkEntry {
         iters = 5)
         .select(col("node").as("host"), col("rank_micro"))),
 
+    "q_link_pagerank_delta" -> ((s, dir) => {
+      // INCREMENTAL crawl ranking (r20): the even-doc link-graph batch
+      // is the standing crawl with persisted per-iteration rank
+      // history; the odd-doc batch arrives as a delta. The delta path
+      // recomputes only nodes within the delta's 5-hop out-reach and
+      // reads everything else back from the history — and the oracle
+      // replays the FULL recursion over the two-batch edge multiset,
+      // so equality proves the delta == a from-scratch rerank.
+      def ed(p: Int) = graft.ops.TextOps.linkGraph(
+          linkPages(s, dir, col("doc_id") % 2 === p), "url", "html")
+        .select(col("src_host").as("src"), col("dst_host").as("dst"),
+          col("n_links").as("w"))
+      val old = ed(0)
+      graft.ops.Graph.pageRankWeightedDelta(
+        old, graft.ops.Graph.pageRankWeightedHistory(old, iters = 5),
+        ed(1), iters = 5)
+        .select(col("node").as("host"), col("rank_micro"))
+    }),
+
     "q_anchor_text" -> ((s, dir) =>
       // the anchor-text corpus (r19): what link text says about each
       // TARGET host — same synthesized pages and host-resolution rules
@@ -3369,10 +3389,19 @@ object SparkEntry {
     * q_link_pagerank: the SQL twin of [[linkPages]] +
     * [[graft.ops.TextOps.linkGraph]]'s resolution rules, ending at
     * CTE `edges` (src_host, dst_host — pre-aggregation). */
-  private lazy val LinkEdgesSql: String = {
+  private lazy val LinkEdgesSql: String = linkEdgesSql(batched = false)
+
+  /** `batched = true` carries `b = doc_id % 2` through pages → hrefs →
+    * edges — the two-segment multiset the q_link_pagerank_delta oracle
+    * needs (each batch's (src, dst) edges count SEPARATELY, matching
+    * the per-batch [[graft.ops.TextOps.linkGraph]] union the Spark
+    * delta path ranks). */
+  private def linkEdgesSql(batched: Boolean): String = {
     val href = graft.ops.TextOps.HrefPattern.replace("'", "''")
+    val bp = if (batched) "doc_id % 2 AS b,\n       |    " else ""
+    val bc = if (batched) "b, " else ""
     s"""WITH pages AS (SELECT
-       |    'https://' || source || '.site.org/doc/' || doc_id::VARCHAR AS url,
+       |    ${bp}'https://' || source || '.site.org/doc/' || doc_id::VARCHAR AS url,
        |    '<html><body><a href="https://' || source || '.example.org/p'
        |      || (doc_id % 7)::VARCHAR || '">x</a>'
        |    || CASE WHEN doc_id % 3 = 0
@@ -3383,11 +3412,11 @@ object SparkEntry {
        |         THEN '<a href="mailto:a@ex.org">mail</a><a href="//cdn.shared.net/lib.js">cdn</a>' ELSE '' END
        |    || '</body></html>' AS html
        |  FROM documents),
-       |hrefs AS (SELECT
+       |hrefs AS (SELECT $bc
        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS src_host,
        |    unnest(regexp_extract_all(html, '$href', 1)) AS href
        |  FROM pages),
-       |edges AS (SELECT src_host,
+       |edges AS (SELECT ${bc}src_host,
        |    CASE WHEN regexp_matches(href, '(?i)^https?://')
        |      THEN lower(regexp_extract(href,
        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
@@ -8249,6 +8278,33 @@ object SparkEntry {
           |    count(*)::BIGINT AS w FROM edges
           |  WHERE dst_host IS NOT NULL AND dst_host <> ''
           |  GROUP BY 1, 2),
+          |ow AS (SELECT src, sum(w) AS ow FROM ew GROUP BY src),
+          |pr(iter, node, r) AS (
+          |  SELECT 0, src, 1000000::BIGINT FROM ow
+          |  UNION ALL
+          |  SELECT pr.iter + 1, e.dst,
+          |    150000 + sum((pr.r * 17 * e.w) // (20 * o.ow))
+          |  FROM pr JOIN ew e ON pr.node = e.src JOIN ow o ON pr.node = o.src
+          |  WHERE pr.iter < 5
+          |  GROUP BY pr.iter, e.dst)
+          |SELECT node AS host, r AS rank_micro FROM pr WHERE iter = 5"""
+          .stripMargin),
+
+    // incremental rerank oracle: the SAME weighted recursion, but over
+    // the TWO-batch edge multiset (b = doc_id % 2 carried through the
+    // edge CTEs; each batch's (src, dst) edges count separately — the
+    // per-edge floored contribution makes parallel rows ≠ merged
+    // weights, and the Spark side ranks exactly this per-batch union).
+    // The oracle is a from-scratch recompute; the Spark side is the
+    // history-reading delta path — equality proves delta exactness.
+    "q_link_pagerank_delta" ->
+      (linkEdgesSql(batched = true)
+        .replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
+        """,
+          |ew AS (SELECT src_host AS src, dst_host AS dst, b,
+          |    count(*)::BIGINT AS w FROM edges
+          |  WHERE dst_host IS NOT NULL AND dst_host <> ''
+          |  GROUP BY 1, 2, 3),
           |ow AS (SELECT src, sum(w) AS ow FROM ew GROUP BY src),
           |pr(iter, node, r) AS (
           |  SELECT 0, src, 1000000::BIGINT FROM ow

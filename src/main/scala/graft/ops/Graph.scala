@@ -93,6 +93,121 @@ object Graph {
   }
 
   /**
+   * [[pageRankWeighted]] keeping the FULL per-iteration rank history
+   * (node, iter, r) for iter = 0..iters — the persisted state
+   * [[pageRankWeightedDelta]] needs: a fixed-iteration rank depends on
+   * the ≤t-hop in-neighborhood, so an exact delta update must read the
+   * UNAFFECTED in-neighbors' intermediate ranks, not just their final
+   * ones. `iter = iters` rows are exactly [[pageRankWeighted]]'s
+   * output. O(iters·|V|) rows of (key, long, long) — the natural thing
+   * to write next to the edge list, partitioned by `iter`.
+   */
+  def pageRankWeightedHistory(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val e = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(eager = true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val withW = e.join(outW, "src").localCheckpoint(eager = true)
+    var rank = outW.select(col("src").as("node"), lit(1000000L).as("r"))
+    var hist = rank.withColumn("iter", lit(0))
+    for (t <- 1 to iters) {
+      rank = withW
+        .join(rank, withW("src") === rank("node"))
+        .select(col("dst"), expr("(r * 17L * w) div (20L * ow)").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("c"))).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint(eager = true)
+      hist = hist.unionByName(rank.withColumn("iter", lit(t)))
+    }
+    hist.select(col("node"), col("iter").cast("int").as("iter"), col("r"))
+  }
+
+  /**
+   * INCREMENTAL weighted PageRank (r20) — exact delta maintenance for
+   * a growing link graph: given the old edge list, its
+   * [[pageRankWeightedHistory]] (same `iters`), and a batch of NEW
+   * edge rows, returns ranks bit-identical to
+   * `pageRankWeighted(oldEdges unionAll deltaEdges, iters)` while
+   * recomputing ONLY the nodes a new edge can reach.
+   *
+   * Why this is exact, not approximate: with a fixed iteration count,
+   * rank_t(v) is a function of v's ≤t-hop in-neighborhood (edge
+   * weights, source out-weights, and seed membership). Adding edges
+   * changes that function only for nodes with an in-edge from a
+   * TOUCHED source (a delta src — its out-weight changed, so every
+   * contribution it makes, old edges included, changes) or from a
+   * node affected at the previous iteration. So with
+   * T = distinct delta sources, the affected frontier is
+   * A_t = outNeighbors(T ∪ A_{t-1}) — every other node's rank_t is
+   * read back from the stored history. Under edge ADDITIONS rank-frame
+   * membership only grows, so nothing ever needs deleting from the
+   * history side (deletions = rebuild, like the IVF drift gate).
+   *
+   * Delta rows are ADDITIONAL edge rows in the multiset sense: the
+   * per-edge floored contribution means a parallel (src, dst) row is
+   * NOT the same as incrementing an existing row's weight, and the
+   * equality contract is against the unioned multiset (which is what a
+   * crawl's per-segment link-graph batches produce).
+   *
+   * Scale shape: per iteration, the edge list is semi-join FILTERED to
+   * edges into the affected set before anything else touches it — with
+   * the edge store partitioned/bucketed by dst that is a pruned scan
+   * proportional to the delta's reach, not |E|; the history read is
+   * one `iter` partition per round. A delta touching everything
+   * degrades gracefully into exactly the full recompute.
+   */
+  def pageRankWeightedDelta(oldEdges: DataFrame, history: DataFrame,
+      deltaEdges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    def norm(df: DataFrame) = df
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
+    val dE = norm(deltaEdges).localCheckpoint(eager = true)
+    val allE = norm(oldEdges).unionByName(dE).localCheckpoint(eager = true)
+    val outW = allE.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val withW = allE.join(outW, "src").localCheckpoint(eager = true)
+    val touched = dE.select(col("src")).distinct().localCheckpoint(eager = true)
+    // A_0 = NEW seeds (sources that did not exist before): their
+    // rank_0 = 1 000 000 is new frame membership, nothing else moves
+    // at iter 0.
+    val oldSrc = norm(oldEdges).select(col("src")).distinct()
+    var affSet = touched.join(oldSrc, Seq("src"), "left_anti")
+      .select(col("src").as("node")).localCheckpoint(eager = true)
+    var affRank = affSet.select(col("node"), lit(1000000L).as("r"))
+    for (t <- 1 to iters) {
+      // updated rank_{t-1}: recomputed values where affected, stored
+      // history everywhere else (a node in A_{t-1} absent from the
+      // recomputed frame stays absent — membership is part of the set)
+      val histPrev = history.filter(col("iter") === t - 1)
+        .select(col("node"), col("r"))
+      val prevRank = affRank
+        .unionByName(histPrev.join(affSet, Seq("node"), "left_anti"))
+      val frontier = touched
+        .unionByName(affSet.select(col("node").as("src"))).distinct()
+      val affT = withW.join(frontier, "src")
+        .select(col("dst").as("node")).distinct()
+        .localCheckpoint(eager = true)
+      affRank = withW
+        .join(affT, withW("dst") === affT("node"), "left_semi")
+        .join(prevRank, withW("src") === prevRank("node"))
+        .select(col("dst"), expr("(r * 17L * w) div (20L * ow)").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("c"))).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint(eager = true)
+      affSet = affT
+    }
+    val histFinal = history.filter(col("iter") === iters)
+      .select(col("node"), col("r"))
+    histFinal.join(affSet, Seq("node"), "left_anti")
+      .unionByName(affRank)
+      .select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /**
    * Triangle census of an undirected pair graph: node/edge counts,
    * exact triangle count, wedge (open-triple) count and the global
    * clustering coefficient 3·T / wedges — "how clique-y are the

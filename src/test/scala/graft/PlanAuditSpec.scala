@@ -176,6 +176,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row seed-matrix / codebook-row broadcasts (PQ build + encode)
       // plus the bounded query-set broadcast on the ADC scans
       "q_pq_codes", "q_ann_pq", "q_ann_ivf_pq",
+      // q_ann_pq's shapes + the |Q|·c-bounded candidate-id broadcast of
+      // the refine fetch (r20)
+      "q_ann_pq_rerank",
       // 1-row centroid-matrix broadcast per Lloyd iteration
       "q_kmeans",
       "q_bloom_fp_audit", "q_bm25", "q_cms_join_size", "q_cosine_topk",

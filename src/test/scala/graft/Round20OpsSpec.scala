@@ -203,4 +203,132 @@ class Round20OpsSpec extends AnyFunSuite {
       df.unpersist()
     } finally rm(dir)
   }
+
+  // ---- deeper published-vocab parity (verdict #5) ----
+
+  /** The first 35 merges of the published GPT-2 vocab.bpe
+    * (openai/gpt-2, Radford et al. 2019) — a 5× extension of
+    * Round19's 7-merge prefix. Offline methodology: the prefix is
+    * reconstructed from the published file and CROSS-VALIDATED by
+    * four independently-attested encoder.json ids that the 256+rank
+    * convention must reproduce — ' to' = 284 (rank 28), ' of' = 286
+    * (rank 30), ' in' = 287 (rank 31), ' and' = 290 (rank 34) — on
+    * top of Round19's ' the' = 262 (rank 6). Any missing, extra or
+    * misplaced merge before rank 34 shifts at least one anchor. The
+    * fixture deliberately stops where independent anchors stop: an
+    * unvalidated deeper prefix would pin "parity" against data the
+    * build cannot verify offline. */
+  private val Gpt2First35 = Seq(
+    ("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"),
+    ("r", "e"), ("o", "n"), ("Ġt", "he"), ("e", "r"),
+    ("Ġ", "s"), ("a", "t"), ("Ġ", "w"), ("Ġ", "o"),
+    ("e", "n"), ("Ġ", "c"), ("i", "t"), ("i", "s"),
+    ("a", "n"), ("o", "r"), ("e", "s"), ("Ġ", "b"),
+    ("e", "d"), ("Ġ", "f"), ("in", "g"), ("Ġ", "p"),
+    ("o", "u"), ("Ġa", "n"), ("a", "l"), ("a", "r"),
+    ("Ġt", "o"), ("Ġ", "m"), ("Ġo", "f"), ("Ġ", "in"),
+    ("Ġ", "d"), ("Ġ", "h"), ("Ġan", "d"))
+
+  test("gpt2Encoder reproduces the published ids at depth 35 (four independent anchors)") {
+    import graft.sources.Tokenizers
+    val enc = Tokenizers.gpt2Encoder(Gpt2First35)
+    // Round19's anchors still hold under the extended prefix
+    assert(enc("Ġ") == 220 && enc("Ġthe") == 262)
+    // the four NEW published-id anchors, each 256 + its merge rank
+    assert(enc("Ġto") == 284)
+    assert(enc("Ġof") == 286)
+    assert(enc("Ġin") == 287)
+    assert(enc("Ġand") == 290)
+    // intermediate outputs the anchors lock in place
+    assert(enc("er") == 263 && enc("ing") == 278 && enc("ou") == 280)
+  }
+
+  test("encode parity at depth 35: whole-word tokens come out as ONE published id") {
+    import graft.ops.TextOps
+    import graft.sources.Tokenizers
+    import spark.implicits._
+    val enc = Tokenizers.gpt2Encoder(Gpt2First35)
+    val out = Seq(" to the", " in and of", "bring")
+      .toDF("text")
+      .select(TextOps.bpeEncodeByteLevel(col("text"), Gpt2First35).as("t"))
+      .collect().map(_.getSeq[String](0).toVector)
+    // each function word is a single published token id now — at
+    // depth 7 ' to' / ' of' / ' in' / ' and' all still split
+    assert(out(0) == Vector("Ġto", "Ġthe"))
+    assert(out(0).map(enc) == Vector(284, 262))
+    assert(out(1) == Vector("Ġin", "Ġand", "Ġof"))
+    assert(out(1).map(enc) == Vector(287, 290, 286))
+    // merge chain inside a content word: in + g fires at rank 22
+    assert(out(2) == Vector("b", "r", "ing"))
+    assert(out(2).map(enc) == Vector(65, 81, 278))
+  }
+
+  test("tokenizer.json round-trip preserves the depth-35 published numbering") {
+    import graft.sources.Tokenizers
+    val dir = tmpDir("hf35")
+    try {
+      val enc = Tokenizers.gpt2Encoder(Gpt2First35)
+      Tokenizers.writeHfTokenizer(spark, s"$dir/tokenizer.json",
+        Gpt2First35, enc)
+      val (m2, v2) = Tokenizers.readHfTokenizer(spark, s"$dir/tokenizer.json")
+      assert(m2 == Gpt2First35)
+      assert(v2("Ġand") == 290 && v2("Ġto") == 284 && v2("Ġthe") == 262)
+      assert(v2 == enc)
+    } finally rm(dir)
+  }
+
+  // ---- incremental PageRank (verdict #6) ----
+
+  /** Deterministic weighted digraph: node space 0..22, two halves that
+    * only the delta bridges. */
+  private def prEdges(rows: Seq[(Long, Long, Long)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  test("pageRankWeightedDelta == full recompute on the grown graph, bit-exact") {
+    val old = prEdges((0 until 60).map { i =>
+      (i.toLong % 11, (i.toLong * 7 + 3) % 11, i.toLong % 5 + 1)
+    })
+    val delta = prEdges(Seq(
+      (1L, 12L, 2L),   // edge into a brand-new node
+      (12L, 13L, 1L),  // new source chain
+      (13L, 3L, 4L),   // back into the old graph
+      (0L, 5L, 9L),    // parallel row to a possibly-existing (src,dst)
+      (14L, 14L, 1L))) // new self-loop island
+    val hist = graft.ops.Graph.pageRankWeightedHistory(old, iters = 5)
+    val viaDelta = graft.ops.Graph
+      .pageRankWeightedDelta(old, hist, delta, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.ops.Graph
+      .pageRankWeighted(old.unionByName(delta), iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDelta == full)
+    assert(full.nonEmpty)
+  }
+
+  test("pageRankWeightedDelta is actually incremental: nodes outside the delta's reach come from the stored history, not a recompute") {
+    // component A (0..4 ring) and component B (100..104 ring), no
+    // cross edges; the delta touches only A.
+    def ring(base: Long) = (0 until 5).map { i =>
+      (base + i, base + (i + 1) % 5, 1L)
+    }
+    val old = prEdges(ring(0) ++ ring(100))
+    val delta = prEdges(Seq((2L, 3L, 5L)))
+    val hist = graft.ops.Graph.pageRankWeightedHistory(old, iters = 3)
+    // poison B's FINAL history ranks: if the delta path recomputed B it
+    // would heal the poison; reading the store it must carry it through
+    val poisoned = hist.withColumn("r",
+      when(col("iter") === 3 && col("node") >= 100L, lit(-777L))
+        .otherwise(col("r")))
+    val out = graft.ops.Graph
+      .pageRankWeightedDelta(old, poisoned, delta, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (100L to 104L).foreach { n => assert(out(n) == -777L, s"node $n") }
+    // ...while A (inside the reach) matches the true full recompute
+    val full = graft.ops.Graph
+      .pageRankWeighted(old.unionByName(delta), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 4L).foreach { n => assert(out(n) == full(n), s"node $n") }
+  }
 }
