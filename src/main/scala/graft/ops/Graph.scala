@@ -160,7 +160,30 @@ object Graph {
    * degrades gracefully into exactly the full recompute.
    */
   def pageRankWeightedDelta(oldEdges: DataFrame, history: DataFrame,
-      deltaEdges: DataFrame, iters: Int = 5): DataFrame = {
+      deltaEdges: DataFrame, iters: Int = 5): DataFrame =
+    deltaCore(oldEdges, history, deltaEdges, iters, keepHistory = false)
+      .filter(col("iter") === iters)
+      .select(col("node"), col("r").as("rank_micro"))
+
+  /**
+   * [[pageRankWeightedDelta]] returning the FULL updated per-iteration
+   * history instead of just the final ranks — the frame to persist so
+   * the NEXT delta batch can chain off this one (continuous crawl
+   * ingest: init once, then history → delta → history → …). Identical
+   * to `pageRankWeightedHistory(oldEdges unionAll deltaEdges, iters)`
+   * bit-for-bit; per iteration the unaffected side is the stored
+   * history anti-joined against the affected set, so the assembly adds
+   * one |V|-row anti join per iteration over [[pageRankWeightedDelta]].
+   */
+  def pageRankWeightedDeltaHistory(oldEdges: DataFrame, history: DataFrame,
+      deltaEdges: DataFrame, iters: Int = 5): DataFrame =
+    deltaCore(oldEdges, history, deltaEdges, iters, keepHistory = true)
+
+  /** Shared delta-maintenance loop. Returns (node, iter, r): all
+    * iterations when `keepHistory`, else only `iter = iters` rows
+    * (tagged, so both wrappers read one shape). */
+  private def deltaCore(oldEdges: DataFrame, history: DataFrame,
+      deltaEdges: DataFrame, iters: Int, keepHistory: Boolean): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     def norm(df: DataFrame) = df
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
@@ -177,14 +200,17 @@ object Graph {
     var affSet = touched.join(oldSrc, Seq("src"), "left_anti")
       .select(col("src").as("node")).localCheckpoint(eager = true)
     var affRank = affSet.select(col("node"), lit(1000000L).as("r"))
+    def merged(t: Int): DataFrame = {
+      val histT = history.filter(col("iter") === t).select(col("node"), col("r"))
+      affRank.unionByName(histT.join(affSet, Seq("node"), "left_anti"))
+    }
+    var out =
+      if (keepHistory) merged(0).withColumn("iter", lit(0)) else null: DataFrame
     for (t <- 1 to iters) {
       // updated rank_{t-1}: recomputed values where affected, stored
       // history everywhere else (a node in A_{t-1} absent from the
       // recomputed frame stays absent — membership is part of the set)
-      val histPrev = history.filter(col("iter") === t - 1)
-        .select(col("node"), col("r"))
-      val prevRank = affRank
-        .unionByName(histPrev.join(affSet, Seq("node"), "left_anti"))
+      val prevRank = merged(t - 1)
       val frontier = touched
         .unionByName(affSet.select(col("node").as("src"))).distinct()
       val affT = withW.join(frontier, "src")
@@ -199,12 +225,10 @@ object Graph {
         .select(col("dst").as("node"), col("r"))
         .localCheckpoint(eager = true)
       affSet = affT
+      if (keepHistory) out = out.unionByName(merged(t).withColumn("iter", lit(t)))
     }
-    val histFinal = history.filter(col("iter") === iters)
-      .select(col("node"), col("r"))
-    histFinal.join(affSet, Seq("node"), "left_anti")
-      .unionByName(affRank)
-      .select(col("node"), col("r").as("rank_micro"))
+    val res = if (keepHistory) out else merged(iters).withColumn("iter", lit(iters))
+    res.select(col("node"), col("iter").cast("int").as("iter"), col("r"))
   }
 
   /**

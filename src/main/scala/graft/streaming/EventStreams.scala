@@ -266,6 +266,31 @@ object EventStreams {
       .agg(count(lit(1)).as("n_links"))
 
   /**
+   * STREAMING incremental PageRank (r20) — the maintenance side that
+   * closes the live link-graph loop: each micro-batch of (src, dst, w)
+   * edges (e.g. [[linkGraphStream]]'s closed windows, renamed) is
+   * applied to the persisted [[graft.sources.RankStore]] through the
+   * EXACT delta update ([[graft.ops.Graph.pageRankWeightedDeltaHistory]]
+   * — only the batch's out-reach recomputes, the rest of the crawl's
+   * ranks are read back from the stored history). Exactly-once across
+   * restarts without relying on idempotent output: the store records
+   * the applied batchId high-water mark and replayed batches are
+   * bit-exact no-ops. `RankStore.ranks(spark, storePath)` is the
+   * always-consistent serving read (atomic manifest pointer — a reader
+   * never sees a half-applied batch). Returns the configured writer;
+   * caller sets checkpointLocation and `.start()`s.
+   */
+  def pageRankMaintainStream(edges: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val apply: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.sources.RankStore.appendDelta(
+        batch.sparkSession, storePath, batch, batchId)
+      ()
+    }
+    edges.writeStream.outputMode(OutputMode.Update()).foreachBatch(apply)
+  }
+
+  /**
    * Streaming twin of [[graft.ops.Dedup.neardupIncremental]]: each
    * arriving doc is MinHash-banded and probed against the STATIC
    * historical [[graft.ops.Dedup.bandKeyIndex]] via a stream-static

@@ -331,4 +331,79 @@ class Round20OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     (0L to 4L).foreach { n => assert(out(n) == full(n), s"node $n") }
   }
+
+  // ---- persisted rank store + streaming maintenance ----
+
+  test("RankStore: deltas chain through the persisted history; replayed batchIds are no-ops") {
+    import graft.sources.RankStore
+    val dir = tmpDir("rankstore")
+    try {
+      val a = prEdges((0 until 40).map { i =>
+        (i.toLong % 9, (i.toLong * 5 + 2) % 9, i.toLong % 3 + 1) })
+      val b = prEdges(Seq((2L, 20L, 3L), (20L, 21L, 1L), (21L, 0L, 2L)))
+      val c = prEdges(Seq((7L, 30L, 4L), (30L, 2L, 1L)))
+      RankStore.init(spark, dir.toString, a, iters = 4)
+      def stored = RankStore.ranks(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def full(e: org.apache.spark.sql.DataFrame) =
+        graft.ops.Graph.pageRankWeighted(e, iters = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored == full(a))
+      assert(RankStore.appendDelta(spark, dir.toString, b, batchId = 0L))
+      assert(stored == full(a.unionByName(b)))
+      assert(RankStore.appendDelta(spark, dir.toString, c, batchId = 1L))
+      val afterC = stored
+      assert(afterC == full(a.unionByName(b).unionByName(c)))
+      // restart-replay guard: an already-applied batchId is a no-op
+      assert(!RankStore.appendDelta(spark, dir.toString, c, batchId = 1L))
+      assert(stored == afterC)
+      // the covered edge set is exactly the three batches
+      assert(RankStore.edges(spark, dir.toString).count() == 40 + 3 + 2)
+    } finally rm(dir)
+  }
+
+  test("pageRankMaintainStream: live edge batches maintain the store across a kill-and-restart; final == full recompute") {
+    import graft.sources.RankStore
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("rankstream")
+    try {
+      val store = s"$dir/store"
+      val inDir = s"$dir/in"
+      val ckpt = s"$dir/ckpt"
+      val base = prEdges((0 until 30).map { i =>
+        (i.toLong % 7, (i.toLong * 3 + 1) % 7, i.toLong % 4 + 1) })
+      RankStore.init(spark, store, base, iters = 3)
+      val d1 = Seq((3L, 50L, 2L), (50L, 51L, 1L))
+      val d2 = Seq((51L, 3L, 4L), (1L, 60L, 1L))
+      d1.toDF("src", "dst", "w").coalesce(1).write.mode("append").parquet(inDir)
+      def startQuery() = {
+        val stream = s.readStream
+          .schema(d1.toDF("src", "dst", "w").schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        graft.streaming.EventStreams.pageRankMaintainStream(stream, store)
+          .option("checkpointLocation", ckpt).start()
+      }
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+      // batch 1 applied; the store now serves base+d1 ranks
+      def stored = RankStore.ranks(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def full(rows: Seq[(Long, Long, Long)]) =
+        graft.ops.Graph.pageRankWeighted(
+          base.unionByName(prEdges(rows)), iters = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored == full(d1))
+      // kill; second delta arrives while the query is down
+      d2.toDF("src", "dst", "w").coalesce(1).write.mode("append").parquet(inDir)
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(stored == full(d1 ++ d2))
+      // the applied-batch high-water mark survived the checkpoint: a
+      // manual replay of an old streaming batchId cannot double-apply
+      assert(!RankStore.appendDelta(spark, store,
+        d2.toDF("src", "dst", "w"), batchId = 0L))
+      assert(stored == full(d1 ++ d2))
+    } finally rm(dir)
+  }
 }
