@@ -3203,6 +3203,18 @@ object SparkEntry {
       TextOps.classifyNaiveBayes(docs(s, dir), "doc_id", "text", model)
     }),
 
+    "q_nb_incremental" -> ((s, dir) => {
+      // INCREMENTAL NB training (r20): per-slice sufficient statistics
+      // (integer counts) merged by summation, model derived from the
+      // merge — the oracle is the from-scratch full-corpus model, so
+      // equality proves the merge is exactly a batch retrain (counts
+      // are associative; batch arrival order can never matter)
+      val half = (p: Int) => TextOps.naiveBayesCounts(
+        docs(s, dir).filter(col("doc_id") % 2 === p), "lang", "text")
+      TextOps.naiveBayesFromCounts(
+        TextOps.mergeNaiveBayesCounts(half(0), half(1)))
+    }),
+
     "q_sitemap_parse" -> ((s, dir) => {
       // sitemap.xml → canonical frontier seeds (r19): per host a
       // deterministic urlset whose locs exercise trimming, the
@@ -8390,6 +8402,12 @@ object SparkEntry {
     // Naive Bayes training replay: the same two count aggregations +
     // micro-log rounding
     "q_nb_train" ->
+      (NbModelSql + "\nSELECT label, token, kind, w_micro FROM model"),
+
+    // incremental-training oracle: the from-scratch full-corpus model —
+    // the Spark side merges per-slice sufficient statistics, so
+    // equality proves count-merge + derive == batch retrain exactly
+    "q_nb_incremental" ->
       (NbModelSql + "\nSELECT label, token, kind, w_micro FROM model"),
 
     // classify replay: per (doc, label) the exact integer micro-log

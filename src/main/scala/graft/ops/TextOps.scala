@@ -2381,17 +2381,57 @@ object TextOps {
    * iteration, model rows ≈ vocab × labels.
    */
   def trainNaiveBayes(docs: org.apache.spark.sql.DataFrame,
+      labelCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    naiveBayesFromCounts(naiveBayesCounts(docs, labelCol, textCol))
+
+  /**
+   * The SUFFICIENT STATISTICS of [[trainNaiveBayes]] (r20) — raw
+   * integer counts, the mergeable form: `kind = 'tok'` rows carry
+   * (label, token) occurrence counts, `kind = 'docs'` rows (token =
+   * '') carry per-label document counts. Everything the model
+   * derivation needs (per-label token totals, vocabulary size, corpus
+   * size) is a sum or distinct over these, so counts from disjoint
+   * corpus slices merge EXACTLY by summation — the incremental
+   * training form ([[mergeNaiveBayesCounts]] + [[naiveBayesFromCounts]]
+   * == retraining on the union, integer-exact, oracle-gated by
+   * q_nb_incremental).
+   */
+  def naiveBayesCounts(docs: org.apache.spark.sql.DataFrame,
       labelCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(labelCol).as("label"),
-      explode(tokensNative(col(textCol))).as("token"))
-    val tl = toks.groupBy(col("label"), col("token"))
+    val tl = docs.select(col(labelCol).as("label"),
+        explode(tokensNative(col(textCol))).as("token"))
+      .groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("c"))
+      .select(col("label"), col("token"), lit("tok").as("kind"), col("c"))
+    val nd = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("label"), lit("").as("token"), lit("docs").as("kind"),
+        col("c"))
+    tl.unionByName(nd)
+  }
+
+  /** Merge two [[naiveBayesCounts]] frames: counts add. Associative and
+    * commutative — batch order never matters. */
+  def mergeNaiveBayesCounts(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    a.unionByName(b)
+      .groupBy(col("label"), col("token"), col("kind"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Derive the [[trainNaiveBayes]] model from [[naiveBayesCounts]]
+    * sufficient statistics — THE model derivation (trainNaiveBayes
+    * delegates here, so the batch and incremental paths cannot
+    * drift). */
+  def naiveBayesFromCounts(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tl = counts.filter(col("kind") === "tok")
+      .select(col("label"), col("token"), col("c"))
+    val nd = counts.filter(col("kind") === "docs")
+      .select(col("label"), col("c").as("nd"))
     val lt = tl.groupBy(col("label")).agg(sum(col("c")).as("n_l"))
     val v = tl.select(col("token")).distinct()
       .agg(count(lit(1)).as("v")) // 1 row
-    val nd = docs.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("nd"))
-    val n = docs.agg(count(lit(1)).as("n")) // 1 row
+    val n = nd.agg(sum(col("nd")).as("n")) // 1 row
     def microLog(x: Column): Column = round(log(x) * 1e6).cast("long")
     val wTok = tl.join(lt, "label").crossJoin(broadcast(v))
       .select(col("label"), col("token"), lit("tok").as("kind"),

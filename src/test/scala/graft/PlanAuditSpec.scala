@@ -231,6 +231,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row vocab-size + 1-row doc-count broadcasts (the Laplace
       // denominators; r19, TextOps.trainNaiveBayes)
       "q_nb_train",
+      // q_nb_train's 1-row broadcasts through the count-merge path (r20)
+      "q_nb_incremental",
       // the same 1-row broadcasts via the inlined model, plus the
       // #labels-row prior frame crossed into the token stream —
       // bounded by the label domain by contract (r19,

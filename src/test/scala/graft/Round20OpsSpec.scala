@@ -332,6 +332,33 @@ class Round20OpsSpec extends AnyFunSuite {
     (0L to 4L).foreach { n => assert(out(n) == full(n), s"node $n") }
   }
 
+  // ---- incremental Naive Bayes (count-form sufficient statistics) ----
+
+  test("naiveBayesCounts merge: any batch order == batch retrain, integer-exact") {
+    import graft.ops.TextOps
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ran"),
+      (3L, "es", "el gato duerme"),
+      (4L, "es", "el perro corre y corre"),
+      (5L, "fr", "le chat dort"),
+      (6L, "en", "a cat and a dog")).toDF("doc_id", "lang", "text")
+    def model(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    val batch = model(TextOps.trainNaiveBayes(docs, "lang", "text"))
+    val slice = (p: Int) => TextOps.naiveBayesCounts(
+      docs.filter(col("doc_id") % 3 === p), "lang", "text")
+    // three slices, merged in two DIFFERENT association orders
+    val m1 = TextOps.naiveBayesFromCounts(TextOps.mergeNaiveBayesCounts(
+      TextOps.mergeNaiveBayesCounts(slice(0), slice(1)), slice(2)))
+    val m2 = TextOps.naiveBayesFromCounts(TextOps.mergeNaiveBayesCounts(
+      slice(2), TextOps.mergeNaiveBayesCounts(slice(1), slice(0))))
+    assert(model(m1) == batch)
+    assert(model(m2) == batch)
+  }
+
   // ---- persisted rank store + streaming maintenance ----
 
   test("RankStore: deltas chain through the persisted history; replayed batchIds are no-ops") {
