@@ -3154,6 +3154,20 @@ object SparkEntry {
         .select(col("node").as("host"), col("rank_micro"))
     }),
 
+    "q_link_pagerank_seeded" -> ((s, dir) => {
+      // PERSONALIZED PageRank (r20): teleport restricted to the
+      // even-numbered source hosts — proximity-to-trusted-seeds
+      // ranking over the same real link graph; odd hosts appear only
+      // where seed mass actually reaches them
+      val edges = graft.ops.TextOps.linkGraph(linkPages(s, dir), "url", "html")
+        .select(col("src_host").as("src"), col("dst_host").as("dst"),
+          col("n_links").as("w"))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node").rlike("^src[0-9]*[02468]\\."))
+      graft.ops.Graph.pageRankPersonalized(edges, seeds, iters = 5)
+        .select(col("node").as("host"), col("rank_micro"))
+    }),
+
     "q_anchor_text" -> ((s, dir) =>
       // the anchor-text corpus (r19): what link text says about each
       // TARGET host — same synthesized pages and host-resolution rules
@@ -8299,6 +8313,35 @@ object SparkEntry {
           |  FROM pr JOIN ew e ON pr.node = e.src JOIN ow o ON pr.node = o.src
           |  WHERE pr.iter < 5
           |  GROUP BY pr.iter, e.dst)
+          |SELECT node AS host, r AS rank_micro FROM pr WHERE iter = 5"""
+          .stripMargin),
+
+    // personalized replay: teleport as synthetic seed self-edges in an
+    // augmented edge list — a single-reference recursion both engines
+    // run identically (the CASE guards the tele rows' zero divisors)
+    "q_link_pagerank_seeded" ->
+      (LinkEdgesSql.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
+        """,
+          |ew AS (SELECT src_host AS src, dst_host AS dst,
+          |    count(*)::BIGINT AS w FROM edges
+          |  WHERE dst_host IS NOT NULL AND dst_host <> ''
+          |  GROUP BY 1, 2),
+          |ow AS (SELECT src, sum(w) AS ow FROM ew GROUP BY src),
+          |sd AS (SELECT DISTINCT src AS node FROM ew
+          |  WHERE regexp_matches(src, '^src[0-9]*[02468]\.')),
+          |aug AS (SELECT src, dst, w, ow, false AS tele
+          |    FROM ew JOIN ow USING (src)
+          |  UNION ALL
+          |  SELECT node, node, 0, 0, true FROM sd),
+          |pr(iter, node, r) AS (
+          |  SELECT 0, node, 1000000::BIGINT FROM sd
+          |  UNION ALL
+          |  SELECT pr.iter + 1, a.dst,
+          |    sum(CASE WHEN a.tele THEN 150000
+          |      ELSE (pr.r * 17 * a.w) // (20 * a.ow) END)::BIGINT
+          |  FROM pr JOIN aug a ON pr.node = a.src
+          |  WHERE pr.iter < 5
+          |  GROUP BY pr.iter, a.dst)
           |SELECT node AS host, r AS rank_micro FROM pr WHERE iter = 5"""
           .stripMargin),
 

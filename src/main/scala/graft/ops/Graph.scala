@@ -179,6 +179,54 @@ object Graph {
       deltaEdges: DataFrame, iters: Int = 5): DataFrame =
     deltaCore(oldEdges, history, deltaEdges, iters, keepHistory = true)
 
+  /**
+   * PERSONALIZED (topic-sensitive) weighted PageRank (r20) — the
+   * seed-expansion ranking of a crawl: teleport mass lands ONLY on the
+   * `seeds` (node) set, so rank measures proximity to the seeds through
+   * weighted links ("find hosts like these trusted ones"), not global
+   * centrality. Integer-exact like [[pageRankWeighted]] with the same
+   * flat per-node teleport constant, restricted to seeds:
+   *
+   *   r₀(v)   = 1 000 000 for v ∈ seeds, absent otherwise
+   *   rₜ₊₁(v) = [v ∈ seeds]·150 000 + Σ_{u→v} (rₜ(u)·17·w) div (20·W_u)
+   *
+   * The teleport is modeled as a synthetic SELF-edge per seed in an
+   * augmented edge frame — one join per iteration against ONE edge
+   * list, the identical two-shuffle round as the unweighted op, and an
+   * oracle-replayable single-reference recursion (the DuckDB twin
+   * carries the same augmented rows). A non-seed node enters the rank
+   * frame only when mass first reaches it; seeds self-perpetuate.
+   */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val e = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(eager = true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val sd = seeds.select(col("node")).distinct().localCheckpoint(eager = true)
+    val aug = e.join(outW, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"),
+        lit(false).as("tele"))
+      .unionByName(sd.select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("w"), lit(0L).as("ow"), lit(true).as("tele")))
+      .localCheckpoint(eager = true)
+    var rank = sd.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      rank = aug
+        .join(rank, aug("src") === rank("node"))
+        .select(col("dst"),
+          when(col("tele"), lit(150000L))
+            .otherwise(expr("(r * 17L * w) div (20L * ow)")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint(eager = true)
+    }
+    rank.select(col("node"), col("r").as("rank_micro"))
+  }
+
   /** Shared delta-maintenance loop. Returns (node, iter, r): all
     * iterations when `keepHistory`, else only `iter = iters` rows
     * (tagged, so both wrappers read one shape). */

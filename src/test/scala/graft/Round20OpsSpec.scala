@@ -332,6 +332,21 @@ class Round20OpsSpec extends AnyFunSuite {
     (0L to 4L).foreach { n => assert(out(n) == full(n), s"node $n") }
   }
 
+  // ---- personalized PageRank ----
+
+  test("pageRankPersonalized: teleport lands only on seeds; hand-computed exact values; unreachable components get no rank") {
+    val s = spark; import s.implicits._
+    // seed A=1 links to B=2; C=100→D=101 is a separate component with
+    // no seed — it must be absent entirely
+    val edges = Seq((1L, 2L, 1L), (100L, 101L, 3L)).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = graft.ops.Graph.pageRankPersonalized(edges, seeds, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // iter1: A = teleport 150000; B = (1e6*17*1) div (20*1) = 850000
+    // iter2: A = 150000; B = (150000*17) div 20 = 127500
+    assert(out == Map(1L -> 150000L, 2L -> 127500L))
+  }
+
   // ---- incremental Naive Bayes (count-form sufficient statistics) ----
 
   test("naiveBayesCounts merge: any batch order == batch retrain, integer-exact") {
