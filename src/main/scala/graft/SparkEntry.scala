@@ -798,6 +798,33 @@ object SparkEntry {
             .as("ids_md5"))
     }),
 
+    "q_bpe_specials" -> ((s, dir) => {
+      // SPECIAL-TOKEN-aware encode (r20): the production contract —
+      // '<|endoftext|>' separators come out as exactly ONE id each and
+      // BPE never merges across them. Composed per doc: ascii-projected
+      // text+probe, an eot, the uppercased ascii-projected 40-char
+      // prefix (a second segment sharing words with the first only up
+      // to case), then a DOUBLE eot (adjacent specials + empty-segment
+      // arm on every real row). The Spark side runs the generic
+      // split-encode-interleave; the oracle replays the segments by
+      // construction and injects id 256+|merges| between them —
+      // equality proves the generic splitter finds exactly the
+      // constructed boundaries.
+      val eot = "<|endoftext|>"
+      val seg1 = regexp_replace(
+        concat(col("text"), lit(TextOps.PreTokenProbe)), "[^ -~]|\\|", "")
+      val seg2 = upper(regexp_replace(
+        substring(col("text"), 1, 40), "[^ -~]|\\|", ""))
+      val composed = concat(seg1, lit(eot), seg2, lit(eot), lit(eot))
+      val ids = TextOps.bpeEncodeToIdsWithSpecials(
+        composed, TextOps.BpeByteGateMerges, Seq(eot))
+      docs(s, dir).select(col("doc_id"), ids.as("ids"))
+        .select(col("doc_id"), size(col("ids")).as("n_bpe"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"),
+          md5(concat_ws(" ", transform(col("ids"), x => x.cast("string"))))
+            .as("ids_md5"))
+    }),
+
     "q_bpe_budget_audit" -> ((s, dir) => {
       // real-vs-estimate token accounting per source under the pinned
       // gate vocabulary: the correction factor that tells budget math
@@ -3753,10 +3780,10 @@ object SparkEntry {
       |        ELSE ':' || port END)
       |    || path
       |    || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url
-      |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+      |  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
       |      string_split(query, '&'),
       |      q -> NOT regexp_matches(q, '^(utm_[^=]*|ref|fbclid|gclid)='))),
-      |      '&') AS kq FROM cu_p))""".stripMargin
+      |      '&'), '') AS kq FROM cu_p))""".stripMargin
 
   /** The composed crawl-chain oracle (shared by q_crawl_clean and
     * q_crawl_funnel): the SAME page synthesis as the Spark gate
@@ -3793,7 +3820,7 @@ object SparkEntry {
        |nrm AS (SELECT doc_id, source, ${normalizeSql("t0")} AS text FROM x),
        |""".stripMargin +
     boilerplateCtesSql("nrm") + ",\n" +
-    """bt AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM bp_j),
+    """bt AS (SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text FROM bp_j),
       |""".stripMargin +
     langCjkCtesSql("bt") + ",\n" +
     """keepl AS (SELECT lg.doc_id, lg.lang, bt.text FROM lg JOIN bt USING (doc_id)
@@ -3917,6 +3944,77 @@ object SparkEntry {
     * domain), then the identical wrapped-symbol ascending-rank replay
     * under the pinned BYTE-LEVEL merges. Ends with `agg`
     * (doc_id → n_bpe, all_toks), keeps `toks_t` visible. */
+  /** The q_bpe_specials oracle: [[bpeByteReplaySql]]'s word-encode
+    * recursion over TWO constructed segments per doc (ascii text+probe;
+    * uppercased ascii 40-char prefix), assembled as
+    * seg1 ++ [E] ++ seg2 ++ [E, E] where E = 256 + |merges| is the
+    * special's id under the byteLevelVocabWithSpecials numbering. */
+  private def bpeByteSegSpecialsSql: String = {
+    val pat = graft.ops.TextOps.PreTokenPattern.replace("'", "''")
+    val probe = graft.ops.TextOps.PreTokenProbe.replace("'", "''")
+    val mv = graft.ops.TextOps.BpeByteGateMerges.zipWithIndex
+      .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
+    val m = graft.ops.TextOps.BpeByteGateMerges.size
+    val eotId = 256 + m
+    val vocab = graft.ops.TextOps
+      .byteLevelVocab(graft.ops.TextOps.BpeByteGateMerges)
+    val vv = vocab.toSeq.sortBy(_._2)
+      .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
+      .mkString(", ")
+    s"""WITH RECURSIVE mg(rank, x, y) AS (VALUES $mv),
+       |vv(tok, id) AS (VALUES $vv),
+       |segs AS (
+       |  SELECT doc_id, 1 AS seg, list_transform(
+       |      regexp_extract_all(
+       |        regexp_replace(text || '$probe', '[^ -~]|\\|', '', 'g'),
+       |        '$pat', 0), t -> replace(t, ' ', 'Ġ')) AS toks
+       |    FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 2, list_transform(
+       |      regexp_extract_all(
+       |        upper(regexp_replace(text[1:40], '[^ -~]|\\|', '', 'g')),
+       |        '$pat', 0), t -> replace(t, ' ', 'Ġ'))
+       |    FROM documents),
+       |wt AS (SELECT doc_id, seg, toks[i] AS word, i AS ord
+       |  FROM segs, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |w AS (SELECT DISTINCT word FROM wt),
+       |enc AS (
+       |  SELECT word,
+       |    '|' || array_to_string(list_transform(
+       |      range(1, len(word) + 1), i -> word[i]), '||') || '|' AS s,
+       |    0 AS r
+       |  FROM w
+       |  UNION ALL
+       |  SELECT enc.word,
+       |    replace(enc.s,
+       |      '|' || mg.x || '||' || mg.y || '|', '|' || mg.x || mg.y || '|'),
+       |    enc.r + 1
+       |  FROM enc JOIN mg ON mg.rank = enc.r),
+       |fin AS (SELECT word,
+       |    list_filter(string_split(s, '|'), t -> t <> '') AS wtoks
+       |  FROM enc WHERE r = $m),
+       |wtok AS (SELECT word, wtoks[i] AS tok, i AS tord
+       |  FROM fin, unnest(range(1, len(wtoks) + 1)) AS u(i)),
+       |wids AS (SELECT word, list(vv.id ORDER BY wtok.tord) AS ids
+       |  FROM wtok JOIN vv ON vv.tok = wtok.tok GROUP BY word),
+       |aggi AS (SELECT doc_id, seg,
+       |    flatten(list(ids ORDER BY ord)) AS ids
+       |  FROM wt JOIN wids USING (word) GROUP BY doc_id, seg),
+       |asm AS (SELECT d.doc_id, flatten([
+       |    coalesce(a1.ids, []::INT[]), [$eotId],
+       |    coalesce(a2.ids, []::INT[]), [$eotId, $eotId]]) AS ids
+       |  FROM documents d
+       |  LEFT JOIN aggi a1 ON a1.doc_id = d.doc_id AND a1.seg = 1
+       |  LEFT JOIN aggi a2 ON a2.doc_id = d.doc_id AND a2.seg = 2)
+       |SELECT doc_id, len(ids)::INT AS n_bpe,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(ids, x -> x::BIGINT)), (a, b) -> a + b)::BIGINT
+       |    AS ids_sum,
+       |  md5(array_to_string(list_transform(ids, x -> x::VARCHAR), ' '))
+       |    AS ids_md5
+       |FROM asm""".stripMargin
+  }
+
   private def bpeByteReplaySql: String = {
     val pat = graft.ops.TextOps.PreTokenPattern.replace("'", "''")
     val probe = graft.ops.TextOps.PreTokenProbe.replace("'", "''")
@@ -4637,8 +4735,8 @@ object SparkEntry {
         |kp AS (SELECT doc_id, list(pos ORDER BY pos) AS kp FROM k GROUP BY doc_id)
         |SELECT d.doc_id, len(d.lines) AS n_paras,
         |  coalesce(len(kp.kp), 0) AS n_kept,
-        |  array_to_string(list_transform(coalesce(kp.kp, []),
-        |    i -> d.lines[i + 1]), chr(10)) AS text
+        |  coalesce(array_to_string(list_transform(coalesce(kp.kp, []),
+        |    i -> d.lines[i + 1]), chr(10)), '') AS text
         |FROM d LEFT JOIN kp USING (doc_id)""".stripMargin,
 
     "q_simhash" ->
@@ -4701,13 +4799,13 @@ object SparkEntry {
         |  round(CASE WHEN len(lines) > 0
         |    THEN (len(lines) - len(kept))::DOUBLE / len(lines)::DOUBLE
         |    ELSE 0.0 END, 6) AS boiler_ratio,
-        |  md5(array_to_string(kept, chr(10))) AS clean_hash
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash
         |FROM bp_j""".stripMargin,
 
     "q_boilerplate_clean" ->
       s"""$BoilerplateChainSql
          |SELECT doc_id, source,
-         |  array_to_string(kept, chr(10)) AS clean_text
+         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
          |FROM bp_j""".stripMargin,
 
     "q_langid_cjk" -> {
@@ -4826,7 +4924,7 @@ object SparkEntry {
          |SELECT doc_id, len(pt)::INT AS n_pretoks,
          |  len(list_filter(pt, t ->
          |    regexp_matches(t, '^[ \\t\\r\\n\\f]+$$')))::INT AS n_ws_runs,
-         |  md5(array_to_string(pt, chr(1))) AS pt_md5
+         |  md5(coalesce(array_to_string(pt, chr(1)), '')) AS pt_md5
          |FROM p""".stripMargin
     },
 
@@ -4864,6 +4962,12 @@ object SparkEntry {
          |  md5(coalesce(a.all_ids, '')) AS ids_md5
          |FROM toks_t t LEFT JOIN aggi a USING (doc_id)""".stripMargin
     },
+
+    // special-token replay: the byte-level word encode (same
+    // mg/enc/fin machinery as bpeByteReplaySql, keyed per segment),
+    // with the special's id 256+|merges| injected at the CONSTRUCTED
+    // boundaries — the Spark side has to find them generically
+    "q_bpe_specials" -> bpeByteSegSpecialsSql,
 
     "q_bpe_budget_audit" ->
       s"""$bpeChainSql,
@@ -8508,10 +8612,10 @@ object SparkEntry {
          |        ELSE ':' || port END)
          |    || path
          |    || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url
-         |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+         |  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
          |      string_split(query, '&'),
          |      q -> NOT regexp_matches(q, '^(utm_[^=]*|ref|fbclid|gclid)='))),
-         |      '&') AS kq FROM p))
+         |      '&'), '') AS kq FROM p))
          |SELECT DISTINCT host, canonical_url FROM c
          |WHERE regexp_matches(canonical_url, '^[a-z]+://.')""".stripMargin
     },

@@ -1429,6 +1429,58 @@ object TextOps {
       t => element_at(typedLit(vocab), t))
   }
 
+  /**
+   * SPECIAL-TOKEN-aware byte-level encode (r20) — the production
+   * contract the plain kernel lacks: a special token (`<|endoftext|>`
+   * document separators, chat-template markers) must come out as
+   * EXACTLY ONE token and BPE must never merge across it. The text is
+   * split on literal special occurrences (longest special first, so an
+   * overlapping pair like `<|end|>` / `<|end|><|end|>` resolves to the
+   * longer), each segment encodes independently through
+   * [[bpeEncodeByteLevel]], and the special itself is emitted verbatim
+   * between them. Inputs containing U+E000 (private use, the internal
+   * sentinel) are out of contract.
+   */
+  def bpeEncodeWithSpecials(text: Column,
+      merges: Seq[(String, String)], specials: Seq[String]): Column = {
+    require(specials.nonEmpty, "use bpeEncodeByteLevel for no specials")
+    require(specials.distinct == specials, "duplicate special tokens")
+    val sent = "\uE000" // private-use sentinel, see contract above
+    specials.foreach { sp =>
+      require(sp.nonEmpty && !sp.contains(sent), s"invalid special '$sp'")
+    }
+    val byLen = specials.zipWithIndex.sortBy { case (sp, _) => -sp.length }
+    val marked = byLen.foldLeft(text) { case (c, (sp, i)) =>
+      regexp_replace(c, lit(java.util.regex.Pattern.quote(sp)),
+        lit(s"$sent$i$sent"))
+    }
+    val specialArr = specials.toArray
+    // split on the sentinel: odd positions hold a special's index,
+    // even positions are plain segments (possibly empty)
+    val parts = split(marked, sent, -1)
+    flatten(zip_with(parts, sequence(lit(0), size(parts) - 1),
+      (p, i) => when(i % 2 === 1,
+          array(element_at(typedLit(specialArr), p.cast("int") + 1)))
+        .otherwise(bpeEncode(byteLevelUnits(preTokenize(p)), merges))))
+  }
+
+  /** [[byteLevelVocab]] extended with special-token ids AFTER the
+    * merges — the production numbering (GPT-2: 256 base units + 50 000
+    * merges, then `<|endoftext|>` = 50 256). */
+  def byteLevelVocabWithSpecials(merges: Seq[(String, String)],
+      specials: Seq[String]): Map[String, Int] =
+    byteLevelVocab(merges) ++ specials.zipWithIndex.map { case (s, i) =>
+      s -> (256 + merges.length + i) }
+
+  /** [[bpeEncodeWithSpecials]] straight to ids under
+    * [[byteLevelVocabWithSpecials]] — total like [[bpeEncodeToIds]]. */
+  def bpeEncodeToIdsWithSpecials(text: Column,
+      merges: Seq[(String, String)], specials: Seq[String]): Column = {
+    val vocab = byteLevelVocabWithSpecials(merges, specials)
+    transform(bpeEncodeWithSpecials(text, merges, specials),
+      t => element_at(typedLit(vocab), t))
+  }
+
   /** Fixed well-formed BYTE-LEVEL merges table for the
     * q_bpe_bytelevel gate (each rule's parts are base units or
     * outputs of earlier rules — ascending-rank replay equals

@@ -332,6 +332,44 @@ class Round20OpsSpec extends AnyFunSuite {
     (0L to 4L).foreach { n => assert(out(n) == full(n), s"node $n") }
   }
 
+  // ---- special-token-aware encode ----
+
+  test("bpeEncodeWithSpecials: specials come out whole, BPE never merges across them, ids follow the production numbering") {
+    import graft.ops.TextOps
+    val s = spark; import s.implicits._
+    val eot = "<|endoftext|>"
+    val out = Seq(
+        s"the${eot}the",
+        s"$eot$eot",            // adjacent specials, empty segments drop
+        " to the")               // no special at all
+      .toDF("text")
+      .select(
+        TextOps.bpeEncodeWithSpecials(col("text"), Gpt2First35, Seq(eot))
+          .as("t"),
+        TextOps.bpeEncodeToIdsWithSpecials(col("text"), Gpt2First35, Seq(eot))
+          .as("ids"))
+      .collect()
+      .map(r => (r.getSeq[String](0).toVector, r.getSeq[Int](1).toVector))
+    // 'the' without leading space: t + he (rank-2 merge); the special is
+    // ONE token and its id sits after the merges: 256 + 35 = 291.
+    // Base-unit ids are the byteLevelVocab BYTE-order convention
+    // ('t' = 116), matching bpeEncodeToIds — not gpt2Encoder's
+    // published printable-first order.
+    assert(out(0)._1 == Vector("t", "he", eot, "t", "he"))
+    assert(out(0)._2 == Vector(116, 258, 291, 116, 258))
+    assert(out(1)._1 == Vector(eot, eot))
+    assert(out(1)._2 == Vector(291, 291))
+    assert(out(2)._1 == Vector("Ġto", "Ġthe"))
+    assert(out(2)._2 == Vector(284, 262))
+    // the published GPT-2 sizing drops out of the numbering formula:
+    // 256 base units + 50 000 merges -> <|endoftext|> = 50 256
+    val synth = (0 until 50000).map { i =>
+      (graft.functions.ByteLevelUnits.byteToChar(i / 256).toString,
+        graft.functions.ByteLevelUnits.byteToChar(i % 256).toString)
+    }
+    assert(TextOps.byteLevelVocabWithSpecials(synth, Seq(eot))(eot) == 50256)
+  }
+
   // ---- personalized PageRank ----
 
   test("pageRankPersonalized: teleport lands only on seeds; hand-computed exact values; unreachable components get no rank") {
