@@ -2193,6 +2193,116 @@ object SparkEntry {
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
             .as("low_line_count"))),
 
+    "q_tpch_q3" -> ((s, dir) =>
+      // TPC-H Q3 shape (shipping-priority top-10): both date slices
+      // push to the scans, customer ships only its key after the
+      // segment filter, revenue aggregates in integer micros BEFORE
+      // the global top-10 (WindowGroupLimit keeps the sort partial);
+      // ties broken (rev desc, date asc, orderkey asc) — the schema
+      // here has no o_shippriority, the shape is the 3-table
+      // filter-join-topk
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 1000000).cast("long")).as("rev_micro"))
+        .orderBy(col("rev_micro").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("rev_micro"))),
+
+    "q_tpch_q6" -> ((s, dir) =>
+      // TPC-H Q6 shape (forecast revenue change): the pure
+      // scan-filter-aggregate — every predicate reaches PushedFilters,
+      // one map-side-combined 1-row sum in integer micros, zero joins
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 1000000)
+          .cast("long")).as("revenue_micro"),
+          count(lit(1)).as("n_lines"))),
+
+    "q_tpch_q10" -> ((s, dir) =>
+      // TPC-H Q10 shape (returned-item reporting, top-20 customers):
+      // the returnflag + quarter slices push to the fact scan, revenue
+      // pre-aggregates per customer before the dimension joins, nation
+      // broadcasts — ties broken (rev desc, custkey asc)
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 1000000).cast("long")).as("rev_micro"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+        .orderBy(col("rev_micro").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("rev_micro"))),
+
+    "q_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 shape (promotion-revenue share): one month of facts
+      // joined to part's type column only, both legs of the ratio as
+      // conditional integer-micro sums in ONE aggregation — no second
+      // scan, no second shuffle
+      val m = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("l_partkey"), (round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 1000000).cast("long")).as("rm"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+      m.agg(
+        sum(when(col("p_type").startsWith("PROMO"), col("rm"))
+          .otherwise(0L)).as("promo_micro"),
+        sum(col("rm")).as("total_micro"))
+        .select(col("promo_micro"), col("total_micro"),
+          round(lit(100.0) * col("promo_micro").cast("double") /
+            col("total_micro").cast("double"), 6).as("promo_share"))
+    }),
+
+    "q_tpch_q19" -> ((s, dir) =>
+      // TPC-H Q19 shape (discounted revenue over a DISJUNCTION of
+      // brand/quantity/size conjunct groups): the OR-of-ANDs must not
+      // cartesian — it rides the partkey equi-join as a post-join
+      // filter with per-branch residuals; one integer-micro sum out.
+      // (This schema has no container/shipmode columns; brands and the
+      // qty/size ladders carry the disjunctive structure.)
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_size")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#13" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#20" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#22" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 1000000).cast("long")).as("revenue_micro"),
+          count(lit(1)).as("n_lines"))),
+
     "q_tpch_q15" -> ((s, dir) => {
       // TPC-H Q15 shape (suppliers at the maximum quarterly revenue):
       // revenue per supplier aggregated FIRST (facts never join wide),
@@ -6765,6 +6875,72 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_linestatus""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
+        |    AS BIGINT))::BIGINT AS rev_micro
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY rev_micro DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT sum(CAST(round(l_extendedprice * l_discount * 1000000)
+        |    AS BIGINT))::BIGINT AS revenue_micro,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q10" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
+        |      AS BIGINT))::BIGINT AS rev_micro
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, rev_micro
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev_micro DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch_q14" ->
+      """WITH m AS (
+        |  SELECT p_type,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
+        |      AS BIGINT) AS rm
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT sum(CASE WHEN p_type LIKE 'PROMO%' THEN rm ELSE 0 END)::BIGINT
+        |    AS promo_micro,
+        |  sum(rm)::BIGINT AS total_micro,
+        |  round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN rm ELSE 0
+        |    END)::DOUBLE / sum(rm)::DOUBLE, 6) AS promo_share
+        |FROM m""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
+        |    AS BIGINT))::BIGINT AS revenue_micro,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+        |    AND p_size BETWEEN 1 AND 5)
+        |  OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20
+        |    AND p_size BETWEEN 1 AND 10)
+        |  OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 20 AND 30
+        |    AND p_size BETWEEN 1 AND 15)""".stripMargin,
 
     "q_tpch_q15" ->
       """WITH rev AS (
