@@ -1956,6 +1956,15 @@ object SparkEntry {
         Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands),
         iters = 5)),
 
+    "q_label_prop" -> ((s, dir) =>
+      // label-propagation communities over the duplication graph (r20):
+      // the dense cores CC's reachability glues together — sync
+      // updates, 3 fixed iterations, min-label ties, so both engines
+      // replay it bit-identically
+      graft.ops.Graph.labelPropagation(
+        Dedup.candidatePairs(docs(s, dir), "doc_id", "text", MinhashK, MinhashBands),
+        iters = 3)),
+
     "q_local_clustering" -> ((s, dir) =>
       // per-node clique-ness of the duplication graph: triangles(v) and
       // 2T/(d(d-1)) — template families vs chain edits
@@ -6661,6 +6670,31 @@ object SparkEntry {
         |SELECT DISTINCT user_id FROM p WHERE day < 19750
         |EXCEPT
         |SELECT DISTINCT user_id FROM p WHERE day >= 19750""".stripMargin,
+
+    // label-propagation replay: the 3 sync iterations UNROLLED (lp1..3
+    // identical blocks), argmax per node via the window pick ORDER BY
+    // c DESC, label ASC — exactly max_by(label, struct(c, -label))
+    "q_label_prop" ->
+      s"""$PairsCte,
+         |lp_e AS (SELECT id1 AS src, id2 AS dst FROM pairs_t
+         |  UNION SELECT id2, id1 FROM pairs_t),
+         |lab0 AS (SELECT DISTINCT src AS id, src AS label FROM lp_e),
+         |c1 AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM lp_e e JOIN lab0 l ON e.src = l.id GROUP BY 1, 2),
+         |lab1 AS (SELECT id, label FROM (SELECT id, label, row_number()
+         |    OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+         |  FROM c1) WHERE rn = 1),
+         |c2 AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM lp_e e JOIN lab1 l ON e.src = l.id GROUP BY 1, 2),
+         |lab2 AS (SELECT id, label FROM (SELECT id, label, row_number()
+         |    OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+         |  FROM c2) WHERE rn = 1),
+         |c3 AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM lp_e e JOIN lab2 l ON e.src = l.id GROUP BY 1, 2),
+         |lab3 AS (SELECT id, label FROM (SELECT id, label, row_number()
+         |    OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+         |  FROM c3) WHERE rn = 1)
+         |SELECT id, label AS community FROM lab3""".stripMargin,
 
     "q_pagerank" ->
       s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

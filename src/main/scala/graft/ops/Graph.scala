@@ -180,6 +180,52 @@ object Graph {
     deltaCore(oldEdges, history, deltaEdges, iters, keepHistory = true)
 
   /**
+   * LABEL-PROPAGATION community detection (r20; Raghavan et al. 2007,
+   * Phys. Rev. E 76) over an undirected pair graph — the coarser,
+   * near-linear community read beside [[Dedup.connectedComponents]]:
+   * CC says "reachable at all", LPA's label majorities find the densely
+   * duplicated cores inside a weakly bridged component. DETERMINISTIC
+   * variant: synchronous updates, a FIXED iteration count, and ties
+   * broken toward the SMALLEST label —
+   *
+   *   label₀(v)   = v
+   *   labelₜ₊₁(v) = argmax_ℓ |{u ∼ v : labelₜ(u) = ℓ}|, ties → min ℓ
+   *
+   * so the result is bit-identical under any partitioning and the
+   * DuckDB oracle replays it with the unrolled window-pick. (Classic
+   * async LPA is order-dependent by construction; the sync+tie-break
+   * form trades a little convergence speed for reproducibility, which
+   * is what a data pipeline must have.)
+   *
+   * Scale shape: per iteration one (src ⋈ label) hash join + a
+   * two-level aggregation — (dst, label) counts with map-side partials,
+   * then the per-dst `max_by(label, (count, -label))` argmax; no
+   * windows over unbounded partitions, lineage truncated per round.
+   * Long ids by contract (string keys: densify first via
+   * [[Scale.denseIds]]).
+   */
+  def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      lab = edges
+        .join(lab, edges("src") === lab("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(expr("max_by(label, struct(c, -label))").as("label"))
+        .select(col("dst").as("id"), col("label"))
+        .localCheckpoint(eager = true)
+    }
+    lab.select(col("id"), col("label").as("community"))
+  }
+
+  /**
    * PERSONALIZED (topic-sensitive) weighted PageRank (r20) — the
    * seed-expansion ranking of a crawl: teleport mass lands ONLY on the
    * `seeds` (node) set, so rank measures proximity to the seeds through

@@ -332,6 +332,21 @@ class Round20OpsSpec extends AnyFunSuite {
     (0L to 4L).foreach { n => assert(out(n) == full(n), s"node $n") }
   }
 
+  // ---- label propagation ----
+
+  test("labelPropagation: two bridged triangles split into two communities (hand-traced sync/min-tie trace)") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+      .toDF("id1", "id2")
+    val out = graft.ops.Graph.labelPropagation(pairs, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // synchronous updates with min-label ties, traced by hand:
+    // iter3 settles the left triangle on 1 and the right on 3
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
   // ---- special-token-aware encode ----
 
   test("bpeEncodeWithSpecials: specials come out whole, BPE never merges across them, ids follow the production numbering") {
