@@ -293,7 +293,9 @@ object Warc {
 
   /**
    * Read WARC/WET files into (path, record_type, url, fetch_ts, mime,
-   * record_id, n_bytes, content, text, charset) — content is the raw
+   * record_id, http_status, n_bytes, content, text, charset) —
+   * http_status is the HTTP response code (NULL for records without an
+   * HTTP header block) and content is the raw
    * PAYLOAD bytes (HTTP entity body for `response` records, whole
    * block otherwise) as an opaque binary column, the
    * multimodal-column convention; `text` is the CHARSET-AWARE decode
@@ -329,6 +331,18 @@ object Warc {
       .load(path))
 
   /** Shared batch/streaming parse body: binaryFile rows → records. */
+  /** HTTP status from a response's header block's first line
+    * ("HTTP/1.1 200 OK" → 200); -1 when absent (non-response records,
+    * headerless captures, unparseable status lines). */
+  private[graft] def httpStatus(httpHeaders: String): Int = {
+    if (httpHeaders.isEmpty) return -1
+    val firstLine = httpHeaders.takeWhile(c => c != '\r' && c != '\n')
+    val m = StatusLine.matcher(firstLine)
+    if (m.matches()) m.group(1).toInt else -1
+  }
+  private val StatusLine =
+    java.util.regex.Pattern.compile("HTTP/[0-9.]+[ \\t]+([0-9]{3}).*")
+
   private def recordsFrom(spark: SparkSession, files: DataFrame): DataFrame = {
     import spark.implicits._
     val parsed = files.select(col("path"), col("content"))
@@ -338,16 +352,20 @@ object Warc {
           val (text, cs) = decodeText(r.recordType, httpHeaders, body)
           (p, r.recordType, r.url, r.date,
             Option(r.contentType).getOrElse(""), r.recordId,
-            body, text, cs)
+            httpStatus(httpHeaders), body, text, cs)
         }
       }.toDF("path", "record_type", "url", "warc_date", "mime", "record_id",
-        "content", "text", "charset")
+        "status", "content", "text", "charset")
     parsed
       .withColumn("fetch_ts", to_timestamp(col("warc_date")))
       .withColumn("n_bytes", length(col("content")))
+      // -1 sentinel → NULL: "no HTTP status" (WET conversions, resource
+      // records, headerless captures) is absence, not a number
+      .withColumn("http_status",
+        when(col("status") >= 0, col("status")).otherwise(lit(null)))
       .select(col("path"), col("record_type"), col("url"), col("fetch_ts"),
-        col("warc_date"), col("mime"), col("record_id"), col("n_bytes"),
-        col("content"), col("text"), col("charset"))
+        col("warc_date"), col("mime"), col("record_id"), col("http_status"),
+        col("n_bytes"), col("content"), col("text"), col("charset"))
   }
 
   /**
@@ -363,6 +381,12 @@ object Warc {
     records
       .filter(col("record_type").isin("response", "conversion") &&
         col("url") =!= "")
+      // only SUCCESSFUL captures carry page content: a 404 body is the
+      // error page, a 3xx body is a stub — both are corpus noise (the
+      // CommonCrawl WET convention keeps 200s). No-status records (WET
+      // conversions, headerless captures) pass through.
+      .filter(col("http_status").isNull ||
+        (col("http_status") >= 200 && col("http_status") < 300))
       .select(
         pmod(conv(substring(md5(concat_ws("", col("url"),
           col("warc_date"))), 1, 15), 16, 10).cast("long"),

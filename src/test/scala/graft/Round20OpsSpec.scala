@@ -204,6 +204,44 @@ class Round20OpsSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("http_status: readWarc exposes the response code; pages() keeps 2xx and no-status records only") {
+    import graft.sources.Warc
+    val dir = tmpDir("warc-status")
+    try {
+      def resp(status: String, body: String): Array[Byte] =
+        (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n$body")
+          .getBytes("UTF-8")
+      val bytes =
+        gzipMember(rec("response", "https://ok.example.org/a",
+          "2024-05-01T10:00:00Z", resp("200 OK", "<html>good page</html>"))) ++
+        gzipMember(rec("response", "https://gone.example.org/b",
+          "2024-05-01T11:00:00Z",
+          resp("404 Not Found", "<html>error page chrome</html>"))) ++
+        gzipMember(rec("response", "https://moved.example.org/c",
+          "2024-05-01T12:00:00Z",
+          resp("301 Moved Permanently", "<html>redirect stub</html>"))) ++
+        gzipMember(rec("conversion", "https://wet.example.org/d",
+          "2024-05-01T13:00:00Z", "plain wet text".getBytes("UTF-8")))
+      java.nio.file.Files.write(
+        new java.io.File(dir, "seg-00000.warc.gz").toPath, bytes)
+      val df = Warc.readWarc(spark, dir.getAbsolutePath).cache()
+      val st = df.collect().map { r =>
+        r.getAs[String]("url") ->
+          (if (r.isNullAt(r.fieldIndex("http_status"))) None
+           else Some(r.getAs[Int]("http_status")))
+      }.toMap
+      assert(st("https://ok.example.org/a") == Some(200))
+      assert(st("https://gone.example.org/b") == Some(404))
+      assert(st("https://moved.example.org/c") == Some(301))
+      assert(st("https://wet.example.org/d") == None)
+      // the corpus adapter: 404 error pages and 3xx stubs are noise;
+      // the 200 and the statusless WET conversion survive
+      val kept = Warc.pages(df).collect().map(_.getAs[String]("source")).toSet
+      assert(kept == Set("ok.example.org", "wet.example.org"))
+      df.unpersist()
+    } finally rm(dir)
+  }
+
   // ---- deeper published-vocab parity (verdict #5) ----
 
   /** The first 35 merges of the published GPT-2 vocab.bpe
