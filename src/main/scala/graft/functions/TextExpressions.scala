@@ -779,3 +779,72 @@ case class NfkcNormalize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NfkcNormalize =
     copy(child = newChild)
 }
+
+/**
+ * Intersection CARDINALITY of two SORTED, duplicate-free string arrays
+ * via a single linear merge — the verify kernel of the exact PPJoin
+ * family ([[graft.ops.Dedup.similarityJoinExact]]), where it replaces
+ * `size(array_intersect(t1, t2))`: the builtin builds a hash set PER
+ * ROW (one allocation + two probe passes over boxed UTF8Strings);
+ * on the 10⁵-candidate verify stage that hash-set build dominated the
+ * whole query (r18 measurement: 3.2 s of a 4.4 s wall at sf0.1). The
+ * merge is allocation-free and compares each element at most twice.
+ *
+ * CONTRACT: both inputs must be sorted ascending (UTF8String binary
+ * order — exactly `sort_array`'s order) with distinct elements, as
+ * `sort_array(collect_list(...))` over per-doc-distinct tokens
+ * produces. Equal-run skipping keeps the count equal to
+ * `size(array_intersect(a, b))` even if duplicates appear. Returns
+ * null if either side is null (the builtin's null semantics).
+ */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<string>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val lv = left.eval(input)
+    if (lv == null) return null
+    val rv = right.eval(input)
+    if (rv == null) return null
+    val a = lv.asInstanceOf[ArrayData]
+    val b = rv.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else {
+        n += 1L
+        // skip equal runs so duplicate elements count once, matching
+        // array_intersect's distinct semantics
+        i += 1; j += 1
+        while (i < na && a.getUTF8String(i).compareTo(x) == 0) i += 1
+        while (j < nb && b.getUTF8String(j).compareTo(y) == 0) j += 1
+      }
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Sorted-merge |a ∩ b| as long — see
+    * [[graft.functions.SortedIntersectCount]]; inputs MUST be sorted. */
+  private def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** (doc hash) → representative = smallest doc_id; dup_cnt per group.
     * One shuffle, partial-agg friendly. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -1027,40 +1035,65 @@ object Dedup {
       tNum: Int = 1, tDen: Int = 2): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
+    // r18 optimization (guide §2.3/§2.4): df via ONE window over a token
+    // exchange instead of groupBy+join — the join form tokenized the
+    // corpus once per freq consumer AND once per join side (the sf0.01
+    // plan ran the scan+shingle Generate 8×); the set size n is
+    // size(array_distinct(...)) computed BEFORE the explode, replacing a
+    // second whole-partition window pass. Values are identical: the
+    // freq join was inner on a key that always matches (df ≥ 1 by
+    // construction), so no row is lost, and n == the per-doc staged row
+    // count the old window counted.
     val dtok = docs
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextOps.tokenShingles(col(textCol)))).as("token"))
-    val freq = dtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        array_distinct(TextOps.tokenShingles(col(textCol))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("token"))
+    val byTok = Window.partitionBy(col("token"))
     // one doc-keyed exchange for the window, the set aggregate, and
     // both verify joins
-    val staged = dtok.join(freq, "token").repartition(col("doc_id"))
+    val staged = dtok.repartition(col("token"))
+      .withColumn("df", count(lit(1)).over(byTok))
+      .repartition(col("doc_id"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val ranked = staged
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df").asc, col("token").asc)))
-      .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("pfx_len",
         col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1L))
     val prefixes = ranked.filter(col("rn") <= col("pfx_len"))
-      .select(col("doc_id"), col("token"), col("n"))
+      .select(col("doc_id"), col("token"), col("n"), col("rn"))
       .repartition(col("token"))
     // length-compatibility bound (classic PPJoin companion filter):
     // J ≥ t forces t·|y| ≤ |x| ≤ |y|/t, so size-incompatible pairs are
     // pruned INSIDE the candidate join, before the distinct and the
     // array verify (24% fewer candidates on the sf0.1 corpus; far more
-    // on corpora with real length spread)
+    // on corpora with real length spread).
+    // r18: plus the PPJoin POSITIONAL filter (Xiao et al. WWW 2008
+    // §3.2): a token matched at df-rank i of x and j of y bounds the
+    // overlap by 1 + min(|x|-i, |y|-j); Jaccard ≥ t needs overlap ≥
+    // ⌈t/(1+t)·(|x|+|y|)⌉, i.e. (1+min)·(tNum+tDen) ≥ tNum·(nx+ny).
+    // No false negatives (the bound is an upper bound on the true
+    // overlap), so the verified output is unchanged — measured 310k →
+    // 125k candidates on the sf0.1 corpus.
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id") &&
         col("a.n") * tDen >= col("b.n") * tNum &&
-        col("b.n") * tDen >= col("a.n") * tNum)
+        col("b.n") * tDen >= col("a.n") * tNum &&
+        (lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) *
+          lit(tNum + tDen) >= (col("a.n") + col("b.n")) * lit(tNum))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     val sets = staged.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("token"))).as("toks"), count(lit(1)).as("n"))
+    // r18: sorted-merge intersection count (allocation-free kernel)
+    // instead of size(array_intersect(...)) — same value on these
+    // sorted distinct arrays, 3.2 s → ~0 of the sf0.1 wall (see
+    // [[graft.functions.SortedIntersectCount]]).
     val j = cand
       .join(sets.select(col("doc_id").as("id1"), col("toks").as("t1"), col("n").as("n1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("toks").as("t2"), col("n").as("n2")), "id2")
-      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("inter", sortedIntersectCount(col("t1"), col("t2")))
       .withColumn("un", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * tDen >= col("un") * tNum)
     j.select(col("id1"), col("id2"),
@@ -1092,24 +1125,34 @@ object Dedup {
     require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     import org.apache.spark.sql.expressions.Window
+    // r18 optimization: same window-df / pre-explode-n rewrite as
+    // [[similarityJoinExact]] (tokenize once, no freq join) — see there.
     val dtok = docs
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextOps.tokenShingles(col(textCol)))).as("token"))
-    val freq = dtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val staged = dtok.join(freq, "token").repartition(col("doc_id"))
+        array_distinct(TextOps.tokenShingles(col(textCol))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("token"))
+    val byTok = Window.partitionBy(col("token"))
+    val staged = dtok.repartition(col("token"))
+      .withColumn("df", count(lit(1)).over(byTok))
+      .repartition(col("doc_id"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val ranked = staged
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df").asc, col("token").asc)))
-      .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("pfx_len",
         col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1L))
-    val byTok = Window.partitionBy(col("token"))
     val prefixes = ranked.filter(col("rn") <= col("pfx_len"))
-      .select(col("doc_id"), col("token"), col("n"))
+      .select(col("doc_id"), col("token"), col("n"), col("rn"))
       .repartition(col("token"))
       .withColumn("m", count(lit(1)).over(byTok))
       .withColumn("hub", min(col("doc_id")).over(byTok))
     val small = prefixes.filter(col("m") <= maxBlock)
+    // NOTE: [[similarityJoinExact]]'s r18 positional filter is NOT
+    // applied here — it is only sound at the pair's FIRST shared prefix
+    // token, and in the capped operator that token may live in a
+    // flooded block (routed to the star branch), leaving the pairwise
+    // branch with a later token whose tighter bound wrongly prunes
+    // (caught by the oracle gate: one J=0.987 pair vanished at sf0.01).
     val candSmall = small.as("a").hint("merge")
       .join(small.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id") &&
@@ -1124,7 +1167,7 @@ object Dedup {
     val j = cand
       .join(sets.select(col("doc_id").as("id1"), col("toks").as("t1"), col("n").as("n1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("toks").as("t2"), col("n").as("n2")), "id2")
-      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("inter", sortedIntersectCount(col("t1"), col("t2")))
       .withColumn("un", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * tDen >= col("un") * tNum)
     j.select(col("id1"), col("id2"),
@@ -1169,19 +1212,24 @@ object Dedup {
     val nr = docs.select(col(idCol).as("doc_id"),
       regexp_replace(lower(col(textCol)), "\\s+", " ").as("nrm"))
     // one row per gram start; a doc shorter than k keeps one position
-    // (substr then yields the whole text, matching the oracle's CASE)
+    // (substr then yields the whole text, matching the oracle's CASE).
+    // r18 optimization: the per-doc hash count is the POSITION count —
+    // greatest(len-k+1, 1), known before the explode — so the old
+    // count(1) whole-partition window (a second WindowExec pass over
+    // every gram row) is replaced by a pre-explode scalar; values
+    // identical by construction.
     val hashed = nr
       .select(col("doc_id"), col("nrm"),
+        greatest(length(col("nrm")) - lit(k - 1), lit(1)).as("nh"),
         explode(sequence(lit(1), greatest(length(col("nrm")) - lit(k - 1), lit(1))))
           .as("p"))
-      .select(col("doc_id"), col("p"),
+      .select(col("doc_id"), col("nh"), col("p"),
         conv(substring(md5(expr(s"substr(nrm, p, $k)")), 1, 8), 16, 10)
           .cast("long").as("h"))
       .repartition(col("doc_id"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val slide = byDoc.orderBy(col("p")).rowsBetween(0, w - 1)
     val tk = hashed
-      .withColumn("nh", count(lit(1)).over(byDoc))
       .withColumn("fp", min(col("h")).over(slide))
       // only windows fully inside the doc (a short doc keeps p=1: its
       // frame spans every hash — the single-window degenerate case)
@@ -1229,11 +1277,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val nr = docs.select(col(idCol).as("doc_id"),
       regexp_replace(lower(col(textCol)), "\\s+", " ").as("nrm"))
+    // r18: pre-explode nh — see [[winnowPairs]].
     val hashed = nr
       .select(col("doc_id"), col("nrm"),
+        greatest(length(col("nrm")) - lit(k - 1), lit(1)).as("nh"),
         explode(sequence(lit(1), greatest(length(col("nrm")) - lit(k - 1), lit(1))))
           .as("p"))
-      .select(col("doc_id"), col("p"),
+      .select(col("doc_id"), col("nh"), col("p"),
         conv(substring(md5(expr(s"substr(nrm, p, $k)")), 1, 8), 16, 10)
           .cast("long").as("h"))
       .repartition(col("doc_id"))
@@ -1241,7 +1291,6 @@ object Dedup {
     val slide = byDoc.orderBy(col("p")).rowsBetween(0, w - 1)
     val byFp = Window.partitionBy(col("fp"))
     val tk = hashed
-      .withColumn("nh", count(lit(1)).over(byDoc))
       .withColumn("fp", min(col("h")).over(slide))
       .filter(col("p") <= greatest(col("nh") - lit(w - 1), lit(1)))
       .select(col("doc_id"), col("fp")).distinct()
