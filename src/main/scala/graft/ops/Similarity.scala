@@ -699,6 +699,20 @@ object Similarity {
    */
   def refitQuantizer(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): (DataFrame, DataFrame) = {
+    val (assignedFull, refit) = refitQuantizerFull(emb, idCol, vecCol, k)
+    (assignedFull.select(col("vec_id"), col("cell")), refit)
+  }
+
+  /** [[refitQuantizer]] returning the FULL assignment rows
+    * (vec_id, v, nrm, cell) — r18: the assignment is a NARROW map of
+    * the scan (one broadcast seed matrix), so carrying the payload
+    * through costs nothing, while the old `base.join(assigned)`
+    * re-shuffled the corpus by id and re-ran the scan just to
+    * re-attach v/nrm for the refit aggregate and the index
+    * ([[buildIvfIndex]]). Same values, two fewer exchanges + one
+    * fewer corpus pass per consumer. */
+  private[graft] def refitQuantizerFull(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val base = emb
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
@@ -719,18 +733,19 @@ object Similarity {
         col("snrm")))).as("s"))
       .select(expr("transform(s, x -> x.sv)").as("svs"),
         expr("transform(s, x -> x.snrm)").as("snrms"))
-    val assigned = base.crossJoin(broadcast(seedRow))
-      .select(col("vec_id"), nearestSeed(col("v"), col("nrm"),
-        col("svs"), col("snrms")).as("cell"))
+    val assignedFull = base.crossJoin(broadcast(seedRow))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        nearestSeed(col("v"), col("nrm"),
+          col("svs"), col("snrms")).as("cell"))
     // one-pass refit: element-wise mean per cell, micro-scaled
     // (bit-identical across engines — the [[centroids]] discipline)
-    val refit = base.join(assigned, "vec_id")
+    val refit = assignedFull
       .groupBy(col("cell"))
       .agg(graft.functions.GraftFunctions.vector_mean(col("v")).as("mean"))
       .select(col("cell"),
         transform(col("mean"), x => round(x * 1000000).cast("long"))
           .as("centroid_scaled"))
-    (assigned, refit)
+    (assignedFull, refit)
   }
 
   /**
@@ -747,12 +762,11 @@ object Similarity {
    */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): (DataFrame, DataFrame) = {
-    val base = emb
-      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull && size(col("v")) > 0)
-      .withColumn("nrm", l2norm(col("v")))
-    val (assigned, refit) = refitQuantizer(emb, idCol, vecCol, k)
-    (base.join(assigned, "vec_id"), refit)
+    // r18: the full assignment rows ARE the index — the old
+    // base.join(assigned, "vec_id") re-shuffled the corpus by id (and
+    // re-ran the scan) to re-attach columns the narrow assignment can
+    // simply carry. Same (vec_id, v, nrm, cell) rows.
+    refitQuantizerFull(emb, idCol, vecCol, k)
   }
 
   /**
@@ -1005,14 +1019,21 @@ object Similarity {
     // rows, broadcast wherever joined
     val cents = refit.select(col("cell"),
       transform(col("centroid_scaled"), x => x / 1000000.0).as("cvec"))
+    // r18: keep `cell` alongside the residual vectors so the encoded
+    // codes come out already cell-tagged ([[pqEncodeAgainst]]'s carry)
+    // — the old shape re-joined codes⋈index by vec_id just to get the
+    // cell back (two exchanges on the corpus-sized code table).
     val pqInput =
       if (residual)
-        index.select(col("vec_id"), col("v"), col("cell"))
+        index.select(col("vec_id"), col("cell"), col("v"))
           .join(broadcast(cents), "cell")
-          .select(col("vec_id"),
+          .select(col("vec_id"), col("cell"),
             zip_with(col("v"), col("cvec"), (a, b) => a - b).as("v"))
-      else unit
-    val (codes, codebooks) = quantizePq(pqInput, "vec_id", "v", dim, m, kCodes)
+      else index.select(col("vec_id"), col("cell"), col("v"))
+    val (_, codebooks) =
+      quantizePq(pqInput.select(col("vec_id"), col("v")), "vec_id", "v",
+        dim, m, kCodes)
+    val codes = pqEncodeAgainst(pqInput, codebooks, dim, m)
     val q = index.filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val routed = routeQueries(q, refit, nprobe)
@@ -1039,9 +1060,9 @@ object Similarity {
       else cw(s)
     val num = (0 until m).map(s => dot(subv(col("qv"), s), rec(s))).reduce(_ + _)
     val recNrm = sqrt((0 until m).map(s => dot(rec(s), rec(s))).reduce(_ + _))
-    val withCell0 = codes.join(index.select(col("vec_id"), col("cell")), "vec_id")
+    // codes are already cell-tagged (the carry above) — no id re-join
     val withCell =
-      if (residual) withCell0.join(broadcast(cents), "cell") else withCell0
+      if (residual) codes.join(broadcast(cents), "cell") else codes
     // same zero-norm guard as [[annPq]] (queries here are unit-corpus
     // members so qnrm > 0 holds by construction, but the explicit
     // filter keeps the rule stated rather than incidental)
@@ -1087,7 +1108,11 @@ object Similarity {
    * codeword — the identical broadcast-matrix
    * [[graft.functions.NearestSeed]] scan the trainer's own encode
    * pass runs, so appended codes are bit-identical to what a build
-   * over the same codebooks would assign. `base` = (vec_id, v).
+   * over the same codebooks would assign. `base` = (vec_id, v) plus
+   * any extra columns, which pass through unchanged (r18: lets IVFADC
+   * carry `cell` alongside the codes instead of re-joining the index
+   * by id afterwards — the encode is a narrow map, so pass-through is
+   * free while the join cost two exchanges).
    */
   private[graft] def pqEncodeAgainst(base: DataFrame, codebooks: DataFrame,
       dim: Int, m: Int): DataFrame = {
@@ -1105,8 +1130,9 @@ object Similarity {
             augSeed(transform(x.getField("cw_scaled"), e => e / 1000000.0)))
             .as(s"cvs_$s"))
       }: _*)
+    val carry = base.columns.filter(_ != "v").map(col).toSeq
     base.crossJoin(broadcast(cbRow))
-      .select(col("vec_id") +: (0 until m).map { s =>
+      .select(carry ++ (0 until m).map { s =>
         element_at(col(s"cells_$s"),
           nearestSeed(augQuery(subv(col("v"), s)), lit(1.0),
             col(s"cvs_$s"), transform(col(s"cvs_$s"), _ => lit(1.0))) + 1)
@@ -1159,13 +1185,19 @@ object Similarity {
     val (index, refit) = buildIvfIndex(unit, "vec_id", "v", kCells)
     val cents = refit.select(col("cell"),
       transform(col("centroid_scaled"), x => x / 1000000.0).as("cvec"))
-    val pqInput = index.select(col("vec_id"), col("v"), col("cell"))
+    // r18: carry cell through the encode (see [[annIvfPq]]) — the old
+    // codes⋈index id-join re-shuffled the code table just to re-attach
+    // the cell the residual input already had.
+    val pqInput = index.select(col("vec_id"), col("cell"), col("v"))
       .join(broadcast(cents), "cell")
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("cell"),
         zip_with(col("v"), col("cvec"), (a, b) => a - b).as("v"))
-    val (codes, codebooks) = quantizePq(pqInput, "vec_id", "v", dim, m, kCodes)
-    (codes.join(index.select(col("vec_id"), col("cell")), "vec_id"),
-      refit, codebooks)
+    val (_, codebooks) =
+      quantizePq(pqInput.select(col("vec_id"), col("v")), "vec_id", "v",
+        dim, m, kCodes)
+    val codes = pqEncodeAgainst(pqInput, codebooks, dim, m)
+    (codes.select(("vec_id" +: (0 until m).map(s => s"code_$s") :+ "cell")
+      .map(col): _*), refit, codebooks)
   }
 
   /**
