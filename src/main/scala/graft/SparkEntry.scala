@@ -1090,7 +1090,7 @@ object SparkEntry {
       // trained on the unit-normalized corpus
       val corpus = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
       val unit = corpus.filter(col("nrm") > 0)
-        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+        .select(col("vec_id"), Similarity.arrayDiv(col("v"), col("nrm")).as("v"))
       val (codes, _) = Similarity.quantizePq(unit, "vec_id", "v",
         EmbDim, PqM, PqK)
       codes.select(col("vec_id"),

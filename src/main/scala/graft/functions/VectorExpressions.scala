@@ -578,9 +578,20 @@ case class RandomProjection(child: Expression, planes: Int, dim: Int)
  */
 case class NearestSeed(
     vec: Expression, nrm: Expression, seedVecs: Expression,
-    seedNorms: Expression)
+    seedNorms: Expression,
+    subOffset: Int = -1, subLen: Int = -1, augBias: Boolean = false)
   extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  // r18 SUBSPACE mode (subOffset >= 0): score seed p as
+  //   acc = SUM_{d<subLen} vec(subOffset+d) * seed_p(d)   [+ seed_p(subLen) if augBias]
+  // — the identical left-fold float order the old call sites produced
+  // by materializing concat(slice(vec, subOffset+1, subLen), [1.0]) per
+  // row per subspace (interpreted Slice+Concat+Transform allocations on
+  // every row of the PQ encode path; this folds them into the kernel).
+  // seedNorms is evaluated LAZILY — only when the seed matrix cache
+  // misses — so a per-row norms expression (the transform-to-ones idiom)
+  // costs once per matrix, not once per row.
 
   import org.apache.spark.sql.types.IntegerType
 
@@ -728,8 +739,7 @@ case class NearestSeed(
     val v0 = vec.eval(input)
     val n0 = nrm.eval(input)
     val s0 = seedVecs.eval(input)
-    val sn0 = seedNorms.eval(input)
-    if (v0 == null || n0 == null || s0 == null || sn0 == null) return null
+    if (v0 == null || n0 == null || s0 == null) return null
     val v = v0.asInstanceOf[ArrayData].toDoubleArray()
     val n = n0.asInstanceOf[Double]
     val seeds = s0.asInstanceOf[ArrayData]
@@ -747,15 +757,24 @@ case class NearestSeed(
         cacheSize(seeds) == cachedSize &&
         cacheContentMatches(seeds) &&
         fullChecksum(seeds) == cachedSum)) {
+      val sn0 = seedNorms.eval(input)
+      if (sn0 == null) return null
       unpack(seeds, sn0.asInstanceOf[ArrayData])
     }
     val k = cachedK
     if (k == 0) return null
-    require(v.length == cachedDim,
+    val sub = subOffset >= 0
+    val dim = if (sub) subLen else cachedDim
+    if (sub) {
+      require(cachedDim == subLen + (if (augBias) 1 else 0),
+        s"$prettyName: seed dim $cachedDim != subLen $subLen (+bias $augBias)")
+      require(v.length >= subOffset + subLen,
+        s"$prettyName: vector length ${v.length} < subspace end ${subOffset + subLen}")
+    } else require(v.length == cachedDim,
       s"$prettyName: vector length mismatch (${v.length} vs seed $cachedDim)")
+    val off = if (sub) subOffset else 0
     val flat = cachedFlat
     val norms = cachedNorms
-    val dim = cachedDim
     // pass 1: RAW cosines (one scratch buffer, reused across rows) and
     // the raw max under Double.compare (NaN greatest — Spark's order)
     if (scratch == null || scratch.length < k) scratch = new Array[Double](k)
@@ -764,12 +783,13 @@ case class NearestSeed(
     var p = 0
     while (p < k) {
       var acc = 0.0
-      val base = p * dim
+      val base = p * cachedDim
       var d = 0
       while (d < dim) {
-        acc += v(d) * flat(base + d)
+        acc += v(off + d) * flat(base + d)
         d += 1
       }
+      if (sub && augBias) acc += flat(base + dim)
       val cos = acc / (n * norms(p))
       scratch(p) = cos
       if (!any || java.lang.Double.compare(cos, rawMax) > 0) {
@@ -806,4 +826,131 @@ case class NearestSeed(
       f: Expression, s: Expression, t: Expression,
       q: Expression): NearestSeed =
     copy(vec = f, nrm = s, seedVecs = t, seedNorms = q)
+}
+
+/**
+ * Element-wise `arr(i) / s` with real codegen — replaces the
+ * interpreted `transform(v, x => x / nrm)` unit-normalization HOF on
+ * corpus-hot paths (Catalyst higher-order functions are CodegenFallback
+ * and allocate a lambda frame per element; r18 measurement: the
+ * normalize projection was a visible slice of every PQ/ANN query).
+ * IEEE division in array order — bit-identical to the HOF form.
+ * Null array → null; null elements rejected loudly (dense vectors
+ * required, the [[DotProduct]] rule). Null scalar is unreachable at
+ * call sites (callers filter nrm > 0) and returns null.
+ */
+case class ArrayDivScalar(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_array_div"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val s = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) / s; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $a.getDouble($i) / $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDivScalar =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Element-wise `a(i) ± b(i)` with real codegen — replaces the
+ * interpreted `zip_with(a, b, (x, y) => x ± y)` on the IVFADC hot
+ * paths (residual computation over the corpus; centroid+codeword
+ * reconstruction per scored row — zip_with is CodegenFallback and its
+ * fallback island re-evaluates the whole element_at/array_position
+ * child chain interpreted, per row, twice per subspace). IEEE ops in
+ * array order — bit-identical where lengths match; a length mismatch
+ * throws loudly instead of zip_with's null padding (unreachable at
+ * call sites: both sides are dim-checked vectors).
+ */
+case class ZipArith(left: Expression, right: Expression, add: Boolean)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = if (add) "graft_zip_add" else "graft_zip_sub"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double>, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"$prettyName: vector length mismatch ($n vs ${y.numElements()})")
+    val out = new Array[Double](n)
+    var i = 0
+    if (add) while (i < n) { out(i) = x.getDouble(i) + y.getDouble(i); i += 1 }
+    else while (i < n) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val op = if (add) "+" else "-"
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $a.getDouble($i) $op $b.getDouble($i);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZipArith =
+    copy(left = newLeft, right = newRight)
 }

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** float vector → double vector (widening is exact). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** float vector → double vector (widening is exact). r18: a native
+    * element cast — codegen'd, vs the interpreted per-element transform
+    * HOF this used to be; same values (float→double widening). */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Left-fold Σ aᵢ·bᵢ — codegen'd custom expression (see
     * [[graft.functions.DotProduct]]); identical fold order to the
@@ -53,6 +55,43 @@ object Similarity {
         org.apache.spark.sql.graft.ColumnBridge.expression(nrm),
         org.apache.spark.sql.graft.ColumnBridge.expression(seedVecs),
         org.apache.spark.sql.graft.ColumnBridge.expression(seedNorms)))
+
+  /** Subspace-mode [[nearestSeed]] against an AUGMENTED codeword matrix
+    * (r18): scores seed p as dot(v[offset..offset+len), seed_p[0..len))
+    * + seed_p(len) — bit-identical to the old per-row
+    * concat(slice(v), [1.0]) query against [[augSeed]] matrices, with
+    * the interpreted Slice/Concat/Transform per-row allocations folded
+    * into the kernel. Unit norms (the aug trick's contract). */
+  private def nearestSeedSub(v: Column, seedVecs: Column,
+      offset: Int, len: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NearestSeed(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        org.apache.spark.sql.graft.ColumnBridge.expression(lit(1.0)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(seedVecs),
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          transform(seedVecs, _ => lit(1.0))),
+        subOffset = offset, subLen = len, augBias = true))
+
+  /** Element-wise a/s with codegen — see
+    * [[graft.functions.ArrayDivScalar]]. */
+  private[graft] def arrayDiv(a: Column, s: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ArrayDivScalar(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(s)))
+
+  /** Element-wise a±b with codegen — see [[graft.functions.ZipArith]]. */
+  private[graft] def zipAdd(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ZipArith(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b), add = true))
+  private[graft] def zipSub(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ZipArith(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b), add = false))
 
   /** corpus projected to (id, v: array<double>, nrm). Narrow. */
   def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
@@ -382,8 +421,7 @@ object Similarity {
           augSeed(subv(x.getField("v"), s))).as(s"svs_$s")
       }: _*)
     def assignCols(matCol: Int => Column): Seq[Column] = (0 until m).map { s =>
-      nearestSeed(augQuery(subv(col("v"), s)), lit(1.0),
-        matCol(s), transform(matCol(s), _ => lit(1.0))).as(s"c_$s")
+      nearestSeedSub(col("v"), matCol(s), s * sub, sub).as(s"c_$s")
     }
     val assign1 = base.crossJoin(broadcast(seedRow))
       .select(col("vec_id") +: col("v") +: assignCols(s => col(s"svs_$s")): _*)
@@ -482,7 +520,7 @@ object Similarity {
     // which is all cosine ranks on — magnitude is divided out anyway)
     val unit = corpus
       .filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      .select(col("vec_id"), arrayDiv(col("v"), col("nrm")).as("v"))
     val (codes, codebooks) = quantizePq(unit, "vec_id", "v", dim, m, kCodes)
     val pq = annPq(codes, codebooks,
       unit.filter(queryFilter).select(col("vec_id"), col("v")),
@@ -554,7 +592,7 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
     val unit = corpus
       .filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      .select(col("vec_id"), arrayDiv(col("v"), col("nrm")).as("v"))
     val (codes, codebooks) = quantizePq(unit, "vec_id", "v", dim, m, kCodes)
     val rr = annPqRerank(codes, codebooks, unit,
       unit.filter(queryFilter).select(col("vec_id"), col("v")),
@@ -1013,7 +1051,7 @@ object Similarity {
       residual: Boolean): DataFrame = {
     val corpus = prepared(emb, idCol, vecCol)
     val unit = corpus.filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      .select(col("vec_id"), arrayDiv(col("v"), col("nrm")).as("v"))
     val (index, refit) = buildIvfIndex(unit, "vec_id", "v", kCells)
     // cell centroids as plain double vectors (micro-descale): kCells
     // rows, broadcast wherever joined
@@ -1028,7 +1066,7 @@ object Similarity {
         index.select(col("vec_id"), col("cell"), col("v"))
           .join(broadcast(cents), "cell")
           .select(col("vec_id"), col("cell"),
-            zip_with(col("v"), col("cvec"), (a, b) => a - b).as("v"))
+            zipSub(col("v"), col("cvec")).as("v"))
       else index.select(col("vec_id"), col("cell"), col("v"))
     val (_, codebooks) =
       quantizePq(pqInput.select(col("vec_id"), col("v")), "vec_id", "v",
@@ -1056,7 +1094,7 @@ object Similarity {
     // reconstructed subvector: c_sub + r̃_sub for residual codes, the
     // codeword itself for raw codes
     def rec(s: Int): Column =
-      if (residual) zip_with(subv(col("cvec"), s), cw(s), (a, b) => a + b)
+      if (residual) zipAdd(subv(col("cvec"), s), cw(s))
       else cw(s)
     val num = (0 until m).map(s => dot(subv(col("qv"), s), rec(s))).reduce(_ + _)
     val recNrm = sqrt((0 until m).map(s => dot(rec(s), rec(s))).reduce(_ + _))
@@ -1134,8 +1172,7 @@ object Similarity {
     base.crossJoin(broadcast(cbRow))
       .select(carry ++ (0 until m).map { s =>
         element_at(col(s"cells_$s"),
-          nearestSeed(augQuery(subv(col("v"), s)), lit(1.0),
-            col(s"cvs_$s"), transform(col(s"cvs_$s"), _ => lit(1.0))) + 1)
+          nearestSeedSub(col("v"), col(s"cvs_$s"), s * sub, sub) + 1)
           .as(s"code_$s")
       }: _*)
   }
@@ -1181,7 +1218,7 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     val corpus = prepared(emb, idCol, vecCol)
     val unit = corpus.filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      .select(col("vec_id"), arrayDiv(col("v"), col("nrm")).as("v"))
     val (index, refit) = buildIvfIndex(unit, "vec_id", "v", kCells)
     val cents = refit.select(col("cell"),
       transform(col("centroid_scaled"), x => x / 1000000.0).as("cvec"))
@@ -1191,7 +1228,7 @@ object Similarity {
     val pqInput = index.select(col("vec_id"), col("cell"), col("v"))
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
-        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("v"))
+        zipSub(col("v"), col("cvec")).as("v"))
     val (_, codebooks) =
       quantizePq(pqInput.select(col("vec_id"), col("v")), "vec_id", "v",
         dim, m, kCodes)
@@ -1249,7 +1286,7 @@ object Similarity {
       element_at(col(s"cws_$s"),
         array_position(col(s"cells_$s"), col(s"code_$s")).cast("int"))
     def rec(s: Int): Column =
-      zip_with(subv(col("cvec"), s), cw(s), (a, b) => a + b)
+      zipAdd(subv(col("cvec"), s), cw(s))
     val num = (0 until m).map(s => dot(subv(col("qv"), s), rec(s))).reduce(_ + _)
     val recNrm = sqrt((0 until m).map(s => dot(rec(s), rec(s))).reduce(_ + _))
     val scored = codes.join(broadcast(cents), "cell")
