@@ -738,7 +738,7 @@ object SparkEntry {
       // vocabulary, the fertility vs word count, and the first 10
       // tokens as a flattened sample — the numbers budget/fertility/
       // packing math should run on
-      val d = docs(s, dir)
+      val d = Scale.fanOutSmallScan(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), TextOps.tokensNative(col("text")).as("toks"))
         .select(col("doc_id"), size(col("toks")).as("n_words"),
           TextOps.bpeEncode(col("toks"), TextOps.BpeGateMerges).as("enc"))
@@ -776,7 +776,10 @@ object SparkEntry {
       val ascii = regexp_replace(
         concat(col("text"), lit(TextOps.PreTokenProbe)), "[^ -~]|\\|", "")
       val enc = TextOps.bpeEncodeByteLevel(ascii, TextOps.BpeByteGateMerges)
-      docs(s, dir).select(col("doc_id"), enc.as("enc"))
+      // r18: fan the one-row-group scan out — the encode kernel
+      // otherwise runs serially in the single scan task (guide §2.5)
+      Scale.fanOutSmallScan(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), enc.as("enc"))
         .select(col("doc_id"), size(col("enc")).as("n_bpe"),
           md5(concat_ws(" ", col("enc"))).as("toks_md5"))
     }),
@@ -791,7 +794,8 @@ object SparkEntry {
       val ascii = regexp_replace(
         concat(col("text"), lit(TextOps.PreTokenProbe)), "[^ -~]|\\|", "")
       val ids = TextOps.bpeEncodeToIds(ascii, TextOps.BpeByteGateMerges)
-      docs(s, dir).select(col("doc_id"), ids.as("ids"))
+      Scale.fanOutSmallScan(docs(s, dir), col("doc_id")) // r18, see q_bpe_bytelevel
+        .select(col("doc_id"), ids.as("ids"))
         .select(col("doc_id"), size(col("ids")).as("n_bpe"),
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"),
           md5(concat_ws(" ", transform(col("ids"), x => x.cast("string"))))
@@ -818,7 +822,8 @@ object SparkEntry {
       val composed = concat(seg1, lit(eot), seg2, lit(eot), lit(eot))
       val ids = TextOps.bpeEncodeToIdsWithSpecials(
         composed, TextOps.BpeByteGateMerges, Seq(eot))
-      docs(s, dir).select(col("doc_id"), ids.as("ids"))
+      Scale.fanOutSmallScan(docs(s, dir), col("doc_id")) // r18, see q_bpe_bytelevel
+        .select(col("doc_id"), ids.as("ids"))
         .select(col("doc_id"), size(col("ids")).as("n_bpe"),
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"),
           md5(concat_ws(" ", transform(col("ids"), x => x.cast("string"))))

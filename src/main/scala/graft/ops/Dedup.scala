@@ -629,7 +629,17 @@ object Dedup {
     // set, costing far more than the second regex pass saves. The two
     // post-boilerplate frames (routed / the redacted pii frame) stay
     // staged — their consumers fan out three ways each.
-    val extracted = pages.select(col(idCol).as("doc_id"),
+    // r18 (guide §2.5): fan a one-row-group scan out BEFORE the
+    // extract+normalize regex chain — without it the whole chain ran in
+    // the single scan task (JobProbe: 1-task jobs of 1.4-2.0 s inside
+    // this gate). Scale-adaptive: a real-scale input keeps its splits
+    // and no exchange is added. This is NOT the r17 "staging
+    // repartition" that measured 4× slower — that one exchanged the
+    // EXTRACTED text above the chain (serializing it while the chain
+    // still ran in the scan task); this exchange ships the raw pages
+    // and moves the chain's execution after it.
+    val fanned = Scale.fanOutSmallScan(pages, col(idCol))
+    val extracted = fanned.select(col(idCol).as("doc_id"),
       col(sourceCol).as("source"),
       TextOps.normalizeUnicode(TextOps.extractHtmlText(col(htmlCol)))
         .as("text"))
@@ -1043,10 +1053,13 @@ object Dedup {
     // second whole-partition window pass. Values are identical: the
     // freq join was inner on a key that always matches (df ≥ 1 by
     // construction), so no row is lost, and n == the per-doc staged row
-    // count the old window counted.
-    val dtok = docs
-      .select(col(idCol).as("doc_id"),
-        array_distinct(TextOps.tokenShingles(col(textCol))).as("arr"))
+    // count the old window counted. fanOutSmallScan: a one-row-group
+    // input otherwise tokenizes serially in the single scan task.
+    val dtok = Scale.fanOutSmallScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokenShingles(col("__t"))).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
         explode(col("arr")).as("token"))
     val byTok = Window.partitionBy(col("token"))
@@ -1125,11 +1138,13 @@ object Dedup {
     require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     import org.apache.spark.sql.expressions.Window
-    // r18 optimization: same window-df / pre-explode-n rewrite as
-    // [[similarityJoinExact]] (tokenize once, no freq join) — see there.
-    val dtok = docs
-      .select(col(idCol).as("doc_id"),
-        array_distinct(TextOps.tokenShingles(col(textCol))).as("arr"))
+    // r18 optimization: same window-df / pre-explode-n / fan-out rewrite
+    // as [[similarityJoinExact]] (tokenize once, no freq join) — see there.
+    val dtok = Scale.fanOutSmallScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokenShingles(col("__t"))).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
         explode(col("arr")).as("token"))
     val byTok = Window.partitionBy(col("token"))
@@ -1209,8 +1224,18 @@ object Dedup {
       k: Int = 24, w: Int = 8, minShared: Long = 2L): DataFrame = {
     require(k >= 2 && w >= 2, s"need k,w >= 2, got k=$k w=$w")
     import org.apache.spark.sql.expressions.Window
-    val nr = docs.select(col(idCol).as("doc_id"),
-      regexp_replace(lower(col(textCol)), "\\s+", " ").as("nrm"))
+    // r18 (guide §2.5): fan a one-row-group scan out before the
+    // normalize+per-gram-md5 chain — a single parquet file plans as ONE
+    // scan task, and without the fan-out the whole corpus hashed on one
+    // core (JobProbe: one 4 s task). Scale-adaptive: real inputs keep
+    // their splits and no exchange is added; the gram-row exchange
+    // below is unchanged (its AQE-coalesced reads size the window's
+    // buffers on the post-explode bytes, the scale-safe direction).
+    val nr = Scale.fanOutSmallScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__raw")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        regexp_replace(lower(col("__raw")), "\\s+", " ").as("nrm"))
     // one row per gram start; a doc shorter than k keeps one position
     // (substr then yields the whole text, matching the oracle's CASE).
     // r18 optimization: the per-doc hash count is the POSITION count —
@@ -1275,9 +1300,12 @@ object Dedup {
     require(k >= 2 && w >= 2, s"need k,w >= 2, got k=$k w=$w")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     import org.apache.spark.sql.expressions.Window
-    val nr = docs.select(col(idCol).as("doc_id"),
-      regexp_replace(lower(col(textCol)), "\\s+", " ").as("nrm"))
-    // r18: pre-explode nh — see [[winnowPairs]].
+    // r18: scan fan-out + pre-explode nh — see [[winnowPairs]].
+    val nr = Scale.fanOutSmallScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__raw")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        regexp_replace(lower(col("__raw")), "\\s+", " ").as("nrm"))
     val hashed = nr
       .select(col("doc_id"), col("nrm"),
         greatest(length(col("nrm")) - lit(k - 1), lit(1)).as("nh"),

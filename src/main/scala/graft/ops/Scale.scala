@@ -27,6 +27,32 @@ import org.apache.spark.sql.functions._
  */
 object Scale {
 
+  /**
+   * Scale-adaptive scan fan-out (r18, guide §2.5 "one huge unsplittable
+   * file → repartition immediately after the read"): parquet scans
+   * parallelize at ROW-GROUP granularity, so a small input (one row
+   * group) plans as ONE task — and every CPU-heavy per-row kernel above
+   * it (regex extraction chains, per-gram hashing, BPE encoding) runs
+   * serially while the rest of the cluster idles. When the scan's
+   * planned partition count is well below the session's parallelism,
+   * fan the rows out with one deterministic hash exchange on `key` (the
+   * bytes moved are the RAW rows — tiny exactly when this fires); when
+   * the scan already has enough splits (any real-scale input), this is
+   * the identity — no exchange is added at 100 TB.
+   */
+  def fanOutSmallScan(df: DataFrame, key: Column): DataFrame = {
+    val planned = df.rdd.getNumPartitions
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // EXPLICIT partition count: AQE coalescing sizes shuffle reads by
+    // BYTES, and the whole point here is that the bytes are tiny while
+    // the per-row work above the read is not (regex chains, per-gram
+    // hashing) — a keyed repartition without a count was measured to
+    // coalesce straight back to 1-2 read partitions. A user-specified
+    // count is exempt from coalescing; it only ever applies when the
+    // input is small (the guard), so it never constrains a real scan.
+    if (planned * 2 <= target) df.repartition(target, key) else df
+  }
+
   private def salt(salts: Int): Column = pmod(spark_partition_id(), lit(salts))
 
   /**
