@@ -403,9 +403,11 @@ object Similarity {
     require(k >= 1 && k <= 256, s"k must be in [1,256] (one code byte), got $k")
     val sub = dim / m
     def subv(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
-    val base = emb
+    // r18: scan fan-out before the per-row m-subspace assignment and
+    // encode kernels (see [[refitQuantizerFull]]); identity at scale
+    val base = graft.ops.Scale.fanOutSmallScan(emb
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .filter(col("v").isNotNull && size(col("v")) > 0), col("vec_id"))
     // deterministic seed rows: k smallest (md5(id), id) — one draw
     // shared by every subspace (each seed contributes its s-th slice)
     val seedW = Window.orderBy(col("h").asc, col("vec_id").asc)
@@ -752,9 +754,12 @@ object Similarity {
   private[graft] def refitQuantizerFull(emb: DataFrame, idCol: String,
       vecCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val base = emb
+    // r18: fan a one-row-group scan out before the N·k NearestSeed
+    // assignment (guide §2.5 — it otherwise runs in the single scan
+    // task); identity for any real-scale input
+    val base = graft.ops.Scale.fanOutSmallScan(emb
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .filter(col("v").isNotNull && size(col("v")) > 0), col("vec_id"))
       .withColumn("nrm", l2norm(col("v")))
     // deterministic seed draw: k smallest (md5(id), id) — TakeOrdered
     // ships exactly k rows; the k-row window that numbers them is free
