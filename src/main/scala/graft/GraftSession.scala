@@ -29,6 +29,19 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r18: AQE's coalescing floor. The default 1m floors every small
+      // shuffle at totalBytes/1m read partitions — on kernel-heavy
+      // pipelines whose shuffles are byte-small but CPU-expensive
+      // (per-gram hashing, regex chains, session windows over a 2 MB
+      // event table) that serialized post-shuffle work onto 1-3 tasks.
+      // 64k restores parallelism for exactly those stages (measured:
+      // −30% over a 12-query mixed set, −14% over the heavy set, no
+      // regressions). Scale-neutral by construction: the floor only
+      // binds when a shuffle is tiny relative to the session's
+      // parallelism — at real scale advisoryPartitionSizeInBytes
+      // governs (see clusterBuilder), and a cluster handed a tiny
+      // shuffle wants it parallelized too.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")

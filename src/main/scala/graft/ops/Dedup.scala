@@ -884,7 +884,13 @@ object Dedup {
    */
   def embedClustersCollapsed(corpus: DataFrame, threshold: Double,
       planes: Int, bandBits: Int, dim: Int): DataFrame = {
-    val withReps = Similarity.exactDupReps(corpus)
+    // r18: materialize the collapse ONCE (disk-backed local checkpoint,
+    // recomputed from source on every invocation). Downstream it feeds
+    // THREE separate jobs — the CC edge-list checkpoint, the CC label
+    // seed checkpoint, and the final member re-join — and cross-JOB
+    // exchange reuse does not exist, so without this the scan + the
+    // vector-content window ran three times.
+    val withReps = Similarity.exactDupReps(corpus).localCheckpoint()
     val reps = withReps.filter(col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("v"), col("nrm"))
     val cc = connectedComponents(reps.select(col("vec_id")), "vec_id",
@@ -1412,8 +1418,13 @@ object Dedup {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"threshold must be in [0,1], got $threshold")
     require(blockPrefix >= 1, s"blockPrefix must be >= 1, got $blockPrefix")
-    val l = left.select(col(leftId).as("lid"), col(leftName).as("lname"),
-      lower(substring(col(leftName), 1, blockPrefix)).as("blk"))
+    // r18: fan the PROBE side of the block join out of a one-row-group
+    // scan — the per-pair Jaro-Winkler scoring otherwise runs in the
+    // single scan task (guide §2.5; identity at real scale). The build
+    // side stays scan-shaped (it only feeds the broadcast).
+    val l = Scale.fanOutSmallScan(
+      left.select(col(leftId).as("lid"), col(leftName).as("lname"),
+        lower(substring(col(leftName), 1, blockPrefix)).as("blk")), col("lid"))
     val r = right.select(col(rightId).as("rid"), col(rightName).as("rname"),
       lower(substring(col(rightName), 1, blockPrefix)).as("blk"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lid"))

@@ -97,6 +97,12 @@ object Events {
           lit(null).cast("string").as("b"))))).as("it"))
       .groupBy(col("it.a").as("ta"), col("it.b").as("tb"))
       .agg(count(lit(1)).as("n"))
+      // r18: |types|²-bounded by contract, but consumed by THREE
+      // broadcast sides (pairs/perType/nSessions) whose builds are
+      // separate jobs — without materialization each re-ran the whole
+      // sessionization window pipeline (cross-job exchange reuse does
+      // not exist). Recomputed from source per invocation.
+      .localCheckpoint()
     val pairs = counts.filter(col("ta").isNotNull && col("tb").isNotNull)
       .select(col("ta").as("type_a"), col("tb").as("type_b"), col("n").as("n_ab"))
     val perType = counts.filter(col("ta").isNotNull && col("tb").isNull)

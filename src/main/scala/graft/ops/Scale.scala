@@ -41,6 +41,7 @@ object Scale {
    * the identity — no exchange is added at 100 TB.
    */
   def fanOutSmallScan(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df // batch-only: .rdd is a batch planner call
     val planned = df.rdd.getNumPartitions
     val target = df.sparkSession.sparkContext.defaultParallelism
     // EXPLICIT partition count: AQE coalescing sizes shuffle reads by

@@ -2294,7 +2294,10 @@ object TextOps {
    */
   def linkGraph(pages: org.apache.spark.sql.DataFrame, urlCol: String,
       htmlCol: String): org.apache.spark.sql.DataFrame =
-    linkEdges(pages, urlCol, htmlCol)
+    // r18: fan a one-row-group scan out before the per-row href regex
+    // work (guide §2.5; identity for any real-scale input)
+    linkEdges(graft.ops.Scale.fanOutSmallScan(pages, col(urlCol)),
+        urlCol, htmlCol)
       .groupBy(col("src_host"), col("dst_host"))
       .agg(count(lit(1)).as("n_links"))
 
