@@ -80,8 +80,14 @@ object Dedup {
     * exactly once per query (ReuseExchange), which at 100 TB is the
     * difference between one pass and four. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), TextOps.tokenShingles(col(textCol)).as("sh"))
+    // r18: fan a one-row-group scan out first so the shingling runs
+    // parallel on the map side of the shared exchange (guide §2.5;
+    // identity at real scale — consumers still reuse the ONE
+    // shingle-array exchange below)
+    Scale.fanOutSmallScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"), TextOps.tokenShingles(col("__t")).as("sh"))
       .repartition(col("doc_id"))
 
   /**
