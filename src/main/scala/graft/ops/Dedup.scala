@@ -811,8 +811,11 @@ object Dedup {
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint()
+    // r18: no eager checkpoint on the seed labels — their lineage is
+    // one shallow projection (iteration 1's checkpoint truncates
+    // everything anyway), and the eager job cost one serial barrier per
+    // CC call across the seven cluster-family gates.
     var labels = nodes.select(col(idCol).as("node"), col(idCol).cast("long").as("lbl"))
-      .localCheckpoint()
     // convergence = the monotone non-increasing label sum went flat;
     // decimal(38,0) keeps the sum exact at any node count / id magnitude
     // (a long sum would overflow at ~1e9 nodes of ~1e9 ids)
@@ -1385,8 +1388,11 @@ object Dedup {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val norm = regexp_replace(
       regexp_replace(trim(lower(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+", " ")
-    val keyed = docs
-      .select(col(idCol).as("doc_id"), substring(norm, 1, prefixLen).as("pfx"))
+    // r18: scan fan-out before the normalize regexes (guide §2.5;
+    // identity at real scale — the blk exchange below is unchanged)
+    val keyed = Scale.fanOutSmallScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), substring(norm, 1, prefixLen).as("pfx"))
       .filter(length(col("pfx")) >= blockLen)
       .withColumn("blk", substring(col("pfx"), 1, blockLen))
       .repartition(col("blk"))
