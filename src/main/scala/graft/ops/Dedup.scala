@@ -84,9 +84,21 @@ object Dedup {
     // parallel on the map side of the shared exchange (guide §2.5;
     // identity at real scale — consumers still reuse the ONE
     // shingle-array exchange below)
-    Scale.fanOutSmallScan(
-        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
-        col("doc_id"))
+    shingleSetsFrom(Scale.fanOutSmallScan(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+      col("doc_id")))
+
+  /** [[shingleSets]] without the scan fan-out — for MID-CHAIN inputs
+    * (the crawl chain's post-dedup frame, already fanned at the pages
+    * level): probing a persisted frame's partition count there could
+    * fire a spurious exchange whose subtree multiplies the printed
+    * plan under every cached-frame consumer. */
+  private[graft] def shingleSetsNoFan(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    shingleSetsFrom(docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__t")))
+
+  private def shingleSetsFrom(two: DataFrame): DataFrame = two
       .select(col("doc_id"), TextOps.tokenShingles(col("__t")).as("sh"))
       .repartition(col("doc_id"))
 
@@ -680,7 +692,7 @@ object Dedup {
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exactKept = pii.join(exactWinners, Seq("doc_id"), "left_semi")
-    val sh = shingleSets(exactKept, "doc_id", "text")
+    val sh = shingleSetsNoFan(exactKept, "doc_id", "text")
     val near = jaccardVerifyFromShingles(sh, candidatePairsFromShingles(sh, k, bands))
       .filter(col("jaccard") >= jaccardMax)
     val survivors = staged(exactKept
