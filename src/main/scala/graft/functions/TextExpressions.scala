@@ -798,8 +798,7 @@ case class NfkcNormalize(child: Expression)
  * null if either side is null (the builtin's null semantics).
  */
 case class SortedIntersectCount(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -843,6 +842,44 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     n
   }
+
+  // r19 (r18 VERDICT #5): real codegen — the expression sits inside the
+  // PPJoin verify projection, the hottest loop of the similarity-join
+  // family; as CodegenFallback it severed the WholeStageCodegen span
+  // around it (every input row boxed through an InternalRow). The
+  // generated merge is the eval() loop verbatim.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  org.apache.spark.unsafe.types.UTF8String $x = $a.getUTF8String($i);
+         |  org.apache.spark.unsafe.types.UTF8String $y = $b.getUTF8String($j);
+         |  int $c = $x.compareTo($y);
+         |  if ($c < 0) { $i++; }
+         |  else if ($c > 0) { $j++; }
+         |  else {
+         |    $n++; $i++; $j++;
+         |    while ($i < $na && $a.getUTF8String($i).compareTo($x) == 0) $i++;
+         |    while ($j < $nb && $b.getUTF8String($j).compareTo($y) == 0) $j++;
+         |  }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =

@@ -592,6 +592,16 @@ case class NearestSeed(
   // seedNorms is evaluated LAZILY — only when the seed matrix cache
   // misses — so a per-row norms expression (the transform-to-ones idiom)
   // costs once per matrix, not once per row.
+  //
+  // CONTRACT (r19, pinning the r18 ADVICE finding): seedNorms MUST be a
+  // pure function of seedVecs (every call site derives it from the seed
+  // matrix — transform-to-ones or the collected snrm column). Because
+  // of the lazy eval, a seedNorms expression that varied independently
+  // of seedVecs would be consulted only on matrix-cache misses: a row
+  // whose seedNorms evaluates to null (or to different norms) under a
+  // warm cache would silently reuse the cached norms instead. Spec-
+  // pinned in Round19KernelSpec ("warm cache ignores a changed
+  // seedNorms until the matrix changes").
 
   import org.apache.spark.sql.types.IntegerType
 
@@ -835,9 +845,11 @@ case class NearestSeed(
  * and allocate a lambda frame per element; r18 measurement: the
  * normalize projection was a visible slice of every PQ/ANN query).
  * IEEE division in array order — bit-identical to the HOF form.
- * Null array → null; null elements rejected loudly (dense vectors
- * required, the [[DotProduct]] rule). Null scalar is unreachable at
- * call sites (callers filter nrm > 0) and returns null.
+ * Null array → null; a null ELEMENT throws (r19 — getDouble on a null
+ * slot would silently read garbage; the old transform HOF propagated
+ * element nulls, but every call site is a dense vector by the
+ * [[DotProduct]] rule, so loud is the safe contract). Null scalar is
+ * unreachable at call sites (callers filter nrm > 0) and returns null.
  */
 case class ArrayDivScalar(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -860,7 +872,11 @@ case class ArrayDivScalar(left: Expression, right: Expression)
     val n = x.numElements()
     val out = new Array[Double](n)
     var i = 0
-    while (i < n) { out(i) = x.getDouble(i) / s; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null element at index $i (dense vector required)")
+      out(i) = x.getDouble(i) / s; i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -876,6 +892,10 @@ case class ArrayDivScalar(left: Expression, right: Expression)
          |int $n = $a.numElements();
          |double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "$prettyName: null element at index " + $i + " (dense vector required)");
+         |  }
          |  $out[$i] = $a.getDouble($i) / $s;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -895,8 +915,9 @@ case class ArrayDivScalar(left: Expression, right: Expression)
  * fallback island re-evaluates the whole element_at/array_position
  * child chain interpreted, per row, twice per subspace). IEEE ops in
  * array order — bit-identical where lengths match; a length mismatch
- * throws loudly instead of zip_with's null padding (unreachable at
- * call sites: both sides are dim-checked vectors).
+ * throws loudly instead of zip_with's null padding, and so does a null
+ * ELEMENT (r19 — getDouble on a null slot reads garbage silently; both
+ * are unreachable at call sites: dim-checked dense vectors only).
  */
 case class ZipArith(left: Expression, right: Expression, add: Boolean)
   extends BinaryExpression {
@@ -922,8 +943,13 @@ case class ZipArith(left: Expression, right: Expression, add: Boolean)
       s"$prettyName: vector length mismatch ($n vs ${y.numElements()})")
     val out = new Array[Double](n)
     var i = 0
-    if (add) while (i < n) { out(i) = x.getDouble(i) + y.getDouble(i); i += 1 }
-    else while (i < n) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null element at index $i (dense vectors required)")
+      out(i) = if (add) x.getDouble(i) + y.getDouble(i)
+        else x.getDouble(i) - y.getDouble(i)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -944,6 +970,10 @@ case class ZipArith(left: Expression, right: Expression, add: Boolean)
          |}
          |double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "$prettyName: null element at index " + $i + " (dense vectors required)");
+         |  }
          |  $out[$i] = $a.getDouble($i) $op $b.getDouble($i);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

@@ -80,26 +80,15 @@ object Dedup {
     * exactly once per query (ReuseExchange), which at 100 TB is the
     * difference between one pass and four. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    // r18: fan a one-row-group scan out first so the shingling runs
-    // parallel on the map side of the shared exchange (guide §2.5;
-    // identity at real scale — consumers still reuse the ONE
-    // shingle-array exchange below)
-    shingleSetsFrom(Scale.fanOutSmallScan(
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
-      col("doc_id")))
-
-  /** [[shingleSets]] without the scan fan-out — for MID-CHAIN inputs
-    * (the crawl chain's post-dedup frame, already fanned at the pages
-    * level): probing a persisted frame's partition count there could
-    * fire a spurious exchange whose subtree multiplies the printed
-    * plan under every cached-frame consumer. */
-  private[graft] def shingleSetsNoFan(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    shingleSetsFrom(docs.select(col(idCol).as("doc_id"),
-      col(textCol).as("__t")))
-
-  private def shingleSetsFrom(two: DataFrame): DataFrame = two
-      .select(col("doc_id"), TextOps.tokenShingles(col("__t")).as("sh"))
+    // r19: the r18 pre-shingle scan fan-out is REVERTED (the r18 driver
+    // data showed it REGRESSING every composed MinHash consumer — an
+    // extra exchange + 32 tiny tasks where shingling was never the
+    // bottleneck: q_corpus_clean 1.66→2.93 s, q_neardup_incremental
+    // 0.45→0.75 s, q_link_graph 0.27→0.43 s). The doc_id staging
+    // exchange below already exists; shingling cost rides the scan task
+    // at gate scale and the row-group parallelism of any real input.
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokenShingles(col(textCol)).as("sh"))
       .repartition(col("doc_id"))
 
   /**
@@ -692,7 +681,7 @@ object Dedup {
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exactKept = pii.join(exactWinners, Seq("doc_id"), "left_semi")
-    val sh = shingleSetsNoFan(exactKept, "doc_id", "text")
+    val sh = shingleSets(exactKept, "doc_id", "text")
     val near = jaccardVerifyFromShingles(sh, candidatePairsFromShingles(sh, k, bands))
       .filter(col("jaccard") >= jaccardMax)
     val survivors = staged(exactKept
@@ -819,10 +808,25 @@ object Dedup {
     // without this the whole upstream pair pipeline (minhash + banding +
     // self-join) would re-execute per round (measured 2× end-to-end on
     // the doc-cluster query)
+    // r19: LAZY checkpoint — the first round's label-sum action
+    // materializes it inside its own job; an eager checkpoint here was
+    // one extra serial driver job per CC invocation (seven cluster
+    // gates pay this path). And the edge list is HASH-PARTITIONED +
+    // SORTED on src BEFORE the checkpoint (localCheckpoint preserves
+    // outputPartitioning/ordering in its LogicalRDD): every round's
+    // edges⋈labels join then reuses the stored layout — only the small
+    // per-round label frame moves, instead of the r18 shape where the
+    // planner re-BROADCAST the whole checkpointed edge list every
+    // round (EmbedProbe: a 46-task broadcast build per round; CC wall
+    // on the q_embed_clusters graph 6.9 → 3.8 s). At 100 TB the same
+    // layout turns each round into a one-sided exchange — strictly
+    // fewer bytes per round for one extra edge exchange at setup.
     val sym = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .localCheckpoint(eager = false)
     // r18: no eager checkpoint on the seed labels — their lineage is
     // one shallow projection (iteration 1's checkpoint truncates
     // everything anyway), and the eager job cost one serial barrier per
@@ -853,12 +857,16 @@ object Dedup {
         // pointer jump: follow the label one more step through the
         // current labeling (lbl is itself a node id). Left join — a node
         // whose label is already a cluster root maps to itself.
-        val h = hop.localCheckpoint() // reused twice by the self-join
+        // lazy: both self-join sides materialize it inside the next job
+        val h = hop.localCheckpoint(eager = false)
         h.join(h.select(col("node").as("__jn"), col("lbl").as("__jl")),
             col("lbl") === col("__jn"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("__jl"), col("lbl"))).as("lbl"))
-      }).localCheckpoint()
+      }).localCheckpoint(eager = false)
+      // r19: the checkpoint above is LAZY, so THIS action both decides
+      // convergence and materializes the round's label frame — one job
+      // per round where the r18 form ran two (eager checkpoint + sum)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -911,7 +919,8 @@ object Dedup {
     // seed checkpoint, and the final member re-join — and cross-JOB
     // exchange reuse does not exist, so without this the scan + the
     // vector-content window ran three times.
-    val withReps = Similarity.exactDupReps(corpus).localCheckpoint()
+    val withReps = Similarity.exactDupReps(corpus)
+      .localCheckpoint(eager = false) // first consumer materializes (r19)
     val reps = withReps.filter(col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("v"), col("nrm"))
     val cc = connectedComponents(reps.select(col("vec_id")), "vec_id",

@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /**
+   * In-loop lineage control for FIXED-iteration loops (r19). The r18
+   * form eagerly localCheckpoint'ed EVERY round's rank frame — but an
+   * eager checkpoint is a synchronous driver barrier (one serial job +
+   * materialization per round), and q_link_pagerank_delta paid ~20 such
+   * barriers per run (driver bench 2.9-4.1 s for a tiny host graph).
+   * With no driver-side action inside these loops (unlike CC's
+   * fixpoint probe), the rounds can stay ONE lazy plan: Catalyst plans
+   * 5 chained join+agg rounds fine, and AQE's ReuseExchange dedups the
+   * double-consumed per-round aggregates (history union + next round).
+   * The checkpoint returns only every `every`-th round, bounding plan
+   * depth for the iters→50 contract without serializing the common
+   * iters=5 case (5 % 8 != 0 → zero in-loop barriers).
+   */
+  private def ckptEvery(df: DataFrame, t: Int, every: Int = 8): DataFrame =
+    if (t % every == 0) df.localCheckpoint(eager = true) else df
+
+  /**
    * Fixed-iteration PageRank in EXACT INTEGER micro-units, damping
    * 0.85 expressed as ×17/20 integer arithmetic:
    *
@@ -45,15 +62,14 @@ object Graph {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src").localCheckpoint(eager = true)
     var rank = deg.select(col("src").as("doc_id"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      rank = withDeg
+    for (t <- 1 to iters) {
+      rank = ckptEvery(withDeg
         .join(rank, withDeg("src") === rank("doc_id"))
         // `div` = integer division (Column./ would be a double divide)
         .select(col("dst"), expr("(r * 17L) div (20L * deg)").as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000L) + sum(col("c"))).as("r"))
-        .select(col("dst").as("doc_id"), col("r"))
-        .localCheckpoint(eager = true)
+        .select(col("dst").as("doc_id"), col("r")), t)
     }
     rank.select(col("doc_id"), col("r").as("rank_micro"))
   }
@@ -80,14 +96,13 @@ object Graph {
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val withW = e.join(outW, "src").localCheckpoint(eager = true)
     var rank = outW.select(col("src").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      rank = withW
+    for (t <- 1 to iters) {
+      rank = ckptEvery(withW
         .join(rank, withW("src") === rank("node"))
         .select(col("dst"), expr("(r * 17L * w) div (20L * ow)").as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000L) + sum(col("c"))).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(eager = true)
+        .select(col("dst").as("node"), col("r")), t)
     }
     rank.select(col("node"), col("r").as("rank_micro"))
   }
@@ -113,13 +128,15 @@ object Graph {
     var rank = outW.select(col("src").as("node"), lit(1000000L).as("r"))
     var hist = rank.withColumn("iter", lit(0))
     for (t <- 1 to iters) {
-      rank = withW
+      // rank_t is consumed twice (next round + the history union):
+      // within the one output job ReuseExchange dedups the identical
+      // aggregate exchange, so no per-round barrier is needed (r19)
+      rank = ckptEvery(withW
         .join(rank, withW("src") === rank("node"))
         .select(col("dst"), expr("(r * 17L * w) div (20L * ow)").as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000L) + sum(col("c"))).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(eager = true)
+        .select(col("dst").as("node"), col("r")), t)
       hist = hist.unionByName(rank.withColumn("iter", lit(t)))
     }
     hist.select(col("node"), col("iter").cast("int").as("iter"), col("r"))
@@ -212,15 +229,14 @@ object Graph {
       .localCheckpoint(eager = true)
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    for (_ <- 1 to iters) {
-      lab = edges
+    for (t <- 1 to iters) {
+      lab = ckptEvery(edges
         .join(lab, edges("src") === lab("id"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         .agg(expr("max_by(label, struct(c, -label))").as("label"))
-        .select(col("dst").as("id"), col("label"))
-        .localCheckpoint(eager = true)
+        .select(col("dst").as("id"), col("label")), t)
     }
     lab.select(col("id"), col("label").as("community"))
   }
@@ -259,16 +275,15 @@ object Graph {
         lit(0L).as("w"), lit(0L).as("ow"), lit(true).as("tele")))
       .localCheckpoint(eager = true)
     var rank = sd.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      rank = aug
+    for (t <- 1 to iters) {
+      rank = ckptEvery(aug
         .join(rank, aug("src") === rank("node"))
         .select(col("dst"),
           when(col("tele"), lit(150000L))
             .otherwise(expr("(r * 17L * w) div (20L * ow)")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(eager = true)
+        .select(col("dst").as("node"), col("r")), t)
     }
     rank.select(col("node"), col("r").as("rank_micro"))
   }
@@ -282,20 +297,35 @@ object Graph {
     def norm(df: DataFrame) = df
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .filter(col("w") > 0)
-    val dE = norm(deltaEdges).localCheckpoint(eager = true)
-    val allE = norm(oldEdges).unionByName(dE).localCheckpoint(eager = true)
+    // r19 barrier diet: of the old 5 eager setup checkpoints only withW
+    // (the per-round join probe) keeps a checkpoint — every other setup
+    // frame is a bounded expression over the edge lists that folds into
+    // its consumer's plan. Each dropped localCheckpoint drops a whole
+    // QueryExecution (analysis + optimization + codegen at construction
+    // time): JobProbe measured this query's wall as ~60% DRIVER time,
+    // not task time. The old-edge subtree is shared once (oE) instead
+    // of being re-planned for allE and oldSrc separately.
+    val oE = norm(oldEdges).localCheckpoint(eager = false)
+    val dE = norm(deltaEdges).localCheckpoint(eager = false)
+    val allE = oE.unionByName(dE)
     val outW = allE.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val withW = allE.join(outW, "src").localCheckpoint(eager = true)
-    val touched = dE.select(col("src")).distinct().localCheckpoint(eager = true)
+    val touched = dE.select(col("src")).distinct()
+      .localCheckpoint(eager = false)
+    // the history side is read once per round (filter iter = t): pin it
+    // ONCE so those six reads scan materialized rows instead of each
+    // replaying the full upstream history recursion (r19 — its producer
+    // no longer checkpoints per round either)
+    val hist0 = history.localCheckpoint(eager = false)
     // A_0 = NEW seeds (sources that did not exist before): their
     // rank_0 = 1 000 000 is new frame membership, nothing else moves
     // at iter 0.
-    val oldSrc = norm(oldEdges).select(col("src")).distinct()
+    val oldSrc = oE.select(col("src")).distinct()
     var affSet = touched.join(oldSrc, Seq("src"), "left_anti")
-      .select(col("src").as("node")).localCheckpoint(eager = true)
+      .select(col("src").as("node")).localCheckpoint(eager = false)
     var affRank = affSet.select(col("node"), lit(1000000L).as("r"))
     def merged(t: Int): DataFrame = {
-      val histT = history.filter(col("iter") === t).select(col("node"), col("r"))
+      val histT = hist0.filter(col("iter") === t).select(col("node"), col("r"))
       affRank.unionByName(histT.join(affSet, Seq("node"), "left_anti"))
     }
     var out =
@@ -307,17 +337,19 @@ object Graph {
       val prevRank = merged(t - 1)
       val frontier = touched
         .unionByName(affSet.select(col("node").as("src"))).distinct()
-      val affT = withW.join(frontier, "src")
-        .select(col("dst").as("node")).distinct()
-        .localCheckpoint(eager = true)
-      affRank = withW
+      // r19: the per-round affected set/rank are multiply consumed
+      // (next frontier, the merged anti-join, the semi-join) — every
+      // 2nd round gets a real barrier to bound the chained plan depth,
+      // the others stay lazy (ReuseExchange dedups within the job)
+      val affT = ckptEvery(withW.join(frontier, "src")
+        .select(col("dst").as("node")).distinct(), t, 8)
+      affRank = ckptEvery(withW
         .join(affT, withW("dst") === affT("node"), "left_semi")
         .join(prevRank, withW("src") === prevRank("node"))
         .select(col("dst"), expr("(r * 17L * w) div (20L * ow)").as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000L) + sum(col("c"))).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(eager = true)
+        .select(col("dst").as("node"), col("r")), t, 8)
       affSet = affT
       if (keepHistory) out = out.unionByName(merged(t).withColumn("iter", lit(t)))
     }

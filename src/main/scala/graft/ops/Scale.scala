@@ -42,6 +42,17 @@ object Scale {
    */
   def fanOutSmallScan(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df // batch-only: .rdd is a batch planner call
+    // r19 (ADVICE r18): probe ONLY scan-shaped inputs. df.rdd compiles a
+    // physical plan, and under AQE that EXECUTES every exchange/broadcast
+    // stage beneath the probed frame at DataFrame-construction time —
+    // work that is then thrown away (stage reuse does not span
+    // QueryExecutions). For a bare scan (projections/filters over a
+    // relation) the probe is pure planning: no exchange exists, nothing
+    // runs. Mid-chain frames (joins, aggregates, repartitions below) pass
+    // through untouched — they are already downstream of a real exchange,
+    // so the one-row-group serial-kernel problem this helper fixes cannot
+    // occur there anyway.
+    if (!scanShaped(df.queryExecution.analyzed)) return df
     val planned = df.rdd.getNumPartitions
     val target = df.sparkSession.sparkContext.defaultParallelism
     // EXPLICIT partition count: AQE coalescing sizes shuffle reads by
@@ -53,6 +64,21 @@ object Scale {
     // input is small (the guard), so it never constrains a real scan.
     if (planned * 2 <= target) df.repartition(target, key) else df
   }
+
+  /** True iff the plan is projections/filters/aliases over leaf
+    * relations — the only shape whose `.rdd` probe is free (planning a
+    * bare scan runs no job) AND the only shape where a one-row-group
+    * scan serializes the kernels above it. */
+  private def scanShaped(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project |
+           _: org.apache.spark.sql.catalyst.plans.logical.Filter |
+           _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        p.children.forall(scanShaped)
+      case leaf if leaf.children.isEmpty => true
+      case _ => false
+    }
 
   private def salt(salts: Int): Column = pmod(spark_partition_id(), lit(salts))
 
