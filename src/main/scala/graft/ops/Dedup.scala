@@ -978,6 +978,12 @@ object Dedup {
 
   /** Jaccard verification from a pre-computed [[shingleSets]] frame. */
   def jaccardVerifyFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    // r19 note: swapping this for sort_array + the merge-count kernel
+    // (the PPJoin verify trick) was A/B'd and LOST here — LSH banding
+    // admits few candidate pairs (the per-pair hash-set build is cheap),
+    // while the sort costs O(n log n) per DOCUMENT; the PPJoin family
+    // keeps the kernel because its sets are already sort_array outputs
+    // and its candidate volume is 1000× larger.
     val dsh = sh.select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
     // no broadcast HINT on purpose: pairs is usually tiny (AQE converts
     // to broadcast at runtime), but on a duplicate-heavy 100 TB corpus it
