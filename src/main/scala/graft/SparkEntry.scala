@@ -3025,7 +3025,11 @@ object SparkEntry {
       // groupwise-share join-back (TPC-H Q20-adjacent): suppliers
       // carrying ≥ 20% of a part's shipped quantity among ≥2 suppliers;
       // the share test is exact integer arithmetic (5·q_ps ≥ q_p)
-      val ps = t(s, dir, "lineitem")
+      // r19: partkey-keyed fan-out — the (pk,sk) partial hash-aggregate
+      // ran in 3 scan tasks (JobProbe 0.75 s), and partitioning by
+      // l_partkey is a subset of BOTH groupBy keys, so the downstream
+      // aggregates reuse the exchange instead of adding their own.
+      val ps = Scale.fanOutSmallScan(t(s, dir, "lineitem"), col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q_ps"))
       val p = ps.groupBy(col("l_partkey").as("pk"))

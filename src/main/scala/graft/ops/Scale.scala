@@ -65,6 +65,19 @@ object Scale {
     if (planned * 2 <= target) df.repartition(target, key) else df
   }
 
+  /** [[fanOutSmallScan]] keyed on SEVERAL columns — used when a
+    * downstream groupBy/join clusters on the same tuple, so its
+    * EnsureRequirements check sees the individual columns (a single
+    * `struct(...)` key would NOT satisfy the clustering and a second
+    * exchange would be planned). */
+  def fanOutSmallScanKeys(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    if (df.isStreaming) return df
+    if (!scanShaped(df.queryExecution.analyzed)) return df
+    val planned = df.rdd.getNumPartitions
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (planned * 2 <= target) df.repartition(target, keys: _*) else df
+  }
+
   /** True iff the plan is projections/filters/aliases over leaf
     * relations — the only shape whose `.rdd` probe is free (planning a
     * bare scan runs no job) AND the only shape where a one-row-group

@@ -630,9 +630,14 @@ object Stats {
       buckets: Int = 1024): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val keyCols = keys.map(col)
-    val perVal = df
+    // r19: fan a small scan out keyed on the EXACT groupBy tuple — the
+    // high-cardinality distinct-value partial aggregate otherwise runs
+    // inside 1-3 scan tasks, and the keyed exchange is reused by the
+    // groupBy itself (same clustering), so no extra shuffle is added.
+    val perVal = Scale.fanOutSmallScanKeys(df
       .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
-      .select(keyCols :+ col(valueCol).cast("double").as("__v"): _*)
+      .select(keyCols :+ col(valueCol).cast("double").as("__v"): _*),
+      keyCols :+ col("__v"))
       .groupBy(keyCols :+ col("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     val rng = perVal.groupBy(keyCols: _*)
@@ -702,10 +707,15 @@ object Stats {
     require(reps >= 4 && reps % 4 == 0 && reps <= 64,
       s"reps must be a multiple of 4 in [4, 64], got $reps")
     val keyCols = keys.map(col)
-    val clean = df
+    // r19: fan a one-row-group scan out BEFORE the PoissonWeights kernel
+    // and the 2·reps partial-aggregate expressions (JobProbe: the whole
+    // pass ran as ONE task, 1.6 s at sf0.1). Sums of longs/decimals are
+    // order-independent, so the result is bit-identical.
+    val clean = Scale.fanOutSmallScan(df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(keyCols :+ col(idCol).cast("string").as("__id") :+
-        round(col(valueCol) * 1000000).cast("long").as("__vmic"): _*)
+        round(col(valueCol) * 1000000).cast("long").as("__vmic"): _*),
+      col("__id"))
     // ALL reps weights come from ONE fused kernel call per row
     // ([[graft.functions.PoissonWeights]] — bit-identical to the
     // conv/substring/CASE ladder it replaced, so oracles don't move),
@@ -764,12 +774,14 @@ object Stats {
       valueCol: String, reps: Int = 32): DataFrame = {
     require(reps >= 4 && reps % 4 == 0 && reps <= 64,
       s"reps must be a multiple of 4 in [4, 64], got $reps")
-    val clean = df
+    // r19: same fan-out-before-the-weights-kernel as [[bootstrapMeanCI]]
+    val clean = Scale.fanOutSmallScan(df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull &&
         col(armCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(armCol).cast("int").as("__arm"),
-        round(col(valueCol) * 1000000).cast("long").as("__vmic"))
+        round(col(valueCol) * 1000000).cast("long").as("__vmic")),
+      col("__id"))
     // fused-kernel weights staged once per row — the [[bootstrapMeanCI]]
     // discipline (bit-identical to the replaced md5 ladder)
     val withW = clean.select(col("__arm"), col("__vmic"),
@@ -1303,7 +1315,14 @@ object Stats {
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
     val mics = cols.map(c => round(col(c) * 1000000).cast("long").as(s"__m_$c"))
-    val base = df.select(mics: _*)
+    // r19: the decimal(38,0) products in the partial aggregate are the
+    // dominant per-row cost, and a one-row-group input runs them in a
+    // single scan task (JobProbe: 1.8 s on 3 tasks at sf0.1). Fan the
+    // projected micros out first — the exchange carries k longs per row,
+    // far cheaper than the serialized kernel; identity on real scans.
+    // Keyed on the full value tuple: high-cardinality and deterministic.
+    val base = Scale.fanOutSmallScan(df.select(mics: _*),
+      struct(cols.map(c => col(s"__m_$c")): _*))
     val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield (i, j)
     val aggs =
       Seq(count(lit(1)).as("__n")) ++
