@@ -474,11 +474,36 @@ object TextOps {
   private def boilerplateKept(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, sourceCol: String,
       minDocFrac: Double): org.apache.spark.sql.DataFrame = {
-    val bset = boilerplateSets(docs, idCol, textCol, sourceCol, minDocFrac)
-    docs.select(col(idCol).as("doc_id"),
+    // r19 (guide §2.4 / §5 localCheckpoint): the doc→lines split is
+    // consumed TWICE — by the boiler-set line-hash aggregate and by the
+    // join-back that filters each doc's lines — and when `docs` is a
+    // derived frame (crawlStages feeds the extract+normalize regex
+    // chain in here) BOTH consumers re-ran that whole chain. Splitting
+    // the lines ONCE into a lazily-materialized frame makes the
+    // upstream chain run exactly once per invocation; the line hashes
+    // and per-source doc counts now derive from the same materialized
+    // rows (values identical by construction: same split, same md5).
+    val lines = docs.select(col(idCol).as("doc_id"),
         col(sourceCol).as("source"),
         filter(transform(split(col(textCol), "\n"), l => trim(l)),
           l => l =!= "").as("lines"))
+      .localCheckpoint(eager = false)
+    val lineHashes = lines
+      .select(col("doc_id"), col("source"),
+        explode(transform(col("lines"), l => md5(l))).as("lh"))
+      .distinct()
+    val srcDocs = lines.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val bset = lineHashes
+      .groupBy(col("source"), col("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_with"))
+      .join(srcDocs, "source")
+      .filter(col("n_with") >= 2 &&
+        col("n_with").cast("double") / col("n_docs").cast("double")
+          >= minDocFrac)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_set(col("lh"))).as("bh"))
+    lines
       .join(bset, Seq("source"), "left")
       .withColumn("bh",
         coalesce(col("bh"), array().cast("array<string>")))
