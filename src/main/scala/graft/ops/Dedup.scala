@@ -1204,18 +1204,46 @@ object Dedup {
       .withColumn("m", count(lit(1)).over(byTok))
       .withColumn("hub", min(col("doc_id")).over(byTok))
     val small = prefixes.filter(col("m") <= maxBlock)
-    // NOTE: [[similarityJoinExact]]'s r18 positional filter is NOT
-    // applied here — it is only sound at the pair's FIRST shared prefix
+    // r19 (the r18 NOTE resolved): [[similarityJoinExact]]'s positional
+    // filter is only sound at the pair's GLOBALLY-first shared prefix
     // token, and in the capped operator that token may live in a
-    // flooded block (routed to the star branch), leaving the pairwise
-    // branch with a later token whose tighter bound wrongly prunes
-    // (caught by the oracle gate: one J=0.987 pair vanished at sf0.01).
-    val candSmall = small.as("a").hint("merge")
+    // flooded block (routed to the star branch) — the r18 blanket
+    // per-row filter wrongly pruned such pairs (oracle: a J=0.987 pair
+    // vanished). Sound extension: aggregate the pairwise branch per
+    // pair and take min(rn) on each side — shared tokens rank in the
+    // SAME global (df, token) order in both docs, so both minima are
+    // attained by the same token, the pair's first shared SMALL-block
+    // token. That token is the pair's globally-first shared prefix
+    // token unless a doc has a FLOODED prefix token at an earlier rank
+    // (any earlier shared token would otherwise be small-blocked and
+    // have produced a smaller-rank candidate row). So the positional
+    // bound applies only when min(rn) precedes each doc's first flooded
+    // prefix rank; every other pair passes through unfiltered, and star
+    // candidates are untouched. Pruned pairs provably verify below t,
+    // so the verified output is unchanged.
+    val floodMin = prefixes.filter(col("m") > maxBlock)
+      .groupBy(col("doc_id")).agg(min(col("rn")).as("fmin"))
+    val pairFirst = small.as("a").hint("merge")
       .join(small.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id") &&
         col("a.n") * tDen >= col("b.n") * tNum &&
         col("b.n") * tDen >= col("a.n") * tNum)
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        col("a.rn").as("rn1"), col("b.rn").as("rn2"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(min(col("rn1")).as("i"), min(col("rn2")).as("j"))
+    val candSmall = pairFirst
+      .join(floodMin.select(col("doc_id").as("id1"), col("fmin").as("f1")),
+        Seq("id1"), "left")
+      .join(floodMin.select(col("doc_id").as("id2"), col("fmin").as("f2")),
+        Seq("id2"), "left")
+      .filter(
+        col("i").cast("long") >= coalesce(col("f1").cast("long"), lit(Long.MaxValue)) ||
+        col("j").cast("long") >= coalesce(col("f2").cast("long"), lit(Long.MaxValue)) ||
+        (lit(1L) + least(col("n1") - col("i"), col("n2") - col("j"))) *
+          lit(tNum + tDen) >= (col("n1") + col("n2")) * lit(tNum))
+      .select(col("id1"), col("id2"))
     val candStar = prefixes.filter(col("m") > maxBlock && col("doc_id") =!= col("hub"))
       .select(col("hub").as("id1"), col("doc_id").as("id2"))
     val cand = candSmall.unionByName(candStar).distinct()

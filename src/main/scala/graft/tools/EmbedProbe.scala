@@ -55,10 +55,15 @@ object EmbedProbe {
     val symMode = if (args.length > 2) args(2) else "plain"
     val symBase = verified.select(col("id1").as("src"), col("id2").as("dst"))
       .union(verified.select(col("id2").as("src"), col("id1").as("dst")))
+    val selfLoops = symMode == "selfloop"
+    val symBase2 = if (selfLoops)
+      symBase.union(reps.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+    else symBase
     val sym = (symMode match {
-      case "rep" => symBase.repartition(col("src"))
-      case "repsort" => symBase.repartition(col("src")).sortWithinPartitions(col("src"))
-      case _ => symBase
+      case "rep" => symBase2.repartition(col("src"))
+      case "repsort" | "selfloop" =>
+        symBase2.repartition(col("src")).sortWithinPartitions(col("src"))
+      case _ => symBase2
     }).localCheckpoint(eager = false)
     var labels = reps.select(col("vec_id").as("node"),
       col("vec_id").cast("long").as("lbl"))
@@ -68,6 +73,8 @@ object EmbedProbe {
     var converged = false
     var iter = 0
     val hopsPerRound = if (args.length > 3) args(3).toInt else 1
+    val aqeOff = args.length > 4 && args(4) == "aqeoff"
+    if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", "false")
     while (!converged && iter < 25) {
       val ti = System.nanoTime()
       var cur = labels
@@ -75,7 +82,8 @@ object EmbedProbe {
         val propagated = sym
           .join(cur.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), col("lbl"))
-        cur = cur.union(propagated)
+        cur = (if (selfLoops) propagated
+          else cur.union(propagated))
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       }
       val hop = cur
