@@ -1307,8 +1307,16 @@ object TextOps {
     require(window >= 2 && window <= 256, s"window must be in [2,256], got $window")
     require(maskBits >= 1 && maskBits <= 20,
       s"maskBits must be in [1,20], got $maskBits")
-    val base = docs.select(col(idCol).as("doc_id"),
-      regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("nrm"))
+    // r19 (guide §2.5 + §2.4): the O(len)-md5 boundary kernel ran
+    // SERIALLY in the one-row-group scan task, and TWICE — the chunk
+    // frame feeds both the shared-hash pipeline and the per-doc stats
+    // (JobProbe: two 0.7 s single-task jobs). Fan the normalized text
+    // out first (identity on real scans), and materialize the bounded
+    // (doc_id, hashes) frame once per invocation (lazy checkpoint).
+    val base = graft.ops.Scale.fanOutSmallScan(
+      docs.select(col(idCol).as("doc_id"),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("nrm")),
+      col("doc_id"))
     // boundary + chunk hashing through the one-pass kernel (the
     // interpreted md5-per-position HOF chain it replaced measured 74 s
     // for one sf0.01 gate pass; kernel ≈ 1 s — spec-pinned identical)
@@ -1317,6 +1325,7 @@ object TextOps {
         graft.functions.CdcChunkHashes(
           org.apache.spark.sql.graft.ColumnBridge.expression(col("nrm")),
           window, maskBits)).as("chs"))
+      .localCheckpoint(false)
     val pairs = withChunks
       .select(col("doc_id"), explode(col("chs")).as("ch")).distinct()
     val docCounts = pairs.groupBy(col("ch")).agg(count(lit(1)).as("nd"))
@@ -2463,7 +2472,18 @@ object TextOps {
    */
   def trainNaiveBayes(docs: org.apache.spark.sql.DataFrame,
       labelCol: String, textCol: String): org.apache.spark.sql.DataFrame =
-    naiveBayesFromCounts(naiveBayesCounts(docs, labelCol, textCol))
+    // r19 (guide §2.4 — the sessionCooccurrence pattern): the counts
+    // frame is BOUNDED (≈ vocab × labels rows) but the model derivation
+    // consumes it from FIVE subtrees, and the raw tl ∪ nd union has no
+    // terminal exchange Catalyst could reuse (each consumer's kind
+    // filter pushes INTO the union branches, so the subtrees differ and
+    // the tokenize+count re-ran per consumer — q_nb_classify's before
+    // plan ran 20 parquet scans). Materialize once per invocation.
+    // NOT inside naiveBayesFromCounts: the incremental path's merged
+    // counts END in a groupBy whose exchange all consumers already
+    // reuse — a checkpoint there measured 0.95 → 1.25 s (A/B, kept off).
+    naiveBayesFromCounts(
+      naiveBayesCounts(docs, labelCol, textCol).localCheckpoint(false))
 
   /**
    * The SUFFICIENT STATISTICS of [[trainNaiveBayes]] (r20) — raw
@@ -2479,6 +2499,11 @@ object TextOps {
    */
   def naiveBayesCounts(docs: org.apache.spark.sql.DataFrame,
       labelCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // r19 note: a fanOutSmallScan here was A/B'd and LOST on the
+    // incremental gate (0.95 → ~1.6-2.5 s) — the tokenize+count partial
+    // aggregate is cheap enough that the extra exchange never pays at
+    // this kernel weight; the train/classify wins came from the
+    // trainNaiveBayes checkpoint and the classify-side fan-out instead.
     val tl = docs.select(col(labelCol).as("label"),
         explode(tokensNative(col(textCol))).as("token"))
       .groupBy(col("label"), col("token"))
@@ -2505,9 +2530,10 @@ object TextOps {
     * drift). */
   def naiveBayesFromCounts(counts: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val tl = counts.filter(col("kind") === "tok")
+    val cnts = counts
+    val tl = cnts.filter(col("kind") === "tok")
       .select(col("label"), col("token"), col("c"))
-    val nd = counts.filter(col("kind") === "docs")
+    val nd = cnts.filter(col("kind") === "docs")
       .select(col("label"), col("c").as("nd"))
     val lt = tl.groupBy(col("label")).agg(sum(col("c")).as("n_l"))
     val v = tl.select(col("token")).distinct()
@@ -2549,8 +2575,11 @@ object TextOps {
       .select(col("label"), col("w_micro").as("__w_unseen"))
     val tokW = model.filter(col("kind") === "tok")
       .select(col("label"), col("token"), col("w_micro"))
-    val dt = docs.select(col(idCol).as("doc_id"),
-      explode(tokensNative(col(textCol))).as("token"))
+    // r19: fan a one-row-group scan out before the tokenize+explode and
+    // the ×|labels| scoring joins (identity on real scans)
+    val dt = graft.ops.Scale.fanOutSmallScan(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(tokensNative(col(textCol))).as("token"))
     val scored = dt
       .crossJoin(broadcast(priors.select(col("label"))))
       .join(tokW, Seq("label", "token"), "left")
