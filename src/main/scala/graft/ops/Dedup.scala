@@ -449,7 +449,13 @@ object Dedup {
     // repartition makes every consumer a ReusedExchange read: the regex
     // work runs once. All consumers need the same (doc_id, text)
     // columns, so column pruning cannot split the shared exchange.
-    val quals = docs
+    // r19 (guide §2.5, the crawlStages pattern): fan a small scan out
+    // BEFORE the redact+quality regex chain — at sf1-shape inputs the
+    // chain ran in the 2 scan tasks (JobProbe: three 2-task jobs, 7.7 s
+    // of 8.7 s total). The staging repartition below still dedups the
+    // post-regex frame across the three consumers; this exchange
+    // parallelizes the regex work itself. Identity on real scans.
+    val quals = Scale.fanOutSmallScan(docs, col(idCol))
       .select(col(idCol).as("doc_id"), TextOps.redact(col(textCol)).as("text"))
       .filter(TextOps.qualityScore(col("text")) >= qualityMin)
       .repartition(col("doc_id"))
@@ -1445,12 +1451,22 @@ object Dedup {
       regexp_replace(trim(lower(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+", " ")
     // r18: scan fan-out before the normalize regexes (guide §2.5;
     // identity at real scale — the blk exchange below is unchanged)
-    val keyed = Scale.fanOutSmallScan(
+    // r19: when the scan WAS small, pin the blk exchange to session
+    // parallelism — AQE coalesces it to 1-3 read partitions by its
+    // tiny BYTES (JobProbe: a 0.4 s single-task job), but the per-block
+    // QUADRATIC levenshtein join above it is what actually costs; AQE
+    // cannot see the explosion. Real-scale inputs keep the unpinned
+    // advisory-sized exchange (flag false → identical r18 shape).
+    val (fanned, smallScan) = Scale.fanOutSmallScanFlag(
         docs.select(col(idCol).as("doc_id"), col(textCol)), col("doc_id"))
+    val pfxed = fanned
       .select(col("doc_id"), substring(norm, 1, prefixLen).as("pfx"))
       .filter(length(col("pfx")) >= blockLen)
       .withColumn("blk", substring(col("pfx"), 1, blockLen))
-      .repartition(col("blk"))
+    val keyed = if (smallScan)
+      pfxed.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col("blk"))
+    else pfxed.repartition(col("blk"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))

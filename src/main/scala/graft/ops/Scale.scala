@@ -65,6 +65,21 @@ object Scale {
     if (planned * 2 <= target) df.repartition(target, key) else df
   }
 
+  /** [[fanOutSmallScan]] that also RETURNS whether it fired — for
+    * operators whose expensive stage is a per-block QUADRATIC join
+    * ABOVE a later exchange: AQE sizes that exchange's reads by its
+    * input bytes (tiny exactly when the scan was tiny) and cannot see
+    * the explosion above it, so the caller pins the block exchange to
+    * session parallelism ONLY when the input scan was small. Real-scale
+    * inputs keep the unpinned, advisory-sized exchange. */
+  def fanOutSmallScanFlag(df: DataFrame, key: Column): (DataFrame, Boolean) = {
+    if (df.isStreaming) return (df, false)
+    if (!scanShaped(df.queryExecution.analyzed)) return (df, false)
+    val planned = df.rdd.getNumPartitions
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (planned * 2 <= target) (df.repartition(target, key), true) else (df, false)
+  }
+
   /** [[fanOutSmallScan]] keyed on SEVERAL columns — used when a
     * downstream groupBy/join clusters on the same tuple, so its
     * EnsureRequirements check sees the individual columns (a single
